@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): time the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() over the result — forces the
+full plan, returns a scalar so no driver-side collect of data rows). A
+warm-up pass on sf0.001 triggers JVM/codegen warm-up so timings measure the
+plan, not classloading.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = (
+    "q_flagship",
+    "q_stream_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_groupby_agg",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_rollup",
+    "q_topk",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_text_fingerprint",
+    "q_text_quality",
+    "q_sim_topk",
+    "q_route_by_key",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from big_data_streaming_spark.session import get_spark
+    from big_data_streaming_spark.workload import QUERIES
+
+    spark = get_spark("bdss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: run the flagship once at the smallest SF (JIT/codegen/Arrow init).
+    QUERIES["q_flagship"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

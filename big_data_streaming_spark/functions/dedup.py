@@ -1,0 +1,194 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB (north-star mandate):
+
+* **Exact** dedup is a fingerprint groupBy — one hash-partitioned shuffle,
+  map-side combine keeps the shuffle at ~one row per distinct key.
+* **MinHash-LSH** avoids the O(n²) pair join: per-doc signatures are
+  computed scan-side with built-in higher-order functions (`transform` /
+  `array_min` over `xxhash64` — all whole-stage codegen, no Python), then
+  docs shuffle only on (band, band_hash) buckets. Collisions within a
+  bucket are the only candidate pairs; the verify step re-checks true
+  Jaccard. Band/row counts trade recall vs candidate volume:
+  P(candidate) = 1 - (1 - j^r)^b for true Jaccard j.
+* **SimHash** gives a 64-bit locality-sensitive fingerprint; equal hashes
+  cluster near-identical docs with a single groupBy (no join at all).
+* All hash seeds are fixed constants — results are deterministic across
+  runs and cluster sizes (SURVEY.md §7 hard-part #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SEED = 42
+
+
+def token_hashes(tokens: Column, seed: int = _SEED) -> Column:
+    """64-bit hash per distinct token (xxhash64, JVM-side)."""
+    return F.transform(F.array_distinct(tokens), lambda tk: F.xxhash64(tk, F.lit(seed)))
+
+
+def minhash_signature(tokens: Column, num_hashes: int = 32, seed: int = _SEED) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of independent hash
+    families. Family *i* is ``xxhash64(token, seed, i)`` — one pass over the
+    token array per hash, all inside codegen."""
+    distinct = F.array_distinct(tokens)
+
+    def family(i: int):
+        # single-parameter lambda: a 2-arg lambda would make transform()
+        # bind the second parameter to the ELEMENT INDEX, collapsing all
+        # hash families into one
+        return lambda tk: F.xxhash64(tk, F.lit(seed), F.lit(i))
+
+    mins = [
+        F.array_min(F.transform(distinct, family(i))) for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def simhash64(tokens: Column, num_bits: int = 64, seed: int = _SEED) -> Column:
+    """SimHash as a ``num_bits``-char bitstring ('0'/'1').
+
+    Classic Charikar construction: each token votes +1/-1 per bit of its
+    64-bit hash; the sign of the per-bit tally is the fingerprint bit.
+    Returned as a bitstring (not a long) to sidestep signed-overflow on bit
+    63 while staying groupable and human-debuggable.
+    """
+    hashes = token_hashes(tokens, seed)
+
+    def vote(b: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    bits = []
+    for b in range(num_bits):
+        tally = F.aggregate(hashes, F.lit(0), vote(b))
+        bits.append(F.when(tally > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _toksets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(toks).alias("tokset"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("prefix"),
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / union
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard, candidate-blocked on the
+    first-3-token prefix. The blocking join shuffles on the prefix — at
+    scale this is the poor man's LSH (one band, deterministic); recall is
+    limited to docs sharing a prefix, which is exactly what the oracle SQL
+    mirrors. Returns (doc_a, doc_b, jaccard)."""
+    ts = _toksets(df, id_col, text_col)
+    a = ts.select(
+        F.col(id_col).alias("doc_a"), F.col("tokset").alias("ts_a"), "prefix"
+    )
+    b = ts.select(
+        F.col(id_col).alias("doc_b"), F.col("tokset").alias("ts_b"), "prefix"
+    )
+    return (
+        a.join(b, ["prefix"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", _jaccard(F.col("ts_a"), F.col("ts_b")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan shape (the part that matters at 100 TB):
+      1. scan-side: signature + per-band hashes (no shuffle);
+      2. explode to ``bands`` rows/doc, shuffle keyed by (band, band_hash)
+         — the *only* data movement is candidate discovery;
+      3. candidate pairs deduped, then verified by a join back to the
+         (id → tokset) relation and an exact Jaccard filter.
+
+    Returns (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+
+    toks = F.split(F.col(text_col), " ")
+    sigs = df.select(
+        F.col(id_col), minhash_signature(toks, num_hashes).alias("sig")
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(F.slice("sig", j * rows + 1, rows)).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+    left = exploded.select(
+        F.col(id_col).alias("doc_a"), "band", "bh"
+    )
+    right = exploded.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    ts = df.select(F.col(id_col), F.array_distinct(toks).alias("tokset"))
+    verified = (
+        candidates.join(
+            ts.select(F.col(id_col).alias("doc_a"), F.col("tokset").alias("ts_a")),
+            "doc_a",
+        )
+        .join(
+            ts.select(F.col(id_col).alias("doc_b"), F.col("tokset").alias("ts_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", _jaccard(F.col("ts_a"), F.col("ts_b")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+def dedup_keep_first(df: DataFrame, key: Column | str, order_col: str) -> DataFrame:
+    """Exact dedup keeping the min-``order_col`` row per key — the engine's
+    canonical 'keep one copy' primitive (C1). Implemented as a groupBy +
+    min-struct (single shuffle, no window sort)."""
+    keyc = F.col(key) if isinstance(key, str) else key
+    others = [c for c in df.columns if c != order_col]
+    packed = df.select(
+        keyc.alias("_k"), F.struct(order_col, *others).alias("_row")
+    )
+    return packed.groupBy("_k").agg(F.min("_row").alias("_row")).select("_row.*")

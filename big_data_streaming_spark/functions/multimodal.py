@@ -1,0 +1,142 @@
+"""Multimodal columns: media as opaque binary + typed metadata.
+
+Convention (schemas.MEDIA_STRUCT): ``struct<uri, mime, nbytes, payload
+binary, meta map<string,string>>``. At 100 TB the payload usually lives in
+object storage (``payload`` null, ``uri`` set); small assets inline. All
+*engine-side* ops (project, filter on meta, batch shaping for decoders)
+work on either shape.
+
+Decoders (image/audio/video) need codec libraries this container doesn't
+ship, so the decode kernels are STUBBED — ``decode_media`` raises
+``NotImplementedError`` unless given ``fake=True``, in which case it emits
+deterministic pseudo-features. The Spark-side plumbing is real either way:
+Arrow-batched ``mapInPandas`` with an explicit output schema, batch-size
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``, and the
+payload column pruned out before the Python boundary when features don't
+need it (only metadata crosses — keep the Arrow transfer narrow).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def with_media_struct(docs: DataFrame) -> DataFrame:
+    """Lift ``documents`` rows into the media-column convention: the text
+    payload becomes inline bytes with uri/mime/meta populated."""
+    return docs.withColumn(
+        "media",
+        F.struct(
+            F.concat(
+                F.lit("s3://corpus/"),
+                F.col("lang"),
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+                F.lit(".txt"),
+            ).alias("uri"),
+            F.lit("text/plain").alias("mime"),
+            F.length("text").cast("bigint").alias("nbytes"),
+            F.col("text").cast("binary").alias("payload"),
+            F.create_map(
+                F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+            ).alias("meta"),
+        ),
+    )
+
+
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("uri", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature_vec", ArrayType(DoubleType())),
+    ]
+)
+
+
+def decode_media(df: DataFrame, *, fake: bool = False, feature_dim: int = 4) -> DataFrame:
+    """Feature-extract media payloads via Arrow-batched ``mapInPandas``.
+
+    ``fake=False`` raises ``NotImplementedError`` from inside the UDF on
+    the first batch — real decode needs PIL/ffmpeg, absent here. With
+    ``fake=True`` the features are a deterministic function of the payload
+    bytes (length + leading byte moments), so tests pin exact values.
+
+    Input must carry ``doc_id`` and ``media`` (see with_media_struct).
+    Only (doc_id, uri, payload) cross the Arrow boundary — metadata stays
+    JVM-side and is re-joined by the caller if needed.
+    """
+    narrow = df.select(
+        "doc_id",
+        F.col("media.uri").alias("uri"),
+        F.col("media.payload").alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires codec libraries (PIL/ffmpeg) not "
+                    "present in this environment; pass fake=True for the "
+                    "deterministic test kernel"
+                )
+            payloads = pdf["payload"]
+            feats = []
+            for buf in payloads:
+                b = bytes(buf) if buf is not None else b""
+                n = len(b)
+                head = b[: feature_dim * 8]
+                vec = [
+                    float(n),
+                    float(sum(head) % 997),
+                    float(head[0]) if head else 0.0,
+                    float(n % 251),
+                ][:feature_dim]
+                feats.append(vec)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "uri": pdf["uri"],
+                    "n_bytes": payloads.map(lambda x: len(bytes(x)) if x is not None else 0),
+                    "feature_vec": feats,
+                }
+            )
+
+    return narrow.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, *, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: expands one media row to
+    frame-index rows JVM-side (posexplode over a sequence sized from
+    metadata), leaving the per-frame decode to ``decode_media``. Real
+    frame extraction is stubbed the same way; the *shape* — explode before
+    decode so Arrow batches stay bounded — is the part that matters at
+    scale."""
+    with_count = df.select(
+        "doc_id",
+        F.col("media.uri").alias("uri"),
+        (F.col("media.nbytes") / (64 * every_n))
+        .cast("int")
+        .alias("n_frames"),
+    )
+    return with_count.select(
+        "doc_id",
+        "uri",
+        F.posexplode(F.sequence(F.lit(0), F.greatest(F.col("n_frames"), F.lit(0)))).alias(
+            "frame_idx", "frame_offset"
+        ),
+    ).select(
+        "doc_id", "uri", "frame_idx", (F.col("frame_offset") * every_n).alias("frame_no")
+    )

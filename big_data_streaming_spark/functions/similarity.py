@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, per the north-star mandate:
+
+* ``cosine_topk`` — brute-force exact top-k. The query side is broadcast
+  (k queries ≪ corpus), so the corpus is scanned once with no shuffle of
+  the big side; per-pair math is built-in higher-order functions
+  (``zip_with`` + ``aggregate``) in double precision — JVM codegen, no
+  Python. The final top-k per query is a ranking window over (q_id),
+  which shuffles only (q_id, neighbor_id, cosine) triples.
+* ``ivf_topk`` — the scale path: partition the corpus by a coarse
+  quantizer (here: per-cluster centroids), probe only the closest
+  ``nprobe`` partitions. At 100 TB this turns a full scan into a
+  1/nlist-selectivity scan; the centroid table is tiny and broadcast.
+* ``hyperplane_lsh_neardup`` — random-hyperplane signatures bucket
+  near-identical vectors; pairs only form within buckets (same shuffle
+  argument as MinHash-LSH for text).
+
+Determinism: hyperplanes come from a fixed-seed generator; centroid sums
+are float-order-dependent but used only for *routing*, never in returned
+values, so results are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double precision (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+
+    Returns (q_id, neighbor_id, cosine, rank), rank 1..k, self-matches
+    excluded. Broadcast(queries) × one corpus scan; TakeOrdered-style
+    ranking per query id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .join(q, F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine(F.col("c_vec"), F.col("q_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def build_centroids(
+    corpus: DataFrame, cluster_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cluster mean vector (coarse quantizer). Stand-in for k-means —
+    the driver fixture ships cluster labels; on unlabeled data run
+    pyspark.ml KMeans and feed its centers in the same shape."""
+    dim_probe = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = dim_probe["d"]
+    sums = corpus.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at(_as_double(F.col(vec_col)), i + 1)).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    centroid = F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)])
+    return sums.select(
+        F.col(cluster_col).alias("centroid_id"), centroid.alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF approximate top-k: route each query to its ``nprobe`` nearest
+    centroids, scan only those inverted lists.
+
+    At 100 TB the corpus is *stored* partitioned by ``cluster_col``
+    (partitionBy on write), so probing is partition pruning, not a filter
+    over a full scan."""
+    centroids = F.broadcast(build_centroids(corpus, cluster_col, vec_col))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    routed = (
+        q.crossJoin(centroids)
+        .select(
+            "q_id",
+            "q_vec",
+            "centroid_id",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("c_cos"), "centroid_id")
+            ),
+        )
+        .filter(F.col("c_rank") <= nprobe)
+        .select("q_id", "q_vec", "centroid_id")
+    )
+    hits = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(cluster_col).alias("centroid_id"),
+        )
+        .join(F.broadcast(routed), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine(F.col("c_vec"), F.col("q_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_signature(
+    vec: Column, hyperplanes: list[list[float]]
+) -> Column:
+    """Sign-of-projection bitstring for random-hyperplane LSH."""
+    bits = []
+    for hp in hyperplanes:
+        proj = F.aggregate(
+            F.zip_with(
+                _as_double(vec),
+                F.array(*[F.lit(float(v)) for v in hp]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def fixed_hyperplanes(dim: int, n: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy fixed seed)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n, dim)).tolist()
+
+
+def hyperplane_lsh_neardup(
+    corpus: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH bucketing +
+    exact cosine verification. Returns (vec_a, vec_b, cosine ≥ min_cosine)."""
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    sig = hyperplane_signature(F.col(vec_col), fixed_hyperplanes(dim, n_planes))
+    tagged = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("v"), sig.alias("bucket")
+    )
+    a = tagged.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = tagged.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )

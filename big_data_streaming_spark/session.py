@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference submits every job with ``spark-submit --master local[*]`` and
+no SQL tuning at all (reference: Dockerfile.spark-longtime:22). Here the
+session is built once with the settings that matter at 100 TB:
+
+* **AQE on** — runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy downgrade to broadcast. At 100 TB the static
+  ``spark.sql.shuffle.partitions`` is always wrong for *some* stage; AQE
+  re-plans from real map-output statistics.
+* **UTC session timezone** — event-time columns are epoch-derived
+  (reference: spark/streaming-shorttime.py:58-59); a fixed zone makes
+  window bucketing reproducible across drivers and matches the DuckDB
+  oracle the driver runs.
+* **Arrow enabled** — every Python-boundary crossing (pandas UDFs,
+  ``toPandas``) is Arrow-batched, not pickled rows.
+* **Shuffle partitions** default to the local core count for tests; on a
+  real cluster set ``spark.sql.shuffle.partitions`` ≈ 2-3× total cores and
+  let AQE coalesce down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Cluster-size-sensitive knobs. On a 1000-executor cluster these would be
+# set by the submitter; the values here are the local-mode test defaults.
+_DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Testdata stores some event-time columns as parquet TIMESTAMP(NANOS);
+    # read them as epoch-nanos longs and convert in the catalog loader
+    # (sources/catalog.py) with DuckDB-identical µs truncation.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Files: 128 MB split targets keep scan tasks uniform at any total size.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: dims (region/nation/supplier/part at any SF that
+    # fits; at 100 TB the fact side never broadcasts, the dim side should).
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "big-data-streaming-spark", **extra_confs: str) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``master`` honours ``SPARK_GRAFT_CPUS`` (driver contract) and defaults
+    to ``local[*]``. Extra confs override the defaults.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**_DEFAULT_CONFS, **extra_confs}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,3 @@
+from big_data_streaming_spark.sources.catalog import load_table, load_tables
+
+__all__ = ["load_table", "load_tables"]

@@ -1,0 +1,54 @@
+"""Kline parse chain — reference operators A2–A6 as one composable stage.
+
+Mirrors reference spark/streaming-shorttime.py:53-61 (cast → from_json →
+flatten → epoch-ms→timestamp → year/month), working identically on batch
+and streaming DataFrames (same logical plan, Catalyst incrementalizes it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from big_data_streaming_spark.schemas import KLINE_WIRE_SCHEMA
+
+
+def parse_json_stream(
+    raw: DataFrame,
+    schema: StructType = KLINE_WIRE_SCHEMA,
+    value_col: str = "value",
+) -> DataFrame:
+    """A2+A3+A4: binary/string JSON value → typed flat columns.
+
+    PERMISSIVE parse (malformed rows → nulls) matching the reference's
+    implicit policy (spark/streaming-shorttime.py:54); callers wanting a
+    corrupt-record quarantine add ``columnNameOfCorruptRecord`` to the
+    schema and filter it into a dead-letter sink.
+    """
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("data")
+    ).select("data.*")
+
+
+def with_event_time(
+    df: DataFrame, cols: tuple[str, ...] = ("timestamp", "close_time")
+) -> DataFrame:
+    """A5: epoch-ms longs → TIMESTAMP via timestamp_millis (exact; the
+    reference divides by 1000 and casts — same semantics, ms precision,
+    reference spark/streaming-shorttime.py:58-59)."""
+    for c in cols:
+        df = df.withColumn(c, F.timestamp_millis(F.col(c)))
+    return df
+
+
+def with_date_parts(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """A6: derive the partition keys the curated layout is laid out by."""
+    return df.withColumn("year", F.year(ts_col)).withColumn(
+        "month", F.month(ts_col)
+    )
+
+
+def parse_klines(raw: DataFrame) -> DataFrame:
+    """Full reference parse chain: A2→A3→A4→A5→A6 (16-column curated row)."""
+    return with_date_parts(with_event_time(parse_json_stream(raw)))

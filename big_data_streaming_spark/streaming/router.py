@@ -1,0 +1,67 @@
+"""Per-key sink routing — single-pass replacement for the reference's
+O(keys) sequential job loop.
+
+The reference routes each micro-batch to db-per-coin / table-per-interval
+by looping: ``distinct().collect()`` then per-pair ``filter`` + JDBC write
+— up to 21 rescans of the same batch (reference
+spark/streaming-longtime.py:119-144; SURVEY.md §4.3.2). Here:
+
+* File sinks: one ``partitionBy(*keys)`` write — a single job; the file
+  committer fans rows into ``key=value/`` directories. At 100 TB this is
+  also the *layout* win: downstream reads get partition pruning.
+* Non-partitionable sinks (JDBC database-per-key): ``foreach_batch_router``
+  persists the batch once, then issues the per-key writes off the cached
+  data — K writes, ONE scan, and the writes can proceed concurrently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def route_partitioned(
+    df: DataFrame,
+    out_dir: str,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """A20 for file sinks: one partitioned write, no per-key jobs."""
+    (df.write.format(fmt).mode(mode).partitionBy(*keys).save(out_dir))
+
+
+def foreach_batch_router(
+    keys: Sequence[str],
+    write_partition: Callable[[DataFrame, tuple, int], None],
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function that routes to per-key sinks with
+    exactly one scan of the batch.
+
+    ``write_partition(slice_df, key_tuple, batch_id)`` is invoked once per
+    distinct key combination present in the batch (e.g. open a JDBC
+    connection to the per-coin database — reference A18/A21 semantics).
+    The batch is persisted first (SURVEY.md §4.3.1), so the distinct scan
+    and every per-key slice hit cached blocks, not the source.
+    """
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            present = [
+                tuple(r) for r in batch.select(*keys).distinct().collect()
+            ]
+            for key_tuple in sorted(present):
+                cond = F.lit(True)
+                for k, v in zip(keys, key_tuple):
+                    cond = cond & (F.col(k) == F.lit(v))
+                write_partition(batch.filter(cond), key_tuple, batch_id)
+        finally:
+            batch.unpersist()
+
+    return route

@@ -1,0 +1,136 @@
+"""Sinks with the §4.3 rules baked in: checkpoint-always, partitioned
+layout, persist-before-multi-action, bounded triggers.
+
+Covers reference A16–A19: foreachBatch, Avro/Parquet file sinks, JDBC.
+The reference runs checkpoint-less at-most-once (SURVEY.md §4.3.4); every
+writer here takes a mandatory ``checkpoint`` for exactly-once file-sink
+semantics (Spark's file sink commits via the write-ahead manifest).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+
+def start_file_sink(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    *,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+    trigger: dict | None = None,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Streaming file sink (A17/A19). ``fmt='avro'`` needs the spark-avro
+    package on the classpath (not in this container — writes raise with
+    that remedy; parquet is the default curated format either way).
+
+    Partitioning by the derived keys (year/month — reference computes them
+    at A6 but writes unpartitioned) is what makes the curated layer
+    prunable at 100 TB."""
+    writer: DataStreamWriter = (
+        df.writeStream.format(fmt)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer = _apply_trigger(writer, trigger)
+    return writer.start()
+
+
+def start_foreach_batch(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    *,
+    trigger: dict | None = None,
+    persist_batches: bool = True,
+) -> StreamingQuery:
+    """A16 with the recompute-per-action fix: the batch DataFrame is
+    persisted before the callback and unpersisted after, so a callback
+    doing count + N writes scans the source once, not N+1 times
+    (the reference rescans up to 21×; SURVEY.md §4.3.1)."""
+
+    def wrapped(batch: DataFrame, batch_id: int) -> None:
+        if persist_batches:
+            batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            fn(batch, batch_id)
+        finally:
+            if persist_batches:
+                batch.unpersist()
+
+    writer = df.writeStream.foreachBatch(wrapped).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = _apply_trigger(writer, trigger)
+    return writer.start()
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    user: str,
+    password: str,
+    batchsize: int = 10_000,
+) -> None:
+    """A18: JDBC append. For exactly-once under retries the target table
+    needs a natural key (coin, interval, timestamp) with upsert semantics;
+    plain append is at-least-once — callers choose per SURVEY.md §7
+    hard-part #2."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("batchsize", str(batchsize))
+        .mode("append")
+        .save()
+    )
+
+
+def read_jdbc_partitioned(
+    spark,
+    url: str,
+    table: str,
+    *,
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int = 16,
+    schema=None,
+    **options: str,
+):
+    """A14 with the single-task fix: bound-partitioned JDBC scan (the
+    reference reads whole tables in ONE task —
+    spark/streaming-longtime-raw.py:105-114; SURVEY.md §4.3.5)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load()
+
+
+def _apply_trigger(writer: DataStreamWriter, trigger: dict | None) -> DataStreamWriter:
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer

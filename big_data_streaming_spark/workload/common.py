@@ -1,0 +1,53 @@
+"""Shared helpers for oracle-exact arithmetic and table access.
+
+Float summation is order-dependent, and Spark (partial + final hash agg
+over shuffled partitions) will not sum doubles in DuckDB's order. To make
+aggregate values *bit-identical* to the oracle we route every SUM/AVG of a
+double through DECIMAL(38,6): decimal addition is exact and associative, so
+any summation order yields the same result, and the final DECIMAL→DOUBLE
+cast is deterministic (round-to-nearest) in both engines. The per-row
+DOUBLE→DECIMAL cast rounds at 1e-6, identically on both sides for any
+value not sitting exactly on a .5e-6 knife edge (never observed in the
+driver testdata; verified at sf=0.01 by tests/test_oracle_queries.py).
+
+At 100 TB this is also the *correct* money policy (SURVEY.md §4.3.7):
+exact decimal accumulation instead of drifting double partial sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.sources.catalog import load_table
+
+DEC = "decimal(38,6)"
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Order-insensitive exact sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str) -> Column:
+    """avg = exact-decimal sum cast to double, divided by count (both
+    deterministic), so the double division is bit-identical to the oracle's
+    ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def oracle_dec_sum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def oracle_dec_avg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)

@@ -1,0 +1,398 @@
+"""Events workload — the reference's stream-shaped surface, batch-checked.
+
+The ``events`` fixture stands in for the kline stream (FIXTURES.md §2):
+``user_id`` plays ``coin``'s role, ``value`` plays ``volume``, ``props`` is
+the JSON payload. Queries here cover SURVEY.md §2 Table A's batch-checkable
+ops (A2–A12, A24) and Table B's time-series core (B2–B4, B6, B11, B12, B14).
+
+Scale notes (100 TB):
+* Every query is a single declarative plan — predicate pushdown and column
+  pruning reach the parquet scan (verified by tests/test_plans.py).
+* Window aggregations shuffle once on (window, key); with AQE the post-agg
+  partition count adapts to the real reduction factor.
+* The flagship top-k ends in TakeOrderedAndProject — no global sort of the
+  aggregate output, only a per-partition heap + driver merge of k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_streaming_spark.schemas import EVENT_PROPS_SCHEMA
+from big_data_streaming_spark.workload.common import dec_sum, oracle_dec_sum, t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Flagship: the reference's product query (README.md:2, public/demo.jpg):
+# "volume per coin over the last 1 hour, top-k descending" — expressed as
+# 1-hour tumbling windows of total value per event_type, top 20 windows.
+# --------------------------------------------------------------------------
+@_q(
+    "q_flagship",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           {oracle_dec_sum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY total_value DESC, window_start, event_type
+    LIMIT 20
+    """,
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(dec_sum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
+        .orderBy(F.desc("total_value"), "window_start", "event_type")
+        .limit(20)
+    )
+
+
+# --- A2+A3+A4: cast + JSON parse with declared schema + struct flatten ----
+# (reference spark/streaming-shorttime.py:53-55)
+@_q(
+    "q_json_parse",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json(F.col("props").cast("string"), EVENT_PROPS_SCHEMA).alias("p")
+    )
+    return parsed.select("event_id", F.col("p.k").alias("prop_k"))
+
+
+# --- A5: epoch-ms ↔ timestamp (reference spark/streaming-shorttime.py:58-59)
+@_q(
+    "q_epoch_to_ts",
+    """
+    SELECT event_id,
+           epoch_ms(ts) AS ts_ms,
+           epoch_ms(epoch_ms(ts)) AS ts_roundtrip
+    FROM events
+    """,
+)
+def q_epoch_to_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_roundtrip"),
+    )
+
+
+# --- A6: date-part derivation (reference spark/streaming-shorttime.py:60-61)
+@_q(
+    "q_date_parts",
+    """
+    SELECT event_id,
+           CAST(EXTRACT(YEAR FROM ts) AS INTEGER) AS year,
+           CAST(EXTRACT(MONTH FROM ts) AS INTEGER) AS month,
+           CAST(EXTRACT(DAY FROM ts) AS INTEGER) AS day
+    FROM events
+    """,
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+    )
+
+
+# --- A9: conjunctive equality filter (reference spark/streaming-longtime.py:131)
+@_q(
+    "q_filter_conj",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100.0
+    """,
+)
+def q_filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+# --- A10/A23: time-range predicate, pushed to the scan
+# (reference spark/streaming-longtime-raw.py:134-137 does this as a manual
+# JDBC subquery; Catalyst pushes the same predicate automatically)
+@_q(
+    "q_time_range",
+    """
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-22 00:00:00'
+    """,
+)
+def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-22 00:00:00").cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "value")
+
+
+# --- A11: global max aggregate (reference spark/streaming-longtime-raw.py:157)
+@_q("q_agg_max_ts", "SELECT MAX(ts) AS max_ts, MIN(ts) AS min_ts FROM events")
+def q_agg_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("max_ts"), F.min("ts").alias("min_ts"))
+
+
+# --- A12: count (reference spark/streaming-shorttime.py:68)
+@_q("q_count_all", "SELECT COUNT(*) AS n_rows FROM events")
+def q_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --- A7+A8: projection + distinct (reference spark/streaming-longtime.py:120)
+@_q("q_distinct_pairs", "SELECT DISTINCT user_id, event_type FROM events")
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# --- A24: tolerant type coercion (reference kafka/producer-longtime.py:23-27
+# does this in Python pre-Kafka; engine-side it is try_cast)
+@_q(
+    "q_try_cast",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           TRY_CAST(event_type AS DOUBLE) AS et_num
+    FROM events
+    """,
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_long"),
+        F.col("event_type").try_cast("double").alias("et_num"),
+    )
+
+
+# --- B2: tumbling event-time window aggregation ---------------------------
+@_q(
+    "q_window_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           {oracle_dec_sum('value', 'total_value')},
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(dec_sum("value", "total_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+# --- B3: sliding event-time window (1 h window, 15 min slide) -------------
+# Oracle: every row belongs to exactly duration/slide = 4 windows whose
+# starts are floor(ts,15min) - i*15min for i in 0..3 — same enumeration
+# Spark's window() expression generates.
+@_q(
+    "q_window_sliding",
+    f"""
+    SELECT epoch_ms(CAST((floor(epoch(ts) / 900) * 900 - g.i * 900) AS BIGINT) * 1000)
+             AS window_start,
+           event_type,
+           {oracle_dec_sum('value', 'total_value')},
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN generate_series(0, 3) AS g(i)
+    GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(dec_sum("value", "total_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+# --- B4: session window (30 min gap) per user -----------------------------
+# Oracle: gaps-and-islands — a new session starts when the gap from the
+# previous event is >= the 30-minute timeout (Spark's session end is
+# exclusive: an event landing exactly at prev_ts + gap opens a new session).
+@_q(
+    "q_window_session",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM ordered
+    ), grouped AS (
+        SELECT *,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {oracle_dec_sum('value', 'total_value')}
+    FROM grouped
+    GROUP BY user_id, session_id
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(dec_sum("value", "total_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- B6: top-k (TakeOrderedAndProject, no global sort) --------------------
+@_q(
+    "q_topk",
+    f"""
+    SELECT user_id, {oracle_dec_sum('value', 'total_value')}, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(dec_sum("value", "total_value"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+# --- B11: ranking window functions — "trending" per day -------------------
+@_q(
+    "q_rank_per_window",
+    f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, user_id,
+               {oracle_dec_sum('value', 'daily_value')}
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, user_id, daily_value,
+           CAST(row_number() OVER (PARTITION BY day
+                                   ORDER BY daily_value DESC, user_id) AS INTEGER) AS rnk
+    FROM daily
+    QUALIFY rnk <= 3
+    """,
+)
+def q_rank_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(dec_sum("value", "daily_value"))
+        .select(F.col("w.start").alias("day"), "user_id", "daily_value")
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("daily_value"), "user_id")
+    return daily.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+# --- B12: analytic window functions with frame spec -----------------------
+# lag(previous value) and a 4-row moving average per user, ordered by time.
+# The moving average is computed as exact-decimal frame sum / frame count so
+# the double division matches the oracle bit-for-bit.
+@_q(
+    "q_lag_ma",
+    """
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-3, Window.currentRow)
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(order).alias("prev_value"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).over(frame).cast("double")
+            / F.count("value").over(frame)
+        ).alias("ma4"),
+    )
+
+
+# --- B14: approximate distinct count (HLL) — rows-only (approximation is
+# engine-specific; exactness vs DuckDB is not defined). At 100 TB this is
+# the only sane distinct-count: fixed-size sketch, no giant shuffle.
+@_q("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )

@@ -1,0 +1,388 @@
+"""Relational core over the star schema — SURVEY.md §2 Table B.
+
+The reference has **no** joins/groupBy/sort (SURVEY.md §2 Table B preamble);
+this module supplies the minimum relational core its product query and any
+100 TB analytics use demand.
+
+Scale notes:
+* Dimension joins (`region`, `nation`, `supplier`, `part`, `customer`)
+  are explicitly ``broadcast()``-hinted — at 100 TB the fact table never
+  fits a shuffle-free strategy but every dim here stays < the 64 MB
+  threshold, so the star join is a chain of broadcast hash joins with a
+  single pass over lineitem, zero shuffles before the final aggregation.
+* Fact-fact joins (lineitem ⋈ orders) are shuffle hash / sort-merge on the
+  join key; with AQE, skewed order keys are split at runtime. For repeated
+  workloads, bucketing both tables on the key removes this shuffle
+  entirely (see big_data_streaming_spark/plans/layout.py).
+* Aggregations use exact-decimal sums (see workload/common.py) — partial
+  map-side combine still applies because decimal sum is associative.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.workload.common import (
+    dec_avg,
+    dec_sum,
+    oracle_dec_avg,
+    oracle_dec_sum,
+    t,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- A14 analog: projected + filtered scan (predicate pushdown) -----------
+# At 100 TB the point is that BOTH the filter and the 4-column projection
+# reach the parquet reader (PushedFilters / ReadSchema) — verified in
+# tests/test_plans.py.
+@_q(
+    "q_scan_table",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount > 0.05
+    """,
+)
+def q_scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# --- B1: grouped hash aggregation (TPC-H Q1 shape) ------------------------
+@_q(
+    "q_groupby_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dec_sum('l_quantity', 'sum_qty')},
+           {oracle_dec_sum('l_extendedprice', 'sum_base_price')},
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {oracle_dec_avg('l_quantity', 'avg_qty')},
+           {oracle_dec_avg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "sum_disc_price",
+            ),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- B7: inner equi join, fact ⋈ fact (shuffle join on the key) -----------
+@_q(
+    "q_join_inner",
+    f"""
+    SELECT o.o_orderpriority,
+           {oracle_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- B7: broadcast star join — lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+# (TPC-H Q5 shape). Every dimension side is broadcast; one scan of lineitem.
+@_q(
+    "q_join_broadcast",
+    f"""
+    SELECT n.n_name,
+           {oracle_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+# --- B8: left outer join — keep customers with zero orders ----------------
+@_q(
+    "q_join_left",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --- B9: left semi — customers WITH a high-value order --------------------
+@_q(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# --- B9: left anti — customers with NO orders at all ----------------------
+@_q(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- B10: union by name — reassemble per-key slices (the reference splits
+# its data into table-per-interval; union is how you put it back:
+# reference spark/streaming-longtime-raw.py:29)
+@_q(
+    "q_union_all",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+    FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity"]
+    a = li.filter(F.col("l_returnflag") == "R").select(*cols)
+    b = li.filter(F.col("l_linestatus") == "F").select(*cols)
+    return a.unionByName(b)
+
+
+# --- B13: rollup — multi-resolution aggregates in one pass ----------------
+@_q(
+    "q_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dec_sum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n_rows,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS grouping_level
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().alias("grouping_level"),
+    )
+
+
+# --- B15: scalar string functions -----------------------------------------
+@_q(
+    "q_scalar_string",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substring(p_type, 1, 5) AS type_prefix,
+           concat(p_brand, '#', p_type) AS brand_type,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake,
+           CAST(contains(p_type, 'BRASS') AS BOOLEAN) AS is_brass
+    FROM part
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+    )
+
+
+# --- B15: scalar math functions (exact-result ops only: sqrt is IEEE-exact,
+# round/abs/floor/ceil/mod are integral — no libm 1-ulp divergence risk) ---
+@_q(
+    "q_scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * l_discount, 4) AS disc_amount,
+           round(l_quantity / 7.0, 2) AS qty_sevenths,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(l_linenumber % 2 AS INTEGER) AS ln_parity
+    FROM lineitem
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at 4 dp: the 2dp×2dp product has exactly 4 decimals, so the
+        # recovery is exact in both engines (2 dp would sit on the .xx5
+        # knife edge for ~10% of rows and HALF_UP vs binary-scaling rounding
+        # disagree there)
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amount"),
+        F.round(F.col("l_quantity") / 7.0, 2).alias("qty_sevenths"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_kbucket"),
+        F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_linenumber") % 2).alias("ln_parity"),
+    )
+
+
+# --- B15: scalar date functions -------------------------------------------
+@_q(
+    "q_scalar_date",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_1995,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_1995"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+    )
+
+
+# --- B16: pandas UDF (Arrow-vectorized — the only sanctioned Python path;
+# a row-at-a-time @udf would break codegen and serialize per row).
+# Per-row double arithmetic is order-fixed, so it matches the oracle exactly.
+@_q(
+    "q_udf_roundtrip",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def q_udf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def charge(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )

@@ -1,0 +1,86 @@
+"""Similarity-search workload over ``embeddings`` — SURVEY.md §2 Table C
+(C2/C3) and the north-star ANN mandate.
+
+``q_sim_topk`` carries a DuckDB oracle (explicit double-precision cosine,
+same left-to-right fold order); the LSH/IVF variants are rows-only —
+their hash families / routing are engine-specific by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.functions.similarity import (
+    cosine_topk,
+    hyperplane_lsh_neardup,
+    ivf_topk,
+)
+from big_data_streaming_spark.workload.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_N_QUERIES = 8  # query vectors = vec_id < 8
+_K = 5
+
+
+# --- C3: exact brute-force cosine top-k -----------------------------------
+# Oracle computes the identical double-precision expression; rank ties are
+# broken by neighbor_id on both sides so the result set is deterministic.
+@_q(
+    "q_sim_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               list_dot_product(e.embedding::DOUBLE[], q.q_vec)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, round(cosine, 6) AS cosine_r,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {_K}
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    res = cosine_topk(emb, queries, k=_K)
+    # Rounded cosine in the compared output: the ranking uses full
+    # precision; the 6-dp rounding only absolves last-ulp libm divergence.
+    return res.select(
+        "q_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
+# --- north star: IVF approximate top-k (rows-only) ------------------------
+@_q("q_sim_ivf")
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries, k=_K, nprobe=2)
+
+
+# --- north star: embedding-cosine near-dup via hyperplane LSH (rows-only) -
+@_q("q_embed_neardup")
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_neardup(emb, min_cosine=0.9, n_planes=6)

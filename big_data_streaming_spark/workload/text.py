@@ -1,0 +1,309 @@
+"""Text-analysis + deduplication workload over ``documents`` — SURVEY.md §2
+Table C (C1, C4, C5) plus the training-data-pipeline operators mandated by
+the north star (language-ID, quality scoring, token counting, document
+fingerprinting, MinHash/SimHash/Jaccard near-dup).
+
+Scale notes (100 TB of documents):
+* Everything below is built-in ``pyspark.sql.functions`` — split /
+  higher-order array ops / xxhash64 run inside whole-stage codegen; no
+  Python in the hot path.
+* Exact dedup is a groupBy on the fingerprint (or raw text) — one shuffle
+  keyed by hash, perfectly balanced unless texts are pathologically equal.
+* MinHash-LSH near-dup: per-doc signature computation is embarrassingly
+  parallel; the candidate join shuffles on (band_id, band_hash) buckets —
+  the whole point of LSH is that this shuffle is tiny compared to the
+  O(n²) naive pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.functions.dedup import (
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from big_data_streaming_spark.workload.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- C1: exact deduplication ----------------------------------------------
+# Keep the smallest doc_id per identical text; report the duplicate count.
+@_q(
+    "q_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, text
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies", "text")
+    )
+
+
+# --- C4: tokenization ------------------------------------------------------
+@_q(
+    "q_text_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
+# --- C4: explode tokens → global term frequency (B15 array surface) -------
+@_q(
+    "q_explode_tokens",
+    """
+    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+# --- north star: quality scoring ------------------------------------------
+# Length / mean-token-length / stopword-ratio heuristics à la C4/CCNet.
+# All ratios are single double divisions of exact ints — bit-stable.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@_q(
+    "q_text_quality",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(toks) AS mean_token_len,
+           CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio
+    FROM tok
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tok = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tok).alias("mean_token_len"),
+        (n_sw.cast("double") / n_tok).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("unique_ratio"),
+    )
+
+
+# --- north star: language ID (marker-word heuristic) ----------------------
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    return f"CAST(len(list_intersect(list_distinct(toks), {arr})) AS INTEGER) AS n_{lang}"
+
+
+@_q(
+    "q_text_lang",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           {_marker_sql('en')},
+           {_marker_sql('de')},
+           {_marker_sql('fr')},
+           {_marker_sql('es')}
+    FROM tok
+    """,
+)
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    cols = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]]))
+        ).alias(f"n_{lang}")
+        for lang in ("en", "de", "fr", "es")
+    ]
+    return d.select("doc_id", *cols)
+
+
+# --- north star: token counting (whitespace + regex word tokens) ----------
+@_q(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS re_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_measured
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("([a-z]+)"), 1)).alias("re_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+# --- north star: document fingerprinting (MD5 of normalized text) ---------
+@_q(
+    "q_text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+
+
+# --- C5: multimodal column convention -------------------------------------
+# Derive the media struct (uri, mime, nbytes, payload, meta) from documents;
+# the oracle checks the flattened metadata (payload bytes verified by
+# length — DuckDB BLOB vs Arrow bytes compare is covered in pytest).
+@_q(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id,
+           concat('s3://corpus/', lang, '/', CAST(doc_id AS VARCHAR), '.txt') AS uri,
+           'text/plain' AS mime,
+           CAST(length(text) AS BIGINT) AS nbytes,
+           lang AS meta_lang, source AS meta_source
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.multimodal import with_media_struct
+
+    d = with_media_struct(t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("media.uri").alias("uri"),
+        F.col("media.mime").alias("mime"),
+        F.col("media.nbytes").alias("nbytes"),
+        F.col("media.meta")["lang"].alias("meta_lang"),
+        F.col("media.meta")["source"].alias("meta_source"),
+    )
+
+
+# --- C2 / north star: n-gram Jaccard near-dup (oracle-able variant) -------
+# Candidate pairs blocked on the first-3-token prefix, Jaccard over distinct
+# token sets ≥ 0.6. SQL-expressible, so it gets a full DuckDB oracle; the
+# LSH variants below are rows-only.
+@_q(
+    "q_dedup_ngram",
+    """
+    WITH toksets AS (
+        SELECT doc_id,
+               list_distinct(string_split(text, ' ')) AS tokset,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                 / (len(a.tokset) + len(b.tokset)
+                    - len(list_intersect(a.tokset, b.tokset))) AS jaccard
+        FROM toksets a JOIN toksets b
+          ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", threshold=0.6
+    )
+
+
+# --- C2: MinHash-LSH near-dup (rows-only: hash family is engine-specific) -
+@_q("q_dedup_near")
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=32,
+        bands=8,
+        jaccard_threshold=0.5,
+    )
+
+
+# --- north star: SimHash near-dup clusters (rows-only) --------------------
+@_q("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sh = simhash64(F.split("text", " "))
+    return (
+        d.select("doc_id", sh.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- north star: MinHash signatures exposed as a query (rows-only) --------
+@_q("q_minhash_signature")
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", minhash_signature(F.split("text", " "), num_hashes=16).alias("sig")
+    )

@@ -1,0 +1,33 @@
+"""Oracle-differential tests — the local replica of the driver's t2 gate.
+
+Every query key with an oracle runs at sf0.001 (fast path, every CI run);
+set BDSS_ORACLE_SF=/root/testdata/sf0.01 to re-run at the driver's scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from big_data_streaming_spark.workload import ORACLES, QUERIES
+from tests.oracle_harness import compare, run_oracle
+
+SF_DIR = os.environ.get("BDSS_ORACLE_SF", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_pdf = sdf.toPandas()
+    oracle_pdf = run_oracle(ORACLES[name], SF_DIR)
+    compare(name, spark_pdf, oracle_pdf)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_runs(spark, name):
+    """Rows-only queries must at least execute and return a stable schema."""
+    sdf = QUERIES[name](spark, SF_DIR)
+    rows = sdf.collect()
+    assert sdf.columns, name
+    assert rows is not None
