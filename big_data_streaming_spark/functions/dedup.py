@@ -32,19 +32,27 @@ def token_hashes(tokens: Column, seed: int = _SEED) -> Column:
 
 def minhash_signature(tokens: Column, num_hashes: int = 32, seed: int = _SEED) -> Column:
     """MinHash signature: array of ``num_hashes`` minima of independent hash
-    families. Family *i* is ``xxhash64(token, seed, i)`` — one pass over the
-    token array per hash, all inside codegen."""
-    distinct = F.array_distinct(tokens)
+    families.
+
+    Cost shape (this is the hot loop of near-dup at 100 TB): the variable-
+    length strings are hashed ONCE (``xxhash64`` per distinct token); each
+    family *i* then remixes the fixed-width 64-bit base hash with
+    ``xxhash64(h, i)`` — a constant-cost long-input hash per token per
+    family, all inside whole-stage codegen, instead of re-hashing the
+    string 32×. (An affine ``a·h+b`` remix would be cheaper still but
+    wrapping multiplication trips ANSI overflow checking, on by default
+    in Spark 4.)
+
+    Note on lambda arity: transform() binds a 2-parameter lambda's second
+    argument to the ELEMENT INDEX — families must close over ``i`` via a
+    factory, never a default argument.
+    """
+    base = token_hashes(tokens, seed)
 
     def family(i: int):
-        # single-parameter lambda: a 2-arg lambda would make transform()
-        # bind the second parameter to the ELEMENT INDEX, collapsing all
-        # hash families into one
-        return lambda tk: F.xxhash64(tk, F.lit(seed), F.lit(i))
+        return lambda h: F.xxhash64(h, F.lit(i))
 
-    mins = [
-        F.array_min(F.transform(distinct, family(i))) for i in range(num_hashes)
-    ]
+    mins = [F.array_min(F.transform(base, family(i))) for i in range(num_hashes)]
     return F.array(*mins)
 
 
@@ -180,6 +188,65 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
     return verified
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup **clustering** with O(n) output — the form that survives
+    100 TB.
+
+    Pair-level LSH output is quadratic in cluster size; on a corpus with
+    broad self-similarity (or simply lots of duplicates — the norm in web
+    crawl training data) emitting pairs is a design bug: the driver
+    testdata at sf0.1 already yields 7.3M pairs at threshold 0.5. This
+    operator instead assigns every doc a cluster representative in two
+    aggregation shuffles, never materializing a pair:
+
+      1. explode to (band, band_hash, doc_id) — ``bands`` rows per doc;
+      2. min(doc_id) per bucket;
+      3. min(bucket_rep) per doc → ``cluster_rep`` (single-linkage,
+         one-hop approximation of the LSH collision graph).
+
+    Returns (doc_id, cluster_rep, is_dup). ``is_dup`` marks docs whose
+    representative is a smaller id — drop them to dedup. Verified-pair
+    workflows (sparse near-dups) should use ``minhash_lsh_pairs``.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+
+    toks = F.split(F.col(text_col), " ")
+    sigs = df.select(F.col(id_col), minhash_signature(toks, num_hashes).alias("sig"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(F.slice("sig", j * rows + 1, rows)).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    bucket_rep = exploded.groupBy("band", "bh").agg(
+        F.min(id_col).alias("bucket_rep")
+    )
+    rep = (
+        exploded.join(bucket_rep, ["band", "bh"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_rep").alias("cluster_rep"))
+    )
+    return rep.select(
+        F.col(id_col),
+        "cluster_rep",
+        (F.col("cluster_rep") < F.col(id_col)).alias("is_dup"),
+    )
 
 
 def dedup_keep_first(df: DataFrame, key: Column | str, order_col: str) -> DataFrame:

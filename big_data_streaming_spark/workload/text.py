@@ -272,18 +272,37 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- C2: MinHash-LSH near-dup (rows-only: hash family is engine-specific) -
+# --- C2: MinHash-LSH near-dup (rows-only: hash family is engine-specific).
+# Cluster form, O(n) output — see functions/dedup.py:minhash_dedup_clusters
+# for why pair output doesn't survive scale on duplicate-heavy corpora.
 @_q("q_dedup_near")
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_streaming_spark.functions.dedup import minhash_lsh_pairs
+    from big_data_streaming_spark.functions.dedup import minhash_dedup_clusters
 
-    return minhash_lsh_pairs(
+    return minhash_dedup_clusters(
         t(spark, sf_dir, "documents"),
         id_col="doc_id",
         text_col="text",
         num_hashes=32,
-        bands=8,
-        jaccard_threshold=0.5,
+        bands=4,
+    )
+
+
+# --- C2: verified near-dup PAIRS on a sparse slice (rows-only) ------------
+# The pair-level API exercised where pair output is bounded: only the
+# short documents (small token sets → genuinely sparse near-dups).
+@_q("q_dedup_near_pairs")
+def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") < 160)
+    return minhash_lsh_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=32,
+        bands=4,
+        jaccard_threshold=0.8,
     )
 
 
