@@ -1,0 +1,189 @@
+"""Unit + property tests for the functions layer (SURVEY.md §5.5):
+dedup idempotence/determinism, similarity recall sanity, multimodal
+mapInPandas plumbing, epoch round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.functions.dedup import (
+    dedup_keep_first,
+    minhash_dedup_clusters,
+    minhash_lsh_pairs,
+    minhash_signature,
+)
+from big_data_streaming_spark.functions.multimodal import (
+    decode_media,
+    sample_frames,
+    with_media_struct,
+)
+from big_data_streaming_spark.functions.similarity import cosine_topk, ivf_topk
+from big_data_streaming_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------- dedup
+def test_dedup_keep_first_idempotent(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    once = dedup_keep_first(docs, key="text", order_col="doc_id")
+    twice = dedup_keep_first(once, key="text", order_col="doc_id")
+    assert once.count() == twice.count()
+    assert once.count() == docs.select("text").distinct().count()
+
+
+def test_minhash_deterministic_across_runs(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").limit(50)
+    sig = docs.select(
+        "doc_id", minhash_signature(F.split("text", " "), 16).alias("s")
+    )
+    a = sorted(map(str, sig.collect()))
+    b = sorted(map(str, sig.collect()))
+    assert a == b
+
+
+def test_minhash_families_are_independent(spark):
+    """Regression for the transform-lambda-arity bug: all signature slots
+    equal would mean the families collapsed into one."""
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], ["text"]
+    )
+    sig = df.select(minhash_signature(F.split("text", " "), 16).alias("s")).first()["s"]
+    assert len(set(sig)) > 8, sig
+
+
+def test_identical_docs_share_cluster(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different text about spark engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = {
+        r["doc_id"]: (r["cluster_rep"], r["is_dup"])
+        for r in minhash_dedup_clusters(df, "doc_id", "text").collect()
+    }
+    assert res[1] == (1, False)
+    assert res[2] == (1, True)
+    assert res[3][0] == 3
+
+
+def test_lsh_pairs_find_planted_near_dup(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, base),
+        (2, base + " thirteen"),  # jaccard 12/13 ≈ 0.92
+        (3, "totally unrelated words nothing shared here at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------- similarity
+def test_cosine_topk_matches_numpy_ground_truth(spark, sf_small):
+    """Exact brute-force top-k must agree with an independent numpy
+    computation (note: the fixture's nearest neighbors do NOT reliably
+    share cluster labels — sims top out ~0.33 across labels — so ground
+    truth, not label recall, is the checkable property)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.vstack(pdf["embedding"].values).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = Vn @ Vn[qi]
+        order = [i for i in np.argsort(-sims) if i != qi][:5]
+        for rank, idx in enumerate(order, start=1):
+            assert got[(qi, rank)] == int(pdf.vec_id[idx])
+
+
+def test_ivf_matches_brute_force_at_high_nprobe(spark, sf_small):
+    """With nprobe = all clusters, IVF must equal brute force exactly."""
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    n_clusters = emb.select("label").distinct().count()
+    brute = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    ivf = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, queries, k=3, nprobe=n_clusters).collect()
+    }
+    assert brute == ivf
+
+
+# ---------------------------------------------------------------- multimodal
+def test_media_struct_shape(spark, sf_small):
+    docs = with_media_struct(load_table(spark, sf_small, "documents"))
+    row = docs.select("media").first()["media"]
+    assert row["mime"] == "text/plain"
+    assert row["uri"].startswith("s3://corpus/")
+    assert row["nbytes"] == len(row["payload"])
+    assert set(row["meta"].keys()) == {"lang", "source"}
+
+
+def test_decode_media_fake_kernel(spark, sf_small):
+    docs = with_media_struct(load_table(spark, sf_small, "documents")).limit(20)
+    feats = decode_media(docs, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["feature_vec"]) == 4
+        assert r["feature_vec"][0] == float(r["n_bytes"])
+
+
+def test_decode_media_stub_raises(spark, sf_small):
+    docs = with_media_struct(load_table(spark, sf_small, "documents")).limit(2)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(docs, fake=False).collect()
+
+
+def test_sample_frames_plumbing(spark, sf_small):
+    docs = with_media_struct(load_table(spark, sf_small, "documents")).limit(5)
+    frames = sample_frames(docs)
+    assert frames.columns == ["doc_id", "uri", "frame_idx", "frame_no"]
+    assert frames.count() >= 5
+
+
+# ------------------------------------------------------------- property-based
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**53 - 1), min_size=1, max_size=8))
+def test_epoch_ms_roundtrip_property(spark, ms_values):
+    """A5 property: epoch-ms → timestamp → epoch-ms is the identity."""
+    df = spark.createDataFrame([(v,) for v in ms_values], ["ms"])
+    out = df.select(
+        "ms", F.unix_millis(F.timestamp_millis("ms")).alias("back")
+    ).collect()
+    for r in out:
+        assert r["ms"] == r["back"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_try_cast_never_throws_property(spark, texts):
+    """A24 property: try_cast returns null-or-value, never raises."""
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    res = df.select(F.col("s").try_cast("double").alias("d")).collect()
+    assert len(res) == len(texts)

@@ -1,0 +1,73 @@
+"""Plan-shape assertions — correctness of the *physical* strategy
+(SURVEY.md §4.2): pushdown, pruning, broadcast choice, top-k operator.
+A silent regression in any of these is invisible at sf0.01 and fatal at
+100 TB, so they are pinned as tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.plans import (
+    pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+from big_data_streaming_spark.plans.explain import formatted_plan, shuffle_count
+from big_data_streaming_spark.sources.catalog import load_table
+from big_data_streaming_spark.workload import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    df = QUERIES["q_scan_table"](spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_small):
+    df = QUERIES["q_scan_table"](spark, sf_small)
+    schemas = read_schema_columns(df)
+    assert schemas, "no ReadSchema found"
+    read_cols = set(schemas[0])
+    # 4 projected + 2 filter columns; the other 5 lineitem columns pruned
+    assert read_cols <= {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+        "l_discount",
+    }, read_cols
+
+
+def test_star_join_broadcasts_dims(spark, sf_small):
+    df = QUERIES["q_join_broadcast"](spark, sf_small)
+    assert uses_broadcast_join(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_small):
+    df = QUERIES["q_topk"](spark, sf_small)
+    assert uses_take_ordered(df), formatted_plan(df)
+
+
+def test_flagship_plan_is_bounded(spark, sf_small):
+    """Flagship = scan → partial agg → exchange → final agg → TakeOrdered.
+    One aggregation shuffle; no global sort."""
+    df = QUERIES["q_flagship"](spark, sf_small)
+    assert uses_take_ordered(df)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_events_projection_pruned_for_narrow_query(spark, sf_small):
+    ev = load_table(spark, sf_small, "events").select("event_type").distinct()
+    schemas = read_schema_columns(ev)
+    assert schemas and set(schemas[0]) == {"event_type"}, schemas
+
+
+def test_broadcast_threshold_respected_for_fact_fact(spark, sf_small):
+    """lineitem ⋈ orders must NOT broadcast the fact side once AQE sees
+    real sizes — at test SF both fit, so just assert the plan compiles to
+    a join + agg with ≤3 exchanges (join may legitimately broadcast at
+    tiny SF; the invariant worth pinning is the shuffle bound)."""
+    df = QUERIES["q_join_inner"](spark, sf_small)
+    assert shuffle_count(df) <= 3, formatted_plan(df)

@@ -1,0 +1,314 @@
+"""Streaming-layer tests (SURVEY.md §5.3/§5.4): fixture replay through the
+real Structured Streaming engine — batch/stream equivalence, watermark
+late-data semantics, checkpoint-resume exactly-once, single-pass routing,
+custom stateful sessionization, incremental curated-layer copy."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.functions.dedup import dedup_keep_first  # noqa: F401
+from big_data_streaming_spark.streaming.incremental import start_incremental_copy
+from big_data_streaming_spark.streaming.parse import parse_klines
+from big_data_streaming_spark.streaming.router import (
+    foreach_batch_router,
+    route_partitioned,
+)
+from big_data_streaming_spark.streaming.sinks import start_foreach_batch
+from big_data_streaming_spark.streaming.source import raw_text_file_stream
+
+COINS = ["BTCUSDC", "ETHUSDC", "XRPUSDC", "SOLUSDC"]
+BASE_MS = 1_700_000_000_000  # fixed epoch anchor
+
+
+def make_kline(coin: str, minute: int, interval: str = "1m", volume: float = 1.0) -> dict:
+    ts = BASE_MS + minute * 60_000
+    return {
+        "coin": coin,
+        "timestamp": ts,
+        "open": 100.0 + minute,
+        "high": 101.0 + minute,
+        "low": 99.0 + minute,
+        "close": 100.5 + minute,
+        "volume": volume,
+        "close_time": ts + 59_999,
+        "quote_asset_volume": volume * 100.0,
+        "number_of_trades": 10,
+        "taker_buy_base_asset_volume": volume / 2,
+        "taker_buy_quote_asset_volume": volume * 50.0,
+        "ignore": "0",
+        "interval": interval,
+    }
+
+
+def write_jsonl(dirpath: str, name: str, records: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def kline_batch():
+    recs = []
+    for m in range(120):
+        for c in COINS:
+            recs.append(make_kline(c, m, volume=float(m % 7 + 1)))
+    # one malformed line exercised separately; one string-typed numeric
+    return recs
+
+
+def test_parse_chain_batch_equals_stream(spark, tmp_path, kline_batch):
+    """A2–A6 applied via readStream must equal the same chain via read."""
+    src = str(tmp_path / "src")
+    write_jsonl(src, "a.jsonl", kline_batch)
+
+    batch_df = parse_klines(spark.read.text(src))
+    sdf = parse_klines(raw_text_file_stream(spark, src))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("parse_equiv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("parse_equiv")
+
+    assert got.count() == batch_df.count() == len(kline_batch)
+    cols = ["coin", "timestamp", "volume", "year", "month", "interval"]
+    assert sorted(map(str, got.select(cols).collect())) == sorted(
+        map(str, batch_df.select(cols).collect())
+    )
+    # epoch-ms → timestamp round-trip sanity on one known row
+    one = batch_df.filter(
+        (F.col("coin") == "BTCUSDC") & (F.unix_millis("timestamp") == BASE_MS)
+    )
+    assert one.count() == 1
+
+
+def test_malformed_json_yields_nulls(spark, tmp_path):
+    """PERMISSIVE parse: malformed line → all-null row, stream keeps going
+    (the reference's implicit policy, SURVEY.md §1.2)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "bad.jsonl"), "w") as f:
+        f.write(json.dumps(make_kline("BTCUSDC", 1)) + "\n")
+        f.write("{not json at all\n")
+        f.write(json.dumps(make_kline("ETHUSDC", 2)) + "\n")
+    out = parse_klines(spark.read.text(src))
+    assert out.count() == 3
+    assert out.filter(F.col("coin").isNull()).count() == 1
+
+
+def test_windowed_stream_equals_batch(spark, tmp_path, kline_batch):
+    """B2 equivalence: per-coin 1h tumbling volume — streaming result on
+    closed windows == batch groupBy result."""
+    src = str(tmp_path / "src")
+    write_jsonl(src, "a.jsonl", kline_batch)
+
+    parsed_stream = parse_klines(raw_text_file_stream(spark, src))
+    agg = (
+        parsed_stream.withWatermark("timestamp", "10 minutes")
+        .groupBy(F.window("timestamp", "1 hour").alias("w"), "coin")
+        .agg(F.sum("volume").alias("vol"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_equiv")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_res = sorted(
+        map(
+            str,
+            spark.table("win_equiv")
+            .select(F.col("w.start").alias("ws"), "coin", "vol")
+            .collect(),
+        )
+    )
+
+    batch_res = sorted(
+        map(
+            str,
+            parse_klines(spark.read.text(src))
+            .groupBy(F.window("timestamp", "1 hour").alias("w"), "coin")
+            .agg(F.sum("volume").alias("vol"))
+            .select(F.col("w.start").alias("ws"), "coin", "vol")
+            .collect(),
+        )
+    )
+    assert stream_res == batch_res
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """B5: a row arriving behind the watermark is dropped from append-mode
+    windowed output — DECLARED late-data semantics, vs the reference's
+    silent `timestamp > last` drop (SURVEY.md §4.3.3)."""
+    src = str(tmp_path / "src")
+    # batch 1: minutes 0..59 (window 0) + minutes 60..119 (window 1) push
+    # the watermark far past window 0's end
+    write_jsonl(
+        src, "b1.jsonl", [make_kline("BTCUSDC", m, volume=1.0) for m in range(120)]
+    )
+    checkpoint = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once() -> None:
+        parsed = parse_klines(raw_text_file_stream(spark, src))
+        agg = (
+            parsed.withWatermark("timestamp", "5 minutes")
+            .groupBy(F.window("timestamp", "1 hour").alias("w"), "coin")
+            .agg(F.sum("volume").alias("vol"), F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "coin", "vol", "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out_dir)
+    closed_counts = {r["n"] for r in first.select("n").collect()}
+    assert 60 in closed_counts  # window 0 fully closed with 60 rows
+
+    # batch 2: a LATE row for window 0 (minute 10) — behind watermark
+    write_jsonl(src, "b2.jsonl", [make_kline("BTCUSDC", 10, volume=99.0)])
+    run_once()
+    after = spark.read.parquet(out_dir).collect()
+    # the late row must NOT re-emit window 0 with the extra volume
+    vols = [r["vol"] for r in after]
+    assert all(v != 60.0 + 99.0 for v in vols)
+
+
+def test_checkpoint_resume_no_duplicates(spark, tmp_path, kline_batch):
+    """A22 replacement: file-sink + checkpoint — restart re-processes
+    nothing (exactly-once within the file sink's manifest)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = parse_klines(
+        spark.createDataFrame(
+            [(json.dumps(make_kline("BTCUSDC", 0)),)], ["value"]
+        )
+    ).schema
+
+    write_jsonl(src, "b1.jsonl", kline_batch[: len(kline_batch) // 2])
+    q = start_incremental_copy(
+        spark, src, out, ckpt,
+        schema=spark.read.text(src).schema, fmt="text", available_now=True,
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == len(kline_batch) // 2
+
+    # restart with same checkpoint: old file must not duplicate, new file lands
+    write_jsonl(src, "b2.jsonl", kline_batch[len(kline_batch) // 2 :])
+    q = start_incremental_copy(
+        spark, src, out, ckpt,
+        schema=spark.read.text(src).schema, fmt="text", available_now=True,
+    )
+    q.awaitTermination()
+    n2 = spark.read.parquet(out).count()
+    assert n2 == len(kline_batch)
+    assert schema is not None
+
+
+def test_foreach_batch_router_single_scan(spark, tmp_path, kline_batch):
+    """A20 single-pass router: per-(coin, interval) sinks written off ONE
+    persisted scan; read-back per key matches the input slice."""
+    src = str(tmp_path / "src")
+    write_jsonl(src, "a.jsonl", kline_batch)
+    outbase = str(tmp_path / "routed")
+    written: list[tuple] = []
+
+    def write_partition(slice_df, key_tuple, batch_id):
+        coin, interval = key_tuple
+        path = os.path.join(outbase, f"{coin}_{interval}")
+        slice_df.write.mode("append").parquet(path)
+        written.append(key_tuple)
+
+    parsed = parse_klines(raw_text_file_stream(spark, src))
+    q = start_foreach_batch(
+        parsed,
+        foreach_batch_router(["coin", "interval"], write_partition),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+
+    assert sorted(set(written)) == sorted((c, "1m") for c in COINS)
+    one = spark.read.parquet(os.path.join(outbase, "BTCUSDC_1m"))
+    assert one.count() == 120
+    assert one.select("coin").distinct().collect()[0]["coin"] == "BTCUSDC"
+
+
+def test_route_partitioned_layout_prunes(spark, tmp_path, kline_batch):
+    """File-sink routing via partitionBy: layout carries the keys; a keyed
+    read prunes to one directory (partition filters, zero data filter)."""
+    src = str(tmp_path / "src")
+    write_jsonl(src, "a.jsonl", kline_batch)
+    out = str(tmp_path / "bykey")
+    parsed = parse_klines(spark.read.text(src))
+    route_partitioned(parsed, out, keys=["coin", "interval"])
+
+    back = spark.read.parquet(out).filter(
+        (F.col("coin") == "ETHUSDC") & (F.col("interval") == "1m")
+    )
+    assert back.count() == 120
+    from big_data_streaming_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap-split sessions per user."""
+    from big_data_streaming_spark.streaming.sessionize import sessionize
+
+    rows = []
+    # user 1: two sessions separated by a 2-hour gap; user 2: one session
+    for m in (0, 5, 10, 130, 135):
+        rows.append({"ts": BASE_MS + m * 60_000, "user_id": 1, "value": 1.0})
+    for m in (0, 20):
+        rows.append({"ts": BASE_MS + m * 60_000, "user_id": 2, "value": 2.0})
+    # sentinel far in the future pushes the event-time watermark so the
+    # last sessions time out and emit
+    rows.append({"ts": BASE_MS + 100_000 * 60_000, "user_id": 99, "value": 0.0})
+
+    src = str(tmp_path / "src")
+    write_jsonl(src, "a.jsonl", rows)
+    schema = "ts long, user_id long, value double"
+    sdf = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis("ts"))
+    )
+    out = sessionize(sdf, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.table("sessions").collect()
+    }
+    assert (1, 3, 3.0) in got  # first session of user 1 (gap-closed)
+    # user 1 second session + user 2 session emitted via timeout
+    assert (1, 2, 2.0) in got
+    assert (2, 2, 4.0) in got
