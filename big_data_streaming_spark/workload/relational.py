@@ -246,6 +246,91 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+# --- B10 extension: set operations (intersect / except) -------------------
+@_q(
+    "q_intersect",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    return a.intersect(b)
+
+
+@_q(
+    "q_except",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    return a.subtract(b)  # EXCEPT (distinct) semantics, same as the oracle
+
+
+# --- B13: cube — all grouping-set combinations in one pass ----------------
+@_q(
+    "q_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dec_sum('l_extendedprice', 'sum_price')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_extendedprice", "sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- B11/B12 extension: analytic window pack (dense_rank / ntile /
+# first-in-partition / running count) --------------------------------------
+@_q(
+    "q_window_analytics",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(dense_rank() OVER w AS INTEGER) AS price_dense_rank,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           first_value(o_orderkey) OVER w AS top_order,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS running_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.first("o_orderkey").over(w).alias("top_order"),
+        F.count(F.lit(1)).over(wrun).alias("running_n"),
+    )
+
+
 # --- B13: rollup — multi-resolution aggregates in one pass ----------------
 @_q(
     "q_rollup",
@@ -265,6 +350,63 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("l_quantity", "sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
         F.grouping_id().alias("grouping_level"),
+    )
+
+
+# --- B1 extension: exact percentiles (interpolated) -----------------------
+# Spark `percentile` and DuckDB `quantile_cont` share the linear-
+# interpolation definition; verified bit-exact at sf0.01.
+@_q(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )
+
+
+# --- B1 extension: moment statistics, decimal-exact -----------------------
+# Built-in stddev/variance use engine-specific streaming algorithms
+# (Welford etc.) whose float results differ across engines; computing the
+# two-pass textbook formula from exact decimal sums makes mean/var/std
+# bit-identical to the oracle AND deterministic across partitionings —
+# the same property the money-sum policy gives (SURVEY.md §4.3.7).
+@_q(
+    "q_stats_moments",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {oracle_dec_avg('l_quantity', 'mean_qty')},
+           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sum_q = F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+    sum_q2 = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,6)")
+    ).cast("double")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        dec_avg("l_quantity", "mean_qty"),
+        ((sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))).alias("var_qty"),
     )
 
 
