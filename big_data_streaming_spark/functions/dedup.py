@@ -47,12 +47,24 @@ def minhash_signature(tokens: Column, num_hashes: int = 32, seed: int = _SEED) -
     argument to the ELEMENT INDEX — families must close over ``i`` via a
     factory, never a default argument.
     """
-    base = token_hashes(tokens, seed)
+    return minhash_signature_from_hashes(token_hashes(tokens, seed), num_hashes)
+
+
+def minhash_signature_from_hashes(base_hashes: Column, num_hashes: int = 32) -> Column:
+    """Signature from a precomputed base-hash array column.
+
+    Callers on a hot path should materialize ``token_hashes`` as a real
+    column first (one ``withColumn``), then call this on the column
+    reference: inlined as a subexpression, Catalyst can re-evaluate the
+    tokenize+hash array once per FAMILY instead of once per row (measured
+    2.5 s → ~0.5 s on 5 k docs at sf0.1)."""
 
     def family(i: int):
         return lambda h: F.xxhash64(h, F.lit(i))
 
-    mins = [F.array_min(F.transform(base, family(i))) for i in range(num_hashes)]
+    mins = [
+        F.array_min(F.transform(base_hashes, family(i))) for i in range(num_hashes)
+    ]
     return F.array(*mins)
 
 
@@ -121,6 +133,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def _band_hashes(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bh) rows: tokenize→base-hash→signature→band hashes, with
+    each stage materialized as a column so nothing is re-evaluated per
+    family/band (CollapseProject won't duplicate multi-referenced
+    non-cheap aliases)."""
+    rows = num_hashes // bands
+    toks = F.split(F.col(text_col), " ")
+    staged = (
+        df.select(F.col(id_col), token_hashes(toks).alias("_base"))
+        .withColumn("sig", minhash_signature_from_hashes(F.col("_base"), num_hashes))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.xxhash64(F.slice("sig", j * rows + 1, rows)).alias("bh"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    )
+    return staged
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -142,24 +185,9 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
 
     toks = F.split(F.col(text_col), " ")
-    sigs = df.select(
-        F.col(id_col), minhash_signature(toks, num_hashes).alias("sig")
-    )
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.xxhash64(F.slice("sig", j * rows + 1, rows)).alias("bh"),
-            )
-            for j in range(bands)
-        ]
-    )
-    exploded = sigs.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
-        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    exploded = _band_hashes(df, id_col, text_col, num_hashes, bands)
 
     left = exploded.select(
         F.col(id_col).alias("doc_a"), "band", "bh"
@@ -220,20 +248,8 @@ def minhash_dedup_clusters(
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
 
-    toks = F.split(F.col(text_col), " ")
-    sigs = df.select(F.col(id_col), minhash_signature(toks, num_hashes).alias("sig"))
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.xxhash64(F.slice("sig", j * rows + 1, rows)).alias("bh"),
-            )
-            for j in range(bands)
-        ]
-    )
-    exploded = sigs.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
-        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    sigs = _band_hashes(df, id_col, text_col, num_hashes, bands)
+    exploded = sigs
     bucket_rep = exploded.groupBy("band", "bh").agg(
         F.min(id_col).alias("bucket_rep")
     )
