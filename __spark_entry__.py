@@ -12,11 +12,20 @@ workload docstrings); this module only re-exports the registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from big_data_streaming_spark.workload import ORACLES, QUERIES
+# The driver may load this module by file path (spec_from_file_location),
+# in which case the repo root isn't on sys.path — add it so the package
+# import below works regardless of how we're invoked.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from big_data_streaming_spark.workload import ORACLES, QUERIES  # noqa: E402
 
 SF0001_DIR = "/root/testdata/sf0.001"
 

@@ -75,8 +75,15 @@ def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stream with the RAW file schema (ns timestamps arrive as epoch-nanos
     # longs under nanosAsLong), then apply the same µs-truncating
     # conversion the batch catalog applies — identical values either path.
+    # maxFilesPerTrigger=1 keeps this a real multi-batch incremental run
+    # when the source has several files (at sf≥0.1) rather than one giant
+    # batch — the shape a 100 TB backlog drain takes.
     raw_schema = spark.read.parquet(src_dir).schema
-    sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
     for c in _nanos_columns(src_dir):
         sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     agg = (

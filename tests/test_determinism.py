@@ -1,0 +1,76 @@
+"""Determinism guarantees the oracle-exactness design rests on
+(workload/common.py): decimal-routed sums must be bit-identical across
+partitionings — the property plain double sums lack — and streaming
+dedup-within-watermark must drop duplicate records exactly once."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.sources.catalog import load_table
+from big_data_streaming_spark.workload.common import dec_sum
+
+
+def test_dec_sum_invariant_across_partitionings(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    results = set()
+    for parts in (1, 7, 32):
+        r = (
+            ev.repartition(parts)
+            .groupBy("event_type")
+            .agg(dec_sum("value", "tv"))
+            .collect()
+        )
+        results.add(tuple(sorted((x["event_type"], x["tv"]) for x in r)))
+    assert len(results) == 1, "decimal sum changed under repartitioning"
+
+
+def test_plain_double_sum_would_not_be_exact(spark, sf_small):
+    """Documents WHY the decimal routing exists: double sums across
+    different partitionings are allowed to differ in low-order bits. If
+    this ever starts failing (i.e. double sums become stable), the
+    decimal policy is still correct, just no longer load-bearing."""
+    ev = load_table(spark, sf_small, "events")
+    sums = set()
+    for parts in (1, 7, 32):
+        r = ev.repartition(parts).agg(F.sum("value").alias("s")).first()["s"]
+        sums.add(r)
+    # not asserting inequality (it's permitted to collide) — just pin that
+    # the decimal path agrees with every double variant to float tolerance
+    dec = ev.agg(dec_sum("value", "s")).first()["s"]
+    for s in sums:
+        assert abs(s - dec) < 1e-6 * max(1.0, abs(dec))
+
+
+def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
+    """Streaming exact dedup (C1 in stream form): duplicate events inside
+    the watermark horizon are emitted once."""
+    rows = [{"event_id": i, "ts": 1_700_000_000_000 + i * 1000, "v": float(i)} for i in range(10)]
+    rows += rows[:3]  # duplicates
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    sdf = (
+        spark.readStream.schema("event_id long, ts long, v double")
+        .json(src)
+        .withColumn("ts", F.timestamp_millis("ts"))
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream").collect()
+    assert len(got) == 10
+    assert len({r["event_id"] for r in got}) == 10
