@@ -65,6 +65,37 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SQL entry point: the flagship expressed through spark.sql -----------
+# Same logical plan as q_flagship (Catalyst resolves both to the same
+# optimized tree) — demonstrates the engine's SQL surface; users of the
+# DataFrame API and the SQL API get identical semantics and physical plans.
+@_q(
+    "q_flagship_sql",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           {oracle_dec_sum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY total_value DESC, window_start, event_type
+    LIMIT 20
+    """,
+)
+def q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT window(ts, '1 hour').start AS window_start,
+               event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events_v
+        GROUP BY window(ts, '1 hour'), event_type
+        ORDER BY total_value DESC, window_start, event_type
+        LIMIT 20
+        """
+    )
+
+
 # --- A2+A3+A4: cast + JSON parse with declared schema + struct flatten ----
 # (reference spark/streaming-shorttime.py:53-55)
 @_q(

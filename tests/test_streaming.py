@@ -22,7 +22,7 @@ from big_data_streaming_spark.streaming.sinks import start_foreach_batch
 from big_data_streaming_spark.streaming.source import raw_text_file_stream
 
 COINS = ["BTCUSDC", "ETHUSDC", "XRPUSDC", "SOLUSDC"]
-BASE_MS = 1_700_000_000_000  # fixed epoch anchor
+BASE_MS = 1_700_002_800_000  # fixed epoch anchor, hour-aligned (472223 * 3600 s)
 
 
 def make_kline(coin: str, minute: int, interval: str = "1m", volume: float = 1.0) -> dict:
