@@ -71,6 +71,37 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- north star: embedding normalization (ANN prep) -----------------------
+# Unit-normalize vectors JVM-side (higher-order fns, no Python). After
+# this, cosine becomes a plain dot product — the form every ANN index
+# wants; at 100 TB you normalize once at ingest, not per query.
+@_q(
+    "q_embed_normalize",
+    """
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                         embedding::DOUBLE[])))
+             AS unit_vec,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+    """,
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.similarity import l2_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select("vec_id", "v", l2_norm(F.col("v")).alias("norm"))
+    return staged.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("norm")).alias("unit_vec"),
+        "norm",
+    )
+
+
 # --- north star: IVF approximate top-k (rows-only) ------------------------
 @_q("q_sim_ivf")
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

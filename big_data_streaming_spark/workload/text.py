@@ -101,6 +101,35 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C4 extension: top-k tokens per language (tf ranking) -----------------
+@_q(
+    "q_top_tokens_per_lang",
+    """
+    WITH tf AS (
+        SELECT lang, token, COUNT(*) AS freq
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY lang, token
+    )
+    SELECT lang, token, freq,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY freq DESC, token) AS INTEGER) AS rnk
+    FROM tf
+    QUALIFY rnk <= 5
+    """,
+)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "token")
+    return tf.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
 # --- north star: quality scoring ------------------------------------------
 # Length / mean-token-length / stopword-ratio heuristics à la C4/CCNet.
 # All ratios are single double divisions of exact ints — bit-stable.
@@ -240,6 +269,95 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media.nbytes").alias("nbytes"),
         F.col("media.meta")["lang"].alias("meta_lang"),
         F.col("media.meta")["source"].alias("meta_source"),
+    )
+
+
+# --- north star: document chunking (context-window prep) ------------------
+# Fixed-size token chunks with overlap — posexplode over a sequence of
+# chunk starts, slice + rejoin. All JVM array ops; at 100 TB this is the
+# map-side prep stage before tokenization, no shuffle at all.
+_CHUNK = 32
+_STRIDE = 24  # 8-token overlap
+
+
+@_q(
+    "q_doc_chunks",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), starts AS (
+        SELECT doc_id, toks, CAST(g.s AS INTEGER) AS start0
+        FROM tok CROSS JOIN generate_series(0, 100000, {_STRIDE}) AS g(s)
+        WHERE g.s < len(toks)
+    )
+    SELECT doc_id,
+           CAST(start0 / {_STRIDE} AS INTEGER) AS chunk_idx,
+           array_to_string(toks[start0 + 1 : least(start0 + {_CHUNK}, len(toks))], ' ')
+             AS chunk_text,
+           CAST(least(start0 + {_CHUNK}, len(toks)) - start0 AS INTEGER) AS chunk_len
+    FROM starts
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    staged = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    starts = staged.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
+        ).alias("chunk_idx", "start0"),
+    )
+    chunk_len = F.least(F.col("start0") + _CHUNK, F.col("n")) - F.col("start0")
+    return starts.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start0") + 1, chunk_len), " "
+        ).alias("chunk_text"),
+        chunk_len.cast("int").alias("chunk_len"),
+    )
+
+
+# --- north star: TF-IDF scoring -------------------------------------------
+# Classic two-join shape: term frequency per (doc, token) ⋈ document
+# frequency per token (broadcast — vocabulary ≪ corpus) ⋈ total doc count.
+# idf uses the deterministic ratio N/df; the ln() variant differs by last
+# ulp across libm implementations, so the oracle-checked score keeps the
+# raw ratio and leaves the monotone log to consumers.
+@_q(
+    "q_tfidf",
+    """
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf_ratio
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # bounded scalar (collect rule §4.3.8)
+    return tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * (F.lit(float(n_docs)) / F.col("df"))).alias(
+            "tfidf_ratio"
+        ),
     )
 
 

@@ -50,8 +50,10 @@ def _canon_cell(v: Any, atol: float) -> Any:
         return v
     if isinstance(v, pd.Timestamp):
         return v.floor("us").to_datetime64()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon_cell(x, atol) for x in v)
+    if type(v).__module__ == "numpy":  # numpy scalar → python scalar
+        return _canon_cell(v.item(), atol)
     if isinstance(v, (bytes, bytearray, memoryview)):
         return bytes(v)
     return v
