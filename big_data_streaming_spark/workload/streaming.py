@@ -91,13 +91,23 @@ def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(dec_sum("value", "total_value"), F.count(F.lit(1)).alias("n_events"))
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stateful streaming creates one state-store instance per shuffle
+    # partition, fixed at query start. For this bounded drain, 8 stores
+    # beat 32 (less per-store setup than data); a production continuous
+    # query sizes this to expected key cardinality instead. The conf is
+    # restored right after start (it's captured at plan time).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name).select(
         F.col("w.start").alias("window_start"),
