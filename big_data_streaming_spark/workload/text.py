@@ -424,6 +424,21 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C5 / north star: multimodal feature extraction (rows-only) -----------
+# Runs the Arrow-batched mapInPandas decode path (deterministic fake
+# kernel — real codecs are stubbed, see functions/multimodal.py) through
+# the driver gate, so the Python-boundary plumbing is exercised end-to-end.
+@_q("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.multimodal import (
+        decode_media,
+        with_media_struct,
+    )
+
+    docs = with_media_struct(t(spark, sf_dir, "documents"))
+    return decode_media(docs, fake=True)
+
+
 # --- north star: SimHash near-dup clusters (rows-only) --------------------
 @_q("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
