@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from big_data_streaming_spark.schemas import KLINE_WIRE_SCHEMA
 
@@ -52,3 +52,39 @@ def with_date_parts(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
 def parse_klines(raw: DataFrame) -> DataFrame:
     """Full reference parse chain: A2→A3→A4→A5→A6 (16-column curated row)."""
     return with_date_parts(with_event_time(parse_json_stream(raw)))
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def parse_json_with_dead_letter(
+    raw: DataFrame,
+    schema: StructType = KLINE_WIRE_SCHEMA,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Explicit corrupt-record policy (SURVEY.md §1.2): returns
+    (good_rows, dead_letters).
+
+    The reference silently turns malformed JSON into all-null rows
+    (PERMISSIVE default); here the raw line is preserved in a corrupt
+    column and split out, so the dead-letter stream can go to its own
+    sink for replay/inspection instead of polluting the curated layer
+    with nulls. Both returned frames derive from ONE parse of the input
+    (the split is two filters on the same plan)."""
+    schema_with_corrupt = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
+    parsed = raw.select(
+        F.col(value_col).cast("string").alias("_raw"),
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema_with_corrupt,
+            {"columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("data"),
+    )
+    flat = parsed.select("_raw", "data.*")
+    good = flat.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL, "_raw")
+    dead = flat.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col("_raw").alias("raw_record")
+    )
+    return good, dead

@@ -29,8 +29,17 @@ def route_partitioned(
     keys: Sequence[str],
     fmt: str = "parquet",
     mode: str = "overwrite",
+    coalesce_output: bool = True,
 ) -> None:
-    """A20 for file sinks: one partitioned write, no per-key jobs."""
+    """A20 for file sinks: one partitioned write, no per-key jobs.
+
+    ``coalesce_output`` pre-shuffles rows by the routing keys so each
+    partition directory gets ~1 file instead of one per upstream task
+    (32 tasks × K keys small files otherwise — the small-file problem at
+    its source). Costs one exchange; skip it when the upstream is already
+    key-partitioned."""
+    if coalesce_output:
+        df = df.repartition(*[F.col(k) for k in keys])
     (df.write.format(fmt).mode(mode).partitionBy(*keys).save(out_dir))
 
 

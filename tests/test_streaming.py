@@ -312,3 +312,24 @@ def test_sessionize_stateful(spark, tmp_path):
     # user 1 second session + user 2 session emitted via timeout
     assert (1, 2, 2.0) in got
     assert (2, 2, 4.0) in got
+
+
+def test_dead_letter_split(spark, tmp_path):
+    """Corrupt-record policy: good rows and raw dead letters, one parse."""
+    from big_data_streaming_spark.streaming.parse import parse_json_with_dead_letter
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "mixed.jsonl"), "w") as f:
+        f.write(json.dumps(make_kline("BTCUSDC", 1)) + "\n")
+        f.write("garbage{{{\n")
+        f.write(json.dumps(make_kline("ETHUSDC", 2)) + "\n")
+        f.write("[1,2,3]\n")  # valid JSON but wrong shape -> also corrupt
+
+    good, dead = parse_json_with_dead_letter(spark.read.text(src))
+    assert good.count() == 2
+    assert dead.count() == 2
+    raws = {r["raw_record"] for r in dead.collect()}
+    assert any("garbage" in r for r in raws)
+    assert "[1,2,3]" in raws
+    assert good.filter(F.col("coin").isin("BTCUSDC", "ETHUSDC")).count() == 2
