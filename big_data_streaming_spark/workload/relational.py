@@ -353,6 +353,80 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B1/B13 extension: pivot (wide aggregation) ---------------------------
+# groupBy().pivot() with an explicit value list — the explicit list keeps
+# the plan static (no extra distinct-scan job) and is mandatory at scale.
+@_q(
+    "q_pivot",
+    f"""
+    SELECT l_returnflag,
+           {oracle_dec_sum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'F')},
+           {oracle_dec_sum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'O')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"))
+    )
+
+
+# --- B13 extension: unpivot (melt back to long form) ----------------------
+@_q(
+    "q_unpivot",
+    """
+    SELECT o_orderkey, kind, amount FROM (
+        SELECT o_orderkey, 'total' AS kind, o_totalprice AS amount FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey_as_num' AS kind, CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        F.col("o_custkey").cast("double").alias("custkey_as_num"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["total", "custkey_as_num"],
+        variableColumnName="kind",
+        valueColumnName="amount",
+    )
+
+
+# --- B15: array scalar pack ------------------------------------------------
+@_q(
+    "q_scalar_array",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_sort(list_distinct(toks))[1] AS first_token_sorted,
+           CAST(list_contains(toks, 'spark') AS BOOLEAN) AS mentions_spark,
+           toks[1:5] AS head_tokens,
+           list_reverse(toks[1:5]) AS head_reversed,
+           CAST(len(list_filter(toks, x -> length(x) > 5)) AS INTEGER) AS n_long_tokens
+    FROM tok
+    """,
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(toks))[0].alias("first_token_sorted"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.slice(toks, 1, 5).alias("head_tokens"),
+        F.reverse(F.slice(toks, 1, 5)).alias("head_reversed"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+    )
+
+
 # --- B1 extension: exact percentiles (interpolated) -----------------------
 # Spark `percentile` and DuckDB `quantile_cont` share the linear-
 # interpolation definition; verified bit-exact at sf0.01.
