@@ -360,7 +360,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rank_per_window",
     f"""
     WITH daily AS (
-        SELECT date_trunc('day', ts) AS day, user_id,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
                {oracle_dec_sum('value', 'daily_value')}
         FROM events GROUP BY 1, 2
     )

@@ -208,19 +208,24 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- B9: left anti — customers with NO orders at all ----------------------
+# --- B9: left anti — customers with no HIGH-VALUE order -------------------
+# (every customer has *some* order at small SF, so the anti side is
+# non-empty only with the price predicate — an empty result would make
+# the correctness check vacuous)
 @_q(
     "q_join_anti",
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -555,7 +560,7 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
            CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
-           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
              AS days_since_1995,
            CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
