@@ -117,6 +117,110 @@ def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_events_stream(spark: SparkSession, sf_dir: str, build_agg, name_prefix: str):
+    """Shared scaffold: stage events as a file stream, apply the
+    caller-built stateful aggregation, drain with AvailableNow into a
+    memory sink, return the sink table."""
+    from big_data_streaming_spark.sources.catalog import _nanos_columns
+
+    src_dir = _stage_stream_dir(sf_dir, "events")
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
+    for c in _nanos_columns(src_dir):
+        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    agg = build_agg(sdf)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# Streaming B3: sliding window through the streaming engine, same oracle
+# as the batch q_window_sliding.
+@_q(
+    "q_stream_window_sliding",
+    f"""
+    SELECT epoch_ms(CAST((floor(epoch(ts) / 900) * 900 - g.i * 900) AS BIGINT) * 1000)
+             AS window_start,
+           event_type,
+           {oracle_dec_sum('value', 'total_value')}
+    FROM events CROSS JOIN generate_series(0, 3) AS g(i)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(sdf):
+        return (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+            .agg(dec_sum("value", "total_value"))
+        )
+
+    out = _drain_events_stream(spark, sf_dir, build, "stream_sliding")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "total_value"
+    )
+
+
+# Streaming B4: session window through the streaming engine, same oracle
+# as the batch q_window_session.
+@_q(
+    "q_stream_window_session",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM ordered
+    ), grouped AS (
+        SELECT *,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {oracle_dec_sum('value', 'total_value')}
+    FROM grouped
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(sdf):
+        return (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(dec_sum("value", "total_value"), F.count(F.lit(1)).alias("n_events"))
+        )
+
+    out = _drain_events_stream(spark, sf_dir, build, "stream_session")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 @_q(
     "q_route_by_key",
     f"""
