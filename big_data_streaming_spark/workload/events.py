@@ -417,6 +417,68 @@ def q_lag_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- custom operator: as-of join (backward, inclusive) --------------------
+# Events joined to the latest hourly per-user mark at or before each
+# event — the "last quote before this trade" join. Implementation is
+# operators/asof.py (union + LOCF window, one shuffle); the oracle uses
+# DuckDB's native ASOF JOIN, so the custom construction is checked
+# against a first-class reference implementation.
+@_q(
+    "q_asof_join",
+    f"""
+    WITH marks AS (
+        SELECT user_id, date_trunc('hour', ts) AS mts,
+               {oracle_dec_sum('value', 'mark_value')}
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.value, m.mark_value AS mark_value_right
+    FROM events e ASOF LEFT JOIN marks m
+      ON e.user_id = m.user_id AND e.ts >= m.mts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    marks = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(dec_sum("value", "mark_value"))
+        .select("user_id", F.col("w.start").alias("mts"), "mark_value")
+    )
+    return asof_join(
+        ev, marks, keys=["user_id"], left_ts="ts", right_ts="mts",
+        right_payload=["mark_value"],
+    )
+
+
+# --- B7 extension: non-equi range join (band lookup) ----------------------
+# Joining a fact to interval bands — BroadcastNestedLoopJoin with a tiny
+# band table; at scale the dim is always broadcast so the non-equi
+# predicate is evaluated in a single fact scan.
+@_q(
+    "q_join_range",
+    """
+    WITH bands(band_name, lo, hi) AS (
+        VALUES ('low', 0.0, 100.0), ('mid', 100.0, 200.0),
+               ('high', 200.0, 100000.0)
+    )
+    SELECT e.event_id, e.value, b.band_name
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    bands = ev.sparkSession.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 200.0), ("high", 200.0, 100000.0)],
+        ["band_name", "lo", "hi"],
+    )
+    return ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    ).select("event_id", "value", "band_name")
+
+
 # --- B14: approximate distinct count (HLL) — rows-only (approximation is
 # engine-specific; exactness vs DuckDB is not defined). At 100 TB this is
 # the only sane distinct-count: fixed-size sketch, no giant shuffle.

@@ -1,0 +1,55 @@
+"""As-of join edge semantics: inclusivity at equal timestamps, null
+before any right row, per-key isolation, multi-column payload."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from big_data_streaming_spark.operators.asof import asof_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("A", _ts(0), 1),   # before any quote → null
+            ("A", _ts(10), 2),  # exactly at quote ts=10 → inclusive match
+            ("A", _ts(15), 3),  # between quotes → quote@10
+            ("A", _ts(30), 4),  # after last → quote@20
+            ("B", _ts(15), 5),  # other key → B's quote only
+        ],
+        ["coin", "ts", "trade_id"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts(10), 100.0, "x"),
+            ("A", _ts(20), 200.0, "y"),
+            ("B", _ts(5), 999.0, "z"),
+        ],
+        ["coin", "ts", "px", "src"],
+    )
+    out = {
+        r["trade_id"]: (r["px_right"], r["src_right"])
+        for r in asof_join(left, right, keys=["coin"]).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (100.0, "x")   # inclusive
+    assert out[3] == (100.0, "x")
+    assert out[4] == (200.0, "y")
+    assert out[5] == (999.0, "z")   # key isolation
+
+
+def test_asof_join_preserves_left_rowcount(spark, sf_small):
+    from big_data_streaming_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "ts", "user_id")
+    marks = ev.groupBy("user_id").agg(F.min("ts").alias("mts")).withColumn(
+        "flag", F.lit(1)
+    )
+    out = asof_join(ev, marks, keys=["user_id"], right_ts="mts",
+                    right_payload=["flag"])
+    assert out.count() == ev.count()
