@@ -171,6 +171,45 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B7: supplier-side star (TPC-H Q9 shape) — exercises part + supplier --
+@_q(
+    "q_join_star_supplier",
+    f"""
+    SELECT n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           {oracle_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'profit')},
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type LIKE '%BRASS%'
+    GROUP BY n.n_name, order_year
+    """,
+)
+def q_join_star_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type").like("%BRASS%"))
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "profit"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # --- B8: left outer join — keep customers with zero orders ----------------
 @_q(
     "q_join_left",
