@@ -99,6 +99,61 @@ def write_jdbc_append(
     )
 
 
+def write_jdbc_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batch_id: int,
+    *,
+    driver: str | None = None,
+    **options: str,
+) -> None:
+    """Exactly-once-per-batch JDBC write (SURVEY.md §7 hard-part #2).
+
+    Plain append from ``foreachBatch`` is at-least-once: a retried batch
+    duplicates rows. This writer stamps every row with ``_batch_id`` and
+    DELETEs that batch's rows before inserting, so replays converge to
+    one copy — the standard idempotent-sink recipe when the target has no
+    native MERGE. The delete runs on the driver (one statement); inserts
+    stream from executors as usual.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    stamped = df.withColumn("_batch_id", F.lit(batch_id))
+    # driver-side delete via JVM JDBC (no extra Python deps)
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    if driver:
+        props.setProperty("driver", driver)
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(
+                f'DELETE FROM {table} WHERE "_batch_id" = {int(batch_id)}'
+            )
+        except Exception:
+            pass  # table doesn't exist yet — first write creates it
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+    writer = (
+        stamped.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode("append")
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def read_jdbc_partitioned(
     spark,
     url: str,

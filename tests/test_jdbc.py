@@ -110,3 +110,25 @@ def test_jdbc_per_key_routing(spark, sf_small, derby_url):
             .load()
         )
         assert back.count() == ev.filter(F.col("event_type") == etype).count()
+
+
+def test_jdbc_idempotent_batch_write(spark, sf_small, derby_url):
+    """Replaying a batch (the at-least-once failure mode of foreachBatch)
+    must not duplicate rows — DELETE-then-INSERT keyed on _batch_id."""
+    from big_data_streaming_spark.streaming.sinks import write_jdbc_idempotent
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "value").limit(100)
+
+    write_jdbc_idempotent(ev, derby_url, "idem_t", batch_id=7, driver=DRIVER)
+    write_jdbc_idempotent(ev, derby_url, "idem_t", batch_id=7, driver=DRIVER)  # replay
+    write_jdbc_idempotent(ev, derby_url, "idem_t", batch_id=8, driver=DRIVER)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "idem_t")
+        .option("driver", DRIVER)
+        .load()
+    )
+    assert back.count() == 200  # batch 7 once + batch 8 once
+    assert back.filter("_batch_id = 7").count() == 100
