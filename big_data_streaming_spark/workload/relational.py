@@ -528,6 +528,24 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B13: explicit GROUPING SETS (beyond rollup/cube) ---------------------
+@_q(
+    "q_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dec_sum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(dec_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+
+
 # --- B15: scalar string functions -----------------------------------------
 @_q(
     "q_scalar_string",
