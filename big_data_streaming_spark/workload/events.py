@@ -489,3 +489,24 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
+
+
+# --- B14 extension: quantile sketch (rows-only — sketch is engine-specific;
+# contrast with q_percentiles, the exact oracle-checked variant). At 100 TB
+# the sketch is mergeable map-side: fixed memory per partition vs the exact
+# percentile's full sort.
+@_q("q_approx_percentile")
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("pcts")
+        )
+    )
+
+
+# --- B14 extension: frequent-items sketch (rows-only) ---------------------
+@_q("q_freq_items")
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").freqItems(["event_type", "user_id"], 0.2)
