@@ -58,5 +58,7 @@ def uses_take_ordered(df: DataFrame) -> bool:
 
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchange operators in the physical plan — the metric to
-    minimize; every unit is a full repartition of the data."""
-    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
+    minimize; every unit is a full repartition of the data. Counts the
+    detail headers (``(N) Exchange``) so each node counts once (the tree
+    rendering repeats every operator)."""
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))

@@ -479,6 +479,82 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "value", "band_name")
 
 
+# --- B1 extension: fixed-width histogram ----------------------------------
+@_q(
+    "q_histogram",
+    f"""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {oracle_dec_sum('value', 'bucket_total')}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50.0).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value", "bucket_total"))
+    )
+
+
+# --- B1 extension: Pearson correlation, decimal-exact ---------------------
+# Built-in corr() uses a streaming co-moment algorithm (engine-specific
+# float order); the textbook formula over exact decimal sums is
+# deterministic and bit-identical to the oracle — same policy as
+# q_stats_moments.
+@_q(
+    "q_stats_corr",
+    """
+    WITH s AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(epoch_ms(ts) % 86400000 AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST((epoch_ms(ts) % 86400000) * (epoch_ms(ts) % 86400000)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(value * (epoch_ms(ts) % 86400000) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxy
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_value_timeofday
+    FROM s
+    """,
+)
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tod = (F.unix_millis("ts") % 86_400_000).cast("double")
+    v = F.col("value")
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(v).alias("sx"),
+        dec(tod).alias("sy"),
+        dec(v * v).alias("sxx"),
+        dec(tod * tod).alias("syy"),
+        dec(v * tod).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # rounded to 6 dp on both sides: `a*b - c*d` compiles to FMA in DuckDB
+    # but not the JVM, so the raw doubles differ in the last ulp — the
+    # decimal sums themselves are bit-identical (same policy note as
+    # q_sim_topk's cosine).
+    return s.select(
+        "user_id",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_value_timeofday"),
+    )
+
+
 # --- B14: approximate distinct count (HLL) — rows-only (approximation is
 # engine-specific; exactness vs DuckDB is not defined). At 100 TB this is
 # the only sane distinct-count: fixed-size sketch, no giant shuffle.

@@ -55,7 +55,7 @@ def test_flagship_plan_is_bounded(spark, sf_small):
     One aggregation shuffle; no global sort."""
     df = QUERIES["q_flagship"](spark, sf_small)
     assert uses_take_ordered(df)
-    assert shuffle_count(df) <= 2, formatted_plan(df)
+    assert shuffle_count(df) == 1, formatted_plan(df)
 
 
 def test_events_projection_pruned_for_narrow_query(spark, sf_small):
@@ -70,4 +70,21 @@ def test_broadcast_threshold_respected_for_fact_fact(spark, sf_small):
     a join + agg with ≤3 exchanges (join may legitimately broadcast at
     tiny SF; the invariant worth pinning is the shuffle bound)."""
     df = QUERIES["q_join_inner"](spark, sf_small)
-    assert shuffle_count(df) <= 3, formatted_plan(df)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_small):
+    """The as-of construction must stay one-shuffle (union + window), not
+    degrade into a join + re-sort chain."""
+    from big_data_streaming_spark.operators.asof import asof_join
+    from big_data_streaming_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "ts", "user_id")
+    marks = ev.groupBy("user_id").agg(F.min("ts").alias("mts")).withColumn(
+        "m", F.lit(1.0)
+    )
+    out = asof_join(ev, marks, keys=["user_id"], right_ts="mts", right_payload=["m"])
+    # shuffles: one for the marks aggregation (input prep), one for the
+    # as-of window partitioning — the operator itself adds exactly one.
+    assert shuffle_count(out) <= 2, formatted_plan(out)
