@@ -94,10 +94,19 @@ def build_centroids(
     pyspark.ml KMeans and feed its centers in the same shape."""
     dim_probe = corpus.select(F.size(vec_col).alias("d")).first()
     dim = dim_probe["d"]
+    # decimal-routed sums: double accumulation is partition-order
+    # dependent, which would make centroids (and thus IVF routing for
+    # borderline queries) vary run-to-run; exact decimal sums make the
+    # quantizer a pure function of the data (same policy as
+    # workload/common.py)
     sums = corpus.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.element_at(_as_double(F.col(vec_col)), i + 1)).alias(f"s{i}")
+            F.sum(
+                F.element_at(_as_double(F.col(vec_col)), i + 1).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias(f"s{i}")
             for i in range(dim)
         ],
     )
