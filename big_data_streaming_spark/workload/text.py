@@ -439,6 +439,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(docs, fake=True)
 
 
+# --- C4 extension: edit distance between consecutive docs ----------------
+# Levenshtein on bounded prefixes (O(k²) per pair, k=30) — the fuzzy-match
+# primitive; both engines implement the standard DP edit distance.
+@_q(
+    "q_edit_distance",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30))
+                AS INTEGER) AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 30).alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 30).alias("tb"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select("doc_a", "doc_b", F.levenshtein("ta", "tb").alias("edit_dist"))
+    )
+
+
 # --- north star: SimHash near-dup clusters (rows-only) --------------------
 @_q("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

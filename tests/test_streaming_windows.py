@@ -97,3 +97,59 @@ def test_stream_session_window_equals_batch(spark, sf_small):
         )
     )
     assert got == batch
+
+
+def test_update_mode_emits_changed_windows_only(spark, tmp_path):
+    """Update output mode: each micro-batch emits only windows whose
+    aggregate changed; taking the LAST emission per window reconstructs
+    the batch result (the changelog-consumer contract)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = 1_700_002_800_000
+    # batch 1: two windows; batch 2 (separate file) adds to window 2 only
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for m in (0, 10, 70):
+            f.write(json.dumps({"ts": base + m * 60_000, "v": 1.0}) + "\n")
+    with open(os.path.join(src, "b2.jsonl"), "w") as f:
+        f.write(json.dumps({"ts": base + 80 * 60_000, "v": 5.0}) + "\n")
+
+    sdf = (
+        spark.readStream.schema("ts long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.timestamp_millis("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("upd_mode")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = (
+        spark.table("upd_mode")
+        .select(F.col("w.start").alias("ws"), "total", "n")
+        .collect()
+    )
+    # the emission with the highest n per window is the latest state;
+    # it must equal the batch truth
+    latest: dict = {}
+    for r in rows:
+        key = str(r["ws"])
+        cand = (r["n"], r["total"])
+        if key not in latest or cand[0] > latest[key][0]:
+            latest[key] = cand
+    finals = sorted(latest.values())
+    assert finals == [(2, 2.0), (2, 6.0)], rows  # w1: 2 rows/2.0; w2: 2 rows/6.0
+    # update mode re-emitted window 2 (3 or 4 rows total, not 2): at least
+    # one window appears twice across the two batches
+    assert len(rows) > len(latest)
