@@ -153,3 +153,21 @@ def test_update_mode_emits_changed_windows_only(spark, tmp_path):
     # update mode re-emitted window 2 (3 or 4 rows total, not 2): at least
     # one window appears twice across the two batches
     assert len(rows) > len(latest)
+
+
+def test_resourceful_queries_are_reinvokable(spark, sf_small):
+    """The driver may invoke a queries() callable more than once (row-count
+    pass, then hash pass). The queries that allocate session resources —
+    temp views, memory-sink tables, staged temp dirs — must return the
+    same result on a second invocation."""
+    from big_data_streaming_spark.workload import QUERIES
+
+    for name in (
+        "q_flagship_sql",
+        "q_stream_window_tumbling",
+        "q_stream_window_session",
+        "q_route_by_key",
+    ):
+        first = sorted(map(str, QUERIES[name](spark, sf_small).collect()))
+        second = sorted(map(str, QUERIES[name](spark, sf_small).collect()))
+        assert first == second, name
