@@ -348,7 +348,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf: its rows are already distinct (doc, token) pairs,
+    # so COUNT(*) per token == COUNT(DISTINCT doc_id) — avoids a second
+    # tokenize+distinct-expand pass, and ReuseExchange shares tf's shuffle
+    # between the two consumers of the aggregate.
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # bounded scalar (collect rule §4.3.8)
     return tf.join(F.broadcast(df), "token").select(
         "doc_id",
