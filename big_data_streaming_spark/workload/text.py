@@ -478,6 +478,73 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- north star: composite training-data prep pipeline --------------------
+# The realistic shape: quality gate → exact dedup (keep smallest id per
+# fingerprint) → length window → stable output. Every stage is
+# deterministic, so the WHOLE pipeline carries a DuckDB oracle — this is
+# the query a data engineer would actually run before tokenization.
+@_q(
+    "q_training_prep",
+    """
+    WITH scored AS (
+        SELECT doc_id, text, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS unique_ratio,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    ), gated AS (
+        SELECT * FROM scored
+        WHERE n_tokens BETWEEN 10 AND 400 AND unique_ratio >= 0.3
+    ), deduped AS (
+        SELECT min(doc_id) AS doc_id, fp, min(lang) AS lang,
+               min(n_tokens) AS n_tokens
+        FROM gated GROUP BY fp
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens, fp
+    FROM deduped
+    """,
+)
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "unique_ratio"
+        ),
+        F.md5(norm.cast("binary")).alias("fp"),
+    )
+    gated = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 400)
+        & (F.col("unique_ratio") >= 0.3)
+    )
+    return (
+        gated.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .select("doc_id", "lang", "n_tokens", "fp")
+    )
+
+
+# --- north star: seeded stratified sampling (rows-only — sampling RNG is
+# engine-specific; determinism within the engine is what matters and is
+# pinned by pytest). At 100 TB sampling is the FIRST stage of most
+# experiments; per-stratum fractions rebalance skewed language mixes.
+@_q("q_sample_stratified")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.2, "zh": 0.2}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
 # --- north star: MinHash signatures exposed as a query (rows-only) --------
 @_q("q_minhash_signature")
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:

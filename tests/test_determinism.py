@@ -74,3 +74,12 @@ def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
     got = spark.table("dedup_stream").collect()
     assert len(got) == 10
     assert len({r["event_id"] for r in got}) == 10
+
+
+def test_stratified_sample_deterministic(spark, sf_small):
+    """Seeded sampleBy must return the identical subset across runs."""
+    from big_data_streaming_spark.workload import QUERIES
+
+    a = sorted(r["doc_id"] for r in QUERIES["q_sample_stratified"](spark, sf_small).collect())
+    b = sorted(r["doc_id"] for r in QUERIES["q_sample_stratified"](spark, sf_small).collect())
+    assert a == b and len(a) > 0
