@@ -465,6 +465,19 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C2: transitive-closure near-dup via connected components (rows-only) -
+# Iterative min-label propagation over LSH star edges — the genuinely
+# non-SQL-expressible iterative-algorithm class; chains A~B~C merge even
+# when A and C never share a bucket (functions/graph.py).
+@_q("q_dedup_components")
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.graph import minhash_dedup_components
+
+    return minhash_dedup_components(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", bands=4
+    )
+
+
 # --- north star: SimHash near-dup clusters (rows-only) --------------------
 @_q("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Connected components + transitive-closure dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.functions.graph import (
+    connected_components,
+    minhash_dedup_components,
+)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, pair 10-11, singleton edge 20-20 (self loop)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc[1] == cc[2] == cc[3] == cc[4] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[20] == 20
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 30  # diameter 30 > default-ish round counts — exercises iteration
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    cc = connected_components(edges, max_iter=50).collect()
+    assert {r["component"] for r in cc} == {0}
+    assert len(cc) == n + 1
+
+
+def test_minhash_dedup_components_merges_chains(spark):
+    # A and B near-identical; B and C near-identical; A vs C more distant.
+    base = [f"tok{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[:36] + ["x1", "x2", "x3", "x4"])
+    c = " ".join(base[:32] + ["x1", "x2", "x3", "x4", "y1", "y2", "y3", "y4"])
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, other)], ["doc_id", "text"]
+    )
+    res = {
+        r["doc_id"]: r["component"]
+        for r in minhash_dedup_components(df, "doc_id", "text", bands=8).collect()
+    }
+    # transitive closure: all three near-dups share one component
+    assert res[1] == res[2] == res[3] == 1
+    assert res[9] == 9
+
+
+def test_components_subsume_one_hop_clusters(spark, sf_small):
+    """Every one-hop cluster pair must also share a CC component (CC only
+    merges further, never splits)."""
+    from big_data_streaming_spark.functions.dedup import minhash_dedup_clusters
+    from big_data_streaming_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(200)
+    one_hop = minhash_dedup_clusters(docs, "doc_id", "text", bands=4)
+    cc = minhash_dedup_components(docs, "doc_id", "text", bands=4)
+    joined = (
+        one_hop.select("doc_id", F.col("cluster_rep").alias("hop_rep"))
+        .join(cc.select("doc_id", "component"), "doc_id")
+        .join(
+            cc.select(
+                F.col("doc_id").alias("hop_rep"),
+                F.col("component").alias("rep_component"),
+            ),
+            "hop_rep",
+        )
+    )
+    # doc and its one-hop representative must be in the same component
+    assert joined.filter(F.col("component") != F.col("rep_component")).count() == 0
