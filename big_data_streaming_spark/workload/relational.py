@@ -708,6 +708,53 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B15: null-handling scalar functions ----------------------------------
+@_q(
+    "q_scalar_null",
+    """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'F') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'F'), 'FINISHED') AS status_filled,
+           CAST(NULLIF(o_orderstatus, 'F') IS NULL AS BOOLEAN) AS was_f,
+           ifnull(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS prio_filled
+    FROM orders
+    """,
+)
+def q_scalar_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    status_null = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return o.select(
+        "o_orderkey",
+        status_null.alias("status_or_null"),
+        F.coalesce(status_null, F.lit("FINISHED")).alias("status_filled"),
+        status_null.isNull().alias("was_f"),
+        F.ifnull(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("urgent!")
+        ).alias("prio_filled"),
+    )
+
+
+# --- B15: date formatting (dialect-mapped format strings) ------------------
+@_q(
+    "q_date_format",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           strftime(o_orderdate, '%Y/%m') AS year_month,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS day_key
+    FROM orders
+    """,
+)
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.date_format("o_orderdate", "yyyy/MM").alias("year_month"),
+        F.date_format("o_orderdate", "yyyyMMdd").cast("bigint").alias("day_key"),
+    )
+
+
 # --- B16: pandas UDF (Arrow-vectorized — the only sanctioned Python path;
 # a row-at-a-time @udf would break codegen and serialize per row).
 # Per-row double arithmetic is order-fixed, so it matches the oracle exactly.
