@@ -417,6 +417,67 @@ def q_lag_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B12 extension: cumulative running total per key ----------------------
+@_q(
+    "q_running_total",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INTEGER) AS event_seq
+    FROM events
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+# --- B12 extension: period-over-period delta (agg series + lag) -----------
+@_q(
+    "q_mom_change",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               {oracle_dec_sum('value', 'day_total')}
+        FROM events GROUP BY 1
+    )
+    SELECT day, day_total,
+           day_total - lag(day_total) OVER (ORDER BY day) AS dod_change
+    FROM daily
+    """,
+)
+def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(dec_sum("value", "day_total"))
+        .select(F.col("w.start").alias("day"), "day_total")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "day_total",
+        (F.col("day_total") - F.lag("day_total").over(w)).alias("dod_change"),
+    )
+
+
 # --- custom operator: as-of join (backward, inclusive) --------------------
 # Events joined to the latest hourly per-user mark at or before each
 # event — the "last quote before this trade" join. Implementation is
