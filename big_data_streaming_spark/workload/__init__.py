@@ -28,15 +28,90 @@ from big_data_streaming_spark.workload import (
 
 _MODULES = (_events, _relational, _text, _similarity, _streaming)
 
+# Registry order is part of the driver contract: the driver's correctness
+# gate checks the FIRST 50 entries of ``queries()`` and stops. Round 1
+# concatenated modules naively, which pushed every text/dedup/similarity/
+# streaming key past position 49 — 33 queries got zero driver signal
+# (VERDICT.md round 1, "Next round" #1). ``_CHECK_FIRST`` pins the window:
+# the 33 previously-unchecked keys, then the 4 queries whose output was
+# reworked this round (array→scalar canonicalizer fixes + sketch audit
+# oracles), then the 13 most load-bearing already-green queries. Everything
+# else — all green in CORRECTNESS_r01 — fills the tail in module order.
+_CHECK_FIRST: tuple[str, ...] = (
+    # -- driver-unchecked in round 1 (old positions 50-82) ----------------
+    "q_scalar_date",
+    "q_scalar_null",
+    "q_date_format",
+    "q_udf_roundtrip",
+    "q_dedup_exact",
+    "q_text_tokens",
+    "q_explode_tokens",
+    "q_top_tokens_per_lang",
+    "q_text_quality",
+    "q_text_lang",
+    "q_token_count",
+    "q_text_fingerprint",
+    "q_multimodal_meta",
+    "q_doc_chunks",
+    "q_tfidf",
+    "q_dedup_ngram",
+    "q_dedup_near",
+    "q_dedup_near_pairs",
+    "q_multimodal_features",
+    "q_edit_distance",
+    "q_dedup_components",
+    "q_dedup_simhash",
+    "q_training_prep",
+    "q_sample_stratified",
+    "q_minhash_signature",
+    "q_sim_topk",
+    "q_embed_normalize",
+    "q_sim_ivf",
+    "q_embed_neardup",
+    "q_stream_window_tumbling",
+    "q_stream_window_sliding",
+    "q_stream_window_session",
+    "q_route_by_key",
+    # -- reworked this round (failed the round-1 canonicalizer) -----------
+    "q_scalar_array",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_freq_items",
+    # -- already-green anchors kept inside the window ---------------------
+    "q_flagship",
+    "q_flagship_sql",
+    "q_tpch_q3",
+    "q_tpch_q6",
+    "q_join_broadcast",
+    "q_window_tumbling",
+    "q_window_session",
+    "q_topk",
+    "q_asof_join",
+    "q_join_range",
+    "q_groupby_agg",
+    "q_rollup",
+    "q_percentiles",
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 for _m in _MODULES:
-    _dup = QUERIES.keys() & _m.QUERIES.keys()
+    _dup = _ALL.keys() & _m.QUERIES.keys()
     if _dup:
         raise ValueError(f"duplicate query keys across workload modules: {_dup}")
-    QUERIES.update(_m.QUERIES)
+    _ALL.update(_m.QUERIES)
     ORACLES.update(getattr(_m, "ORACLES", {}))
+
+_missing = set(_CHECK_FIRST) - _ALL.keys()
+if _missing:
+    raise ValueError(f"_CHECK_FIRST names unknown queries: {_missing}")
+for _name in _CHECK_FIRST:
+    QUERIES[_name] = _ALL[_name]
+for _name, _fn in _ALL.items():
+    if _name not in QUERIES:
+        QUERIES[_name] = _fn
 
 _orphans = ORACLES.keys() - QUERIES.keys()
 if _orphans:

@@ -616,34 +616,123 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- B14: approximate distinct count (HLL) — rows-only (approximation is
-# engine-specific; exactness vs DuckDB is not defined). At 100 TB this is
-# the only sane distinct-count: fixed-size sketch, no giant shuffle.
-@_q("q_approx_distinct")
+# --- B14: approximate distinct count (HLL) --------------------------------
+# The sketch estimate itself is engine-specific, so the value-checked output
+# is (exact count, within_tolerance): the HLL estimate (rsd=0.01) must land
+# within 5% of the exact COUNT(DISTINCT) — deterministic for a fixed input,
+# so the oracle is plain SQL + TRUE. At 100 TB the sketch is the only sane
+# distinct-count: fixed-size mergeable state, no giant shuffle; the exact
+# count here exists to *audit* the sketch at test scale.
+@_q(
+    "q_approx_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tolerance
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
-    )
-
-
-# --- B14 extension: quantile sketch (rows-only — sketch is engine-specific;
-# contrast with q_percentiles, the exact oracle-checked variant). At 100 TB
-# the sketch is mergeable map-side: fixed memory per partition vs the exact
-# percentile's full sort.
-@_q("q_approx_percentile")
-def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    agg = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("pcts")
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         )
+    )
+    exact = F.col("exact_users").cast("double")
+    err = F.abs(F.col("approx_users").cast("double") - exact)
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (err <= 0.05 * exact).alias("within_tolerance"),
     )
 
 
-# --- B14 extension: frequent-items sketch (rows-only) ---------------------
-@_q("q_freq_items")
+# --- B14 extension: quantile sketch ---------------------------------------
+# Same audit pattern: output exact interpolated percentiles (bit-equal to
+# DuckDB quantile_cont) plus one boolean asserting the GK sketch (accuracy
+# 10k → rank error ≤ 1e-4·n) returned a value inside the exact-value
+# envelope at rank p ± 0.02. Contrast with q_percentiles (exact variant).
+# At 100 TB the sketch is mergeable map-side: fixed memory per partition vs
+# the exact percentile's full sort.
+@_q(
+    "q_approx_percentile",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50_exact,
+           quantile_cont(value, 0.9) AS p90_exact,
+           quantile_cont(value, 0.99) AS p99_exact,
+           TRUE AS sketch_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps = 0.02
+    ps = [0.5, 0.9, 0.99]
+    agg = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            *[F.percentile("value", p).alias(f"p{int(p*100)}_exact") for p in ps],
+            *[
+                F.percentile("value", max(p - eps, 0.0)).alias(f"_lo{i}")
+                for i, p in enumerate(ps)
+            ],
+            *[
+                F.percentile("value", min(p + eps, 1.0)).alias(f"_hi{i}")
+                for i, p in enumerate(ps)
+            ],
+            F.percentile_approx("value", ps, 10_000).alias("_pcts"),
+        )
+    )
+    in_env = [
+        (F.col("_pcts")[i] >= F.col(f"_lo{i}"))
+        & (F.col("_pcts")[i] <= F.col(f"_hi{i}"))
+        for i in range(len(ps))
+    ]
+    ok = in_env[0] & in_env[1] & in_env[2]
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        ok.alias("sketch_within_tol"),
+    )
+
+
+# --- B14 extension: frequent-items sketch ---------------------------------
+# freqItems guarantees no false negatives above the support threshold, so
+# the checkable contract is: every event_type whose TRUE frequency exceeds
+# the support must appear in the sketch. Output = the exactly-frequent keys
+# + in_sketch boolean (always TRUE when the sketch honors its contract);
+# oracle = exact frequency SQL + TRUE. Scalar columns only — the raw sketch
+# array crashed the driver canonicalizer in round 1.
+@_q(
+    "q_freq_items",
+    """
+    WITH tot AS (SELECT COUNT(*) AS n FROM events)
+    SELECT event_type, TRUE AS in_sketch
+    FROM events, tot
+    GROUP BY event_type, tot.n
+    HAVING COUNT(*) > 0.15 * tot.n
+    """,
+)
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "events").freqItems(["event_type", "user_id"], 0.2)
+    ev = t(spark, sf_dir, "events")
+    sketch = ev.freqItems(["event_type"], 0.15)  # 1 row, array<string>
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    frequent = (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n_rows") > 0.15 * F.col("n_total"))
+    )
+    return frequent.crossJoin(F.broadcast(sketch)).select(
+        "event_type",
+        F.array_contains(F.col("event_type_freqItems"), F.col("event_type")).alias(
+            "in_sketch"
+        ),
+    )

@@ -515,6 +515,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- B15: array scalar pack ------------------------------------------------
+# Array-valued columns are serialized with array_join/array_to_string so every
+# output column is a hashable scalar (the driver's pandas canonicalizer cannot
+# sort rows containing Python lists — CORRECTNESS_r01 `unhashable type: list`).
 @_q(
     "q_scalar_array",
     """
@@ -522,8 +525,8 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            list_sort(list_distinct(toks))[1] AS first_token_sorted,
            CAST(list_contains(toks, 'spark') AS BOOLEAN) AS mentions_spark,
-           toks[1:5] AS head_tokens,
-           list_reverse(toks[1:5]) AS head_reversed,
+           array_to_string(toks[1:5], ' ') AS head_tokens,
+           array_to_string(list_reverse(toks[1:5]), ' ') AS head_reversed,
            CAST(len(list_filter(toks, x -> length(x) > 5)) AS INTEGER) AS n_long_tokens
     FROM tok
     """,
@@ -535,8 +538,8 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_sort(F.array_distinct(toks))[0].alias("first_token_sorted"),
         F.array_contains(toks, "spark").alias("mentions_spark"),
-        F.slice(toks, 1, 5).alias("head_tokens"),
-        F.reverse(F.slice(toks, 1, 5)).alias("head_reversed"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("head_tokens"),
+        F.array_join(F.reverse(F.slice(toks, 1, 5)), " ").alias("head_reversed"),
         F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
     )
 

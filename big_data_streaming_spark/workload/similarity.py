@@ -75,16 +75,25 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unit-normalize vectors JVM-side (higher-order fns, no Python). After
 # this, cosine becomes a plain dot product — the form every ANN index
 # wants; at 100 TB you normalize once at ingest, not per query.
+# Output is scalar-only (dim / norm / two unit components): the driver's
+# pandas canonicalizer cannot hash rows holding array cells, and the
+# scalars are bit-exact across engines (left-fold double dot + correctly-
+# rounded sqrt/div — see SURVEY.md §4.3.7 exactness policy).
 @_q(
     "q_embed_normalize",
     """
-    SELECT vec_id,
-           list_transform(embedding::DOUBLE[],
-                          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                                         embedding::DOUBLE[])))
-             AS unit_vec,
-           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-    FROM embeddings
+    WITH n AS (
+      SELECT vec_id,
+             len(embedding) AS dim,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm,
+             embedding[1]::DOUBLE AS e0,
+             embedding[2]::DOUBLE AS e1
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(dim AS INTEGER) AS dim, norm,
+           e0 / norm AS u0, e1 / norm AS u1
+    FROM n
     """,
 )
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,11 +103,18 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).select("vec_id", "v", l2_norm(F.col("v")).alias("norm"))
+    ).select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        "v",
+        l2_norm(F.col("v")).alias("norm"),
+    )
     return staged.select(
         "vec_id",
-        F.transform("v", lambda x: x / F.col("norm")).alias("unit_vec"),
+        "dim",
         "norm",
+        (F.col("v")[0] / F.col("norm")).alias("u0"),
+        (F.col("v")[1] / F.col("norm")).alias("u1"),
     )
 
 

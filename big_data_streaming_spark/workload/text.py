@@ -432,6 +432,8 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Runs the Arrow-batched mapInPandas decode path (deterministic fake
 # kernel — real codecs are stubbed, see functions/multimodal.py) through
 # the driver gate, so the Python-boundary plumbing is exercised end-to-end.
+# The feature vector is flattened to scalar f0..f3 columns for the driver's
+# canonicalizer (arrays are unhashable in its pandas sort).
 @_q("q_multimodal_features")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_streaming_spark.functions.multimodal import (
@@ -440,7 +442,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = with_media_struct(t(spark, sf_dir, "documents"))
-    return decode_media(docs, fake=True)
+    feats = decode_media(docs, fake=True)
+    return feats.select(
+        "doc_id",
+        "uri",
+        "n_bytes",
+        *[F.col("feature_vec")[i].alias(f"f{i}") for i in range(4)],
+    )
 
 
 # --- C4 extension: edit distance between consecutive docs ----------------
@@ -559,9 +567,19 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- north star: MinHash signatures exposed as a query (rows-only) --------
+# The signature is emitted comma-joined plus min/max scalars: xxhash64
+# values are Spark-specific (no DuckDB oracle), and the raw array<bigint>
+# would crash the driver's pandas canonicalizer (round-1 lesson).
 @_q("q_minhash_signature")
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", minhash_signature(F.split("text", " "), num_hashes=16).alias("sig")
+    sig = minhash_signature(F.split("text", " "), num_hashes=16)
+    return d.select("doc_id", sig.alias("_sig")).select(
+        "doc_id",
+        F.size("_sig").alias("n_hashes"),
+        F.array_min("_sig").alias("sig_min"),
+        F.array_max("_sig").alias("sig_max"),
+        F.array_join(F.transform("_sig", lambda x: x.cast("string")), ",").alias(
+            "sig_str"
+        ),
     )
