@@ -131,12 +131,21 @@ def sample_frames(df: DataFrame, *, every_n: int = 10) -> DataFrame:
         .cast("int")
         .alias("n_frames"),
     )
-    return with_count.select(
-        "doc_id",
-        "uri",
-        F.posexplode(F.sequence(F.lit(0), F.greatest(F.col("n_frames"), F.lit(0)))).alias(
-            "frame_idx", "frame_offset"
-        ),
-    ).select(
-        "doc_id", "uri", "frame_idx", (F.col("frame_offset") * every_n).alias("frame_no")
+    # sequence() is upper-bound inclusive, so the bound is n_frames - 1 and
+    # media with zero frames (empty payload) must yield zero rows, not one.
+    return (
+        with_count.where(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            "uri",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("n_frames") - F.lit(1))
+            ).alias("frame_idx", "frame_offset"),
+        )
+        .select(
+            "doc_id",
+            "uri",
+            "frame_idx",
+            (F.col("frame_offset") * every_n).alias("frame_no"),
+        )
     )

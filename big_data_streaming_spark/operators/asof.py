@@ -49,33 +49,53 @@ def asof_join(
             c for c in right.columns if c not in keys and c != right_ts
         ]
 
+    # The whole right row travels as ONE nullable struct: per-column
+    # last(ignoreNulls) would skip a legitimately-NULL payload value and
+    # stitch columns from different right rows; a single struct guarantees
+    # every payload column comes from the same, truly-latest right row
+    # (and its NULLs are carried as NULLs).
+    payload_struct = F.struct(
+        *[F.col(c).alias(c) for c in right_payload]
+    )
     lcols = [c for c in left.columns]
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in right_payload],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in right_payload
+            )
+            + ">"
+        )
+        .alias("_p"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),  # 0 < 1: right sorts first at equal ts → inclusive
-        *[F.col(c).alias(f"_p_{c}") for c in right_payload],
+        payload_struct.alias("_p"),
     )
     u = l_tagged.unionByName(r_tagged)
 
+    # "_p" as the final sort key is the deterministic tie-break among
+    # right rows sharing (key, ts): the lexicographically-greatest payload
+    # wins, independent of partitioning or arrival order.
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ats", "_side")
+        .orderBy("_ats", "_side", "_p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
         *lcols,
         "_side",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_payload
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_carry"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in right_payload],
+    )

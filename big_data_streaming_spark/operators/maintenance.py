@@ -25,9 +25,18 @@ def compact_partition(
     shuffle, just fewer output tasks; safe to run while readers are
     active only on storage with atomic directory swap (object stores:
     write-new + repoint; local/HDFS: overwrite is transactional enough
-    for tests)."""
+    for tests).
+
+    Crash safety: the swap is rename-aside (old → ``_old``, compacted →
+    live, delete ``_old``) so every intermediate state keeps at least one
+    complete copy of the data — a crash mid-swap never loses the
+    partition. Hive-style partition subdirectories (``key=value``) are
+    detected and preserved on the rewrite instead of being inlined as
+    plain data columns."""
     import glob
     import os
+    import re
+    import shutil
 
     current = sum(
         os.path.getsize(f)
@@ -35,13 +44,37 @@ def compact_partition(
         if os.path.isfile(f)
     )
     n_files = max(1, round(current / target_file_bytes))
-    df = spark.read.format(fmt).load(path)
-    df.coalesce(n_files).write.format(fmt).mode("overwrite").save(path + "_compacted")
-    # atomic-ish swap for the local/test path
-    import shutil
 
-    shutil.rmtree(path)
-    shutil.move(path + "_compacted", path)
+    # Hive-layout detection: one partition key per directory level.
+    part_keys: list[str] = []
+    probe = path
+    while True:
+        subdirs = [
+            d
+            for d in glob.glob(os.path.join(probe, "*"))
+            if os.path.isdir(d) and re.match(r"^[^=]+=.+$", os.path.basename(d))
+        ]
+        if not subdirs:
+            break
+        part_keys.append(os.path.basename(subdirs[0]).split("=", 1)[0])
+        probe = subdirs[0]
+
+    df = spark.read.format(fmt).load(path)
+    writer = df.coalesce(n_files).write.format(fmt).mode("overwrite")
+    if part_keys:
+        writer = writer.partitionBy(*part_keys)
+    writer.save(path + "_compacted")
+
+    old = path + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(path + "_compacted", path)
+    except BaseException:
+        os.rename(old, path)  # roll back: the original is still complete
+        raise
+    shutil.rmtree(old)
     return n_files
 
 

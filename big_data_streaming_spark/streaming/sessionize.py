@@ -92,7 +92,17 @@ def sessionize_fn(
             s0, last, n, tot = t_us, t_us, 1, float(value)
 
     state.update((s0, last, n, tot))
-    state.setTimeoutTimestamp((last + _GAP_US) // 1_000)  # ms for the API
+    # Clamp the timeout above the current watermark: applyInPandasWithState
+    # does not pre-filter late input, so a row can arrive with ts behind
+    # the watermark and last+gap would then sit at/behind it — Spark
+    # rejects such timeouts with IllegalArgumentException, killing the
+    # query. The clamped timeout fires on the next watermark advance,
+    # closing the session as soon as legally possible anyway.
+    timeout_ms = (last + _GAP_US) // 1_000  # ms for the API
+    wm_ms = state.getCurrentWatermarkMs()
+    if timeout_ms <= wm_ms:
+        timeout_ms = wm_ms + 1
+    state.setTimeoutTimestamp(timeout_ms)
     yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields])
 
 

@@ -121,23 +121,40 @@ def write_jdbc_idempotent(
 
     spark = df.sparkSession
     stamped = df.withColumn("_batch_id", F.lit(batch_id))
-    # driver-side delete via JVM JDBC (no extra Python deps)
+    # Driver-side delete via JVM JDBC (no extra Python deps). Credentials
+    # and other connection options must reach this path too, not just the
+    # DataFrame insert below.
     jvm = spark._jvm
     props = jvm.java.util.Properties()
     if driver:
         props.setProperty("driver", driver)
         jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    for k, v in options.items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
-        stmt = conn.createStatement()
+        # Only a genuinely-missing table may skip the delete; any other
+        # failure (lock timeout, lost connection, permissions) must abort
+        # the batch — silently degrading to plain append would duplicate
+        # rows on replay, defeating the idempotence contract.
+        meta = conn.getMetaData()
+        rs = meta.getTables(None, None, None, None)
+        exists = False
         try:
-            stmt.executeUpdate(
-                f'DELETE FROM {table} WHERE "_batch_id" = {int(batch_id)}'
-            )
-        except Exception:
-            pass  # table doesn't exist yet — first write creates it
+            while rs.next():
+                if rs.getString("TABLE_NAME").lower() == table.split(".")[-1].lower():
+                    exists = True
+                    break
         finally:
-            stmt.close()
+            rs.close()
+        if exists:
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(
+                    f'DELETE FROM {table} WHERE "_batch_id" = {int(batch_id)}'
+                )
+            finally:
+                stmt.close()
     finally:
         conn.close()
 

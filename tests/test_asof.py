@@ -53,3 +53,40 @@ def test_asof_join_preserves_left_rowcount(spark, sf_small):
     out = asof_join(ev, marks, keys=["user_id"], right_ts="mts",
                     right_payload=["flag"])
     assert out.count() == ev.count()
+
+
+def test_asof_join_carries_null_payload_from_latest_row(spark):
+    """A right row whose payload is legitimately NULL must win as the
+    latest preceding row — not be skipped in favor of an older non-null
+    value — and all payload columns must come from that same row."""
+    left = spark.createDataFrame(
+        [("A", _ts(30), 1)], ["coin", "ts", "trade_id"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts(10), 100.0, "old"),
+            ("A", _ts(20), None, "new"),  # latest: px is genuinely NULL
+        ],
+        ["coin", "ts", "px", "src"],
+    )
+    row = asof_join(left, right, keys=["coin"]).first()
+    assert row["px_right"] is None  # NOT 100.0 carried from the older row
+    assert row["src_right"] == "new"
+
+
+def test_asof_join_tie_break_is_deterministic(spark):
+    """Two right rows at the same (key, ts): the winner is stable across
+    repeated runs/partitionings (lexicographically greatest payload)."""
+    left = spark.createDataFrame([("A", _ts(20), 1)], ["coin", "ts", "trade_id"])
+    right = spark.createDataFrame(
+        [("A", _ts(10), 1.0, "a"), ("A", _ts(10), 2.0, "b")],
+        ["coin", "ts", "px", "src"],
+    )
+    outs = {
+        (
+            asof_join(left.repartition(n), right.repartition(5 - n), keys=["coin"])
+            .first()["src_right"]
+        )
+        for n in (1, 2, 3)
+    }
+    assert outs == {"b"}

@@ -155,10 +155,31 @@ def test_decode_media_stub_raises(spark, sf_small):
 
 
 def test_sample_frames_plumbing(spark, sf_small):
+    every_n = 2
     docs = with_media_struct(load_table(spark, sf_small, "documents")).limit(5)
-    frames = sample_frames(docs)
+    frames = sample_frames(docs, every_n=every_n)
     assert frames.columns == ["doc_id", "uri", "frame_idx", "frame_no"]
-    assert frames.count() >= 5
+    # exact per-doc contract: floor(nbytes / (64*every_n)) frame rows,
+    # zero rows (not one) when the payload is too small for a single frame
+    expected = {
+        r["doc_id"]: int(r["nbytes"]) // (64 * every_n)
+        for r in docs.select("doc_id", "media.nbytes").collect()
+    }
+    got = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    for doc_id, n_frames in expected.items():
+        assert got.get(doc_id, 0) == n_frames, (doc_id, n_frames, got)
+    assert sum(expected.values()) > 0, "fixture docs all too small to sample"
+
+
+def test_sample_frames_empty_payload_yields_no_rows(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "en", "fixture")], ["doc_id", "text", "lang", "source"]
+    )
+    frames = sample_frames(with_media_struct(docs), every_n=1)
+    assert frames.count() == 0
 
 
 # ------------------------------------------------------------- property-based

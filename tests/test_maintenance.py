@@ -116,3 +116,30 @@ def test_kline_decimal_schema_exact_money(spark):
     total_col = parsed.select((F.col("open") + F.col("high")).alias("s"))
     assert str(total_col.schema["s"].dataType) == "DecimalType(38,17)"
     assert total_col.first()["s"] == Decimal("1.12345678901234568")
+
+
+def test_compact_partition_preserves_hive_layout(spark, tmp_path):
+    """Compacting a Hive-partitioned directory must keep the key=value
+    subdirectory structure (not inline partition columns as data)."""
+    path = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02") for i in range(500)],
+        ["day", "k", "v"],
+    )
+    df.repartition(16).write.partitionBy("day").parquet(path)
+    before = len(glob.glob(os.path.join(path, "day=*", "*.parquet")))
+    assert before >= 16
+
+    compact_partition(spark, path, target_file_bytes=64 * 1024 * 1024)
+    subdirs = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "day=*"))
+    )
+    assert subdirs == ["day=2024-01-01", "day=2024-01-02"]
+    after = len(glob.glob(os.path.join(path, "day=*", "*.parquet")))
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert set(back.columns) == {"day", "k", "v"}
+    # no leftover swap directories
+    assert not os.path.exists(path + "_old")
+    assert not os.path.exists(path + "_compacted")

@@ -333,3 +333,61 @@ def test_dead_letter_split(spark, tmp_path):
     assert any("garbage" in r for r in raws)
     assert "[1,2,3]" in raws
     assert good.filter(F.col("coin").isin("BTCUSDC", "ETHUSDC")).count() == 2
+
+
+def test_sessionize_survives_very_late_event(spark, tmp_path):
+    """A row older than the current watermark (applyInPandasWithState does
+    NOT pre-filter late input) must not kill the query: naively setting
+    timeout = last_ts + gap would land at/behind the watermark, which
+    Spark rejects with IllegalArgumentException. The clamp defers the
+    timeout to just past the watermark, so the session closes on the next
+    watermark advance instead of crashing the stream."""
+    import time as _time
+
+    from big_data_streaming_spark.streaming.sessionize import sessionize
+
+    src = str(tmp_path / "src")
+    # batch 1: user 1 activity + far-future sentinel -> watermark jumps high
+    write_jsonl(
+        src,
+        "a_first.jsonl",
+        [
+            {"ts": BASE_MS, "user_id": 1, "value": 1.0},
+            {"ts": BASE_MS + 100_000 * 60_000, "user_id": 99, "value": 0.0},
+        ],
+    )
+    _time.sleep(0.05)
+    # batch 2: user 7 event hours BEHIND the watermark
+    write_jsonl(
+        src, "b_late.jsonl", [{"ts": BASE_MS + 60_000, "user_id": 7, "value": 5.0}]
+    )
+    _time.sleep(0.05)
+    # batch 3: later sentinel advances the watermark past the clamped
+    # timeout so user 7's session emits via timeout
+    write_jsonl(
+        src,
+        "c_flush.jsonl",
+        [{"ts": BASE_MS + 200_000 * 60_000, "user_id": 99, "value": 0.0}],
+    )
+
+    schema = "ts long, user_id long, value double"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis("ts"))
+    )
+    out = sessionize(sdf, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # without the clamp this raises StreamingQueryException
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.table("late_sessions").collect()
+    }
+    assert (7, 1, 5.0) in got
