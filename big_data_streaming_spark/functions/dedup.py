@@ -248,7 +248,16 @@ def minhash_dedup_clusters(
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
 
-    sigs = _band_hashes(df, id_col, text_col, num_hashes, bands)
+    # The band-hash relation feeds BOTH the bucket-representative
+    # aggregate and the join below; without persist the source is scanned
+    # (and every signature recomputed) twice — the partial-agg node makes
+    # the two exchanges non-identical, so ReuseExchange can't dedup them.
+    # MEMORY_AND_DISK keeps the win bounded at scale (spills, no OOM).
+    from pyspark import StorageLevel
+
+    sigs = _band_hashes(df, id_col, text_col, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     exploded = sigs
     bucket_rep = exploded.groupBy("band", "bh").agg(
         F.min(id_col).alias("bucket_rep")

@@ -30,6 +30,8 @@ def route_partitioned(
     fmt: str = "parquet",
     mode: str = "overwrite",
     coalesce_output: bool = True,
+    salt_files_per_key: int = 1,
+    max_records_per_file: int | None = None,
 ) -> None:
     """A20 for file sinks: one partitioned write, no per-key jobs.
 
@@ -37,10 +39,28 @@ def route_partitioned(
     partition directory gets ~1 file instead of one per upstream task
     (32 tasks × K keys small files otherwise — the small-file problem at
     its source). Costs one exchange; skip it when the upstream is already
-    key-partitioned."""
+    key-partitioned.
+
+    Skew guard: ``repartition(keys)`` alone gives ONE writer task per key,
+    so a hot key (one coin = most of the tape) becomes a straggler that
+    serializes the whole write. ``salt_files_per_key > 1`` adds a
+    deterministic salt (hash of the full row, mod N) to the shuffle keys —
+    the hot key fans out over N writer tasks (≤N files per directory)
+    while the directory layout is unchanged. ``max_records_per_file``
+    additionally caps file size via Spark's own writer split."""
     if coalesce_output:
-        df = df.repartition(*[F.col(k) for k in keys])
-    (df.write.format(fmt).mode(mode).partitionBy(*keys).save(out_dir))
+        shuffle_cols = [F.col(k) for k in keys]
+        if salt_files_per_key > 1:
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(salt_files_per_key),
+            )
+            shuffle_cols.append(salt)
+        df = df.repartition(*shuffle_cols)
+    writer = df.write.format(fmt).mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(*keys).save(out_dir)
 
 
 def foreach_batch_router(

@@ -70,3 +70,35 @@ def test_components_subsume_one_hop_clusters(spark, sf_small):
     )
     # doc and its one-hop representative must be in the same component
     assert joined.filter(F.col("component") != F.col("rep_component")).count() == 0
+
+
+def test_cc_probe_cadence_halves_actions(spark, monkeypatch):
+    """check_every=2 must produce identical components with at most half
+    the convergence-probe actions of per-round checking."""
+    from pyspark.sql import DataFrame
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+
+    probes = {"n": 0}
+    orig_count = DataFrame.count
+
+    def counting(self):
+        probes["n"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    # per-round checking baseline
+    res1 = connected_components(edges, check_every=1)
+    rows1 = res1.toPandas()
+    n1 = probes["n"]
+    probes["n"] = 0
+    res2 = connected_components(edges, check_every=2)
+    rows2 = res2.toPandas()
+    n2 = probes["n"]
+    assert n2 <= (n1 + 1) // 2
+    c1 = dict(zip(rows1["node"], rows1["component"]))
+    c2 = dict(zip(rows2["node"], rows2["component"]))
+    assert c1 == c2
+    assert set(c1.values()) == {0}

@@ -391,3 +391,38 @@ def test_sessionize_survives_very_late_event(spark, tmp_path):
         for r in spark.table("late_sessions").collect()
     }
     assert (7, 1, 5.0) in got
+
+
+def test_route_partitioned_salts_hot_key(spark, tmp_path):
+    """Forced skew: 99% of rows share one key. With salt_files_per_key=4
+    the hot key's directory must be written by multiple tasks (>1 file),
+    so a single hot key can't serialize the whole write."""
+    import glob as _glob
+
+    rows = [("HOT", i, float(i)) for i in range(5_000)] + [
+        ("COLD", i, float(i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["coin", "seq", "v"])
+
+    out_plain = str(tmp_path / "plain")
+    route_partitioned(df, out_plain, keys=["coin"])
+    assert len(_glob.glob(os.path.join(out_plain, "coin=HOT", "*.parquet"))) == 1
+
+    # At toy scale AQE would re-coalesce the salted partitions (they're
+    # far below the 64 MB advisory target); disable coalescing to observe
+    # the at-scale behavior, where a genuinely hot partition stays split.
+    out_salted = str(tmp_path / "salted")
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        route_partitioned(df, out_salted, keys=["coin"], salt_files_per_key=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    hot_files = _glob.glob(os.path.join(out_salted, "coin=HOT", "*.parquet"))
+    assert len(hot_files) > 1
+    assert len(hot_files) <= 4
+    # layout and content are unchanged by salting
+    back = spark.read.parquet(out_salted)
+    assert back.count() == 5_050
+    assert set(back.columns) == {"coin", "seq", "v"}
+    assert back.filter(F.col("coin") == "HOT").count() == 5_000
