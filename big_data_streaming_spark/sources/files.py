@@ -8,8 +8,10 @@ Format policy at scale (SURVEY.md §1.1 row-vs-columnar note):
 * **json / csv** — interchange and raw-landing formats only: row-oriented,
   no pushdown beyond partition pruning, schema ALWAYS declared (inference
   is an extra full scan — reference never infers either, SURVEY §1.2).
-* **avro** — the reference's raw-layer format (A17); needs the
-  spark-avro package, attempted lazily with a clear error when absent.
+* **avro** — the reference's raw-layer format (A17). The spark-avro
+  datasource jar is preferred when present; without it (this
+  environment) the spec-compliant pure-Python container-file fallback
+  in ``avro_fallback.py`` takes over, so the sink WORKS either way.
 """
 
 from __future__ import annotations
@@ -44,15 +46,32 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro read: spark-avro datasource when on the classpath, else the
+    pure-Python container-file fallback (one task per file)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:
+        if "avro" not in str(e).lower():
+            raise
+        from big_data_streaming_spark.sources.avro_fallback import (
+            read_avro as _fallback_read,
+        )
+
+        return _fallback_read(spark, path)
+
+
 def write(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **options: str) -> None:
-    """Uniform writer; raises a remedy-bearing error for avro when the
-    spark-avro package is missing."""
+    """Uniform writer. For avro, the spark-avro datasource is tried first;
+    when the jar is absent the spec-compliant pure-Python fallback writes
+    the container files instead (see avro_fallback.py — files are
+    readable by the Java reference implementation)."""
     try:
         df.write.format(fmt).mode(mode).options(**options).save(path)
-    except Exception as e:  # pragma: no cover - depends on classpath
+    except Exception as e:  # depends on classpath
         if fmt == "avro" and "avro" in str(e).lower():
-            raise RuntimeError(
-                "avro sink needs the spark-avro package on the classpath "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-            ) from e
-        raise
+            from big_data_streaming_spark.sources.avro_fallback import write_avro
+
+            write_avro(df, path, mode=mode)
+        else:
+            raise

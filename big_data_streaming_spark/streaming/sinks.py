@@ -26,23 +26,44 @@ def start_file_sink(
     trigger: dict | None = None,
     output_mode: str = "append",
 ) -> StreamingQuery:
-    """Streaming file sink (A17/A19). ``fmt='avro'`` needs the spark-avro
-    package on the classpath (not in this container — writes raise with
-    that remedy; parquet is the default curated format either way).
+    """Streaming file sink (A17/A19). ``fmt='avro'`` uses the spark-avro
+    datasource when on the classpath; without it the pure-Python Avro
+    fallback (sources/avro_fallback.py) runs under foreachBatch, writing
+    one container-file directory per micro-batch — the reference's A17
+    layout (spark/streaming-shorttime.py:73-78) — with overwrite-per-
+    batch-id idempotence on replay.
 
     Partitioning by the derived keys (year/month — reference computes them
     at A6 but writes unpartitioned) is what makes the curated layer
     prunable at 100 TB."""
-    writer: DataStreamWriter = (
-        df.writeStream.format(fmt)
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint)
-        .outputMode(output_mode)
-    )
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer = _apply_trigger(writer, trigger)
-    return writer.start()
+    try:
+        writer: DataStreamWriter = (
+            df.writeStream.format(fmt)
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer = _apply_trigger(writer, trigger)
+        return writer.start()
+    except Exception as e:
+        if fmt != "avro" or "avro" not in str(e).lower():
+            raise
+        import os
+
+        from big_data_streaming_spark.sources.avro_fallback import write_avro
+
+        def write_batch(batch: DataFrame, batch_id: int) -> None:
+            write_avro(
+                batch, os.path.join(out_dir, f"batch_{batch_id}"), mode="overwrite"
+            )
+
+        fb = df.writeStream.foreachBatch(write_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        fb = _apply_trigger(fb, trigger)
+        return fb.start()
 
 
 def start_foreach_batch(

@@ -18,6 +18,7 @@ partitions across executors.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -46,7 +47,54 @@ def kafka_stream(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    df = reader.load()
+    try:
+        df = reader.load()
+    except Exception as e:
+        if "kafka" in str(e).lower():
+            raise RuntimeError(
+                "kafka source needs the spark-sql-kafka package on the "
+                "classpath (--packages org.apache.spark:spark-sql-kafka-0-10"
+                "_2.13:<spark-version>); for offline tests use "
+                "kafka_envelope_file_stream, which reproduces the full "
+                "Kafka envelope schema from jsonl fixtures"
+            ) from e
+        raise
+    if not keep_envelope:
+        df = df.select("value")
+    return df
+
+
+def kafka_envelope_file_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    topic: str = "fixture",
+    keep_envelope: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-backed stand-in with the EXACT Kafka source schema.
+
+    Emits ``key binary, value binary, topic string, partition int,
+    offset long, timestamp timestamp, timestampType int`` — the schema
+    ``readStream.format("kafka")`` produces — so every downstream stage
+    (``CAST(value AS STRING)`` → ``from_json`` → flatten, reference A2-A4)
+    runs byte-identically against fixtures and against a real broker.
+    Offsets are synthetic — a content hash, not a broker sequence
+    (monotonic ids aren't allowed in streaming plans); they exist to
+    exercise envelope-dependent logic, not to be checkpoint keys.
+    """
+    raw = raw_text_file_stream(
+        spark, path, max_files_per_trigger=max_files_per_trigger
+    )
+    df = raw.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.spark_partition_id().alias("partition"),
+        F.abs(F.xxhash64("value")).alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
     if not keep_envelope:
         df = df.select("value")
     return df

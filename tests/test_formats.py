@@ -46,10 +46,16 @@ def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
     assert back.count() == ev.filter(F.col("value") > 100.0).count()
 
 
-def test_avro_raises_with_remedy(spark, sf_small, tmp_path):
+def test_avro_write_roundtrips_via_fallback(spark, sf_small, tmp_path):
+    """Without the spark-avro jar, write(fmt='avro') routes to the pure-
+    Python container-file fallback instead of raising (see test_avro.py
+    for the JVM reference-implementation interop proof)."""
+    from big_data_streaming_spark.sources.files import read_avro
+
     ev = _events(spark, sf_small).limit(5)
-    with pytest.raises(Exception, match="avro|AVRO|Avro"):
-        write(ev, str(tmp_path / "ev_avro"), "avro")
+    path = str(tmp_path / "ev_avro")
+    write(ev, path, "avro")
+    assert read_avro(spark, path).count() == 5
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_small):

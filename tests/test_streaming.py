@@ -426,3 +426,49 @@ def test_route_partitioned_salts_hot_key(spark, tmp_path):
     assert back.count() == 5_050
     assert set(back.columns) == {"coin", "seq", "v"}
     assert back.filter(F.col("coin") == "HOT").count() == 5_000
+
+
+def test_kafka_stream_gate_has_remedy(spark):
+    """Without the spark-sql-kafka jar the source must fail with a
+    remedy-bearing error, not a raw classpath stack."""
+    import pytest as _pytest
+
+    from big_data_streaming_spark.streaming.source import kafka_stream
+
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream(spark, "localhost:9092", "shorttime")
+
+
+def test_kafka_envelope_proxy_matches_kafka_schema(spark, tmp_path):
+    """The fixture transport must expose the EXACT Kafka source schema so
+    envelope-dependent pipelines are portable to a real broker, and the
+    A2-A4 parse chain must run unchanged on its value column."""
+    from big_data_streaming_spark.streaming.parse import parse_json_stream
+    from big_data_streaming_spark.streaming.source import (
+        kafka_envelope_file_stream,
+    )
+
+    src = str(tmp_path / "src")
+    write_jsonl(src, "a.jsonl", [make_kline("BTCUSDC", m) for m in range(20)])
+
+    env = kafka_envelope_file_stream(spark, src, topic="shorttime", keep_envelope=True)
+    assert [(f.name, f.dataType.simpleString()) for f in env.schema.fields] == [
+        ("key", "binary"),
+        ("value", "binary"),
+        ("topic", "string"),
+        ("partition", "int"),
+        ("offset", "bigint"),
+        ("timestamp", "timestamp"),
+        ("timestampType", "int"),
+    ]
+
+    parsed = parse_json_stream(env.selectExpr("CAST(value AS STRING) AS value"))
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("kafka_proxy")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("kafka_proxy").count() == 20
