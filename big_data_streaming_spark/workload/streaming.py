@@ -67,8 +67,14 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
     """,
 )
 def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_streaming_spark.sources.catalog import _nanos_columns
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        _nanos_columns,
+    )
 
+    # The driver hands us its own plain session; without nanosAsLong the
+    # schema probe below refuses the TIMESTAMP(NANOS) events parquet.
+    _ensure_session_confs(spark)
     src_dir = _stage_stream_dir(sf_dir, "events")
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
 
@@ -121,8 +127,12 @@ def _drain_events_stream(spark: SparkSession, sf_dir: str, build_agg, name_prefi
     """Shared scaffold: stage events as a file stream, apply the
     caller-built stateful aggregation, drain with AvailableNow into a
     memory sink, return the sink table."""
-    from big_data_streaming_spark.sources.catalog import _nanos_columns
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        _nanos_columns,
+    )
 
+    _ensure_session_confs(spark)  # driver sessions lack nanosAsLong/UTC
     src_dir = _stage_stream_dir(sf_dir, "events")
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     raw_schema = spark.read.parquet(src_dir).schema
