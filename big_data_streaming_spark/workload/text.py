@@ -555,15 +555,53 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- north star: seeded stratified sampling (rows-only — sampling RNG is
-# engine-specific; determinism within the engine is what matters and is
-# pinned by pytest). At 100 TB sampling is the FIRST stage of most
-# experiments; per-stratum fractions rebalance skewed language mixes.
-@_q("q_sample_stratified")
+# --- north star: seeded stratified sampling ------------------------------
+# The sampled doc-id set is engine-RNG-specific (no oracle can replicate
+# it), but the statistical CONTRACT is oracle-able: per stratum, the
+# sampled count must land within 4σ of n·p (Bernoulli bound; violation
+# odds ~6e-5 per stratum at any SF). Output = per-stratum totals (exact
+# SQL) + the within-bound boolean; the doc-level subset and its seed
+# determinism stay pinned by pytest (test_determinism). At 100 TB
+# sampling is the FIRST stage of most experiments; per-stratum fractions
+# rebalance skewed language mixes.
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.2, "zh": 0.2}
+
+
+@_q(
+    "q_sample_stratified",
+    """
+    SELECT lang, COUNT(*) AS n_docs, TRUE AS within_tol
+    FROM documents
+    WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')
+    GROUP BY lang
+    """,
+)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.2, "zh": 0.2}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    sampled = sample_stratified(d).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    totals = (
+        d.filter(F.col("lang").isin(*_SAMPLE_FRACTIONS))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    p = F.lit(None).cast("double")
+    for lang, frac in _SAMPLE_FRACTIONS.items():
+        p = F.when(F.col("lang") == lang, F.lit(frac)).otherwise(p)
+    joined = totals.join(sampled, "lang", "left").na.fill({"n_sampled": 0})
+    n = F.col("n_docs").cast("double")
+    bound = 4.0 * F.sqrt(n * p * (1.0 - p)) + 1.0
+    return joined.select(
+        "lang",
+        "n_docs",
+        (F.abs(F.col("n_sampled") - p * n) <= bound).alias("within_tol"),
+    )
+
+
+def sample_stratified(d: DataFrame) -> DataFrame:
+    """The operator itself: seeded per-stratum Bernoulli sample."""
+    return d.sampleBy("lang", _SAMPLE_FRACTIONS, seed=42).select("doc_id", "lang")
 
 
 # --- north star: MinHash signatures exposed as a query (rows-only) --------

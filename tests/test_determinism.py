@@ -78,8 +78,20 @@ def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
 
 def test_stratified_sample_deterministic(spark, sf_small):
     """Seeded sampleBy must return the identical subset across runs."""
+    from big_data_streaming_spark.sources.catalog import load_table
+    from big_data_streaming_spark.workload.text import sample_stratified
+
+    d = load_table(spark, sf_small, "documents")
+    a = sorted(r["doc_id"] for r in sample_stratified(d).collect())
+    b = sorted(r["doc_id"] for r in sample_stratified(d).collect())
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_audit_within_bounds(spark, sf_small):
+    """The q_sample_stratified audit booleans must all be TRUE (the 4σ
+    Bernoulli bound) — the property the driver's oracle asserts."""
     from big_data_streaming_spark.workload import QUERIES
 
-    a = sorted(r["doc_id"] for r in QUERIES["q_sample_stratified"](spark, sf_small).collect())
-    b = sorted(r["doc_id"] for r in QUERIES["q_sample_stratified"](spark, sf_small).collect())
-    assert a == b and len(a) > 0
+    rows = QUERIES["q_sample_stratified"](spark, sf_small).collect()
+    assert len(rows) == 5
+    assert all(r["within_tol"] for r in rows)
