@@ -20,13 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from big_data_streaming_spark.workload import (
     events as _events,
+    pipeline as _pipeline,
     relational as _relational,
     similarity as _similarity,
     streaming as _streaming,
     text as _text,
 )
 
-_MODULES = (_events, _relational, _text, _similarity, _streaming)
+_MODULES = (_events, _relational, _text, _similarity, _streaming, _pipeline)
 
 # Registry order is part of the driver contract: the driver's correctness
 # gate checks the FIRST 50 entries of ``queries()`` and stops. Round 1
