@@ -88,3 +88,49 @@ def test_asof_join_single_shuffle(spark, sf_small):
     # shuffles: one for the marks aggregation (input prep), one for the
     # as-of window partitioning — the operator itself adds exactly one.
     assert shuffle_count(out) <= 2, formatted_plan(out)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB hot-key story for JOINS: one key holding ~99% of the fact
+    side must not serialize into a single straggler task — AQE detects the
+    oversized shuffle partition at runtime and splits it (skew=true in the
+    final plan). Thresholds are lowered so toy data exhibits the at-scale
+    behavior; payload is sha2 so shuffle compression can't mask the skew."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(300_000).select(
+            F.lit("HOT").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        cold = spark.range(2_000).select(
+            (F.col("id") % 50).cast("string").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.createDataFrame(
+            [("HOT", 1.0)] + [(str(i), float(i)) for i in range(50)], ["k", "w"]
+        )
+        j = hot.unionByName(cold).join(dim, "k")
+        rows = j.collect()
+        assert len(rows) == 302_000
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan
+        assert "AQEShuffleRead skewed" in final_plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
