@@ -91,7 +91,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_join_range",
     "q_groupby_agg",
     "q_rollup",
-    "q_percentiles",
+    "q_stream_stream_join",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -249,3 +249,79 @@ def q_route_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"), dec_sum("value", "total_value")
     )
+
+
+# Streaming B7 extension: STREAM-STREAM inner join — the flagship
+# Structured Streaming capability (two unbounded sides, both stateful,
+# watermark-bounded state). Click→purchase attribution: every purchase
+# within 30 minutes of a same-user click. The event-time range condition
+# is what lets Spark evict join state (without it, both sides buffer
+# forever); inner join + AvailableNow drains to exactly the batch result,
+# so the oracle is the plain SQL join.
+@_q(
+    "q_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        _nanos_columns,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir(sf_dir, "events")
+    name = f"stream_ss_join_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+
+    def stream_side(alias: str) -> DataFrame:
+        sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
+        for c in _nanos_columns(src_dir):
+            sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return sdf.select(
+            F.col("event_id").alias(f"{alias}_event_id"),
+            F.col("user_id").alias(f"{alias}_user_id"),
+            F.col("event_type").alias(f"{alias}_event_type"),
+            F.col("ts").alias(f"{alias}_ts"),
+        ).withWatermark(f"{alias}_ts", "1 hour")
+
+    clicks = stream_side("c").where(F.col("c_event_type") == "click")
+    purchases = stream_side("p").where(F.col("p_event_type") == "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("c_user_id").alias("user_id"),
+        F.col("c_ts").alias("click_ts"),
+        F.col("p_ts").alias("purchase_ts"),
+    )
