@@ -199,3 +199,57 @@ def test_streaming_avro_sink_writes_per_batch_dirs(spark, tmp_path):
 def test_avro_unsupported_type_raises(spark, bad):
     with pytest.raises(TypeError, match="unsupported Spark type"):
         avro_schema_json(T.StructType([T.StructField("m", bad)]))
+
+
+def test_avro_py_datasource_roundtrip(spark, tmp_path):
+    """The fallback registered as a Spark 4 Python DataSource: write and
+    read through the normal format() API, one file per task, schema
+    inferred from the container header."""
+    from big_data_streaming_spark.sources.avro_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "ds_roundtrip")
+    df = spark.createDataFrame(ROWS, ALL_TYPES_SCHEMA).repartition(2)
+    df.write.format("avro_py").mode("overwrite").save(path)
+    back = spark.read.format("avro_py").load(path)
+    assert back.schema == ALL_TYPES_SCHEMA
+    assert sorted(map(str, back.collect())) == sorted(
+        map(str, spark.createDataFrame(ROWS, ALL_TYPES_SCHEMA).collect())
+    )
+    files = glob.glob(os.path.join(path, "*.avro"))
+    assert len(files) == 2  # one per write task, no driver funnel
+
+
+def test_avro_py_datasource_empty_write_keeps_schema(spark, tmp_path):
+    from big_data_streaming_spark.sources.avro_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "ds_empty")
+    df = spark.range(10).where("id < 0").select("id")
+    df.write.format("avro_py").mode("overwrite").save(path)
+    back = spark.read.format("avro_py").load(path)
+    assert back.count() == 0
+    assert back.schema.fieldNames() == ["id"]
+
+
+def test_avro_py_datasource_jvm_interop(spark, tmp_path):
+    """Files written through the datasource parse with the Java Avro
+    reference implementation, same as the function-level writer."""
+    from big_data_streaming_spark.sources.avro_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "ds_interop")
+    spark.range(50).coalesce(1).write.format("avro_py").mode("overwrite").save(path)
+    fpath = glob.glob(os.path.join(path, "*.avro"))[0]
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(fpath), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    try:
+        n = 0
+        while reader.hasNext():
+            reader.next()
+            n += 1
+    finally:
+        reader.close()
+    assert n == 50

@@ -134,3 +134,37 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Runtime semi-join reduction: a selective dimension filter makes the
+    optimizer inject a bloom filter (might_contain) on the fact side, so
+    fact rows that can't join are dropped before the shuffle. At 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling the ~1/5 that survives the filter."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        orders = load_table(spark, "/root/testdata/sf0.01", "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan
+        assert j.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
