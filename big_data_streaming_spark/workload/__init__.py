@@ -33,11 +33,14 @@ _MODULES = (_events, _relational, _text, _similarity, _streaming, _pipeline)
 # gate checks the FIRST 50 entries of ``queries()`` and stops. Round 1
 # concatenated modules naively, which pushed every text/dedup/similarity/
 # streaming key past position 49 — 33 queries got zero driver signal
-# (VERDICT.md round 1, "Next round" #1). ``_CHECK_FIRST`` pins the window:
-# the 33 previously-unchecked keys, then the 4 queries whose output was
-# reworked this round (array→scalar canonicalizer fixes + sketch audit
-# oracles), then the 13 most load-bearing already-green queries. Everything
-# else — all green in CORRECTNESS_r01 — fills the tail in module order.
+# (VERDICT.md round 1, "Next round" #1). ``_CHECK_FIRST`` pins the window
+# with a rotation policy: queries that have never received a driver
+# correctness row come FIRST (the round-1 unchecked 33, the 4 reworked
+# canonicalizer fixes, and anything added since the last snapshot), then
+# a small set of load-bearing already-green anchors. Everything else —
+# all green in CORRECTNESS_r01 — fills the tail in module order. When a
+# new query is added, it must be inserted into the "never driver-checked"
+# block and an anchor dropped to keep the unverified set inside the window.
 _CHECK_FIRST: tuple[str, ...] = (
     # -- driver-unchecked in round 1 (old positions 50-82) ----------------
     "q_scalar_date",
@@ -78,20 +81,21 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_approx_distinct",
     "q_approx_percentile",
     "q_freq_items",
+    # -- never driver-checked: added after the round-1 snapshot -----------
+    "q_contamination",
+    "q_pii_scrub",
+    "q_repetition_signals",
+    "q_stream_stream_join",
+    "q_mix_domains",
+    "q_train_order",
+    "q_pack_sequences",
+    "q_lm_novelty",
     # -- already-green anchors kept inside the window ---------------------
     "q_flagship",
-    "q_flagship_sql",
     "q_tpch_q3",
-    "q_tpch_q6",
     "q_join_broadcast",
-    "q_window_tumbling",
-    "q_window_session",
-    "q_topk",
-    "q_asof_join",
-    "q_join_range",
     "q_groupby_agg",
     "q_rollup",
-    "q_stream_stream_join",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1,12 +1,17 @@
 """Training-data pipeline operators beyond dedup/similarity: benchmark
-contamination detection, PII scrubbing, repetition quality signals.
+contamination detection, PII scrubbing, repetition quality signals,
+domain-mixture sampling, training-order shuffling, sequence packing, and
+bigram-novelty scoring.
 
 These are the remaining first-class citizens of a 100 TB pretraining
 pipeline (north-star mandate, VERDICT round 1 "LLM-data-pipeline
 operators" table): before training you (1) drop documents that leak the
-eval benchmarks, (2) redact PII, (3) kill degenerate/repetitive text.
-All three are expressed with built-in functions only (whole-stage
-codegen, no Python) and carry exact DuckDB oracles.
+eval benchmarks, (2) redact PII, (3) kill degenerate/repetitive text,
+(4) rebalance the source mixture, (5) shuffle the training order,
+(6) pack documents into fixed-token-budget sequences, (7) score n-gram
+novelty against the corpus. Everything except the per-shard packing loop
+is built-in functions only (whole-stage codegen, no Python) and carries
+an exact DuckDB oracle.
 
 Scale notes:
 * Contamination is a shingle equi-join: corpus side shuffles once on the
@@ -18,10 +23,17 @@ Scale notes:
 * Repetition signals need one explode + one (doc, token) aggregate —
   the same shape as TF-IDF's first stage; partial aggregation absorbs
   the token fan-out map-side.
+* Mixture sampling and order shuffling are pure maps on a deterministic
+  integer hash — the per-domain rates are a broadcast of O(domains) rows.
+* Sequence packing is sequential *within a shard* but embarrassingly
+  parallel across shards; shard count is the parallelism dial (thousands
+  at 100 TB, each shard a few hundred MB of (doc_id, n_tokens) pairs —
+  the text itself never enters the packing computation).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -218,4 +230,226 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("top_count"),
         F.round(F.col("c") / nt, 6).alias("top_token_frac"),
         F.round(F.col("n_distinct") / nt, 6).alias("distinct_frac"),
+    )
+
+
+# A deterministic integer mixing hash both engines can evaluate exactly:
+# Knuth multiplicative hash folded to [0, 1e6). All arithmetic is BIGINT
+# (doc_id·2654435761 < 2^63 for any driver doc_id), so Spark and DuckDB
+# agree bit-for-bit — no reliance on engine-specific hash functions.
+_MIX_MOD = 1_000_000
+
+
+def _mix_hash(col: F.Column) -> F.Column:
+    return (col * F.lit(2654435761)) % F.lit(4294967296) % F.lit(_MIX_MOD)
+
+
+_MIX_HASH_SQL = "((doc_id * 2654435761) % 4294967296) % 1000000"
+
+
+# --- north star: domain-mixture rebalancing --------------------------------
+# Downsample every source to the size of the smallest one (rate_s =
+# min_count / count_s), selecting rows with the deterministic hash so the
+# sample is reproducible run-to-run and engine-to-engine. The keep rule
+# ``hash · count_s < min_count · 1e6`` is the rate comparison cleared of
+# division — pure BIGINT, exactly mirrored in the oracle. At 100 TB the
+# per-source counts are O(sources) rows (broadcast); the filter itself is
+# a zero-shuffle map over the corpus.
+@_q(
+    "q_mix_domains",
+    f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source
+    ), m AS (SELECT MIN(n_source) AS n_min FROM counts)
+    SELECT d.doc_id, d.source,
+           CAST(c.n_source AS BIGINT) AS n_source,
+           CAST(m.n_min AS BIGINT) AS n_min
+    FROM documents d
+    JOIN counts c USING (source)
+    CROSS JOIN m
+    WHERE {_MIX_HASH_SQL} * c.n_source < m.n_min * {_MIX_MOD}
+    """,
+)
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    return (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(n_min))
+        .where(
+            _mix_hash(F.col("doc_id")) * F.col("n_source")
+            < F.col("n_min") * F.lit(_MIX_MOD)
+        )
+        .select("doc_id", "source", "n_source", "n_min")
+    )
+
+
+# --- north star: global training-order shuffle -----------------------------
+# A reproducible global permutation of the corpus: order by the mixing
+# hash (doc_id tie-break), emit the training position. At 100 TB this is
+# exactly one range-partitioned sort — Spark samples the hash distribution
+# and assigns contiguous position ranges per partition; no driver funnel.
+# row_number over a single unpartitioned window is fine HERE because the
+# oracle needs total order; the production form is
+# ``df.repartitionByRange(N, hash).sortWithinPartitions`` + zipWithIndex-
+# style offsets, same plan shape.
+@_q(
+    "q_train_order",
+    f"""
+    SELECT CAST(row_number() OVER (ORDER BY {_MIX_HASH_SQL}, doc_id) AS BIGINT)
+             AS train_pos,
+           doc_id,
+           CAST({_MIX_HASH_SQL} AS BIGINT) AS shuffle_key
+    FROM documents
+    """,
+)
+def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", _mix_hash(F.col("doc_id")).alias("shuffle_key")
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        F.row_number().over(w).cast("bigint").alias("train_pos"),
+        "doc_id",
+        "shuffle_key",
+    )
+
+
+# --- north star: sequence packing ------------------------------------------
+# Greedy contiguous packing of documents into fixed-token-budget training
+# sequences. Sequential state (the running token budget) can't be a window
+# function, so the corpus is sharded by doc_id and each shard packs
+# independently in one Arrow-batched applyInPandas pass over (doc_id,
+# n_tokens) pairs — the text itself never reaches Python. Shard count is
+# the parallelism dial: 8 here, thousands at 100 TB. The oracle replays
+# the same greedy recurrence as a DuckDB recursive CTE.
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+
+def _pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    seq_ids = []
+    seq_id, acc = 0, 0
+    for i, n in enumerate(pdf["n_tokens"]):
+        if i == 0:
+            acc = int(n)
+        elif acc + int(n) <= _PACK_BUDGET:
+            acc += int(n)
+        else:
+            seq_id += 1
+            acc = int(n)
+        seq_ids.append(seq_id)
+    pdf["seq_id"] = seq_ids
+    return pdf[["shard", "doc_id", "n_tokens", "seq_id"]]
+
+
+@_q(
+    "q_pack_sequences",
+    f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ), pack AS (
+        SELECT shard, doc_id, n_tokens, rn,
+               0 AS seq_id, n_tokens AS acc
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+               CASE WHEN p.acc + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.seq_id ELSE p.seq_id + 1 END,
+               CASE WHEN p.acc + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.acc + d.n_tokens ELSE d.n_tokens END
+        FROM docs d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens,
+           CAST(seq_id AS BIGINT) AS seq_id
+    FROM pack
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return d.groupBy("shard").applyInPandas(
+        _pack_shard,
+        schema="shard bigint, doc_id bigint, n_tokens int, seq_id bigint",
+    )
+
+
+# --- north star: bigram novelty vs the corpus ------------------------------
+# How much of a document is boilerplate? Count each document's bigrams,
+# the ones unique to it in the whole corpus ("novel"), and the mean corpus
+# frequency of its bigrams. All-integer aggregates (plus one final double
+# division) so the oracle matches exactly. Bigrams come from an array
+# transform — no shuffle to build them; the two real shuffles are the
+# corpus bigram count and the join back. At 100 TB the join is the cost:
+# partial aggregation absorbs duplicates map-side, and head bigrams
+# ("of the") are the skew keys — AQE skew-join splitting handles them
+# (pinned by tests/test_plans.py on the same build).
+@_q(
+    "q_lm_novelty",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                 AS bigram
+        FROM tok
+    ), cc AS (
+        SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           COUNT(DISTINCT b.bigram) AS n_unique,
+           CAST(SUM(CASE WHEN cc.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(SUM(cc.c) AS DOUBLE) / COUNT(*), 6)
+             AS mean_bigram_freq
+    FROM bg b JOIN cc USING (bigram)
+    GROUP BY b.doc_id
+    """,
+)
+def q_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    cc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(cc, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_distinct("bigram").alias("n_unique"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum("c").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_bigram_freq"),
+        )
     )
