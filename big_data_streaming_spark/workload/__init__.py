@@ -90,12 +90,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_train_order",
     "q_pack_sequences",
     "q_lm_novelty",
+    "q_stream_dedup",
+    "q_join_bucketed",
     # -- already-green anchors kept inside the window ---------------------
     "q_flagship",
     "q_tpch_q3",
     "q_join_broadcast",
-    "q_groupby_agg",
-    "q_rollup",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -783,4 +785,72 @@ def q_udf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+# --- layout demo: bucketed co-located fact-fact join ----------------------
+# The 100 TB answer to the lineitem ⋈ orders shuffle: both tables written
+# ONCE as catalog tables bucketed (and sorted) on the join key, after
+# which every join on that key is a zero-exchange zip of co-located
+# buckets — Catalyst sees the hash-distribution requirement already
+# satisfied by the scan (asserted in tests/test_plans.py). Table names are
+# keyed by a digest of sf_dir so different scale factors never collide;
+# the rewrite is idempotent (mode=overwrite).
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+
+    from big_data_streaming_spark.plans.layout import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_tab, ord_tab = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    # A fresh session's metastore may not know the table while its
+    # warehouse location survives from an earlier session — drop both.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tab in (li_tab, ord_tab):
+        spark.sql(f"DROP TABLE IF EXISTS {tab}")
+        loc = os.path.join(wh, tab)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+    write_bucketed(
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        li_tab,
+        "l_orderkey",
+        num_buckets=8,
+        sort_col="l_orderkey",
+    )
+    write_bucketed(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ord_tab,
+        "o_orderkey",
+        num_buckets=8,
+        sort_col="o_orderkey",
+    )
+    return li_tab, ord_tab
+
+
+@_q(
+    "q_join_bucketed",
+    f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {oracle_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_tab, ord_tab = _bucketed_pair(spark, sf_dir)
+    li, orders = spark.table(li_tab), spark.table(ord_tab)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+            "revenue",
+        ),
     )

@@ -325,3 +325,59 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ts").alias("click_ts"),
         F.col("p_ts").alias("purchase_ts"),
     )
+
+
+# Streaming B5 extension: EXACTLY-ONCE STREAM DEDUPLICATION
+# (dropDuplicatesWithinWatermark) — the at-least-once → exactly-once
+# bridge every real ingest needs (Kafka redelivery, file-source replays).
+# The fixture stream is the events table unioned with itself, so every
+# event_id arrives exactly twice with an identical payload; dedup state is
+# keyed on event_id and evicted once the watermark passes the event's
+# time + delay — O(events inside the watermark horizon), not O(stream).
+# Because the duplicate rows are bit-identical, which arrival survives is
+# irrelevant and the drained result equals the batch DISTINCT — hence a
+# plain full-table oracle.
+@_q(
+    "q_stream_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        _nanos_columns,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir(sf_dir, "events")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+
+    def one_pass() -> DataFrame:
+        sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
+        for c in _nanos_columns(src_dir):
+            sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return sdf
+
+    doubled = one_pass().unionAll(one_pass())
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -168,3 +168,22 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key → SortMergeJoin reads
+    co-located buckets directly: no ShuffleExchange anywhere in the plan
+    (broadcast disabled to force the general fact-fact strategy)."""
+    from big_data_streaming_spark.workload.relational import _bucketed_pair
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li_tab, ord_tab = _bucketed_pair(spark, "/root/testdata/sf0.001")
+        li, orders = spark.table(li_tab), spark.table(ord_tab)
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
