@@ -92,10 +92,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_lm_novelty",
     "q_stream_dedup",
     "q_join_bucketed",
-    # -- already-green anchors kept inside the window ---------------------
+    "q_tpch_q5",
+    "q_tpch_q18",
+    # -- already-green anchor kept inside the window ----------------------
     "q_flagship",
-    "q_tpch_q3",
-    "q_join_broadcast",
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
