@@ -94,7 +94,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_join_bucketed",
     "q_tpch_q5",
     "q_tpch_q18",
-    # -- already-green anchor kept inside the window ----------------------
+    "q_dedup_semantic",
+    # -- already-green (r01) flagship: position 50, first past the window -
     "q_flagship",
 )
 

@@ -135,3 +135,73 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≥ 0.95) would use the tighter default.
     emb = t(spark, sf_dir, "embeddings")
     return hyperplane_lsh_neardup(emb, min_cosine=0.4, n_planes=4)
+
+
+# --- north star: semantic deduplication ------------------------------------
+# The embedding-space analog of MinHash dedup, and the form that scales:
+# cluster the corpus with a coarse quantizer (fixture labels stand in for
+# k-means, as in ivf_topk), then within each cluster keep the vector
+# closest to the decimal-exact centroid as the representative and mark the
+# rest duplicates. No pair materialization anywhere — O(n) cosines against
+# a broadcast centroid table, one ranking window per cluster. At 100 TB:
+# store the corpus partitioned by cluster and this runs partition-local.
+# Oracle-exact because centroids are decimal-routed sums and the cosine is
+# the same left-fold double expression DuckDB's list_dot_product computes.
+@_q(
+    "q_dedup_semantic",
+    """
+    WITH dims AS (
+        SELECT label, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ), cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY label, i
+    ), cvec AS (
+        SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label
+    ), scored AS (
+        SELECT e.vec_id, e.label,
+               list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.centroid, c.centroid)))
+                 AS cos_c
+        FROM embeddings e JOIN cvec c USING (label)
+    )
+    SELECT vec_id,
+           CAST(label AS INTEGER) AS cluster_id,
+           first_value(vec_id) OVER w AS rep_id,
+           round(cos_c, 6) AS cos_to_centroid_r,
+           (row_number() OVER w > 1) AS is_dup
+    FROM scored
+    WINDOW w AS (PARTITION BY label ORDER BY cos_c DESC, vec_id)
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.functions.similarity import (
+        build_centroids,
+        cosine,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = F.broadcast(
+        build_centroids(emb, cluster_col="label", vec_col="embedding")
+    )
+    scored = emb.join(
+        centroids, emb.label == centroids.centroid_id
+    ).select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("centroid")).alias("cos_c"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos_c"), "vec_id")
+    return scored.select(
+        "vec_id",
+        F.col("label").alias("cluster_id"),
+        F.first("vec_id").over(w).alias("rep_id"),
+        F.round("cos_c", 6).alias("cos_to_centroid_r"),
+        (F.row_number().over(w) > 1).alias("is_dup"),
+    )
