@@ -33,6 +33,14 @@ HEADLINE = (
     "q_text_quality",
     "q_sim_topk",
     "q_route_by_key",
+    # round-2 additions (totals are NOT comparable to BENCH_r01's 15-query
+    # set — compare per-query timings instead; see BENCH_NOTES.md)
+    "q_lm_novelty",
+    "q_pack_sequences",
+    "q_join_bucketed",
+    "q_tpch_q5",
+    "q_dedup_semantic",
+    "q_stream_dedup",
 )
 
 
