@@ -113,3 +113,102 @@ def minhash_dedup_components(
         )
         .withColumn("is_dup", F.col("component") < F.col(id_col))
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds on ANY graph shape, vs O(diameter) for min-label
+    propagation. The 100 TB form for deep/chainy graphs:
+
+    * large-star: every node points its larger neighbors at the minimum
+      of its neighborhood — long tendrils fold toward the minimum
+      exponentially.
+    * small-star: edges (u, v<u) regroup so u and all its smaller
+      neighbors hang off the local minimum — stars flatten to depth 1.
+
+    Neither step materializes a neighborhood list (hot nodes would OOM a
+    ``collect_list``); the per-node minimum is an aggregate and the
+    rewrite a join against it — two shuffles per half-round, all
+    DataFrame ops. Convergence = edge multiset fixed point, probed with
+    one aggregate action per round (count + order-independent xxhash sum
+    in a single job, no edge-set subtract)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    isolated = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return row["n"], int(row["h"])
+
+    prev_sig = _sig(e)
+    for _ in range(max_iter):
+        # -- large-star ---------------------------------------------------
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = (
+            large.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star ---------------------------------------------------
+        # e is canonical (u > v): every edge points to the smaller node
+        m2 = e.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        e = (
+            small.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _sig(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # fixed point: e holds (node, component-min) star edges
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        isolated.join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )

@@ -102,3 +102,69 @@ def test_cc_probe_cadence_halves_actions(spark, monkeypatch):
     c2 = dict(zip(rows2["node"], rows2["component"]))
     assert c1 == c2
     assert set(c1.values()) == {0}
+
+
+def test_star_cc_matches_propagation(spark):
+    from big_data_streaming_spark.functions.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert cc[1] == cc[2] == cc[3] == cc[4] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[20] == 20
+
+
+def test_star_cc_long_chain_in_log_rounds(spark):
+    """A 64-hop chain needs ~64 propagation rounds but only O(log n)
+    large-star/small-star rounds — count them via the checkpoint calls."""
+    from pyspark.sql import DataFrame
+
+    from big_data_streaming_spark.functions.graph import connected_components_star
+
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+
+    rounds = {"n": 0}
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, *a, **kw):
+        rounds["n"] += 1
+        return orig(self, *a, **kw)
+
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(DataFrame, "localCheckpoint", counting)
+    try:
+        cc = connected_components_star(edges, max_iter=25).collect()
+    finally:
+        mp.undo()
+    assert {r["component"] for r in cc} == {0}
+    assert len(cc) == n + 1
+    # 2 checkpoints per round + 1 initial; diameter/2 rounds would be 32+
+    n_rounds = (rounds["n"] - 1) // 2
+    assert n_rounds <= 10, n_rounds
+
+
+def test_star_cc_agrees_with_propagation_on_random_graph(spark):
+    import random
+
+    from big_data_streaming_spark.functions.graph import connected_components_star
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=50).collect()
+    }
+    b = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert a == b
