@@ -95,7 +95,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q5",
     "q_tpch_q18",
     "q_dedup_semantic",
-    # -- already-green (r01) flagship: position 50, first past the window -
+    "q_quality_classifier",
+    # -- already-green (r01) flagship: position 51, first past the window -
     "q_flagship",
 )
 

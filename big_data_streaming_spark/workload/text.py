@@ -621,3 +621,108 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sig_str"
         ),
     )
+
+
+# --- north star: quality-classifier scoring --------------------------------
+# The model-scoring half of quality filtering: a linear classifier over
+# JVM-computed text features (fasttext-style pipeline shape — at scale
+# the trained weights arrive as a broadcast constant vector; here they
+# are documented literals, the operator under test is the scoring
+# plumbing). Everything stays in deterministic IEEE arithmetic — counts,
+# double divisions, and a FIXED-ORDER weighted sum; no transcendentals —
+# so the logit and the keep/drop decision are bit-identical in both
+# engines (logit ≥ 0 ⇔ sigmoid ≥ 0.5, so no exp() is ever needed).
+_QC_W = {
+    "bias": -2.0,
+    "mean_token_len": 0.35,      # longer tokens ≈ real words
+    "stopword_ratio": 4.0,       # natural prose has function words
+    "unique_ratio": 1.5,         # degenerate repetition scores low
+    "digit_ratio": -3.0,         # number-soup is boilerplate
+    "punct_run": -0.5,           # !!!! and ···· are spam markers
+}
+
+
+@_q(
+    "q_quality_classifier",
+    f"""
+    WITH feat AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               CAST(len(text) AS DOUBLE) AS n_chars,
+               CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS DOUBLE) AS n_digits,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]{{2,}}')) AS DOUBLE)
+                 AS punct_runs
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) / len(toks) AS mean_token_len,
+               CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x)))
+                    AS DOUBLE) / len(toks) AS stopword_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 AS unique_ratio,
+               n_digits / n_chars AS digit_ratio,
+               punct_runs
+        FROM feat
+    )
+    SELECT doc_id, mean_token_len, stopword_ratio, unique_ratio,
+           digit_ratio, punct_runs,
+           {_QC_W['bias']} + {_QC_W['mean_token_len']} * mean_token_len
+             + {_QC_W['stopword_ratio']} * stopword_ratio
+             + {_QC_W['unique_ratio']} * unique_ratio
+             + {_QC_W['digit_ratio']} * digit_ratio
+             + {_QC_W['punct_run']} * punct_runs AS logit,
+           ({_QC_W['bias']} + {_QC_W['mean_token_len']} * mean_token_len
+             + {_QC_W['stopword_ratio']} * stopword_ratio
+             + {_QC_W['unique_ratio']} * unique_ratio
+             + {_QC_W['digit_ratio']} * digit_ratio
+             + {_QC_W['punct_run']} * punct_runs) >= 0 AS keep
+    FROM ratios
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tok = F.size(toks)
+    n_chars = F.length("text").cast("double")
+    n_digits = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("double")
+    punct_runs = F.size(
+        F.regexp_extract_all("text", F.lit("[.,!?;:]{2,}"), F.lit(0))
+    ).cast("double")
+    feats = d.select(
+        "doc_id",
+        (n_chars / n_tok).alias("mean_token_len"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
+                "double"
+            )
+            / n_tok
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "unique_ratio"
+        ),
+        (n_digits / n_chars).alias("digit_ratio"),
+        punct_runs.alias("punct_runs"),
+    )
+    logit = (
+        F.lit(_QC_W["bias"])
+        + F.lit(_QC_W["mean_token_len"]) * F.col("mean_token_len")
+        + F.lit(_QC_W["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(_QC_W["unique_ratio"]) * F.col("unique_ratio")
+        + F.lit(_QC_W["digit_ratio"]) * F.col("digit_ratio")
+        + F.lit(_QC_W["punct_run"]) * F.col("punct_runs")
+    )
+    return feats.select(
+        "doc_id",
+        "mean_token_len",
+        "stopword_ratio",
+        "unique_ratio",
+        "digit_ratio",
+        "punct_runs",
+        logit.alias("logit"),
+        (logit >= 0).alias("keep"),
+    )
