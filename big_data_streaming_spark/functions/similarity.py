@@ -124,14 +124,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "label",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: route each query to its ``nprobe`` nearest
     centroids, scan only those inverted lists.
 
     At 100 TB the corpus is *stored* partitioned by ``cluster_col``
     (partitionBy on write), so probing is partition pruning, not a filter
-    over a full scan."""
-    centroids = F.broadcast(build_centroids(corpus, cluster_col, vec_col))
+    over a full scan. Pass prebuilt ``centroids`` to amortize the
+    quantizer across queries (the index-build-once pattern)."""
+    if centroids is None:
+        centroids = build_centroids(corpus, cluster_col, vec_col)
+    centroids = F.broadcast(centroids)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     routed = (
         q.crossJoin(centroids)
