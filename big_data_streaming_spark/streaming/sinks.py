@@ -227,3 +227,43 @@ def _apply_trigger(writer: DataStreamWriter, trigger: dict | None) -> DataStream
     if trigger:
         writer = writer.trigger(**trigger)
     return writer
+
+
+def start_upsert_sink(
+    df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    *,
+    keys: tuple[str, ...],
+    partition_keys: tuple[str, ...] = (),
+    order_col: str | None = None,
+    fmt: str = "parquet",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming CDC upsert: every micro-batch is MERGEd into the parquet
+    target by key (operators/upsert.py) instead of appended — the
+    streaming half of the curated-layer UPDATE story. Late corrections
+    and re-deliveries converge to last-write-wins state (pass
+    ``order_col``) and replays are idempotent: merging the same batch
+    twice is a no-op, so foreachBatch's at-least-once contract yields an
+    exactly-once *table state*.
+
+    At 100 TB pass ``partition_keys`` so each micro-batch rewrites only
+    the partitions it touches (dynamic partition overwrite), not the
+    table."""
+    from big_data_streaming_spark.operators.upsert import merge_upsert
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch.sparkSession,
+            target_path,
+            batch,
+            keys=keys,
+            partition_keys=partition_keys,
+            order_col=order_col,
+            fmt=fmt,
+        )
+
+    return start_foreach_batch(
+        df, merge_batch, checkpoint, trigger=trigger
+    )

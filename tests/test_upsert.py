@@ -102,3 +102,50 @@ def test_merge_is_idempotent(spark, tmp_path):
     merge_upsert(spark, path, upd, keys=["k"])  # replay the same batch
     twice = sorted(map(str, spark.read.parquet(path).collect()))
     assert once == twice
+
+
+def test_streaming_upsert_sink_converges_to_last_write(spark, tmp_path):
+    """CDC stream → MERGE sink: two files of updates (second corrects the
+    first) drain through foreachBatch; the target holds last-write-wins
+    state keyed on k, not an append log."""
+    import json
+
+    from big_data_streaming_spark.streaming.sinks import start_upsert_sink
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 1, "v": "a", "ver": 1},
+                {"k": 2, "v": "b", "ver": 1},
+            ]
+        )
+    )
+    (src / "b2.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 2, "v": "b-fixed", "ver": 2},
+                {"k": 3, "v": "c", "ver": 1},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("k long, v string, ver long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    target = str(tmp_path / "target")
+    q = start_upsert_sink(
+        stream,
+        target,
+        str(tmp_path / "ckpt"),
+        keys=("k",),
+        order_col="ver",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 1), 2: ("b-fixed", 2), 3: ("c", 1)}
