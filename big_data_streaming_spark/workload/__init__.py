@@ -60,14 +60,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tfidf",
     "q_dedup_ngram",
     "q_dedup_near",
-    "q_dedup_near_pairs",
-    "q_multimodal_features",
     "q_edit_distance",
     "q_dedup_components",
     "q_dedup_simhash",
     "q_training_prep",
     "q_sample_stratified",
-    "q_minhash_signature",
     "q_sim_topk",
     "q_embed_normalize",
     "q_sim_ivf",
@@ -96,7 +93,15 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q18",
     "q_dedup_semantic",
     "q_quality_classifier",
-    # -- already-green (r01) flagship: position 51, first past the window -
+    "q_token_runs",
+    "q_udaf_grouped",
+    # -- just past the window: three rows-only keys whose driver check is
+    # the weak runs-only form anyway (no oracle by design), demoted to
+    # make room for oracle-checked first-timers; all pytest-pinned.
+    "q_dedup_near_pairs",
+    "q_minhash_signature",
+    "q_multimodal_features",
+    # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )
 

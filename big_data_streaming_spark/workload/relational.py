@@ -971,3 +971,46 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+# --- B16 extension: grouped-aggregate pandas UDF (UDAF) --------------------
+# The Arrow-batched aggregation surface: revenue per return flag computed
+# INSIDE pandas, but kept bit-exact and partition-order-independent by
+# summing integer cents (TPC-H prices carry 2 decimals, so price*100
+# rounds to an exact int64 — integer addition is associative, the same
+# policy workload/common.py applies with DECIMAL(38,6) on the JVM side).
+# A naive float .sum() here would drift with partitioning; the oracle
+# mirrors the cents trick. DuckDB round() is half-away-from-zero and
+# numpy rint half-to-even, but price*100 lands within 1e-9 of an integer,
+# where both agree.
+@_q(
+    "q_udaf_grouped",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS exact_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_revenue(price: pd.Series) -> float:
+        cents = np.rint(price.to_numpy() * 100).astype("int64")
+        return float(cents.sum()) / 100.0
+
+    # Spark disallows mixing group-agg pandas UDFs with JVM aggregates in
+    # one agg(), so the row count is a pandas UDAF too.
+    @pandas_udf("long")
+    def n_rows(price: pd.Series) -> int:
+        return len(price)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        exact_revenue("l_extendedprice").alias("exact_revenue"),
+        n_rows("l_extendedprice").alias("n_items"),
+    )

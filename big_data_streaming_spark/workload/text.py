@@ -726,3 +726,64 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit"),
         (logit >= 0).alias("keep"),
     )
+
+
+# --- B16 extension: Python UDTF (table function) ---------------------------
+# Run-length encoding of consecutive repeated tokens — per-row sequential
+# expansion with carried state, the shape a UDTF (one input row → N output
+# rows) exists for. Spark 4's Python UDTF runs Arrow-batched; the lateral
+# join keeps doc_id from the outer row. The oracle replays the runs as a
+# gaps-and-islands window query. Complements q_repetition_signals: this
+# pinpoints WHERE the repetition is, not just that it exists.
+@_q(
+    "q_token_runs",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), marked AS (
+        SELECT doc_id, pos, token,
+               CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                         = token
+                    THEN 0 ELSE 1 END AS brk
+        FROM tok
+    ), grouped AS (
+        SELECT doc_id, pos, token,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM marked
+    )
+    SELECT doc_id, token,
+           CAST(MIN(pos) - 1 AS INTEGER) AS run_start,
+           CAST(COUNT(*) AS INTEGER) AS run_len
+    FROM grouped
+    GROUP BY doc_id, token, run_id
+    """,
+)
+def q_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, run_start: int, run_len: int")
+    class TokenRuns:
+        def eval(self, text: str):
+            if text is None:
+                return
+            run_tok, run_start, run_len = None, 0, 0
+            for i, tok in enumerate(text.split(" ")):
+                if tok == run_tok:
+                    run_len += 1
+                else:
+                    if run_tok is not None:
+                        yield run_tok, run_start, run_len
+                    run_tok, run_start, run_len = tok, i, 1
+            if run_tok is not None:
+                yield run_tok, run_start, run_len
+
+    name = "token_runs_udtf"
+    spark.udtf.register(name, TokenRuns)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_runs")
+    return spark.sql(
+        f"SELECT d.doc_id, r.token, r.run_start, r.run_len "
+        f"FROM _docs_for_runs d, LATERAL {name}(d.text) r"
+    )
