@@ -68,7 +68,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_sim_topk",
     "q_embed_normalize",
     "q_sim_ivf",
-    "q_embed_neardup",
     "q_stream_window_tumbling",
     "q_stream_window_sliding",
     "q_stream_window_session",
@@ -95,11 +94,13 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_quality_classifier",
     "q_token_runs",
     "q_udaf_grouped",
-    # -- just past the window: three rows-only keys whose driver check is
-    # the weak runs-only form anyway (no oracle by design), demoted to
-    # make room for oracle-checked first-timers; all pytest-pinned.
+    "q_stream_static_join",
+    # -- just past the window: rows-only keys whose driver check is the
+    # weak runs-only form anyway (no oracle by design), demoted to make
+    # room for oracle-checked first-timers; all pytest-pinned.
     "q_dedup_near_pairs",
     "q_minhash_signature",
+    "q_embed_neardup",
     "q_multimodal_features",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",

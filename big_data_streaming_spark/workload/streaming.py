@@ -381,3 +381,51 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+# Streaming B7 complement: STREAM-STATIC enrichment join — the stateless
+# streaming join (no watermark state at all: each micro-batch joins
+# against the static dimension snapshot and emits immediately). This is
+# the production shape for enriching an event stream with a slowly-
+# changing dimension; the static side is broadcast, so at 100 TB/day of
+# events nothing shuffles but the stream itself — and with broadcast,
+# not even that. Inner join + append mode + AvailableNow drains to the
+# batch-equal result, hence a plain SQL oracle.
+@_q(
+    "q_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+           e.event_type, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        _nanos_columns,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir(sf_dir, "events")
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
+    for c in _nanos_columns(src_dir):
+        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    dim = F.broadcast(
+        t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+    )
+    joined = sdf.join(dim, sdf.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "event_type", "value"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
