@@ -102,6 +102,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_minhash_signature",
     "q_embed_neardup",
     "q_multimodal_features",
+    "q_scalar_map",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

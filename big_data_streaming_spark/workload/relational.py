@@ -1014,3 +1014,45 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_revenue("l_extendedprice").alias("exact_revenue"),
         n_rows("l_extendedprice").alias("n_items"),
     )
+
+
+# --- B15 completion: map-function scalar pack ------------------------------
+# Exercises the map surface (create_map, map_concat, map_keys/values,
+# element_at, map_contains_key) JVM-side. The oracle states the provably
+# equivalent scalar values directly — the POINT is that Spark's map ops
+# reduce to them; key order in map_keys/map_values follows insertion
+# order (deterministic), pinned by the joined-keys column.
+@_q(
+    "q_scalar_map",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_returnflag AS flag_val,
+           CAST(3 AS INTEGER) AS n_keys,
+           TRUE AS has_status,
+           'flag,qty,status' AS keys_joined,
+           l_returnflag || '|' || l_linestatus
+             || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+             AS vals_joined
+    FROM lineitem
+    WHERE l_orderkey % 1000 = 0
+    """,
+)
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 1000 == 0)
+    base = F.create_map(
+        F.lit("flag"), F.col("l_returnflag"),
+        F.lit("status"), F.col("l_linestatus"),
+    )
+    extra = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("bigint").cast("string")
+    )
+    m = F.map_concat(base, extra)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "flag").alias("flag_val"),
+        F.size(m).alias("n_keys"),
+        F.map_contains_key(m, "status").alias("has_status"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_joined"),
+        F.array_join(F.map_values(m), "|").alias("vals_joined"),
+    )
