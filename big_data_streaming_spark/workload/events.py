@@ -470,6 +470,8 @@ def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum("value", "day_total"))
         .select(F.col("w.start").alias("day"), "day_total")
     )
+    # Unpartitioned window is safe HERE: it runs over the post-aggregation
+    # daily rollup — O(days) rows at any corpus size, not the fact table.
     w = Window.orderBy("day")
     return daily.select(
         "day",

@@ -286,14 +286,18 @@ def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- north star: global training-order shuffle -----------------------------
-# A reproducible global permutation of the corpus: order by the mixing
-# hash (doc_id tie-break), emit the training position. At 100 TB this is
-# exactly one range-partitioned sort — Spark samples the hash distribution
-# and assigns contiguous position ranges per partition; no driver funnel.
-# row_number over a single unpartitioned window is fine HERE because the
-# oracle needs total order; the production form is
-# ``df.repartitionByRange(N, hash).sortWithinPartitions`` + zipWithIndex-
-# style offsets, same plan shape.
+# A reproducible global permutation of the corpus, computed the way a
+# 100 TB corpus must: NO single-partition global window (a
+# ``row_number() OVER (ORDER BY ...)`` collapses to one sort task).
+# Instead the distributed zipWithIndex shape: range-partition on the
+# mixing hash (contiguous key ranges per partition), rank within each
+# range in parallel, then add per-range offsets (an O(partitions)
+# broadcast). Positions depend only on the TOTAL order (hash, doc_id),
+# not on where Spark's sampled range boundaries land — so the result is
+# bit-identical run-to-run and equal to the oracle's global row_number.
+_ORDER_RANGES = 8  # partitions of the range sort; thousands at 100 TB
+
+
 @_q(
     "q_train_order",
     f"""
@@ -309,11 +313,31 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "doc_id", _mix_hash(F.col("doc_id")).alias("shuffle_key")
     )
-    w = Window.orderBy("shuffle_key", "doc_id")
-    return keyed.select(
-        F.row_number().over(w).cast("bigint").alias("train_pos"),
-        "doc_id",
-        "shuffle_key",
+    ranged = keyed.repartitionByRange(
+        _ORDER_RANGES, "shuffle_key", "doc_id"
+    ).withColumn("_rng", F.spark_partition_id())
+    w = Window.partitionBy("_rng").orderBy("shuffle_key", "doc_id")
+    ranked = ranged.withColumn("_intra", F.row_number().over(w))
+    # per-range sizes → exclusive prefix offsets; range ids are ordered by
+    # key range, so offset(r) = rows in ranges < r. O(_ORDER_RANGES) rows.
+    sizes = ranked.groupBy("_rng").agg(F.max("_intra").alias("_n"))
+    offsets = sizes.select(
+        "_rng",
+        (
+            F.sum("_n").over(
+                Window.orderBy("_rng").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("_offset"),
+    ).fillna(0, subset=["_offset"])
+    return (
+        ranked.join(F.broadcast(offsets), "_rng")
+        .select(
+            (F.col("_offset") + F.col("_intra")).cast("bigint").alias("train_pos"),
+            "doc_id",
+            "shuffle_key",
+        )
     )
 
 
