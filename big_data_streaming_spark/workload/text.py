@@ -780,6 +780,10 @@ def q_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             if run_tok is not None:
                 yield run_tok, run_start, run_len
 
+    # Arrow-batch the UDTF exchange (ArrowEvalPythonUDTF vs row-pickled
+    # BatchEvalPythonUDTF) — same results, vectorized transfer; safe to
+    # set unconditionally, and the driver's plain session lacks it.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     name = "token_runs_udtf"
     spark.udtf.register(name, TokenRuns)
     t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_runs")
