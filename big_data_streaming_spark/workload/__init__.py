@@ -62,7 +62,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_dedup_near",
     "q_edit_distance",
     "q_dedup_components",
-    "q_dedup_simhash",
+    "q_multimodal_decode",
     "q_training_prep",
     "q_sample_stratified",
     "q_sim_topk",
@@ -102,6 +102,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_minhash_signature",
     "q_embed_neardup",
     "q_multimodal_features",
+    "q_dedup_simhash",
     "q_scalar_map",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",

@@ -791,3 +791,36 @@ def q_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT d.doc_id, r.token, r.run_start, r.run_len "
         f"FROM _docs_for_runs d, LATERAL {name}(d.text) r"
     )
+
+
+# --- north star: multimodal header decode (REAL kernel, no codec libs) -----
+# Dimensions parse out of the container header with nothing but struct —
+# the triage half of image decode (filter a corpus by resolution before
+# any pixel work). Payloads are spec-valid PNG signature+IHDR bytes built
+# JVM-side with dims derived from doc_id, so the kernel's output is fully
+# value-checkable: the oracle states the same dims arithmetically.
+@_q(
+    "q_multimodal_decode",
+    """
+    SELECT doc_id,
+           'image/png' AS mime,
+           CAST(16 + doc_id % 241 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 7) % 181 AS BIGINT) AS height,
+           CAST(29 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.multimodal import (
+        parse_image_headers,
+        synth_png_payload,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        synth_png_payload(
+            F.lit(16) + F.col("doc_id") % 241,
+            F.lit(16) + (F.col("doc_id") * 7) % 181,
+        ).alias("payload"),
+    )
+    return parse_image_headers(d)
