@@ -227,3 +227,95 @@ def parse_image_headers(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, IMAGE_HEADER_SCHEMA)
+
+
+# --- real decode kernel: WAV (RIFF) audio headers --------------------------
+# Same triage principle for audio: sample rate / channels / duration parse
+# out of the canonical 44-byte RIFF/fmt/data header with struct alone.
+AUDIO_HEADER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def synth_wav_payload(sample_rate_col, n_samples_col):
+    """A canonical 44-byte PCM WAV header (16-bit mono) as a binary
+    column — little-endian fields via hex/unhex + byte reversal, all in
+    codegen. data_size = n_samples * 2 (16-bit mono)."""
+
+    def le32(col):
+        # 4-byte little-endian: hex → pad → reverse byte pairs
+        h = F.lpad(F.hex(col.cast("bigint")), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(h, 7, 2),
+                F.substring(h, 5, 2),
+                F.substring(h, 3, 2),
+                F.substring(h, 1, 2),
+            )
+        )
+
+    data_size = n_samples_col.cast("bigint") * 2
+    byte_rate = sample_rate_col.cast("bigint") * 2
+    return F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le32(data_size + 36),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le32(F.lit(16)),                      # fmt chunk size
+        F.unhex(F.lit("01000100")),           # PCM, mono
+        le32(sample_rate_col),
+        le32(byte_rate),
+        F.unhex(F.lit("02001000")),           # block align 2, 16 bits
+        F.encode(F.lit("data"), "UTF-8"),
+        le32(data_size),
+    )
+
+
+def parse_audio_headers(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → RIFF/WAV header fields; NULLs for non-WAV."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "mime": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "duration_ms": [],
+            }
+            for buf in pdf["payload"]:
+                b = bytes(buf) if buf is not None else b""
+                ok = (
+                    len(b) >= 44
+                    and b[:4] == b"RIFF"
+                    and b[8:16] == b"WAVEfmt "
+                )
+                if ok:
+                    channels, rate = struct.unpack("<HI", b[22:28])
+                    bits = struct.unpack("<H", b[34:36])[0]
+                    data_size = struct.unpack("<I", b[40:44])[0]
+                    n = data_size * 8 // (bits * channels)
+                    out["mime"].append("audio/wav")
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(channels)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(n * 1000 // rate)
+                else:
+                    for k in out:
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pd.array(out["mime"], dtype="object"),
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int64"),
+                    "channels": pd.array(out["channels"], dtype="Int64"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_HEADER_SCHEMA)

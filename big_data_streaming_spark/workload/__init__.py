@@ -95,15 +95,20 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_token_runs",
     "q_udaf_grouped",
     "q_stream_static_join",
-    # -- just past the window: rows-only keys whose driver check is the
-    # weak runs-only form anyway (no oracle by design), demoted to make
-    # room for oracle-checked first-timers; all pytest-pinned.
+    # -- just past the window (round-3 rotation candidates): oracle-green
+    # under the in-repo gate at sf0.001+sf0.01 and pytest-pinned, but the
+    # driver's 50-entry budget is spent on higher-priority first-timers
+    # this round — rows-only keys whose driver check is the weak runs-only
+    # form, plus the newest additions.
     "q_dedup_near_pairs",
     "q_minhash_signature",
     "q_embed_neardup",
     "q_multimodal_features",
     "q_dedup_simhash",
     "q_scalar_map",
+    "q_multimodal_audio",
+    "q_tpch_q10",
+    "q_tpch_q19",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

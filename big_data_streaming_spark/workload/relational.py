@@ -1056,3 +1056,99 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_joined"),
         F.array_join(F.map_values(m), "|").alias("vals_joined"),
     )
+
+
+# --- TPC-H Q10 shape: returned-item ranking --------------------------------
+# Revenue lost to returns per customer: fact filter (returnflag) → join
+# orders (fact-fact) → broadcast customer/nation detail → top-20. The
+# classic "report query" plan: one shuffle join, broadcast dims,
+# TakeOrderedAndProject at the end.
+@_q(
+    "q_tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {oracle_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive multi-attribute predicates ---------------
+# OR-of-ANDs across two tables — the optimizer stress case: the common
+# conjuncts (the join key, the per-branch part filter) must still reach
+# the scans even though the top-level predicate is a disjunction
+# (Catalyst's CNF extraction pushes the p_brand IN (...) superset down).
+@_q(
+    "q_tpch_q19",
+    f"""
+    SELECT {oracle_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = lambda b, smax, qlo, qhi: (  # noqa: E731
+        (brand == b)
+        & size.between(1, smax)
+        & (qty >= qlo)
+        & (qty <= qhi)
+    )
+    pred = (
+        branch("Brand#1", 15, 1, 21)
+        | branch("Brand#13", 25, 10, 30)
+        | branch("Brand#20", 35, 20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

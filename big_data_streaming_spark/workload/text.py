@@ -824,3 +824,37 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return parse_image_headers(d)
+
+
+# --- north star: audio header decode (REAL kernel) -------------------------
+# WAV/RIFF triage: sample rate, channels, duration from the 44-byte
+# header — struct only, no codecs. Same oracle pattern as
+# q_multimodal_decode: payloads synthesized JVM-side from doc_id, header
+# fields re-derived arithmetically in SQL.
+@_q(
+    "q_multimodal_audio",
+    """
+    SELECT doc_id,
+           'audio/wav' AS mime,
+           CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(1000 + doc_id % 44100 AS BIGINT) AS n_samples,
+           CAST((1000 + doc_id % 44100) * 1000
+                // (8000 + (doc_id % 5) * 8000) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.multimodal import (
+        parse_audio_headers,
+        synth_wav_payload,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        synth_wav_payload(
+            F.lit(8000) + (F.col("doc_id") % 5) * 8000,
+            F.lit(1000) + F.col("doc_id") % 44100,
+        ).alias("payload"),
+    )
+    return parse_audio_headers(d)
