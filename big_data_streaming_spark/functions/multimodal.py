@@ -212,6 +212,11 @@ def parse_image_headers(df: DataFrame) -> DataFrame:
                     mimes.append("image/png")
                     widths.append(w)
                     heights.append(h)
+                elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+                    w, h = struct.unpack("<HH", b[6:10])
+                    mimes.append("image/gif")
+                    widths.append(w)
+                    heights.append(h)
                 else:
                     mimes.append(None)
                     widths.append(None)

@@ -109,6 +109,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_multimodal_audio",
     "q_tpch_q10",
     "q_tpch_q19",
+    "q_gap_fill",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

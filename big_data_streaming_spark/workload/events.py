@@ -738,3 +738,83 @@ def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_sketch"
         ),
     )
+
+
+# --- time-series: spine gap-fill + LOCF ------------------------------------
+# Downsampled series have holes (hours where an event_type saw nothing);
+# training and charting want a dense series. Build the hourly spine
+# (sequence over the global range × distinct types — O(hours) rows,
+# broadcast), left-join the real totals on, then forward-fill with the
+# engine-portable cumulative-count trick: grp = COUNT(non-null) so far,
+# fill = MAX(total) within (type, grp). No IGNORE NULLS dialect
+# dependence; leading holes stay NULL by design. One window pass over
+# O(types × hours) rows regardless of corpus size.
+@_q(
+    "q_gap_fill",
+    f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT e.event_type,
+               unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+        FROM (SELECT DISTINCT event_type FROM events) e
+        CROSS JOIN bounds b
+    ), totals AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               {oracle_dec_sum('value', 'total')}
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT s.event_type, s.hour, t.total,
+               (t.total IS NULL) AS was_missing
+        FROM spine s LEFT JOIN totals t USING (event_type, hour)
+    ), grouped AS (
+        SELECT *, COUNT(total) OVER (PARTITION BY event_type ORDER BY hour)
+                    AS grp
+        FROM joined
+    )
+    SELECT event_type, hour,
+           MAX(total) OVER (PARTITION BY event_type, grp) AS total_filled,
+           was_missing
+    FROM grouped
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    totals = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(dec_sum("value", "total"))
+    )
+    joined = spine.join(totals, ["event_type", "hour"], "left").select(
+        "event_type", "hour", "total", F.col("total").isNull().alias("was_missing")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = joined.withColumn("grp", F.count("total").over(w_cum))
+    w_grp = Window.partitionBy("event_type", "grp")
+    return grouped.select(
+        "event_type",
+        "hour",
+        F.max("total").over(w_grp).alias("total_filled"),
+        "was_missing",
+    )
