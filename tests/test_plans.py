@@ -187,3 +187,51 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Fact table stored partitioned by the join key's FK: joining with a
+    filtered dimension injects a dynamicpruning subquery into the fact
+    scan's PartitionFilters — at 100 TB only the matching partitions are
+    read, decided at runtime from the dim side. Pinned here so a config
+    or plan regression is a test failure, not a cluster bill."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.sources.catalog import load_table
+
+    fact_dir = str(tmp_path / "events_by_type")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.write.partitionBy("event_type").parquet(fact_dir)
+
+    # DPP's selectivity heuristic wants a literal-predicate filter on the
+    # pruning side (a bare boolean attribute does not qualify).
+    dim = events.select("event_type").distinct().withColumn(
+        "grp",
+        F.when(
+            F.col("event_type").isin("purchase", "click"), "hot"
+        ).otherwise("cold"),
+    )
+    dim_dir = str(tmp_path / "type_dim")
+    dim.write.parquet(dim_dir)
+
+    confs = {
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "100.0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(fact_dir)
+        hot = spark.read.parquet(dim_dir).where(F.col("grp") == "hot")
+        j = fact.join(hot, "event_type")
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "dynamicpruning" in plan, plan[:2000]
+        assert j.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
