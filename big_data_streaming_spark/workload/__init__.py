@@ -110,6 +110,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q10",
     "q_tpch_q19",
     "q_gap_fill",
+    "q_format_roundtrip",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1152,3 +1152,39 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --- format interop: ORC round-trip under the oracle gate ------------------
+# The columnar-format story beyond parquet: project + filter lineitem,
+# write ORC, read it back, aggregate — value-checked against the oracle
+# computing the same aggregate straight from parquet. Proves the ORC
+# writer/reader path preserves values exactly (types, nulls, decimals),
+# not just that it "runs" (filter pushdown on the ORC scan is pinned
+# separately in tests/test_formats.py).
+@_q(
+    "q_format_roundtrip",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {oracle_dec_sum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    WHERE l_discount > 0.05
+    GROUP BY l_returnflag
+    """,
+)
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_discount") > 0.05)
+        .select("l_returnflag", "l_extendedprice")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("l_extendedprice", "sum_price"),
+    )
