@@ -313,9 +313,11 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "doc_id", _mix_hash(F.col("doc_id")).alias("shuffle_key")
     )
-    ranged = keyed.repartitionByRange(
-        _ORDER_RANGES, "shuffle_key", "doc_id"
-    ).withColumn("_rng", F.spark_partition_id())
+    # The mixing hash is uniform on [0, _MIX_MOD), so the range split is
+    # pure arithmetic — no sampling pass, no spark_partition_id, ONE
+    # full-data exchange (the per-range ranking window's hash partition).
+    rng = F.floor((F.col("shuffle_key") * _ORDER_RANGES) / F.lit(_MIX_MOD))
+    ranged = keyed.withColumn("_rng", rng.cast("int"))
     w = Window.partitionBy("_rng").orderBy("shuffle_key", "doc_id")
     ranked = ranged.withColumn("_intra", F.row_number().over(w))
     # per-range sizes → exclusive prefix offsets; range ids are ordered by
