@@ -87,12 +87,18 @@ def minhash_dedup_components(
     num_hashes: int = 32,
     bands: int = 4,
     max_iter: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Near-dup clustering with TRUE transitive closure: star edges
     (doc → per-bucket min doc) from the LSH bands, then connected
     components. Returns (doc_id, component, is_dup). Strictly merges the
     one-hop ``minhash_dedup_clusters`` output — chains A~B~C collapse to
-    one component even when A and C never collide."""
+    one component even when A and C never collide.
+
+    ``algorithm``: "propagation" (min-label, O(diameter) rounds — right
+    for the star-shaped LSH graphs this produces, diameter ≤ 2·bands) or
+    "star" (large-star/small-star, O(log n) rounds — right when bucket
+    chains run deep, e.g. tiny bands over a near-duplicate-heavy corpus)."""
     from big_data_streaming_spark.functions.dedup import _band_hashes
 
     bh = _band_hashes(df, id_col, text_col, num_hashes, bands)
@@ -103,7 +109,12 @@ def minhash_dedup_components(
         .select(F.col(id_col).alias("src"), F.col("rep").alias("dst"))
         .distinct()
     )
-    cc = connected_components(star, max_iter=max_iter)
+    if algorithm == "star":
+        cc = connected_components_star(star, max_iter=max_iter)
+    elif algorithm == "propagation":
+        cc = connected_components(star, max_iter=max_iter)
+    else:
+        raise ValueError(f"unknown CC algorithm: {algorithm!r}")
     all_docs = df.select(F.col(id_col))
     return (
         all_docs.join(cc, all_docs[id_col] == cc.node, "left")

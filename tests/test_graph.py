@@ -168,3 +168,25 @@ def test_star_cc_agrees_with_propagation_on_random_graph(spark):
         for r in connected_components_star(df).collect()
     }
     assert a == b
+
+
+def test_dedup_components_star_algorithm_matches(spark):
+    base = [f"tok{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[:36] + ["x1", "x2", "x3", "x4"])
+    c = " ".join(base[:32] + ["x1", "x2", "x3", "x4", "y1", "y2", "y3", "y4"])
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, other)], ["doc_id", "text"]
+    )
+    prop = {
+        r["doc_id"]: r["component"]
+        for r in minhash_dedup_components(df, "doc_id", "text", bands=8).collect()
+    }
+    star = {
+        r["doc_id"]: r["component"]
+        for r in minhash_dedup_components(
+            df, "doc_id", "text", bands=8, algorithm="star"
+        ).collect()
+    }
+    assert prop == star
