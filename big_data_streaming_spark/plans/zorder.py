@@ -1,0 +1,89 @@
+"""Z-order (Morton) clustering — multi-column data skipping for the
+curated layer.
+
+A linear sort clusters ONE column: files get tight min/max bounds on it
+and parquet row-group/file skipping works for that column only. Queries
+filtering on a second column scan everything. Interleaving the bits of
+two (or more) quantized sort keys gives every file a tight bounding box
+in ALL keyed dimensions — the standard technique behind
+Delta/Iceberg-style OPTIMIZE ZORDER, reproduced here with nothing but
+built-in integer expressions (shifts, masks, sums — whole-stage codegen;
+no UDF).
+
+At 100 TB: write once z-ordered on the 2-3 most-filtered columns; every
+selective scan then skips the overwhelming majority of row groups on
+any of them. The quantization is rank-based (percent_rank over a sample
+would do at scale; exact ranks here), so skew in raw values cannot
+collapse the curve.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def interleave_bits(cols: Sequence[Column], bits: int = 8) -> Column:
+    """Morton-interleave ``bits`` low bits of each (already-quantized)
+    integer column: result bit (i * n_cols + j) = bit i of cols[j]."""
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        c = c.cast("bigint")
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def z_value(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
+    """Add a ``_z`` column: rank-quantize each key to [0, 2^bits) then
+    Morton-interleave. Rank quantization (ntile) makes the curve
+    uniform under any value distribution."""
+    buckets = 1 << bits
+    out = df
+    qcols = []
+    for c in cols:
+        q = f"_q_{c}"
+        out = out.withColumn(
+            q, F.ntile(buckets).over(Window.orderBy(c)) - 1
+        )
+        qcols.append(q)
+    # NOTE: ntile over an unpartitioned window is a single-reducer sort —
+    # fine for layout jobs up to the low billions of rows; at full 100 TB
+    # substitute approx percentile boundaries (approxQuantile) per column
+    # and a bucket lookup, which needs no global window at all.
+    out = out.withColumn("_z", interleave_bits([F.col(q) for q in qcols], bits))
+    return out.drop(*qcols)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    n_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` clustered along the Z-curve of ``cols``: range-split
+    the z-value into ``n_files`` contiguous slices, sort within each, one
+    file per slice → every file covers a compact hyper-rectangle of the
+    key space (verified quantitatively in tests/test_zorder.py)."""
+    zdf = z_value(df, cols, bits)
+    (
+        zdf.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
