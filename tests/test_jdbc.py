@@ -132,3 +132,39 @@ def test_jdbc_idempotent_batch_write(spark, sf_small, derby_url):
     )
     assert back.count() == 200  # batch 7 once + batch 8 once
     assert back.filter("_batch_id = 7").count() == 100
+
+
+def test_jdbc_v2_catalog_aggregate_pushdown(spark, tmp_path):
+    """A15 extension: through the DS v2 JDBCTableCatalog the AGGREGATION
+    itself is pushed into the database — the scan returns one row per
+    group (PushedAggregates + PushedGroupByExpressions in the plan), not
+    the raw table. At 100 TB against a warehouse RDBMS this is the
+    difference between shipping the table and shipping the answer."""
+    url = f"jdbc:derby:{tmp_path}/pushdb;create=true"
+    confs = {
+        "spark.sql.catalog.derbycat":
+            "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+        "spark.sql.catalog.derbycat.url": url,
+        "spark.sql.catalog.derbycat.driver": DRIVER,
+        "spark.sql.catalog.derbycat.pushDownAggregate": "true",
+    }
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        src = spark.range(100).selectExpr(
+            "id", "id % 5 AS grp", "CAST(id * 1.5 AS DOUBLE) AS v"
+        )
+        _write(src, url, "TPUSH")
+        df = spark.sql(
+            "SELECT grp, COUNT(*) AS n, MAX(v) AS mx "
+            "FROM derbycat.TPUSH GROUP BY grp"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregates" in plan, plan[:1500]
+        assert "PushedGroupByExpressions: [grp]" in plan.replace('"', ""), plan[:1500]
+        got = {r.grp: (r.n, r.mx) for r in df.collect()}
+        assert got[0] == (20, 142.5)
+        assert len(got) == 5
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
