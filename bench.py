@@ -4,10 +4,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and print ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count() over the result — forces the
-full plan, returns a scalar so no driver-side collect of data rows). A
-warm-up pass on sf0.001 triggers JVM/codegen warm-up so timings measure the
-plan, not classloading.
+Each query is executed to FULL materialization via the noop sink
+(df.write.format("noop") computes every output column; a count() would
+let Catalyst prune projections on map-only queries and under-measure
+them — BENCH_NOTES round 2). A warm-up pass on sf0.001 triggers
+JVM/codegen warm-up so timings measure the plan, not classloading.
 """
 
 from __future__ import annotations
@@ -52,22 +53,24 @@ def main() -> None:
     spark = get_spark("bdss-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run_full(name: str, d: str) -> None:
+        QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
+
     # Warm-up at the smallest SF: one batch query (JIT/codegen/Arrow init)
     # and one streaming query (streaming engine + state-store classload) —
     # so timings measure plan execution, not first-use class loading.
-    QUERIES["q_flagship"](spark, "/root/testdata/sf0.001").count()
-    QUERIES["q_stream_window_tumbling"](spark, "/root/testdata/sf0.001").count()
+    run_full("q_flagship", "/root/testdata/sf0.001")
+    run_full("q_stream_window_tumbling", "/root/testdata/sf0.001")
 
     # Two runs per query, report the min: run 1 pays one-time plan/codegen
     # compilation for that query shape; run 2 is steady-state execution —
     # the number that scales with data volume.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
-            fn(spark, sf_dir).count()
+            run_full(name, sf_dir)
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 

@@ -149,3 +149,21 @@ def test_streaming_upsert_sink_converges_to_last_write(spark, tmp_path):
     q.awaitTermination()
     got = {r.k: (r.v, r.ver) for r in spark.read.parquet(target).collect()}
     assert got == {1: ("a", 1), 2: ("b-fixed", 2), 3: ("c", 1)}
+
+
+def test_empty_update_batch_is_a_safe_noop(spark, tmp_path):
+    """A CDC stream can deliver an empty micro-batch; merging it must
+    leave the target byte-identical on both paths."""
+    full = str(tmp_path / "full")
+    part = str(tmp_path / "part")
+    merge_upsert(spark, full, _base(spark), keys=["k"])
+    merge_upsert(spark, part, _base(spark), keys=["k"], partition_keys=["region"])
+    empty = _base(spark).where("k < 0")
+
+    before_full = sorted(map(str, spark.read.parquet(full).collect()))
+    merge_upsert(spark, full, empty, keys=["k"])
+    assert sorted(map(str, spark.read.parquet(full).collect())) == before_full
+
+    before_part = sorted(map(str, spark.read.parquet(part).collect()))
+    merge_upsert(spark, part, empty, keys=["k"], partition_keys=["region"])
+    assert sorted(map(str, spark.read.parquet(part).collect())) == before_part
