@@ -99,3 +99,46 @@ def test_dedup_semantic_one_rep_per_cluster(spark):
     reps = out.where(~F.col("is_dup")).collect()
     for r in reps:
         assert r.rep_id == r.vec_id
+
+
+def test_pack_shard_matches_reference_greedy():
+    """Property: the Arrow kernel's per-shard packing equals a plain
+    Python greedy replay for arbitrary token-length sequences."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_streaming_spark.workload.pipeline import (
+        _PACK_BUDGET,
+        _pack_shard,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=_PACK_BUDGET * 2), max_size=60)
+    )
+    def check(lengths):
+        pdf = pd.DataFrame(
+            {
+                "shard": [0] * len(lengths),
+                # shuffled doc_ids: the kernel must sort by doc_id itself
+                "doc_id": list(reversed(range(len(lengths)))),
+                "n_tokens": list(reversed(lengths)),
+            }
+        )
+        out = _pack_shard(pdf.copy())
+        # reference replay in doc_id order
+        seq, acc, want = 0, 0, {}
+        for doc_id, n in enumerate(lengths):
+            if doc_id == 0:
+                acc = n
+            elif acc + n <= _PACK_BUDGET:
+                acc += n
+            else:
+                seq += 1
+                acc = n
+            want[doc_id] = seq
+        got = dict(zip(out["doc_id"], out["seq_id"]))
+        assert got == want
+
+    check()
