@@ -167,6 +167,16 @@ def test_resourceful_queries_are_reinvokable(spark, sf_small):
         "q_stream_window_tumbling",
         "q_stream_window_session",
         "q_route_by_key",
+        # round-2 resource allocators: catalog tables, persist caches,
+        # temp views, noop-staged dirs, streaming memory sinks
+        "q_join_bucketed",
+        "q_format_roundtrip",
+        "q_token_runs",
+        "q_stream_dedup",
+        "q_stream_static_join",
+        "q_dedup_semantic",
+        "q_sim_ivf",
+        "q_pack_sequences",
     ):
         first = sorted(map(str, QUERIES[name](spark, sf_small).collect()))
         second = sorted(map(str, QUERIES[name](spark, sf_small).collect()))
