@@ -56,7 +56,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_token_count",
     "q_text_fingerprint",
     "q_multimodal_meta",
-    "q_doc_chunks",
     "q_tfidf",
     "q_dedup_ngram",
     "q_dedup_near",
@@ -95,6 +94,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_token_runs",
     "q_udaf_grouped",
     "q_stream_static_join",
+    "q_training_prep_v2",
     # -- just past the window (round-3 rotation candidates): oracle-green
     # under the in-repo gate at sf0.001+sf0.01 and pytest-pinned, but the
     # driver's 50-entry budget is spent on higher-priority first-timers
@@ -106,6 +106,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_multimodal_features",
     "q_dedup_simhash",
     "q_scalar_map",
+    "q_doc_chunks",
     "q_multimodal_audio",
     "q_tpch_q10",
     "q_tpch_q19",

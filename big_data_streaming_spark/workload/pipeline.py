@@ -494,3 +494,111 @@ def q_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_bigram_freq"),
         )
     )
+
+
+# --- north star: end-to-end training-prep v2 -------------------------------
+# The round-2 operators composed as ONE dataflow — what a user actually
+# runs before training: quality-classifier gate → exact dedup (min doc
+# per fingerprint) → domain-mixture cap → reproducible training order.
+# Every stage is deterministic, so the whole pipeline carries a single
+# DuckDB oracle. Plan shape: two aggregation shuffles (dedup, counts) +
+# one ranking exchange — the text never shuffles after the gate (only
+# doc_id/source survive stage 1).
+@_q(
+    "q_training_prep_v2",
+    f"""
+    WITH feats AS (
+        SELECT doc_id, source, text,
+               string_split(text, ' ') AS toks,
+               CAST(len(text) AS DOUBLE) AS n_chars,
+               CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS DOUBLE) AS n_digits,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]{{2,}}')) AS DOUBLE)
+                 AS punct_runs
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source, text,
+               -2.0 + 0.35 * (n_chars / len(toks))
+                    + 4.0 * (CAST(len(list_filter(toks,
+                              x -> list_contains({{_sw}}, x))) AS DOUBLE)
+                             / len(toks))
+                    + 1.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / len(toks))
+                    - 3.0 * (n_digits / n_chars)
+                    - 0.5 * punct_runs AS logit
+        FROM feats
+    ), kept AS (
+        SELECT doc_id, source, text FROM scored WHERE logit >= 0
+    ), reps AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ), docs2 AS (
+        SELECT k.doc_id, k.source FROM kept k JOIN reps r USING (doc_id)
+    ), counts AS (
+        SELECT source, COUNT(*) AS n_source FROM docs2 GROUP BY source
+    ), m AS (SELECT MIN(n_source) AS n_min FROM counts),
+    sel AS (
+        SELECT d.doc_id, d.source
+        FROM docs2 d JOIN counts c USING (source) CROSS JOIN m
+        WHERE ((d.doc_id * 2654435761) % 4294967296) % {_MIX_MOD}
+                * c.n_source < m.n_min * {_MIX_MOD}
+    )
+    SELECT CAST(row_number() OVER (
+                 ORDER BY ((doc_id * 2654435761) % 4294967296) % {_MIX_MOD},
+                          doc_id) AS BIGINT) AS train_pos,
+           doc_id, source
+    FROM sel
+    """.replace("{_sw}", "['the','a','of','and','to','in','is','on','for','with']"),
+)
+def q_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.workload.text import (
+        QUERIES as _TEXT_Q,
+    )
+
+    # Stage 1: quality gate — reuse the classifier query (same expressions,
+    # same weights) and keep only passing doc_ids.
+    scored = _TEXT_Q["q_quality_classifier"](spark, sf_dir)
+    kept_ids = scored.where(F.col("keep")).select("doc_id")
+    d = t(spark, sf_dir, "documents").join(kept_ids, "doc_id").select(
+        "doc_id", "source", "text"
+    )
+    # Stage 2: exact dedup — min doc_id per content fingerprint; only
+    # (doc_id, source) survive past here, the text is dropped.
+    reps = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    docs2 = d.join(reps.select("doc_id"), "doc_id").select("doc_id", "source")
+    # Stage 3: domain-mixture cap (division-free BIGINT rate test).
+    counts = docs2.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    sel = (
+        docs2.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(n_min))
+        .where(
+            _mix_hash(F.col("doc_id")) * F.col("n_source")
+            < F.col("n_min") * F.lit(_MIX_MOD)
+        )
+        .select("doc_id", "source")
+    )
+    # Stage 4: reproducible training order — the distributed zipWithIndex
+    # shape from q_train_order (arithmetic range split, per-range rank,
+    # broadcast offsets).
+    keyed = sel.withColumn("shuffle_key", _mix_hash(F.col("doc_id")))
+    rng = F.floor((F.col("shuffle_key") * _ORDER_RANGES) / F.lit(_MIX_MOD))
+    ranged = keyed.withColumn("_rng", rng.cast("int"))
+    w = Window.partitionBy("_rng").orderBy("shuffle_key", "doc_id")
+    ranked = ranged.withColumn("_intra", F.row_number().over(w))
+    sizes = ranked.groupBy("_rng").agg(F.max("_intra").alias("_n"))
+    offsets = sizes.select(
+        "_rng",
+        F.sum("_n")
+        .over(
+            Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("_offset"),
+    ).fillna(0, subset=["_offset"])
+    return (
+        ranked.join(F.broadcast(offsets), "_rng")
+        .select(
+            (F.col("_offset") + F.col("_intra")).cast("bigint").alias("train_pos"),
+            "doc_id",
+            "source",
+        )
+    )
