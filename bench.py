@@ -47,6 +47,7 @@ HEADLINE = (
     "q_quality_classifier",
     "q_token_runs",
     "q_multimodal_decode",
+    "q_training_prep_v2",
 )
 
 
