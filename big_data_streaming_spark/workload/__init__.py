@@ -112,6 +112,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q19",
     "q_gap_fill",
     "q_format_roundtrip",
+    "q_sketch_cms",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -818,3 +818,62 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").over(w_grp).alias("total_filled"),
         "was_missing",
     )
+
+
+# --- B14 extension: count-min sketch (frequency estimation) ----------------
+# Completes the mergeable-sketch pack (HLL distincts, GK quantiles,
+# freqItems, CMS frequencies). Same audit pattern: the sketch is built
+# distributedly (count_min_sketch aggregate — mergeable map-side, fixed
+# seed → deterministic bytes), collected as ONE bounded binary scalar,
+# and queried driver-side through the JVM CountMinSketch for the
+# O(event-types) keys. Output = exact counts + the two CMS contract
+# booleans (never undercounts; overcount ≤ eps·N), both deterministic,
+# so the oracle is exact SQL + TRUE.
+@_q(
+    "q_sketch_cms",
+    """
+    SELECT event_type,
+           COUNT(*) AS exact_count,
+           TRUE AS no_undercount,
+           TRUE AS within_eps
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps = 0.01
+    ev = t(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.count_min_sketch(
+            "event_type", F.lit(eps), F.lit(0.99), F.lit(42)
+        ).alias("cms")
+    ).first()["cms"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    keys = [r["event_type"] for r in exact.select("event_type").collect()]
+    n_total = sum(
+        r["exact_count"] for r in exact.collect()
+    )
+    est = spark.createDataFrame(
+        [(k, int(cms.estimateCount(k))) for k in keys],
+        "event_type string, cms_estimate long",
+    )
+    return (
+        exact.join(F.broadcast(est), "event_type")
+        .select(
+            "event_type",
+            "exact_count",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias(
+                "no_undercount"
+            ),
+            (
+                F.col("cms_estimate")
+                <= F.col("exact_count") + F.lit(int(eps * n_total) + 1)
+            ).alias("within_eps"),
+        )
+    )
