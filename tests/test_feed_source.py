@@ -86,3 +86,57 @@ def test_catchup_batch_is_split_into_partitions(spark, tmp_path):
     # 1000-row batch at step 250 → 4 partitions (from partitions())
     last = q.lastProgress
     assert last is not None
+
+
+def test_feed_to_product_query_end_to_end(spark, tmp_path):
+    """The reference's pipeline shape on the REAL streaming source:
+    kline_feed → event-time windowed volume per coin → sink → product
+    query, values checked against a batch replay of the deterministic
+    generator. Complete-mode memory sink: a bounded AvailableNow drain
+    is one micro-batch, so the watermark never passes the data — the
+    same reasoning as q_stream_window_tumbling (workload/streaming.py)."""
+    import uuid
+
+    from big_data_streaming_spark.sources.feed_datasource import (
+        _kline,
+        register,
+    )
+
+    register(spark)
+    name = f"feed_e2e_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("kline_feed")
+        .option("max_rows", "500")
+        .load()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "coin")
+        .agg(
+            F.sum(F.col("volume").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_volume")
+        )
+        .select(F.col("w.start").alias("window_start"), "coin", "total_volume")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    expected = (
+        spark.createDataFrame(
+            [_kline(i) for i in range(500)],
+            "offset long, coin string, ts timestamp, close double, volume double",
+        )
+        .groupBy(F.window("ts", "1 minute").alias("w"), "coin")
+        .agg(
+            F.sum(F.col("volume").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_volume")
+        )
+        .select(F.col("w.start").alias("window_start"), "coin", "total_volume")
+    )
+    got = sorted(map(str, spark.table(name).collect()))
+    want = sorted(map(str, expected.collect()))
+    assert got == want and len(got) > 0
