@@ -65,7 +65,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_training_prep",
     "q_sample_stratified",
     "q_sim_topk",
-    "q_embed_normalize",
     "q_sim_ivf",
     "q_stream_window_tumbling",
     "q_stream_window_sliding",
@@ -95,6 +94,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_udaf_grouped",
     "q_stream_static_join",
     "q_training_prep_v2",
+    "q_stream_feed",
     # -- just past the window (round-3 rotation candidates): oracle-green
     # under the in-repo gate at sf0.001+sf0.01 and pytest-pinned, but the
     # driver's 50-entry budget is spent on higher-priority first-timers
@@ -107,6 +107,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_dedup_simhash",
     "q_scalar_map",
     "q_doc_chunks",
+    "q_embed_normalize",
     "q_multimodal_audio",
     "q_tpch_q10",
     "q_tpch_q19",

@@ -429,3 +429,41 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# Streaming A1 replacement, gate-checked: drain the CUSTOM Python
+# streaming source (sources/feed_datasource.py — real offset contract,
+# checkpoint-WAL resume) and value-check every record. The feed is a
+# pure arithmetic generator, so the oracle reproduces it in SQL from
+# generate_series — a streaming SOURCE with a full DuckDB oracle.
+# Stateless passthrough → append-mode memory sink emits everything in
+# the bounded drain.
+@_q(
+    "q_stream_feed",
+    """
+    SELECT i AS "offset",
+           (['BTCUSDT','ETHUSDT','SOLUSDT','BNBUSDT','XRPUSDT'])[i % 5 + 1]
+             AS coin,
+           to_timestamp(1700000000 + i)::TIMESTAMP AS ts,
+           100.0 + (i % 97) * 0.5 AS close,
+           CAST((i * 7) % 31 + 1 AS DOUBLE) AS volume
+    FROM generate_series(0, 499) AS g(i)
+    """,
+)
+def q_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.feed_datasource import register
+
+    register(spark)
+    name = f"stream_feed_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("kline_feed")
+        .option("max_rows", "500")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("offset", "coin", "ts", "close", "volume")
