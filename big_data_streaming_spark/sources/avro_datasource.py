@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -140,6 +141,51 @@ class AvroPyWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class AvroPyStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: one ``batch_<id>/`` directory of container files
+    per micro-batch (the reference's A17 layout, spark/streaming-
+    shorttime.py:73-78). Exactly-once comes from the engine's WAL: a
+    replayed batch id overwrites its own directory (commit is
+    directory-rename-free because per-task files land in the final
+    batch dir and abort removes them)."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._schema = schema
+        self._schema_json = avro_schema_json(schema)
+        self._path = options["path"]
+        self._codec = options.get("codec", "null")
+
+    def write(self, iterator):
+        # tasks stage anonymously; the batch id only exists at commit
+        # time, where the driver moves staged files into batch_<id>/
+        staging = os.path.join(self._path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fpath = os.path.join(staging, f"part-{uuid.uuid4().hex}.avro")
+        n = _write_container(
+            fpath, self._schema_json, self._schema, iterator, self._codec
+        )
+        if n == 0:
+            os.remove(fpath)
+            return _WroteFile(path="", rows=0)
+        return _WroteFile(path=fpath, rows=n)
+
+    def commit(self, messages, batchId=None):
+        import shutil
+
+        bdir = os.path.join(self._path, f"batch_{batchId}")
+        if os.path.isdir(bdir):  # replayed batch: replace, don't duplicate
+            shutil.rmtree(bdir)
+        os.makedirs(bdir, exist_ok=True)
+        for m in messages:
+            if m.path and os.path.exists(m.path):
+                shutil.move(m.path, os.path.join(bdir, os.path.basename(m.path)))
+
+    def abort(self, messages, batchId=None):
+        for m in messages:
+            if m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class AvroPyDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -153,6 +199,9 @@ class AvroPyDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> AvroPyWriter:
         return AvroPyWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> AvroPyStreamWriter:
+        return AvroPyStreamWriter(schema, self.options)
 
 
 def register(spark) -> None:

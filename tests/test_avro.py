@@ -253,3 +253,37 @@ def test_avro_py_datasource_jvm_interop(spark, tmp_path):
     finally:
         reader.close()
     assert n == 50
+
+
+def test_avro_py_streaming_sink_per_batch_dirs(spark, tmp_path):
+    """writeStream.format('avro_py') works natively (Spark 4 Python
+    DataSource stream writer): per-micro-batch directories of container
+    files, staged per task and committed with the batch id."""
+    from big_data_streaming_spark.sources.avro_datasource import register
+    from big_data_streaming_spark.sources.feed_datasource import (
+        register as register_feed,
+    )
+
+    register(spark)
+    register_feed(spark)
+    out = str(tmp_path / "avro_stream")
+    q = (
+        spark.readStream.format("kline_feed")
+        .option("max_rows", "120")
+        .load()
+        .writeStream.format("avro_py")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bdirs = sorted(glob.glob(os.path.join(out, "batch_*")))
+    assert bdirs, os.listdir(out)
+    back = spark.read.format("avro_py").load(bdirs[0])
+    assert back.count() == 120
+    assert sorted(r.offset for r in back.select("offset").collect()) == list(
+        range(120)
+    )
+    # staging is drained after commit
+    assert glob.glob(os.path.join(out, "_staging", "*")) == []
