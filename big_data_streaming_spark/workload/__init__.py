@@ -114,6 +114,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_gap_fill",
     "q_format_roundtrip",
     "q_sketch_cms",
+    "q_salted_agg",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

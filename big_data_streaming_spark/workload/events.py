@@ -877,3 +877,33 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_eps"),
         )
     )
+
+
+# --- skew mitigation as a gate query ---------------------------------------
+# The two-stage salted aggregation (operators/skew.py) driven through the
+# correctness gate: the hot grouping key is spread over 16 salt buckets
+# before the final per-key combine, and the oracle is the PLAIN sum —
+# proving salting is value-neutral (decimal-exact through both stages)
+# while no reducer ever sees more than ~1/16 of a hot key's rows.
+@_q(
+    "q_salted_agg",
+    f"""
+    SELECT event_type,
+           {oracle_dec_sum('value', 'total_value')},
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.operators.skew import (
+        salted_count,
+        salted_sum,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    sums = salted_sum(ev, ["event_type"], "value", "total_value", buckets=16)
+    counts = salted_count(ev, ["event_type"], alias="n_rows", buckets=16)
+    return sums.join(counts, "event_type").select(
+        "event_type", "total_value", "n_rows"
+    )
