@@ -115,6 +115,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_format_roundtrip",
     "q_sketch_cms",
     "q_salted_agg",
+    "q_zorder_layout",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

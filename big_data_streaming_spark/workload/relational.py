@@ -1188,3 +1188,36 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dec_sum("l_extendedprice", "sum_price"),
     )
+
+
+# --- layout demo: Z-order clustering under the oracle gate -----------------
+# Write lineitem z-ordered on (l_orderkey, l_quantity) — the Morton
+# interleave of rank-quantized keys (plans/zorder.py, bounding-box
+# tightening measured in tests/test_zorder.py) — read it back and
+# aggregate; the plain-SQL oracle proves the clustered rewrite is
+# value-neutral. Same temp-dir idempotence pattern as q_route_by_key.
+@_q(
+    "q_zorder_layout",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {oracle_dec_sum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from big_data_streaming_spark.plans.zorder import write_zordered
+
+    out = tempfile.mkdtemp(prefix="zorder_gate_")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_extendedprice"
+    )
+    write_zordered(li, out, ["l_orderkey", "l_quantity"], bits=6, n_files=8)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("l_extendedprice", "sum_price"),
+    )
