@@ -31,3 +31,21 @@ def test_rows_only_runs(spark, name):
     rows = sdf.collect()
     assert sdf.columns, name
     assert rows is not None
+
+
+def test_oracle_outputs_are_scalar_only(spark):
+    """The driver's pandas canonicalizer crashes on array/map/struct
+    cells (round-1 CORRECTNESS: q_scalar_array et al.) — the local
+    harness tuple-izes them and would not notice. Enforce at the schema
+    level: every ORACLE-bearing query returns scalar columns only.
+    Schema resolution does not execute the query, so this sweep is
+    cheap enough to run on every query."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in sorted(ORACLES):
+        schema = QUERIES[name](spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
