@@ -25,9 +25,10 @@ from big_data_streaming_spark.workload import (
     similarity as _similarity,
     streaming as _streaming,
     text as _text,
+    tpch as _tpch,
 )
 
-_MODULES = (_events, _relational, _text, _similarity, _streaming, _pipeline)
+_MODULES = (_events, _relational, _text, _similarity, _streaming, _pipeline, _tpch)
 
 # Registry order is part of the driver contract: the driver's correctness
 # gate checks the FIRST 50 entries of ``queries()`` and stops. Round 1
@@ -116,6 +117,24 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_sketch_cms",
     "q_salted_agg",
     "q_zorder_layout",
+    # -- TPC-H completion pack (workload/tpch.py, added late round 2):
+    # full-oracle, pytest-green; round-3+ rotation candidates.
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )
