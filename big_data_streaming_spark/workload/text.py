@@ -858,3 +858,110 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return parse_audio_headers(d)
+
+
+# --- north star: corpus-level line (chunk) dedup, C4-style ----------------
+# Web-corpus pipelines (C4, RefinedWeb) drop every repeated *line* across
+# the whole corpus, keeping only its first occurrence, then reassemble the
+# documents. The synthetic testdata has no newlines, so a "line" is a
+# disjoint 8-token window (same tokenization convention as q_doc_chunks).
+#
+# Scale shape: first-occurrence is computed as a groupBy(chunk).min(struct)
+# — NOT a row_number window — so partial (map-side) aggregation absorbs
+# boilerplate chunks that repeat millions of times; the join back on the
+# chunk key reuses the same hash partitioning (ReuseExchange), and
+# reassembly is one more shuffle on doc_id. No driver-side state.
+_LINE = 8
+
+
+@_q(
+    "q_line_dedup",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               CAST(g.s / {_LINE} AS INTEGER) AS chunk_idx,
+               array_to_string(
+                   toks[CAST(g.s AS INTEGER) + 1 :
+                        least(CAST(g.s AS INTEGER) + {_LINE}, len(toks))], ' ')
+                 AS chunk_text
+        FROM tok CROSS JOIN generate_series(0, 100000, {_LINE}) AS g(s)
+        WHERE g.s < len(toks)
+    ), kept AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               ROW_NUMBER() OVER (PARTITION BY chunk_text
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    ), reasm AS (
+        SELECT doc_id,
+               string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_clean,
+               COUNT(*) AS n_kept
+        FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.text_clean, '') AS text_clean,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_chunks_kept,
+           CAST(CEIL(len(string_split(d.text, ' ')) / {_LINE}.0) AS BIGINT)
+             - CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_chunks_dropped
+    FROM documents d LEFT JOIN reasm r ON r.doc_id = d.doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    staged = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    chunks = staged.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(_LINE))).alias(
+            "chunk_idx", "start0"
+        ),
+        "toks",
+        "n",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.col("start0") + 1,
+                F.least(F.col("start0") + _LINE, F.col("n")) - F.col("start0"),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    # First occurrence = lexicographic min of (doc_id, chunk_idx) per chunk.
+    winners = chunks.groupBy("chunk_text").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_win")
+    )
+    kept = (
+        chunks.join(winners, "chunk_text")
+        .filter(
+            (F.col("doc_id") == F.col("_win.doc_id"))
+            & (F.col("chunk_idx") == F.col("_win.chunk_idx"))
+        )
+        .drop("_win")
+    )
+    reasm = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    total = F.ceil(F.size(F.split("text", " ")) / F.lit(float(_LINE))).cast("long")
+    return (
+        d.select("doc_id", total.alias("_n_total"))
+        .join(reasm, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_chunks_kept"),
+            (F.col("_n_total") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_chunks_dropped"
+            ),
+        )
+    )

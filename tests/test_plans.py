@@ -262,3 +262,53 @@ def test_cbo_column_stats_drive_cardinality_estimates(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS cbo_probe")
+
+
+# --- TPC-H completion pack (workload/tpch.py) -----------------------------
+
+
+def test_tpch_q8_star_is_broadcast_chain(spark, sf_small):
+    """Q8 joins lineitem to 7 dimension sides — every one must be a
+    broadcast hash join; the only exchange allowed is the aggregation
+    (plus AQE's fact-fact choice for orders at tiny SF)."""
+    df = QUERIES["q_tpch_q8"](spark, sf_small)
+    assert uses_broadcast_join(df)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_tpch_q2_min_per_group_bounded(spark, sf_small):
+    """The correlated MIN subquery decorrelates to a window over
+    l_partkey: one shuffle for the (part, supplier) aggregate, one for
+    the window — never a per-part re-scan."""
+    df = QUERIES["q_tpch_q2"](spark, sf_small)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_tpch_q21_exists_decorrelation_no_rescan(spark, sf_small):
+    """EXISTS + NOT EXISTS over the same lineitems become per-order
+    window counts: the fact table is scanned once and shuffled at most
+    twice (order window + name aggregate), with the supplier⋈nation side
+    broadcast."""
+    plan = formatted_plan(QUERIES["q_tpch_q21"](spark, sf_small))
+    df = QUERIES["q_tpch_q21"](spark, sf_small)
+    assert shuffle_count(df) <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert uses_broadcast_join(df)
+
+
+def test_tpch_scalar_thresholds_are_broadcast_not_collected(spark, sf_small):
+    """Q11/Q15/Q22 global-scalar subqueries must appear as broadcast
+    joins of 1-row frames — no driver-side collect in the plan path."""
+    for name in ("q_tpch_q11", "q_tpch_q15", "q_tpch_q22"):
+        df = QUERIES[name](spark, sf_small)
+        assert uses_broadcast_join(df), name
+
+
+def test_line_dedup_bounded_shuffles(spark, sf_small):
+    """Corpus-level chunk dedup: groupBy-min winners (map-side combine
+    absorbs boilerplate skew) + join back + reassembly — bounded
+    exchanges, no cartesian."""
+    df = QUERIES["q_line_dedup"](spark, sf_small)
+    assert shuffle_count(df) <= 3, formatted_plan(df)
+    assert "CartesianProduct" not in formatted_plan(df)
