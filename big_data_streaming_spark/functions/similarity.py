@@ -227,3 +227,77 @@ def hyperplane_lsh_neardup(
         .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means with a FIXED iteration count,
+    unrolled into one static plan — no driver-side loop state, no
+    actions, no convergence check (bounded iterations are the 100 TB
+    form: each extra pass is a full corpus scan, so production pipelines
+    run a fixed small number and accept the residual).
+
+    Determinism (run-to-run AND engine-to-engine):
+    * init = ``id % k`` — a pure function of the data, not a sampled seed;
+    * centroids are per-dimension DECIMAL(38,12) means (associative →
+      partition-order invariant, same policy as build_centroids);
+    * assignment = argmin of ``(x·x − 2·x·c) + c·c`` with the cluster id
+      as tie-break, evaluated in fixed-order double arithmetic that
+      DuckDB's ``list_dot_product`` reproduces bit-for-bit.
+
+    Per iteration: one partial-agg shuffle for (cluster, dim) sums, one
+    array-rebuild shuffle (k·dim rows — tiny), one broadcast of the k
+    centroids, one argmin groupBy with map-side combine. Returns
+    (id, cid, d2) — assignment after the last iteration and the squared
+    L2 distance to the winning centroid.
+    """
+    emb = corpus.select(id_col, vec_col)
+    assigned = emb.withColumn("cid", (F.col(id_col) % k).cast("int"))
+    for _ in range(iters):
+        dims = assigned.select(
+            "cid", F.posexplode(_as_double(F.col(vec_col))).alias("i", "x")
+        )
+        cent = dims.groupBy("cid", "i").agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        cvec = cent.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        crossed = emb.crossJoin(
+            F.broadcast(cvec.select(F.col("cid").alias("_cc"), "centroid"))
+        )
+        d2 = (
+            dot(F.col(vec_col), F.col(vec_col))
+            - F.lit(2.0) * dot(F.col(vec_col), F.col("centroid"))
+        ) + dot(F.col("centroid"), F.col("centroid"))
+        assigned = (
+            crossed.select(
+                id_col,
+                F.col("_cc").alias("cid"),
+                F.col(vec_col),
+                d2.alias("d2"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(F.col("d2"), F.col("cid"), F.col(vec_col).alias("_v"))
+                ).alias("_m")
+            )
+            .select(
+                id_col,
+                F.col("_m.cid").alias("cid"),
+                F.col("_m._v").alias(vec_col),
+                F.col("_m.d2").alias("d2"),
+            )
+        )
+    return assigned.select(id_col, "cid", "d2")

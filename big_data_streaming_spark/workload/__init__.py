@@ -136,6 +136,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q21",
     "q_tpch_q22",
     "q_line_dedup",
+    "q_kmeans",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -222,3 +222,56 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_c", 6).alias("cos_to_centroid_r"),
         (F.row_number().over(w) > 1).alias("is_dup"),
     )
+
+
+# --- north star: deterministic k-means (fixed-iteration Lloyd's) ----------
+# True iterative clustering (build_centroids only averages pre-assigned
+# labels). Two Lloyd iterations from an id%k init, unrolled into one
+# static plan; the oracle unrolls the SAME two iterations as chained
+# CTEs — a fully value-checked iterative algorithm, which is only
+# possible because every step (decimal centroid means, fixed-order
+# double distances, id tie-breaks) is engine-exact by construction.
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_oracle(iters: int = _KM_ITERS, k: int = _KM_K) -> str:
+    sql = (
+        f"WITH a0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+        f" CAST(vec_id % {k} AS INTEGER) AS cid, CAST(0.0 AS DOUBLE) AS d2"
+        f" FROM embeddings)"
+    )
+    for it in range(iters):
+        p, n = f"a{it}", it + 1
+        sql += f""",
+    d{n} AS (SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS x
+             FROM {p}),
+    c{n} AS (SELECT cid, i,
+                    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+             FROM d{n} GROUP BY cid, i),
+    v{n} AS (SELECT cid, list(c ORDER BY i) AS cent FROM c{n} GROUP BY cid),
+    s{n} AS (SELECT a.vec_id, a.v, t.cid,
+                    (list_dot_product(a.v, a.v)
+                     - 2.0 * list_dot_product(a.v, t.cent))
+                      + list_dot_product(t.cent, t.cent) AS d2
+             FROM a0 a CROSS JOIN v{n} t),
+    a{n} AS (SELECT vec_id, v, cid, d2 FROM s{n}
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cid) = 1)"""
+    sql += f"""
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, round(d2, 6) AS d2_r
+    FROM a{iters}"""
+    return sql
+
+
+@_q("q_kmeans", _km_oracle())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.similarity import kmeans_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    res = kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS)
+    return res.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.round("d2", 6).alias("d2_r"),
+    )

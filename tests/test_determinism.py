@@ -95,3 +95,18 @@ def test_stratified_sample_audit_within_bounds(spark, sf_small):
     rows = QUERIES["q_sample_stratified"](spark, sf_small).collect()
     assert len(rows) == 5
     assert all(r["within_tol"] for r in rows)
+
+
+def test_kmeans_invariant_across_partitionings(spark, sf_small):
+    """Lloyd's k-means (functions/similarity.py:kmeans_assign) must give
+    identical assignments AND distances at any partitioning — this is
+    what the decimal centroid means + fixed-order distance folds buy.
+    Sampled-init or double-mean k-means would fail this."""
+    from big_data_streaming_spark.functions.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_small, "embeddings")
+    results = set()
+    for parts in (1, 5, 16):
+        r = kmeans_assign(emb.repartition(parts), k=4, iters=2).collect()
+        results.add(tuple(sorted((x["vec_id"], x["cid"], x["d2"]) for x in r)))
+    assert len(results) == 1, "k-means changed under repartitioning"
