@@ -48,6 +48,32 @@ HEADLINE = (
     "q_token_runs",
     "q_multimodal_decode",
     "q_training_prep_v2",
+    # full TPC-H sweep (workload/tpch.py + relational.py) — per-query
+    # perf visibility over the complete relational suite
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # corpus cleaning + clustering additions
+    "q_line_dedup",
+    "q_kmeans",
 )
 
 

@@ -273,13 +273,22 @@ def kmeans_assign(
                 F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
             ).alias("centroid")
         )
-        crossed = emb.crossJoin(
-            F.broadcast(cvec.select(F.col("cid").alias("_cc"), "centroid"))
+        # x·x and c·c are constant per vector / per centroid — computed
+        # once before the k-way cross, not once per candidate pair. The
+        # values are bit-identical to inline evaluation, so the oracle
+        # (which writes the dot products inline) still matches exactly.
+        crossed = emb.withColumn("_xx", dot(F.col(vec_col), F.col(vec_col))).crossJoin(
+            F.broadcast(
+                cvec.select(
+                    F.col("cid").alias("_cc"),
+                    "centroid",
+                    dot(F.col("centroid"), F.col("centroid")).alias("_cc2"),
+                )
+            )
         )
         d2 = (
-            dot(F.col(vec_col), F.col(vec_col))
-            - F.lit(2.0) * dot(F.col(vec_col), F.col("centroid"))
-        ) + dot(F.col("centroid"), F.col("centroid"))
+            F.col("_xx") - F.lit(2.0) * dot(F.col(vec_col), F.col("centroid"))
+        ) + F.col("_cc2")
         assigned = (
             crossed.select(
                 id_col,
