@@ -137,6 +137,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q22",
     "q_line_dedup",
     "q_kmeans",
+    "q_join_full",
+    "q_join_cross",
+    "q_join_nullsafe",
+    "q_scd2_build",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

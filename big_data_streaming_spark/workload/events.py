@@ -907,3 +907,36 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.join(counts, "event_type").select(
         "event_type", "total_value", "n_rows"
     )
+
+
+# --- warehouse op: SCD Type-2 dimension build (validity intervals) --------
+# Slowly-changing-dimension versioning: each per-user event's value is
+# current until the next event — valid_from/valid_to half-open intervals
+# with an is_current flag on the open row. One window shuffle on the
+# entity key; at 100 TB this is the standard CDC-stream → dimension-table
+# materialization (pairs with streaming/incremental.py for the ingest
+# side).
+@_q(
+    "q_scd2_build",
+    """
+    SELECT event_id, user_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL) AS is_current
+    FROM events
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -1221,3 +1221,79 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dec_sum("l_extendedprice", "sum_price"),
     )
+
+
+# --- B8 completion: FULL OUTER join ---------------------------------------
+# The join matrix needs the symmetric case: unmatched rows surviving from
+# BOTH sides. The ON-clause status filter guarantees both kinds of
+# unmatched rows exist. At scale: full outer cannot broadcast either side
+# (outer rows must survive), so this is the one join shape that is always
+# a shuffle sort-merge — worth pinning for exactly that reason.
+@_q(
+    "q_join_full",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_orderstatus
+    FROM customer c
+    FULL OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F")
+    return cust.join(orders, cond, "full_outer").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_orderstatus"
+    )
+
+
+# --- B7 completion: explicit cross join (bounded dims only) ---------------
+# Engine rule §4.3: cartesian products are allowed ONLY between bounded
+# dimension tables (|region| × |nation| = 125 rows at any SF). The query
+# exists to pin that the engine *can* express one deliberately — and that
+# nothing else in the registry does.
+@_q(
+    "q_join_cross",
+    """
+    SELECT r.r_name, n.n_name,
+           (n.n_regionkey = r.r_regionkey) AS in_region
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    return region.crossJoin(F.broadcast(nation)).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("in_region"),
+    )
+
+
+# --- B7 completion: null-safe equality join (<=> / IS NOT DISTINCT FROM) --
+# NULL join keys silently drop rows under plain equality; pipelines that
+# key on optional attributes need the null-safe form where NULL matches
+# NULL. Derived nullable keys via NULLIF exercise both the NULL and
+# non-NULL match paths.
+@_q(
+    "q_join_nullsafe",
+    """
+    WITH a AS (SELECT NULLIF(c_nationkey % 5, 0) AS k, c_custkey FROM customer),
+         b AS (SELECT NULLIF(s_nationkey % 5, 0) AS k, s_suppkey FROM supplier)
+    SELECT a.k, COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k"), "c_custkey"
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("sk"), "s_suppkey"
+    )
+    return (
+        cust.join(supp, cust.k.eqNullSafe(supp.sk))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
