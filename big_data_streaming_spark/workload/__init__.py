@@ -141,6 +141,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_join_cross",
     "q_join_nullsafe",
     "q_scd2_build",
+    "q_funnel",
+    "q_triangles",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -940,3 +940,80 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# --- product analytics: ordered funnel (view → click → purchase) ----------
+# Sequence matching without a MATCH_RECOGNIZE engine: each stage is the
+# MIN (ts, event_id) struct strictly after the previous stage's anchor —
+# three per-user aggregations with map-side combine, no window over the
+# raw event stream and no per-user state object. At 100 TB each stage is
+# one shuffle on user_id and the stage frames are tiny (one row per
+# user), so the three-way left join at the end broadcasts.
+@_q(
+    "q_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, ts AS v_ts, event_id AS v_id FROM events
+        WHERE event_type = 'view'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) = 1
+    ), c AS (
+        SELECT e.user_id, e.ts AS c_ts, e.event_id AS c_id
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click'
+          AND (e.ts > v.v_ts OR (e.ts = v.v_ts AND e.event_id > v.v_id))
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                   ORDER BY e.ts, e.event_id) = 1
+    ), p AS (
+        SELECT e.user_id, e.ts AS p_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND (e.ts > c.c_ts OR (e.ts = c.c_ts AND e.event_id > c.c_id))
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                   ORDER BY e.ts, e.event_id) = 1
+    )
+    SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+           CASE WHEN p.p_ts IS NOT NULL THEN 3
+                WHEN c.c_ts IS NOT NULL THEN 2
+                ELSE 1 END AS funnel_stage
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+
+    def first_after(df, prev, prev_ts, prev_id, etype, out_ts, out_id):
+        cand = df.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cand = cand.join(prev.select("user_id", prev_ts, prev_id), "user_id")
+            cand = cand.filter(
+                (F.col("ts") > F.col(prev_ts))
+                | ((F.col("ts") == F.col(prev_ts)) & (F.col("event_id") > F.col(prev_id)))
+            )
+        return (
+            cand.groupBy("user_id")
+            .agg(F.min(F.struct("ts", "event_id")).alias("_m"))
+            .select(
+                "user_id",
+                F.col("_m.ts").alias(out_ts),
+                F.col("_m.event_id").alias(out_id),
+            )
+        )
+
+    v = first_after(ev, None, None, None, "view", "v_ts", "v_id")
+    c = first_after(ev, v, "v_ts", "v_id", "click", "c_ts", "c_id")
+    p = first_after(ev, c, "c_ts", "c_id", "purchase", "p_ts", "p_id")
+    return (
+        v.join(c.select("user_id", "c_ts"), "user_id", "left_outer")
+        .join(p.select("user_id", "p_ts"), "user_id", "left_outer")
+        .select(
+            "user_id",
+            "v_ts",
+            "c_ts",
+            "p_ts",
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_stage"),
+        )
+    )

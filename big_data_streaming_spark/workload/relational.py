@@ -1297,3 +1297,82 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- graph analytics: triangle count (co-supplier graph) ------------------
+# Nodes = suppliers, edges = pairs sharing >=1 order. The Spark side uses
+# the standard degree orientation (edges point low-degree -> high-degree,
+# id tie-break) so wedge fan-out is bounded by the SMALLER endpoint's
+# degree — the optimization that makes triangle counting survive skewed
+# hub nodes at 100 TB. The oracle orients by id (a<b<c); both count each
+# triangle exactly once, so the values match while the physical plans
+# differ — which is the point.
+@_q(
+    "q_triangles",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+          FROM os a JOIN os b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT COUNT(DISTINCT l_suppkey) FROM os) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           tri.n_triangles
+    FROM tri
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e_deg = (
+        e.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))),
+            "u",
+        ).join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))),
+            "v",
+        )
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("ou"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("ov"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    wedges = o1.join(o2, F.col("o1.ov") == F.col("o2.ou")).select(
+        F.col("o1.ou").alias("x"), F.col("o1.ov").alias("y"), F.col("o2.ov").alias("z")
+    )
+    tri = (
+        wedges.join(
+            o3, (F.col("x") == F.col("o3.ou")) & (F.col("z") == F.col("o3.ov"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_nodes = os_.agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_nodes")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)
