@@ -143,6 +143,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_scd2_build",
     "q_funnel",
     "q_triangles",
+    "q_window_distribution",
+    "q_dq_audit",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

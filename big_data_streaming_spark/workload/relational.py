@@ -1376,3 +1376,101 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+# --- B11/B12 completion: distribution window functions --------------------
+# percent_rank and cume_dist are exact integer ratios ((rank-1)/(n-1),
+# rows<=current/n) so the doubles are bit-identical across engines;
+# nth_value gets an explicit full-partition frame because the two
+# engines' DEFAULT frames differ (RANGE vs ROWS) — pinning the frame is
+# the portability lesson this query encodes.
+@_q(
+    "q_window_distribution",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           percent_rank() OVER w AS price_pct_rank,
+           cume_dist() OVER w AS price_cume_dist,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
+
+
+# --- engine ops: data-quality audit (Deequ-style constraint suite) --------
+# One query = the whole constraint report: referential integrity (anti
+# joins), key uniqueness, null-rate gates. Each check is a tiny pruned
+# aggregate; the union is a constant number of rows regardless of data
+# size, so the audit is safe to run after every batch load at 100 TB
+# (each FK check is one broadcast/shuffle anti-join over pruned columns).
+@_q(
+    "q_dq_audit",
+    """
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+             AS violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'customer_custkey_unique',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             (SELECT c_custkey FROM customer
+              GROUP BY c_custkey HAVING COUNT(*) > 1) d)
+    UNION ALL
+    SELECT 'events_value_null',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE value IS NULL)
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    fk_orders = orders.select("o_custkey").join(
+        cust.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    fk_lineitem = li.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    dup_cust = (
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    null_val = ev.filter(F.col("value").isNull())
+    return (
+        check("orders_custkey_fk", fk_orders)
+        .unionByName(check("lineitem_orderkey_fk", fk_lineitem))
+        .unionByName(check("customer_custkey_unique", dup_cust))
+        .unionByName(check("events_value_null", null_val))
+    )
