@@ -145,6 +145,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_triangles",
     "q_window_distribution",
     "q_dq_audit",
+    "q_rolling_median",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1017,3 +1017,42 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_stage"),
         )
     )
+
+
+# --- time-series: rolling EXACT median over a row frame -------------------
+# Spark has no exact quantile window aggregate (percentile_approx only),
+# so the rolling median is collect_list -> array_sort -> interpolate
+# inside codegen — fine for bounded frames (5 rows here; a 10k-row frame
+# would want a sketch instead). The even-count interpolation mirrors
+# DuckDB's WINDOWED quantile_cont arithmetic literally — (lower+upper)
+# summed first, then halved. The algebraically-equal
+# lower + (upper-lower)*0.5 differs in the last ulp (verified on the
+# fixture: frame [0.6, 25.71] → 13.155000000000001 vs 13.155), so the
+# formula choice is load-bearing for exactness.
+@_q(
+    "q_rolling_median",
+    """
+    SELECT event_id, user_id, ts, value,
+           quantile_cont(value, 0.5) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_median
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    h = ((n - F.lit(1)) / F.lit(2)).cast("int")
+    lower = F.element_at(arr, h + 1)
+    upper = F.element_at(arr, h + 2)
+    med = F.when(n % 2 == 1, lower).otherwise((lower + upper) * F.lit(0.5))
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", med.alias("rolling_median")
+    )
