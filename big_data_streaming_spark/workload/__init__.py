@@ -146,6 +146,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_window_distribution",
     "q_dq_audit",
     "q_rolling_median",
+    "q_retention",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

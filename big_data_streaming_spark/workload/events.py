@@ -1056,3 +1056,51 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value", med.alias("rolling_median")
     )
+
+
+# --- product analytics: cohort retention matrix ---------------------------
+# Cohort = first-activity day per user; retention = distinct users from
+# that cohort active again N days later. Two aggregation shuffles plus
+# one join back on the user key — the user-day activity set is
+# distinct-ed BEFORE counting so a chatty user counts once per day. At
+# 100 TB the firsts frame is |users| rows — shuffle join on user_id,
+# AQE-skewed if one synthetic user dominates.
+@_q(
+    "q_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day,
+                         CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                 AS day_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
