@@ -147,6 +147,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_dq_audit",
     "q_rolling_median",
     "q_retention",
+    "q_snapshot_diff",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1481,3 +1481,68 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("customer_custkey_unique", dup_cust))
         .unionByName(check("events_value_null", null_val))
     )
+
+
+# --- warehouse op: snapshot diff (change-data-feed between versions) ------
+# Classify every key as inserted / deleted / updated / unchanged between
+# two table versions — the diff a lakehouse CDF emits, computed from
+# plain snapshots. The "old" snapshot is derived deterministically
+# (orders minus every 10th key, prices scaled on every 7th) so the query
+# is self-contained on the fixtures. Full outer join on the key, one
+# shuffle each side; at 100 TB both snapshots share bucketing on the key
+# and the join is zero-exchange (plans/layout.py).
+@_q(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.9
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN n.o_totalprice <> o.o_totalprice
+                     OR n.o_orderstatus <> o.o_orderstatus THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           o.o_totalprice AS old_price,
+           n.o_totalprice AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("old_key"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * F.lit(0.9)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("old_price"),
+    )
+    new = orders.select(
+        F.col("o_orderkey").alias("new_key"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    joined = old.join(new, old.old_key == new.new_key, "full_outer")
+    change = (
+        F.when(F.col("old_key").isNull(), "insert")
+        .when(F.col("new_key").isNull(), "delete")
+        .when(
+            (F.col("new_price") != F.col("old_price"))
+            | (F.col("new_status") != F.col("old_status")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce(F.col("new_key"), F.col("old_key")).alias("o_orderkey"),
+        change.alias("change_type"),
+        "old_price",
+        "new_price",
+    )
