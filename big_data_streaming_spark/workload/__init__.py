@@ -148,6 +148,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_rolling_median",
     "q_retention",
     "q_snapshot_diff",
+    "q_try_arith",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1546,3 +1546,39 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_price",
         "new_price",
     )
+
+
+# --- A24 extension: ANSI-safe arithmetic (try_divide / try_multiply /
+# try_add). This env runs ANSI mode, where raw overflow/zero-division
+# THROWS (the round-1 minhash remix bug) — the try_* family is the
+# declared NULL-on-error escape hatch. The oracle mirrors the semantics
+# exactly: NULLIF for zero division, HUGEINT range guards for overflow
+# (DuckDB has no try_* — the CASE reproduces the definition).
+@_q(
+    "q_try_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(CAST(l_linenumber - 1 AS DOUBLE), 0.0)
+             AS safe_ratio,
+           CASE WHEN CAST(l_orderkey AS HUGEINT) * 4611686018427387904
+                     BETWEEN -9223372036854775808 AND 9223372036854775807
+                THEN l_orderkey * 4611686018427387904 END AS big_product,
+           CASE WHEN CAST(l_orderkey AS HUGEINT) + 9223372036854775802
+                     <= 9223372036854775807
+                THEN l_orderkey + 9223372036854775802 END AS big_sum
+    FROM lineitem
+    """,
+)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), (F.col("l_linenumber") - 1).cast("double")
+        ).alias("safe_ratio"),
+        F.try_multiply(F.col("l_orderkey"), F.lit(4611686018427387904)).alias(
+            "big_product"
+        ),
+        F.try_add(F.col("l_orderkey"), F.lit(9223372036854775802)).alias("big_sum"),
+    )
