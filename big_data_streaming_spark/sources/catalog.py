@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from big_data_streaming_spark.schemas import TESTDATA_TABLES
 
@@ -50,19 +51,39 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
 
 
+def normalize_raw_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Bring raw parquet timestamp columns to Spark's TimestampType so the
+    whole engine sees one timestamp flavor regardless of how the files
+    were written:
+
+    * TIMESTAMP(NANOS) columns (epoch-nanos longs under ``nanosAsLong``)
+      are floor-divided to µs — the same truncation DuckDB applies
+      reading TIMESTAMP_NS;
+    * timezone-naive TIMESTAMP(MICROS/MILLIS) columns (surfaced as
+      TIMESTAMP_NTZ by Spark 4's ``inferTimestampNTZ``) are cast to
+      TIMESTAMP — the session timezone is pinned UTC, so the naive wall
+      clock becomes the same UTC instant DuckDB's naive read produces,
+      and functions that require TimestampType (``unix_millis``,
+      ``to_utc_timestamp``, …) resolve.
+    """
+    for c in _nanos_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (parquet file or partitioned directory).
 
-    NANOS-timestamp columns are floor-divided to µs and cast back to
-    TimestampType — the same truncation DuckDB applies reading
-    TIMESTAMP_NS, so engine and oracle see identical values.
+    Timestamp columns are normalized to TimestampType (see
+    ``normalize_raw_timestamps``) so engine and oracle see identical
+    values whether the files carry NANOS or naive-µs timestamps.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     _ensure_session_confs(spark)
-    df = spark.read.parquet(path)
-    for c in _nanos_columns(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return normalize_raw_timestamps(spark.read.parquet(path), path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

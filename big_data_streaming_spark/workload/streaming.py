@@ -69,7 +69,7 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
 def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_streaming_spark.sources.catalog import (
         _ensure_session_confs,
-        _nanos_columns,
+        normalize_raw_timestamps,
     )
 
     # The driver hands us its own plain session; without nanosAsLong the
@@ -90,8 +90,7 @@ def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    for c in _nanos_columns(src_dir):
-        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    sdf = normalize_raw_timestamps(sdf, src_dir)
     agg = (
         sdf.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -129,7 +128,7 @@ def _drain_events_stream(spark: SparkSession, sf_dir: str, build_agg, name_prefi
     memory sink, return the sink table."""
     from big_data_streaming_spark.sources.catalog import (
         _ensure_session_confs,
-        _nanos_columns,
+        normalize_raw_timestamps,
     )
 
     _ensure_session_confs(spark)  # driver sessions lack nanosAsLong/UTC
@@ -137,8 +136,7 @@ def _drain_events_stream(spark: SparkSession, sf_dir: str, build_agg, name_prefi
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     raw_schema = spark.read.parquet(src_dir).schema
     sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
-    for c in _nanos_columns(src_dir):
-        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    sdf = normalize_raw_timestamps(sdf, src_dir)
     agg = build_agg(sdf)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -277,7 +275,7 @@ def q_route_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_streaming_spark.sources.catalog import (
         _ensure_session_confs,
-        _nanos_columns,
+        normalize_raw_timestamps,
     )
 
     _ensure_session_confs(spark)
@@ -287,8 +285,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stream_side(alias: str) -> DataFrame:
         sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
-        for c in _nanos_columns(src_dir):
-            sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        sdf = normalize_raw_timestamps(sdf, src_dir)
         return sdf.select(
             F.col("event_id").alias(f"{alias}_event_id"),
             F.col("user_id").alias(f"{alias}_user_id"),
@@ -347,7 +344,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_streaming_spark.sources.catalog import (
         _ensure_session_confs,
-        _nanos_columns,
+        normalize_raw_timestamps,
     )
 
     _ensure_session_confs(spark)
@@ -357,8 +354,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def one_pass() -> DataFrame:
         sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
-        for c in _nanos_columns(src_dir):
-            sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        sdf = normalize_raw_timestamps(sdf, src_dir)
         return sdf
 
     doubled = one_pass().unionAll(one_pass())
@@ -402,7 +398,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_streaming_spark.sources.catalog import (
         _ensure_session_confs,
-        _nanos_columns,
+        normalize_raw_timestamps,
     )
 
     _ensure_session_confs(spark)
@@ -410,8 +406,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_static_{uuid.uuid4().hex[:8]}"
     raw_schema = spark.read.parquet(src_dir).schema
     sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
-    for c in _nanos_columns(src_dir):
-        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    sdf = normalize_raw_timestamps(sdf, src_dir)
     dim = F.broadcast(
         t(spark, sf_dir, "customer").select(
             "c_custkey", "c_name", "c_mktsegment"

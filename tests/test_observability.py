@@ -46,10 +46,7 @@ def test_observe_streaming_metrics(spark, sf_small, tmp_path):
     for f in glob.glob(os.path.join(sf_small, "events.parquet")):
         shutil.copy(f, src / "part-0.parquet")
 
-    from big_data_streaming_spark.sources.catalog import (
-        _ensure_session_confs,
-        _nanos_columns,
-    )
+    from big_data_streaming_spark.sources.catalog import _ensure_session_confs
 
     _ensure_session_confs(spark)
     raw_schema = spark.read.parquet(str(src)).schema

@@ -14,14 +14,12 @@ from big_data_streaming_spark.workload.streaming import _stage_stream_dir
 
 
 def _stream_events(spark, sf_dir):
-    from big_data_streaming_spark.sources.catalog import _nanos_columns
+    from big_data_streaming_spark.sources.catalog import normalize_raw_timestamps
 
     src = _stage_stream_dir(sf_dir, "events")
     raw_schema = spark.read.parquet(src).schema
     sdf = spark.readStream.schema(raw_schema).parquet(src)
-    for c in _nanos_columns(src):
-        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return sdf
+    return normalize_raw_timestamps(sdf, src)
 
 
 def _drain(df, name, mode):
