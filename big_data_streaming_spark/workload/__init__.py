@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from big_data_streaming_spark.workload import (
+    advanced as _advanced,
     events as _events,
     pipeline as _pipeline,
     relational as _relational,
@@ -28,7 +29,16 @@ from big_data_streaming_spark.workload import (
     tpch as _tpch,
 )
 
-_MODULES = (_events, _relational, _text, _similarity, _streaming, _pipeline, _tpch)
+_MODULES = (
+    _events,
+    _relational,
+    _text,
+    _similarity,
+    _streaming,
+    _pipeline,
+    _tpch,
+    _advanced,
+)
 
 # Registry order is part of the driver contract: the driver's correctness
 # gate checks the FIRST 50 entries of ``queries()`` and stops. Round 1

@@ -1,0 +1,343 @@
+"""Advanced SQL-surface and algorithmic operators (late round 2):
+
+* LATERAL correlated join (per-group top-n without a window shuffle of
+  the whole fact table — the outer row drives a correlated sub-scan);
+* recursive CTE (Spark 4 ``WITH RECURSIVE``) building a month spine and
+  gap-filling empty months — the iterative-SQL surface;
+* deterministic weighted (probability-proportional-to-size) Bernoulli
+  sampling via an arithmetic hash — the mixture-weighting shape of a
+  training-data pipeline, exact-oracle-able because inclusion is a pure
+  per-row comparison (no RNG state, no transcendentals);
+* Apache DataSketches HLL (``hll_sketch_agg`` / ``hll_union_agg``):
+  per-group sketches merged into a global sketch — the mergeable-sketch
+  pattern that makes distributed COUNT DISTINCT one-pass at 100 TB.
+  Estimates are engine-specific, so the value-checked output is the
+  exact count plus a within-tolerance boolean (round-1 VERDICT "wrong"
+  #3 pattern);
+* fixed-iteration PageRank over the nation-to-nation trade graph —
+  join-based message passing with decimal-routed rank sums, the
+  iterative-algorithm complement to k-means (reference has no graph
+  surface; SURVEY.md §2 Table C north-star).
+
+Scale notes (SCALE.md has the long form):
+* The lateral top-n at 100 TB hash-joins orders once on o_custkey —
+  Spark plans the correlated lateral as a join + per-key WindowGroupLimit,
+  not an O(customers) re-scan loop.
+* The recursive spine is O(months) rows on the driver-side recursion —
+  bounded data (a century is 1 200 rows) driving a broadcast join against
+  the monthly aggregate; the heavy side aggregates ONCE.
+* PPS sampling is a zero-shuffle map; the only aggregate is the caller's.
+* HLL sketches shrink each group to KBs before the merge shuffle —
+  the exact-distinct pass in the same query is the expensive one (full
+  (type, user) distinct), kept only because the gate demands exactness.
+* PageRank's per-iteration work is one join (ranks × edges) + one
+  aggregate, all on the edge relation's partitioning; 3 unrolled
+  iterations = 3 such stages. Edge derivation is the 100 TB part and
+  aggregates the fact tables down to O(nations²) before iterating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.workload.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- B7 extension: LATERAL correlated join -------------------------------
+# Top-2 orders per BUILDING-segment customer. The reference surface has no
+# correlated-subquery form at all; Spark 4 and DuckDB both speak ANSI
+# LATERAL, so the SQL is near-identical on the two sides. Deterministic
+# tie-break on o_orderkey keeps the LIMIT exact.
+@_q(
+    "q_lateral_topn",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+# --- B13 extension: recursive CTE month spine + gap fill ------------------
+# WITH RECURSIVE generates every month between the first and last order
+# date (the max is carried as a column so the recursive member needs no
+# subquery), then LEFT JOINs the monthly order aggregate — months with no
+# orders surface as zero rows instead of disappearing. The recursion is
+# O(months); the fact table aggregates once.
+_RECURSIVE_SPINE_SPARK = """
+    WITH RECURSIVE spine(m, mx) AS (
+        SELECT date_trunc('month', MIN(o_orderdate)),
+               date_trunc('month', MAX(o_orderdate))
+        FROM orders
+        UNION ALL
+        SELECT m + INTERVAL '1' MONTH, mx FROM spine WHERE m < mx
+    ),
+    monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT spine.m AS month_start,
+           COALESCE(monthly.n_orders, 0) AS n_orders,
+           COALESCE(monthly.total_price, 0.0) AS total_price
+    FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+"""
+
+
+@_q(
+    "q_recursive_cte",
+    _RECURSIVE_SPINE_SPARK.replace("INTERVAL '1' MONTH", "INTERVAL 1 MONTH"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SPARK)
+
+
+# --- north star: deterministic weighted (PPS) sampling --------------------
+# Inclusion probability proportional to o_totalprice, decided by comparing
+# a Knuth-multiplicative arithmetic hash of the key (exact integer ops,
+# identical in both engines) against the scaled weight. Pure map, zero
+# shuffles, no RNG state — the deterministic replacement for
+# rand()-based Bernoulli sampling that a reproducible 100 TB mixture
+# pipeline needs (same rows selected on every run and every engine).
+_PPS_PRED = (
+    "CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0"
+    " < LEAST(o_totalprice / 600000.0, 1.0)"
+)
+
+
+@_q(
+    "q_sample_weighted",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {_PPS_PRED}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.expr(_PPS_PRED))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- B14 extension: DataSketches HLL with mergeable partial sketches ------
+# Per-event-type HLL sketches estimate distinct users; hll_union_agg
+# merges the per-type sketches into the global sketch WITHOUT rescanning
+# (the mergeability that makes sketches the 100 TB distinct-count tool:
+# partial sketches per partition/day, union at read time). Estimates are
+# engine-specific bits, so the gate-checked output is the exact count and
+# an estimate-within-5% boolean; the oracle computes the exact count and
+# asserts TRUE.
+@_q(
+    "q_sketch_hll",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tolerance
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tolerance
+    FROM events
+    """,
+)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(sketch)")
+                - F.col("exact_users").cast("double")
+            )
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("within_tolerance"),
+    )
+    # Global row from the UNION of per-type sketches — no second scan of
+    # events for the sketch side; the exact global count is a second
+    # aggregate kept only for the gate's exactness requirement.
+    merged = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est")
+    )
+    exact_all = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    global_row = exact_all.crossJoin(merged).select(
+        F.lit("ALL").alias("event_type"),
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users").cast("double"))
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("within_tolerance"),
+    )
+    return typed.unionByName(global_row)
+
+
+# --- north star: fixed-iteration PageRank over the trade graph ------------
+# Nodes: nations. Edges: supplier-nation → customer-nation, weighted by
+# line-item count (who ships to whom). The edge derivation is the 100 TB
+# part — lineitem joins orders/customer/supplier with the tiny dimension
+# sides broadcast, then aggregates to O(nations²) rows; the 3 unrolled
+# rank iterations are joins on that tiny relation. Rank sums are routed
+# through DECIMAL(38,12) so the incoming-mass addition is
+# order-insensitive and bit-identical to the oracle's (common.py policy;
+# 12 fractional digits keeps the cast off the double's rounding edge).
+_PR_DAMP = 0.85
+_PR_ITers = 3
+
+_PR_ORACLE = """
+    WITH edges AS (
+        SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2
+    ),
+    outdeg AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+    norm AS (
+        SELECT e.src, e.dst,
+               CAST(e.w AS DOUBLE) / CAST(o.wout AS DOUBLE) AS p
+        FROM edges e JOIN outdeg o ON e.src = o.src
+    ),
+    nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {iters}
+    SELECT nodes.node AS nationkey, nodes.n_name AS nation, rN.r AS rank
+    FROM nodes JOIN rN ON nodes.node = rN.node
+"""
+
+# Literals are CAST AS DOUBLE: DuckDB parses bare 0.85 as DECIMAL and
+# (1.0 - 0.85) would be exactly 0.15, while the Spark side computes the
+# same expression in doubles (1.0 - 0.85 = 0.15000000000000002…) — a
+# one-ulp leak that compounds over iterations (found the hard way).
+_PR_ITER_SQL = """
+    r{i} AS (
+        SELECT nodes.node,
+               (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) / nn.n
+                 + CAST({d} AS DOUBLE) * COALESCE(m.mass, 0.0) AS r
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (
+            SELECT norm.dst AS node,
+                   CAST(SUM(CAST(r{prev}.r * norm.p AS DECIMAL(38,12)))
+                        AS DOUBLE) AS mass
+            FROM norm JOIN r{prev} ON norm.src = r{prev}.node
+            GROUP BY norm.dst
+        ) m ON nodes.node = m.node
+    )
+"""
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        _PR_ITER_SQL.format(i=i + 1, prev=i, d=_PR_DAMP)
+        for i in range(_PR_ITers)
+    ]
+    sql = _PR_ORACLE.format(iters=",\n".join(parts))
+    return sql.replace("rN", f"r{_PR_ITers}")
+
+
+@_q("q_pagerank", _pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    # Edge derivation: fact-side join with broadcast dimensions, then the
+    # only wide shuffle — the (src, dst) aggregate down to ≤ nations².
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    norm = edges.join(outdeg, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("wout").cast("double")).alias("p")
+    )
+    # The iterated relation is O(nations) rows: localCheckpoint-free loop,
+    # each round one broadcast join + one tiny aggregate.
+    norm = norm.persist()
+    nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    n_nodes = float(nodes.count())  # bounded scalar (collect rule §4.3.8)
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(_PR_ITers):
+        mass = (
+            norm.join(F.broadcast(ranks), norm.src == ranks.node)
+            .select("dst", (F.col("r") * F.col("p")).alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("contrib").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("mass")
+            )
+        )
+        ranks = (
+            nodes.join(mass, nodes.node == mass.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - _PR_DAMP) / n_nodes)
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return nodes.join(ranks, "node").select(
+        F.col("node").alias("nationkey"), F.col("n_name").alias("nation"), F.col("r").alias("rank")
+    )

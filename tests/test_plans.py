@@ -323,3 +323,39 @@ def test_triangles_shares_edge_relation(spark, sf_small):
     plan = formatted_plan(df)
     assert "InMemoryRelation" in plan
     assert shuffle_count(df) <= 15, plan
+
+
+def test_lateral_topn_plans_as_join_not_rescan(spark, sf_small):
+    """The LATERAL correlated top-2 must decorrelate into one join over a
+    per-key ranked orders relation — not an O(customers) re-scan loop —
+    and must never fall back to a cartesian product."""
+    df = QUERIES["q_lateral_topn"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_sample_weighted_is_pure_map(spark, sf_small):
+    """Deterministic PPS sampling is a zero-shuffle map with the scan
+    pruned to the three output columns (the hash predicate only needs
+    o_orderkey/o_totalprice)."""
+    df = QUERIES["q_sample_weighted"](spark, sf_small)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+    schemas = read_schema_columns(df)
+    assert schemas and set(schemas[0]) <= {
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+    }, schemas
+
+
+def test_pagerank_broadcasts_dims_and_ranks(spark, sf_small):
+    """Edge derivation broadcasts customer/supplier; each rank iteration
+    broadcasts the O(nations) rank vector against the persisted edge
+    relation. No cartesian anywhere; the only wide exchanges are the
+    edge aggregate and the per-iteration mass aggregates."""
+    df = QUERIES["q_pagerank"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
