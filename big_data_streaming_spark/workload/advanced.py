@@ -341,3 +341,64 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.join(ranks, "node").select(
         F.col("node").alias("nationkey"), F.col("n_name").alias("nation"), F.col("r").alias("rank")
     )
+
+
+# --- A3 extension: VARIANT semi-structured access (Spark 4) ---------------
+# parse_json → VARIANT → typed path extraction WITHOUT a declared schema —
+# the schema-on-read complement to q_json_parse's declared-schema parse.
+# VARIANT stores a binary-encoded tree (not re-parsed per access), so at
+# 100 TB repeated path extraction beats get_json_object string re-parsing;
+# the shredded columnar layout keeps pruning available. try_variant_get
+# covers the missing-path case with NULL instead of an error.
+@_q(
+    "q_variant_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) >= 90
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        )
+        .where(F.col("k") >= 90)
+    )
+
+
+# --- B12 extension: time-RANGE window frame -------------------------------
+# Rolling 1-hour sum per user via RANGE BETWEEN INTERVAL — the time-based
+# frame (all rows within the interval, however many), vs the ROWS frames
+# q_lag_ma/q_running_total pin. The frame's row SET is deterministic
+# (RANGE includes all ts ties), and the sum is decimal-routed, so the
+# result is exact regardless of intra-frame order. One shuffle on
+# user_id; at 100 TB this partitioning is shared with every other
+# per-user stage.
+@_q(
+    "q_window_range_interval",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h
+    FROM events
+    """,
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_1h
+        FROM events
+        """
+    )
