@@ -402,3 +402,64 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         """
     )
+
+
+# --- B14 complement: EXACT distinct via mergeable bitmaps -----------------
+# The third distinct-count tier: COUNT(DISTINCT) reshuffles keys, HLL
+# (q_sketch_hll) is approximate — roaring-style bitmaps are EXACT and
+# mergeable: per (group, bucket) bitmaps OR-combine map-side, and the
+# final count is a popcount sum. At 100 TB this is the OLAP-engine
+# pattern for exact distinct rollups (partial bitmaps per partition/day,
+# merged at query time), and unlike HLL the result is gate-exact with a
+# plain COUNT(DISTINCT) oracle.
+@_q(
+    "q_bitmap_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, SUM(cnt) AS n_users
+        FROM (
+            SELECT event_type,
+                   bitmap_bucket_number(user_id) AS bucket,
+                   bitmap_count(
+                       bitmap_construct_agg(bitmap_bit_position(user_id))
+                   ) AS cnt
+            FROM events
+            GROUP BY event_type, bitmap_bucket_number(user_id)
+        )
+        GROUP BY event_type
+        """
+    )
+
+
+# --- north star adjunct: column-level encryption round-trip ---------------
+# PII-bearing columns travel encrypted between pipeline stages
+# (aes_encrypt/aes_decrypt, deterministic ECB so the check is
+# reproducible; production would use GCM + per-row IVs and give up
+# determinism). Ciphertext bytes are engine-specific, so the gate output
+# is the decrypted round-trip plus an equality boolean — the oracle
+# returns the original text and TRUE.
+@_q(
+    "q_aes_roundtrip",
+    """
+    SELECT doc_id, text AS roundtrip, TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = "0123456789abcdef"  # 16-byte demo key; real use = KMS-managed
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(text, '{key}', 'ECB'), '{key}', 'ECB') AS STRING)"
+        ).alias("roundtrip"),
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(text, '{key}', 'ECB'), '{key}', 'ECB') AS STRING) = text"
+        ).alias("roundtrip_ok"),
+    )

@@ -2,8 +2,15 @@
 (C2/C3) and the north-star ANN mandate.
 
 ``q_sim_topk`` carries a DuckDB oracle (explicit double-precision cosine,
-same left-to-right fold order); the LSH/IVF variants are rows-only —
-their hash families / routing are engine-specific by design.
+same left-to-right fold order); the LSH/IVF neighbor lists are rows-only —
+their hash families / routing are engine-specific by design — but the IVF
+path additionally carries ``q_sim_ivf_checked``, a value-checked audit
+(mechanics exactness within the probed lists + mean-recall floor vs exact
+brute force) so the driver verifies the index finds what it scanned, not
+merely that it runs. The IVF index itself is geometric: deterministic
+k-means clusters (``kmeans_ivf_index``), not the fixture's arbitrary
+``label`` column — label routing measured recall@5 ≈ 0.18 at nprobe=2,
+k-means routing ≈ 0.68 on the same data.
 """
 
 from __future__ import annotations
@@ -138,13 +145,47 @@ def _centroids_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataF
     return c
 
 
+# Geometric IVF index cache (kmeans_ivf_index): distinct from the label
+# centroids above — q_dedup_semantic's oracle is DEFINED over the label
+# partitioning, while ANN routing needs clusters that follow the vector
+# geometry (label-based lists measured recall@5 ≈ 0.18 at nprobe=2; the
+# k-means lists ≈ 0.68 on the same fixture).
+_IVF_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_IVF_CLUSTERS = 4
+_IVF_NPROBE = 2
+
+
+def _ivf_index_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    from big_data_streaming_spark.functions.similarity import kmeans_ivf_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pair = _IVF_INDEX_CACHE.get(key)
+    if pair is None:
+        indexed, cents = kmeans_ivf_index(
+            emb.select("vec_id", "embedding"), k=_IVF_CLUSTERS, iters=2
+        )
+        indexed = indexed.persist()
+        cents = cents.persist()
+        cents.count()  # materialize under the persist
+        _IVF_INDEX_CACHE[key] = pair = (indexed, cents)
+    return pair
+
+
 # --- north star: IVF approximate top-k (rows-only) ------------------------
 @_q("q_sim_ivf")
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
+    indexed, cents = _ivf_index_cached(spark, sf_dir, emb)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(
-        emb, queries, k=_K, nprobe=2, centroids=_centroids_cached(spark, sf_dir, emb)
+        indexed,
+        queries,
+        k=_K,
+        nprobe=_IVF_NPROBE,
+        cluster_col="ivf_cluster",
+        centroids=cents,
     )
 
 
@@ -274,4 +315,123 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("cid").alias("cluster_id"),
         F.round("d2", 6).alias("d2_r"),
+    )
+
+
+# --- C3: IVF audit (gate-checkable form of the ANN path) ------------------
+# q_sim_ivf's neighbor lists are rows-only (routing is engine-specific);
+# this query makes the ANN path VALUE-checkable the way the sketch pack
+# is, with two separable claims folded into one audit row:
+#
+# * MECHANICS (probed_exact): among the clusters the query probed, IVF
+#   returned exactly the best candidates — checked by an independent
+#   inequality (best excluded candidate cosine ≤ worst returned cosine),
+#   not by re-running the same ranking pipeline. A rank off-by-one or a
+#   dropped inverted list flips this to FALSE at any data scale.
+# * QUALITY (mean_recall_ok): mean recall@5 vs exact brute force ≥ 0.5.
+#   The fixture's vectors are unstructured (no real cluster geometry), so
+#   per-query recall at nprobe=2/4 clusters ranges 0.2–1.0 with mean
+#   ≈ 0.68–0.73 across sf0.001–sf0.1; the 0.5 floor is the honest bound
+#   for this data. A clusterable production corpus would pin ≥ 0.9.
+#
+# All arithmetic in the audit is exact (integer counts, one double
+# division), so the booleans are deterministic and the oracle is plain
+# SQL over the query-id set.
+@_q(
+    "q_sim_ivf_checked",
+    f"""
+    SELECT COUNT(*) AS n_queries, TRUE AS probed_exact, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+    """,
+)
+def q_sim_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.functions.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    indexed, cents = _ivf_index_cached(spark, sf_dir, emb)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    ivf = ivf_topk(
+        indexed,
+        queries,
+        k=_K,
+        nprobe=_IVF_NPROBE,
+        cluster_col="ivf_cluster",
+        centroids=cents,
+    ).select("q_id", "neighbor_id", "cosine")
+
+    # Independent candidate derivation: re-route the queries, score every
+    # candidate in the probed lists, and bound the IVF result from the
+    # outside instead of re-ranking.
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    routed = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_vec",
+            "centroid_id",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("c_cos"), "centroid_id")
+            ),
+        )
+        .filter(F.col("c_rank") <= _IVF_NPROBE)
+        .select("q_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        indexed.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("ivf_cluster").alias("centroid_id"),
+        )
+        .join(F.broadcast(routed), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", cosine(F.col("c_vec"), F.col("q_vec")).alias("cand_cos"))
+    )
+    min_ivf = ivf.groupBy("q_id").agg(
+        F.min("cosine").alias("min_ret"), F.count(F.lit(1)).alias("n_ret")
+    )
+    excluded = scored.join(
+        ivf.select("q_id", "neighbor_id").withColumn("_ret", F.lit(1)),
+        ["q_id", "neighbor_id"],
+        "left",
+    ).filter(F.col("_ret").isNull())
+    best_exc = excluded.groupBy("q_id").agg(F.max("cand_cos").alias("best_exc"))
+    mech = (
+        min_ivf.join(best_exc, "q_id", "left")
+        .select(
+            "q_id",
+            (
+                F.coalesce(F.col("best_exc") <= F.col("min_ret"), F.lit(True))
+                & (F.col("n_ret") == _K)
+            ).alias("q_exact"),
+        )
+    )
+    brute = cosine_topk(emb, queries, k=_K).select(
+        "q_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    matches = (
+        brute.join(
+            ivf.select("q_id", "neighbor_id"),
+            (brute.q_id == ivf.q_id) & (brute.true_neighbor == ivf.neighbor_id),
+            "left_semi",
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    per_q = mech.join(matches, "q_id", "left").select(
+        "q_id", "q_exact", F.coalesce("n_match", F.lit(0)).alias("n_match")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.bool_and("q_exact").alias("probed_exact"),
+        (
+            F.sum("n_match").cast("double")
+            / (F.count(F.lit(1)) * F.lit(_K)).cast("double")
+            >= F.lit(0.5)
+        ).alias("mean_recall_ok"),
     )
