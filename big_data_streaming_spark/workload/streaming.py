@@ -462,3 +462,105 @@ def q_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("offset", "coin", "ts", "close", "volume")
+
+
+# Streaming B8 extension: STREAM-STREAM LEFT OUTER join — the outer form
+# of q_stream_stream_join: clicks with no same-user purchase within 30
+# minutes surface with NULL purchase columns. Outer rows only emit when
+# the JOIN's state watermark proves no match can still arrive, and that
+# watermark is the MIN over both sides' (per-side, post-filter) event-time
+# watermarks — the left stream carries only clicks, so its watermark trails
+# at max(click ts) − delay even when purchases run later (found the hard
+# way: the newest click's outer row never emits under a max(all events)
+# cutoff). The query therefore restricts output to the watermark-DECIDED
+# region — clicks whose 30-minute match window closed strictly before the
+# final global watermark (1 s margin absorbs the engine's ms-truncated
+# watermark) — computed identically from the batch table in the oracle, so
+# streaming semantics stay value-checkable. Clicks past the cutoff are
+# withheld by BOTH engines; a live pipeline would emit them on the next
+# watermark advance.
+@_q(
+    "q_stream_stream_left",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least(
+                    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+                ) - INTERVAL 1 HOUR AS w)
+    SELECT click_id, purchase_id, user_id, click_ts, purchase_ts
+    FROM c CROSS JOIN wm
+    LEFT JOIN p ON user_id = p_user
+               AND purchase_ts >= click_ts
+               AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+    WHERE click_ts + INTERVAL 30 MINUTE < w - INTERVAL 1 SECOND
+    """,
+)
+def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir(sf_dir, "events")
+    name = f"stream_ss_left_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+
+    def stream_side(alias: str, etype: str) -> DataFrame:
+        sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
+        sdf = normalize_raw_timestamps(sdf, src_dir)
+        return (
+            sdf.where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{alias}_event_id"),
+                F.col("user_id").alias(f"{alias}_user_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = stream_side("c", "click").join(
+        stream_side("p", "purchase"),
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    # The decided-region cutoff, from the same data the stream consumed:
+    # min over the two sides' max event times, minus the watermark delay.
+    batch = normalize_raw_timestamps(spark.read.parquet(src_dir), src_dir)
+    maxes = batch.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).first()
+    wm = min(maxes["mc"], maxes["mp"])
+    return (
+        spark.table(name)
+        .where(
+            F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")
+            < F.lit(wm) - F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 SECOND")
+        )
+        .select(
+            F.col("c_event_id").alias("click_id"),
+            F.col("p_event_id").alias("purchase_id"),
+            F.col("c_user_id").alias("user_id"),
+            F.col("c_ts").alias("click_ts"),
+            F.col("p_ts").alias("purchase_ts"),
+        )
+    )
