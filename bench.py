@@ -74,6 +74,15 @@ HEADLINE = (
     # corpus cleaning + clustering additions
     "q_line_dedup",
     "q_kmeans",
+    # late round-2: advanced SQL surface + graph/ANN audits
+    "q_lateral_topn",
+    "q_pagerank",
+    "q_bitmap_distinct",
+    "q_sample_weighted",
+    "q_variant_extract",
+    "q_window_range_interval",
+    "q_sim_ivf_checked",
+    "q_stream_stream_left",
 )
 
 

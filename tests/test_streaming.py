@@ -472,3 +472,53 @@ def test_kafka_envelope_proxy_matches_kafka_schema(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("kafka_proxy").count() == 20
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path, kline_batch):
+    """The 100 TB state backend: the default in-memory/HDFS state store
+    holds every key in executor heap — watermarked aggregations over
+    high-cardinality keys OOM. RocksDB spills state to local disk with
+    changelog checkpointing and is the production provider; pin that the
+    bundled provider actually runs a windowed aggregation and produces
+    the same result as the default provider."""
+    src = str(tmp_path / "src")
+    write_jsonl(src, "b1.jsonl", [make_kline("BTCUSDC", m, volume=1.0) for m in range(90)])
+
+    def drain(provider_tag: str) -> dict:
+        parsed = parse_klines(raw_text_file_stream(spark, src))
+        agg = (
+            parsed.withWatermark("timestamp", "5 minutes")
+            .groupBy(F.window("timestamp", "1 hour").alias("w"), "coin")
+            .agg(F.sum("volume").alias("vol"), F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "coin", "vol", "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"rocks_{provider_tag}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{provider_tag}"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["ws"], r["coin"]): (r["vol"], r["n"])
+            for r in spark.table(f"rocks_{provider_tag}").collect()
+        }
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = drain("rocksdb")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    default = drain("default")
+    assert rocks == default
+    assert len(rocks) == 2  # two hour windows over 90 minutes
