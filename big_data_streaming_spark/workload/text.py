@@ -965,3 +965,66 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- C2: VALUE-CHECKED transitive-closure dedup ---------------------------
+# The LSH components (q_dedup_components) stay rows-only — their edges
+# come from an engine-specific hash family. This query runs the SAME
+# large-star/small-star connected-components engine over a DETERMINISTIC,
+# SQL-expressible edge set (the n-gram Jaccard pairs of q_dedup_ngram),
+# so the full closure becomes oracle-checkable: DuckDB reproduces the
+# components with a recursive CTE (UNION-dedup recursion terminates on
+# cycles). Chains A~B~C collapse to one component in both engines —
+# the driver now value-verifies the iterative CC algorithm itself, not
+# just that it runs.
+@_q(
+    "q_dedup_cc_checked",
+    """
+    WITH RECURSIVE toksets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                 / (len(a.tokset) + len(b.tokset)
+                    - len(list_intersect(a.tokset, b.tokset))) AS jaccard
+        FROM toksets a JOIN toksets b
+          ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+    ), e AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.6
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.6
+    ), r(src, dst) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+    ), comp AS (
+        SELECT src AS node, MIN(dst) AS component FROM r GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           COALESCE(c.component, d.doc_id) < d.doc_id AS is_dup
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def q_dedup_cc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.dedup import ngram_jaccard_pairs
+    from big_data_streaming_spark.functions.graph import connected_components_star
+
+    docs = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.6
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components_star(edges)
+    return (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            (F.coalesce("component", F.col("doc_id")) < F.col("doc_id")).alias(
+                "is_dup"
+            ),
+        )
+    )
