@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from big_data_streaming_spark.workload import (
     advanced as _advanced,
+    analytics as _analytics,
     events as _events,
     pipeline as _pipeline,
     relational as _relational,
@@ -38,6 +39,7 @@ _MODULES = (
     _pipeline,
     _tpch,
     _advanced,
+    _analytics,
 )
 
 # Registry order is part of the driver contract: the driver's correctness
@@ -159,6 +161,15 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_retention",
     "q_snapshot_diff",
     "q_try_arith",
+    # -- analytics module (round-2 continuation; round-3 rotation) --------
+    "q_interval_merge",
+    "q_transitions",
+    "q_paths",
+    "q_anomaly_zscore",
+    "q_benford",
+    "q_skyline",
+    "q_equidepth_bins",
+    "q_abtest",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1,0 +1,432 @@
+"""Product-analytics and data-quality operators (round-2 continuation).
+
+The reference's product surface ends at "parse the stream, window it,
+store it" (`spark/streaming-shorttime.py`, `spark/streaming-longtime.py`);
+this module is the analytics layer a user of that stack builds next, each
+shape chosen because it exercises a distinct engine capability not yet in
+the registry:
+
+* interval merge (gaps-and-islands with *variable-length* intervals —
+  needs a running-max frame, strictly harder than ``session_window``'s
+  fixed gap);
+* Markov transition matrix + top event paths (LEAD-chains over per-user
+  event sequences — the sequence-mining shape);
+* rolling z-score anomaly detection (trailing-frame moments with the
+  decimal-exact routing of ``common.py``, then a pure-IEEE z formula);
+* Benford first-digit audit + equi-depth histogram + two-proportion
+  A/B z-test (the data-quality / experimentation trio);
+* 2-D skyline (Pareto frontier) via a running-max scan over the sorted
+  candidate set.
+
+Exactness policy (common.py): every double SUM routes through
+DECIMAL(38,6); every derived float is a fixed-order arithmetic expression
+written ONCE as SQL text and evaluated verbatim by both Spark and DuckDB,
+so +,-,*,/ and IEEE-correctly-rounded sqrt give bit-identical results.
+No transcendentals anywhere (the Benford audit reports observed
+proportions, not log-expected ones, for that reason).
+
+Scale notes (SCALE.md §analytics has the long form):
+* interval merge / transitions / paths / z-score: ONE hash shuffle on
+  user_id each; every window and the follow-up aggregation reuse that
+  partitioning (HashPartitioning(user_id) satisfies the grouped
+  ClusteredDistribution), so 100 TB cost = 1 exchange + sorts.
+* skyline: the frontier is computed on the *aggregated* candidate set
+  (one row per part), and frontier-of-union = frontier-of-partial-
+  frontiers, so the scale path prunes per-partition before the global
+  single-partition scan; at |parts| candidates the global step is tiny.
+* equi-depth bins: NTILE over a global sort — at 100 TB you'd swap in
+  approx_percentile cutpoints + a broadcast range join; kept exact here
+  because the gate demands value equality.
+* benford / abtest: pure aggregations, map-side combinable, output O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_streaming_spark.workload.common import DEC, dec_sum, oracle_dec_sum, t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- interval merge (gaps-and-islands, variable-length intervals) ---------
+# Each event opens an activity interval of 1 + event_id % 10 minutes;
+# overlapping intervals per user merge into one. Unlike session_window
+# (fixed gap), closure needs MAX(end) over all preceding rows: a long
+# interval can bridge past several short ones.
+@_q(
+    "q_interval_merge",
+    """
+    WITH iv AS (
+        SELECT user_id, ts AS s,
+               ts + (1 + event_id % 10) * INTERVAL 1 MINUTE AS e
+        FROM events
+    ), m AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM iv
+    ), g AS (
+        SELECT user_id, s, e,
+               SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM m
+    )
+    SELECT user_id, MIN(s) AS interval_start, MAX(e) AS interval_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr("timestampadd(MINUTE, CAST(1 + event_id % 10 AS INT), ts)").alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "is_new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    )
+    grouped = flagged.withColumn(
+        "grp", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # groupBy(user_id, grp) re-uses the user_id hash partitioning of the
+    # window sort — HashPartitioning(user_id) satisfies the clustered
+    # distribution on (user_id, grp): no second exchange.
+    return (
+        grouped.groupBy("user_id", "grp")
+        .agg(
+            F.min("s").alias("interval_start"),
+            F.max("e").alias("interval_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("grp")
+    )
+
+
+# --- Markov transition matrix over per-user event sequences ---------------
+@_q(
+    "q_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS prev_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    ), pair AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+               AS p
+    FROM pair
+    """,
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return pair.withColumn(
+        "p", F.col("n").cast("double") / total.cast("double")
+    )
+
+
+# --- top event paths (3-step LEAD-chain n-grams) --------------------------
+@_q(
+    "q_paths",
+    """
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS e2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS e3
+        FROM events
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+    FROM seq WHERE e3 IS NOT NULL AND e2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e3").isNotNull() & F.col("e2").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+# --- rolling z-score anomaly detection ------------------------------------
+# Trailing 20-row frame per user; moments via the decimal-exact routing,
+# z via ONE shared arithmetic string evaluated by both engines. Every
+# division is NULLIF-guarded: this Spark build runs ANSI mode where even
+# DOUBLE/0 throws DIVIDE_BY_ZERO (DuckDB yields NULL), and predicate
+# evaluation order inside a WHERE conjunction is not guaranteed in either
+# engine — so the expressions themselves must be total functions. The
+# sqrt argument is CASE-guarded the same way (negative variance from
+# float cancellation would be NaN in Spark but an error in DuckDB).
+_Z_VAR = "((sxx - sx * sx / nullif(n, 0)) / nullif(n - 1, 0))"
+_Z_SD = f"sqrt(CASE WHEN {_Z_VAR} > 0 THEN {_Z_VAR} ELSE NULL END)"
+_Z_EXPR = f"((value - sx / nullif(n, 0)) / {_Z_SD})"
+
+@_q(
+    "q_anomaly_zscore",
+    f"""
+    WITH s AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   AS sxx,
+               COUNT(value) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts, value, {_Z_EXPR} AS z
+    FROM s
+    WHERE n >= 5 AND abs({_Z_EXPR}) > 2.5
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value")
+    s = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(v.cast(DEC)).over(w).cast("double").alias("sx"),
+        F.sum((v * v).cast(DEC)).over(w).cast("double").alias("sxx"),
+        F.count("value").over(w).alias("n"),
+    )
+    return s.where(
+        (F.col("n") >= 5) & F.expr(f"abs({_Z_EXPR}) > 2.5")
+    ).select(
+        "user_id", "event_id", "ts", "value", F.expr(_Z_EXPR).alias("z")
+    )
+
+
+# --- Benford first-digit audit (DQ) ---------------------------------------
+# First significant digit extracted in the exact-integer domain (cents →
+# bigint → string head) — no log10, no float formatting, so both engines
+# agree bit-for-bit. Expected Benford shares need a logarithm; we report
+# observed proportions only (exactness policy).
+@_q(
+    "q_benford",
+    """
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ), d AS (
+        SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c
+    )
+    SELECT digit, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)
+               AS observed_p
+    FROM d GROUP BY digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counted = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counted.withColumn(
+        "observed_p", F.col("n").cast("double") / total.cast("double")
+    )
+
+
+# --- 2-D skyline / Pareto frontier ----------------------------------------
+# "Best-value parts": minimize retail price, maximize total quantity sold.
+# A part is on the frontier iff its qty strictly beats every strictly-or-
+# equally-cheaper predecessor's best qty (sort price ASC, qty DESC →
+# running MAX over the preceding frame).
+@_q(
+    "q_skyline",
+    f"""
+    WITH pq AS (
+        SELECT p.p_partkey, p.p_retailprice AS price,
+               {oracle_dec_sum("l.l_quantity", "qty")}
+        FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_retailprice
+    ), m AS (
+        SELECT p_partkey, price, qty,
+               MAX(qty) OVER (ORDER BY price, qty DESC, p_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pm
+        FROM pq
+    )
+    SELECT p_partkey, price, qty FROM m WHERE pm IS NULL OR qty > pm
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    pq = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_partkey", F.col("p_retailprice").alias("price"))
+        .agg(dec_sum("l_quantity", "qty"))
+    )
+    w = Window.orderBy("price", F.desc("qty"), "p_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    m = pq.withColumn("pm", F.max("qty").over(w))
+    return m.where(F.col("pm").isNull() | (F.col("qty") > F.col("pm"))).select(
+        "p_partkey", "price", "qty"
+    )
+
+
+# --- equi-depth histogram (NTILE) -----------------------------------------
+@_q(
+    "q_equidepth_bins",
+    """
+    WITH b AS (
+        SELECT o_totalprice,
+               CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+                   AS bin
+        FROM orders
+    )
+    SELECT bin, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM b GROUP BY bin
+    """,
+)
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = t(spark, sf_dir, "orders").select(
+        "o_totalprice", F.ntile(10).over(w).alias("bin")
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+# --- two-proportion A/B z-test --------------------------------------------
+# Arms by user-id parity, conversion = a high-value purchase (value > 400;
+# a rare event, so rates sit strictly inside (0, 1)). The pooled z
+# statistic is +,-,*,/ and sqrt only (all IEEE-deterministic), written
+# once as shared SQL text; the denominator is NULLIF-guarded because a
+# degenerate pooled rate of exactly 0 or 1 makes it 0 and ANSI Spark
+# throws on DOUBLE/0 where DuckDB returns NULL.
+_AB_P = "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+_AB_DEN = (
+    f"sqrt({_AB_P} * (1 - {_AB_P})"
+    " * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
+)
+_AB_Z = (
+    "((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+    f" / nullif({_AB_DEN}, 0))"
+)
+
+@_q(
+    "q_abtest",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 400
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+        FROM u GROUP BY arm
+    ), wide AS (
+        SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+        FROM (SELECT n, conv FROM s WHERE arm = 'A') a,
+             (SELECT n, conv FROM s WHERE arm = 'B') b
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           {_AB_Z} AS z
+    FROM wide
+    """,
+)
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 400),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            "converted",
+        )
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    a = s.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = s.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    wide = a.crossJoin(b)  # both sides are 1-row aggregates
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("CAST(conv_a AS DOUBLE) / n_a").alias("rate_a"),
+        F.expr("CAST(conv_b AS DOUBLE) / n_b").alias("rate_b"),
+        F.expr(_AB_Z).alias("z"),
+    )

@@ -359,3 +359,33 @@ def test_pagerank_broadcasts_dims_and_ranks(spark, sf_small):
     plan = formatted_plan(df)
     assert uses_broadcast_join(df), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_merge_single_user_exchange(spark, sf_small):
+    """The gaps-and-islands chain (two windows + the island aggregate)
+    must ride ONE hash exchange on user_id: HashPartitioning(user_id)
+    satisfies the clustered distribution of the (user_id, grp) aggregate,
+    so no second shuffle may appear."""
+    df = QUERIES["q_interval_merge"](spark, sf_small)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_transition_chain_single_user_exchange(spark, sf_small):
+    """LEAD per user then pair-count then per-prev_type window: the LEAD
+    shuffle is on user_id; the pair aggregate and the share window both
+    need (prev_type[, next_type]) clustering, which one more exchange
+    pair covers — 3 total is the pin (window reuses the groupBy's)."""
+    df = QUERIES["q_transitions"](spark, sf_small)
+    assert shuffle_count(df) <= 3, formatted_plan(df)
+
+
+def test_skyline_computes_frontier_on_aggregated_candidates(spark, sf_small):
+    """The global running-max scan happens AFTER the per-part aggregate:
+    the single-partition window sees |parts| rows, not |lineitem| rows.
+    Pin: the part side broadcasts into the fact join (no shuffle of
+    lineitem for the join) and the whole plan stays at <= 3 exchanges
+    (fact aggregate, global-window singleton, none extra)."""
+    df = QUERIES["q_skyline"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df), plan
+    assert shuffle_count(df) <= 3, plan
