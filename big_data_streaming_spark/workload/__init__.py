@@ -170,6 +170,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_skyline",
     "q_equidepth_bins",
     "q_abtest",
+    "q_bm25",
+    "q_token_gini",
+    "q_embed_quantize",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

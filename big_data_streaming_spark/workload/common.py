@@ -12,6 +12,16 @@ driver testdata; verified at sf=0.01 by tests/test_oracle_queries.py).
 
 At 100 TB this is also the *correct* money policy (SURVEY.md §4.3.7):
 exact decimal accumulation instead of drifting double partial sums.
+
+Decimal-scale rule (measured, round 2): keep the decimal SCALE <= 15.
+The final DECIMAL→DOUBLE cast is correctly rounded in Spark (BigDecimal),
+but DuckDB converts unscaled-int → double → ÷10^scale; that is correctly
+rounded only while 10^scale is itself binary-exact, i.e. scale <= 15
+(10^15 < 2^53). DECIMAL(38,18) routings came back one ulp apart between
+the engines (q_token_gini, q_embed_quantize before the fix); (38,6) and
+(38,12) are safe. When even 1e-12 granularity is too coarse, restate the
+measure in the exact-integer domain instead (see q_token_gini's
+1 - Σc²/t² form).
 """
 
 from __future__ import annotations

@@ -435,3 +435,61 @@ def q_sim_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(0.5)
         ).alias("mean_recall_ok"),
     )
+
+
+# --- int8 scalar quantization of embeddings (+ reconstruction audit) ------
+# Symmetric per-vector quantization: scale = max|x| / 127, q = round-half-
+# up(x / scale) via floor(u + 0.5) (Spark CAST and DuckDB round() disagree
+# on halves; floor text is identical), reconstruction x' = q * scale. The
+# value-checked output is the per-vector scale plus exact error moments
+# (decimal-routed MSE, order-free max |err|). At 100 TB this is the
+# compression pass before ANN shipping: 4x smaller vectors, one shuffle
+# (explode → window amax → re-aggregate rides a single vec_id exchange).
+_QZ_SCALE = "(amax / 127)"
+_QZ_Q = f"floor(x / nullif({_QZ_SCALE}, 0) + 0.5)"
+_QZ_ERR = f"(x - {_QZ_Q} * {_QZ_SCALE})"
+
+@_q(
+    "q_embed_quantize",
+    f"""
+    WITH x AS (
+        SELECT vec_id, CAST(u.e AS DOUBLE) AS x
+        FROM embeddings, UNNEST(embedding) AS u(e)
+    ), m AS (
+        SELECT vec_id, x,
+               MAX(abs(x)) OVER (PARTITION BY vec_id) AS amax
+        FROM x
+    )
+    SELECT vec_id, {_QZ_SCALE} AS scale, COUNT(*) AS n_dims,
+           CAST(SUM(CAST({_QZ_ERR} * {_QZ_ERR} AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS mse,
+           MAX(abs({_QZ_ERR})) AS max_abs_err
+    FROM m GROUP BY vec_id, amax
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    x = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.explode("embedding").alias("f"))
+        .select("vec_id", F.col("f").cast("double").alias("x"))
+    )
+    m = x.withColumn(
+        "amax", F.max(F.abs("x")).over(Window.partitionBy("vec_id"))
+    )
+    err = F.expr(_QZ_ERR)
+    return m.groupBy("vec_id", "amax").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        (
+            F.sum((err * err).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mse"),
+        F.max(F.abs(err)).alias("max_abs_err"),
+    ).select(
+        "vec_id",
+        F.expr(_QZ_SCALE).alias("scale"),
+        "n_dims",
+        "mse",
+        "max_abs_err",
+    )

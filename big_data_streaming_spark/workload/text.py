@@ -1028,3 +1028,130 @@ def q_dedup_cc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- BM25 relevance scoring (log-free exact variant) ----------------------
+# Full-text relevance for a fixed 5-term query over the corpus: per-doc
+# TF-saturation weighting with document-length normalization (k1 = 1.2,
+# b = 0.75) and the *rational* idf weight (N - df + 0.5)/(df + 0.5) in
+# place of its logarithm — transcendental-free, so the score is a pure
+# +,-,*,/ expression shared as one SQL text and bit-identical on both
+# engines (same policy as q_quality_classifier). Ranking order for a
+# single query is preserved under any monotone transform of the idf
+# weight per-term contributions differ, but determinism wins the gate.
+# Scale: tokens are filtered to the query terms BEFORE the tf aggregate
+# (the scan-side predicate keeps the shuffle O(matching tokens)); df,
+# n_docs and avgdl are broadcast 1-row/5-row frames, never collected.
+_BM25_SCORE = (
+    "(((n_docs - df + 0.5) / (df + 0.5))"
+    " * (tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))))"
+)
+_BM25_TERMS = "('join', 'vector', 'spark', 'stream', 'big')"
+
+@_q(
+    "q_bm25",
+    f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ), g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tfq AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tok WHERE token IN {_BM25_TERMS}
+        GROUP BY doc_id, token
+    ), dfq AS (
+        SELECT token, COUNT(*) AS df FROM tfq GROUP BY token
+    )
+    SELECT tfq.doc_id, COUNT(*) AS n_terms,
+           CAST(SUM(CAST({_BM25_SCORE} AS DECIMAL(38,12))) AS DOUBLE) AS score
+    FROM tfq JOIN dfq USING (token)
+             JOIN dl ON dl.doc_id = tfq.doc_id
+             CROSS JOIN g
+    GROUP BY tfq.doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    g = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = ["join", "vector", "spark", "stream", "big"]
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # tf rows are distinct (doc, token) pairs, so df = COUNT(*) per token
+    # (same reuse as q_tfidf); 5 rows → broadcast.
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.expr(_BM25_SCORE).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("score"),
+    )
+
+
+# --- token-distribution Gini impurity per language ------------------------
+# The transcendental-free diversity measure (1 - sum p_i^2): the entropy
+# analogue that stays bit-exact across engines (ln is libm-dependent).
+# Computed entirely in the integer domain — gini = 1 - (sum c_i^2)/t^2 —
+# so the ONLY float ops are two exact int→double casts and one fixed
+# division: a DECIMAL(38,18) routing of p^2 was one ulp off between
+# engines because 10^18 exceeds 2^53 and DuckDB's decimal→double cast
+# double-rounds there (10^s for s <= 15 is binary-exact, which is why the
+# house DECIMAL(38,6)/(38,12) routings are safe).
+_GINI = "(1 - CAST(sumc2 AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))"
+
+@_q(
+    "q_token_gini",
+    f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+        SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY lang, token
+    )
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           {_GINI} AS gini
+    FROM (
+        SELECT lang, c, CAST(SUM(c * c) OVER (PARTITION BY lang) AS BIGINT)
+                   AS sumc2,
+               CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS t
+        FROM c
+    ) GROUP BY lang, sumc2, t
+    """,
+)
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang")
+    tt = c.withColumn(
+        "sumc2", F.sum(F.col("c") * F.col("c")).over(w).cast("bigint")
+    ).withColumn("t", F.sum("c").over(w).cast("bigint"))
+    return tt.groupBy("lang", "sumc2", "t").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr(_GINI).alias("gini"),
+    ).select("lang", "n_tokens", "n_distinct", "gini")

@@ -389,3 +389,21 @@ def test_skyline_computes_frontier_on_aggregated_candidates(spark, sf_small):
     plan = formatted_plan(df)
     assert uses_broadcast_join(df), plan
     assert shuffle_count(df) <= 3, plan
+
+
+def test_bm25_broadcasts_stats_and_filters_before_tf(spark, sf_small):
+    """df (5 rows) and the (n_docs, avgdl) scalar frame must broadcast;
+    the query-term filter must run below the tf aggregate so the token
+    shuffle carries only matching tokens."""
+    df = QUERIES["q_bm25"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embed_quantize_single_vec_exchange(spark, sf_small):
+    """explode → per-vec window amax → error aggregate must ride ONE
+    vec_id hash exchange (the window's partitioning satisfies the
+    aggregate's clustering)."""
+    df = QUERIES["q_embed_quantize"](spark, sf_small)
+    assert shuffle_count(df) == 1, formatted_plan(df)
