@@ -173,6 +173,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_bm25",
     "q_token_gini",
     "q_embed_quantize",
+    "q_streaks",
+    "q_winsorize",
+    "q_mad",
+    "q_sample_reservoir",
+    "q_stream_window_chained",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

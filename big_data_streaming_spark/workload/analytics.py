@@ -46,7 +46,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from big_data_streaming_spark.workload.common import DEC, dec_sum, oracle_dec_sum, t
+from big_data_streaming_spark.workload.common import (
+    DEC,
+    dec_avg,
+    dec_sum,
+    oracle_dec_avg,
+    oracle_dec_sum,
+    t,
+)
 
 QUERIES = {}
 ORACLES = {}
@@ -429,4 +436,148 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(conv_a AS DOUBLE) / n_a").alias("rate_a"),
         F.expr("CAST(conv_b AS DOUBLE) / n_b").alias("rate_b"),
         F.expr(_AB_Z).alias("z"),
+    )
+
+
+# --- longest consecutive-day activity streak per user ---------------------
+# The row-number-difference gaps-and-islands variant (anchor = day - rn):
+# complementary to q_interval_merge's running-max variant — this one works
+# on the DISTINCT-day lattice where islands are arithmetic progressions.
+@_q(
+    "q_streaks",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), r AS (
+        SELECT user_id, day,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS rn
+        FROM d
+    ), s AS (
+        SELECT user_id, MIN(day) AS streak_start, COUNT(*) AS streak_len
+        FROM (SELECT user_id, day, day - rn AS anchor FROM r)
+        GROUP BY user_id, anchor
+    )
+    SELECT user_id, MAX(streak_len) AS max_streak, COUNT(*) AS n_streaks
+    FROM s GROUP BY user_id
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("rn", F.row_number().over(w))
+    s = (
+        r.withColumn("anchor", F.date_sub("day", F.col("rn")))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.count(F.lit(1)).alias("streak_len"),
+        )
+    )
+    return s.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# --- winsorized mean (robust stats; exact-percentile clip bounds) ---------
+# Exact interpolated percentiles match across engines (proven by
+# q_percentiles: Spark `percentile` == DuckDB `quantile_cont`); the
+# clipped re-aggregation rides a broadcast join of the 3-row bounds frame
+# so the fact table is scanned twice but shuffled only for the aggregates.
+@_q(
+    "q_winsorize",
+    f"""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.01) AS lo,
+               quantile_cont(l_extendedprice, 0.99) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, b.lo, b.hi,
+           {oracle_dec_avg("l_extendedprice", "mean_raw")},
+           {oracle_dec_avg("LEAST(GREATEST(l_extendedprice, lo), hi)", "mean_winsor")}
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.lo, b.hi
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.01).alias("lo"),
+        F.percentile("l_extendedprice", 0.99).alias("hi"),
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return j.groupBy("l_returnflag", "lo", "hi").agg(
+        dec_avg("l_extendedprice", "mean_raw"),
+        dec_avg(clipped, "mean_winsor"),
+    )
+
+
+# --- median absolute deviation (robust spread) ----------------------------
+@_q(
+    "q_mad",
+    """
+    WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, m.med,
+           quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag, m.med
+    """,
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    return j.groupBy("l_returnflag", "med").agg(
+        F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5).alias(
+            "mad"
+        )
+    )
+
+
+# --- deterministic per-group reservoir sample (k = 50) --------------------
+# Uniform-without-replacement per event_type via the same engine-portable
+# Knuth multiplicative hash as q_sample_weighted: rank by hash, keep the
+# first k. No RNG state, reproducible across engines, runs, and
+# partitionings; the only shuffle is the per-type window sort.
+@_q(
+    "q_sample_reservoir",
+    """
+    WITH h AS (
+        SELECT event_type, event_id, user_id,
+               (event_id * 2654435761) % 4294967296 AS hv
+        FROM events
+    ), r AS (
+        SELECT event_type, event_id, user_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY hv, event_id) AS INTEGER) AS rn
+        FROM h
+    )
+    SELECT event_type, event_id, user_id FROM r WHERE rn <= 50
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.expr("(event_id * 2654435761) % 4294967296").alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("event_type", "event_id", "user_id")
     )

@@ -107,7 +107,7 @@ def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -122,10 +122,18 @@ def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain_events_stream(spark: SparkSession, sf_dir: str, build_agg, name_prefix: str):
+def _drain_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    build_agg,
+    name_prefix: str,
+    output_mode: str = "complete",
+):
     """Shared scaffold: stage events as a file stream, apply the
     caller-built stateful aggregation, drain with AvailableNow into a
-    memory sink, return the sink table."""
+    memory sink, return the sink table. ``output_mode="append"`` is the
+    multi-stateful-operator mode (chained window aggs emit only
+    watermark-finalized rows)."""
     from big_data_streaming_spark.sources.catalog import (
         _ensure_session_confs,
         normalize_raw_timestamps,
@@ -144,7 +152,7 @@ def _drain_events_stream(spark: SparkSession, sf_dir: str, build_agg, name_prefi
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -563,4 +571,58 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_ts").alias("click_ts"),
             F.col("p_ts").alias("purchase_ts"),
         )
+    )
+
+
+# Chained streaming window aggregation (multiple stateful operators in ONE
+# query, Spark 3.4+): hourly tumbling agg re-aggregated to daily inside
+# the same streaming plan — the rollup shape that at 100 TB avoids
+# landing + rescanning the hourly layer. Append mode is mandatory for
+# chained aggs, so only watermark-finalized days emit: with watermark
+# delay 1h and AvailableNow's no-data flush batch, that is every day
+# whose end <= max(ts) - 1h. The oracle states exactly that emission
+# contract; the daily re-sum routes the hourly doubles back through
+# DECIMAL(38,6) (round-trip exact — the doubles carry <= 6 decimals).
+@_q(
+    "q_stream_window_chained",
+    f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    h AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               {oracle_dec_sum('value', 'hv')},
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day, event_type,
+           CAST(SUM(CAST(hv AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM h, wm
+    WHERE date_trunc('day', hour) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_window_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.workload.common import DEC
+
+    def build(sdf):
+        hourly = (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
+            .agg(dec_sum("value", "hv"), F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            hourly.groupBy(
+                F.window(F.window_time("hw"), "1 day").alias("dw"), "event_type"
+            )
+            .agg(
+                F.sum(F.col("hv").cast(DEC)).cast("double").alias("total_value"),
+                F.sum("n").alias("n_events"),
+            )
+        )
+
+    out = _drain_events_stream(
+        spark, sf_dir, build, "stream_chained", output_mode="append"
+    )
+    return out.select(
+        F.col("dw.start").alias("day"), "event_type", "total_value", "n_events"
     )
