@@ -58,3 +58,61 @@ def repartition_for_join(
     spark = SparkSession.getActiveSession()
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     return left.repartition(n, key), right.repartition(n, key)
+
+
+def write_with_bloom_filters(
+    df: DataFrame,
+    path: str,
+    bloom_cols: Sequence[str],
+    ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet column-level bloom filters for point-lookup pruning.
+
+    At 100 TB, min/max row-group statistics prune range predicates but do
+    nothing for high-cardinality equality lookups on *unsorted* columns
+    (every row group spans the full id domain). A per-column bloom filter
+    lets the reader skip row groups that definitely lack the key — the
+    cheap secondary-index tier between "full scan" and "Z-order rewrite"
+    (zorder.py), and composable with it for the non-leading keys.
+    ``ndv`` sizes the filter (bits ~ ndv * ~10 for ~1% fpp); set it to the
+    expected distinct count PER ROW GROUP, not per table.
+
+    Caveat (measured): parquet-mr silently OMITS the bloom filter for a
+    column chunk that stays fully dictionary-encoded — the dictionary
+    already serves as an exact membership index there. Opting in a
+    low-cardinality column is therefore a harmless no-op; the filters
+    appear exactly where they help (high-cardinality chunks that fell
+    back to plain encoding).
+    """
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    writer.parquet(path)
+
+
+def bloom_filter_offsets(spark: SparkSession, file_path: str) -> dict[str, int]:
+    """Read back parquet footer bloom-filter offsets via parquet-mr (the
+    JVM is already there; pyarrow 16 does not expose them). Returns
+    {column: offset} for row-group 0; offset >= 0 means a filter exists."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    input_file = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hpath, conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(input_file)
+    try:
+        out: dict[str, int] = {}
+        block = reader.getFooter().getBlocks().get(0)
+        for i in range(block.getColumns().size()):
+            col = block.getColumns().get(i)
+            name = ".".join(
+                col.getPath().toArray()[j]
+                for j in range(len(col.getPath().toArray()))
+            )
+            out[name] = col.getBloomFilterOffset()
+        return out
+    finally:
+        reader.close()

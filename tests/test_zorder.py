@@ -87,3 +87,38 @@ def test_zorder_tightens_second_column_bounds(spark, tmp_path):
     # the z-curve must tighten the second column's per-file range by a lot;
     # 2x is a loose floor (typically 3-6x at 8 files / 6 bits)
     assert z_span < lin_span / 2, (lin_span, z_span)
+
+
+def test_parquet_bloom_filters_written_and_effective(spark, tmp_path):
+    """Layout tier between stats pruning and Z-order: per-column parquet
+    bloom filters. Asserts (a) the footer carries a bloom filter for the
+    opted-in high-cardinality column and none for the opted-out one, and
+    (b) a point lookup on the filtered column still returns exact rows."""
+    import os
+
+    from big_data_streaming_spark.plans.layout import (
+        bloom_filter_offsets,
+        write_with_bloom_filters,
+    )
+    from big_data_streaming_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    dest = str(tmp_path / "bloomed")
+    # event_id is unique → plain-encoded chunk → a real bloom filter.
+    # (A fully dictionary-encoded column would be silently skipped by
+    # parquet-mr — the dictionary is already an exact membership index.)
+    write_with_bloom_filters(
+        ev.repartition(1), dest, bloom_cols=["event_id"], ndv=10_000
+    )
+    part = next(
+        os.path.join(dest, f)
+        for f in os.listdir(dest)
+        if f.endswith(".parquet")
+    )
+    offsets = bloom_filter_offsets(spark, part)
+    assert offsets["event_id"] >= 0, offsets
+    assert offsets["event_type"] < 0, offsets  # not opted in
+
+    got = spark.read.parquet(dest).where(F.col("event_id") == 42)
+    want = ev.where(F.col("event_id") == 42)
+    assert got.count() == want.count() > 0
