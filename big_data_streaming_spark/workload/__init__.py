@@ -178,6 +178,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_mad",
     "q_sample_reservoir",
     "q_stream_window_chained",
+    "q_bfs_hops",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

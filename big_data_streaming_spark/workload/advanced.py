@@ -463,3 +463,86 @@ def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(aes_decrypt(aes_encrypt(text, '{key}', 'ECB'), '{key}', 'ECB') AS STRING) = text"
         ).alias("roundtrip_ok"),
     )
+
+
+# --- k-hop BFS (min-hop distances) over the trade graph -------------------
+# The traversal complement to q_pagerank (mass propagation), q_triangles
+# (motifs) and q_dedup_components (closure): unweighted min-hop distance
+# from nation 0 within 3 hops. All-integer arithmetic — bit-exactness is
+# free; the oracle unrolls the same three frontier expansions. Scale: the
+# edge derivation aggregates the fact joins to O(nations²) DISTINCT pairs
+# (dims broadcast) and is computed ONCE (persisted); each hop is a join
+# on that tiny relation + a min-aggregate.
+_BFS_HOPS = 3
+_BFS_SRC = 0
+
+def _bfs_oracle() -> str:
+    steps = []
+    for i in range(1, _BFS_HOPS + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM r{i-1}
+            UNION ALL
+            SELECT e.dst AS node, r{i-1}.dist + 1 AS dist
+            FROM edges e JOIN r{i-1} ON e.src = r{i-1}.node
+        ) GROUP BY node
+    )""")
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT sn.n_nationkey AS src, cn.n_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    ),
+    r0 AS (
+        SELECT n_nationkey AS node, 0 AS dist FROM nation
+        WHERE n_nationkey = {_BFS_SRC}
+    ),{",".join(steps)}
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+           r{_BFS_HOPS}.dist AS dist
+    FROM nation n JOIN r{_BFS_HOPS} ON n.n_nationkey = r{_BFS_HOPS}.node
+    """
+
+
+@_q("q_bfs_hops", _bfs_oracle())
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            s.s_nationkey.alias("src"), c.c_nationkey.alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    reach = (
+        n.where(F.col("n_nationkey") == _BFS_SRC)
+        .select(F.col("n_nationkey").alias("node"), F.lit(0).alias("dist"))
+    )
+    for _ in range(_BFS_HOPS):
+        expanded = edges.join(
+            F.broadcast(reach), edges.src == F.col("node")
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        n.join(reach, n.n_nationkey == reach.node)
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            "dist",
+        )
+    )

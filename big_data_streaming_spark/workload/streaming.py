@@ -107,7 +107,7 @@ def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
-            .outputMode(output_mode)
+            .outputMode("complete")
             .trigger(availableNow=True)
             .start()
         )
