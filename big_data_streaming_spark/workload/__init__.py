@@ -179,6 +179,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_sample_reservoir",
     "q_stream_window_chained",
     "q_bfs_hops",
+    "q_attribution",
+    "q_ivm_merge",
+    "q_embed_dimstats",
+    "q_text_normalize",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

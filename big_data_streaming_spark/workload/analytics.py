@@ -581,3 +581,92 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("event_type", "event_id", "user_id")
     )
+
+
+# --- last-touch attribution (purchase ← most recent click within 1h) ------
+# The attribution shape: a per-user ordered scan carrying the latest
+# preceding click timestamp (last_value IGNORE NULLS over the strict
+# preceding frame — both engines speak it), then an interval predicate.
+# One user_id exchange; the day rollup re-shuffles O(days × flags).
+@_q(
+    "q_attribution",
+    """
+    WITH w AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_ts
+        FROM events
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                          AND ts - click_ts <= INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = t(spark, sf_dir, "events").withColumn(
+        "click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    attributed = F.expr(
+        "CASE WHEN click_ts IS NOT NULL AND ts - click_ts <= INTERVAL 1 HOUR"
+        " THEN 1 ELSE 0 END"
+    )
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(attributed).cast("bigint").alias("n_attributed"),
+        )
+    )
+
+
+# --- incremental aggregation maintenance (mergeable partial states) -------
+# The IVM shape: a maintained aggregate is refreshed by merging the
+# existing partial states with the new day's partials — no base rescan.
+# Decimal partial sums are associative, so base ⊕ delta is EXACTLY the
+# full recompute (which is what the oracle runs). At 100 TB the base
+# partials live in the serving store and only the delta is computed.
+_IVM_CUT = "TIMESTAMP '2024-01-30 00:00:00'"
+
+@_q(
+    "q_ivm_merge",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {oracle_dec_sum('value', 'total_value')}
+    FROM events GROUP BY event_type
+    """,
+)
+def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cut = F.expr(_IVM_CUT)
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sv"),  # decimal partial
+        )
+
+    base = partials(ev.where(F.col("ts") < cut))
+    delta = partials(ev.where(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("total_value"),
+        )
+    )

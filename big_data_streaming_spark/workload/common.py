@@ -22,6 +22,15 @@ the engines (q_token_gini, q_embed_quantize before the fix); (38,6) and
 (38,12) are safe. When even 1e-12 granularity is too coarse, restate the
 measure in the exact-integer domain instead (see q_token_gini's
 1 - Σc²/t² form).
+
+Second rule (measured on embeddings): the DOUBLE→DECIMAL direction also
+diverges — Spark rounds via BigDecimal HALF_UP, DuckDB via a scaled
+multiply, and *arbitrary-mantissa* inputs (float32 upcasts) land on the
+knife edge where they disagree. Money-like doubles (few decimal digits)
+never hit it, which is why the relational suite holds. For raw sensor /
+embedding floats, quantize explicitly instead: floor(x*10^k + 0.5) is
+the same IEEE sequence on both engines and makes every sum an exact
+integer (see q_embed_dimstats).
 """
 
 from __future__ import annotations

@@ -493,3 +493,67 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mse",
         "max_abs_err",
     )
+
+
+# --- per-dimension embedding statistics (feature-quality audit) -----------
+# Distribution audit across the corpus per embedding dimension: the
+# pre-normalization check a training pipeline runs before cosine math
+# (dead dims, scale drift). Moments are computed on explicitly
+# 1e-6-quantized values — floor(x*1e6 + 0.5) is the same IEEE double
+# sequence on both engines, so every sum is an exact integer. (The
+# decimal-routed form was one ulp off here: double→DECIMAL casts of
+# arbitrary-mantissa float32 values hit the rounding knife edge where
+# Spark's BigDecimal HALF_UP and DuckDB's scaled-multiply disagree —
+# "nice" money doubles never do, which is why the suite's other decimal
+# routings hold.) min/max are raw doubles (order-free). One dim shuffle.
+_DS_Q = "CAST(floor(x * 1000000 + 0.5) AS BIGINT)"
+_DS_MEAN = "(CAST(sx AS DOUBLE) / n / CAST(1000000 AS DOUBLE))"
+_DS_VAR = (
+    "(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)"
+    " / nullif(n - 1, 0))"
+    " / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE)))"
+)
+
+@_q(
+    "q_embed_dimstats",
+    f"""
+    WITH x AS (
+        SELECT CAST(t.i AS INTEGER) AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), q AS (
+        SELECT dim, x, {_DS_Q} AS xq FROM x
+    ), s AS (
+        SELECT dim, COUNT(x) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx,
+               CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+               MIN(x) AS lo, MAX(x) AS hi
+        FROM q GROUP BY dim
+    )
+    SELECT dim, n, {_DS_MEAN} AS mean, {_DS_VAR} AS var, lo, hi FROM s
+    """,
+)
+def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = (
+        t(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "f"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.col("f").cast("double").alias("x"),
+        )
+    )
+    q = x.withColumn("xq", F.expr(_DS_Q))
+    s = q.groupBy("dim").agg(
+        F.count("x").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+    return s.select(
+        "dim",
+        "n",
+        F.expr(_DS_MEAN).alias("mean"),
+        F.expr(_DS_VAR).alias("var"),
+        "lo",
+        "hi",
+    )

@@ -1155,3 +1155,36 @@ def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.expr(_GINI).alias("gini"),
     ).select("lang", "n_tokens", "n_distinct", "gini")
+
+
+# --- text normalization pipeline (casefold / strip / collapse) ------------
+# The canonicalization pass that precedes exact dedup in a corpus
+# pipeline: lowercase, punctuation → space, digit-run collapse, blank
+# squeeze, trim — all scan-side codegen, zero shuffles before the output.
+# DuckDB's regexp_replace is single-match by default: the oracle passes
+# the 'g' flag to match Spark's replace-all semantics.
+@_q(
+    "q_text_normalize",
+    """
+    SELECT c_custkey,
+           trim(regexp_replace(
+                regexp_replace(
+                    regexp_replace(lower(c_name || ' ' || c_mktsegment),
+                                   '[0-9]+', '0', 'g'),
+                    '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')) AS norm
+    FROM customer
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = F.lower(F.concat_ws(" ", "c_name", "c_mktsegment"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(raw, "[0-9]+", "0"), "[^a-z0-9 ]", " "
+            ),
+            " +",
+            " ",
+        )
+    )
+    return t(spark, sf_dir, "customer").select("c_custkey", norm.alias("norm"))
