@@ -83,6 +83,13 @@ HEADLINE = (
     "q_window_range_interval",
     "q_sim_ivf_checked",
     "q_stream_stream_left",
+    # round-2 continuation: analytics / text / embedding / graph additions
+    "q_interval_merge",
+    "q_anomaly_zscore",
+    "q_bm25",
+    "q_embed_quantize",
+    "q_bfs_hops",
+    "q_stream_window_chained",
 )
 
 

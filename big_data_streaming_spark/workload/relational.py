@@ -808,11 +808,18 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # immutable), reuse them — subsequent invocations measure the join,
     # not the rewrite. Count probes on bucketed parquet are metadata-cheap.
     if spark.catalog.tableExists(li_tab) and spark.catalog.tableExists(ord_tab):
-        if (
-            spark.table(li_tab).count() == t(spark, sf_dir, "lineitem").count()
-            and spark.table(ord_tab).count() == t(spark, sf_dir, "orders").count()
-        ):
-            return li_tab, ord_tab
+        try:
+            if (
+                spark.table(li_tab).count() == t(spark, sf_dir, "lineitem").count()
+                and spark.table(ord_tab).count()
+                == t(spark, sf_dir, "orders").count()
+            ):
+                return li_tab, ord_tab
+        except Exception:
+            # Catalog entry with missing/partial files (another local
+            # process rebuilt the warehouse dir under us, or a killed
+            # earlier run left debris) — fall through and rebuild.
+            pass
     # A fresh session's metastore may not know the table while its
     # warehouse location survives from an earlier session — drop both.
     import shutil
