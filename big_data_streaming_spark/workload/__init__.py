@@ -183,6 +183,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_ivm_merge",
     "q_embed_dimstats",
     "q_text_normalize",
+    "q_rolling_distinct",
+    "q_cooccurrence",
+    "q_time_to_convert",
+    "q_skew_audit",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

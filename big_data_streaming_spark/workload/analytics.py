@@ -670,3 +670,215 @@ def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sv").cast("double").alias("total_value"),
         )
     )
+
+
+# --- 7-day rolling distinct users (WAU) -----------------------------------
+# COUNT(DISTINCT) over a sliding time frame is not a window function in
+# either engine; the standard shape is a day-spine range join against the
+# distinct (day, user) lattice. The spine is O(days) → broadcast; the
+# distinct lattice is the only shuffle.
+@_q(
+    "q_rolling_distinct",
+    """
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                        user_id
+        FROM events
+    ), days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+    FROM days d JOIN ud u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        t(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    joined = F.broadcast(days.withColumnRenamed("day", "d")).join(
+        ud,
+        (F.col("day") >= F.expr("d - INTERVAL 6 DAY"))
+        & (F.col("day") <= F.col("d")),
+    )
+    return (
+        joined.groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+# --- event-type co-occurrence with lift (market-basket shape) -------------
+# Baskets = distinct (user, day); pairs via self-join with t1 < t2 (each
+# unordered pair once); lift in one shared-text expression of exact
+# integer counts.
+_LIFT = "((CAST(n_days AS DOUBLE) * n) / (CAST(n1a AS DOUBLE) * n1b))"
+
+@_q(
+    "q_cooccurrence",
+    f"""
+    WITH ut AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type
+        FROM events
+    ), pairs AS (
+        SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_days
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    ), singles AS (
+        SELECT event_type, COUNT(*) AS n1 FROM ut GROUP BY event_type
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+            FROM events
+        )
+    )
+    SELECT t1, t2, n_days, {_LIFT} AS lift
+    FROM pairs
+    JOIN (SELECT event_type, n1 AS n1a FROM singles) s1 ON t1 = s1.event_type
+    JOIN (SELECT event_type, n1 AS n1b FROM singles) s2 ON t2 = s2.event_type
+    CROSS JOIN tot
+    """,
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ut = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n1"))
+    tot = ut.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                singles.select(
+                    F.col("event_type").alias("t1"), F.col("n1").alias("n1a")
+                )
+            ),
+            "t1",
+        )
+        .join(
+            F.broadcast(
+                singles.select(
+                    F.col("event_type").alias("t2"), F.col("n1").alias("n1b")
+                )
+            ),
+            "t2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select("t1", "t2", "n_days", F.expr(_LIFT).alias("lift"))
+
+
+# --- time-to-convert histogram (signup → first purchase latency) ----------
+# Latency measured in exact integer microseconds (unix_micros/epoch_us —
+# no float time math), bucketed to whole hours with the shared floor
+# text.
+_TTC_BUCKET = (
+    "CAST(floor(CAST(us_p - us_s AS DOUBLE) / CAST(3600000000 AS DOUBLE))"
+    " AS BIGINT)"
+)
+
+@_q(
+    "q_time_to_convert",
+    f"""
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                   AS us_s,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS us_p
+        FROM events GROUP BY user_id
+    )
+    SELECT {_TTC_BUCKET} AS hours_bucket, COUNT(*) AS n_users
+    FROM f
+    WHERE us_s IS NOT NULL AND us_p IS NOT NULL AND us_p > us_s
+    GROUP BY 1
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+            ).alias("us_s"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+            ).alias("us_p"),
+        )
+    )
+    return (
+        f.where(
+            F.col("us_s").isNotNull()
+            & F.col("us_p").isNotNull()
+            & (F.col("us_p") > F.col("us_s"))
+        )
+        .groupBy(F.expr(_TTC_BUCKET).alias("hours_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- join-key skew audit (DQ / planning input) ----------------------------
+# The pre-join diagnostic behind the salting decision (operators/salted
+# agg, AQE skew thresholds): per-key row counts reduced to a one-row
+# skew report in shared-text arithmetic.
+_SKEW = (
+    "(CAST(max_rows AS DOUBLE)"
+    " / (CAST(n_rows AS DOUBLE) / n_keys))"
+)
+
+@_q(
+    "q_skew_audit",
+    f"""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    s AS (
+        SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+               MIN(n) AS min_rows, MAX(n) AS max_rows
+        FROM c
+    )
+    SELECT n_keys, n_rows, min_rows, max_rows,
+           CAST(n_rows AS DOUBLE) / n_keys AS mean_rows,
+           {_SKEW} AS skew_factor
+    FROM s
+    """,
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min("n").alias("min_rows"),
+        F.max("n").alias("max_rows"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "min_rows",
+        "max_rows",
+        F.expr("CAST(n_rows AS DOUBLE) / n_keys").alias("mean_rows"),
+        F.expr(_SKEW).alias("skew_factor"),
+    )
