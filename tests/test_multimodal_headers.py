@@ -76,3 +76,43 @@ def test_synth_wav_roundtrips_and_rejects_garbage(spark):
         [Row(doc_id=9, payload=b"RIFFxxxx not wav")], "doc_id long, payload binary"
     )
     assert parse_audio_headers(bad).first().mime is None
+
+
+def test_payload_stats_arrow_matches_builtin(spark):
+    """mapInArrow kernel vs JVM built-ins on the same synthetic payloads:
+    byte length, first byte, and additive checksum must agree exactly
+    (aggregate(transform(...)) is the codegen-side mirror)."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.functions.multimodal import payload_stats_arrow
+
+    docs = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(b"\x89PNG"),
+            F.sha2(F.col("id").cast("string"), 256).cast("binary"),
+        ).alias("payload"),
+    )
+    got = {
+        r["doc_id"]: (r["nbytes"], r["first_byte"], r["checksum32"])
+        for r in payload_stats_arrow(docs).collect()
+    }
+    want = {
+        r["doc_id"]: (r["nbytes"], r["first_byte"], r["checksum32"])
+        for r in docs.select(
+            "doc_id",
+            F.length("payload").cast("bigint").alias("nbytes"),
+            F.expr("ascii(decode(substring(payload, 1, 1), 'ISO-8859-1'))")
+            .cast("int")
+            .alias("first_byte"),
+            F.expr(
+                "aggregate(transform(sequence(1, length(payload)),"
+                " i -> ascii(decode(substring(payload, i, 1), 'ISO-8859-1'))),"
+                " 0L, (a, x) -> a + x) % 4294967296"
+            ).alias("checksum32"),
+        ).collect()
+    }
+    assert len(got) == 64
+    for k, (nb, fb, cs) in got.items():
+        wnb, wfb, wcs = want[k]
+        assert nb == wnb and fb == wfb and cs == wcs, (k, got[k], want[k])
