@@ -187,6 +187,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_cooccurrence",
     "q_time_to_convert",
     "q_skew_audit",
+    "q_listagg",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -882,3 +882,33 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_rows AS DOUBLE) / n_keys").alias("mean_rows"),
         F.expr(_SKEW).alias("skew_factor"),
     )
+
+
+# --- ordered string aggregation (LISTAGG WITHIN GROUP) --------------------
+# The SQL:2016 ordered-set aggregate (Spark 4 listagg / DuckDB
+# string_agg ORDER BY): per user-day, the chronological event-type
+# journey as one string. Deterministic because the ORDER BY carries the
+# (ts, event_id) total order. Scalar string output — canonicalizer-safe.
+@_q(
+    "q_listagg",
+    """
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    """,
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_la")
+    return spark.sql(
+        """
+        SELECT user_id, date_trunc('day', ts) AS day,
+               listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)
+                   AS journey,
+               COUNT(*) AS n_events
+        FROM events_la
+        GROUP BY user_id, date_trunc('day', ts)
+        """
+    )
