@@ -188,6 +188,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_time_to_convert",
     "q_skew_audit",
     "q_listagg",
+    "q_hard_negatives",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

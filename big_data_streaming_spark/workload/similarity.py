@@ -557,3 +557,75 @@ def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
     )
+
+
+# --- hard-negative mining (contrastive-training shape) --------------------
+# For each query vector: the top-3 most-similar vectors with a DIFFERENT
+# label — the "hard negatives" a contrastive trainer pairs against
+# positives. Same broadcast(queries) × one-corpus-scan plan as
+# q_sim_topk with the label-mismatch predicate fused into the join;
+# ranking ties broken by neighbor_id, cosine reported at 6 dp to absolve
+# last-ulp libm divergence (the ranking itself uses full precision).
+_HN_K = 3
+
+@_q(
+    "q_hard_negatives",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+               list_dot_product(e.embedding::DOUBLE[], q.q_vec)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.q_label
+    )
+    SELECT q_id, neighbor_id, neg_label, round(cosine, 6) AS cosine_r,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {_HN_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.functions.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            F.col("embedding").alias("c_vec"),
+        )
+        .join(q, F.col("neg_label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            "neg_label",
+            cosine(F.col("c_vec"), F.col("q_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "neg_label",
+            F.round("cosine", 6).alias("cosine_r"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
