@@ -54,6 +54,15 @@ _MODULES = (
 # all green in CORRECTNESS_r01 — fills the tail in module order. When a
 # new query is added, it must be inserted into the "never driver-checked"
 # block and an anchor dropped to keep the unverified set inside the window.
+#
+# ROUND-3 ROTATION TODO: once CORRECTNESS_r02 lands, move its green keys
+# to the tail and promote the next unchecked block into positions 0-49 —
+# priority order: (1) the rows-only keys' value-checked twins
+# (q_dedup_near_pairs, q_minhash_signature, q_dedup_cc_checked,
+# q_sim_ivf_checked, q_embed_neardup audits), (2) the TPC-H completion
+# pack (q_tpch_q1..q22 minus the five already checked), (3) the
+# continuation analytics/text/embedding keys (q_interval_merge …
+# q_hard_negatives) in registry order.
 _CHECK_FIRST: tuple[str, ...] = (
     # -- driver-unchecked in round 1 (old positions 50-82) ----------------
     "q_scalar_date",
@@ -189,6 +198,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_skew_audit",
     "q_listagg",
     "q_hard_negatives",
+    "q_weighted_median",
+    "q_id_gaps",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

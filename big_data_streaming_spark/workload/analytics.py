@@ -912,3 +912,81 @@ def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, date_trunc('day', ts)
         """
     )
+
+
+# --- weighted median (integer cumulative-weight selection) ----------------
+# Weighted median of price with integer quantity weights: sort by value,
+# running weight, first row whose doubled cumulative weight reaches the
+# doubled total — all-integer comparisons, so the selected value is an
+# exact member of the input (no interpolation, no float accumulation).
+@_q(
+    "q_weighted_median",
+    """
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS wq
+        FROM lineitem
+    ), c AS (
+        SELECT l_returnflag, price, wq,
+               SUM(wq) OVER (PARTITION BY l_returnflag
+                             ORDER BY price, wq
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(wq) OVER (PARTITION BY l_returnflag) AS total
+        FROM w
+    )
+    SELECT l_returnflag, MIN(price) AS weighted_median
+    FROM c WHERE cum * 2 >= total
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("wq"),
+    )
+    wp = Window.partitionBy("l_returnflag")
+    c = li.withColumn(
+        "cum",
+        F.sum("wq").over(
+            wp.orderBy("price", "wq").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("total", F.sum("wq").over(wp))
+    return (
+        c.where(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("weighted_median"))
+    )
+
+
+# --- ID-sequence gap detection (DQ) ---------------------------------------
+# Missing-key audit over a supposedly-dense id sequence: LEAD the sorted
+# ids, report each gap's start and length. The fixture's orderkeys are
+# fully dense, so the audit drops every 97th key first — deterministic
+# planted holes that the detector must then report (a zero-row result
+# would verify nothing). Single global-order window on the id set — at
+# 100 TB run it per range-partitioned shard and union the shard reports.
+@_q(
+    "q_id_gaps",
+    """
+    WITH s AS (
+        SELECT o_orderkey AS id,
+               LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next_id
+        FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT id + 1 AS gap_start, next_id - id - 1 AS gap_len
+    FROM s WHERE next_id - id > 1
+    """,
+)
+def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("id")
+    s = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 != 0)
+        .select(F.col("o_orderkey").alias("id"))
+        .withColumn("next_id", F.lead("id").over(w))
+    )
+    return s.where((F.col("next_id") - F.col("id")) > 1).select(
+        (F.col("id") + 1).alias("gap_start"),
+        (F.col("next_id") - F.col("id") - 1).alias("gap_len"),
+    )
