@@ -407,3 +407,31 @@ def test_embed_quantize_single_vec_exchange(spark, sf_small):
     aggregate's clustering)."""
     df = QUERIES["q_embed_quantize"](spark, sf_small)
     assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_rolling_distinct_broadcasts_day_spine(spark, sf_small):
+    """The WAU range join must broadcast the O(days) spine, never
+    shuffle-join it against the user-day lattice."""
+    df = QUERIES["q_rolling_distinct"](spark, sf_small)
+    plan = formatted_plan(df)
+    # A range predicate cannot hash-join: the correct plan is a
+    # BroadcastNestedLoopJoin with the tiny spine as the build side.
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_hard_negatives_single_scan_broadcast(spark, sf_small):
+    """Hard-negative mining keeps the q_sim_topk plan shape: queries
+    broadcast against ONE corpus scan, ranking via the per-q window —
+    no cartesian of two large sides, at most the (q_id) rank exchange."""
+    df = QUERIES["q_hard_negatives"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or uses_broadcast_join(df), plan
+    assert shuffle_count(df) <= 1, plan
+
+
+def test_weighted_median_single_flag_exchange(spark, sf_small):
+    """Running-weight window + per-flag selection ride one l_returnflag
+    exchange (window partitioning satisfies the final aggregate)."""
+    df = QUERIES["q_weighted_median"](spark, sf_small)
+    assert shuffle_count(df) == 1, formatted_plan(df)
