@@ -745,9 +745,14 @@ _LIFT = "((CAST(n_days AS DOUBLE) * n) / (CAST(n1a AS DOUBLE) * n1b))"
 )
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    ut = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).distinct()
+    # The basket lattice feeds four consumers (both self-join sides,
+    # singles, tot): persist it so the scan+distinct runs once, not 4×
+    # (same shared-relation fix that took q_triangles 62 → 12 exchanges).
+    ut = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"), "event_type")
+        .distinct()
+        .persist()
+    )
     a = ut.alias("a")
     b = ut.alias("b")
     pairs = (
