@@ -200,6 +200,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_hard_negatives",
     "q_weighted_median",
     "q_id_gaps",
+    "q_cusum",
+    "q_acf",
+    "q_ewma",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -995,3 +995,149 @@ def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") + 1).alias("gap_start"),
         (F.col("next_id") - F.col("id") - 1).alias("gap_len"),
     )
+
+
+# === time-series analysis trio (integer-exact engineering) =================
+# Daily event-value totals quantized to exact integers once, then every
+# statistic is BIGINT arithmetic until one final shared-text double
+# division — the arbitrary-mantissa decimal-cast hazard (common.py rule
+# 2) never arises. The daily spine is tiny (O(days)); all three run on
+# one date_trunc aggregate of the fact table.
+
+# daily totals at 1e-6 exactness (value sums carry <= 6 decimals through
+# the DEC routing, so ROUND(total * 1e6) is lossless)
+_TS_DAILY = f"""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                          * 1000000) AS BIGINT) AS xc
+        FROM events GROUP BY 1
+"""
+
+
+# --- CUSUM drift detection -------------------------------------------------
+# cusum_t = sum_{i<=t} x_i - t * mean, kept rational as
+# n * prefix_sum - t * total (all BIGINT), divided once at the end.
+_CUSUM = "(CAST(n * pre - t * sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000) / n)"
+
+@_q(
+    "q_cusum",
+    f"""
+    WITH d AS ({_TS_DAILY}),
+    c AS (
+        SELECT day, xc,
+               SUM(xc) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pre,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(SUM(xc) OVER () AS BIGINT) AS sx,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM d
+    )
+    SELECT day, CAST(xc AS DOUBLE) / 1000000 AS total, {_CUSUM} AS cusum
+    FROM c
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
+    return spark.sql(
+        f"""
+        WITH d AS ({_TS_DAILY.replace("FROM events", "FROM events_ts")}),
+        c AS (
+            SELECT day, xc,
+                   SUM(xc) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pre,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+                   CAST(SUM(xc) OVER () AS BIGINT) AS sx,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM d
+        )
+        SELECT day, CAST(xc AS DOUBLE) / 1000000 AS total, {_CUSUM} AS cusum
+        FROM c
+        """
+    )
+
+
+# --- lag-1 autocorrelation (Pearson on consecutive-day pairs) --------------
+# Whole-unit quantization (ROUND(total)) keeps every cross-moment within
+# BIGINT range; r1 is the textbook formula over exact integer sums with
+# sqrt as the only float op.
+_ACF_R1 = (
+    "((CAST(m AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)"
+    " / nullif(sqrt(CAST(m AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)"
+    " * sqrt(CAST(m AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb), 0))"
+)
+
+@_q(
+    "q_acf",
+    f"""
+    WITH d AS ({_TS_DAILY}),
+    u AS (
+        SELECT day, CAST(ROUND(CAST(xc AS DOUBLE) / 1000000) AS BIGINT) AS x
+        FROM d
+    ), p AS (
+        SELECT x AS a, LAG(x) OVER (ORDER BY day) AS b FROM u
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(a * a) AS BIGINT) AS saa,
+               CAST(SUM(b * b) AS BIGINT) AS sbb,
+               CAST(SUM(a * b) AS BIGINT) AS sab
+        FROM p WHERE b IS NOT NULL
+    )
+    SELECT m AS n_pairs, {_ACF_R1} AS r1 FROM s
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
+    return spark.sql(
+        f"""
+        WITH d AS ({_TS_DAILY.replace("FROM events", "FROM events_ts")}),
+        u AS (
+            SELECT day, CAST(ROUND(CAST(xc AS DOUBLE) / 1000000) AS BIGINT) AS x
+            FROM d
+        ), p AS (
+            SELECT x AS a, LAG(x) OVER (ORDER BY day) AS b FROM u
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+                   CAST(SUM(a * a) AS BIGINT) AS saa,
+                   CAST(SUM(b * b) AS BIGINT) AS sbb,
+                   CAST(SUM(a * b) AS BIGINT) AS sab
+            FROM p WHERE b IS NOT NULL
+        )
+        SELECT m AS n_pairs, {_ACF_R1} AS r1 FROM s
+        """
+    )
+
+
+# --- integer-exact EWMA (alpha = 1/4, 14-day horizon) ----------------------
+# pow() is libm territory; instead the decay weights (3/4)^j are exact
+# rationals with the common denominator 4^13 — the weighted sum becomes
+# one BIGINT expression over 14 unrolled LAGs, divided once. Rows need a
+# full 14-day history (rn >= 14): no partial-window weight drift.
+_EWMA_TERMS = " + ".join(
+    f"LAG(x, {j}) OVER w * {3 ** j * 4 ** (13 - j)}" for j in range(14)
+)
+_EWMA_DEN = sum(3 ** j * 4 ** (13 - j) for j in range(14))
+
+
+def _ewma_sql(table: str) -> str:
+    return f"""
+    WITH d AS ({_TS_DAILY.replace("FROM events", f"FROM {table}")}),
+    u AS (
+        SELECT day, CAST(ROUND(CAST(xc AS DOUBLE) / 1000000) AS BIGINT) AS x
+        FROM d
+    ), e AS (
+        SELECT day, x,
+               {_EWMA_TERMS} AS num,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+        FROM u
+        WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, CAST(x AS DOUBLE) AS total,
+           CAST(num AS DOUBLE) / {_EWMA_DEN} AS ewma
+    FROM e WHERE rn >= 14
+    """
+
+
+@_q("q_ewma", _ewma_sql("events"))
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
+    return spark.sql(_ewma_sql("events_ts"))
