@@ -203,6 +203,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_cusum",
     "q_acf",
     "q_ewma",
+    "q_keywords",
+    "q_lang_confusion",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1188,3 +1188,106 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t(spark, sf_dir, "customer").select("c_custkey", norm.alias("norm"))
+
+
+# --- keyword extraction (top-3 TF-IDF tokens per document) ----------------
+# The per-doc keyword shape on top of q_tfidf's machinery: score =
+# tf * (n_docs / df) (integer-derived, deterministic), ranked per doc
+# with a token tie-break. df broadcasts; the only wide shuffles are the
+# tf aggregate and the per-doc rank window.
+@_q(
+    "q_keywords",
+    """
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ), dfq AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT doc_id, token, tf, df,
+           CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df) AS score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY CAST(tf AS DOUBLE)
+                                            * (CAST(n_docs AS DOUBLE) / df)
+                                            DESC, token)
+                AS INTEGER) AS rnk
+    FROM tf JOIN dfq USING (token) CROSS JOIN nd
+    QUALIFY rnk <= 3
+    """,
+)
+def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # bounded scalar (collect rule §4.3.8)
+    score = F.col("tf").cast("double") * (
+        F.lit(float(n_docs)) / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), "token")
+    return (
+        tf.join(F.broadcast(dfq), "token")
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )
+
+
+# --- language-ID confusion matrix (eval of the marker heuristic) ----------
+# Detected language = deterministic argmax over the marker counts
+# (preference order en > de > fr > es on ties, 'unk' when no marker
+# fires), cross-tabulated against the labeled lang column — the
+# classifier-evaluation shape. Both engines evaluate the identical CASE.
+_LC_DETECT = """
+    CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en > 0
+              THEN 'en'
+         WHEN n_de >= n_fr AND n_de >= n_es AND n_de > 0 THEN 'de'
+         WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
+         WHEN n_es > 0 THEN 'es'
+         ELSE 'unk' END
+"""
+
+@_q(
+    "q_lang_confusion",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               {_marker_sql('en')},
+               {_marker_sql('de')},
+               {_marker_sql('fr')},
+               {_marker_sql('es')}
+        FROM tok
+    )
+    SELECT lang AS labeled, {_LC_DETECT} AS detected, COUNT(*) AS n_docs
+    FROM m GROUP BY lang, {_LC_DETECT}
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    cols = [
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+            )
+        ).alias(f"n_{lang}")
+        for lang in ("en", "de", "fr", "es")
+    ]
+    m = d.select(F.col("lang").alias("labeled"), *cols)
+    return (
+        m.withColumn("detected", F.expr(_LC_DETECT))
+        .groupBy("labeled", "detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
