@@ -99,3 +99,70 @@ def asof_join(
         *lcols,
         *[F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in right_payload],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    suffix: str = "_right",
+) -> DataFrame:
+    """Forward-inclusive as-of join: every left row plus the payload of
+    the EARLIEST right row at or after its timestamp ("the next quote
+    at or after this trade"). Mirror of :func:`asof_join` — same single
+    shuffle + sort; the carry runs over the FOLLOWING frame with
+    ``first(ignoreNulls)``, and left rows sort before right rows at
+    equal timestamps so 'inclusive' holds. Tie-break among right rows
+    sharing (key, ts): lexicographically-smallest payload (the
+    ascending twin of the backward join's greatest-payload rule).
+    """
+    if not right_payload:
+        right_payload = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    payload_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ats"),
+        F.lit(0).alias("_side"),  # 0 < 1: left sorts first → inclusive
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in right_payload
+            )
+            + ">"
+        )
+        .alias("_p"),
+    )
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in keys
+        ],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        payload_struct.alias("_p"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ats", "_side", "_p")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        *lcols,
+        "_side",
+        F.first("_p", ignorenulls=True).over(w).alias("_carry"),
+    )
+    return carried.filter(F.col("_side") == 0).select(
+        *lcols,
+        *[F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in right_payload],
+    )

@@ -205,6 +205,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_ewma",
     "q_keywords",
     "q_lang_confusion",
+    "q_asof_forward",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1104,3 +1104,36 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# --- A-surface extension: FORWARD as-of join ------------------------------
+# "Next hourly mark at or after the event" — the forward twin of
+# q_asof_join, against DuckDB's native forward ASOF (``l.ts <= r.ts``).
+# Same single-shuffle union+window construction (operators/asof.py).
+@_q(
+    "q_asof_forward",
+    f"""
+    WITH marks AS (
+        SELECT user_id, date_trunc('hour', ts) AS mts,
+               {oracle_dec_sum('value', 'mark_value')}
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.value, m.mark_value AS mark_value_right
+    FROM events e ASOF LEFT JOIN marks m
+      ON e.user_id = m.user_id AND e.ts <= m.mts
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.operators.asof import asof_join_forward
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    marks = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(dec_sum("value", "mark_value"))
+        .select("user_id", F.col("w.start").alias("mts"), "mark_value")
+    )
+    return asof_join_forward(
+        ev, marks, keys=["user_id"], left_ts="ts", right_ts="mts",
+        right_payload=["mark_value"],
+    )

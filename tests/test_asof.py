@@ -90,3 +90,50 @@ def test_asof_join_tie_break_is_deterministic(spark):
         for n in (1, 2, 3)
     }
     assert outs == {"b"}
+
+
+def test_asof_forward_semantics(spark):
+    from big_data_streaming_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            ("A", _ts(0), 1),   # before first quote → quote@10
+            ("A", _ts(10), 2),  # exactly at quote ts=10 → inclusive match
+            ("A", _ts(15), 3),  # between quotes → next quote@20
+            ("A", _ts(30), 4),  # after last quote → null
+            ("B", _ts(2), 5),   # other key → B's quote only
+        ],
+        ["coin", "ts", "trade_id"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts(10), 100.0, "x"),
+            ("A", _ts(20), 200.0, "y"),
+            ("B", _ts(5), 999.0, "z"),
+        ],
+        ["coin", "ts", "px", "src"],
+    )
+    out = {
+        r["trade_id"]: (r["px_right"], r["src_right"])
+        for r in asof_join_forward(left, right, keys=["coin"]).collect()
+    }
+    assert out[1] == (100.0, "x")
+    assert out[2] == (100.0, "x")   # inclusive
+    assert out[3] == (200.0, "y")
+    assert out[4] == (None, None)
+    assert out[5] == (999.0, "z")
+
+
+def test_asof_forward_carries_null_payload_whole_row(spark):
+    """A right row whose payload is legitimately NULL must be carried AS
+    NULL (not skipped for a later non-null row) — the struct-carry
+    contract, forward edition."""
+    from big_data_streaming_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame([("A", _ts(1), 1)], ["coin", "ts", "trade_id"])
+    right = spark.createDataFrame(
+        [("A", _ts(5), None, "null-px"), ("A", _ts(9), 7.0, "later")],
+        ["coin", "ts", "px", "src"],
+    )
+    row = asof_join_forward(left, right, keys=["coin"]).collect()[0]
+    assert row["px_right"] is None and row["src_right"] == "null-px"
