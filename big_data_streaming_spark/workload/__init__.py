@@ -206,6 +206,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_keywords",
     "q_lang_confusion",
     "q_asof_forward",
+    "q_scd2_lookup",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

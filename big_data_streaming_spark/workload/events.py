@@ -1137,3 +1137,58 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, marks, keys=["user_id"], left_ts="ts", right_ts="mts",
         right_payload=["mark_value"],
     )
+
+
+# --- SCD2 point-in-time lookup (feature-store join) -----------------------
+# The consumption side of q_scd2_build: for deterministic daily-noon
+# probe times, attach the dimension version whose [valid_from, valid_to)
+# interval covers the probe — the "feature value as of training time"
+# join that prevents label leakage. Per-user intervals are disjoint, so
+# exactly one version matches; the join hashes on user_id and the range
+# predicates are residual filters (no range explosion).
+@_q(
+    "q_scd2_lookup",
+    """
+    WITH scd AS (
+        SELECT user_id, value, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events
+    ), probes AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 12 HOUR
+                   AS pt
+        FROM events
+    )
+    SELECT p.user_id, p.pt, s.value AS active_value, s.valid_from
+    FROM probes p JOIN scd s
+      ON p.user_id = s.user_id AND s.valid_from <= p.pt
+     AND (s.valid_to IS NULL OR s.valid_to > p.pt)
+    """,
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = ev.select(
+        F.col("user_id").alias("s_user"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    probes = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 12 HOUR"
+        ).alias("pt"),
+    ).distinct()
+    j = probes.join(
+        scd,
+        (probes.user_id == scd.s_user)
+        & (scd.valid_from <= probes.pt)
+        & (scd.valid_to.isNull() | (scd.valid_to > probes.pt)),
+    )
+    return j.select(
+        "user_id", "pt", F.col("value").alias("active_value"), "valid_from"
+    )
