@@ -267,3 +267,42 @@ def start_upsert_sink(
     return start_foreach_batch(
         df, merge_batch, checkpoint, trigger=trigger
     )
+
+
+def start_fanout_sink(
+    df: DataFrame,
+    checkpoint: str,
+    *,
+    parquet_dir: str,
+    jdbc_url: str | None = None,
+    jdbc_table: str | None = None,
+    jdbc_driver: str | None = None,
+    trigger: dict | None = None,
+    **jdbc_options: str,
+) -> StreamingQuery:
+    """Multi-sink fan-out: each micro-batch lands in a parquet batch dir
+    AND (optionally) a JDBC table, from ONE evaluation of the batch — it
+    rides :func:`start_foreach_batch`'s persist, so the source is scanned
+    once per batch, not once per sink. Both legs are idempotent under
+    WAL replay: parquet overwrites ``batch_<id>/``, JDBC goes through
+    :func:`write_jdbc_idempotent`'s delete-then-insert keyed on
+    ``_batch_id``. This is the reference's "store to lake AND serve from
+    the DB" pattern (spark/streaming-longtime.py writes the same data to
+    parquet and per-key tables in separate jobs) collapsed into one
+    exactly-once pass.
+    """
+    import os
+
+    def fan_out(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(parquet_dir, f"batch_{batch_id}")
+        )
+        if jdbc_url and jdbc_table:
+            write_jdbc_idempotent(
+                batch, jdbc_url, jdbc_table, batch_id,
+                driver=jdbc_driver, **jdbc_options,
+            )
+
+    return start_foreach_batch(
+        df, fan_out, checkpoint, trigger=trigger, persist_batches=True
+    )

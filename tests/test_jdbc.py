@@ -168,3 +168,67 @@ def test_jdbc_v2_catalog_aggregate_pushdown(spark, tmp_path):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_fanout_sink_both_legs_identical_and_idempotent(spark, tmp_path, derby_url):
+    """One micro-batch → parquet batch dir AND Derby table from a single
+    persisted evaluation; a replayed batch (same batch_id) must not
+    duplicate either leg."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.streaming.sinks import (
+        start_fanout_sink,
+        write_jdbc_idempotent,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.range(50).selectExpr(
+        "id", "CAST(id % 5 AS INT) AS k"
+    ).write.mode("overwrite").parquet(src)
+
+    sdf = spark.readStream.schema("id bigint, k int").parquet(src)
+    pq_dir = str(tmp_path / "pq")
+    q = start_fanout_sink(
+        sdf,
+        str(tmp_path / "ckpt"),
+        parquet_dir=pq_dir,
+        jdbc_url=derby_url,
+        jdbc_table="fanout_t",
+        jdbc_driver="org.apache.derby.jdbc.EmbeddedDriver",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+
+    pq = spark.read.parquet(os.path.join(pq_dir, "batch_0"))
+    jd = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "fanout_t")
+        .load()
+    )
+    assert pq.count() == 50
+    assert jd.count() == 50
+    assert sorted(r["id"] for r in pq.collect()) == sorted(
+        r["id"] for r in jd.select("id").collect()
+    )
+
+    # Simulate a WAL replay of batch 0: the idempotent JDBC leg converges
+    # to one copy, and the parquet leg overwrites in place.
+    batch = spark.read.parquet(src)
+    write_jdbc_idempotent(
+        batch, derby_url, "fanout_t", 0,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    batch.write.mode("overwrite").parquet(os.path.join(pq_dir, "batch_0"))
+    assert (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "fanout_t")
+        .load()
+        .count()
+        == 50
+    )
+    assert spark.read.parquet(os.path.join(pq_dir, "batch_0")).count() == 50
