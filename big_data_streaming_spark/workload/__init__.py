@@ -207,6 +207,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_lang_confusion",
     "q_asof_forward",
     "q_scd2_lookup",
+    "q_pattern_vshape",
+    "q_catalog_counts",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

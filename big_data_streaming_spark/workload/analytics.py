@@ -1141,3 +1141,76 @@ def _ewma_sql(table: str) -> str:
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
     return spark.sql(_ewma_sql("events_ts"))
+
+
+# --- V-shape pattern detection (MATCH_RECOGNIZE-lite) ---------------------
+# Sequence-pattern surface without a MATCH_RECOGNIZE engine: a centered
+# LAG/LEAD chain over the daily spine flags strict two-down-two-up V
+# days. All comparisons on the exact integer totals; depths reported in
+# shared-text unit conversion.
+@_q(
+    "q_pattern_vshape",
+    f"""
+    WITH d AS ({_TS_DAILY}),
+    c AS (
+        SELECT day, xc,
+               LAG(xc, 2)  OVER (ORDER BY day) AS p2,
+               LAG(xc, 1)  OVER (ORDER BY day) AS p1,
+               LEAD(xc, 1) OVER (ORDER BY day) AS n1,
+               LEAD(xc, 2) OVER (ORDER BY day) AS n2
+        FROM d
+    )
+    SELECT day, CAST(xc AS DOUBLE) / 1000000 AS total,
+           CAST(p2 - xc AS DOUBLE) / 1000000 AS drop_depth,
+           CAST(n2 - xc AS DOUBLE) / 1000000 AS rise_height
+    FROM c
+    WHERE p2 > p1 AND p1 > xc AND xc < n1 AND n1 < n2
+    """,
+)
+def q_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
+    return spark.sql(
+        f"""
+        WITH d AS ({_TS_DAILY.replace("FROM events", "FROM events_ts")}),
+        c AS (
+            SELECT day, xc,
+                   LAG(xc, 2)  OVER (ORDER BY day) AS p2,
+                   LAG(xc, 1)  OVER (ORDER BY day) AS p1,
+                   LEAD(xc, 1) OVER (ORDER BY day) AS n1,
+                   LEAD(xc, 2) OVER (ORDER BY day) AS n2
+            FROM d
+        )
+        SELECT day, CAST(xc AS DOUBLE) / 1000000 AS total,
+               CAST(p2 - xc AS DOUBLE) / 1000000 AS drop_depth,
+               CAST(n2 - xc AS DOUBLE) / 1000000 AS rise_height
+        FROM c
+        WHERE p2 > p1 AND p1 > xc AND xc < n1 AND n1 < n2
+        """
+    )
+
+
+# --- catalog row-count audit ----------------------------------------------
+# The cross-table integrity snapshot an operator runs after every load:
+# one row per table, integer counts — the cheapest full-catalog DQ gate.
+_CATALOG_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+@_q(
+    "q_catalog_counts",
+    "\nUNION ALL\n".join(
+        f"SELECT '{tab}' AS table_name, COUNT(*) AS n_rows FROM {tab}"
+        for tab in _CATALOG_TABLES
+    ),
+)
+def q_catalog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    frames = [
+        t(spark, sf_dir, tab)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(tab).alias("table_name"), "n_rows")
+        for tab in _CATALOG_TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
