@@ -48,6 +48,12 @@ def asof_join(
         right_payload = [
             c for c in right.columns if c not in keys and c != right_ts
         ]
+    if not right_payload:
+        raise ValueError(
+            "as-of join needs at least one right payload column "
+            "(right side has only keys + timestamp); the generated "
+            "struct<> cast would be unparseable"
+        )
 
     # The whole right row travels as ONE nullable struct: per-column
     # last(ignoreNulls) would skip a legitimately-NULL payload value and
@@ -123,6 +129,12 @@ def asof_join_forward(
         right_payload = [
             c for c in right.columns if c not in keys and c != right_ts
         ]
+    if not right_payload:
+        raise ValueError(
+            "as-of join needs at least one right payload column "
+            "(right side has only keys + timestamp); the generated "
+            "struct<> cast would be unparseable"
+        )
     payload_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
     lcols = [c for c in left.columns]
     l_tagged = left.select(

@@ -55,7 +55,9 @@ def repartition_for_join(
     """Pre-shuffle both sides identically so a chain of operations on the
     same key (join → groupBy → window) reuses ONE exchange instead of
     re-shuffling per stage."""
-    spark = SparkSession.getActiveSession()
+    # The DataFrames carry their own session — getActiveSession() is None
+    # on threads that never touched one (e.g. foreachBatch callbacks).
+    spark = left.sparkSession
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     return left.repartition(n, key), right.repartition(n, key)
 
@@ -105,7 +107,10 @@ def bloom_filter_offsets(spark: SparkSession, file_path: str) -> dict[str, int]:
     reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(input_file)
     try:
         out: dict[str, int] = {}
-        block = reader.getFooter().getBlocks().get(0)
+        blocks = reader.getFooter().getBlocks()
+        if blocks.size() == 0:  # zero-row file: no row groups, no filters
+            return out
+        block = blocks.get(0)
         for i in range(block.getColumns().size()):
             col = block.getColumns().get(i)
             name = ".".join(

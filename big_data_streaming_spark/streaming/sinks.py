@@ -48,16 +48,48 @@ def start_file_sink(
         writer = _apply_trigger(writer, trigger)
         return writer.start()
     except Exception as e:
-        if fmt != "avro" or "avro" not in str(e).lower():
+        # Only the MISSING-DATASOURCE failure reroutes to the fallback:
+        # substring-matching 'avro' anywhere in the message misclassified
+        # unrelated errors whose text merely mentioned an avro-named path.
+        msg = str(e)
+        missing_ds = (
+            "FAILED_TO_LOAD_DATA_SOURCE" in msg
+            or "Failed to find" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        )
+        if fmt != "avro" or not missing_ds:
             raise
         import os
+
+        from pyspark.sql import functions as F
 
         from big_data_streaming_spark.sources.avro_fallback import write_avro
 
         def write_batch(batch: DataFrame, batch_id: int) -> None:
-            write_avro(
-                batch, os.path.join(out_dir, f"batch_{batch_id}"), mode="overwrite"
-            )
+            base = os.path.join(out_dir, f"batch_{batch_id}")
+            if not partition_by:
+                write_avro(batch, base, mode="overwrite")
+                return
+            # Preserve the requested hive layout: one container-file dir
+            # per partition-key tuple (keys are low-cardinality derived
+            # columns — year/month — so the distinct scan is bounded; the
+            # batch is persisted to avoid a rescan per key).
+            batch.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                keys = batch.select(*partition_by).distinct().collect()
+                for row in keys:
+                    sub = os.path.join(
+                        base,
+                        *[f"{k}={row[k]}" for k in partition_by],
+                    )
+                    part = batch
+                    for k in partition_by:
+                        part = part.where(F.col(k) == F.lit(row[k]))
+                    write_avro(
+                        part.drop(*partition_by), sub, mode="overwrite"
+                    )
+            finally:
+                batch.unpersist()
 
         fb = df.writeStream.foreachBatch(write_batch).option(
             "checkpointLocation", checkpoint
@@ -157,22 +189,38 @@ def write_jdbc_idempotent(
         # Only a genuinely-missing table may skip the delete; any other
         # failure (lock timeout, lost connection, permissions) must abort
         # the batch — silently degrading to plain append would duplicate
-        # rows on replay, defeating the idempotence contract.
+        # rows on replay, defeating the idempotence contract. The probe is
+        # schema-qualified: an unfiltered catalog enumeration matched a
+        # same-named table in ANOTHER schema, wedging the stream on a
+        # DELETE against a table Spark's append had yet to create.
+        parts = table.split(".")
+        schema_pat = parts[-2].upper() if len(parts) > 1 else None
+        table_pat = parts[-1].upper()
         meta = conn.getMetaData()
-        rs = meta.getTables(None, None, None, None)
+        # JDBC metadata patterns are case-sensitive; probe the common
+        # casings (Derby/Oracle store upper, Postgres lower, MySQL as-is).
         exists = False
-        try:
-            while rs.next():
-                if rs.getString("TABLE_NAME").lower() == table.split(".")[-1].lower():
+        for pat in {table_pat, table_pat.lower(), parts[-1]}:
+            sp = None
+            if schema_pat is not None:
+                sp = schema_pat if pat == table_pat else (
+                    schema_pat.lower() if pat == table_pat.lower() else parts[-2]
+                )
+            rs = meta.getTables(None, sp, pat, None)
+            try:
+                if rs.next():
                     exists = True
                     break
-        finally:
-            rs.close()
+            finally:
+                rs.close()
         if exists:
+            # Quote the column per dialect: MySQL default mode rejects
+            # ANSI double quotes (Spark's own writer backticks there).
+            q = "`" if url.startswith("jdbc:mysql") else '"'
             stmt = conn.createStatement()
             try:
                 stmt.executeUpdate(
-                    f'DELETE FROM {table} WHERE "_batch_id" = {int(batch_id)}'
+                    f"DELETE FROM {table} WHERE {q}_batch_id{q} = {int(batch_id)}"
                 )
             finally:
                 stmt.close()

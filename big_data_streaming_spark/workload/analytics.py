@@ -1017,7 +1017,12 @@ _TS_DAILY = f"""
 # --- CUSUM drift detection -------------------------------------------------
 # cusum_t = sum_{i<=t} x_i - t * mean, kept rational as
 # n * prefix_sum - t * total (all BIGINT), divided once at the end.
-_CUSUM = "(CAST(n * pre - t * sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000) / n)"
+# cusum in micro-units = pre - t*sx/n = (n*pre - t*sx)/n; one ÷1e6
+# converts micro-units back to value units. (A review pass caught an
+# extra ÷n here — shared-text oracles verify engine parity, not the
+# algebra itself, so the statistic's own formula needs its own check:
+# see test_cusum_terminal_identity.)
+_CUSUM = "(CAST(n * pre - t * sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000))"
 
 @_q(
     "q_cusum",

@@ -208,3 +208,22 @@ def test_try_cast_never_throws_property(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], ["s"])
     res = df.select(F.col("s").try_cast("double").alias("d")).collect()
     assert len(res) == len(texts)
+
+
+def test_cusum_terminal_identity(spark):
+    """The CUSUM algebra check the shared-text oracle cannot provide:
+    at t = n, cusum = sum(x) - n*mean == 0 exactly (all-integer
+    arithmetic), and an interior value matches a hand computation."""
+    from big_data_streaming_spark.workload import QUERIES
+
+    rows = sorted(
+        QUERIES["q_cusum"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows[-1]["cusum"] == 0.0
+    # interior identity: cusum_t == sum_{i<=t} total_i - t * mean(total)
+    totals = [r["total"] for r in rows]
+    mean = sum(totals) / len(totals)
+    t_idx = len(rows) // 2
+    expect = sum(totals[: t_idx + 1]) - (t_idx + 1) * mean
+    assert abs(rows[t_idx]["cusum"] - expect) < 1e-6
