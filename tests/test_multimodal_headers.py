@@ -116,3 +116,29 @@ def test_payload_stats_arrow_matches_builtin(spark):
     for k, (nb, fb, cs) in got.items():
         wnb, wfb, wcs = want[k]
         assert nb == wnb and fb == wfb and cs == wcs, (k, got[k], want[k])
+
+
+def test_resize_raster_nearest_neighbor_exact(spark):
+    """NN resize is pure index math — assert exact pixel selection on a
+    known gradient, identity at same size, and corrupt-row filtering."""
+    import numpy as np
+
+    from big_data_streaming_spark.functions.multimodal import resize_raster
+
+    grad = bytes(range(16))  # 4x4 row-major: [[0..3],[4..7],[8..11],[12..15]]
+    rows = [
+        (1, 4, 4, bytearray(grad)),
+        (2, 4, 4, bytearray(b"\x00" * 7)),  # corrupt: wrong length → dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, width int, height int, payload binary")
+
+    out = {r["doc_id"]: bytes(r["payload"]) for r in resize_raster(df, 2, 2).collect()}
+    assert set(out) == {1}
+    # source rows/cols picked at floor(i*4/2) = 0, 2 → pixels (0,0),(0,2),(2,0),(2,2)
+    assert np.frombuffer(out[1], np.uint8).tolist() == [0, 2, 8, 10]
+
+    same = {r["doc_id"]: bytes(r["payload"]) for r in resize_raster(df, 4, 4).collect()}
+    assert same[1] == grad  # identity at the original size
+
+    up = resize_raster(df, 8, 8).collect()
+    assert len(up[0]["payload"]) == 64  # upsampling works too
