@@ -97,13 +97,18 @@ def decode_media(df: DataFrame, *, fake: bool = False, feature_dim: int = 4) -> 
             for buf in payloads:
                 b = bytes(buf) if buf is not None else b""
                 n = len(b)
-                head = b[: feature_dim * 8]
+                head = b[:32]  # fixed probe window: dims don't change base feats
                 vec = [
                     float(n),
                     float(sum(head) % 997),
                     float(head[0]) if head else 0.0,
                     float(n % 251),
                 ][:feature_dim]
+                # feature_dim > 4 extends with deterministic derived
+                # components instead of silently capping at 4.
+                vec += [
+                    float((n * (i + 1)) % 1013) for i in range(len(vec), feature_dim)
+                ]
                 feats.append(vec)
             yield pd.DataFrame(
                 {
@@ -303,6 +308,10 @@ def parse_audio_headers(df: DataFrame) -> DataFrame:
                     channels, rate = struct.unpack("<HI", b[22:28])
                     bits = struct.unpack("<H", b[34:36])[0]
                     data_size = struct.unpack("<I", b[40:44])[0]
+                # A corrupt fmt chunk with zero channels/bits/rate must
+                # yield the same NULL row as any other malformed shape,
+                # not a ZeroDivisionError that kills the batch.
+                if ok and channels > 0 and bits > 0 and rate > 0:
                     n = data_size * 8 // (bits * channels)
                     out["mime"].append("audio/wav")
                     out["sample_rate"].append(rate)
@@ -403,7 +412,14 @@ def resize_raster(
             for doc_id, w, h, payload in zip(
                 pdf["doc_id"], pdf[width_col], pdf[height_col], pdf[payload_col]
             ):
-                if payload is None or len(payload) != int(w) * int(h):
+                # NULL/NaN dims arrive from header parsers on unknown
+                # signatures — corrupt-raster policy covers them too.
+                if payload is None or w is None or h is None:
+                    continue
+                if w != w or h != h:  # NaN after pandas null coercion
+                    continue
+                w, h = int(w), int(h)
+                if w <= 0 or h <= 0 or len(payload) != w * h:
                     continue
                 raster = np.frombuffer(payload, dtype=np.uint8).reshape(
                     int(h), int(w)

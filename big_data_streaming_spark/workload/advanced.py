@@ -523,6 +523,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.s_nationkey.alias("src"), c.c_nationkey.alias("dst")
         )
         .distinct()
+        # persisted for the 3 frontier joins in this one action; like the
+        # suite's other tiny-relation persists (norm, the co-occurrence
+        # lattice) it stays cached for the session — bounded at O(nations²)
+        # rows, a deliberate trade against re-deriving the fact joins.
         .persist()
     )
     reach = (

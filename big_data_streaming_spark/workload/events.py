@@ -855,10 +855,11 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
-    keys = [r["event_type"] for r in exact.select("event_type").collect()]
-    n_total = sum(
-        r["exact_count"] for r in exact.collect()
-    )
+    # ONE collect supplies both the key list and the total (two separate
+    # collects re-ran the full groupBy scan — review finding).
+    exact_rows = exact.collect()
+    keys = [r["event_type"] for r in exact_rows]
+    n_total = sum(r["exact_count"] for r in exact_rows)
     est = spark.createDataFrame(
         [(k, int(cms.estimateCount(k))) for k in keys],
         "event_type string, cms_estimate long",

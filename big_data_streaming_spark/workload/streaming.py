@@ -42,16 +42,37 @@ def _q(name: str, oracle: str | None = None):
 
 
 def _stage_stream_dir(sf_dir: str, table: str) -> str:
-    """Copy one testdata table into a fresh dir usable as a file-stream
-    source (the file source wants a directory it can list)."""
+    """Copy one testdata table into a dir usable as a file-stream source
+    (the file source wants a directory it can list). The staging dir is
+    DETERMINISTIC per (sf_dir, table) and reused when its contents
+    already match the source — per-call mkdtemp leaked one full table
+    copy per streaming query per run (review finding), and at sf0.1
+    repeated benchmark runs marched /tmp toward ENOSPC."""
+    import hashlib
+
     src = os.path.join(sf_dir, f"{table}.parquet")
-    dst = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    tag = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:10]
+    dst = os.path.join(
+        tempfile.gettempdir(), "bdss_stream_stage", f"{table}_{tag}"
+    )
     if os.path.isdir(src):
-        for i, f in enumerate(sorted(os.listdir(src))):
-            if f.endswith(".parquet"):
-                shutil.copy(os.path.join(src, f), os.path.join(dst, f"part-{i}.parquet"))
+        parts = [f for f in sorted(os.listdir(src)) if f.endswith(".parquet")]
+        srcs = [os.path.join(src, f) for f in parts]
     else:
-        shutil.copy(src, os.path.join(dst, "part-0.parquet"))
+        srcs = [src]
+    expected = [f"part-{i}.parquet" for i in range(len(srcs))]
+    if os.path.isdir(dst):
+        have = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
+        sizes_ok = have == expected and all(
+            os.path.getsize(os.path.join(dst, e)) == os.path.getsize(s)
+            for e, s in zip(expected, srcs)
+        )
+        if sizes_ok:
+            return dst
+        shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+    for i, s in enumerate(srcs):
+        shutil.copy(s, os.path.join(dst, f"part-{i}.parquet"))
     return dst
 
 
