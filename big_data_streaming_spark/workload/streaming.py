@@ -270,7 +270,17 @@ def q_route_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_streaming_spark.streaming.router import route_partitioned
 
     events = t(spark, sf_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="routed_events_")
+    # Deterministic reusable output dir (same leak-avoidance policy as
+    # _stage_stream_dir); route_partitioned overwrites per key.
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "bdss_stream_stage", f"routed_events_{tag}"
+    )
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     route_partitioned(events, out_dir, keys=["event_type"])
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(
