@@ -209,6 +209,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_scd2_lookup",
     "q_pattern_vshape",
     "q_catalog_counts",
+    "q_multimodal_resize",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

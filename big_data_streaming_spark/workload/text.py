@@ -1291,3 +1291,49 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled", "detected")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- C5: raster resize, value-checked against first-principles SQL --------
+# The kernel (functions/multimodal.py:resize_raster) is pure index math,
+# so its output is reproducible from a FORMULA: build a deterministic
+# 16x12 raster per doc (pixel k = 32 + (doc_id + k) % 64, ASCII-safe),
+# NN-resize to 8x6 through the Arrow kernel, checksum the resized bytes
+# JVM-side — and let the oracle recompute the same checksum from the
+# index arithmetic alone (src row = 2i, src col = 2j). An incorrect
+# sampling grid, byte order, or reshape in the kernel breaks the match.
+_RZ_W, _RZ_H, _RZ_OW, _RZ_OH = 16, 12, 8, 6
+
+@_q(
+    "q_multimodal_resize",
+    f"""
+    SELECT d.doc_id, {_RZ_OW} AS out_width, {_RZ_OH} AS out_height,
+           (SELECT CAST(SUM(32 + (d.doc_id + (i.i * 2) * {_RZ_W} + (j.j * 2)) % 64)
+                        AS BIGINT)
+            FROM range({_RZ_OH}) i(i), range({_RZ_OW}) j(j)) AS checksum
+    FROM documents d
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.multimodal import resize_raster
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    rasters = d.select(
+        "doc_id",
+        F.lit(_RZ_W).alias("width"),
+        F.lit(_RZ_H).alias("height"),
+        F.expr(
+            f"encode(concat_ws('', transform(sequence(0, {_RZ_W * _RZ_H - 1}),"
+            " k -> chr(32 + (doc_id + k) % 64))), 'ISO-8859-1')"
+        ).alias("payload"),
+    )
+    resized = resize_raster(rasters, _RZ_OW, _RZ_OH)
+    return resized.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        F.expr(
+            "aggregate(transform(sequence(1, length(payload)),"
+            " i -> ascii(decode(substring(payload, i, 1), 'ISO-8859-1'))),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("checksum"),
+    )
