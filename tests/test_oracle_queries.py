@@ -49,3 +49,20 @@ def test_oracle_outputs_are_scalar_only(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_registry_contract_window():
+    """Driver-contract guardrails: the check window (first 50 registry
+    entries) must stay populated with resolvable queries, mostly
+    oracle-bearing (rows-only keys waste a check slot unless they are
+    the only form, and the window carried exactly 3 such keys when this
+    pin was set); the registry must never silently shrink."""
+    names = list(QUERIES)
+    assert len(names) >= 193, len(names)
+    window = names[:50]
+    rows_only = [n for n in window if n not in ORACLES]
+    assert len(rows_only) <= 3, rows_only
+    # every oracle key resolves to a query (the package asserts this at
+    # import; re-assert here so a refactor that drops the import-time
+    # check still fails loudly)
+    assert not (set(ORACLES) - set(QUERIES))
