@@ -210,6 +210,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_pattern_vshape",
     "q_catalog_counts",
     "q_multimodal_resize",
+    "q_char_ngrams",
+    "q_doc_jaccard",
+    "q_zipf_audit",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1337,3 +1337,127 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0L, (a, x) -> a + x)"
         ).alias("checksum"),
     )
+
+
+# --- character-bigram language profile ------------------------------------
+# The character-level backbone real language ID runs on (token markers
+# break on unseen vocabularies; char n-grams do not): top-5 character
+# bigrams per language by frequency, deterministic tie-break. Substring
+# enumeration stays JVM-side via sequence+transform.
+@_q(
+    "q_char_ngrams",
+    """
+    WITH grams AS (
+        SELECT lang,
+               unnest(list_transform(range(1, length(text)),
+                                     i -> substr(text, CAST(i AS INTEGER), 2)))
+                   AS gram
+        FROM documents
+    ), f AS (
+        SELECT lang, gram, COUNT(*) AS freq FROM grams GROUP BY lang, gram
+    )
+    SELECT lang, gram, freq,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY freq DESC, gram) AS INTEGER) AS rnk
+    FROM f
+    QUALIFY rnk <= 5
+    """,
+)
+def q_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")
+        ).alias("gram"),
+    )
+    f = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "gram")
+    return f.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+# --- exact pairwise Jaccard similarity (small-set tier) -------------------
+# The exact set-similarity tier below MinHash: full pairwise token
+# Jaccard for the first 10 documents — integer intersection/union counts
+# and ONE division. At scale this runs on LSH-candidate pairs only
+# (q_dedup_near_pairs); the exact kernel is identical.
+@_q(
+    "q_doc_jaccard",
+    """
+    WITH sel AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id < 10
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+           CAST(len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_union,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+               AS jaccard
+    FROM sel a JOIN sel b ON a.doc_id < b.doc_id
+    """,
+)
+def q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 10)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    )
+    a = sel.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = sel.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    j = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    n_common = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    n_union = (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))).cast("bigint")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        n_common.alias("n_common"),
+        n_union.alias("n_union"),
+        (
+            F.size(F.array_intersect("ta", "tb")).cast("double")
+            / (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb")))
+        ).alias("jaccard"),
+    )
+
+
+# --- Zipf audit (rank × frequency products) -------------------------------
+# Zipf's law says rank*freq is roughly constant; the log-free audit
+# reports the exact integer product for the top-20 tokens — drift in
+# the products flags a non-natural token distribution (synthetic or
+# templated corpora show it immediately).
+@_q(
+    "q_zipf_audit",
+    """
+    WITH f AS (
+        SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ), r AS (
+        SELECT token, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+                   AS rnk
+        FROM f
+    )
+    SELECT rnk, token, freq, rnk * freq AS rank_freq_product
+    FROM r WHERE rnk <= 20
+    """,
+)
+def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    f = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    r = f.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "token")).cast("bigint"),
+    )
+    return r.where(F.col("rnk") <= 20).select(
+        "rnk", "token", "freq", (F.col("rnk") * F.col("freq")).alias("rank_freq_product")
+    )
