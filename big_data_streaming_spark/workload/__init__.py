@@ -213,6 +213,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_char_ngrams",
     "q_doc_jaccard",
     "q_zipf_audit",
+    "q_ohlc_bars",
+    "q_dedup_incremental",
+    "q_ols_by_group",
+    "q_bigram_lm",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1219,3 +1219,225 @@ def q_catalog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tab in _CATALOG_TABLES
     ]
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+# ===========================================================================
+# Round-2 continuation, third wave: market-bar resampling, incremental
+# corpus dedup, grouped closed-form OLS, and a token bigram LM — four
+# shapes the registry did not yet exercise:
+# * OHLC bars: first/last-by-composite-order inside ONE hash aggregate
+#   (min_by/max_by over struct(ts, event_id)) — the kline resample the
+#   reference's crypto feed implies (reference spark/streaming-
+#   shorttime.py parses klines but never resamples them). The oracle
+#   states the same selection with row_number, proving the hash-agg
+#   shortcut picks exactly the deterministic first/last row.
+# * Incremental dedup: the daily-ingest gate — new batch fingerprints
+#   anti-joined against the standing corpus, then deduped within batch.
+# * Grouped OLS: slope/intercept/r2 from one pass of exact-integer sums
+#   (quantized y), finished by a shared-text IEEE formula.
+# * Bigram LM: token-level Markov estimates with exact-ratio
+#   probabilities and a deterministically tie-broken global top-k.
+# ===========================================================================
+
+
+# --- OHLC bar resample -----------------------------------------------------
+# Spark plan: ONE partial+final hash aggregate, no window sort — min_by/
+# max_by carry (value ordered by struct(ts, event_id)) through the
+# map-side combine, so at 100 TB each executor emits one candidate row
+# per (event_type, hour) and only those shuffle. The oracle selects the
+# same rows via row_number; event_id (unique) makes both orders total,
+# so open/close are well-defined on ts ties. Volume routes through
+# DECIMAL(38,6) (common.py exactness policy); high/low/open/close are
+# row selections — no float arithmetic at all.
+@_q(
+    "q_ohlc_bars",
+    """
+    WITH r AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_px,
+           MAX(value) AS high_px,
+           MIN(value) AS low_px,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_px,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_trades
+    FROM r
+    GROUP BY event_type, bar_hour
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_hour"))
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open_px"),
+            F.max("value").alias("high_px"),
+            F.min("value").alias("low_px"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close_px"),
+            dec_sum("value", "volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+# --- incremental corpus dedup (daily-ingest gate) --------------------------
+# Fingerprint = md5 of the sorted distinct token set (bag-of-words): word-
+# order shuffles collide, so the synthetic near-dup pairs actually hit it
+# (54 collisions at sf0.01; raw-text md5 finds zero). Corpus = 90% of
+# docs, incoming batch = the doc_id % 10 slice; survivors are batch docs
+# whose fingerprint is NOT already in the corpus, deduped within the
+# batch (min doc_id wins). Scale shape: the corpus side reduces to a
+# DISTINCT fingerprint relation (precomputed/bucketed in a real lake);
+# the anti join shuffles fingerprints only — at a 100 TB corpus with a
+# daily batch the batch side is small enough to broadcast, flipping the
+# anti join to a broadcast-hash build of the BATCH, and the corpus scan
+# streams past it with zero shuffle.
+@_q(
+    "q_dedup_incremental",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0),
+    inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 0)
+    SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
+    FROM inc i
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = i.fp)
+    GROUP BY fp
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("fp"),
+    )
+    corpus = f.where(F.col("doc_id") % 10 != 0).select("fp").distinct()
+    inc = f.where(F.col("doc_id") % 10 == 0)
+    return (
+        inc.join(corpus, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )
+
+
+# --- grouped closed-form OLS (value ~ event_id, per event type) ------------
+# One aggregation pass collects the six sufficient statistics as exact
+# integers (y quantized at 1e-3 — floor(x*1000 + 0.5) is the same IEEE
+# sequence on both engines, common.py second rule; every per-row product
+# stays under 2^63 for |value| <= 1e6 and event_id <= 3e9, and the SUMs
+# route through DECIMAL(38,0) so accumulation never overflows), then the
+# textbook formulas run once in shared-text double arithmetic. The /1000
+# un-quantization folds into slope/intercept; r2 is scale-invariant so
+# it needs no correction. Scale: a map-side-combinable hash agg — the
+# whole regression is ONE shuffle of 6 numbers per group.
+_OLS_STATS = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(yq AS DECIMAL(38,0))) AS sy,
+           SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+           SUM(CAST(x * yq AS DECIMAL(38,0))) AS sxy,
+           SUM(CAST(yq * yq AS DECIMAL(38,0))) AS syy
+    FROM q GROUP BY event_type
+"""
+
+_OLS_NUM = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_OLS_DENX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_OLS_DENY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+
+
+def _ols_sql(table: str) -> str:
+    return f"""
+    WITH q AS (
+        SELECT event_type, event_id AS x,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS yq
+        FROM {table}
+    ), s AS (
+        {_OLS_STATS}
+    )
+    SELECT event_type, n,
+           {_OLS_NUM} / {_OLS_DENX} / 1000.0 AS slope,
+           (CAST(sy AS DOUBLE) - {_OLS_NUM} / {_OLS_DENX} * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000.0 AS intercept,
+           {_OLS_NUM} * {_OLS_NUM} / ({_OLS_DENX} * {_OLS_DENY}) AS r2
+    FROM s
+    """
+
+
+@_q("q_ols_by_group", _ols_sql("events"))
+def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
+    return spark.sql(_ols_sql("events_ts"))
+
+
+# --- token bigram language model (top-k transitions) -----------------------
+# P(next | cur) as an exact integer ratio (both operands are exact in
+# double, so the single division is correctly rounded identically on
+# both engines). The Spark side builds bigrams with zip_with over two
+# slices — pure codegen, no Python, no self-join on positions (the
+# oracle's lateral-unnest form IS the position join; at 100 TB the
+# zip_with form touches each doc once and shuffles only bigram counts).
+# Global top-20 is deterministically tie-broken (count DESC, cur, nxt)
+# so the LIMIT set is unique; Spark executes it as TakeOrderedAndProject
+# (no global sort materialization).
+@_q(
+    "q_bigram_lm",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT tk[i] AS cur, tk[i+1] AS nxt
+        FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS r(i)
+    ),
+    bc AS (SELECT cur, nxt, COUNT(*) AS c_bigram FROM bg GROUP BY cur, nxt),
+    cc AS (SELECT cur, CAST(SUM(c_bigram) AS BIGINT) AS c_cur FROM bc GROUP BY cur)
+    SELECT bc.cur, bc.nxt, c_bigram, c_cur,
+           CAST(c_bigram AS DOUBLE) / CAST(c_cur AS DOUBLE) AS p_next
+    FROM bc JOIN cc ON bc.cur = cc.cur
+    ORDER BY c_bigram DESC, bc.cur, bc.nxt
+    LIMIT 20
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.split("text", " ").alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),"
+                    " (a, b) -> struct(a AS cur, b AS nxt))"
+                )
+            ).alias("p")
+        )
+        .select("p.cur", "p.nxt")
+    )
+    bc = bg.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c_bigram"))
+    cc = bc.groupBy("cur").agg(F.sum("c_bigram").cast("bigint").alias("c_cur"))
+    return (
+        bc.join(cc, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "c_bigram",
+            "c_cur",
+            (F.col("c_bigram").cast("double") / F.col("c_cur").cast("double")).alias(
+                "p_next"
+            ),
+        )
+        .orderBy(F.desc("c_bigram"), "cur", "nxt")
+        .limit(20)
+    )
