@@ -217,6 +217,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_dedup_incremental",
     "q_ols_by_group",
     "q_bigram_lm",
+    "q_stream_ohlc",
+    "q_robust_scaler",
+    "q_token_budget",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1441,3 +1441,100 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c_bigram"), "cur", "nxt")
         .limit(20)
     )
+
+
+# --- robust scaler (median/IQR feature normalization) ----------------------
+# The ML feature-prep twin of z-scoring: (x - median) / IQR is outlier-
+# immune. Exactness rides on the q_percentiles precedent (Spark
+# percentile() and DuckDB quantile_cont share the linear-interpolation
+# definition, bit-for-bit on this data) and the shared-order final
+# arithmetic (subtract, subtract, divide — identical IEEE sequence).
+# Scale: per-group stats are O(groups) → broadcast joined back; ONE
+# shuffle for the percentile agg, zero for the apply side.
+@_q(
+    "q_robust_scaler",
+    """
+    WITH s AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med,
+               quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.med) / s.iqr AS scaled
+    FROM events e JOIN s ON e.event_type = s.event_type
+    """,
+)
+def q_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"),
+        (F.percentile("value", 0.75) - F.percentile("value", 0.25)).alias("iqr"),
+    )
+    return e.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        ((F.col("value") - F.col("med")) / F.col("iqr")).alias("scaled"),
+    )
+
+
+# --- token-budget water-filling (training-mixture balancing) ---------------
+# Allocate a token budget B = half the corpus across sources so no
+# source exceeds a common cap c — the "domain temperature" flattening
+# every large-corpus mixture applies (oversampled domains are clipped,
+# small domains keep everything). c is the water level: the largest
+# integer with sum(min(tok_i, c)) <= B, found in closed form from the
+# ascending prefix sums — if c lands in [t_{i-1}, t_i) then
+# c = floor((B - cum_{i-1}) / (n - i + 1)), and exactly one interval
+# validates. All integers; the two divisions are exact-int-valued
+# doubles well under 2^53, so both engines floor the same value. Only
+# the per-source token count differs in dialect (size(split()) vs
+# len(string_split())); the water-level algebra below is ONE shared
+# text. Scale: token counts are a map-side-combinable agg; the
+# water-level step runs on the O(sources) aggregate — driver-trivial —
+# and the final allocation is a broadcast join.
+_BUDGET_FINISH = """
+    s AS (
+        SELECT source, tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY tok, source) AS BIGINT) AS rn,
+               CAST(SUM(tok) OVER (ORDER BY tok, source
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(COALESCE(LAG(tok) OVER (ORDER BY tok, source), 0) AS BIGINT)
+                   AS prev_tok,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(tok) OVER () AS BIGINT) AS total
+        FROM src_tokens
+    ), c AS (
+        SELECT *,
+               CAST(floor(((total - total % 2) / 2 - (cum - tok)) * 1.0
+                          / (n - rn + 1)) AS BIGINT) AS cand
+        FROM s
+    ), lvl AS (
+        SELECT MAX(cand) AS cap
+        FROM c WHERE prev_tok <= cand AND cand < tok
+    )
+    SELECT st.source, st.tok AS n_tokens,
+           LEAST(st.tok, COALESCE(lvl.cap, st.tok)) AS alloc_tokens,
+           st.tok > COALESCE(lvl.cap, st.tok) AS capped
+    FROM src_tokens st CROSS JOIN lvl
+"""
+
+_BUDGET_SRC_DUCK = """
+    SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+    FROM documents GROUP BY source
+"""
+
+_BUDGET_SRC_SPARK = """
+    SELECT source, CAST(SUM(size(split(text, ' '))) AS BIGINT) AS tok
+    FROM documents_v GROUP BY source
+"""
+
+
+@_q(
+    "q_token_budget",
+    f"WITH src_tokens AS ({_BUDGET_SRC_DUCK}), {_BUDGET_FINISH}",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(f"WITH src_tokens AS ({_BUDGET_SRC_SPARK}), {_BUDGET_FINISH}")

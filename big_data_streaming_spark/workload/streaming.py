@@ -657,3 +657,115 @@ def q_stream_window_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("dw.start").alias("day"), "event_type", "total_value", "n_events"
     )
+
+
+def _stage_stream_dir_parts(sf_dir: str, table: str, n_parts: int = 4) -> str:
+    """Like ``_stage_stream_dir`` but splits the table into ``n_parts``
+    parquet files (contiguous row slices, deterministic), so a
+    ``maxFilesPerTrigger=1`` drain is a REAL multi-micro-batch run even
+    at scale factors where the testdata ships one file. Reused across
+    calls (same leak policy as ``_stage_stream_dir``)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    tag = hashlib.md5(f"{sf_dir}:{table}:{n_parts}".encode()).hexdigest()[:10]
+    dst = os.path.join(
+        tempfile.gettempdir(), "bdss_stream_stage", f"{table}_split_{tag}"
+    )
+    want = [os.path.join(dst, f"part_{i}.parquet") for i in range(n_parts)]
+    if all(os.path.isfile(p) for p in want):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    tbl = pq.read_table(src)
+    step = max(1, (tbl.num_rows + n_parts - 1) // n_parts)
+    for i in range(n_parts):
+        chunk = tbl.slice(i * step, step)
+        pq.write_table(chunk, want[i])
+    return dst
+
+
+# Streaming OHLC bars: the kline resample (batch twin: analytics.py
+# q_ohlc_bars) through the streaming engine. Beyond what the other
+# stream-window queries pin down, this exercises the MERGE path of
+# order-carrying aggregates — min_by/max_by partials must merge
+# correctly across micro-batches for open/close to land on the globally
+# first/last row, not the first/last row of whichever batch arrived
+# last. Oracle = the deterministic row_number selection over the whole
+# table (stream/batch equivalence contract).
+@_q(
+    "q_stream_ohlc",
+    """
+    WITH r AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_px,
+           MAX(value) AS high_px,
+           MIN(value) AS low_px,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_px,
+           COUNT(*) AS n_trades
+    FROM r
+    GROUP BY event_type, bar_hour
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    # Four source files + maxFilesPerTrigger=1 → four micro-batches at
+    # EVERY sf, so the partial-state merge across batches is always
+    # exercised (a single-file source would collapse to one batch and
+    # silently test nothing beyond the batch twin).
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open_px"),
+            F.max("value").alias("high_px"),
+            F.min("value").alias("low_px"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close_px"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_type",
+        F.col("w.start").alias("bar_hour"),
+        "open_px",
+        "high_px",
+        "low_px",
+        "close_px",
+        "n_trades",
+    )
