@@ -90,6 +90,11 @@ HEADLINE = (
     "q_embed_quantize",
     "q_bfs_hops",
     "q_stream_window_chained",
+    # third wave: market bars, incremental dedup, bigram LM, mixture budget
+    "q_ohlc_bars",
+    "q_dedup_incremental",
+    "q_bigram_lm",
+    "q_token_budget",
 )
 
 

@@ -220,6 +220,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_stream_ohlc",
     "q_robust_scaler",
     "q_token_budget",
+    "q_knn_classify",
+    "q_shortest_path",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

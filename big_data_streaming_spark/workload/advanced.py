@@ -550,3 +550,88 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+# --- bounded weighted shortest path (Bellman-Ford rounds) ------------------
+# The weighted upgrade of q_bfs_hops: min-PLUS relaxation over the
+# nation trade graph, edge weight = the cheapest observed quantity on
+# the (supplier-nation → customer-nation) lane. Three rounds compute the
+# exact minimum over all paths of <= 3 edges — weights make this a real
+# relaxation problem (a 2-hop route can undercut a direct edge), which
+# hop-count BFS never exercises. All-integer arithmetic; the oracle
+# unrolls the identical rounds. Scale: edge derivation aggregates the
+# fact join to O(nations²) rows ONCE (persisted); each round is a
+# broadcast join + min-aggregate on that tiny relation — the driver
+# loop is O(rounds), not O(rows).
+_SP_HOPS = 3
+_SP_SRC = 0
+
+
+def _sp_oracle() -> str:
+    steps = []
+    for i in range(1, _SP_HOPS + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM r{i-1}
+            UNION ALL
+            SELECT e.dst AS node, r{i-1}.dist + e.w AS dist
+            FROM edges e JOIN r{i-1} ON e.src = r{i-1}.node
+        ) GROUP BY node
+    )""")
+    return f"""
+    WITH edges AS (
+        SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+               CAST(MIN(l.l_quantity) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY sn.n_nationkey, cn.n_nationkey
+    ),
+    r0 AS (
+        SELECT n_nationkey AS node, CAST(0 AS BIGINT) AS dist FROM nation
+        WHERE n_nationkey = {_SP_SRC}
+    ),{",".join(steps)}
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+           r{_SP_HOPS}.dist AS dist
+    FROM nation n JOIN r{_SP_HOPS} ON n.n_nationkey = r{_SP_HOPS}.node
+    """
+
+
+@_q("q_shortest_path", _sp_oracle())
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            s.s_nationkey.alias("src"), c.c_nationkey.alias("dst")
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+        .persist()
+    )
+    reach = n.where(F.col("n_nationkey") == _SP_SRC).select(
+        F.col("n_nationkey").alias("node"), F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(_SP_HOPS):
+        expanded = edges.join(
+            F.broadcast(reach), edges.src == F.col("node")
+        ).select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return n.join(reach, n.n_nationkey == reach.node).select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        "dist",
+    )

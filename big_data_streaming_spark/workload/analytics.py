@@ -1425,7 +1425,13 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.cur", "p.nxt")
     )
-    bc = bg.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c_bigram"))
+    # bc feeds both the join probe side and the totals aggregation;
+    # without persist Spark re-derives the whole explode+agg subtree for
+    # cc (two parquet scans, double Generate work — same shared-relation
+    # policy as q_triangles / minhash band-hash). The persisted relation
+    # is the distinct-bigram counts — vocabulary-bounded, far smaller
+    # than the corpus.
+    bc = bg.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c_bigram")).persist()
     cc = bc.groupBy("cur").agg(F.sum("c_bigram").cast("bigint").alias("c_cur"))
     return (
         bc.join(cc, "cur")

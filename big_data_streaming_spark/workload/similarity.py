@@ -629,3 +629,76 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- k-NN classification (majority vote over exact top-k) ------------------
+# The serving-side complement of q_sim_topk: predict each query vector's
+# label from its 5 nearest corpus neighbors (corpus = the non-query
+# slice, so train/test are disjoint). Ranking reuses the full-precision
+# cosine (same left-fold dot the green q_sim_topk oracle pins);
+# the vote and its tie-break (votes DESC, label ASC) are pure integer
+# logic, so the prediction is bit-deterministic. Scale = q_sim_topk's:
+# broadcast queries × one corpus scan, then O(queries·k) vote rows.
+_KNN_K = 5
+
+
+@_q(
+    "q_knn_classify",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec, label AS true_label
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, q.true_label, e.vec_id AS neighbor_id, e.label,
+               list_dot_product(e.embedding::DOUBLE[], q.q_vec)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= {_N_QUERIES}
+    ), nn AS (
+        SELECT q_id, true_label, label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ), votes AS (
+        SELECT q_id, true_label, label AS pred_label, COUNT(*) AS votes
+        FROM nn WHERE rank <= {_KNN_K}
+        GROUP BY q_id, true_label, label
+    )
+    SELECT q_id, true_label, pred_label, votes,
+           pred_label = true_label AS correct
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY votes DESC, pred_label) AS vr
+        FROM votes
+    )
+    WHERE vr = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    nn = cosine_topk(corpus, queries, k=_KNN_K)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("pred_label")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("q_id", "pred_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"), "pred_label")
+    top = votes.withColumn("vr", F.row_number().over(w)).filter("vr = 1").drop("vr")
+    return top.join(F.broadcast(truth), "q_id").select(
+        "q_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
