@@ -222,6 +222,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_token_budget",
     "q_knn_classify",
     "q_shortest_path",
+    "q_containment",
+    "q_cdc_apply",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1193,3 +1193,73 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id", "pt", F.col("value").alias("active_value"), "valid_from"
     )
+
+
+# --- Debezium-style CDC envelope: parse + net-effect apply -----------------
+# The reference SHIPS Debezium connector configs for four source DBs but
+# never wires the consumer (reference config/debezium/conf.json:1-55,
+# docker-compose.yml:78-90 commented out) — this query implements the
+# consumer side it implies: a change-log envelope {op, id, after, ts_ms,
+# seq} is parsed under a DECLARED schema (A3 discipline, never inferred)
+# and compacted to net effect — latest op per key wins, deletes remove
+# the key. Each engine serializes its own envelope (JSON shortest-repr
+# round-trips doubles losslessly within an engine, so values stay
+# bit-identical to the source). The Spark side compacts with
+# max_by(struct, struct) in ONE hash aggregate — no per-key window sort;
+# at 100 TB this is exactly log-compaction: map-side combine keeps one
+# candidate per key per partition, and only winners shuffle.
+@_q(
+    "q_cdc_apply",
+    """
+    WITH env AS (
+        SELECT to_json(struct_pack(
+                   op := CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END,
+                   id := user_id,
+                   v := value,
+                   ts_ms := epoch_ms(ts),
+                   seq := event_id)) AS payload
+        FROM events
+    ), parsed AS (
+        SELECT CAST(json_extract_string(payload, '$.op') AS VARCHAR) AS op,
+               CAST(json_extract(payload, '$.id') AS BIGINT) AS id,
+               CAST(json_extract(payload, '$.v') AS DOUBLE) AS v,
+               CAST(json_extract(payload, '$.ts_ms') AS BIGINT) AS ts_ms,
+               CAST(json_extract(payload, '$.seq') AS BIGINT) AS seq
+        FROM env
+    ), latest AS (
+        SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY ts_ms DESC, seq DESC) AS rn
+        FROM parsed
+    )
+    SELECT id AS user_id, v AS last_value, ts_ms AS last_ts_ms
+    FROM latest WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    env = e.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("event_type") == "error", F.lit("d"))
+                .otherwise(F.lit("u"))
+                .alias("op"),
+                F.col("user_id").alias("id"),
+                F.col("value").alias("v"),
+                F.unix_millis("ts").alias("ts_ms"),
+                F.col("event_id").alias("seq"),
+            )
+        ).alias("payload")
+    )
+    parsed = env.select(
+        F.from_json(
+            "payload", "op string, id bigint, v double, ts_ms bigint, seq bigint"
+        ).alias("r")
+    ).select("r.*")
+    compacted = parsed.groupBy("id").agg(
+        F.expr("max_by(struct(op, v, ts_ms), struct(ts_ms, seq))").alias("w")
+    )
+    return compacted.where(F.col("w.op") != "d").select(
+        F.col("id").alias("user_id"),
+        F.col("w.v").alias("last_value"),
+        F.col("w.ts_ms").alias("last_ts_ms"),
+    )

@@ -1461,3 +1461,99 @@ def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where(F.col("rnk") <= 20).select(
         "rnk", "token", "freq", (F.col("rnk") * F.col("freq")).alias("rank_freq_product")
     )
+
+
+# --- asymmetric containment via inverted-index join ------------------------
+# Containment C(A→B) = |A∩B| / |A| catches subset/quote duplication that
+# symmetric Jaccard misses (a doc fully embedded in a longer one scores
+# low Jaccard but containment 1.0). The plan is the PPJoin-family shape
+# — the form that scales where pairwise never does:
+#   1. inverted index: one (doc, token) posting list, distinct;
+#   2. candidate generation ONLY through rare tokens (2 <= doc-freq <=
+#      25): stop-words never join, so candidate cardinality is
+#      sum(df²) over rare tokens, not |docs|²;
+#   3. exact verification of candidates on the full token sets.
+# All counts integer; the two containment ratios are single exact-int
+# divisions. At 100 TB the posting list is bucketed by token and the
+# verify join broadcasts candidate ids against the doc store.
+@_q(
+    "q_containment",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), rare AS (
+        SELECT token FROM tok GROUP BY token
+        HAVING COUNT(*) BETWEEN 2 AND 25
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        JOIN rare r ON a.token = r.token
+    ), sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ), v AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_common,
+               CAST(len(sa.toks) AS BIGINT) AS n_a,
+               CAST(len(sb.toks) AS BIGINT) AS n_b
+        FROM cand c
+        JOIN sets sa ON c.doc_a = sa.doc_id
+        JOIN sets sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, n_a, n_b,
+           CAST(n_common AS DOUBLE) / n_a AS contain_a,
+           CAST(n_common AS DOUBLE) / n_b AS contain_b
+    FROM v
+    WHERE n_common * 2 >= n_a OR n_common * 2 >= n_b
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    rare = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 25))
+        .select("token")
+    )
+    rare_post = tok.join(F.broadcast(rare), "token")
+    cand = (
+        rare_post.alias("a")
+        .join(
+            rare_post.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    v = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            F.size("ta").cast("bigint").alias("n_a"),
+            F.size("tb").cast("bigint").alias("n_b"),
+        )
+    )
+    return v.where(
+        (F.col("n_common") * 2 >= F.col("n_a"))
+        | (F.col("n_common") * 2 >= F.col("n_b"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        (F.col("n_common").cast("double") / F.col("n_a")).alias("contain_a"),
+        (F.col("n_common").cast("double") / F.col("n_b")).alias("contain_b"),
+    )
