@@ -1,0 +1,138 @@
+"""Claims-pinning tests for the third-wave operators.
+
+The DuckDB oracle gate already proves value equality; these tests pin
+the claims the oracle CANNOT see:
+* q_stream_ohlc really drains in multiple micro-batches (the partial-
+  state-merge claim would be vacuous on a single-batch run);
+* stream/batch OHLC equivalence (Structured Streaming contract);
+* the closed-form OLS agrees with an independent least-squares solver;
+* the water-filling cap is feasible AND maximal (the defining
+  optimality property, not just "some allocation");
+* containment / CDC net-state values agree with a first-principles
+  pandas recomputation (independent of both engines' SQL paths).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_streaming_spark.workload import QUERIES
+
+
+def test_stream_ohlc_is_really_multibatch(spark, sf_small):
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+    from big_data_streaming_spark.workload.streaming import _stage_stream_dir_parts
+
+    src = _stage_stream_dir_parts(sf_small, "events", n_parts=4)
+    parts = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(parts) == 4, parts
+
+    _ensure_session_confs(spark)
+    raw = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(raw)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sdf = normalize_raw_timestamps(sdf, src)
+    agg = sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("open_px")
+    )
+    name = f"tw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 4, [(p["batchId"], p["numInputRows"]) for p in q.recentProgress]
+
+
+def test_stream_ohlc_equals_batch_twin(spark, sf_small):
+    cols = ["event_type", "bar_hour", "open_px", "high_px", "low_px", "close_px", "n_trades"]
+    s = (
+        QUERIES["q_stream_ohlc"](spark, sf_small)
+        .toPandas()[cols]
+        .sort_values(["event_type", "bar_hour"])
+        .reset_index(drop=True)
+    )
+    b = (
+        QUERIES["q_ohlc_bars"](spark, sf_small)
+        .toPandas()[cols]
+        .sort_values(["event_type", "bar_hour"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
+
+
+def test_ols_matches_independent_solver(spark, sf_small):
+    res = {r["event_type"]: r for r in QUERIES["q_ols_by_group"](spark, sf_small).collect()}
+    ev = pd.read_parquet(f"{sf_small}/events.parquet")
+    # same 1e-3 quantization the query applies
+    ev["yq"] = np.floor(ev["value"].to_numpy() * 1000 + 0.5) / 1000.0
+    for et, g in ev.groupby("event_type"):
+        x = g["event_id"].to_numpy(dtype=float)
+        y = g["yq"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r = res[et]
+        assert r["slope"] == pytest.approx(slope, rel=1e-7, abs=1e-10)
+        assert r["intercept"] == pytest.approx(intercept, rel=1e-7)
+        ss_res = np.sum((y - (slope * x + intercept)) ** 2)
+        ss_tot = np.sum((y - y.mean()) ** 2)
+        assert r["r2"] == pytest.approx(1 - ss_res / ss_tot, rel=1e-6)
+
+
+def test_token_budget_cap_is_feasible_and_maximal(spark, sf_small):
+    rows = QUERIES["q_token_budget"](spark, sf_small).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total // 2
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    assert alloc <= budget  # feasible
+    capped = [r for r in rows if r["capped"]]
+    assert capped, "fixture should force a water level (budget = total/2)"
+    cap = capped[0]["alloc_tokens"]
+    assert all(r["alloc_tokens"] == cap for r in capped)  # one water level
+    assert all(r["alloc_tokens"] == r["n_tokens"] for r in rows if not r["capped"])
+    assert all(r["n_tokens"] > cap for r in capped)
+    assert all(r["n_tokens"] <= cap for r in rows if not r["capped"])
+    # maximal: raising the level by 1 would blow the budget
+    assert alloc + len(capped) > budget
+
+
+def test_containment_values_match_bruteforce(spark, sf_small):
+    docs = (
+        pd.read_parquet(f"{sf_small}/documents.parquet")
+        .set_index("doc_id")["text"]
+        .str.split(" ")
+        .map(set)
+    )
+    out = QUERIES["q_containment"](spark, sf_small).collect()
+    assert out
+    for r in out:
+        a, b = docs[r["doc_a"]], docs[r["doc_b"]]
+        common = len(a & b)
+        assert r["n_common"] == common
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert 2 * common >= len(a) or 2 * common >= len(b)
+
+
+def test_cdc_apply_equals_pandas_net_state(spark, sf_small):
+    ev = pd.read_parquet(f"{sf_small}/events.parquet").sort_values(["ts", "event_id"])
+    last = ev.groupby("user_id").tail(1)
+    expect = last[last["event_type"] != "error"].set_index("user_id")["value"]
+    res = QUERIES["q_cdc_apply"](spark, sf_small).toPandas()
+    assert len(res) == len(expect)
+    for r in res.itertuples():
+        assert expect[r.user_id] == r.last_value
