@@ -224,6 +224,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_shortest_path",
     "q_containment",
     "q_cdc_apply",
+    "q_bpe_train",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

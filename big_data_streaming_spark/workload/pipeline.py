@@ -602,3 +602,133 @@ def q_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
         )
     )
+
+
+# --- north star: BPE tokenizer training (iterative top-pair merges) --------
+# A REAL byte-pair-encoding trainer, not a stand-in: start from the
+# character sequence of every distinct word ('h e l l o </w>'), then
+# repeatedly (1) count adjacent symbol pairs weighted by word frequency,
+# (2) merge the most frequent pair corpus-wide. The output is the merge
+# table itself — the artifact a tokenizer ships.
+#
+# Merge semantics (the pinned spec, identical in Spark, DuckDB and the
+# pure-Python test reference): one leftmost-non-overlapping string
+# replace of ' l r ' per iteration. Canonical BPE merges back-to-back
+# repeats of the same pair via zero-width boundary regex — RE2 (DuckDB)
+# has no lookarounds, so that form is not portable; for natural text the
+# difference only appears in degenerate runs like 'a b a b'.
+#
+# Scale: the state is the WORD VOCABULARY (w, freq, sym), aggregated
+# from the corpus ONCE and persisted — iterations never touch the
+# corpus again. Pair counting is a zip_with explode + combinable sum;
+# the per-iteration driver collect is the single winning pair (bounded-
+# scalar rule, SURVEY §4.3.8). At 100 TB: corpus → vocab is the only
+# heavy aggregate; 32k merges × tiny vocab-sized jobs after that.
+_BPE_MERGES = 8
+
+
+def _bpe_oracle(n: int = _BPE_MERGES) -> str:
+    parts = [
+        """
+    WITH words AS MATERIALIZED (
+        SELECT token AS w, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ), w0 AS MATERIALIZED (
+        SELECT w, freq,
+               array_to_string(list_transform(range(1, len(w)+1),
+                                              i -> w[CAST(i AS INTEGER)]), ' ')
+                 || ' </w>' AS sym
+        FROM words
+    )"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(f""",
+    p{i} AS MATERIALIZED (
+        SELECT tk[i] AS l, tk[i+1] AS r, SUM(freq) AS cnt
+        FROM (SELECT freq, string_split(sym, ' ') AS tk FROM w{i-1}),
+             UNNEST(generate_series(1, len(tk)-1)) AS g(i)
+        GROUP BY 1, 2
+    ),
+    t{i} AS MATERIALIZED (
+        SELECT l, r, CAST(cnt AS BIGINT) AS cnt
+        FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT w, freq,
+               trim(replace(' ' || sym || ' ',
+                            ' ' || (SELECT l FROM t{i}) || ' '
+                                || (SELECT r FROM t{i}) || ' ',
+                            ' ' || (SELECT l FROM t{i})
+                                || (SELECT r FROM t{i}) || ' ')) AS sym
+        FROM w{i-1}
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS pair_count FROM t{i}"
+        for i in range(1, n + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = _BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Run ``n_merges`` BPE merge iterations; return the merge log
+    [(step, left, right, merged, pair_count)]. Distributed pair counts;
+    only the single winning pair crosses to the driver per iteration."""
+    words = (
+        df.select(F.explode(F.split(text_col, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "sym",
+            F.concat(
+                F.array_join(
+                    F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+                    " ",
+                ),
+                F.lit(" </w>"),
+            ),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = words
+    for step in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(split(sym, ' '), 1, size(split(sym, ' ')) - 1),"
+                        " slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),"
+                        " (a, b) -> struct(a AS l, b AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()[0]
+        l, r, cnt = top["l"], top["r"], int(top["cnt"])
+        merges.append((step, l, r, l + r, cnt))
+        cur = cur.withColumn(
+            "sym",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {l} {r} "),
+                    F.lit(f" {l}{r} "),
+                )
+            ),
+        ).localCheckpoint()
+    return merges
+
+
+@_q("q_bpe_train", _bpe_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = bpe_train(t(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
+    )

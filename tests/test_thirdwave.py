@@ -136,3 +136,37 @@ def test_cdc_apply_equals_pandas_net_state(spark, sf_small):
     assert len(res) == len(expect)
     for r in res.itertuples():
         assert expect[r.user_id] == r.last_value
+
+
+def test_bpe_matches_pure_python_reference(spark, sf_small):
+    """Third independent implementation (beyond Spark and the DuckDB
+    oracle): plain-Python BPE with the same pinned merge semantics —
+    the merge LOG must be identical, tie-breaks and all."""
+    from collections import Counter
+
+    from big_data_streaming_spark.workload import QUERIES
+    from big_data_streaming_spark.workload.pipeline import _BPE_MERGES
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")["text"]
+    freq: Counter = Counter()
+    for text in docs:
+        freq.update(text.split(" "))
+    sym = {w: " ".join(w) + " </w>" for w in freq}
+    expect = []
+    for step in range(1, _BPE_MERGES + 1):
+        pc: Counter = Counter()
+        for w, s in sym.items():
+            tk = s.split(" ")
+            for a, b in zip(tk, tk[1:]):
+                pc[(a, b)] += freq[w]
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step, l, r, l + r, cnt))
+        sym = {
+            w: (" " + s + " ").replace(f" {l} {r} ", f" {l}{r} ").strip()
+            for w, s in sym.items()
+        }
+    got = sorted(
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in QUERIES["q_bpe_train"](spark, sf_small).collect()
+    )
+    assert got == expect
