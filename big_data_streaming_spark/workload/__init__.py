@@ -225,6 +225,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_containment",
     "q_cdc_apply",
     "q_bpe_train",
+    "q_bpe_tokens",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -673,10 +673,13 @@ def _bpe_oracle(n: int = _BPE_MERGES) -> str:
 
 def bpe_train(
     df: DataFrame, text_col: str = "text", n_merges: int = _BPE_MERGES
-) -> list[tuple[int, str, str, str, int]]:
-    """Run ``n_merges`` BPE merge iterations; return the merge log
-    [(step, left, right, merged, pair_count)]. Distributed pair counts;
-    only the single winning pair crosses to the driver per iteration."""
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run ``n_merges`` BPE merge iterations; return (merge_log,
+    final_vocab) where merge_log is [(step, left, right, merged,
+    pair_count)] and final_vocab is the (w, freq, sym) DataFrame after
+    all merges — the segmentation table ``q_bpe_tokens`` applies.
+    Distributed pair counts; only the single winning pair crosses to
+    the driver per iteration."""
     words = (
         df.select(F.explode(F.split(text_col, " ")).alias("w"))
         .groupBy("w")
@@ -723,12 +726,54 @@ def bpe_train(
                 )
             ),
         ).localCheckpoint()
-    return merges
+    return merges, cur
 
 
 @_q("q_bpe_train", _bpe_oracle())
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges = bpe_train(t(spark, sf_dir, "documents"))
+    merges, _ = bpe_train(t(spark, sf_dir, "documents"))
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
+    )
+
+
+# --- north star: BPE token counting (apply the trained merges) -------------
+# The "token counting" mandate upgraded from whitespace-split to the
+# actual trained tokenizer: per-document BPE token counts = the length
+# of each word's merged symbol sequence, joined back through the word
+# vocabulary. The heavy corpus side is ONE explode + broadcast join +
+# sum — the vocabulary (with subtoken counts) is tiny relative to the
+# corpus, exactly how a shipped tokenizer is applied at 100 TB.
+def _bpe_tokens_oracle(n: int = _BPE_MERGES) -> str:
+    body = _bpe_oracle(n)
+    # reuse the unrolled merge CTE chain, swap the final SELECT
+    cut = body.index("SELECT 1 AS step")
+    return body[:cut].rstrip() + f""",
+    wc AS MATERIALIZED (
+        SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub
+        FROM w{n}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+    JOIN wc USING (w)
+    GROUP BY doc_id
+    """
+
+
+@_q("q_bpe_tokens", _bpe_tokens_oracle())
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    _, vocab = bpe_train(d)
+    wc = vocab.select(
+        "w", F.size(F.split("sym", " ")).cast("bigint").alias("n_sub")
+    )
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        words.join(F.broadcast(wc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
     )
