@@ -95,6 +95,7 @@ HEADLINE = (
     "q_dedup_incremental",
     "q_bigram_lm",
     "q_token_budget",
+    "q_bpe_train",
 )
 
 

@@ -57,12 +57,14 @@ _MODULES = (
 #
 # ROUND-3 ROTATION TODO: once CORRECTNESS_r02 lands, move its green keys
 # to the tail and promote the next unchecked block into positions 0-49 —
-# priority order: (1) the rows-only keys' value-checked twins
-# (q_dedup_near_pairs, q_minhash_signature, q_dedup_cc_checked,
-# q_sim_ivf_checked, q_embed_neardup audits), (2) the TPC-H completion
-# pack (q_tpch_q1..q22 minus the five already checked), (3) the
-# continuation analytics/text/embedding keys (q_interval_merge …
-# q_hard_negatives) in registry order.
+# priority order: (1) the third-wave operators (q_ohlc_bars …
+# q_bpe_tokens — never driver-checked, highest novelty), (2) the
+# rows-only keys' value-checked twins (q_dedup_near_pairs,
+# q_minhash_signature, q_dedup_cc_checked, q_sim_ivf_checked,
+# q_embed_neardup audits), (3) the TPC-H completion pack (q_tpch_q1..q22
+# minus the five already checked), (4) the continuation
+# analytics/text/embedding keys (q_interval_merge … q_zipf_audit) in
+# registry order.
 _CHECK_FIRST: tuple[str, ...] = (
     # -- driver-unchecked in round 1 (old positions 50-82) ----------------
     "q_scalar_date",

@@ -564,7 +564,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast join + min-aggregate on that tiny relation — the driver
 # loop is O(rounds), not O(rows).
 _SP_HOPS = 3
-_SP_SRC = 0
+# Source 3 has outgoing lanes at EVERY testdata scale (nation 0 has no
+# suppliers at sf0.001, which made the differential check vacuous there
+# — review finding): relaxations actually run on the default CI scale.
+_SP_SRC = 3
 
 
 def _sp_oracle() -> str:

@@ -50,6 +50,7 @@ from big_data_streaming_spark.workload.common import (
     DEC,
     dec_avg,
     dec_sum,
+    ohlc_oracle,
     oracle_dec_avg,
     oracle_dec_sum,
     t,
@@ -1249,28 +1250,7 @@ def q_catalog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so open/close are well-defined on ts ties. Volume routes through
 # DECIMAL(38,6) (common.py exactness policy); high/low/open/close are
 # row selections — no float arithmetic at all.
-@_q(
-    "q_ohlc_bars",
-    """
-    WITH r AS (
-        SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
-               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                                  ORDER BY ts, event_id) AS rn_a,
-               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                                  ORDER BY ts DESC, event_id DESC) AS rn_d
-        FROM events
-    )
-    SELECT event_type, bar_hour,
-           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_px,
-           MAX(value) AS high_px,
-           MIN(value) AS low_px,
-           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_px,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
-           COUNT(*) AS n_trades
-    FROM r
-    GROUP BY event_type, bar_hour
-    """,
-)
+@_q("q_ohlc_bars", ohlc_oracle(with_volume=True))
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
@@ -1316,12 +1296,16 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # f feeds BOTH the corpus and the batch side; without persist each
+    # consumer re-derives the scan + split/sort/md5 pipeline (the most
+    # expensive expression here) — same shared-relation policy as
+    # q_bigram_lm / q_triangles.
     f = d.select(
         "doc_id",
         F.md5(
             F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
         ).alias("fp"),
-    )
+    ).persist()
     corpus = f.where(F.col("doc_id") % 10 != 0).select("fp").distinct()
     inc = f.where(F.col("doc_id") % 10 == 0)
     return (
@@ -1370,10 +1354,10 @@ def _ols_sql(table: str) -> str:
         {_OLS_STATS}
     )
     SELECT event_type, n,
-           {_OLS_NUM} / {_OLS_DENX} / 1000.0 AS slope,
-           (CAST(sy AS DOUBLE) - {_OLS_NUM} / {_OLS_DENX} * CAST(sx AS DOUBLE))
-               / CAST(n AS DOUBLE) / 1000.0 AS intercept,
-           {_OLS_NUM} * {_OLS_NUM} / ({_OLS_DENX} * {_OLS_DENY}) AS r2
+           {_OLS_NUM} / nullif({_OLS_DENX}, 0) / 1000.0 AS slope,
+           (CAST(sy AS DOUBLE) - {_OLS_NUM} / nullif({_OLS_DENX}, 0)
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000.0 AS intercept,
+           {_OLS_NUM} * {_OLS_NUM} / nullif({_OLS_DENX} * {_OLS_DENY}, 0) AS r2
     FROM s
     """
 
@@ -1467,7 +1451,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           (e.value - s.med) / s.iqr AS scaled
+           (e.value - s.med) / nullif(s.iqr, 0) AS scaled
     FROM events e JOIN s ON e.event_type = s.event_type
     """,
 )
@@ -1481,7 +1465,9 @@ def q_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        ((F.col("value") - F.col("med")) / F.col("iqr")).alias("scaled"),
+        ((F.col("value") - F.col("med")) / F.expr("nullif(iqr, CAST(0 AS DOUBLE))")).alias(
+            "scaled"
+        ),
     )
 
 

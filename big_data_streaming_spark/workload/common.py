@@ -70,3 +70,32 @@ def oracle_dec_avg(expr: str, alias: str) -> str:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def ohlc_oracle(with_volume: bool) -> str:
+    """Shared OHLC selection oracle (batch q_ohlc_bars / streaming
+    q_stream_ohlc): deterministic first/last row per (event_type, hour)
+    via row_number over (ts, event_id). One text, two consumers — the
+    stream/batch equivalence contract is stated once, so a tie-break fix
+    cannot silently decouple the twins."""
+    volume = (
+        f"           {oracle_dec_sum('value', 'volume')},\n" if with_volume else ""
+    )
+    return f"""
+    WITH r AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_px,
+           MAX(value) AS high_px,
+           MIN(value) AS low_px,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_px,
+{volume}           COUNT(*) AS n_trades
+    FROM r
+    GROUP BY event_type, bar_hour
+    """

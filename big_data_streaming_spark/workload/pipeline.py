@@ -688,7 +688,15 @@ def bpe_train(
             "sym",
             F.concat(
                 F.array_join(
-                    F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+                    # Spark's sequence(1, 0) is the DESCENDING [1, 0], not
+                    # [] — an empty token (dirty whitespace) would grow two
+                    # phantom symbols and diverge from DuckDB's range(1,1)=[]
+                    # and the Python reference (review finding). Guard it.
+                    F.expr(
+                        "CASE WHEN length(w) = 0 THEN CAST(array() AS ARRAY<STRING>)"
+                        " ELSE transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+                        " END"
+                    ),
                     " ",
                 ),
                 F.lit(" </w>"),

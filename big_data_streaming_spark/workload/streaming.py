@@ -25,7 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_streaming_spark.workload.common import dec_sum, oracle_dec_sum, t
+from big_data_streaming_spark.workload.common import dec_sum, ohlc_oracle, oracle_dec_sum, t
 
 QUERIES = {}
 ORACLES = {}
@@ -675,7 +675,20 @@ def _stage_stream_dir_parts(sf_dir: str, table: str, n_parts: int = 4) -> str:
         tempfile.gettempdir(), "bdss_stream_stage", f"{table}_split_{tag}"
     )
     want = [os.path.join(dst, f"part_{i}.parquet") for i in range(n_parts)]
-    if all(os.path.isfile(p) for p in want):
+    # Cache validity = a marker recording the SOURCE's (size, mtime),
+    # written only after every part file lands. Mere part-file existence
+    # is not enough: a regenerated fixture at the same path would stream
+    # stale rows, and a crash mid-write would leave a partial dir that
+    # "exists" (review finding — sibling _stage_stream_dir validates
+    # sizes; split parts can't size-match the source, so fingerprint it).
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{int(st.st_mtime_ns)}"
+    marker = os.path.join(dst, "_source_fingerprint")
+    if (
+        all(os.path.isfile(p) for p in want)
+        and os.path.isfile(marker)
+        and open(marker).read() == fingerprint
+    ):
         return dst
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
@@ -684,6 +697,8 @@ def _stage_stream_dir_parts(sf_dir: str, table: str, n_parts: int = 4) -> str:
     for i in range(n_parts):
         chunk = tbl.slice(i * step, step)
         pq.write_table(chunk, want[i])
+    with open(marker, "w") as fh:
+        fh.write(fingerprint)
     return dst
 
 
@@ -695,27 +710,7 @@ def _stage_stream_dir_parts(sf_dir: str, table: str, n_parts: int = 4) -> str:
 # first/last row, not the first/last row of whichever batch arrived
 # last. Oracle = the deterministic row_number selection over the whole
 # table (stream/batch equivalence contract).
-@_q(
-    "q_stream_ohlc",
-    """
-    WITH r AS (
-        SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
-               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                                  ORDER BY ts, event_id) AS rn_a,
-               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                                  ORDER BY ts DESC, event_id DESC) AS rn_d
-        FROM events
-    )
-    SELECT event_type, bar_hour,
-           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_px,
-           MAX(value) AS high_px,
-           MIN(value) AS low_px,
-           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_px,
-           COUNT(*) AS n_trades
-    FROM r
-    GROUP BY event_type, bar_hour
-    """,
-)
+@_q("q_stream_ohlc", ohlc_oracle(with_volume=False))
 def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_streaming_spark.sources.catalog import (
         _ensure_session_confs,

@@ -170,3 +170,36 @@ def test_bpe_matches_pure_python_reference(spark, sf_small):
         for r in QUERIES["q_bpe_train"](spark, sf_small).collect()
     )
     assert got == expect
+
+
+def test_shortest_path_relaxation_is_not_vacuous(spark, sf_small):
+    """Review finding: with a source nation that has no suppliers the
+    differential check degenerates to the single seed row. Pin that the
+    default CI scale actually exercises relaxation: the frontier expands
+    beyond the seed, and at least one node's best distance beats its
+    direct lane (a multi-hop path won a min-plus relaxation)."""
+    rows = QUERIES["q_shortest_path"](spark, sf_small).collect()
+    assert len(rows) > 1, "frontier never left the seed — vacuous check"
+
+    from big_data_streaming_spark.workload.advanced import _SP_SRC
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    c = spark.read.parquet(f"{sf_small}/customer.parquet")
+    s = spark.read.parquet(f"{sf_small}/supplier.parquet")
+    direct = {
+        r["dst"]: r["w"]
+        for r in (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .where(s.s_nationkey == _SP_SRC)
+            .groupBy(c.c_nationkey.alias("dst"))
+            .agg(F.min("l_quantity").cast("bigint").alias("w"))
+            .collect()
+        )
+    }
+    assert direct, "source nation has no outgoing lanes at this scale"
+    best = {r["nationkey"]: r["dist"] for r in rows}
+    beaten = [n for n, w in direct.items() if n in best and best[n] < w]
+    assert beaten, "no multi-hop path ever beat a direct lane — relaxation untested"
