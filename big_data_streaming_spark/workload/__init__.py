@@ -228,6 +228,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_cdc_apply",
     "q_bpe_train",
     "q_bpe_tokens",
+    "q_simpson_diversity",
+    "q_gini_sources",
+    "q_vocab_coverage",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1557,3 +1557,171 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_common").cast("double") / F.col("n_a")).alias("contain_a"),
         (F.col("n_common").cast("double") / F.col("n_b")).alias("contain_b"),
     )
+
+
+# --- corpus composition audits (exact-integer, log-free) -------------------
+# Three one-glance health numbers for a training corpus, all computed in
+# the exact-integer domain so both engines agree bit-for-bit:
+# * Simpson diversity of languages per source: 1 - Σ n_i(n_i-1) / N(N-1)
+#   (the probability two random docs differ in language) — integer
+#   numerator/denominator, ONE exact division;
+# * Gini concentration of token mass across sources (Lorenz form over
+#   ascending counts: G = 2·Σ i·x_i / (n·Σx) - (n+1)/n) — rank products
+#   are integers, two exact divisions in a shared-order formula;
+# * vocabulary coverage curve: what fraction of all token occurrences
+#   the top-k most frequent types cover, at k = 10/100/1000 — prefix
+#   sums of ranked integer frequencies.
+# Scale: all three aggregate the corpus once (combinable counts); the
+# audit arithmetic runs on O(sources) / O(vocab) relations.
+@_q(
+    "q_simpson_diversity",
+    """
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    ), s AS (
+        SELECT source,
+               CAST(SUM(n * (n - 1)) AS BIGINT) AS same_pairs,
+               CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM c GROUP BY source
+    )
+    SELECT source, total AS n_docs, n_langs,
+           1.0 - CAST(same_pairs AS DOUBLE)
+               / nullif(CAST(total * (total - 1) AS DOUBLE), 0) AS simpson
+    FROM s
+    """,
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("same_pairs"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return s.select(
+        "source",
+        F.col("total").alias("n_docs"),
+        "n_langs",
+        (
+            F.lit(1.0)
+            - F.col("same_pairs").cast("double")
+            / F.expr("nullif(CAST(total * (total - 1) AS DOUBLE), 0)")
+        ).alias("simpson"),
+    )
+
+
+@_q(
+    "q_gini_sources",
+    """
+    WITH x AS (
+        SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+        FROM documents GROUP BY source
+    ), r AS (
+        SELECT tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY tok, source) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(tok) OVER () AS BIGINT) AS total
+        FROM x
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_sources,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           2.0 * CAST(SUM(i * tok) AS DOUBLE)
+               / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(total) AS DOUBLE))
+               - CAST(MAX(n) + 1 AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS gini
+    FROM r
+    """,
+)
+def q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        WITH x AS (
+            SELECT source, CAST(SUM(size(split(text, ' '))) AS BIGINT) AS tok
+            FROM documents_v GROUP BY source
+        ), r AS (
+            SELECT tok,
+                   CAST(ROW_NUMBER() OVER (ORDER BY tok, source) AS BIGINT) AS i,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   CAST(SUM(tok) OVER () AS BIGINT) AS total
+            FROM x
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_sources,
+               CAST(MAX(total) AS BIGINT) AS total_tokens,
+               2.0 * CAST(SUM(i * tok) AS DOUBLE)
+                   / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(total) AS DOUBLE))
+                   - CAST(MAX(n) + 1 AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS gini
+        FROM r
+        """
+    )
+
+
+_COVERAGE_KS = (10, 100, 1000)
+
+
+@_q(
+    "q_vocab_coverage",
+    f"""
+    WITH f AS (
+        SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ), r AS (
+        SELECT freq,
+               CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+                   AS rnk,
+               CAST(SUM(freq) OVER () AS BIGINT) AS total
+        FROM f
+    )
+    SELECT k,
+           CAST(SUM(CASE WHEN rnk <= k THEN freq ELSE 0 END) AS BIGINT)
+               AS covered,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rnk <= k THEN freq ELSE 0 END) AS DOUBLE)
+               / CAST(MAX(total) AS DOUBLE) AS coverage
+    FROM r CROSS JOIN (SELECT unnest({list(_COVERAGE_KS)}) AS k)
+    GROUP BY k
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    f = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    r = f.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "token"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _COVERAGE_KS], "k int"
+    )
+    return (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("freq")).otherwise(0))
+            .cast("bigint")
+            .alias("covered"),
+            F.sum("freq").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "k",
+            "covered",
+            "total_tokens",
+            (
+                F.col("covered").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+    )
