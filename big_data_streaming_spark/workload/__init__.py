@@ -231,6 +231,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_simpson_diversity",
     "q_gini_sources",
     "q_vocab_coverage",
+    "q_intersect_all",
+    "q_except_all",
+    "q_agg_boolean",
+    "q_grouping_id",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1589,3 +1589,98 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_add(F.col("l_orderkey"), F.lit(9223372036854775802)).alias("big_sum"),
     )
+
+
+# --- B10 completion: MULTISET set operations -------------------------------
+# INTERSECT ALL / EXCEPT ALL are different operators from their DISTINCT
+# cousins (bag semantics: min / truncated-difference of multiplicities),
+# and Spark executes them with dedicated plans (intersectAll/exceptAll →
+# left-semi/anti style joins over counted rows) — worth their own gate
+# rows. lineitem's l_orderkey repeats per line, so multiplicities are
+# real (DISTINCT and ALL answers differ by thousands of rows).
+@_q(
+    "q_intersect_all",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    return a.intersectAll(b)
+
+
+@_q(
+    "q_except_all",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    return a.exceptAll(b)
+
+
+# --- B15 completion: boolean/conditional aggregates ------------------------
+# count_if / bool_and / bool_or — the data-quality predicates analysts
+# reach for first. Pure integer/boolean domain: exactness is free.
+@_q(
+    "q_agg_boolean",
+    """
+    SELECT event_type,
+           count_if(value > 100) AS n_big,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 400) AS any_huge,
+           count_if(user_id % 2 = 0) AS n_even_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_huge"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_users"),
+    )
+
+
+# --- B13 completion: GROUPING() provenance labels --------------------------
+# ROLLUP output rows are ambiguous without GROUPING(): a NULL grouping
+# key can be a real NULL or a subtotal row. GROUPING()/GROUPING_ID()
+# disambiguate — the standard SQL surface for cube consumers.
+@_q(
+    "q_grouping_id",
+    """
+    SELECT event_type,
+           CAST(GROUPING(event_type) AS INTEGER) AS is_total,
+           CAST(GROUPING_ID(event_type, user_id % 3) AS INTEGER) AS gid,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY ROLLUP(event_type, user_id % 3)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouping_id() must reference the EXACT grouping expressions — the
+    # DataFrame rollup aliases the derived key and trips
+    # GROUPING_ID_COLUMN_MISMATCH, so this runs the oracle's SQL text
+    # verbatim (both engines implement the same standard surface).
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(GROUPING(event_type) AS INTEGER) AS is_total,
+               CAST(GROUPING_ID(event_type, user_id % 3) AS INTEGER) AS gid,
+               COUNT(*) AS n
+        FROM events_v
+        GROUP BY ROLLUP(event_type, user_id % 3)
+        """
+    )
