@@ -235,6 +235,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_except_all",
     "q_agg_boolean",
     "q_grouping_id",
+    "q_percentile_disc",
+    "q_agg_bitwise",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1684,3 +1684,67 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP(event_type, user_id % 3)
         """
     )
+
+
+# --- B1 completion: discrete percentile (exact order statistic) ------------
+# percentile_cont interpolates; the DISC variant returns an actual data
+# value — the form you want when the measure is not interpolable (ids,
+# enum codes) or when the answer must exist in the data. Semantics
+# pinned explicitly (value at rank ceil(q·n), ties broken by event_id)
+# as ONE shared SQL text instead of trusting two engines' quantile_disc
+# defaults to agree.
+_PDISC_SQL = """
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM {src}
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END)
+               AS p50_disc,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END)
+               AS p90_disc,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END)
+               AS p99_disc
+    FROM r GROUP BY event_type
+"""
+
+
+@_q("q_percentile_disc", _PDISC_SQL.format(src="events"))
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(_PDISC_SQL.format(src="events_v"))
+
+
+# --- B14 completion: bitwise aggregates ------------------------------------
+# bit_and/bit_or/bit_xor are the mergeable-flag tier below real bitmaps
+# (q_bitmap_distinct): permission-mask unions, feature-flag intersection,
+# parity checks — all map-side combinable, integer-exact.
+@_q(
+    "q_agg_bitwise",
+    """
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS mask_and,
+           CAST(bit_or(user_id) AS BIGINT) AS mask_or,
+           CAST(bit_xor(user_id) AS BIGINT) AS mask_xor,
+           CAST(bit_or(1 << CAST(user_id % 16 AS INTEGER)) AS BIGINT)
+               AS bucket_bitmap
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").cast("bigint").alias("mask_and"),
+        F.bit_or("user_id").cast("bigint").alias("mask_or"),
+        F.bit_xor("user_id").cast("bigint").alias("mask_xor"),
+        # pyspark's shiftleft() only takes a literal bit count; the SQL
+        # form accepts a column expression
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 16 AS INT))"))
+        .cast("bigint")
+        .alias("bucket_bitmap"),
+    )

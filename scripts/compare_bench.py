@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Compare two bench JSON files (the one-line `bench.py` output / the
+driver's BENCH_r{N}.json) per query and flag regressions.
+
+    python scripts/compare_bench.py BENCH_r01.json BENCH_r02.json [pct]
+
+Prints queries present in both files whose time grew by more than `pct`
+(default 25%), queries that disappeared, and new queries — so a round-
+over-round slowdown is visible per query instead of hiding inside a
+headline total that changes size every round (BENCH_NOTES policy:
+totals across rounds are NOT comparable, per-query times are).
+Exit code 1 if any regression exceeds the threshold.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        text = fh.read().strip()
+    # Three accepted shapes: bench.py's bare one-liner, the driver's
+    # BENCH_r{N}.json wrapper (bench stdout inside "tail"), or logs
+    # followed by the JSON line.
+    try:
+        doc = json.loads(text)
+        if "queries" in doc:
+            return doc["queries"]
+        if "tail" in doc:
+            text = doc["tail"]
+    except json.JSONDecodeError:
+        pass
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)["queries"]
+    raise SystemExit(f"no bench JSON with a 'queries' map found in {path}")
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    pct = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
+
+    regressions = []
+    for name in sorted(old.keys() & new.keys()):
+        o, n = old[name], new[name]
+        if o > 0 and (n - o) / o * 100 > pct:
+            regressions.append((name, o, n, (n - o) / o * 100))
+    for name, o, n, growth in regressions:
+        print(f"REGRESSION {name}: {o:.3f}s -> {n:.3f}s (+{growth:.0f}%)")
+    for name in sorted(old.keys() - new.keys()):
+        print(f"REMOVED    {name}: was {old[name]:.3f}s")
+    for name in sorted(new.keys() - old.keys()):
+        print(f"NEW        {name}: {new[name]:.3f}s")
+    common = old.keys() & new.keys()
+    if common:
+        to, tn = sum(old[k] for k in common), sum(new[k] for k in common)
+        print(
+            f"comparable subtotal ({len(common)} queries): "
+            f"{to:.2f}s -> {tn:.2f}s ({(tn - to) / to * 100:+.1f}%)"
+        )
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
