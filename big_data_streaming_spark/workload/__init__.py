@@ -237,6 +237,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_grouping_id",
     "q_percentile_disc",
     "q_agg_bitwise",
+    "q_target_encoding",
+    "q_wilson_rank",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1530,3 +1530,78 @@ _BUDGET_SRC_SPARK = """
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
     return spark.sql(f"WITH src_tokens AS ({_BUDGET_SRC_SPARK}), {_BUDGET_FINISH}")
+
+
+# --- leave-one-out target encoding (ML feature prep) -----------------------
+# Mean-target encoding with the classic leakage fix: each row's encoding
+# excludes its own target — loo = (sum_group - y_i) / (n_group - 1).
+# The group sums route through DECIMAL(38,6) (exact, order-invariant);
+# the per-row subtraction and division run in a shared-order double
+# formula, so both engines emit identical bits. Scale: ONE combinable
+# aggregate to O(groups) rows, broadcast back — no window, no
+# self-join; the encode side stays embarrassingly parallel.
+@_q(
+    "q_target_encoding",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (g.s - e.value) / nullif(CAST(g.n - 1 AS DOUBLE), 0) AS loo_mean
+    FROM events e JOIN g ON e.event_type = g.event_type
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return e.join(F.broadcast(g), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            (F.col("s") - F.col("value"))
+            / F.expr("nullif(CAST(n - 1 AS DOUBLE), 0)")
+        ).alias("loo_mean"),
+    )
+
+
+# --- Wilson lower-bound ranking --------------------------------------------
+# The right way to rank by proportion under small samples (comment
+# scores, CTRs): the Wilson score interval's lower bound. Successes are
+# exact integers (value > 100); the bound is one shared-text IEEE
+# formula whose only non-rational op is the correctly-rounded sqrt —
+# the same portability contract q_acf relies on. z = 1.96 appears as
+# the same literal in both engines, hence the same double.
+_WILSON = (
+    "((p + 1.9208 / n - 1.96 * sqrt((p * (1.0 - p) + 0.9604 / n) / n))"
+    " / (1.0 + 3.8416 / n))"
+)
+
+
+def _wilson_sql(table: str) -> str:
+    return f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(count_if(value > 100) AS DOUBLE) AS hits,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM {table} GROUP BY event_type
+    ), p AS (
+        SELECT event_type, hits, n, hits / n AS p FROM c
+    )
+    SELECT event_type, CAST(hits AS BIGINT) AS n_hits,
+           CAST(n AS BIGINT) AS n_total, p AS rate,
+           {_WILSON} AS wilson_lower
+    FROM p
+    """
+
+
+@_q("q_wilson_rank", _wilson_sql("events"))
+def q_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
+    return spark.sql(_wilson_sql("events_ts"))
