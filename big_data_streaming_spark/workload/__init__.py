@@ -239,6 +239,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_agg_bitwise",
     "q_target_encoding",
     "q_wilson_rank",
+    "q_ks_drift",
+    "q_chi2",
+    "q_auc",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

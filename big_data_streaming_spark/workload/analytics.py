@@ -1605,3 +1605,107 @@ def _wilson_sql(table: str) -> str:
 def q_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
     return spark.sql(_wilson_sql("events_ts"))
+
+
+# --- ML evaluation / drift pack (KS, chi-square, AUC) ----------------------
+# Three evaluation statistics with NO transcendentals, so bit-exactness
+# across engines follows from the established rules:
+# * two-sample Kolmogorov–Smirnov D: pooled distinct values, per-group
+#   cumulative counts (exact integers), D = MAX of exact-ratio
+#   differences — MAX is order-invariant, no summation hazard;
+# * chi-square independence statistic: the per-cell terms are
+#   arbitrary-mantissa doubles, so the SUM quantizes each term at 1e-9
+#   (floor(x*1e9 + 0.5), the common.py integer-domain rule) — exact
+#   BIGINT accumulation, one final division;
+# * ROC AUC via the Mann–Whitney rank-sum identity over a strict total
+#   order (value, event_id) — all-integer numerators.
+# Scale: KS/AUC need a global order — at 100 TB both run on the
+# range-partitioned distributed rank (q_train_order's shape); chi2 is a
+# tiny contingency aggregate. Each statistic is OUTPUT-TINY (one row).
+def _ks_sql(table: str) -> str:
+    return f"""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        FROM {table} WHERE event_type IN ('click', 'view')
+    ), c AS (
+        SELECT value,
+               CAST(SUM(SUM(a)) OVER (ORDER BY value) AS BIGINT) AS ca,
+               CAST(SUM(SUM(b)) OVER (ORDER BY value) AS BIGINT) AS cb,
+               CAST(SUM(SUM(a)) OVER () AS BIGINT) AS na,
+               CAST(SUM(SUM(b)) OVER () AS BIGINT) AS nb
+        FROM s GROUP BY value
+    )
+    SELECT MAX(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)) AS ks_d,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM c
+    """
+
+
+@_q("q_ks_drift", _ks_sql("events"))
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
+    return spark.sql(_ks_sql("events_ts"))
+
+
+_CHI2_TERM = (
+    "(CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+    " / CAST(tot AS DOUBLE))"
+)
+_CHI2_EXP = (
+    "(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE))"
+)
+
+
+def _chi2_sql(table: str) -> str:
+    return f"""
+    WITH o AS (
+        SELECT event_type AS rv, CAST(user_id % 2 AS INTEGER) AS cv,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM {table} GROUP BY 1, 2
+    ), m AS (
+        SELECT rv, cv, obs,
+               CAST(SUM(obs) OVER (PARTITION BY rv) AS BIGINT) AS row_tot,
+               CAST(SUM(obs) OVER (PARTITION BY cv) AS BIGINT) AS col_tot,
+               CAST(SUM(obs) OVER () AS BIGINT) AS tot
+        FROM o
+    ), q AS (
+        SELECT CAST(floor({_CHI2_TERM} * {_CHI2_TERM} / {_CHI2_EXP}
+                          * 1000000000 + 0.5) AS BIGINT) AS term_q
+        FROM m
+    )
+    SELECT CAST(SUM(term_q) AS DOUBLE) / 1000000000 AS chi2,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM q
+    """
+
+
+@_q("q_chi2", _chi2_sql("events"))
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
+    return spark.sql(_chi2_sql("events_ts"))
+
+
+def _auc_sql(table: str) -> str:
+    return f"""
+    WITH r AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS y,
+               CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS rnk
+        FROM {table}
+    )
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+           (CAST(SUM(CASE WHEN y = 1 THEN rnk ELSE 0 END) AS DOUBLE)
+            - CAST(SUM(y) AS DOUBLE) * (CAST(SUM(y) AS DOUBLE) + 1.0) / 2.0)
+           / (CAST(SUM(y) AS DOUBLE) * CAST(COUNT(*) - SUM(y) AS DOUBLE)) AS auc
+    FROM r
+    """
+
+
+@_q("q_auc", _auc_sql("events"))
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
+    return spark.sql(_auc_sql("events_ts"))
