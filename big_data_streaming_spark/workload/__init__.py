@@ -242,6 +242,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_ks_drift",
     "q_chi2",
     "q_auc",
+    "q_retrieval_mrr",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

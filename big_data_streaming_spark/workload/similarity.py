@@ -702,3 +702,83 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "votes",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+# --- retrieval evaluation: first-relevant rank / reciprocal rank ----------
+# The retrieval-quality complement of q_knn_classify: for each query
+# vector, the rank of the first corpus neighbor sharing its label (the
+# "first relevant hit"), plus its reciprocal — the per-query terms of
+# MRR. Emitted per query (no mean) so every output value is an exact
+# integer or an exact-ratio double; a mean would sum arbitrary doubles
+# order-dependently. Ranking is the full-precision cosine with the
+# q_sim_topk tie-break contract.
+@_q(
+    "q_retrieval_mrr",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec, label AS q_label
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id, e.label,
+               list_dot_product(e.embedding::DOUBLE[], q.q_vec)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= {_N_QUERIES}
+    ), ranked AS (
+        SELECT q_id, q_label, label,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id)
+                    AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT q_id, q_label,
+           CAST(MIN(rank) AS BIGINT) AS first_relevant_rank,
+           1.0 / CAST(MIN(rank) AS DOUBLE) AS reciprocal_rank
+    FROM ranked
+    WHERE label = q_label
+    GROUP BY q_id, q_label
+    """,
+)
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    from big_data_streaming_spark.functions.similarity import cosine
+
+    scored = (
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            "label",
+        )
+        .join(F.broadcast(queries), F.lit(True))
+        .select(
+            "q_id",
+            "q_label",
+            "neighbor_id",
+            "label",
+            cosine(F.col("c_vec"), F.col("q_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("label") == F.col("q_label"))
+        .groupBy("q_id", "q_label")
+        .agg(F.min("rank").alias("first_relevant_rank"))
+        .select(
+            "q_id",
+            "q_label",
+            "first_relevant_rank",
+            (F.lit(1.0) / F.col("first_relevant_rank").cast("double")).alias(
+                "reciprocal_rank"
+            ),
+        )
+    )
