@@ -243,6 +243,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_chi2",
     "q_auc",
     "q_retrieval_mrr",
+    "q_sessionize_label",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1709,3 +1709,59 @@ def _auc_sql(table: str) -> str:
 def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
     return spark.sql(_auc_sql("events_ts"))
+
+
+# --- per-event session labeling --------------------------------------------
+# session_window / interval-merge emit one row PER SESSION; downstream
+# training-data work (dialogue-turn grouping, per-session packing,
+# session-scoped joins) needs the label ON EVERY EVENT. Gaps-and-islands
+# labeling: a new session starts when the gap to the previous event
+# exceeds 30 minutes; session_seq = running count of starts; the
+# composite key (user_id, session_seq) is join-ready. All integer/
+# timestamp comparisons — exactness free. Scale: ONE shuffle on
+# user_id; both windows reuse that partitioning.
+@_q(
+    "q_sessionize_label",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq,
+           CAST(is_start AS INTEGER) AS is_session_start
+    FROM g
+    """,
+)
+def q_sessionize_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap comparison — cast("long") floors to seconds, which
+    # diverges from the oracle's full-precision INTERVAL comparison on a
+    # gap like 1800.0000005 s
+    is_start = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    g = e.select("event_id", "user_id", "ts", is_start.alias("is_start"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return g.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("is_start").over(wsum).cast("bigint").alias("session_seq"),
+        F.col("is_start").cast("int").alias("is_session_start"),
+    )
