@@ -244,6 +244,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_auc",
     "q_retrieval_mrr",
     "q_sessionize_label",
+    "q_kanonymity",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

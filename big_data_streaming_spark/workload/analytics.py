@@ -1765,3 +1765,52 @@ def q_sessionize_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_start").over(wsum).cast("bigint").alias("session_seq"),
         F.col("is_start").cast("int").alias("is_session_start"),
     )
+
+
+# --- k-anonymity audit (privacy gate for training data) --------------------
+# Before shipping a corpus, flag quasi-identifier combinations rarer
+# than k — each such combo can single out an individual. Quasi-key here:
+# (lang, source, length bucket). Output = the violating combos with
+# counts plus each combo's share of the corpus; the release decision
+# (suppress vs generalize) consumes exactly this relation. Pure integer
+# aggregation — ONE combinable shuffle; output is O(violating combos).
+_KANON_K = 5
+
+
+@_q(
+    "q_kanonymity",
+    f"""
+    WITH q AS (
+        SELECT lang, source,
+               CAST(n_chars // 64 AS BIGINT) AS len_bucket
+        FROM documents
+    ), c AS (
+        SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        FROM q GROUP BY lang, source, len_bucket
+    )
+    SELECT lang, source, len_bucket, n,
+           CAST(n AS DOUBLE) / total AS share
+    FROM c WHERE n < {_KANON_K}
+    """,
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    q = d.select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+    )
+    c = q.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    c = c.withColumn(
+        "total", F.sum("n").over(Window.partitionBy()).cast("bigint")
+    )
+    return c.where(F.col("n") < _KANON_K).select(
+        "lang",
+        "source",
+        "len_bucket",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+    )
