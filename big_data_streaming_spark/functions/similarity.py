@@ -54,7 +54,7 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
+    k: int | None = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -62,7 +62,9 @@ def cosine_topk(
 
     Returns (q_id, neighbor_id, cosine, rank), rank 1..k, self-matches
     excluded. Broadcast(queries) × one corpus scan; TakeOrdered-style
-    ranking per query id.
+    ranking per query id. ``k=None`` returns the FULL ranking (every
+    corpus row ranked per query) — the evaluation-metrics tier
+    (q_retrieval_mrr) consumes that form.
     """
     q = F.broadcast(
         queries.select(
@@ -79,10 +81,11 @@ def cosine_topk(
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select(
+        "q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
 
 

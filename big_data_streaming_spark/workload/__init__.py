@@ -51,14 +51,18 @@ _MODULES = (
 # correctness row come FIRST (the round-1 unchecked 33, the 4 reworked
 # canonicalizer fixes, and anything added since the last snapshot), then
 # a small set of load-bearing already-green anchors. Everything else —
-# all green in CORRECTNESS_r01 — fills the tail in module order. When a
-# new query is added, it must be inserted into the "never driver-checked"
-# block and an anchor dropped to keep the unverified set inside the window.
+# all green in CORRECTNESS_r01 — fills the tail in module order. The
+# round-2 window is FULL (exactly the 50 highest-priority round-1
+# first-timers); queries added later in round 2 therefore queue in the
+# rotation-candidate block below the window and are first in line for
+# the round-3 window (they are all green under the in-repo gate replica
+# at sf0.001/0.01/0.1 — the driver row is confirmation, not discovery).
 #
 # ROUND-3 ROTATION TODO: once CORRECTNESS_r02 lands, move its green keys
 # to the tail and promote the next unchecked block into positions 0-49 —
-# priority order: (1) the third-wave operators (q_ohlc_bars …
-# q_bpe_tokens — never driver-checked, highest novelty), (2) the
+# priority order: (1) the third-wave + completion operators
+# (q_ohlc_bars … q_kanonymity, every key after q_zipf_audit in the list
+# below — never driver-checked, highest novelty), (2) the
 # rows-only keys' value-checked twins (q_dedup_near_pairs,
 # q_minhash_signature, q_dedup_cc_checked, q_sim_ivf_checked,
 # q_embed_neardup audits), (3) the TPC-H completion pack (q_tpch_q1..q22

@@ -1614,9 +1614,11 @@ def q_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   cumulative counts (exact integers), D = MAX of exact-ratio
 #   differences — MAX is order-invariant, no summation hazard;
 # * chi-square independence statistic: the per-cell terms are
-#   arbitrary-mantissa doubles, so the SUM quantizes each term at 1e-9
-#   (floor(x*1e9 + 0.5), the common.py integer-domain rule) — exact
-#   BIGINT accumulation, one final division;
+#   arbitrary-mantissa doubles, so the SUM quantizes each term at 1e-6
+#   (floor(x*1e6 + 0.5), the common.py integer-domain rule) — exact
+#   BIGINT accumulation, one final division. A cell term is bounded by
+#   n, so the quantized value stays under 2^63 for corpora to ~9e12
+#   rows (review finding: 1e-9 granularity capped that at ~9e9);
 # * ROC AUC via the Mann–Whitney rank-sum identity over a strict total
 #   order (value, event_id) — all-integer numerators.
 # Scale: KS/AUC need a global order — at 100 TB both run on the
@@ -1673,10 +1675,10 @@ def _chi2_sql(table: str) -> str:
         FROM o
     ), q AS (
         SELECT CAST(floor({_CHI2_TERM} * {_CHI2_TERM} / {_CHI2_EXP}
-                          * 1000000000 + 0.5) AS BIGINT) AS term_q
+                          * 1000000 + 0.5) AS BIGINT) AS term_q
         FROM m
     )
-    SELECT CAST(SUM(term_q) AS DOUBLE) / 1000000000 AS chi2,
+    SELECT CAST(SUM(term_q) AS DOUBLE) / 1000000 AS chi2,
            CAST(COUNT(*) AS BIGINT) AS n_cells
     FROM q
     """
@@ -1698,7 +1700,8 @@ def _auc_sql(table: str) -> str:
     )
     SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
            CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
-           (CAST(SUM(CASE WHEN y = 1 THEN rnk ELSE 0 END) AS DOUBLE)
+           (CAST(SUM(CAST(CASE WHEN y = 1 THEN rnk ELSE 0 END
+                          AS DECIMAL(38,0))) AS DOUBLE)
             - CAST(SUM(y) AS DOUBLE) * (CAST(SUM(y) AS DOUBLE) + 1.0) / 2.0)
            / (CAST(SUM(y) AS DOUBLE) * CAST(COUNT(*) - SUM(y) AS DOUBLE)) AS auc
     FROM r

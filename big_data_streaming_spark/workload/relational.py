@@ -1657,33 +1657,25 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROLLUP output rows are ambiguous without GROUPING(): a NULL grouping
 # key can be a real NULL or a subtotal row. GROUPING()/GROUPING_ID()
 # disambiguate — the standard SQL surface for cube consumers.
-@_q(
-    "q_grouping_id",
-    """
+def _grouping_id_sql(table: str) -> str:
+    return f"""
     SELECT event_type,
            CAST(GROUPING(event_type) AS INTEGER) AS is_total,
            CAST(GROUPING_ID(event_type, user_id % 3) AS INTEGER) AS gid,
            COUNT(*) AS n
-    FROM events
+    FROM {table}
     GROUP BY ROLLUP(event_type, user_id % 3)
-    """,
-)
+    """
+
+
+@_q("q_grouping_id", _grouping_id_sql("events"))
 def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouping_id() must reference the EXACT grouping expressions — the
     # DataFrame rollup aliases the derived key and trips
     # GROUPING_ID_COLUMN_MISMATCH, so this runs the oracle's SQL text
-    # verbatim (both engines implement the same standard surface).
+    # (one shared template, no hand-synced copies).
     t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
-    return spark.sql(
-        """
-        SELECT event_type,
-               CAST(GROUPING(event_type) AS INTEGER) AS is_total,
-               CAST(GROUPING_ID(event_type, user_id % 3) AS INTEGER) AS gid,
-               COUNT(*) AS n
-        FROM events_v
-        GROUP BY ROLLUP(event_type, user_id % 3)
-        """
-    )
+    return spark.sql(_grouping_id_sql("events_v"))
 
 
 # --- B1 completion: discrete percentile (exact order statistic) ------------

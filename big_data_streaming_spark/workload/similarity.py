@@ -710,8 +710,11 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "first relevant hit"), plus its reciprocal — the per-query terms of
 # MRR. Emitted per query (no mean) so every output value is an exact
 # integer or an exact-ratio double; a mean would sum arbitrary doubles
-# order-dependently. Ranking is the full-precision cosine with the
-# q_sim_topk tie-break contract.
+# order-dependently. A query whose label never appears in the corpus
+# STILL emits a row (NULL rank, reciprocal 0.0) — dropping it would
+# silently shrink a downstream mean's denominator and inflate MRR
+# (review finding). Ranking reuses cosine_topk(k=None): one contract
+# for fold order and tie-breaks across the similarity tier.
 @_q(
     "q_retrieval_mrr",
     f"""
@@ -731,54 +734,43 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY cosine DESC, neighbor_id)
                     AS BIGINT) AS rank
         FROM scored
+    ), hit AS (
+        SELECT q_id, CAST(MIN(rank) AS BIGINT) AS first_relevant_rank
+        FROM ranked WHERE label = q_label GROUP BY q_id
     )
-    SELECT q_id, q_label,
-           CAST(MIN(rank) AS BIGINT) AS first_relevant_rank,
-           1.0 / CAST(MIN(rank) AS DOUBLE) AS reciprocal_rank
-    FROM ranked
-    WHERE label = q_label
-    GROUP BY q_id, q_label
+    SELECT q.q_id, q.q_label, hit.first_relevant_rank,
+           COALESCE(1.0 / CAST(hit.first_relevant_rank AS DOUBLE), 0.0)
+               AS reciprocal_rank
+    FROM q LEFT JOIN hit ON q.q_id = hit.q_id
     """,
 )
 def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("label").alias("q_label"),
-    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
-    from big_data_streaming_spark.functions.similarity import cosine
-
-    scored = (
-        corpus.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_vec"),
-            "label",
-        )
-        .join(F.broadcast(queries), F.lit(True))
-        .select(
-            "q_id",
-            "q_label",
-            "neighbor_id",
-            "label",
-            cosine(F.col("c_vec"), F.col("q_vec")).alias("cosine"),
-        )
+    ranked = cosine_topk(corpus, queries, k=None)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    truth = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    hit = (
+        ranked.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(truth), "q_id")
+        .where(F.col("n_label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.min("rank").cast("bigint").alias("first_relevant_rank"))
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("label") == F.col("q_label"))
-        .groupBy("q_id", "q_label")
-        .agg(F.min("rank").alias("first_relevant_rank"))
+        truth.join(hit, "q_id", "left")
         .select(
             "q_id",
             "q_label",
             "first_relevant_rank",
-            (F.lit(1.0) / F.col("first_relevant_rank").cast("double")).alias(
-                "reciprocal_rank"
-            ),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_relevant_rank").cast("double"),
+                F.lit(0.0),
+            ).alias("reciprocal_rank"),
         )
     )

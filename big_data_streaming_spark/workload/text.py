@@ -1581,14 +1581,15 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents GROUP BY source, lang
     ), s AS (
         SELECT source,
-               CAST(SUM(n * (n - 1)) AS BIGINT) AS same_pairs,
+               SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS same_pairs,
                CAST(SUM(n) AS BIGINT) AS total,
                CAST(COUNT(*) AS BIGINT) AS n_langs
         FROM c GROUP BY source
     )
     SELECT source, total AS n_docs, n_langs,
            1.0 - CAST(same_pairs AS DOUBLE)
-               / nullif(CAST(total * (total - 1) AS DOUBLE), 0) AS simpson
+               / nullif(CAST(total AS DOUBLE) * CAST(total - 1 AS DOUBLE), 0)
+               AS simpson
     FROM s
     """,
 )
@@ -1599,7 +1600,11 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     s = c.groupBy("source").agg(
-        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("same_pairs"),
+        # per-row product via DECIMAL so a 3e9-doc (source, lang) group
+        # cannot overflow the BIGINT multiply
+        F.sum(F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)).alias(
+            "same_pairs"
+        ),
         F.sum("n").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("n_langs"),
     )
@@ -1607,10 +1612,14 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("total").alias("n_docs"),
         "n_langs",
+        # factors cast to DOUBLE BEFORE multiplying — total*(total-1) in
+        # BIGINT overflows past ~3e9 docs per source (review finding)
         (
             F.lit(1.0)
             - F.col("same_pairs").cast("double")
-            / F.expr("nullif(CAST(total * (total - 1) AS DOUBLE), 0)")
+            / F.expr(
+                "nullif(CAST(total AS DOUBLE) * CAST(total - 1 AS DOUBLE), 0)"
+            )
         ).alias("simpson"),
     )
 
@@ -1703,9 +1712,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rnk"),
     )
-    ks = spark.range(0).sparkSession.createDataFrame(
-        [(k,) for k in _COVERAGE_KS], "k int"
-    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k int")
     return (
         r.crossJoin(F.broadcast(ks))
         .groupBy("k")

@@ -49,10 +49,15 @@ def main() -> int:
     regressions = []
     for name in sorted(old.keys() & new.keys()):
         o, n = old[name], new[name]
-        if o > 0 and (n - o) / o * 100 > pct:
-            regressions.append((name, o, n, (n - o) / o * 100))
+        # bench.py rounds to 3 decimals, so 0.000 means "sub-ms"; treat a
+        # jump from 0.000 to anything measurable as a regression too
+        # instead of silently exempting it
+        if (o > 0 and (n - o) / o * 100 > pct) or (o == 0 and n >= 0.05):
+            growth = (n - o) / o * 100 if o > 0 else float("inf")
+            regressions.append((name, o, n, growth))
     for name, o, n, growth in regressions:
-        print(f"REGRESSION {name}: {o:.3f}s -> {n:.3f}s (+{growth:.0f}%)")
+        g = f"+{growth:.0f}%" if growth != float("inf") else "from 0.000s"
+        print(f"REGRESSION {name}: {o:.3f}s -> {n:.3f}s ({g})")
     for name in sorted(old.keys() - new.keys()):
         print(f"REMOVED    {name}: was {old[name]:.3f}s")
     for name in sorted(new.keys() - old.keys()):
@@ -60,9 +65,10 @@ def main() -> int:
     common = old.keys() & new.keys()
     if common:
         to, tn = sum(old[k] for k in common), sum(new[k] for k in common)
+        delta = f" ({(tn - to) / to * 100:+.1f}%)" if to > 0 else ""
         print(
             f"comparable subtotal ({len(common)} queries): "
-            f"{to:.2f}s -> {tn:.2f}s ({(tn - to) / to * 100:+.1f}%)"
+            f"{to:.2f}s -> {tn:.2f}s{delta}"
         )
     return 1 if regressions else 0
 
