@@ -1,0 +1,46 @@
+"""Partitioning-invariance sweep: float-bearing queries must produce
+BIT-IDENTICAL results under different shuffle partition counts.
+
+COVERAGE.md claims "float exactness is partitioning-invariant, not tuned
+to one size". test_determinism.py pins that for dec_sum and k-means;
+this sweep pins it for a representative slice of every float-emitting
+family added since — closed-form stats, shared-text formulas, ratio
+outputs, percentile interpolation. A query whose doubles depend on
+accumulation order would differ between 5 and 32 partitions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_streaming_spark.workload import QUERIES
+
+SWEEP = [
+    "q_ols_by_group",       # decimal-routed sufficient statistics
+    "q_wilson_rank",        # shared-text sqrt formula
+    "q_chi2",               # quantized term sum
+    "q_auc",                # global-rank integer sums
+    "q_robust_scaler",      # percentile interpolation + broadcast apply
+    "q_target_encoding",    # LOO decimal sums
+    "q_simpson_diversity",  # exact-integer ratios
+    "q_gini_sources",       # rank-product window
+    "q_ohlc_bars",          # min_by/max_by selection + decimal volume
+    "q_bigram_lm",          # exact-ratio probabilities, global top-k
+]
+
+
+def _rows(spark, name, sf, partitions):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        df = QUERIES[name](spark, sf)
+        return sorted(map(repr, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_partitioning_invariant(spark, sf_small, name):
+    a = _rows(spark, name, sf_small, 5)
+    b = _rows(spark, name, sf_small, 32)
+    assert a == b, f"{name}: results depend on shuffle partition count"
