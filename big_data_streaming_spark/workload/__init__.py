@@ -249,6 +249,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_retrieval_mrr",
     "q_sessionize_label",
     "q_kanonymity",
+    "q_modularity",
+    "q_graph_evolution",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -638,3 +638,178 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         "dist",
     )
+
+
+# --- graph modularity of the region partition ------------------------------
+# "How regional is trade?" — Newman modularity of the region assignment
+# over the undirected nation trade graph:
+#   Q = Σ_c [ e_c/m − (d_c/2m)² ]  =  Σ_c (4m·e_c − d_c²) / 4m²
+# The right-hand form keeps every numerator an exact integer (e_c = in-
+# community edges, d_c = community degree sum, m = |E|); ONE division at
+# the end. Self-loop lanes (a nation supplying itself) are excluded —
+# the standard formula double-counts loop degrees and the within-nation
+# lane says nothing about regional structure. Scale: the graph is the
+# O(nations²) aggregate of the fact join (computed once, tiny); all
+# modularity arithmetic is driver-trivial.
+@_q(
+    "q_modularity",
+    """
+    WITH lanes AS (
+        SELECT DISTINCT least(sn.n_nationkey, cn.n_nationkey) AS a,
+                        greatest(sn.n_nationkey, cn.n_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE sn.n_nationkey <> cn.n_nationkey
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lanes
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS node FROM lanes UNION ALL SELECT b FROM lanes)
+        GROUP BY node
+    ), comm_deg AS (
+        SELECT n.n_regionkey AS region, CAST(SUM(deg.d) AS BIGINT) AS d_c
+        FROM deg JOIN nation n ON deg.node = n.n_nationkey
+        GROUP BY n.n_regionkey
+    ), comm_edges AS (
+        SELECT na.n_regionkey AS region, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM lanes
+        JOIN nation na ON lanes.a = na.n_nationkey
+        JOIN nation nb ON lanes.b = nb.n_nationkey
+        WHERE na.n_regionkey = nb.n_regionkey
+        GROUP BY na.n_regionkey
+    )
+    SELECT cd.region,
+           COALESCE(ce.e_c, 0) AS e_c, cd.d_c, m.m,
+           CAST(4 * m.m * COALESCE(ce.e_c, 0) - cd.d_c * cd.d_c AS DOUBLE)
+               / CAST(4 AS DOUBLE) / CAST(m.m AS DOUBLE) / CAST(m.m AS DOUBLE)
+               AS q_contrib
+    FROM comm_deg cd
+    LEFT JOIN comm_edges ce ON cd.region = ce.region
+    CROSS JOIN m
+    """,
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    lanes = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(s.s_nationkey != c.c_nationkey)
+        .select(
+            F.least(s.s_nationkey, c.c_nationkey).alias("a"),
+            F.greatest(s.s_nationkey, c.c_nationkey).alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    regions = F.broadcast(
+        n.select(F.col("n_nationkey").alias("node"), F.col("n_regionkey").alias("region"))
+    )
+    deg = (
+        lanes.select(F.col("a").alias("node"))
+        .unionAll(lanes.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    comm_deg = (
+        deg.join(regions, "node")
+        .groupBy("region")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    ra = regions.select(F.col("node").alias("a"), F.col("region").alias("reg_a"))
+    rb = regions.select(F.col("node").alias("b"), F.col("region").alias("reg_b"))
+    comm_edges = (
+        lanes.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .where(F.col("reg_a") == F.col("reg_b"))
+        .groupBy(F.col("reg_a").alias("region"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    m = lanes.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    out = (
+        comm_deg.join(comm_edges, "region", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "region",
+            F.coalesce("e_c", F.lit(0).cast("bigint")).alias("e_c"),
+            "d_c",
+            "m",
+        )
+    )
+    return out.select(
+        "region",
+        "e_c",
+        "d_c",
+        "m",
+        (
+            (4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")).cast("double")
+            / F.lit(4.0)
+            / F.col("m").cast("double")
+            / F.col("m").cast("double")
+        ).alias("q_contrib"),
+    )
+
+
+# --- temporal graph evolution (new trading lanes per month) ----------------
+# The time axis of the graph family: each (supplier-nation → customer-
+# nation) lane is stamped with its FIRST order month; the output counts
+# new lanes and cumulative lanes per month — how fast the trade network
+# densifies. min-date per edge is a combinable aggregate; the monthly
+# rollup is O(months).
+@_q(
+    "q_graph_evolution",
+    """
+    WITH lane_first AS (
+        SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+               MIN(date_trunc('month', o.o_orderdate)) AS first_month
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY sn.n_nationkey, cn.n_nationkey
+    ), monthly AS (
+        SELECT first_month AS month, CAST(COUNT(*) AS BIGINT) AS new_lanes
+        FROM lane_first GROUP BY first_month
+    )
+    SELECT month, new_lanes,
+           CAST(SUM(new_lanes) OVER (ORDER BY month
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS total_lanes
+    FROM monthly
+    """,
+)
+def q_graph_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    lane_first = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            s.s_nationkey.alias("src"), c.c_nationkey.alias("dst")
+        )
+        .agg(F.min(F.date_trunc("month", o.o_orderdate)).alias("first_month"))
+    )
+    monthly = lane_first.groupBy(F.col("first_month").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_lanes")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month",
+        "new_lanes",
+        F.sum("new_lanes").over(w).cast("bigint").alias("total_lanes"),
+    )
