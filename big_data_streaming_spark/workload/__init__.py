@@ -251,6 +251,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_kanonymity",
     "q_modularity",
     "q_graph_evolution",
+    "q_frame_sample",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

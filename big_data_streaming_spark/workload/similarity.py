@@ -763,7 +763,9 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rank").cast("bigint").alias("first_relevant_rank"))
     )
     return (
-        truth.join(hit, "q_id", "left")
+        # hit is O(queries) rows — broadcast it so the outer join never
+        # plans a sort-merge on two tiny sides
+        truth.join(F.broadcast(hit), "q_id", "left")
         .select(
             "q_id",
             "q_label",

@@ -1732,3 +1732,39 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --- C5 completion: frame sampling as a gate-checked query -----------------
+# sample_frames (functions/multimodal.py) expands one media row into
+# frame-index rows JVM-side — explode BEFORE decode so Arrow batches
+# stay bounded. This query drives it through the driver gate with a
+# first-principles oracle: n_frames = floor(payload_bytes / (64 * 10))
+# (floor stated EXPLICITLY — Spark's double→int cast truncates while
+# DuckDB's rounds, so the truncation must live in shared semantics, not
+# in a cast), frame_no = frame_idx * every_n. Value-checks the index
+# arithmetic the same way q_multimodal_resize pins its kernel.
+@_q(
+    "q_frame_sample",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               's3://corpus/' || lang || '/' || CAST(doc_id AS VARCHAR)
+                   || '.txt' AS uri,
+               CAST(floor(CAST(length(text) AS DOUBLE) / 640) AS INTEGER)
+                   AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, uri, CAST(g.i AS INTEGER) AS frame_idx,
+           CAST(g.i * 10 AS INTEGER) AS frame_no
+    FROM m, UNNEST(generate_series(0, n_frames - 1)) AS g(i)
+    WHERE n_frames > 0
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.multimodal import (
+        sample_frames,
+        with_media_struct,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return sample_frames(with_media_struct(docs), every_n=10)
