@@ -252,6 +252,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_modularity",
     "q_graph_evolution",
     "q_frame_sample",
+    "q_stream_cdc",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -764,3 +764,98 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close_px",
         "n_trades",
     )
+
+
+# Streaming CDC apply: the q_cdc_apply net-state compaction through the
+# streaming engine — each micro-batch serializes its rows into the
+# Debezium-style envelope, parses them back under the declared schema
+# (A3 in STREAMING form, not just batch), and folds them into the
+# running per-key latest-op state (max_by over struct merge across
+# batches, complete mode). Same oracle as the batch twin minus deletes
+# handled identically; stream/batch equivalence pins the compaction.
+@_q(
+    "q_stream_cdc",
+    """
+    WITH env AS (
+        SELECT to_json(struct_pack(
+                   op := CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END,
+                   id := user_id,
+                   v := value,
+                   ts_ms := epoch_ms(ts),
+                   seq := event_id)) AS payload
+        FROM events
+    ), parsed AS (
+        SELECT CAST(json_extract_string(payload, '$.op') AS VARCHAR) AS op,
+               CAST(json_extract(payload, '$.id') AS BIGINT) AS id,
+               CAST(json_extract(payload, '$.v') AS DOUBLE) AS v,
+               CAST(json_extract(payload, '$.ts_ms') AS BIGINT) AS ts_ms,
+               CAST(json_extract(payload, '$.seq') AS BIGINT) AS seq
+        FROM env
+    ), latest AS (
+        SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY ts_ms DESC, seq DESC) AS rn
+        FROM parsed
+    )
+    SELECT id AS user_id, v AS last_value, ts_ms AS last_ts_ms
+    FROM latest WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    name = f"stream_cdc_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    env = sdf.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("event_type") == "error", F.lit("d"))
+                .otherwise(F.lit("u"))
+                .alias("op"),
+                F.col("user_id").alias("id"),
+                F.col("value").alias("v"),
+                F.unix_millis("ts").alias("ts_ms"),
+                F.col("event_id").alias("seq"),
+            )
+        ).alias("payload")
+    )
+    parsed = env.select(
+        F.from_json(
+            "payload", "op string, id bigint, v double, ts_ms bigint, seq bigint"
+        ).alias("r")
+    ).select("r.*")
+    compacted = parsed.groupBy("id").agg(
+        F.expr("max_by(struct(op, v, ts_ms), struct(ts_ms, seq))").alias("w")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            compacted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.col("w.op") != "d")
+        .select(
+            F.col("id").alias("user_id"),
+            F.col("w.v").alias("last_value"),
+            F.col("w.ts_ms").alias("last_ts_ms"),
+        )
+    )
