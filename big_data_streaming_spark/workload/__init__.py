@@ -253,6 +253,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_graph_evolution",
     "q_frame_sample",
     "q_stream_cdc",
+    "q_negative_sampling",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

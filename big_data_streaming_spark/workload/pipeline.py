@@ -785,3 +785,79 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub").alias("n_bpe_tokens"),
         )
     )
+
+
+# --- negative sampling for recommendation training -------------------------
+# For each of the first 50 customers: 5 parts they have NEVER bought,
+# chosen deterministically. The scale-correct shape, not the naive one:
+# the candidate side is a HASH-SAMPLED slice of the item catalog
+# (Lehmer residue, ~5%), so the users × candidates cross join is
+# users × (catalog/20) instead of users × catalog; interactions are
+# removed with an anti join; the per-user top-5 is ranked by a
+# deterministic pair hash (Lehmer over a composite), so reruns and
+# engines agree bit-for-bit. At 100 TB the candidate threshold is the
+# dial: sample rate × catalog must stay broadcastable.
+_NEG_USERS = 50
+_NEG_K = 5
+
+
+@_q(
+    "q_negative_sampling",
+    f"""
+    WITH cand AS (
+        SELECT p_partkey FROM part
+        WHERE (p_partkey * 48271) % 2147483647 % 20 = 0
+    ), users AS (
+        SELECT c_custkey FROM customer WHERE c_custkey < {_NEG_USERS}
+    ), interactions AS (
+        SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), scored AS (
+        SELECT u.c_custkey, c.p_partkey,
+               (u.c_custkey * 1000003 + c.p_partkey) * 48271 % 2147483647
+                   AS pair_hash
+        FROM users u CROSS JOIN cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM interactions i
+            WHERE i.c_custkey = u.c_custkey AND i.p_partkey = c.p_partkey
+        )
+    )
+    SELECT c_custkey, p_partkey, CAST(pair_hash AS BIGINT) AS pair_hash,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY pair_hash, p_partkey) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {_NEG_K}
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cand = p.where((F.col("p_partkey") * 48271) % 2147483647 % 20 == 0).select(
+        "p_partkey"
+    )
+    users = c.where(F.col("c_custkey") < _NEG_USERS).select("c_custkey")
+    interactions = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    scored = (
+        users.crossJoin(F.broadcast(cand))
+        .join(interactions, ["c_custkey", "p_partkey"], "left_anti")
+        .withColumn(
+            "pair_hash",
+            ((F.col("c_custkey") * 1000003 + F.col("p_partkey")) * 48271
+             % 2147483647).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy("pair_hash", "p_partkey")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _NEG_K)
+        .select("c_custkey", "p_partkey", "pair_hash", "rnk")
+    )
