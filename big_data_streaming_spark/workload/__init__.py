@@ -254,6 +254,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_frame_sample",
     "q_stream_cdc",
     "q_negative_sampling",
+    "q_ohlc_daily",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

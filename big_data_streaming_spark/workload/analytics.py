@@ -1817,3 +1817,67 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("total")).alias("share"),
     )
+
+
+# --- hierarchical OHLC rollup (daily bars FROM hourly bars) ----------------
+# The property that makes OHLC usable at 100 TB: bars RE-AGGREGATE.
+# Daily open = the open of the day's first hourly bar (min_by over
+# bar_hour), daily close = the last bar's close, high/low = max/min,
+# volume/trades = sums — so the tick store is touched once for the
+# finest resolution and every coarser tier derives from the tier below
+# (hours → days → weeks), each a tiny aggregate. The oracle states the
+# same two-level construction from first principles.
+@_q(
+    "q_ohlc_daily",
+    """
+    WITH r AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    ), hourly AS (
+        SELECT event_type, bar_hour,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open_px,
+               MAX(value) AS high_px,
+               MIN(value) AS low_px,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close_px,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+               COUNT(*) AS n_trades
+        FROM r GROUP BY event_type, bar_hour
+    ), d AS (
+        SELECT *, date_trunc('day', bar_hour) AS bar_day,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', bar_hour)
+                                  ORDER BY bar_hour) AS h_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', bar_hour)
+                                  ORDER BY bar_hour DESC) AS h_d
+        FROM hourly
+    )
+    SELECT event_type, bar_day,
+           MAX(CASE WHEN h_a = 1 THEN open_px END) AS open_px,
+           MAX(high_px) AS high_px,
+           MIN(low_px) AS low_px,
+           MAX(CASE WHEN h_d = 1 THEN close_px END) AS close_px,
+           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+           CAST(SUM(n_trades) AS BIGINT) AS n_trades
+    FROM d GROUP BY event_type, bar_day
+    """,
+)
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.workload.common import DEC
+
+    hourly = QUERIES["q_ohlc_bars"](spark, sf_dir)
+    return (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", "bar_hour").alias("bar_day")
+        )
+        .agg(
+            F.expr("min_by(open_px, bar_hour)").alias("open_px"),
+            F.max("high_px").alias("high_px"),
+            F.min("low_px").alias("low_px"),
+            F.expr("max_by(close_px, bar_hour)").alias("close_px"),
+            F.sum(F.col("volume").cast(DEC)).cast("double").alias("volume"),
+            F.sum("n_trades").cast("bigint").alias("n_trades"),
+        )
+    )
