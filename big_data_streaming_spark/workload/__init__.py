@@ -255,6 +255,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_stream_cdc",
     "q_negative_sampling",
     "q_ohlc_daily",
+    "q_vwap",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

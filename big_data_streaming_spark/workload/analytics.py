@@ -1881,3 +1881,41 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_trades").cast("bigint").alias("n_trades"),
         )
     )
+
+
+# --- VWAP (JSON-parsed volume weights) -------------------------------------
+# The canonical kline-derived metric the OHLC family implies: volume-
+# weighted average price per (event_type, hour), with the weight parsed
+# from the JSON props payload (A3 surface feeding analytics, not just
+# projection). value is money-like (2 decimals), so value*k stays exact
+# in double and the DECIMAL(38,6) sum routing applies cleanly; the
+# final division is one deterministic double op. One hash aggregate.
+@_q(
+    "q_vwap",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+           CAST(SUM(CAST(value * CAST(json_extract(props, '$.k') AS BIGINT)
+                         AS DECIMAL(38,6))) AS DOUBLE)
+               / nullif(CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                             AS DOUBLE), 0) AS vwap,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS total_volume,
+           COUNT(*) AS n_trades
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_hour"))
+        .agg(
+            (
+                F.sum((F.col("value") * k).cast(DEC)).cast("double")
+                / F.expr("nullif(CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS DOUBLE), 0)")
+            ).alias("vwap"),
+            F.sum(k).cast("bigint").alias("total_volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
