@@ -256,6 +256,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_negative_sampling",
     "q_ohlc_daily",
     "q_vwap",
+    "q_seasonality",
+    "q_drawdown",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

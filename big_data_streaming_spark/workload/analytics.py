@@ -1919,3 +1919,96 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_trades"),
         )
     )
+
+
+# --- hour-of-day seasonality profile ---------------------------------------
+# The diurnal fingerprint: per (event_type, hour-of-day 0-23) median and
+# IQR of value plus exact counts — the profile a capacity planner or
+# anomaly baseline consumes. Percentile exactness rides the
+# q_percentiles precedent; hour extraction is integer. One hash-
+# aggregate-with-sort per group family; output O(types × 24).
+@_q(
+    "q_seasonality",
+    """
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+           COUNT(*) AS n_events,
+           quantile_cont(value, 0.5) AS median_value,
+           quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr_value
+    FROM events
+    GROUP BY event_type, EXTRACT(hour FROM ts)
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.hour("ts").cast("int").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.percentile("value", 0.5).alias("median_value"),
+            (F.percentile("value", 0.75) - F.percentile("value", 0.25)).alias(
+                "iqr_value"
+            ),
+        )
+    )
+
+
+# --- maximum drawdown (running-peak deficit on the daily spine) ------------
+# The risk metric every market series gets: on the exact-integer daily
+# totals, drawdown_t = running_max(total) − total_t; the max drawdown
+# and its day per event_type. All integer arithmetic on the aggregated
+# spine (the fact table collapses to O(days × types) rows first), ties
+# broken deterministically by earliest day.
+@_q(
+    "q_drawdown",
+    """
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS xq
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), r AS (
+        SELECT event_type, day, xq,
+               CAST(MAX(xq) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS peak
+        FROM d
+    ), dd AS (
+        SELECT event_type, day, CAST(peak - xq AS BIGINT) AS dd_q,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY peak - xq DESC, day) AS rn
+        FROM r
+    )
+    SELECT event_type, day AS worst_day,
+           CAST(dd_q AS DOUBLE) / 1000 AS max_drawdown
+    FROM dd WHERE rn = 1
+    """,
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("xq")
+    )
+    wpeak = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.withColumn("peak", F.max("xq").over(wpeak).cast("bigint"))
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.desc(F.col("peak") - F.col("xq")), "day"
+    )
+    return (
+        r.withColumn("dd_q", (F.col("peak") - F.col("xq")).cast("bigint"))
+        .withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("worst_day"),
+            (F.col("dd_q").cast("double") / 1000).alias("max_drawdown"),
+        )
+    )
