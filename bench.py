@@ -96,6 +96,10 @@ HEADLINE = (
     "q_bigram_lm",
     "q_token_budget",
     "q_bpe_train",
+    # market-analytics completion
+    "q_ohlc_daily",
+    "q_vwap",
+    "q_negative_sampling",
 )
 
 
