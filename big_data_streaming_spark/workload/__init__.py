@@ -258,6 +258,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_vwap",
     "q_seasonality",
     "q_drawdown",
+    "q_entity_resolution",
+    "q_multi_distinct",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1740,3 +1740,36 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bucket_bitmap"),
     )
+
+
+# --- B1 extension: multiple COUNT(DISTINCT) in one aggregate ---------------
+# Daily-active summary with TWO independent distinct counts plus plain
+# aggregates in the same GROUP BY — the one aggregation shape Spark
+# cannot run as a single hash agg. Catalyst rewrites it through an
+# Expand operator (each input row fans out once per distinct group +
+# once for the non-distinct aggregates), then two aggregation rounds;
+# the plan is pinned in tests/test_plans.py. At 100 TB this matters
+# because the Expand multiplies shuffle volume by the number of
+# distinct groups: the scale remedy is one pass per distinct column or
+# mergeable sketches (q_sketch_hll) when tolerance allows — this query
+# is the exact tier. Sum routes through DECIMAL(38,6) (common.py).
+@_q(
+    "q_multi_distinct",
+    f"""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dec_sum('value', 'total_value')}
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        dec_sum("value", "total_value"),
+    )

@@ -435,3 +435,22 @@ def test_weighted_median_single_flag_exchange(spark, sf_small):
     exchange (window partitioning satisfies the final aggregate)."""
     df = QUERIES["q_weighted_median"](spark, sf_small)
     assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_multi_distinct_plans_through_expand(spark, sf_small):
+    """Two COUNT(DISTINCT)s + plain aggs in one GROUP BY cannot be one
+    hash agg: Catalyst must route the plan through an Expand (one fanned
+    copy per distinct group) and two aggregation rounds."""
+    df = QUERIES["q_multi_distinct"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "Expand" in plan, plan
+
+
+def test_entity_resolution_blocks_the_pair_join(spark, sf_small):
+    """The record-linkage candidate join must be an equi-join on the
+    blocking key (nation, name-prefix) with levenshtein as a residual
+    filter — never a cartesian/nested-loop of customers × customers."""
+    df = QUERIES["q_entity_resolution"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
