@@ -260,6 +260,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_drawdown",
     "q_entity_resolution",
     "q_multi_distinct",
+    "q_minhash_audit",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1030,6 +1030,72 @@ def q_dedup_cc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C2: VALUE-CHECKED MinHash estimator audit ----------------------------
+# q_minhash_signature stays rows-only (the signature bytes come from an
+# engine-specific xxhash64 family). This twin value-checks what the
+# signature is FOR: on a deterministic pair slice (doc k vs k+1 for
+# k % 5 = 0) it compares the MinHash-estimated Jaccard against the exact
+# token-set Jaccard and emits the exact value plus a within-tolerance
+# boolean. With 32 independent families the per-pair estimator std is
+# sqrt(J(1-J)/32) <= 0.089, so |est - exact| <= 0.45 is a >5-sigma bound
+# (P(miss) ~ 3e-7 per pair) — deterministic for fixed data AND robust to
+# the driver regenerating testdata between rounds. The oracle recomputes
+# the exact side and asserts TRUE. Scale: signatures are computed only on
+# the audited slice (filter BEFORE hashing — at 100 TB the audit samples,
+# never rescans the corpus), and the k→k+1 pairing is a self-equi-join.
+@_q(
+    "q_minhash_audit",
+    """
+    WITH toksets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+             / (len(a.tokset) + len(b.tokset)
+                - len(list_intersect(a.tokset, b.tokset))) AS exact_jaccard,
+           TRUE AS est_within_tol
+    FROM toksets a JOIN toksets b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 5 = 0
+    """,
+)
+def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.dedup import minhash_signature
+
+    n_hashes = 32
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 <= 1)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split("text", " ")).alias("tokset"),
+            minhash_signature(F.split("text", " "), num_hashes=n_hashes).alias(
+                "sig"
+            ),
+        )
+    )
+    a = docs.alias("a").filter(F.col("doc_id") % 5 == 0)
+    b = docs.alias("b")
+    j = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    exact = inter.cast("double") / (
+        F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
+    )
+    est = (
+        F.expr(
+            "aggregate(zip_with(a.sig, b.sig,"
+            " (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+        ).cast("double")
+        / n_hashes
+    )
+    return j.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        exact.alias("exact_jaccard"),
+        (F.abs(est - exact) <= 0.45).alias("est_within_tol"),
+    )
+
+
 # --- BM25 relevance scoring (log-free exact variant) ----------------------
 # Full-text relevance for a fixed 5-term query over the corpus: per-doc
 # TF-saturation weighting with document-length normalization (k1 = 1.2,
