@@ -261,6 +261,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_entity_resolution",
     "q_multi_distinct",
     "q_minhash_audit",
+    "q_profile_columns",
+    "q_group_split",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

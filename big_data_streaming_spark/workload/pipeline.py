@@ -861,3 +861,74 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _NEG_K)
         .select("c_custkey", "p_partkey", "pair_hash", "rnk")
     )
+
+
+# --- group-aware train/val/test split (leakage-safe by construction) ------
+# The split every supervised pipeline needs and the one most get wrong:
+# rows must be assigned by GROUP (all of a user's events land in one
+# split) or temporal/user leakage inflates validation scores. Assignment
+# is the same engine-portable Knuth multiplicative hash as
+# q_sample_reservoir — a pure per-row expression, zero shuffle, no RNG
+# state — cut at 80/10/10 of the 2^32 hash space. The output is the
+# audit: per-split user and event counts plus a leak_free boolean that
+# PROVES group-disjointness (sum of per-split distinct users == global
+# distinct users — any user in two splits breaks the equality). Scale:
+# one hash aggregate per grouping (map-side combinable); the audit
+# relation is O(3), broadcast-crossed, never collected.
+@_q(
+    "q_group_split",
+    """
+    WITH a AS (
+        SELECT CASE
+                 WHEN (user_id * 2654435761) % 4294967296 < 3435973837
+                   THEN 'train'
+                 WHEN (user_id * 2654435761) % 4294967296 < 3865470566
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               user_id, event_id
+        FROM events
+    ), per AS (
+        SELECT split,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM a GROUP BY split
+    ), g AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_users
+        FROM events
+    ), s AS (
+        SELECT CAST(SUM(n_users) AS BIGINT) AS split_user_sum FROM per
+    )
+    SELECT per.split, per.n_users, per.n_events,
+           s.split_user_sum = g.total_users AS leak_free
+    FROM per, g, s
+    """,
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    a = e.select(
+        F.expr(
+            "CASE WHEN (user_id * 2654435761) % 4294967296 < 3435973837"
+            " THEN 'train'"
+            " WHEN (user_id * 2654435761) % 4294967296 < 3865470566"
+            " THEN 'val' ELSE 'test' END"
+        ).alias("split"),
+        "user_id",
+        "event_id",
+    )
+    per = a.groupBy("split").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    g = e.agg(F.countDistinct("user_id").cast("bigint").alias("total_users"))
+    s = per.agg(F.sum("n_users").cast("bigint").alias("split_user_sum"))
+    return (
+        per.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            (F.col("split_user_sum") == F.col("total_users")).alias("leak_free"),
+        )
+    )

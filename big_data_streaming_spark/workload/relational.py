@@ -1773,3 +1773,52 @@ def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         dec_sum("value", "total_value"),
     )
+
+
+# --- data profiling (ANALYZE TABLE-shape column statistics) ----------------
+# The complement of q_dq_audit's constraint checks: per-column summary
+# statistics (rows, nulls, exact NDV, min/max, decimal-routed sum) over
+# the four numeric lineitem measures — what a catalog stores to drive
+# CBO estimates and what every ingestion pipeline snapshots per load.
+# Implemented as an unpivot (stack) to (col_name, value) rows, then ONE
+# hash aggregate — one fact scan for all columns instead of one scan per
+# column; map-side combinable; output is O(columns). Exact NDV is the
+# honest tier here (doubles dedupe exactly); the sketch tier for 100 TB
+# is q_sketch_hll.
+@_q(
+    "q_profile_columns",
+    f"""
+    WITH u AS (
+        SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           MIN(v) AS min_v,
+           MAX(v) AS max_v,
+           {oracle_dec_sum('v', 'sum_v')}
+    FROM u
+    GROUP BY col_name
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.expr(
+            "stack(4, 'l_quantity', l_quantity,"
+            " 'l_extendedprice', l_extendedprice,"
+            " 'l_discount', l_discount, 'l_tax', l_tax)"
+        ).alias("col_name", "v")
+    )
+    return u.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_nulls"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        dec_sum("v", "sum_v"),
+    )
