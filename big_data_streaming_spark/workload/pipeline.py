@@ -916,15 +916,26 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
     )
-    per = a.groupBy("split").agg(
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    # Two-level rollup instead of per-split countDistinct: the
+    # (split, user) relation feeds BOTH per-split stats in one more tiny
+    # aggregate, and the cross-split user sum rides a single-partition
+    # window over the O(3)-row result — no re-derivation of the events
+    # subtree for the audit side (first cut re-ran the whole scan+agg for
+    # the SUM branch: 7 shuffles → 4).
+    u = a.groupBy("split", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev")
+    )
+    per = u.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
     )
     g = e.agg(F.countDistinct("user_id").cast("bigint").alias("total_users"))
-    s = per.agg(F.sum("n_users").cast("bigint").alias("split_user_sum"))
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        per.crossJoin(F.broadcast(g))
-        .crossJoin(F.broadcast(s))
+        per.withColumn("split_user_sum", F.sum("n_users").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(g))
         .select(
             "split",
             "n_users",

@@ -26,6 +26,9 @@ SWEEP = [
     "q_gini_sources",       # rank-product window
     "q_ohlc_bars",          # min_by/max_by selection + decimal volume
     "q_bigram_lm",          # exact-ratio probabilities, global top-k
+    "q_minhash_audit",      # estimator tolerance boolean + exact jaccard
+    "q_entity_resolution",  # CC labels + window count under repartition
+    "q_profile_columns",    # decimal sum + exact NDV per column
 ]
 
 

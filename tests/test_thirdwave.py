@@ -203,3 +203,46 @@ def test_shortest_path_relaxation_is_not_vacuous(spark, sf_small):
     best = {r["nationkey"]: r["dist"] for r in rows}
     beaten = [n for n, w in direct.items() if n in best and best[n] < w]
     assert beaten, "no multi-hop path ever beat a direct lane — relaxation untested"
+
+
+def test_entity_resolution_merges_transitive_chains(spark, sf_small):
+    """A~B (lev 1) and B~C (lev 1) must land in one cluster even when
+    lev(A,C) = 2 — the closure is what distinguishes entity resolution
+    from a pairwise match report."""
+    import pandas as pd
+
+    from big_data_streaming_spark.workload import QUERIES
+
+    pdf = QUERIES["q_entity_resolution"](spark, sf_small).toPandas()
+    # every record maps to exactly one cluster, and cluster sizes are
+    # consistent with the label multiplicity
+    sizes = pdf.groupby("cluster_id")["c_custkey"].count()
+    merged = pdf.merge(
+        sizes.rename("recount"), left_on="cluster_id", right_index=True
+    )
+    assert (merged.cluster_size == merged.recount).all()
+    # canonical record is the minimum key of its cluster
+    mins = pdf.groupby("cluster_id")["c_custkey"].min()
+    assert (mins.index == mins.values).all()
+    # the linkage is non-vacuous at this SF: some cluster merged >2
+    # records, which (given lev<=1 edges over distinct names) requires a
+    # transitive chain
+    assert (sizes > 2).any(), "fixture produced no transitive merges"
+
+
+def test_group_split_is_partition_count_invariant(spark, sf_small):
+    """Split assignment is a pure hash of user_id: the same user lands in
+    the same split regardless of shuffle partitioning, and the audit
+    boolean holds."""
+    from big_data_streaming_spark.workload import QUERIES
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = sorted(map(repr, QUERIES["q_group_split"](spark, sf_small).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(map(repr, QUERIES["q_group_split"](spark, sf_small).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+    assert all("leak_free=True" in r for r in a)
