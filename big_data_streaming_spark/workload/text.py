@@ -428,13 +428,35 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- C5 / north star: multimodal feature extraction (rows-only) -----------
+# --- C5 / north star: multimodal feature extraction (VALUE-CHECKED) -------
 # Runs the Arrow-batched mapInPandas decode path (deterministic fake
 # kernel — real codecs are stubbed, see functions/multimodal.py) through
 # the driver gate, so the Python-boundary plumbing is exercised end-to-end.
 # The feature vector is flattened to scalar f0..f3 columns for the driver's
 # canonicalizer (arrays are unhashable in its pandas sort).
-@_q("q_multimodal_features")
+# Promoted from rows-only (round-2): the fake kernel's features are pure
+# byte arithmetic over the payload (length, head-byte sum mod 997, first
+# byte, length mod 251), so DuckDB can restate them with ascii()/strlen()
+# — the testdata is ASCII (strlen == length verified at all SFs), where
+# char codes equal payload bytes. The oracle value-checks the whole
+# Arrow boundary: batching, byte round-trip, column pruning, and the
+# kernel arithmetic — a wrong dtype or truncated payload breaks the hash.
+@_q(
+    "q_multimodal_features",
+    """
+    SELECT doc_id,
+           's3://corpus/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.txt'
+               AS uri,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) AS DOUBLE) AS f0,
+           CAST(list_aggregate(list_transform(string_split(substr(text, 1, 32), ''),
+                                              x -> ascii(x)), 'sum') % 997
+                AS DOUBLE) AS f1,
+           CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f2,
+           CAST(strlen(text) % 251 AS DOUBLE) AS f3
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_streaming_spark.functions.multimodal import (
         decode_media,
