@@ -263,6 +263,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_minhash_audit",
     "q_profile_columns",
     "q_group_split",
+    "q_simhash_audit",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -428,6 +428,41 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C2: VALUE-CHECKED SimHash property audit ------------------------------
+# q_dedup_simhash stays rows-only (fingerprint bits come from xxhash64).
+# This twin value-checks the two properties the fingerprint kernel MUST
+# have for dedup to be sound, both decidable without reproducing the
+# hash: (1) permutation invariance — simhash(tokens) == simhash(sorted
+# tokens), which fails if the optimized single-fold tally ever becomes
+# order-dependent; (2) duplication invariance — re-appending tokens
+# changes nothing, pinning the set (not bag) semantics the LSH banding
+# assumes. Both booleans ride the driver gate with the exact token count.
+@_q(
+    "q_simhash_audit",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           TRUE AS perm_invariant,
+           TRUE AS dup_invariant
+    FROM documents
+    """,
+)
+def q_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.dedup import simhash64
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = simhash64(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (base == simhash64(F.array_sort(toks))).alias("perm_invariant"),
+        (base == simhash64(F.concat(toks, F.slice(toks, 1, 3)))).alias(
+            "dup_invariant"
+        ),
+    )
+
+
 # --- C5 / north star: multimodal feature extraction (VALUE-CHECKED) -------
 # Runs the Arrow-batched mapInPandas decode path (deterministic fake
 # kernel — real codecs are stubbed, see functions/multimodal.py) through
