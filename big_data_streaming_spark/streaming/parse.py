@@ -61,6 +61,7 @@ def parse_json_with_dead_letter(
     raw: DataFrame,
     schema: StructType = KLINE_WIRE_SCHEMA,
     value_col: str = "value",
+    keep: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Explicit corrupt-record policy (SURVEY.md §1.2): returns
     (good_rows, dead_letters).
@@ -70,11 +71,16 @@ def parse_json_with_dead_letter(
     column and split out, so the dead-letter stream can go to its own
     sink for replay/inspection instead of polluting the curated layer
     with nulls. Both returned frames derive from ONE parse of the input
-    (the split is two filters on the same plan)."""
+    (the split is two filters on the same plan).
+
+    ``keep`` names envelope columns (record ids, partitions, offsets)
+    carried through to BOTH outputs — a dead-letter sink without record
+    identity can't be replayed or joined back for triage."""
     schema_with_corrupt = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
     )
     parsed = raw.select(
+        *[F.col(c) for c in keep],
         F.col(value_col).cast("string").alias("_raw"),
         F.from_json(
             F.col(value_col).cast("string"),
@@ -82,9 +88,9 @@ def parse_json_with_dead_letter(
             {"columnNameOfCorruptRecord": CORRUPT_COL},
         ).alias("data"),
     )
-    flat = parsed.select("_raw", "data.*")
+    flat = parsed.select(*keep, "_raw", "data.*")
     good = flat.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL, "_raw")
     dead = flat.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col("_raw").alias("raw_record")
+        *keep, F.col("_raw").alias("raw_record")
     )
     return good, dead

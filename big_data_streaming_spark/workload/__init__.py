@@ -264,6 +264,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_profile_columns",
     "q_group_split",
     "q_simhash_audit",
+    "q_corrupt_quarantine",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1263,3 +1263,63 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.v").alias("last_value"),
         F.col("w.ts_ms").alias("last_ts_ms"),
     )
+
+
+# --- A3 extension: corrupt-record quarantine (dead-letter policy) ---------
+# The reference's PERMISSIVE from_json silently turns malformed JSON
+# into all-null rows (spark/streaming-shorttime.py:54 — nothing
+# configures a mode); SURVEY.md §1.2 commits this engine to an EXPLICIT
+# policy instead. This query drives streaming/parse.py's
+# parse_json_with_dead_letter through the gate on a deterministically
+# mangled feed (every 10th record gets a '{' prepended — invalid JSON in
+# any parser): good rows keep their parsed payload, quarantined rows
+# surface with identity intact and a NULL payload. One parse of the
+# input; the good/dead split is two filters on the same plan. The oracle
+# restates the policy with json_valid() — an independent JSON validator
+# agreeing on every record is the point of the check.
+@_q(
+    "q_corrupt_quarantine",
+    """
+    WITH m AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 10 = 0 THEN '{' || props
+                    ELSE props END AS v
+        FROM events
+    )
+    SELECT event_id, event_type,
+           CASE WHEN json_valid(v)
+                THEN CAST(json_extract(v, '$.k') AS INTEGER) END AS k,
+           NOT json_valid(v) AS quarantined
+    FROM m
+    """,
+)
+def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from big_data_streaming_spark.streaming.parse import (
+        parse_json_with_dead_letter,
+    )
+
+    feed = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 10 == 0, F.concat(F.lit("{"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("value"),
+    )
+    schema = StructType([StructField("k", IntegerType())])
+    good, dead = parse_json_with_dead_letter(
+        feed, schema=schema, keep=("event_id", "event_type")
+    )
+    return good.select(
+        "event_id", "event_type", "k", F.lit(False).alias("quarantined")
+    ).unionByName(
+        dead.select(
+            "event_id",
+            "event_type",
+            F.lit(None).cast("int").alias("k"),
+            F.lit(True).alias("quarantined"),
+        )
+    )
