@@ -265,6 +265,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_group_split",
     "q_simhash_audit",
     "q_corrupt_quarantine",
+    "q_stream_topk",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

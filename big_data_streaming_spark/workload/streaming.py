@@ -859,3 +859,106 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.ts_ms").alias("last_ts_ms"),
         )
     )
+
+
+# --- Streaming top-k: the reference's product query, LIVE ------------------
+# public/demo.jpg is "top coins by volume in the last hour"; q_flagship
+# answers it as a batch query. This is the live form: a streaming hourly
+# tumbling aggregate whose FINALIZED windows are ranked per window in a
+# foreachBatch sink (reference A16, spark/streaming-shorttime.py:83-87)
+# — ranking cannot ride inside a streaming plan (no window functions on
+# unbounded frames), and per-batch ranking is CORRECT here because
+# append-mode emission is watermark-driven: every (window, key) row of a
+# window flushes in the same micro-batch, so each batch ranks only
+# complete windows. The oracle states the emission contract (windows
+# with end <= max(ts) - 1h, same as q_stream_window_chained) + the rank.
+# Scale: state is O(open windows × keys); the per-batch rank touches
+# only the just-finalized window rows, and the parquet append is the
+# serving-layer write the reference's Flask/ApexCharts stack implies.
+@_q(
+    "q_stream_topk",
+    f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    h AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               {oracle_dec_sum('value', 'total_value')}
+        FROM events GROUP BY 1, 2
+    ), f AS (
+        SELECT CAST(hour AS TIMESTAMP) AS window_start, event_type,
+               total_value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY hour
+                        ORDER BY total_value DESC, event_type) AS BIGINT)
+                   AS rk
+        FROM h, wm WHERE hour + INTERVAL 1 HOUR <= wm.w
+    )
+    SELECT window_start, event_type, total_value, rk
+    FROM f WHERE rk <= 3
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir(sf_dir, "events")
+    tag = hashlib.md5(f"topk:{sf_dir}".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), "bdss_stream_stage")
+    out_dir = os.path.join(base, f"stream_topk_{tag}")
+    ckpt_dir = os.path.join(base, f"stream_topk_ckpt_{tag}")
+    for d in (out_dir, ckpt_dir):  # fresh run: replayed batches would
+        if os.path.isdir(d):  # double-append rows (leak policy: reuse
+            shutil.rmtree(d)  # the deterministic path, not the contents)
+        os.makedirs(d, exist_ok=True)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(dec_sum("value", "total_value"))
+    )
+
+    def rank_and_append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rw = Window.partitionBy("w").orderBy(
+            F.desc("total_value"), "event_type"
+        )
+        (
+            batch_df.withColumn("rk", F.row_number().over(rw).cast("bigint"))
+            .filter(F.col("rk") <= 3)
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "total_value",
+                "rk",
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(rank_and_append)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
