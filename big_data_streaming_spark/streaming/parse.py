@@ -76,6 +76,12 @@ def parse_json_with_dead_letter(
     ``keep`` names envelope columns (record ids, partitions, offsets)
     carried through to BOTH outputs — a dead-letter sink without record
     identity can't be replayed or joined back for triage."""
+    reserved = {f.name for f in schema.fields} | {CORRUPT_COL, "_raw"}
+    clash = reserved & set(keep)
+    if clash:
+        raise ValueError(
+            f"keep columns collide with parsed/internal names: {sorted(clash)}"
+        )
     schema_with_corrupt = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
     )

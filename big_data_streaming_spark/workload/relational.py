@@ -1756,7 +1756,7 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q_multi_distinct",
     f"""
-    SELECT date_trunc('day', ts) AS day,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
            CAST(COUNT(*) AS BIGINT) AS n_events,

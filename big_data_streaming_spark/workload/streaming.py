@@ -961,4 +961,28 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        # No window finalized (fixture spans < 2h of event time): match
+        # the oracle's empty result instead of failing schema inference
+        # on an empty directory.
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("window_start", TimestampType()),
+                    StructField("event_type", StringType()),
+                    StructField("total_value", DoubleType()),
+                    StructField("rk", LongType()),
+                ]
+            ),
+        )
     return spark.read.parquet(out_dir)
