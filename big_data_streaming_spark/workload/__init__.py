@@ -266,6 +266,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_simhash_audit",
     "q_corrupt_quarantine",
     "q_stream_topk",
+    "q_stream_sessionize",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

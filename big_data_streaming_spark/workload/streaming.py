@@ -986,3 +986,90 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return spark.read.parquet(out_dir)
+
+
+# --- Custom stateful operator through the gate: applyInPandasWithState ----
+# streaming/sessionize.py (the escape hatch for semantics session_window
+# can't express) was pytest-only; this drives it through the driver gate
+# with an independent SQL statement of its CONTRACT:
+#   * sessions = 30-min-gap gaps-and-islands per user (ts order);
+#   * a session followed by a later same-user event closes 'gap' and
+#     always emits (the closing event itself proves it ended);
+#   * the FINAL session of a user emits 'timeout' only once the final
+#     watermark (max(ts) - 1h under AvailableNow's flush) passes
+#     last_ts + gap — still-open state emits nothing, exactly like a
+#     live stream;
+# Output is integer/timestamp-exact only (ids, bounds, counts, label) —
+# the kernel's float total accumulates in arrival order, which no
+# portable SQL aggregate reproduces bit-for-bit, so it stays out of the
+# hash (same policy that keeps sketch internals out of checked outputs).
+# The staged source is ONE file -> one data batch + flush batch; the
+# timeout leg really exercises the event-time-timeout path.
+@_q(
+    "q_stream_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    ), agg AS (
+        SELECT user_id, sess,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS last_ts
+        FROM s GROUP BY user_id, sess
+    ), lab AS (
+        SELECT a.*,
+               CASE WHEN a.sess < m.max_sess THEN 'gap' ELSE 'timeout' END
+                   AS closed_by,
+               w.wm
+        FROM agg a
+        JOIN (SELECT user_id, MAX(sess) AS max_sess FROM agg GROUP BY user_id) m
+          USING (user_id)
+        CROSS JOIN (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events) w
+    )
+    SELECT user_id, session_start, session_end, n_events, closed_by
+    FROM lab
+    WHERE closed_by = 'gap' OR last_ts + INTERVAL 30 MINUTE < wm
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+    from big_data_streaming_spark.streaming.sessionize import sessionize
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir(sf_dir, "events")
+    name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    out = sessionize(sdf.select("ts", "user_id", "value"), watermark="1 hour")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events", "closed_by"
+    )
