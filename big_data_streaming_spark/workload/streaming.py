@@ -944,8 +944,13 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value",
                 "rk",
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            # One subdir per micro-batch, OVERWRITE mode: a batch replayed
+            # from the WAL after a crash rewrites its own dir instead of
+            # double-appending — the same idempotence contract as the avro
+            # streaming sink (sources/avro_datasource.py) and the
+            # delete-then-insert JDBC sink (streaming/sinks.py).
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_{batch_id}"))
         )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -961,7 +966,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
-    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+    if not any(f.startswith("batch_") for f in os.listdir(out_dir)):
         # No window finalized (fixture spans < 2h of event time): match
         # the oracle's empty result instead of failing schema inference
         # on an empty directory.
@@ -985,7 +990,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ),
         )
-    return spark.read.parquet(out_dir)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
 
 
 # --- Custom stateful operator through the gate: applyInPandasWithState ----
