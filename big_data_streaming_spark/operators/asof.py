@@ -178,3 +178,113 @@ def asof_join_forward(
         *lcols,
         *[F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in right_payload],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    suffix: str = "_right",
+) -> DataFrame:
+    """Nearest as-of join: every left row plus the payload of whichever
+    right row is CLOSEST in time (either direction) within the key —
+    the sensor-fusion alignment ("the quote nearest this reading").
+    Ties (equidistant before/after) resolve BACKWARD, and a right row at
+    the exact left timestamp matches via the backward leg (distance 0).
+
+    Cost: still ONE shuffle + ONE sort — both directional carries are
+    windows over the same (keys) partitioning and (ts, side) ordering,
+    so Catalyst plans a single exchange feeding two window frames. The
+    choice between carries is a per-row expression. Adds a
+    ``direction<suffix>`` column ('backward'/'forward', NULL when no
+    right row exists for the key).
+    """
+    if not right_payload:
+        right_payload = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    if not right_payload:
+        raise ValueError(
+            "as-of join needs at least one right payload column "
+            "(right side has only keys + timestamp); the generated "
+            "struct<> cast would be unparseable"
+        )
+    # The carry struct leads with the right timestamp so the chooser can
+    # compute |Δt|; it also makes the lexicographic tie-break primarily
+    # temporal, matching the directional variants.
+    payload_struct = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
+    struct_type = (
+        "struct<_rts:"
+        + right.schema[right_ts].dataType.simpleString()
+        + ","
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}"
+            for c in right_payload
+        )
+        + ">"
+    )
+    lcols = list(left.columns)
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(struct_type).alias("_p"),
+    )
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in keys
+        ],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),  # right sorts first at equal ts:
+        payload_struct.alias("_p"),  # backward inclusive, forward strict
+    )
+    u = l_tagged.unionByName(r_tagged)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("_ats", "_side", "_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("_ats", "_side", "_p")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        *lcols,
+        "_ats",
+        "_side",
+        F.last("_p", ignorenulls=True).over(wb).alias("_back"),
+        F.first("_p", ignorenulls=True).over(wf).alias("_fwd"),
+    )
+    d_back = F.unix_micros(F.col("_ats")) - F.unix_micros(F.col("_back._rts"))
+    d_fwd = F.unix_micros(F.col("_fwd._rts")) - F.unix_micros(F.col("_ats"))
+    use_back = F.col("_fwd").isNull() | (
+        F.col("_back").isNotNull() & (d_back <= d_fwd)
+    )
+    chosen = F.when(use_back, F.col("_back")).otherwise(F.col("_fwd"))
+    direction = (
+        F.when(F.col("_back").isNull() & F.col("_fwd").isNull(), F.lit(None).cast("string"))
+        .when(use_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .withColumn("_chosen", chosen)
+        .select(
+            *lcols,
+            *[
+                F.col(f"_chosen.{c}").alias(f"{c}{suffix}")
+                for c in right_payload
+            ],
+            direction.alias(f"direction{suffix}"),
+        )
+    )

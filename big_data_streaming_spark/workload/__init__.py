@@ -267,6 +267,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_corrupt_quarantine",
     "q_stream_topk",
     "q_stream_sessionize",
+    "q_asof_nearest",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

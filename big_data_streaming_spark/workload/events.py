@@ -1323,3 +1323,58 @@ def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("quarantined"),
         )
     )
+
+
+# --- A-surface extension: NEAREST as-of join ------------------------------
+# "The hourly mark closest to the event, either direction" — the
+# sensor-fusion alignment completing the as-of family (backward
+# q_asof_join, forward q_asof_forward). One shuffle: both directional
+# carries are windows over the same partitioning (operators/asof.py:
+# asof_join_nearest). Oracle = DuckDB's native backward AND forward ASOF
+# joined per event with the same nearest/tie-backward chooser in µs.
+@_q(
+    "q_asof_nearest",
+    f"""
+    WITH marks AS (
+        SELECT user_id, date_trunc('hour', ts) AS mts,
+               {oracle_dec_sum('value', 'mark_value')}
+        FROM events GROUP BY 1, 2
+    ), b AS (
+        SELECT e.event_id, m.mts AS bts, m.mark_value AS bv
+        FROM events e ASOF LEFT JOIN marks m
+          ON e.user_id = m.user_id AND e.ts >= m.mts
+    ), f AS (
+        SELECT e.event_id, m.mts AS fts, m.mark_value AS fv
+        FROM events e ASOF LEFT JOIN marks m
+          ON e.user_id = m.user_id AND e.ts < m.mts
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.value,
+           CASE WHEN fts IS NULL THEN bv
+                WHEN bts IS NOT NULL
+                     AND epoch_us(e.ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(e.ts) THEN bv
+                ELSE fv END AS mark_value_right,
+           CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                WHEN fts IS NULL THEN 'backward'
+                WHEN bts IS NOT NULL
+                     AND epoch_us(e.ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(e.ts) THEN 'backward'
+                ELSE 'forward' END AS direction_right
+    FROM events e
+    JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.operators.asof import asof_join_nearest
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    marks = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(dec_sum("value", "mark_value"))
+        .select("user_id", F.col("w.start").alias("mts"), "mark_value")
+    )
+    return asof_join_nearest(
+        ev, marks, keys=["user_id"], left_ts="ts", right_ts="mts",
+        right_payload=["mark_value"],
+    )

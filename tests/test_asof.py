@@ -137,3 +137,42 @@ def test_asof_forward_carries_null_payload_whole_row(spark):
     )
     row = asof_join_forward(left, right, keys=["coin"]).collect()[0]
     assert row["px_right"] is None and row["src_right"] == "null-px"
+
+
+def test_nearest_single_shuffle_and_tie_backward(spark):
+    """asof_join_nearest: one exchange feeds both directional window
+    frames, and an equidistant right pair resolves backward."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.operators.asof import asof_join_nearest
+    from big_data_streaming_spark.plans.explain import formatted_plan, shuffle_count
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base)], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base - dt.timedelta(minutes=5), 10.0),
+            (1, base + dt.timedelta(minutes=5), 20.0),
+        ],
+        "k int, ts timestamp, v double",
+    )
+    out = asof_join_nearest(left, right, keys=["k"])
+    # plan BEFORE execution: post-collect AQE final plans add reuse nodes
+    # that inflate the textual exchange count
+    assert shuffle_count(out) == 1, formatted_plan(out)
+    rows = out.collect()
+    assert rows[0].v_right == 10.0 and rows[0].direction_right == "backward"
+    # nearer forward row wins when strictly closer
+    right2 = spark.createDataFrame(
+        [
+            (1, base - dt.timedelta(minutes=9), 10.0),
+            (1, base + dt.timedelta(minutes=5), 20.0),
+        ],
+        "k int, ts timestamp, v double",
+    )
+    rows2 = asof_join_nearest(left, right2, keys=["k"]).collect()
+    assert rows2[0].v_right == 20.0 and rows2[0].direction_right == "forward"
