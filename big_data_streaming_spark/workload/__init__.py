@@ -268,6 +268,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_stream_topk",
     "q_stream_sessionize",
     "q_asof_nearest",
+    "q_nested_json",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

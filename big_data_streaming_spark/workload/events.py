@@ -1378,3 +1378,65 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, marks, keys=["user_id"], left_ts="ts", right_ts="mts",
         right_payload=["mark_value"],
     )
+
+
+# --- A3/A4 extension: NESTED JSON (array-of-structs) parse + explode ------
+# The reference's JSON is flat (14 scalar fields, spark/streaming-
+# shorttime.py:27-42); real feeds nest line items inside the envelope.
+# Both engines build the SAME document text (shared concat arithmetic),
+# then parse it with genuinely different machinery: Spark declares
+# struct<order,items:array<struct<sku,qty>>> for from_json and
+# posexplodes the array (the lateral flatten of A4 generalized to
+# repeated groups); DuckDB extracts typed paths with json_extract. A
+# schema-drift, wrong-ordinal, or array-ordering bug breaks the hash.
+@_q(
+    "q_nested_json",
+    """
+    WITH doc AS (
+        SELECT event_id,
+               '{"order":' || CAST(event_id AS VARCHAR)
+               || ',"items":[{"sku":' || CAST(event_id % 7 AS VARCHAR)
+               || ',"qty":' || CAST(user_id % 5 + 1 AS VARCHAR)
+               || '},{"sku":' || CAST(event_id % 3 AS VARCHAR)
+               || ',"qty":2}]}' AS js
+        FROM events
+    )
+    SELECT event_id, 0 AS item_pos,
+           CAST(json_extract(js, '$.items[0].sku') AS BIGINT) AS sku,
+           CAST(json_extract(js, '$.items[0].qty') AS BIGINT) AS qty
+    FROM doc
+    UNION ALL
+    SELECT event_id, 1,
+           CAST(json_extract(js, '$.items[1].sku') AS BIGINT),
+           CAST(json_extract(js, '$.items[1].qty') AS BIGINT)
+    FROM doc
+    """,
+)
+def q_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_id", "user_id")
+    js = F.concat(
+        F.lit('{"order":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"items":[{"sku":'),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(',"qty":'),
+        (F.col("user_id") % 5 + 1).cast("string"),
+        F.lit('},{"sku":'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit(',"qty":2}]}'),
+    )
+    parsed = e.select(
+        "event_id",
+        F.from_json(
+            js,
+            "struct<order:bigint,items:array<struct<sku:bigint,qty:bigint>>>",
+        ).alias("d"),
+    )
+    return parsed.select(
+        "event_id", F.posexplode("d.items").alias("item_pos", "item")
+    ).select(
+        "event_id",
+        "item_pos",
+        F.col("item.sku").alias("sku"),
+        F.col("item.qty").alias("qty"),
+    )
