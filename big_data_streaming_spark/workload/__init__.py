@@ -269,6 +269,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_stream_sessionize",
     "q_asof_nearest",
     "q_nested_json",
+    "q_twap",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

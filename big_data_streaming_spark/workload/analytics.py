@@ -2012,3 +2012,58 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dd_q").cast("double") / 1000).alias("max_drawdown"),
         )
     )
+
+
+# --- TWAP (time-weighted average price) ------------------------------------
+# The execution-quality twin of q_vwap: weight each observation by how
+# LONG it was the standing price (step-function semantics — value holds
+# from its ts until the next same-type event), not by traded volume.
+# Exactness: duration is exact integer µs via LEAD; price → exact cents
+# (floor(value*100+0.5), identical IEEE on both engines for 2-decimal
+# money); cents×µs ≤ 1e17 fits int64 and the row-product SUM routes
+# through DECIMAL(38,0), so the only float op is the final shared-text
+# division. Scale: ONE event_type exchange — the LEAD window and the
+# aggregate share the partitioning; last-event rows carry zero weight.
+@_q(
+    "q_twap",
+    """
+    WITH d AS (
+        SELECT event_type, value,
+               COALESCE(epoch_us(LEAD(ts) OVER (PARTITION BY event_type
+                                                ORDER BY ts, event_id))
+                        - epoch_us(ts), 0) AS dur_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) * dur_us
+                         AS DECIMAL(38,0))) AS DOUBLE)
+             / (100.0 * CAST(nullif(SUM(dur_us), 0) AS DOUBLE)) AS twap,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM d
+    GROUP BY event_type
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = e.select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")),
+            F.lit(0),
+        ).alias("dur_us"),
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return d.groupBy("event_type").agg(
+        (
+            F.sum((cents * F.col("dur_us")).cast("decimal(38,0)")).cast("double")
+            / (
+                F.lit(100.0)
+                * F.expr("CAST(nullif(SUM(dur_us), 0) AS DOUBLE)")
+            )
+        ).alias("twap"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -29,6 +29,7 @@ SWEEP = [
     "q_minhash_audit",      # estimator tolerance boolean + exact jaccard
     "q_entity_resolution",  # CC labels + window count under repartition
     "q_profile_columns",    # decimal sum + exact NDV per column
+    "q_twap",               # cents×µs integer products, DECIMAL(38,0) sum
 ]
 
 
