@@ -270,6 +270,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_asof_nearest",
     "q_nested_json",
     "q_twap",
+    "q_realized_vol",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

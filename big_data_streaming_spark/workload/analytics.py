@@ -2067,3 +2067,53 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur_us").cast("bigint").alias("total_dur_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+# --- Realized variance (squared-return volatility) -------------------------
+# The risk metric the OHLC/VWAP/TWAP family completes into a market
+# stack: per (event_type, day), the sum of squared consecutive relative
+# returns. r = (v - prev)/prev and r² are single IEEE ops (bit-identical
+# on both engines for the same inputs); the SUM is order-dependent in
+# float, so each r² is quantized to an exact integer at 1e-9
+# (floor(x*1e9+0.5) — the q_chi2 pattern; explicit quantize, NOT a
+# DOUBLE→DECIMAL cast, per common.py's arbitrary-mantissa rule) and the
+# integer sum is exact. max |r| needs no routing (max is order-free).
+# ONE event_type exchange: LAG window, then the day rollup re-shuffles
+# O(days × types).
+@_q(
+    "q_realized_vol",
+    """
+    WITH r AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               (value - LAG(value) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id))
+               / nullif(LAG(value) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id), 0) AS ret
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(COUNT(ret) AS BIGINT) AS n_returns,
+           CAST(SUM(CAST(floor(ret * ret * 1000000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000000 AS realized_var,
+           MAX(abs(ret)) AS max_abs_return
+    FROM r WHERE ret IS NOT NULL
+    GROUP BY event_type, day
+    """,
+)
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    # nullif guards ANSI div-by-zero when the standing value is exactly 0;
+    # those returns are undefined and drop with the leading-row NULLs.
+    r = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        ((F.col("value") - prev) / F.nullif(prev, F.lit(0.0))).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    q = F.floor(F.col("ret") * F.col("ret") * 1000000000 + 0.5).cast("bigint")
+    return r.groupBy("event_type", "day").agg(
+        F.count("ret").cast("bigint").alias("n_returns"),
+        (F.sum(q).cast("double") / 1000000000).alias("realized_var"),
+        F.max(F.abs("ret")).alias("max_abs_return"),
+    )

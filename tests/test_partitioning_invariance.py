@@ -30,6 +30,7 @@ SWEEP = [
     "q_entity_resolution",  # CC labels + window count under repartition
     "q_profile_columns",    # decimal sum + exact NDV per column
     "q_twap",               # cents×µs integer products, DECIMAL(38,0) sum
+    "q_realized_vol",       # quantized squared-return sums
 ]
 
 
