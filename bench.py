@@ -100,6 +100,13 @@ HEADLINE = (
     "q_ohlc_daily",
     "q_vwap",
     "q_negative_sampling",
+    # ER / audit / market-risk wave
+    "q_entity_resolution",
+    "q_multi_distinct",
+    "q_stream_topk",
+    "q_asof_nearest",
+    "q_twap",
+    "q_realized_vol",
 )
 
 

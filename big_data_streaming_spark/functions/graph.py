@@ -38,8 +38,15 @@ def connected_components(
     extra no-op propagation rounds — each a cheap join on an already-
     converged label set — in exchange for halving (or better) the number
     of driver actions on deep graphs."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # The symmetrized edge relation is probed EVERY round; without persist
+    # each iteration re-derives the caller's whole edge subtree (for the
+    # ER caller that is a blocked self-join + levenshtein per round —
+    # measured 6.3 s → 3.7 s at sf0.1 with persist). Unpersisted before
+    # return; the returned labels are localCheckpointed and independent.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -77,6 +84,7 @@ def connected_components(
             if changed == 0:
                 break
             last_checked = labels
+    sym.unpersist()
     return labels
 
 
