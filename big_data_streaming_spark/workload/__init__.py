@@ -271,6 +271,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_nested_json",
     "q_twap",
     "q_realized_vol",
+    "q_sql_udf",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

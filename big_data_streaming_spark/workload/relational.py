@@ -1822,3 +1822,41 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_v"),
         dec_sum("v", "sum_v"),
     )
+
+
+# --- B16 completion: SQL-declared scalar UDF (Spark 4) ---------------------
+# The third UDF tier after Arrow pandas_udf (q_udf_roundtrip) and the
+# Python UDTF (q_token_runs): a function DECLARED IN SQL (CREATE
+# TEMPORARY FUNCTION ... RETURN <expr>). Catalyst inlines the body into
+# the plan — unlike Python UDFs there is no serialization boundary, no
+# Arrow batch, and whole-stage codegen survives, which is why this is
+# the preferred way to share scalar logic at 100 TB. The oracle inlines
+# the same arithmetic (one IEEE division on exact integer inputs);
+# a temporary function is session-scoped so repeated gate runs are safe
+# (CREATE OR REPLACE).
+@_q(
+    "q_sql_udf",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(text, ' ')) AS DOUBLE)
+               / CAST(n_chars + 1 AS DOUBLE) AS density
+    FROM documents
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "documents").createOrReplaceTempView("docs_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION token_density"
+        "(n_tokens BIGINT, n_chars BIGINT) RETURNS DOUBLE"
+        " RETURN CAST(n_tokens AS DOUBLE) / CAST(n_chars + 1 AS DOUBLE)"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+               token_density(CAST(size(split(text, ' ')) AS BIGINT), n_chars)
+                   AS density
+        FROM docs_sqludf
+        """
+    )
