@@ -454,3 +454,18 @@ def test_entity_resolution_blocks_the_pair_join(spark, sf_small):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_twap_single_exchange(spark, sf_small):
+    """LEAD window and the final aggregate share the event_type hash
+    partitioning — one exchange end-to-end."""
+    df = QUERIES["q_twap"](spark, sf_small)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_realized_vol_single_exchange(spark, sf_small):
+    """The LAG window partitions on event_type; the (event_type, day)
+    rollup is satisfied by that partitioning (subset rule) — no second
+    exchange."""
+    df = QUERIES["q_realized_vol"](spark, sf_small)
+    assert shuffle_count(df) == 1, formatted_plan(df)
