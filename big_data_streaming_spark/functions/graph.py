@@ -56,35 +56,39 @@ def connected_components(
     )
     check_every = max(1, check_every)
     last_checked = labels
-    for i in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
+    try:
+        for i in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint()
-        )
-        labels = new_labels
-        if (i + 1) % check_every == 0 or i == max_iter - 1:
-            changed = (
-                labels.alias("n")
-                .join(last_checked.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.a, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
             )
-            if changed == 0:
-                break
-            last_checked = labels
-    sym.unpersist()
+            labels = new_labels
+            if (i + 1) % check_every == 0 or i == max_iter - 1:
+                changed = (
+                    labels.alias("n")
+                    .join(last_checked.alias("o"), "node")
+                    .filter(F.col("n.component") != F.col("o.component"))
+                    .count()
+                )
+                if changed == 0:
+                    break
+                last_checked = labels
+    finally:
+        # release even when an action inside the loop throws — a leaked
+        # persist would pin the caller's edge subtree for the session
+        sym.unpersist()
     return labels
 
 

@@ -21,6 +21,11 @@ than the naive ``left ⋈ right ON key AND r.ts <= l.ts`` + argmax
 hot key (one coin = most of the tape) is handled by time-bucketing the
 key upstream (join on (key, ts_bucket) with the previous bucket's last
 value unioned in) — same trick, one extra column.
+
+The three variants (backward / forward / nearest) share one tag-and-union
+scaffold (``_tag_union``): payload defaulting + validation, the typed
+null-struct cast for left rows, and the side ordering are written once so
+a fix cannot drift between variants (round-2 review finding).
 """
 
 from __future__ import annotations
@@ -30,6 +35,75 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _resolve_payload(
+    right: DataFrame, keys: Sequence[str], right_ts: str, right_payload: Sequence[str]
+) -> list[str]:
+    if not right_payload:
+        right_payload = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    if not right_payload:
+        raise ValueError(
+            "as-of join needs at least one right payload column "
+            "(right side has only keys + timestamp); the generated "
+            "struct<> cast would be unparseable"
+        )
+    return list(right_payload)
+
+
+def _tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    left_side: int,
+    include_rts: bool,
+) -> tuple[DataFrame, list[str]]:
+    """Union of tagged left/right rows ordered for one as-of scan.
+
+    ``left_side`` is the left rows' sort value at equal timestamps
+    (right rows always carry ``1 - left_side``): 1 → right rows sort
+    first (backward-inclusive), 0 → left rows sort first
+    (forward-inclusive). ``include_rts`` prepends the right timestamp to
+    the carried struct (the nearest variant needs it to compute |Δt|).
+    Returns (union, left_columns)."""
+    fields = ([("_rts", right_ts)] if include_rts else []) + [
+        (c, c) for c in right_payload
+    ]
+    payload_struct = F.struct(
+        *[F.col(src).alias(name) for name, src in fields]
+    )
+    struct_type = (
+        "struct<"
+        + ",".join(
+            f"{name}:{right.schema[src].dataType.simpleString()}"
+            for name, src in fields
+        )
+        + ">"
+    )
+    lcols = list(left.columns)
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ats"),
+        F.lit(left_side).alias("_side"),
+        F.lit(None).cast(struct_type).alias("_p"),
+    )
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in keys
+        ],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ats"),
+        F.lit(1 - left_side).alias("_side"),
+        payload_struct.alias("_p"),
+    )
+    return l_tagged.unionByName(r_tagged), lcols
 
 
 def asof_join(
@@ -43,54 +117,21 @@ def asof_join(
 ) -> DataFrame:
     """Backward-inclusive as-of join. Returns every left row plus
     ``<payload><suffix>`` columns from the latest right row at or before
-    its timestamp (nulls when no right row precedes it)."""
-    if not right_payload:
-        right_payload = [
-            c for c in right.columns if c not in keys and c != right_ts
-        ]
-    if not right_payload:
-        raise ValueError(
-            "as-of join needs at least one right payload column "
-            "(right side has only keys + timestamp); the generated "
-            "struct<> cast would be unparseable"
-        )
+    its timestamp (nulls when no right row precedes it).
 
-    # The whole right row travels as ONE nullable struct: per-column
-    # last(ignoreNulls) would skip a legitimately-NULL payload value and
-    # stitch columns from different right rows; a single struct guarantees
-    # every payload column comes from the same, truly-latest right row
-    # (and its NULLs are carried as NULLs).
-    payload_struct = F.struct(
-        *[F.col(c).alias(c) for c in right_payload]
+    The whole right row travels as ONE nullable struct: per-column
+    last(ignoreNulls) would skip a legitimately-NULL payload value and
+    stitch columns from different right rows; a single struct guarantees
+    every payload column comes from the same, truly-latest right row
+    (and its NULLs are carried as NULLs). "_p" as the final sort key is
+    the deterministic tie-break among right rows sharing (key, ts): the
+    lexicographically-greatest payload wins, independent of partitioning
+    or arrival order."""
+    right_payload = _resolve_payload(right, keys, right_ts, right_payload)
+    u, lcols = _tag_union(
+        left, right, keys, left_ts, right_ts, right_payload,
+        left_side=1, include_rts=False,
     )
-    lcols = [c for c in left.columns]
-    l_tagged = left.select(
-        *lcols,
-        F.col(left_ts).alias("_ats"),
-        F.lit(1).alias("_side"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}"
-                for c in right_payload
-            )
-            + ">"
-        )
-        .alias("_p"),
-    )
-    r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias("_ats"),
-        F.lit(0).alias("_side"),  # 0 < 1: right sorts first at equal ts → inclusive
-        payload_struct.alias("_p"),
-    )
-    u = l_tagged.unionByName(r_tagged)
-
-    # "_p" as the final sort key is the deterministic tie-break among
-    # right rows sharing (key, ts): the lexicographically-greatest payload
-    # wins, independent of partitioning or arrival order.
     w = (
         Window.partitionBy(*keys)
         .orderBy("_ats", "_side", "_p")
@@ -125,45 +166,11 @@ def asof_join_forward(
     sharing (key, ts): lexicographically-smallest payload (the
     ascending twin of the backward join's greatest-payload rule).
     """
-    if not right_payload:
-        right_payload = [
-            c for c in right.columns if c not in keys and c != right_ts
-        ]
-    if not right_payload:
-        raise ValueError(
-            "as-of join needs at least one right payload column "
-            "(right side has only keys + timestamp); the generated "
-            "struct<> cast would be unparseable"
-        )
-    payload_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
-    lcols = [c for c in left.columns]
-    l_tagged = left.select(
-        *lcols,
-        F.col(left_ts).alias("_ats"),
-        F.lit(0).alias("_side"),  # 0 < 1: left sorts first → inclusive
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}"
-                for c in right_payload
-            )
-            + ">"
-        )
-        .alias("_p"),
+    right_payload = _resolve_payload(right, keys, right_ts, right_payload)
+    u, lcols = _tag_union(
+        left, right, keys, left_ts, right_ts, right_payload,
+        left_side=0, include_rts=False,
     )
-    r_tagged = right.select(
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in lcols
-            if c not in keys
-        ],
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias("_ats"),
-        F.lit(1).alias("_side"),
-        payload_struct.alias("_p"),
-    )
-    u = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(*keys)
         .orderBy("_ats", "_side", "_p")
@@ -200,54 +207,16 @@ def asof_join_nearest(
     so Catalyst plans a single exchange feeding two window frames. The
     choice between carries is a per-row expression. Adds a
     ``direction<suffix>`` column ('backward'/'forward', NULL when no
-    right row exists for the key).
-    """
-    if not right_payload:
-        right_payload = [
-            c for c in right.columns if c not in keys and c != right_ts
-        ]
-    if not right_payload:
-        raise ValueError(
-            "as-of join needs at least one right payload column "
-            "(right side has only keys + timestamp); the generated "
-            "struct<> cast would be unparseable"
-        )
-    # The carry struct leads with the right timestamp so the chooser can
-    # compute |Δt|; it also makes the lexicographic tie-break primarily
-    # temporal, matching the directional variants.
-    payload_struct = F.struct(
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(c) for c in right_payload],
+    right row exists for the key). Right rows sort before left rows at
+    equal timestamps (left_side=1): the backward leg is inclusive, the
+    forward leg strict — an exact-timestamp match wins via backward at
+    distance 0 either way. The carry struct leads with the right
+    timestamp so the chooser can compute |Δt| in microseconds."""
+    right_payload = _resolve_payload(right, keys, right_ts, right_payload)
+    u, lcols = _tag_union(
+        left, right, keys, left_ts, right_ts, right_payload,
+        left_side=1, include_rts=True,
     )
-    struct_type = (
-        "struct<_rts:"
-        + right.schema[right_ts].dataType.simpleString()
-        + ","
-        + ",".join(
-            f"{c}:{right.schema[c].dataType.simpleString()}"
-            for c in right_payload
-        )
-        + ">"
-    )
-    lcols = list(left.columns)
-    l_tagged = left.select(
-        *lcols,
-        F.col(left_ts).alias("_ats"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(struct_type).alias("_p"),
-    )
-    r_tagged = right.select(
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in lcols
-            if c not in keys
-        ],
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias("_ats"),
-        F.lit(0).alias("_side"),  # right sorts first at equal ts:
-        payload_struct.alias("_p"),  # backward inclusive, forward strict
-    )
-    u = l_tagged.unionByName(r_tagged)
     wb = (
         Window.partitionBy(*keys)
         .orderBy("_ats", "_side", "_p")
@@ -272,7 +241,10 @@ def asof_join_nearest(
     )
     chosen = F.when(use_back, F.col("_back")).otherwise(F.col("_fwd"))
     direction = (
-        F.when(F.col("_back").isNull() & F.col("_fwd").isNull(), F.lit(None).cast("string"))
+        F.when(
+            F.col("_back").isNull() & F.col("_fwd").isNull(),
+            F.lit(None).cast("string"),
+        )
         .when(use_back, F.lit("backward"))
         .otherwise(F.lit("forward"))
     )

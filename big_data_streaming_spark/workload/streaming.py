@@ -1001,9 +1001,12 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * a session followed by a later same-user event closes 'gap' and
 #     always emits (the closing event itself proves it ended);
 #   * the FINAL session of a user emits 'timeout' only once the final
-#     watermark (max(ts) - 1h under AvailableNow's flush) passes
-#     last_ts + gap — still-open state emits nothing, exactly like a
-#     live stream;
+#     watermark passes last_ts + gap. Spark's watermark and GroupState
+#     timeout both live in the MILLISECOND domain (event times floored to
+#     ms, delay subtracted in ms), so the oracle states the condition as
+#     floor(ms(last)) + 30min_ms < floor(ms(max)) - 1h_ms — a µs-domain
+#     comparison would diverge when a boundary session straddles one
+#     millisecond. Still-open state emits nothing, like a live stream;
 # Output is integer/timestamp-exact only (ids, bounds, counts, label) —
 # the kernel's float total accumulates in arrival order, which no
 # portable SQL aggregate reproduces bit-for-bit, so it stays out of the
@@ -1016,7 +1019,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                             IS NULL
                     THEN 1 ELSE 0 END AS new_session
@@ -1037,15 +1040,17 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.*,
                CASE WHEN a.sess < m.max_sess THEN 'gap' ELSE 'timeout' END
                    AS closed_by,
-               w.wm
+               w.wm_raw
         FROM agg a
         JOIN (SELECT user_id, MAX(sess) AS max_sess FROM agg GROUP BY user_id) m
           USING (user_id)
-        CROSS JOIN (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events) w
+        CROSS JOIN (SELECT max(ts) AS wm_raw FROM events) w
     )
     SELECT user_id, session_start, session_end, n_events, closed_by
     FROM lab
-    WHERE closed_by = 'gap' OR last_ts + INTERVAL 30 MINUTE < wm
+    WHERE closed_by = 'gap'
+       OR CAST(floor(epoch_us(last_ts) / 1000) AS BIGINT) + 1800000
+          < CAST(floor(epoch_us(wm_raw) / 1000) AS BIGINT) - 3600000
     """,
 )
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
