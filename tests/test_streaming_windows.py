@@ -179,3 +179,39 @@ def test_resourceful_queries_are_reinvokable(spark, sf_small):
         first = sorted(map(str, QUERIES[name](spark, sf_small).collect()))
         second = sorted(map(str, QUERIES[name](spark, sf_small).collect()))
         assert first == second, name
+
+
+def test_stream_topk_replay_converges(spark, sf_small, tmp_path):
+    """The top-k sink's idempotence contract: a WAL-replayed micro-batch
+    rewrites its own batch_<id> dir (overwrite mode), so applying the
+    same batch twice leaves the output identical — the property that
+    makes the serving layer exactly-once under crash/restart."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.sources.catalog import load_table
+
+    out_dir = str(tmp_path / "topk_out")
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"))
+    )
+
+    def rank_and_write(batch_df, batch_id):
+        rw = Window.partitionBy("w").orderBy(F.desc("total_value"), "event_type")
+        (
+            batch_df.withColumn("rk", F.row_number().over(rw).cast("bigint"))
+            .filter(F.col("rk") <= 3)
+            .select(F.col("w.start").alias("window_start"), "event_type", "total_value", "rk")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_{batch_id}"))
+        )
+
+    rank_and_write(batch, 0)
+    first = sorted(map(repr, spark.read.option("recursiveFileLookup", "true").parquet(out_dir).collect()))
+    rank_and_write(batch, 0)  # replay of the SAME batch id
+    second = sorted(map(repr, spark.read.option("recursiveFileLookup", "true").parquet(out_dir).collect()))
+    assert first == second and first, "replayed batch must overwrite, not append"
