@@ -60,15 +60,17 @@ _MODULES = (
 #
 # ROUND-3 ROTATION TODO: once CORRECTNESS_r02 lands, move its green keys
 # to the tail and promote the next unchecked block into positions 0-49 —
-# priority order: (1) the third-wave + completion operators
-# (q_ohlc_bars … q_kanonymity, every key after q_zipf_audit in the list
-# below — never driver-checked, highest novelty), (2) the
-# rows-only keys' value-checked twins (q_dedup_near_pairs,
-# q_minhash_signature, q_dedup_cc_checked, q_sim_ivf_checked,
-# q_embed_neardup audits), (3) the TPC-H completion pack (q_tpch_q1..q22
-# minus the five already checked), (4) the continuation
-# analytics/text/embedding keys (q_interval_merge … q_zipf_audit) in
-# registry order.
+# priority order: (1) the round-2-finale wave (q_entity_resolution …
+# q_sql_udf near the end of this list — flagship-grade operators with
+# zero driver rows: ER, streaming top-k, gate-checked sessionizer,
+# nearest as-of, TWAP/realized-vol, corrupt quarantine, the audit
+# twins), (2) the third-wave + completion operators (q_ohlc_bars …
+# q_kanonymity — never driver-checked), (3) the rows-only keys'
+# value-checked twins (q_dedup_cc_checked, q_sim_ivf_checked,
+# q_minhash_audit, q_simhash_audit, q_multimodal_features), (4) the
+# TPC-H completion pack (q_tpch_q1..q22 minus the five already
+# checked), (5) the continuation analytics/text/embedding keys
+# (q_interval_merge … q_zipf_audit) in registry order.
 _CHECK_FIRST: tuple[str, ...] = (
     # -- driver-unchecked in round 1 (old positions 50-82) ----------------
     "q_scalar_date",
