@@ -274,6 +274,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_twap",
     "q_realized_vol",
     "q_sql_udf",
+    "q_cohort_ltv",
+    "q_rfm",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -2117,3 +2117,143 @@ def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(q).cast("double") / 1000000000).alias("realized_var"),
         F.max(F.abs("ret")).alias("max_abs_return"),
     )
+
+
+# --- cohort LTV curve (cumulative value per cohort-day offset) -------------
+# The revenue twin of q_retention's activity counts: for each signup
+# cohort (first-seen day), the cumulative value generated by day offset
+# 0..7 — the curve a growth team reads daily. Day sums route through
+# DECIMAL(38,6); the cumulative step re-sums the per-offset decimal
+# totals (round-trip exact: the doubles carry <= 6 decimals, the
+# q_stream_window_chained precedent). Scale: one user_id exchange for
+# the first-seen join (the cohort frame is an aggregate, broadcast
+# back), one (cohort, offset) aggregate, and the running total windows
+# over the O(cohorts × 8) result.
+@_q(
+    "q_cohort_ltv",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), per_offset AS (
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day,
+                              CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                    AS INTEGER) AS day_offset,
+               CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT cohort_day, day_offset,
+           day_value,
+           CAST(SUM(CAST(day_value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY cohort_day ORDER BY day_offset
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+    FROM per_offset WHERE day_offset <= 7
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    per_offset = (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(dec_sum("value", "day_value"))
+        .where(F.col("day_offset") <= 7)
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_offset.select(
+        "cohort_day",
+        "day_offset",
+        "day_value",
+        F.sum(F.col("day_value").cast(DEC)).over(w).cast("double").alias("cum_value"),
+    )
+
+
+# --- RFM segmentation (recency / frequency / monetary quartiles) -----------
+# The classic customer-base segmentation: per user, days since last
+# event (R), event count (F), decimal-exact total value (M), each cut
+# into quartiles by NTILE with a deterministic user_id tie-break, and
+# the familiar 3-digit segment code. NTILE's partition-size arithmetic
+# is identical in both engines given identical order; every ordering
+# here is total (metric, then user_id). Scale: ONE user_id aggregate,
+# then three global NTILE sorts over the O(users) frame — at 100 TB the
+# per-user frame is the small output of the first aggregate, and the
+# quantile cuts would ride range partitioning (q_train_order's shape).
+@_q(
+    "q_rfm",
+    """
+    WITH g AS (SELECT max(ts) AS now_ts FROM events),
+    m AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(date_trunc('day', MAX(e.ts)) AS TIMESTAMP),
+                              CAST(date_trunc('day', g.now_ts) AS TIMESTAMP))
+                    AS INTEGER) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+        FROM events e CROSS JOIN g
+        GROUP BY user_id, g.now_ts
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS INTEGER) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_quartile,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS INTEGER) * 100
+           + CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) * 10
+           + CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
+               AS rfm_code
+    FROM m
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("now_ts"))
+    m = (
+        e.crossJoin(F.broadcast(g))
+        .groupBy("user_id", "now_ts")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            dec_sum("value", "monetary"),
+            F.max("ts").alias("_last_ts"),
+        )
+        .select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", "now_ts"), F.date_trunc("day", "_last_ts")
+            )
+            .cast("int")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.desc("frequency"), "user_id")
+    wm = Window.orderBy(F.desc("monetary"), "user_id")
+    r, fq, mq = (
+        F.ntile(4).over(wr).cast("int"),
+        F.ntile(4).over(wf).cast("int"),
+        F.ntile(4).over(wm).cast("int"),
+    )
+    return m.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_quartile"),
+        fq.alias("f_quartile"),
+        mq.alias("m_quartile"),
+        (r * 100 + fq * 10 + mq).alias("rfm_code"),
+    )
