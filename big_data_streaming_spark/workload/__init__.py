@@ -276,6 +276,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_sql_udf",
     "q_cohort_ltv",
     "q_rfm",
+    "q_top_n_other",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

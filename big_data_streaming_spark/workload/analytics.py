@@ -2257,3 +2257,74 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         mq.alias("m_quartile"),
         (r * 100 + fq * 10 + mq).alias("rfm_code"),
     )
+
+
+# --- top-N + "Other" rollup with contribution share ------------------------
+# The reporting shape behind every dashboard pie: per day, the top-3
+# event types by value keep their names, the tail collapses into
+# 'Other', and each row carries its share of the day total. Exercises
+# conditional REGROUPING (rank → relabel → second aggregate) — a shape
+# none of the plain rank queries cover. Exactness: day/type sums are
+# decimal-routed; the relabeled re-aggregate re-sums those exact
+# decimals; share = one shared-order double division against the
+# decimal-exact day total. Scale: one (day, type) aggregate, a rank
+# window over the O(days × types) frame, one tiny re-aggregate.
+@_q(
+    "q_top_n_other",
+    """
+    WITH per AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS type_value
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT day, event_type, type_value,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY type_value DESC, event_type) AS rk
+        FROM per
+    ), relabeled AS (
+        SELECT day,
+               CASE WHEN rk <= 3 THEN event_type ELSE 'Other' END AS bucket,
+               type_value
+        FROM ranked
+    ), agg AS (
+        SELECT day, bucket,
+               CAST(SUM(CAST(type_value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS bucket_value
+        FROM relabeled GROUP BY day, bucket
+    ), tot AS (
+        SELECT day,
+               CAST(SUM(CAST(bucket_value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS day_value
+        FROM agg GROUP BY day
+    )
+    SELECT a.day, a.bucket, a.bucket_value,
+           a.bucket_value / t.day_value AS share
+    FROM agg a JOIN tot t USING (day)
+    """,
+)
+def q_top_n_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(dec_sum("value", "type_value"))
+    rw = Window.partitionBy("day").orderBy(F.desc("type_value"), "event_type")
+    relabeled = per.select(
+        "day",
+        F.when(F.row_number().over(rw) <= 3, F.col("event_type"))
+        .otherwise(F.lit("Other"))
+        .alias("bucket"),
+        "type_value",
+    )
+    agg = relabeled.groupBy("day", "bucket").agg(
+        F.sum(F.col("type_value").cast(DEC)).cast("double").alias("bucket_value")
+    )
+    tw = Window.partitionBy("day")
+    return agg.select(
+        "day",
+        "bucket",
+        "bucket_value",
+        (
+            F.col("bucket_value")
+            / F.sum(F.col("bucket_value").cast(DEC)).over(tw).cast("double")
+        ).alias("share"),
+    )
