@@ -277,6 +277,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_cohort_ltv",
     "q_rfm",
     "q_top_n_other",
+    "q_url_normalize",
+    "q_explode_outer",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -1891,3 +1891,113 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return sample_frames(with_media_struct(docs), every_n=10)
+
+
+# --- URL normalization + canonical-URL dedup (web-crawl shape) -------------
+# The first dedup pass of every web corpus: the same page arrives as
+# HTTPS://WWW.HOST/p/1/, https://www.host/p/1 and
+# https://host/p/1?utm_source=x — casing, www, trailing slash and
+# tracking params differ, the page doesn't. Dirty URLs are synthesized
+# deterministically (three variants per canonical page, keyed by
+# doc_id/3) and normalized with ONE shared expression chain (lower →
+# strip scheme-www → strip tracking query → strip trailing slash) that
+# both engines evaluate verbatim — regexp_replace/lower have identical
+# semantics for these patterns. Dedup is then exact groupBy on the
+# canonical form: per doc, the canonical URL, the group's kept
+# representative (min doc_id) and an is_dup flag. Scale: pure per-row
+# string kernels in codegen + ONE hash aggregate on the normalized key.
+@_q(
+    "q_url_normalize",
+    """
+    WITH dirty AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN 'HTTPS://WWW.EXAMPLE.COM/P/'
+                             || CAST(doc_id // 3 AS VARCHAR) || '/'
+                 WHEN 1 THEN 'https://www.example.com/p/'
+                             || CAST(doc_id // 3 AS VARCHAR)
+                 ELSE 'https://example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+                      || '?utm_source=feed'
+               END AS url
+        FROM documents
+    ), norm AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(url), '^https://www\\.', 'https://'),
+                       '\\?utm_[a-z_]+=[^&]*$', ''),
+                   '/$', '') AS url_norm
+        FROM dirty
+    ), groups AS (
+        SELECT url_norm, MIN(doc_id) AS kept_doc FROM norm GROUP BY url_norm
+    )
+    SELECT n.doc_id, n.url_norm, g.kept_doc,
+           n.doc_id <> g.kept_doc AS is_dup
+    FROM norm n JOIN groups g USING (url_norm)
+    """,
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    base = F.floor(F.col("doc_id") / 3).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTPS://WWW.EXAMPLE.COM/P/"), base, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://www.example.com/p/"), base),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/p/"), base, F.lit("?utm_source=feed")
+            )
+        )
+    )
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https://www\.", "https://"),
+                r"\?utm_[a-z_]+=[^&]*$",
+                "",
+            ),
+            "/$",
+            "",
+        ).alias("url_norm"),
+    )
+    groups = norm.groupBy("url_norm").agg(F.min("doc_id").alias("kept_doc"))
+    return norm.join(groups, "url_norm").select(
+        "doc_id",
+        "url_norm",
+        "kept_doc",
+        (F.col("doc_id") != F.col("kept_doc")).alias("is_dup"),
+    )
+
+
+# --- OUTER explode (row preservation for empty generators) -----------------
+# explode() silently DROPS rows whose array is empty — a corpus-stats
+# query that joins back per-doc then undercounts. explode_outer keeps
+# the parent row with a NULL element, the LEFT-JOIN-lateral semantics
+# every per-doc breakdown needs. Exercised on a genuinely empty-for-
+# some-docs generator: tokens longer than 6 chars (many word-salad docs
+# have none). Oracle = LEFT JOIN UNNEST, DuckDB's native spelling of
+# the same NULL-preservation contract.
+@_q(
+    "q_explode_outer",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> len(x) > 6) AS longs
+        FROM documents
+    )
+    SELECT t.doc_id, u.tok AS long_token
+    FROM toks t LEFT JOIN (
+        SELECT doc_id, unnest(longs) AS tok FROM toks
+    ) u USING (doc_id)
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    longs = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
+    return d.select("doc_id", F.explode_outer(longs).alias("long_token"))
