@@ -279,6 +279,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_top_n_other",
     "q_url_normalize",
     "q_explode_outer",
+    "q_seasonal_anomaly",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

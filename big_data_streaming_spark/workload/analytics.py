@@ -2328,3 +2328,62 @@ def q_top_n_other(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("bucket_value").cast(DEC)).over(tw).cast("double")
         ).alias("share"),
     )
+
+
+# --- seasonal anomaly detection (deviation from the diurnal profile) -------
+# The consumer of q_seasonality's profile: score each CONCRETE hour's
+# total against the hour-of-day baseline for its type, flagging hours
+# whose decimal-exact total falls outside median ± 3·IQR of the per-hour
+# totals sharing that clock hour. Completes the anomaly family —
+# q_anomaly_zscore is trailing-window (local drift), this is
+# calendar-profile (seasonal shape). Exactness: hourly totals are
+# decimal-routed; the profile is exact percentile interpolation over
+# those totals; the flag is pure comparisons of shared-order doubles.
+# Scale: two aggregates (hourly totals O(types×hours), profile
+# O(types×24)) + a broadcast profile join back — the raw table is
+# scanned once.
+@_q(
+    "q_seasonal_anomaly",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS hour_value
+        FROM events GROUP BY 1, 2, 3
+    ), profile AS (
+        SELECT event_type, hod,
+               quantile_cont(hour_value, 0.5) AS med,
+               quantile_cont(hour_value, 0.75) - quantile_cont(hour_value, 0.25)
+                   AS iqr
+        FROM hourly GROUP BY event_type, hod
+    )
+    SELECT h.event_type, h.hr, h.hour_value, p.med, p.iqr,
+           h.hour_value < p.med - 3 * p.iqr
+           OR h.hour_value > p.med + 3 * p.iqr AS is_anomaly
+    FROM hourly h JOIN profile p USING (event_type, hod)
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(dec_sum("value", "hour_value"))
+    profile = hourly.groupBy("event_type", "hod").agg(
+        F.percentile("hour_value", 0.5).alias("med"),
+        (
+            F.percentile("hour_value", 0.75) - F.percentile("hour_value", 0.25)
+        ).alias("iqr"),
+    )
+    return hourly.join(F.broadcast(profile), ["event_type", "hod"]).select(
+        "event_type",
+        "hr",
+        "hour_value",
+        "med",
+        "iqr",
+        (
+            (F.col("hour_value") < F.col("med") - 3 * F.col("iqr"))
+            | (F.col("hour_value") > F.col("med") + 3 * F.col("iqr"))
+        ).alias("is_anomaly"),
+    )
