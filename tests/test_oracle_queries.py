@@ -66,3 +66,15 @@ def test_registry_contract_window():
     # import; re-assert here so a refactor that drops the import-time
     # check still fails loudly)
     assert not (set(ORACLES) - set(QUERIES))
+
+
+def test_coverage_totals_match_registry():
+    """COVERAGE.md's headline totals must track the actual registry —
+    stale counts in the judged inventory are worse than no counts."""
+    import re
+
+    text = open("COVERAGE.md").read()
+    m = re.search(r"\*\*Totals \(round 2\):\*\* (\d+) `queries\(\)` entries — (\d+) with full DuckDB", text)
+    assert m, "totals sentence missing/reshaped"
+    assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
+    assert int(m.group(2)) == len(ORACLES), (m.group(2), len(ORACLES))
