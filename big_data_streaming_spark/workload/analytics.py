@@ -2365,11 +2365,19 @@ def q_top_n_other(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-        F.hour("ts").cast("int").alias("hod"),
-    ).agg(dec_sum("value", "hour_value"))
+    # hourly feeds BOTH the profile aggregate and the join probe side —
+    # persist so the fact scan+aggregate runs once (the shared-relation
+    # policy of q_bigram_lm / q_triangles); the persisted frame is the
+    # O(types × hours) aggregate, not the raw table.
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(dec_sum("value", "hour_value"))
+        .persist()
+    )
     profile = hourly.groupBy("event_type", "hod").agg(
         F.percentile("hour_value", 0.5).alias("med"),
         (
