@@ -1928,12 +1928,11 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                        '\\?utm_[a-z_]+=[^&]*$', ''),
                    '/$', '') AS url_norm
         FROM dirty
-    ), groups AS (
-        SELECT url_norm, MIN(doc_id) AS kept_doc FROM norm GROUP BY url_norm
     )
-    SELECT n.doc_id, n.url_norm, g.kept_doc,
-           n.doc_id <> g.kept_doc AS is_dup
-    FROM norm n JOIN groups g USING (url_norm)
+    SELECT doc_id, url_norm,
+           MIN(doc_id) OVER (PARTITION BY url_norm) AS kept_doc,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY url_norm) AS is_dup
+    FROM norm
     """,
 )
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1966,12 +1965,18 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("url_norm"),
     )
-    groups = norm.groupBy("url_norm").agg(F.min("doc_id").alias("kept_doc"))
-    return norm.join(groups, "url_norm").select(
+    # min-over-window instead of aggregate + self-join: ONE url_norm
+    # exchange, and the regex normalization runs once (the join form
+    # re-derived the whole normalized relation for the probe side).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url_norm")
+    kept = F.min("doc_id").over(w)
+    return norm.select(
         "doc_id",
         "url_norm",
-        "kept_doc",
-        (F.col("doc_id") != F.col("kept_doc")).alias("is_dup"),
+        kept.alias("kept_doc"),
+        (F.col("doc_id") != kept).alias("is_dup"),
     )
 
 
