@@ -280,6 +280,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_url_normalize",
     "q_explode_outer",
     "q_seasonal_anomaly",
+    "q_kanon_generalize",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )

@@ -2395,3 +2395,93 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("hour_value") > F.col("med") + 3 * F.col("iqr"))
         ).alias("is_anomaly"),
     )
+
+
+# --- k-anonymity GENERALIZATION (the transformation, not just the audit) ---
+# q_kanonymity reports which quasi-identifier combos are too rare; this
+# operator FIXES the release: pick the smallest account-balance bucket
+# width (100 → 500 → 2500 → 25000, on the +1000-shifted balance so the
+# coarsest level is genuinely one bucket) at which every (nation,
+# bucket) group reaches k=10, then publish at that level. The level
+# choice is computed distributedly — candidate-width aggregates reduced
+# to per-width minimum group sizes (a 1-row frame, broadcast-crossed;
+# never collected), a CASE picks the first width whose minimum clears
+# k, and the final aggregate groups by the chosen width as an
+# EXPRESSION. A release_ok audit column reports whether even the chosen
+# level satisfies k — at tiny scale a thin nation can fail at FULL
+# generalization, and the honest next step there is suppression, not a
+# silent publish. Deterministic; floor((bal+1000)/w) is one exact IEEE
+# op per row in both engines. Scale: all aggregates map-side
+# combinable; at 100 TB the candidate sweep is the shown width-exploded
+# single pass.
+@_q(
+    "q_kanon_generalize",
+    """
+    WITH cand AS (
+        SELECT w, MIN(n) AS min_group
+        FROM (
+            SELECT w, c_nationkey, floor((c_acctbal + 1000) / w) AS b,
+                   COUNT(*) AS n
+            FROM customer CROSS JOIN (
+                SELECT unnest([100, 500, 2500, 25000]) AS w) ws
+            GROUP BY w, c_nationkey, floor((c_acctbal + 1000) / w)
+        ) g GROUP BY w
+    ), chosen AS (
+        SELECT CASE
+                 WHEN MAX(CASE WHEN w = 100 THEN min_group END) >= 10 THEN 100
+                 WHEN MAX(CASE WHEN w = 500 THEN min_group END) >= 10 THEN 500
+                 WHEN MAX(CASE WHEN w = 2500 THEN min_group END) >= 10 THEN 2500
+                 ELSE 25000
+               END AS cw
+        FROM cand
+    ), rel AS (
+        SELECT c_nationkey,
+               CAST(floor((c_acctbal + 1000) / chosen.cw) * chosen.cw - 1000
+                    AS DOUBLE) AS bal_bucket,
+               CAST(chosen.cw AS INTEGER) AS bucket_width,
+               CAST(COUNT(*) AS BIGINT) AS n_records
+        FROM customer CROSS JOIN chosen
+        GROUP BY c_nationkey,
+                 floor((c_acctbal + 1000) / chosen.cw) * chosen.cw,
+                 chosen.cw
+    )
+    SELECT *, MIN(n_records) OVER () >= 10 AS release_ok FROM rel
+    """,
+)
+def q_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    shifted = F.col("c_acctbal") + 1000
+    widths = spark.createDataFrame([(100,), (500,), (2500,), (25000,)], ["w"])
+    cand = (
+        c.crossJoin(F.broadcast(widths))
+        .groupBy("w", "c_nationkey", F.floor(shifted / F.col("w")))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("w")
+        .agg(F.min("n").alias("min_group"))
+    )
+    chosen = cand.agg(
+        F.expr(
+            "CASE"
+            " WHEN MAX(CASE WHEN w = 100 THEN min_group END) >= 10 THEN 100"
+            " WHEN MAX(CASE WHEN w = 500 THEN min_group END) >= 10 THEN 500"
+            " WHEN MAX(CASE WHEN w = 2500 THEN min_group END) >= 10 THEN 2500"
+            " ELSE 25000 END"
+        ).alias("cw")
+    )
+    rel = (
+        c.crossJoin(F.broadcast(chosen))
+        .groupBy(
+            "c_nationkey",
+            (F.floor(shifted / F.col("cw")) * F.col("cw") - 1000)
+            .cast("double")
+            .alias("bal_bucket"),
+            F.col("cw").cast("int").alias("bucket_width"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return rel.withColumn(
+        "release_ok", F.min("n_records").over(w_all) >= 10
+    )
