@@ -86,7 +86,12 @@ def sessionize_fn(
         if n == 0:
             s0, last, n, tot = t_us, t_us, 1, float(value)
         elif t_us - last < _GAP_US:
-            last, n, tot = t_us, n + 1, tot + float(value)
+            # max(): a LATE-but-admitted row (earlier ts, later batch —
+            # sort_values only orders within one batch) must extend the
+            # session without moving its end backwards; it can also
+            # predate the session start.
+            s0, last = min(s0, t_us), max(last, t_us)
+            n, tot = n + 1, tot + float(value)
         else:
             out.append(_emit(user_id, s0, last, n, tot, "gap"))
             s0, last, n, tot = t_us, t_us, 1, float(value)

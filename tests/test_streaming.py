@@ -522,3 +522,69 @@ def test_rocksdb_state_store_provider(spark, tmp_path, kline_batch):
     default = drain("default")
     assert rocks == default
     assert len(rocks) == 2  # two hour windows over 90 minutes
+
+
+def test_sessionize_late_row_across_batches_extends_not_rewinds(spark, tmp_path):
+    """A late-but-admitted event arriving in a LATER micro-batch (earlier
+    ts than the session's last event) must fold into the session without
+    rewinding its end: session_end stays max(ts)+gap and the count
+    includes the late row. Before the monotone-last fix, the late row
+    overwrote `last` backwards, corrupting the emitted end and the next
+    gap decision."""
+    import datetime as dt
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.streaming.sessionize import sessionize
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: two events 10 min apart; batch 2: a LATE event 5 min after
+    # the first (inside the session span), then a far event that closes
+    # the session by gap.
+    b1 = [(1, base, 1.0), (1, base + dt.timedelta(minutes=10), 1.0)]
+    b2 = [
+        (1, base + dt.timedelta(minutes=5), 1.0),  # late, within watermark
+        (1, base + dt.timedelta(hours=3), 1.0),  # opens next session
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f1"))
+    # stage as two FILES in one stream dir (ordered listing → two batches)
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    import shutil
+
+    import os
+    import time
+
+    now = time.time()
+    for i, sub in enumerate(["f0", "f1"]):
+        part = next((src / sub).glob("*.parquet"))
+        dst = stream_dir / f"part-{i}.parquet"
+        shutil.copy(part, dst)
+        # FileStreamSource orders by modification time: pin f0 strictly
+        # older so the two-batch sequence is deterministic.
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    name = f"sess_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize(sdf, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.session_start: r for r in spark.table(name).collect()}
+    first = rows[min(rows)]
+    assert first.n_events == 3, rows  # late row folded in
+    assert first.session_end == base + dt.timedelta(minutes=40), rows
