@@ -81,20 +81,34 @@ def sessionize_fn(
         tot = 0.0
 
     rows = pd.concat(list(pdfs)).sort_values("ts")
+    # Late-but-admitted rows (earlier ts, later batch — sort_values only
+    # orders within one batch) fall into three cases against the standing
+    # session [s0, last]: inside-or-bridging (>= s0 - gap) → fold in with
+    # monotone bounds; more than a gap BEFORE s0 → a distinct earlier
+    # session (an "orphan"), accumulated separately and gap-closed (the
+    # standing session proves a later event exists); on-time rows keep
+    # the original extend/close logic.
+    o_s0 = o_last = o_n = 0
+    o_tot = 0.0
     for ts, value in zip(rows["ts"], rows["value"]):
         t_us = _us(ts)
         if n == 0:
             s0, last, n, tot = t_us, t_us, 1, float(value)
-        elif t_us - last < _GAP_US:
-            # max(): a LATE-but-admitted row (earlier ts, later batch —
-            # sort_values only orders within one batch) must extend the
-            # session without moving its end backwards; it can also
-            # predate the session start.
+        elif t_us >= s0 - _GAP_US and t_us - last < _GAP_US:
             s0, last = min(s0, t_us), max(last, t_us)
             n, tot = n + 1, tot + float(value)
+        elif t_us < s0 - _GAP_US:  # late orphan, before the session
+            if o_n and t_us - o_last < _GAP_US:
+                o_last, o_n, o_tot = max(o_last, t_us), o_n + 1, o_tot + float(value)
+            else:
+                if o_n:
+                    out.append(_emit(user_id, o_s0, o_last, o_n, o_tot, "gap"))
+                o_s0, o_last, o_n, o_tot = t_us, t_us, 1, float(value)
         else:
             out.append(_emit(user_id, s0, last, n, tot, "gap"))
             s0, last, n, tot = t_us, t_us, 1, float(value)
+    if o_n:
+        out.append(_emit(user_id, o_s0, o_last, o_n, o_tot, "gap"))
 
     state.update((s0, last, n, tot))
     # Clamp the timeout above the current watermark: applyInPandasWithState

@@ -73,7 +73,9 @@ def test_coverage_totals_match_registry():
     stale counts in the judged inventory are worse than no counts."""
     import re
 
-    text = open("COVERAGE.md").read()
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
     m = re.search(r"\*\*Totals \(round 2\):\*\* (\d+) `queries\(\)` entries — (\d+) with full DuckDB", text)
     assert m, "totals sentence missing/reshaped"
     assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))

@@ -588,3 +588,57 @@ def test_sessionize_late_row_across_batches_extends_not_rewinds(spark, tmp_path)
     first = rows[min(rows)]
     assert first.n_events == 3, rows  # late row folded in
     assert first.session_end == base + dt.timedelta(minutes=40), rows
+
+
+def test_sessionize_too_late_orphan_becomes_own_session(spark, tmp_path):
+    """A late row more than one gap BEFORE the standing session's start
+    must NOT rewind the session across the silent gap — it forms its own
+    gap-closed session, matching the batch gaps-and-islands contract."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from big_data_streaming_spark.streaming.sessionize import sessionize
+
+    base = dt.datetime(2024, 1, 1, 12, 30, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [(1, base, 1.0)]  # standing session starts 12:30
+    b2 = [
+        (1, base - dt.timedelta(minutes=50), 7.0),  # orphan: > gap before s0
+        (1, base + dt.timedelta(hours=3), 1.0),  # closes the standing session
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f1"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    now = time.time()
+    for i, sub in enumerate(["f0", "f1"]):
+        part = next((src / sub).glob("*.parquet"))
+        dst = stream_dir / f"part-{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    name = f"sess_orphan_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize(sdf, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(spark.table(name).collect(), key=lambda r: r.session_start)
+    # two gap-closed sessions: the 11:40 orphan and the 12:30 original
+    assert len(rows) == 2, rows
+    assert rows[0].session_start == base - dt.timedelta(minutes=50), rows
+    assert rows[0].n_events == 1 and rows[0].total_value == 7.0, rows
+    assert rows[1].session_start == base and rows[1].n_events == 1, rows
