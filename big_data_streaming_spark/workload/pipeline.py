@@ -558,13 +558,25 @@ def q_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same weights) and keep only passing doc_ids.
     scored = _TEXT_Q["q_quality_classifier"](spark, sf_dir)
     kept_ids = scored.where(F.col("keep")).select("doc_id")
-    d = t(spark, sf_dir, "documents").join(kept_ids, "doc_id").select(
-        "doc_id", "source", "text"
+    # The gated corpus feeds BOTH the fingerprint aggregate and the
+    # representative join; without persist every consumer re-runs the
+    # regex-heavy classifier subtree (measured: 27 exchanges in the
+    # unpersisted plan, classifier evaluated 4×). Fingerprint the text
+    # HERE so the persisted relation is (doc_id, source, fp) — the text
+    # itself never enters the cache (shared-relation policy of
+    # q_bigram_lm / minhash band-hash).
+    d = (
+        t(spark, sf_dir, "documents")
+        .join(kept_ids, "doc_id")
+        .select("doc_id", "source", F.md5("text").alias("fp"))
+        .persist()
     )
     # Stage 2: exact dedup — min doc_id per content fingerprint; only
-    # (doc_id, source) survive past here, the text is dropped.
-    reps = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    docs2 = d.join(reps.select("doc_id"), "doc_id").select("doc_id", "source")
+    # (doc_id, source) survive past here.
+    reps = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    docs2 = (
+        d.join(reps.select("doc_id"), "doc_id").select("doc_id", "source").persist()
+    )
     # Stage 3: domain-mixture cap (division-free BIGINT rate test).
     counts = docs2.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
     n_min = counts.agg(F.min("n_source").alias("n_min"))
@@ -584,7 +596,8 @@ def q_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = F.floor((F.col("shuffle_key") * _ORDER_RANGES) / F.lit(_MIX_MOD))
     ranged = keyed.withColumn("_rng", rng.cast("int"))
     w = Window.partitionBy("_rng").orderBy("shuffle_key", "doc_id")
-    ranked = ranged.withColumn("_intra", F.row_number().over(w))
+    # ranked feeds the per-range sizes AND the final offset join
+    ranked = ranged.withColumn("_intra", F.row_number().over(w)).persist()
     sizes = ranked.groupBy("_rng").agg(F.max("_intra").alias("_n"))
     offsets = sizes.select(
         "_rng",
