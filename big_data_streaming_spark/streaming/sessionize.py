@@ -83,7 +83,8 @@ def sessionize_fn(
     rows = pd.concat(list(pdfs)).sort_values("ts")
     # Late-but-admitted rows (earlier ts, later batch — sort_values only
     # orders within one batch) fall into three cases against the standing
-    # session [s0, last]: inside-or-bridging (>= s0 - gap) → fold in with
+    # session [s0, last]: inside-or-bridging (backward distance < gap,
+    # strict — mirroring the forward extend's strict `< gap`) → fold with
     # monotone bounds; more than a gap BEFORE s0 → a distinct earlier
     # session (an "orphan"), accumulated separately and gap-closed (the
     # standing session proves a later event exists); on-time rows keep
@@ -94,10 +95,10 @@ def sessionize_fn(
         t_us = _us(ts)
         if n == 0:
             s0, last, n, tot = t_us, t_us, 1, float(value)
-        elif t_us >= s0 - _GAP_US and t_us - last < _GAP_US:
+        elif t_us > s0 - _GAP_US and t_us - last < _GAP_US:
             s0, last = min(s0, t_us), max(last, t_us)
             n, tot = n + 1, tot + float(value)
-        elif t_us < s0 - _GAP_US:  # late orphan, before the session
+        elif t_us <= s0 - _GAP_US:  # late orphan, >= one gap before
             if o_n and t_us - o_last < _GAP_US:
                 o_last, o_n, o_tot = max(o_last, t_us), o_n + 1, o_tot + float(value)
             else:
