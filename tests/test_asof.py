@@ -176,3 +176,67 @@ def test_nearest_single_shuffle_and_tie_backward(spark):
     )
     rows2 = asof_join_nearest(left, right2, keys=["k"]).collect()
     assert rows2[0].v_right == 20.0 and rows2[0].direction_right == "forward"
+
+
+def test_nearest_matches_pandas_merge_asof_property(spark):
+    """Property test: asof_join_nearest agrees with pandas
+    merge_asof(direction='nearest') — an independent third
+    implementation — on randomized key/timestamp layouts. Left
+    timestamps are even µs, right odd µs, so no left ts ever EQUALS a
+    right ts (the inclusive-boundary case where conventions could
+    differ). Equal backward/forward DISTANCES can still occur — both
+    implementations resolve that tie backward (pandas picks backward
+    when bdiff <= fdiff), which the equidistant test above pins for
+    ours."""
+    import datetime as dt
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_streaming_spark.operators.asof import asof_join_nearest
+
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 5_000)),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 5_000), st.integers(0, 99)),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda t: (t[0], t[1]),
+        ),
+    )
+    def check(left, right):
+        lrows = [
+            (k, base + dt.timedelta(microseconds=2 * s)) for k, s in left
+        ]
+        rrows = [
+            (k, base + dt.timedelta(microseconds=2 * s + 1), float(v))
+            for k, s, v in right
+        ]
+        ldf = spark.createDataFrame(lrows, "k int, ts timestamp")
+        rdf = spark.createDataFrame(rrows, "k int, ts timestamp, v double")
+        got = {
+            (r.k, r.ts): r.v_right
+            for r in asof_join_nearest(ldf, rdf, keys=["k"]).collect()
+        }
+        lp = pd.DataFrame(lrows, columns=["k", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values("ts")
+        exp = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="nearest"
+        )
+        for row in exp.itertuples(index=False):
+            want = None if pd.isna(row.v) else row.v
+            assert got[(row.k, row.ts.to_pydatetime())] == want, (
+                row,
+                got,
+            )
+
+    check()
