@@ -190,3 +190,53 @@ def test_dedup_components_star_algorithm_matches(spark):
         ).collect()
     }
     assert prop == star
+
+
+def test_cc_both_algorithms_match_union_find_property(spark):
+    """Property test: min-label propagation AND large-star/small-star
+    produce identical components to a pure-Python union-find (third
+    independent implementation) on randomized graphs — including chains,
+    cycles, self-contained cliques and isolated pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_streaming_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        expect = union_find(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for algo in (connected_components, connected_components_star):
+            got = {r.node: r.component for r in algo(df).collect()}
+            assert got == expect, (algo.__name__, edges, got, expect)
+
+    check()
