@@ -246,3 +246,43 @@ def test_group_split_is_partition_count_invariant(spark, sf_small):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
     assert all("leak_free=True" in r for r in a)
+
+
+def test_token_budget_water_level_property():
+    """Property test for the closed-form water level (pure DuckDB, no
+    Spark): on random per-source token counts, the allocation must (a)
+    never exceed B = total//2, (b) be maximal — raising the implied cap
+    by one would overshoot B — and (c) cap exactly the sources above the
+    water level. Brute-force reference: scan every candidate cap."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_streaming_spark.workload.analytics import _BUDGET_FINISH
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        toks=st.lists(st.integers(1, 10_000), min_size=1, max_size=12)
+    )
+    def check(toks):
+        rows = ", ".join(
+            f"('s{i}', {t})" for i, t in enumerate(toks)
+        )
+        sql = (
+            f"WITH src_tokens AS (SELECT * FROM (VALUES {rows}) v(source, tok)), "
+            + _BUDGET_FINISH
+        )
+        got = duckdb.sql(sql).fetchall()
+        B = sum(toks) // 2
+        alloc = {r[0]: r[2] for r in got}
+        assert sum(alloc.values()) <= B, (toks, got)
+        # brute-force maximal cap: the largest c with sum(min(t,c)) <= B
+        best_cap = max(
+            (c for c in range(0, max(toks) + 1)
+             if sum(min(t, c) for t in toks) <= B),
+            default=0,
+        )
+        expect = {f"s{i}": min(t, best_cap) for i, t in enumerate(toks)}
+        assert alloc == expect, (toks, got, best_cap)
+
+    check()
