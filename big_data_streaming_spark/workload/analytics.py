@@ -101,31 +101,16 @@ def _q(name: str, oracle: str | None = None):
     """,
 )
 def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Core promoted to operators/intervals.py:merge_intervals (round-2
+    # library surface; property-tested against a pure-Python sweep).
+    from big_data_streaming_spark.operators.intervals import merge_intervals
+
     iv = t(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").alias("s"),
         F.expr("timestampadd(MINUTE, CAST(1 + event_id % 10 AS INT), ts)").alias("e"),
     )
-    w = Window.partitionBy("user_id").orderBy("s", "e")
-    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = iv.withColumn(
-        "is_new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
-    )
-    grouped = flagged.withColumn(
-        "grp", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    # groupBy(user_id, grp) re-uses the user_id hash partitioning of the
-    # window sort — HashPartitioning(user_id) satisfies the clustered
-    # distribution on (user_id, grp): no second exchange.
-    return (
-        grouped.groupBy("user_id", "grp")
-        .agg(
-            F.min("s").alias("interval_start"),
-            F.max("e").alias("interval_end"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .drop("grp")
-    )
+    return merge_intervals(iv, keys=["user_id"], start_col="s", end_col="e")
 
 
 # --- Markov transition matrix over per-user event sequences ---------------

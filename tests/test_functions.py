@@ -227,3 +227,49 @@ def test_cusum_terminal_identity(spark):
     t_idx = len(rows) // 2
     expect = sum(totals[: t_idx + 1]) - (t_idx + 1) * mean
     assert abs(rows[t_idx]["cusum"] - expect) < 1e-6
+
+
+def test_merge_intervals_matches_python_sweep_property(spark):
+    """Property test: merge_intervals agrees with a pure-Python sweep on
+    random per-key interval sets — islands, bridges, exact-touch merges,
+    duplicates, containment."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_streaming_spark.operators.intervals import merge_intervals
+
+    def sweep(ivs):
+        out = []
+        for s, e in sorted(ivs):
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+                out[-1][2] += 1
+            else:
+                out.append([s, e, 1])
+        return [tuple(x) for x in out]
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        ivs=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 20)),
+            min_size=1,
+            max_size=18,
+        )
+    )
+    def check(ivs):
+        rows = [(k, s, s + d) for k, s, d in ivs]
+        df = spark.createDataFrame(rows, "k int, s long, e long")
+        got = {}
+        for r in merge_intervals(df, keys=["k"]).collect():
+            got.setdefault(r.k, []).append(
+                (r.interval_start, r.interval_end, r.n_events)
+            )
+        for k in got:
+            got[k].sort()
+        expect = {}
+        for k, s, d in ivs:
+            expect.setdefault(k, []).append((s, s + d))
+        expect = {k: sweep(v) for k, v in expect.items()}
+        assert got == expect, (rows, got, expect)
+
+    check()
