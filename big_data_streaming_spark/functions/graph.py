@@ -235,3 +235,40 @@ def connected_components_star(
             F.coalesce("component", F.col("node")).alias("component"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, dist) for every node within ``hops`` directed edges of
+    ``source`` — bounded-frontier BFS as iterated join + min-aggregate.
+
+    Each round expands the CURRENT reach set along the edge relation and
+    folds with MIN(dist); ``hops`` rounds compute exact min-hop distances
+    for all paths of length <= hops. The reach relation is broadcast into
+    the expansion join (it is bounded by the node count), so each round
+    shuffles only the expanded frontier. Callers with an expensively-
+    derived edge relation should persist it — it is probed every round.
+    """
+    reach = (
+        edges.select(F.col(src).alias("node"))
+        .limit(0)
+        .withColumn("dist", F.lit(0))
+    )
+    reach = edges.sparkSession.createDataFrame(
+        [(source, 0)], schema=reach.schema
+    )
+    for _ in range(hops):
+        expanded = edges.join(
+            F.broadcast(reach), F.col(src) == F.col("node")
+        ).select(F.col(dst).alias("node"), (F.col("dist") + 1).alias("dist"))
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return reach

@@ -529,19 +529,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rows, a deliberate trade against re-deriving the fact joins.
         .persist()
     )
-    reach = (
-        n.where(F.col("n_nationkey") == _BFS_SRC)
-        .select(F.col("n_nationkey").alias("node"), F.lit(0).alias("dist"))
-    )
-    for _ in range(_BFS_HOPS):
-        expanded = edges.join(
-            F.broadcast(reach), edges.src == F.col("node")
-        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-        reach = (
-            reach.unionByName(expanded)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
+    # Frontier loop promoted to functions/graph.py:bfs_hops (round-2
+    # library surface; property-tested against a pure-Python BFS).
+    from big_data_streaming_spark.functions.graph import bfs_hops
+
+    reach = bfs_hops(edges, _BFS_SRC, _BFS_HOPS)
     return (
         n.join(reach, n.n_nationkey == reach.node)
         .select(

@@ -240,3 +240,47 @@ def test_cc_both_algorithms_match_union_find_property(spark):
             assert got == expect, (algo.__name__, edges, got, expect)
 
     check()
+
+
+def test_bfs_hops_matches_python_bfs_property(spark):
+    """Property test: bounded-frontier BFS agrees with a pure-Python BFS
+    (hop-capped) on random directed graphs, including unreachable nodes
+    and shortcut edges."""
+    from collections import deque
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_streaming_spark.functions.graph import bfs_hops
+
+    def py_bfs(edges, source, hops):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        dist = {source: 0}
+        dq = deque([source])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        return dist
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        ),
+        hops=st.integers(1, 3),
+    )
+    def check(edges, hops):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.dist for r in bfs_hops(df, 0, hops).collect()}
+        assert got == py_bfs(edges, 0, hops), (edges, hops, got)
+
+    check()
