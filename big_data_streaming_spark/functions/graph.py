@@ -272,3 +272,40 @@ def bfs_hops(
             .agg(F.min("dist").alias("dist"))
         )
     return reach
+
+
+def bellman_ford_hops(
+    edges: DataFrame,
+    source,
+    hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, dist) min-PLUS relaxation: exact cheapest path of at most
+    ``hops`` edges from ``source`` over a weighted directed edge relation
+    — the weighted twin of :func:`bfs_hops` (same broadcast-frontier
+    rounds; the fold is min over dist + w instead of min over hop
+    counts). Negative weights are fine within the hop bound (no cycles
+    complete in < hops relaxations by construction)."""
+    reach = (
+        edges.select(F.col(src).alias("node"))
+        .limit(0)
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
+    reach = edges.sparkSession.createDataFrame(
+        [(source, 0)], schema=reach.schema
+    )
+    for _ in range(hops):
+        expanded = edges.join(
+            F.broadcast(reach), F.col(src) == F.col("node")
+        ).select(
+            F.col(dst).alias("node"),
+            (F.col("dist") + F.col(weight)).alias("dist"),
+        )
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return reach

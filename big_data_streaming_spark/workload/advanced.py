@@ -613,18 +613,11 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_quantity").cast("bigint").alias("w"))
         .persist()
     )
-    reach = n.where(F.col("n_nationkey") == _SP_SRC).select(
-        F.col("n_nationkey").alias("node"), F.lit(0).cast("bigint").alias("dist")
-    )
-    for _ in range(_SP_HOPS):
-        expanded = edges.join(
-            F.broadcast(reach), edges.src == F.col("node")
-        ).select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        reach = (
-            reach.unionByName(expanded)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
+    # Relaxation rounds promoted to functions/graph.py:bellman_ford_hops
+    # (property-tested against a pure-Python min-plus reference).
+    from big_data_streaming_spark.functions.graph import bellman_ford_hops
+
+    reach = bellman_ford_hops(edges, _SP_SRC, _SP_HOPS)
     return n.join(reach, n.n_nationkey == reach.node).select(
         F.col("n_nationkey").alias("nationkey"),
         F.col("n_name").alias("nation"),

@@ -284,3 +284,45 @@ def test_bfs_hops_matches_python_bfs_property(spark):
         assert got == py_bfs(edges, 0, hops), (edges, hops, got)
 
     check()
+
+
+def test_bellman_ford_matches_python_minplus_property(spark):
+    """Property test: the bounded min-plus relaxation agrees with a
+    pure-Python DP over paths of <= hops edges on random weighted
+    graphs (parallel edges collapse to min weight upstream in real
+    callers; here they exercise the fold directly)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_streaming_spark.functions.graph import bellman_ford_hops
+
+    def py_minplus(edges, source, hops):
+        dist = {source: 0}
+        for _ in range(hops):
+            nxt = dict(dist)
+            for a, b, w in edges:
+                if a in dist:
+                    cand = dist[a] + w
+                    if b not in nxt or cand < nxt[b]:
+                        nxt[b] = cand
+            dist = nxt
+        return dist
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(0, 7), st.integers(0, 7), st.integers(1, 50)
+            ),
+            min_size=1,
+            max_size=20,
+            unique_by=lambda t: (t[0], t[1]),
+        ),
+        hops=st.integers(1, 3),
+    )
+    def check(edges, hops):
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {r.node: r.dist for r in bellman_ford_hops(df, 0, hops).collect()}
+        assert got == py_minplus(edges, 0, hops), (edges, hops, got)
+
+    check()
