@@ -53,3 +53,38 @@ def merge_intervals(
         )
         .drop("_grp")
     )
+
+
+def label_sessions(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-EVENT session labels (gaps-and-islands): every input row plus
+    ``session_seq`` (1-based per key, in time order) and
+    ``is_session_start`` — the join-ready row-level form that
+    ``session_window``'s per-session rows cannot provide. The gap
+    comparison is µs-exact (unix_micros, never a seconds-flooring cast).
+    One hash exchange on the keys; both windows and any follow-up
+    per-(key, session) aggregate reuse that partitioning.
+
+    ``order_cols`` break timestamp ties deterministically (e.g. an event
+    id); sessions split when the gap STRICTLY exceeds ``gap_us``."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+        1,
+    ).otherwise(0)
+    flagged = df.withColumn("_is_start", is_start)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        flagged.withColumn(
+            "session_seq", F.sum("_is_start").over(wsum).cast("bigint")
+        )
+        .withColumn("is_session_start", F.col("_is_start").cast("int"))
+        .drop("_is_start")
+    )

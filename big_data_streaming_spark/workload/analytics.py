@@ -1728,31 +1728,15 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sessionize_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # µs-exact gap comparison — cast("long") floors to seconds, which
-    # diverges from the oracle's full-precision INTERVAL comparison on a
-    # gap like 1800.0000005 s
-    is_start = (
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > 1800 * 1_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-    )
-    g = e.select("event_id", "user_id", "ts", is_start.alias("is_start"))
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return g.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.sum("is_start").over(wsum).cast("bigint").alias("session_seq"),
-        F.col("is_start").cast("int").alias("is_session_start"),
-    )
+    # Core promoted to operators/intervals.py:label_sessions (µs-exact
+    # gap comparison lives there; property-tested vs a python labeler).
+    from big_data_streaming_spark.operators.intervals import label_sessions
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return label_sessions(
+        e, keys=["user_id"], ts_col="ts", gap_us=1800 * 1_000_000,
+        order_cols=["event_id"],
+    ).select("event_id", "user_id", "ts", "session_seq", "is_session_start")
 
 
 # --- k-anonymity audit (privacy gate for training data) --------------------

@@ -273,3 +273,57 @@ def test_merge_intervals_matches_python_sweep_property(spark):
         assert got == expect, (rows, got, expect)
 
     check()
+
+
+def test_label_sessions_matches_python_labeler_property(spark):
+    """Property test: row-level session labels agree with a pure-Python
+    gaps-and-islands labeler on random per-key µs timestamp layouts
+    (strict-gap split semantics, ties broken by the order column)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_streaming_spark.operators.intervals import label_sessions
+
+    base = dt.datetime(2024, 1, 1)
+    GAP = 1_000  # µs
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 20_000)),
+            min_size=1,
+            max_size=15,
+            unique=True,
+        )
+    )
+    def check(rows):
+        data = [
+            (i, k, base + dt.timedelta(microseconds=us))
+            for i, (k, us) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(data, "rid int, k int, ts timestamp")
+        got = {
+            r.rid: (r.session_seq, r.is_session_start)
+            for r in label_sessions(
+                df, keys=["k"], gap_us=GAP, order_cols=["rid"]
+            ).collect()
+        }
+        expect = {}
+        by_key = {}
+        for i, (k, us) in enumerate(rows):
+            by_key.setdefault(k, []).append((us, i))
+        for k, evts in by_key.items():
+            evts.sort()
+            seq, prev = 0, None
+            for us, i in evts:
+                if prev is None or us - prev > GAP:
+                    seq += 1
+                    expect[i] = (seq, 1)
+                else:
+                    expect[i] = (seq, 0)
+                prev = us
+        assert got == expect, (rows, got, expect)
+
+    check()
