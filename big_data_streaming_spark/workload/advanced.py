@@ -858,42 +858,22 @@ def q_graph_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from big_data_streaming_spark.functions.graph import connected_components
+    # Core promoted to operators/entity_resolution.py:resolve_entities
+    # (block → verify → merge; property-tested against a pure-Python
+    # blocking + levenshtein + union-find pipeline).
+    from big_data_streaming_spark.operators.entity_resolution import (
+        resolve_entities,
+    )
 
     recs = (
         t(spark, sf_dir, "customer")
         .select("c_custkey", "c_name", "c_nationkey")
         .withColumn("blk", F.substring("c_name", 10, 7))
     )
-    a, b = recs.alias("a"), recs.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
-        .select(
-            F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst")
-        )
-    )
-    comp = connected_components(edges, "src", "dst")
-    resolved = (
-        recs.join(comp, recs.c_custkey == comp.node, "left")
-        .select(
-            "c_custkey",
-            "c_name",
-            F.coalesce("component", "c_custkey").cast("bigint").alias("cluster_id"),
-        )
-    )
-    w = Window.partitionBy("cluster_id")
-    return resolved.select(
-        "c_custkey",
-        "c_name",
-        "cluster_id",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
-        (F.col("c_custkey") == F.col("cluster_id")).alias("is_canonical"),
+    return resolve_entities(
+        recs,
+        id_col="c_custkey",
+        match_col="c_name",
+        block_cols=["c_nationkey", "blk"],
+        max_distance=1,
     )

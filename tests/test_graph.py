@@ -326,3 +326,73 @@ def test_bellman_ford_matches_python_minplus_property(spark):
         assert got == py_minplus(edges, 0, hops), (edges, hops, got)
 
     check()
+
+
+def test_resolve_entities_matches_python_pipeline_property(spark):
+    """Property test: the full block→verify→merge operator agrees with a
+    pure-Python blocking + levenshtein + union-find pipeline on random
+    record sets (short digit-string names, random block assignments)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_streaming_spark.operators.entity_resolution import (
+        resolve_entities,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def py_resolve(rows, maxd):
+        parent = {i: i for i, _, _ in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, (ida, na, ba) in enumerate(rows):
+            for idb, nb, bb in rows[i + 1 :]:
+                if ba == bb and lev(na, nb) <= maxd:
+                    ra, rb = find(ida), find(idb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        clusters = {i: find(i) for i, _, _ in rows}
+        sizes = {}
+        for c in clusters.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        return {
+            i: (c, sizes[c], i == c) for i, c in clusters.items()
+        }
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.text(alphabet="0123", min_size=2, max_size=4),
+                st.integers(0, 1),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(rows):
+        recs = [(i, name, blk) for i, (name, blk) in enumerate(rows)]
+        df = spark.createDataFrame(recs, "rid long, name string, blk int")
+        got = {
+            r.rid: (r.cluster_id, r.cluster_size, r.is_canonical)
+            for r in resolve_entities(
+                df, id_col="rid", match_col="name", block_cols=["blk"],
+                max_distance=1,
+            ).collect()
+        }
+        assert got == py_resolve(recs, 1), (recs, got)
+
+    check()
