@@ -58,102 +58,86 @@ _MODULES = (
 # the round-3 window (they are all green under the in-repo gate replica
 # at sf0.001/0.01/0.1 — the driver row is confirmation, not discovery).
 #
-# ROUND-3 ROTATION TODO: once CORRECTNESS_r02 lands, move its green keys
-# to the tail and promote the next unchecked block into positions 0-49 —
-# priority order: (1) the round-2-finale wave (q_entity_resolution …
-# q_sql_udf near the end of this list — flagship-grade operators with
-# zero driver rows: ER, streaming top-k, gate-checked sessionizer,
-# nearest as-of, TWAP/realized-vol, corrupt quarantine, the audit
-# twins), (2) the third-wave + completion operators (q_ohlc_bars …
-# q_kanonymity — never driver-checked), (3) the rows-only keys'
-# value-checked twins (q_dedup_cc_checked, q_sim_ivf_checked,
-# q_minhash_audit, q_simhash_audit, q_multimodal_features), (4) the
-# TPC-H completion pack (q_tpch_q1..q22 minus the five already
-# checked), (5) the continuation analytics/text/embedding keys
-# (q_interval_merge … q_zipf_audit) in registry order.
+# ROUND-3 ROTATION (executed): CORRECTNESS_r02 came back 47 green + 3
+# declared rows-only, zero failures — all 50 round-2 window keys moved to
+# the tail. The round-3 window promotes, per the round-2 TODO's priority
+# order: (1) the round-2-finale wave (ER, streaming top-k, gate-checked
+# sessionizer, nearest as-of, TWAP/realized-vol, corrupt quarantine),
+# (2) the rows-only keys' value-checked audit twins, (3) the third-wave +
+# completion operators (q_ohlc_bars … q_kanonymity), (4) the first three
+# TPC-H completion queries to fill the window to exactly 50.
+#
+# ROUND-4 ROTATION TODO: once CORRECTNESS_r03 lands, move its green keys
+# to the tail and promote the next unchecked block — priority order:
+# (1) the remaining TPC-H completion pack (q_tpch_q7…q22, q10, q19),
+# (2) the finale-era keys after q_kanonymity (q_modularity …
+# q_kanon_generalize), (3) the round-2 just-past-window block
+# (q_dedup_near_pairs … q_zorder_layout), (4) completion ops
+# (q_line_dedup … q_try_arith), (5) analytics continuation
+# (q_interval_merge … q_zipf_audit), (6) anything added in round 3
+# (queued directly below the window, marked "round-3 additions").
 _CHECK_FIRST: tuple[str, ...] = (
-    # -- driver-unchecked in round 1 (old positions 50-82) ----------------
-    "q_scalar_date",
-    "q_scalar_null",
-    "q_date_format",
-    "q_udf_roundtrip",
-    "q_dedup_exact",
-    "q_text_tokens",
-    "q_explode_tokens",
-    "q_top_tokens_per_lang",
-    "q_text_quality",
-    "q_text_lang",
-    "q_token_count",
-    "q_text_fingerprint",
-    "q_multimodal_meta",
-    "q_tfidf",
-    "q_dedup_ngram",
-    "q_dedup_near",
-    "q_edit_distance",
-    "q_dedup_components",
-    "q_multimodal_decode",
-    "q_training_prep",
-    "q_sample_stratified",
-    "q_sim_topk",
-    "q_sim_ivf",
-    "q_stream_window_tumbling",
-    "q_stream_window_sliding",
-    "q_stream_window_session",
-    "q_route_by_key",
-    # -- reworked this round (failed the round-1 canonicalizer) -----------
-    "q_scalar_array",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_freq_items",
-    # -- never driver-checked: added after the round-1 snapshot -----------
-    "q_contamination",
-    "q_pii_scrub",
-    "q_repetition_signals",
-    "q_stream_stream_join",
-    "q_mix_domains",
-    "q_train_order",
-    "q_pack_sequences",
-    "q_lm_novelty",
-    "q_stream_dedup",
-    "q_join_bucketed",
-    "q_tpch_q5",
-    "q_tpch_q18",
-    "q_dedup_semantic",
-    "q_quality_classifier",
-    "q_token_runs",
-    "q_udaf_grouped",
-    "q_stream_static_join",
-    "q_training_prep_v2",
-    "q_stream_feed",
-    # -- just past the window (round-3 rotation candidates): oracle-green
-    # under the in-repo gate at sf0.001+sf0.01 and pytest-pinned, but the
-    # driver's 50-entry budget is spent on higher-priority first-timers
-    # this round — rows-only keys whose driver check is the weak runs-only
-    # form, plus the newest additions.
-    "q_dedup_near_pairs",
-    "q_minhash_signature",
-    "q_embed_neardup",
+    # ============ round-3 driver window (positions 0-49) =================
+    # (1) round-2 finale wave — flagship-grade operators, zero driver rows
+    "q_entity_resolution",
+    "q_multi_distinct",
+    "q_minhash_audit",
+    "q_profile_columns",
+    "q_group_split",
+    "q_simhash_audit",
+    "q_corrupt_quarantine",
+    "q_stream_topk",
+    "q_stream_sessionize",
+    "q_asof_nearest",
+    "q_nested_json",
+    "q_twap",
+    "q_realized_vol",
+    "q_sql_udf",
+    # (2) value-checked audit twins for the rows-only driver keys
+    "q_dedup_cc_checked",
+    "q_sim_ivf_checked",
     "q_multimodal_features",
-    "q_dedup_simhash",
-    "q_scalar_map",
-    "q_doc_chunks",
-    "q_embed_normalize",
-    "q_multimodal_audio",
-    "q_tpch_q10",
-    "q_tpch_q19",
-    "q_gap_fill",
-    "q_format_roundtrip",
-    "q_sketch_cms",
-    "q_salted_agg",
-    "q_zorder_layout",
-    # -- TPC-H completion pack (workload/tpch.py, added late round 2):
-    # full-oracle, pytest-green; round-3+ rotation candidates.
+    # (3) third-wave + completion operators — never driver-checked
+    "q_ohlc_bars",
+    "q_dedup_incremental",
+    "q_ols_by_group",
+    "q_bigram_lm",
+    "q_stream_ohlc",
+    "q_robust_scaler",
+    "q_token_budget",
+    "q_knn_classify",
+    "q_shortest_path",
+    "q_containment",
+    "q_cdc_apply",
+    "q_bpe_train",
+    "q_bpe_tokens",
+    "q_simpson_diversity",
+    "q_gini_sources",
+    "q_vocab_coverage",
+    "q_intersect_all",
+    "q_except_all",
+    "q_agg_boolean",
+    "q_grouping_id",
+    "q_percentile_disc",
+    "q_agg_bitwise",
+    "q_target_encoding",
+    "q_wilson_rank",
+    "q_ks_drift",
+    "q_chi2",
+    "q_auc",
+    "q_retrieval_mrr",
+    "q_sessionize_label",
+    "q_kanonymity",
+    # (4) TPC-H completion pack — first three fill the window to 50
     "q_tpch_q1",
     "q_tpch_q2",
     "q_tpch_q4",
+    # ============ round-4 rotation candidates (positions 50+) ============
+    # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",
+    "q_tpch_q10",
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q13",
@@ -161,9 +145,42 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q15",
     "q_tpch_q16",
     "q_tpch_q17",
+    "q_tpch_q19",
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
+    # Finale-era keys after q_kanonymity — never driver-checked.
+    "q_modularity",
+    "q_graph_evolution",
+    "q_frame_sample",
+    "q_stream_cdc",
+    "q_negative_sampling",
+    "q_ohlc_daily",
+    "q_vwap",
+    "q_seasonality",
+    "q_drawdown",
+    "q_cohort_ltv",
+    "q_rfm",
+    "q_top_n_other",
+    "q_url_normalize",
+    "q_explode_outer",
+    "q_seasonal_anomaly",
+    "q_kanon_generalize",
+    # Round-2 just-past-window block (rows-only-era + late round-2 adds).
+    "q_dedup_near_pairs",
+    "q_minhash_signature",
+    "q_embed_neardup",
+    "q_dedup_simhash",
+    "q_scalar_map",
+    "q_doc_chunks",
+    "q_embed_normalize",
+    "q_multimodal_audio",
+    "q_gap_fill",
+    "q_format_roundtrip",
+    "q_sketch_cms",
+    "q_salted_agg",
+    "q_zorder_layout",
+    # Completion operators.
     "q_line_dedup",
     "q_kmeans",
     "q_join_full",
@@ -221,66 +238,57 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_char_ngrams",
     "q_doc_jaccard",
     "q_zipf_audit",
-    "q_ohlc_bars",
-    "q_dedup_incremental",
-    "q_ols_by_group",
-    "q_bigram_lm",
-    "q_stream_ohlc",
-    "q_robust_scaler",
-    "q_token_budget",
-    "q_knn_classify",
-    "q_shortest_path",
-    "q_containment",
-    "q_cdc_apply",
-    "q_bpe_train",
-    "q_bpe_tokens",
-    "q_simpson_diversity",
-    "q_gini_sources",
-    "q_vocab_coverage",
-    "q_intersect_all",
-    "q_except_all",
-    "q_agg_boolean",
-    "q_grouping_id",
-    "q_percentile_disc",
-    "q_agg_bitwise",
-    "q_target_encoding",
-    "q_wilson_rank",
-    "q_ks_drift",
-    "q_chi2",
-    "q_auc",
-    "q_retrieval_mrr",
-    "q_sessionize_label",
-    "q_kanonymity",
-    "q_modularity",
-    "q_graph_evolution",
-    "q_frame_sample",
-    "q_stream_cdc",
-    "q_negative_sampling",
-    "q_ohlc_daily",
-    "q_vwap",
-    "q_seasonality",
-    "q_drawdown",
-    "q_entity_resolution",
-    "q_multi_distinct",
-    "q_minhash_audit",
-    "q_profile_columns",
-    "q_group_split",
-    "q_simhash_audit",
-    "q_corrupt_quarantine",
-    "q_stream_topk",
-    "q_stream_sessionize",
-    "q_asof_nearest",
-    "q_nested_json",
-    "q_twap",
-    "q_realized_vol",
-    "q_sql_udf",
-    "q_cohort_ltv",
-    "q_rfm",
-    "q_top_n_other",
-    "q_url_normalize",
-    "q_explode_outer",
-    "q_seasonal_anomaly",
-    "q_kanon_generalize",
+    # -- driver-green in round 2 (CORRECTNESS_r02) — rotated to the tail --
+    "q_scalar_date",
+    "q_scalar_null",
+    "q_date_format",
+    "q_udf_roundtrip",
+    "q_dedup_exact",
+    "q_text_tokens",
+    "q_explode_tokens",
+    "q_top_tokens_per_lang",
+    "q_text_quality",
+    "q_text_lang",
+    "q_token_count",
+    "q_text_fingerprint",
+    "q_multimodal_meta",
+    "q_tfidf",
+    "q_dedup_ngram",
+    "q_dedup_near",
+    "q_edit_distance",
+    "q_dedup_components",
+    "q_multimodal_decode",
+    "q_training_prep",
+    "q_sample_stratified",
+    "q_sim_topk",
+    "q_sim_ivf",
+    "q_stream_window_tumbling",
+    "q_stream_window_sliding",
+    "q_stream_window_session",
+    "q_route_by_key",
+    "q_scalar_array",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_freq_items",
+    "q_contamination",
+    "q_pii_scrub",
+    "q_repetition_signals",
+    "q_stream_stream_join",
+    "q_mix_domains",
+    "q_train_order",
+    "q_pack_sequences",
+    "q_lm_novelty",
+    "q_stream_dedup",
+    "q_join_bucketed",
+    "q_tpch_q5",
+    "q_tpch_q18",
+    "q_dedup_semantic",
+    "q_quality_classifier",
+    "q_token_runs",
+    "q_udaf_grouped",
+    "q_stream_static_join",
+    "q_training_prep_v2",
+    "q_stream_feed",
     # -- already-green (r01) flagship ------------------------------------
     "q_flagship",
 )
