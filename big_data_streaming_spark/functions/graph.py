@@ -266,10 +266,15 @@ def bfs_hops(
         expanded = edges.join(
             F.broadcast(reach), F.col(src) == F.col("node")
         ).select(F.col(dst).alias("node"), (F.col("dist") + 1).alias("dist"))
+        # Truncate lineage each round (mirrors connected_components):
+        # without it, round i re-executes all previous rounds' join+agg
+        # under the re-broadcast — O(hops²) recompute and ever-deeper
+        # plans once hops grows past the small-hop callers.
         reach = (
             reach.unionByName(expanded)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
         )
     return reach
 
@@ -307,5 +312,6 @@ def bellman_ford_hops(
             reach.unionByName(expanded)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()  # same O(hops²) lineage guard as bfs_hops
         )
     return reach

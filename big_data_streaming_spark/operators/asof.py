@@ -71,6 +71,17 @@ def _tag_union(
     (forward-inclusive). ``include_rts`` prepends the right timestamp to
     the carried struct (the nearest variant needs it to compute |Δt|).
     Returns (union, left_columns)."""
+    # "_rts"/"_ats"/"_side"/"_p" are reserved scan columns; a payload or
+    # left column with one of those names would produce duplicate struct
+    # fields / ambiguous resolution downstream (`_back._rts`), silently
+    # corrupting the carry. Fail fast instead.
+    reserved = {"_ats", "_side", "_p"} | ({"_rts"} if include_rts else set())
+    clash = (reserved & set(right_payload)) | (reserved & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"as-of join reserves column names {sorted(reserved)}; "
+            f"rename conflicting column(s) {sorted(clash)} first"
+        )
     fields = ([("_rts", right_ts)] if include_rts else []) + [
         (c, c) for c in right_payload
     ]

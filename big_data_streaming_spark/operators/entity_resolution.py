@@ -53,10 +53,14 @@ def resolve_entities(
         )
     )
     comp = connected_components(edges, "src", "dst")
+    # cluster_id keeps the id column's own type (string record ids are
+    # common in record linkage; min-label CC orders any comparable type).
+    # A hard bigint cast here would NULL non-numeric ids and silently
+    # collapse every record into one NULL cluster.
     resolved = recs.join(comp, recs[id_col] == comp.node, "left").select(
         id_col,
         match_col,
-        F.coalesce("component", F.col(id_col)).cast("bigint").alias("cluster_id"),
+        F.coalesce("component", F.col(id_col)).alias("cluster_id"),
     )
     w = Window.partitionBy("cluster_id")
     return resolved.select(

@@ -98,6 +98,16 @@ def sessionize_fn(
         elif t_us > s0 - _GAP_US and t_us - last < _GAP_US:
             s0, last = min(s0, t_us), max(last, t_us)
             n, tot = n + 1, tot + float(value)
+            # A fold that lowers s0 can pull the standing session to
+            # within one gap of the orphan accumulator (the orphan was
+            # classified against the PRE-fold s0): batch order 11:59
+            # (orphan vs s0=12:30), then 12:05 (folds, s0→12:05) leaves
+            # 11:59 six minutes from s0. Gaps-and-islands semantics make
+            # that ONE session — merge instead of emitting two.
+            if o_n and o_last > s0 - _GAP_US:
+                s0, n, tot = min(s0, o_s0), n + o_n, tot + o_tot
+                o_s0 = o_last = o_n = 0
+                o_tot = 0.0
         elif t_us <= s0 - _GAP_US:  # late orphan, >= one gap before
             if o_n and t_us - o_last < _GAP_US:
                 o_last, o_n, o_tot = max(o_last, t_us), o_n + 1, o_tot + float(value)
@@ -109,7 +119,10 @@ def sessionize_fn(
             out.append(_emit(user_id, s0, last, n, tot, "gap"))
             s0, last, n, tot = t_us, t_us, 1, float(value)
     if o_n:
-        out.append(_emit(user_id, o_s0, o_last, o_n, o_tot, "gap"))
+        if n and o_last > s0 - _GAP_US:  # bridge formed by the last fold
+            s0, n, tot = min(s0, o_s0), n + o_n, tot + o_tot
+        else:
+            out.append(_emit(user_id, o_s0, o_last, o_n, o_tot, "gap"))
 
     state.update((s0, last, n, tot))
     # Clamp the timeout above the current watermark: applyInPandasWithState

@@ -642,3 +642,61 @@ def test_sessionize_too_late_orphan_becomes_own_session(spark, tmp_path):
     assert rows[0].session_start == base - dt.timedelta(minutes=50), rows
     assert rows[0].n_events == 1 and rows[0].total_value == 7.0, rows
     assert rows[1].session_start == base and rows[1].n_events == 1, rows
+
+
+def test_sessionize_bridge_row_merges_orphan(spark, tmp_path):
+    """An early late row classified as an orphan against the PRE-fold s0
+    must be merged back when a later bridging row lowers s0 to within one
+    gap of it: standing s0=12:30; a batch delivers 11:59 (orphan vs the
+    12:00 cutoff) then 12:05 (folds, s0→12:05, leaving 11:59 only 6 min
+    away). Batch gaps-and-islands semantics make 11:59/12:05/12:30 ONE
+    session — the orphan must not emit separately (ADVICE round 2)."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from big_data_streaming_spark.streaming.sessionize import sessionize
+
+    base = dt.datetime(2024, 1, 1, 12, 30, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [(1, base, 1.0)]  # standing session starts 12:30
+    b2 = [
+        (1, base - dt.timedelta(minutes=31), 7.0),  # 11:59 — orphan pre-fold
+        (1, base - dt.timedelta(minutes=25), 2.0),  # 12:05 — folds, lowers s0
+        (1, base + dt.timedelta(hours=3), 1.0),  # closes the merged session
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f1"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    now = time.time()
+    for i, sub in enumerate(["f0", "f1"]):
+        part = next((src / sub).glob("*.parquet"))
+        dst = stream_dir / f"part-{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    name = f"sess_bridge_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize(sdf, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(spark.table(name).collect(), key=lambda r: r.session_start)
+    # ONE merged session 11:59→13:00 (end = last + gap), not an orphan + rest
+    assert len(rows) == 1, rows
+    assert rows[0].session_start == base - dt.timedelta(minutes=31), rows
+    assert rows[0].session_end == base + dt.timedelta(minutes=30), rows
+    assert rows[0].n_events == 3 and rows[0].total_value == 10.0, rows
