@@ -232,3 +232,96 @@ def test_fanout_sink_both_legs_identical_and_idempotent(spark, tmp_path, derby_u
         == 50
     )
     assert spark.read.parquet(os.path.join(pq_dir, "batch_0")).count() == 50
+
+
+def test_ensure_table_provisions_idempotently(spark, derby_url):
+    """A21 (reference spark/streaming-longtime.py:69-106, minus the
+    injection bug): provision → exists-check → write → read-back, and a
+    second ensure is a no-op."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from big_data_streaming_spark.streaming.ddl import ensure_table
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), nullable=False),
+            StructField("sym", StringType()),
+            StructField("px", DoubleType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    assert ensure_table(spark, derby_url, "prov_t", schema, driver=DRIVER)
+    # idempotent: second call sees the table and does nothing
+    assert not ensure_table(spark, derby_url, "prov_t", schema, driver=DRIVER)
+
+    df = spark.createDataFrame(
+        [(1, "BTC", 42.5, None), (2, "ETH", 7.25, None)],
+        schema=schema,
+    )
+    write_jdbc_append(df, derby_url, "prov_t", user="", password="")
+    back = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "prov_t")
+        .option("driver", DRIVER)
+        .load()
+    )
+    assert back.count() == 2
+    assert {r.sym for r in back.collect()} == {"BTC", "ETH"}
+
+
+def test_ensure_table_schema_qualified(spark, derby_url):
+    """Schema-qualified provisioning creates the schema too (the
+    reference's CREATE DATABASE analog), idempotently."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from big_data_streaming_spark.streaming.ddl import ensure_table
+
+    schema = StructType([StructField("v", LongType())])
+    assert ensure_table(spark, derby_url, "serving.prov_q", schema, driver=DRIVER)
+    assert not ensure_table(spark, derby_url, "serving.prov_q", schema, driver=DRIVER)
+
+
+def test_ensure_table_rejects_injection(spark, derby_url):
+    """The reference's f-string DDL would execute a hostile key; the
+    allow-list refuses it before any connection is opened."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from big_data_streaming_spark.streaming.ddl import (
+        build_create_table,
+        ensure_table,
+    )
+
+    ok = StructType([StructField("v", LongType())])
+    for bad_table in ('x"; DROP TABLE t --', "a.b.c", "1tbl", "t;--", ""):
+        with _pytest.raises(ValueError):
+            ensure_table(spark, derby_url, bad_table, ok, driver=DRIVER)
+    bad_col = StructType([StructField('v" CASCADE; --', LongType())])
+    with _pytest.raises(ValueError):
+        ensure_table(spark, derby_url, "t_ok", bad_col, driver=DRIVER)
+    # unsupported nested types are refused, not emitted as broken DDL
+    from pyspark.sql.types import ArrayType
+
+    nested = StructType([StructField("v", ArrayType(StringType()))])
+    with _pytest.raises(ValueError):
+        build_create_table("t_ok", nested)
+    # audit the emitted DDL shape once
+    ddl = build_create_table(
+        "s.t",
+        StructType(
+            [
+                StructField("a", LongType(), nullable=False),
+                StructField("b", StringType()),
+            ]
+        ),
+        string_length=128,
+    )
+    assert ddl == 'CREATE TABLE "s"."t" ("a" BIGINT NOT NULL, "b" VARCHAR(128))'
