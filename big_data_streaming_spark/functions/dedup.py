@@ -299,3 +299,69 @@ def dedup_keep_first(df: DataFrame, key: Column | str, order_col: str) -> DataFr
         keyc.alias("_k"), F.struct(order_col, *others).alias("_row")
     )
     return packed.groupBy("_k").agg(F.min("_row").alias("_row")).select("_row.*")
+
+
+def prefix_filter_candidates(
+    sets: DataFrame, id_col: str, toks_col: str, theta: float = 0.5
+) -> DataFrame:
+    """PPJoin-family prefix-filtered candidate pairs (doc_a, doc_b) for
+    overlap joins with pair-dependent threshold
+    ``t = ceil(theta * min(|A|,|B|))`` — complete: every pair with
+    ``|A∩B| >= t`` is emitted (Chaudhuri/Xiao et al. prefix-filter
+    lemma), so intersecting with any other candidate channel never drops
+    a qualifying pair.
+
+    Canonical token order is GLOBAL (ascending document frequency, then
+    token), which is what makes this scale: hot/boilerplate tokens sort
+    to the END of every document and therefore fall OUT of prefixes —
+    they never generate join matches, killing the Σ df² blow-up of naive
+    posting-list joins. Role-splitting beats the per-record bound
+    problem of asymmetric thresholds: the SMALLER doc of a pair needs
+    t = ceil(theta·n_small), so its prefix is statically
+    ``n - ceil(theta·n) + 1`` tokens (half, for theta=0.5) — that
+    prefilter shrinks the build side before the shuffle — while the
+    larger doc's position bound depends on the partner and is checked
+    pair-locally inside the join.
+    """
+    from pyspark.sql.window import Window
+
+    postings = sets.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks_col).cast("bigint").alias("n"),
+        F.explode(toks_col).alias("token"),
+    )
+    df_counts = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = postings.join(df_counts, "token").withColumn(
+        "p",
+        F.row_number()
+        .over(Window.partitionBy("doc").orderBy("df", "token"))
+        .cast("bigint"),
+    )
+    t_of_n = F.ceil(F.lit(theta) * F.col("n")).cast("bigint")
+    small = ranked.where(F.col("p") <= F.col("n") - t_of_n + 1).select(
+        "token",
+        F.col("doc").alias("id_s"),
+        F.col("n").alias("n_s"),
+    )
+    large = ranked.select(
+        "token",
+        F.col("doc").alias("id_l"),
+        F.col("n").alias("n_l"),
+        F.col("p").alias("p_l"),
+    )
+    t_pair = F.ceil(F.lit(theta) * F.col("n_s")).cast("bigint")  # min(n) = n_s
+    return (
+        small.join(large, "token")
+        .where(
+            (
+                (F.col("n_s") < F.col("n_l"))
+                | ((F.col("n_s") == F.col("n_l")) & (F.col("id_s") < F.col("id_l")))
+            )
+            & (F.col("p_l") <= F.col("n_l") - t_pair + 1)
+        )
+        .select(
+            F.least("id_s", "id_l").alias("doc_a"),
+            F.greatest("id_s", "id_l").alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -1654,6 +1654,22 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    # PPJoin prefix filter (SCALE.md tightening): the emit predicate
+    # requires full-set overlap >= ceil(min(n_a,n_b)/2), and
+    # prefix_filter_candidates is COMPLETE for that predicate — so
+    # semi-joining the rare-token candidates against it only removes
+    # pairs that could never pass verification. The expensive
+    # array_intersect verify then runs on the intersection of the two
+    # channels instead of every rare-token collision.
+    from big_data_streaming_spark.functions.dedup import (
+        prefix_filter_candidates,
+    )
+
+    cand = cand.join(
+        prefix_filter_candidates(sets, "doc_id", "toks", theta=0.5),
+        ["doc_a", "doc_b"],
+        "left_semi",
+    )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     n_common = F.size(F.array_intersect("ta", "tb")).cast("bigint")

@@ -327,3 +327,64 @@ def test_label_sessions_matches_python_labeler_property(spark):
         assert got == expect, (rows, got, expect)
 
     check()
+
+
+def test_prefix_filter_candidates_complete_and_pruning(spark):
+    """PPJoin prefix filter (SCALE.md tightening for q_containment):
+    (a) COMPLETE — every pair with overlap >= ceil(theta*min(n_a,n_b))
+    survives, checked against a brute-force python oracle; (b) PRUNES —
+    on a fixture where 20 docs share two locally-hot boilerplate tokens
+    (df=20, inside q_containment's rare band) but are otherwise
+    disjoint, the naive shared-token channel yields C(20,2)=190
+    candidates while the prefix channel yields only the one genuinely
+    half-overlapping pair (hot tokens sort to the end of the canonical
+    df-ascending order, so they fall out of every prefix)."""
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.functions.dedup import (
+        prefix_filter_candidates,
+    )
+
+    docs = []
+    for i in range(20):
+        uniq = [f"u{i}_{j}" for j in range(10)]
+        docs.append((i, uniq + ["boilA", "boilB"]))
+    # one genuine near-duplicate pair: doc 100 ⊂-ish doc 101
+    shared = [f"s{j}" for j in range(8)]
+    docs.append((100, shared + ["x1", "x2", "boilA", "boilB"]))
+    docs.append((101, shared + ["y1", "y2", "y3", "boilA"]))
+
+    sets = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_candidates(sets, "doc_id", "toks", 0.5).collect()
+    }
+
+    by_id = dict(docs)
+    required = set()
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        ta, tb = set(by_id[a]), set(by_id[b])
+        t = math.ceil(0.5 * min(len(ta), len(tb)))
+        if len(ta & tb) >= t:
+            required.add((a, b))
+    assert required == {(100, 101)}, required
+    assert required <= got, required - got  # completeness
+
+    naive = (
+        sets.select("doc_id", F.explode("toks").alias("tk"))
+        .alias("a")
+        .join(
+            sets.select("doc_id", F.explode("toks").alias("tk")).alias("b"),
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .count()
+    )
+    assert naive >= 190 + 1, naive
+    # measured candidate-set shrinkage: two orders of magnitude here
+    assert len(got) < naive / 10, (len(got), naive)
