@@ -107,6 +107,17 @@ HEADLINE = (
     "q_asof_nearest",
     "q_twap",
     "q_realized_vol",
+    # round 3: the expensive tail of the full-registry sweep (VERDICT r2
+    # item 5) — the 4 slowest registry queries per BENCH_NOTES' round-2
+    # full sweep (q_triangles 14.2 s, q_dedup_components 5.9 s,
+    # q_stream_feed 4.5 s, q_embed_neardup 3.6 s) plus the gate-checked
+    # stateful sessionizer, so regressions on the heavy tail are
+    # driver-visible round-over-round.
+    "q_triangles",
+    "q_dedup_components",
+    "q_stream_feed",
+    "q_embed_neardup",
+    "q_stream_sessionize",
 )
 
 
