@@ -80,12 +80,23 @@ class KlineFeedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self._max = int(options.get("max_rows", 1000))
         self._split = int(options.get("split_rows", 250))
+        # rows_per_poll throttles how much of the feed each latestOffset
+        # poll admits — the live-trigger mode: a processingTime query
+        # then drains in ceil(max/rows_per_poll) micro-batches, letting
+        # event-time watermarks advance BETWEEN batches (windowed aggs
+        # need ≥2 batches to emit anything). Default = everything at
+        # once, which is the correct shape for Trigger.AvailableNow
+        # (the engine snapshots the end offset a single time at query
+        # start, so a growing end offset would under-drain there).
+        self._poll = int(options.get("rows_per_poll", self._max))
+        self._available = 0
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
-        return {"offset": self._max}
+        self._available = min(self._available + self._poll, self._max)
+        return {"offset": self._available}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["offset"], end["offset"]

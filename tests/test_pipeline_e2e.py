@@ -101,3 +101,68 @@ def test_salted_agg_equals_direct(spark, sf_small):
         for r in salted_count(ev, ["event_type"], buckets=8).collect()
     }
     assert n_direct == n_salted
+
+
+def test_live_topk_demo(spark, tmp_path):
+    """Flagship streaming demo (VERDICT r2 item 8): kline_feed source →
+    watermarked window aggregate → per-finalized-window top-k in
+    foreachBatch → idempotent batch-dir parquet — verified against an
+    exact python oracle of the deterministic feed (offset i: coin =
+    COINS[i%5], ts = epoch+i s, volume = (i*7)%31+1)."""
+    import collections
+    import datetime as dt
+    import glob
+    import math
+
+    from big_data_streaming_spark.streaming.demo import (
+        drain_until_idle,
+        run_live_topk,
+    )
+
+    out = str(tmp_path / "serving")
+    q = run_live_topk(
+        spark,
+        out,
+        str(tmp_path / "ckpt"),
+        max_rows=7200,
+        rows_per_poll=1200,
+        window="10 minutes",
+        watermark="10 minutes",
+        k=3,
+    )
+    drain_until_idle(q)
+
+    got = sorted(
+        (
+            (r.window_start, r.coin, r.total_volume, r.rk)
+            for p in glob.glob(out + "/batch_*")
+            for r in spark.read.parquet(p).collect()
+        )
+    )
+
+    # python oracle over the feed definition (sources/feed_datasource.py)
+    coins = ("BTCUSDT", "ETHUSDT", "SOLUSDT", "BNBUSDT", "XRPUSDT")
+    epoch = 1_700_000_000
+    sums: dict = collections.defaultdict(float)
+    for i in range(7200):
+        w = (epoch + i) // 600 * 600
+        sums[(w, coins[i % 5])] += (i * 7) % 31 + 1
+    max_ts = epoch + 7199
+    wm = max_ts - 600  # watermark delay 10 min
+    expect = []
+    for w in sorted({k[0] for k in sums}):
+        if w + 600 > wm:  # window not finalized → stays in state
+            continue
+        ranked = sorted(
+            ((c, v) for (ww, c), v in sums.items() if ww == w),
+            key=lambda cv: (-cv[1], cv[0]),
+        )[:3]
+        for rk, (c, v) in enumerate(ranked, start=1):
+            expect.append(
+                (dt.datetime.fromtimestamp(w, dt.timezone.utc).replace(tzinfo=None), c, v, rk)
+            )
+    expect.sort()
+    assert len(got) == len(expect), (len(got), len(expect))
+    for g, e in zip(got, expect):
+        assert g[0] == e[0] and g[1] == e[1] and g[3] == e[3], (g, e)
+        assert math.isclose(g[2], e[2]), (g, e)
