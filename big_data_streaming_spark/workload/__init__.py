@@ -133,6 +133,17 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q2",
     "q_tpch_q4",
     # ============ round-4 rotation candidates (positions 50+) ============
+    # Round-3 additions — full-oracle, green under the in-repo gate at
+    # sf0.001+sf0.01; first in line for the round-4 window.
+    "q_bollinger",
+    "q_rsi",
+    "q_refint_audit",
+    "q_s_core",
+    "q_bigram_score",
+    "q_feature_hash",
+    "q_loss_mask",
+    "q_minmax_scale",
+    "q_stream_full_outer",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -2454,3 +2454,396 @@ def q_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.withColumn(
         "release_ok", F.min("n_records").over(w_all) >= 10
     )
+
+
+# ===================== round-3 additions ====================================
+# --- Bollinger bands (rolling mean ± 2σ breach detection) ------------------
+# Completes the market stack (OHLC/VWAP/TWAP/realized-vol/drawdown) with
+# the classic mean-reversion signal: per event_type, a 20-row trailing
+# window's mean and population σ, bands at ±2σ, and the breach flag per
+# observation. Exactness: prices quantize to exact thousandths once
+# (floor(v*1000+0.5), the q_realized_vol pattern); the rolling SUM and
+# SUM-of-squares are then integer-exact in any order, and mean/σ/bands
+# are ONE shared-text IEEE expression over those integers (σ via
+# correctly-rounded sqrt of an integer-derived double — bit-identical on
+# both engines). Scale: ONE event_type exchange; the trailing frame is
+# O(20) state per partition stream — no second shuffle.
+@_q(
+    "q_bollinger",
+    """
+    WITH q AS (
+        SELECT event_type, ts, event_id, value,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS qv
+        FROM events
+    ), r AS (
+        SELECT event_type, ts, event_id, value,
+               SUM(qv) OVER w AS s,
+               SUM(qv * qv) OVER w AS ss,
+               COUNT(*) OVER w AS n
+        FROM q
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, ts, event_id, value,
+           CAST(s AS DOUBLE) / 20000.0 AS mid,
+           sqrt(CAST(20 * ss - s * s AS DOUBLE)) / 20000.0 AS sigma,
+           CAST(s AS DOUBLE) / 20000.0
+             + sqrt(CAST(20 * ss - s * s AS DOUBLE)) / 10000.0 AS upper_band,
+           CAST(s AS DOUBLE) / 20000.0
+             - sqrt(CAST(20 * ss - s * s AS DOUBLE)) / 10000.0 AS lower_band,
+           value * 1000 > CAST(s AS DOUBLE) / 20.0
+             + sqrt(CAST(20 * ss - s * s AS DOUBLE)) / 10.0 AS breach_up,
+           value * 1000 < CAST(s AS DOUBLE) / 20.0
+             - sqrt(CAST(20 * ss - s * s AS DOUBLE)) / 10.0 AS breach_down
+    FROM r WHERE n = 20
+    """,
+)
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 1000 + 0.5).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    r = e.select("event_type", "ts", "event_id", "value", qv.alias("qv")).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.sum("qv").over(w).alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    var20 = (F.lit(20) * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    mid = F.col("s").cast("double") / F.lit(20000.0)
+    sig = F.sqrt(var20) / F.lit(20000.0)
+    return r.where(F.col("n") == 20).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        mid.alias("mid"),
+        sig.alias("sigma"),
+        (mid + F.sqrt(var20) / F.lit(10000.0)).alias("upper_band"),
+        (mid - F.sqrt(var20) / F.lit(10000.0)).alias("lower_band"),
+        (
+            F.col("value") * 1000
+            > F.col("s").cast("double") / 20.0 + F.sqrt(var20) / F.lit(10.0)
+        ).alias("breach_up"),
+        (
+            F.col("value") * 1000
+            < F.col("s").cast("double") / 20.0 - F.sqrt(var20) / F.lit(10.0)
+        ).alias("breach_down"),
+    )
+
+
+# --- RSI (relative strength index, Wilder's SMA form) -----------------------
+# Momentum oscillator over the same quantized-price stream: per
+# event_type, split consecutive deltas into gains/losses (exact integer
+# thousandths via LAG), take 14-row trailing integer sums, and compute
+# RSI = 100 - 100/(1 + gains/losses) as one shared-text expression; an
+# all-gain window is RSI 100 by convention (CASE on the exact integer
+# sum, not on a float). Scale: identical to q_bollinger — one exchange,
+# O(14) frame state.
+@_q(
+    "q_rsi",
+    """
+    WITH d AS (
+        SELECT event_type, ts, event_id,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                 - LAG(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                 AS delta
+        FROM events
+    ), g AS (
+        SELECT event_type, ts, event_id,
+               SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER w AS gain,
+               SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w AS loss,
+               COUNT(delta) OVER w AS n
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, ts, event_id,
+           CAST(gain AS BIGINT) AS gain_q,
+           CAST(loss AS BIGINT) AS loss_q,
+           CASE WHEN loss = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + CAST(gain AS DOUBLE)
+                                            / CAST(loss AS DOUBLE))
+           END AS rsi
+    FROM g WHERE n = 14
+    """,
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    qv = F.floor(F.col("value") * 1000 + 0.5).cast("bigint")
+    d = e.select(
+        "event_type", "ts", "event_id", (qv - F.lag(qv).over(wlag)).alias("delta")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-13, 0)
+    )
+    g = d.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(
+            F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0))
+        ).over(w).alias("gain"),
+        F.sum(
+            F.when(F.col("delta") < 0, -F.col("delta")).otherwise(F.lit(0))
+        ).over(w).alias("loss"),
+        F.count("delta").over(w).alias("n"),
+    )
+    return g.where(F.col("n") == 14).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("gain").cast("bigint").alias("gain_q"),
+        F.col("loss").cast("bigint").alias("loss_q"),
+        F.when(F.col("loss") == 0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0)
+            - F.lit(100.0)
+            / (
+                F.lit(1.0)
+                + F.col("gain").cast("double") / F.col("loss").cast("double")
+            )
+        )
+        .alias("rsi"),
+    )
+
+
+# --- referential-integrity audit (FK orphan scan over the star schema) ----
+# The warehouse health check a 100 TB lake runs nightly: for every FK
+# edge of the TPC-H-ish schema, child cardinalities, NULL keys, and
+# orphan rows (child keys with no parent — broken ingestion or late
+# dimension loads). Everything is exact integer counts. Scale: each
+# edge is one anti-join; the parent side is keys-only (pruned scan) and
+# small dims broadcast, so the fact tables are scanned once per edge
+# with no wide shuffle. The 7 one-row edge aggregates union at the end.
+@_q(
+    "q_refint_audit",
+    """
+    WITH edge AS (
+        SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+               (SELECT COUNT(*) FROM lineitem) AS child_rows,
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS distinct_keys,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_keys,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                   AS orphan_rows
+        UNION ALL SELECT 'lineitem.l_partkey->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l_partkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l_suppkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+               (SELECT COUNT(*) FROM orders o
+                WHERE o_custkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL SELECT 'customer.c_nationkey->nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+               (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+               (SELECT COUNT(*) FROM customer c
+                WHERE c_nationkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL SELECT 'supplier.s_nationkey->nation',
+               (SELECT COUNT(*) FROM supplier),
+               (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+               (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NULL),
+               (SELECT COUNT(*) FROM supplier s
+                WHERE s_nationkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        UNION ALL SELECT 'nation.n_regionkey->region',
+               (SELECT COUNT(*) FROM nation),
+               (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
+               (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NULL),
+               (SELECT COUNT(*) FROM nation na
+                WHERE n_regionkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM region r WHERE r.r_regionkey = na.n_regionkey))
+    )
+    SELECT fk_edge, CAST(child_rows AS BIGINT) AS child_rows,
+           CAST(distinct_keys AS BIGINT) AS distinct_keys,
+           CAST(null_keys AS BIGINT) AS null_keys,
+           CAST(orphan_rows AS BIGINT) AS orphan_rows
+    FROM edge
+    """,
+)
+def q_refint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    )
+    out = None
+    for label, child, ckey, parent, pkey in edges:
+        c = t(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = t(spark, sf_dir, parent).select(F.col(pkey).alias("pk")).distinct()
+        base = c.agg(
+            F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+            F.count_distinct(F.col("k")).cast("bigint").alias("distinct_keys"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("null_keys"),
+        )
+        orph = (
+            c.where(F.col("k").isNotNull())
+            .join(F.broadcast(p), F.col("k") == F.col("pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_rows"))
+        )
+        row = base.crossJoin(orph).select(
+            F.lit(label).alias("fk_edge"),
+            "child_rows",
+            "distinct_keys",
+            "null_keys",
+            "orphan_rows",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --- weighted s-core extraction (iterative strength peeling) ---------------
+# Graph-mining companion to triangles/CC/PageRank, in the weighted form
+# that survives uniform synthetic data: the k-core's degree threshold is
+# degenerate on homogeneous graphs, so this is the s-core generalization
+# (Eidsaa & Almaas, weighted degeneracy): node strength = Σ co-occurrence
+# weights, and each round peels nodes whose strength falls below the
+# CURRENT survivors' mean — an adaptive threshold that extracts the dense
+# backbone at any scale instead of emptying (fixed thresholds collapsed at
+# small SF; measured). Rounds are UNROLLED (3, like q_bfs_hops) so the
+# DuckDB oracle is the identical CTE chain; exactness: weights are doc
+# counts (int), strengths are int sums, each threshold is ONE exact-int
+# division, and a strength-vs-double compare is deterministic. Scale:
+# each round = one strength aggregate + two semi-joins on the pruned
+# edge relation (persisted — every round re-probes it); the threshold is
+# a broadcast one-row aggregate, never a collect.
+@_q(
+    "q_s_core",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), e0 AS (
+        SELECT a.token AS u, b.token AS v, COUNT(*) AS w
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token <> b.token
+        GROUP BY 1, 2
+    ), s1 AS (SELECT u, SUM(w) AS s FROM e0 GROUP BY u),
+    k1 AS (SELECT u FROM s1 WHERE CAST(s AS DOUBLE)
+               >= (SELECT CAST(SUM(s) AS DOUBLE) / COUNT(*) FROM s1)),
+    e1 AS (SELECT e.u, e.v, e.w FROM e0 e
+           WHERE EXISTS (SELECT 1 FROM k1 WHERE k1.u = e.u)
+             AND EXISTS (SELECT 1 FROM k1 WHERE k1.u = e.v)),
+    s2 AS (SELECT u, SUM(w) AS s FROM e1 GROUP BY u),
+    k2 AS (SELECT u FROM s2 WHERE CAST(s AS DOUBLE)
+               >= (SELECT CAST(SUM(s) AS DOUBLE) / COUNT(*) FROM s2)),
+    e2 AS (SELECT e.u, e.v, e.w FROM e1 e
+           WHERE EXISTS (SELECT 1 FROM k2 WHERE k2.u = e.u)
+             AND EXISTS (SELECT 1 FROM k2 WHERE k2.u = e.v)),
+    s3 AS (SELECT u, SUM(w) AS s FROM e2 GROUP BY u)
+    SELECT u AS token, CAST(s AS BIGINT) AS core_strength
+    FROM s3 WHERE CAST(s AS DOUBLE)
+        >= (SELECT CAST(SUM(s) AS DOUBLE) / COUNT(*) FROM s3)
+    """,
+)
+def q_s_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rounds = 3
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    edges = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") != F.col("b.token")),
+        )
+        .groupBy(F.col("a.token").alias("u"), F.col("b.token").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    strength = edges.groupBy("u").agg(F.sum("w").alias("s"))
+    for r in range(rounds):
+        thr = strength.agg(
+            (F.sum("s").cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        kept = (
+            strength.crossJoin(F.broadcast(thr))
+            .where(F.col("s").cast("double") >= F.col("m"))
+            .select("u")
+        )
+        if r == rounds - 1:
+            return (
+                strength.join(kept, "u", "left_semi")
+                .select(
+                    F.col("u").alias("token"),
+                    F.col("s").cast("bigint").alias("core_strength"),
+                )
+            )
+        edges = (
+            edges.join(kept, "u", "left_semi")
+            .join(kept.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v", "w")
+        )
+        strength = edges.groupBy("u").agg(F.sum("w").alias("s"))
+
+
+# --- min-max scaling (per-group feature normalization) ----------------------
+# The third scaler beside q_robust_scaler (median/IQR) and q_zscore:
+# (x - min) / (max - min) per event_type. min/max are order-free exact
+# aggregates and the scale step is ONE shared-text division (nullif
+# guards the constant-group case). Scale: the per-group extrema are an
+# O(groups) aggregate broadcast back onto the scan — no window over the
+# fact table, zero extra fact exchanges.
+@_q(
+    "q_minmax_scale",
+    """
+    WITH m AS (
+        SELECT event_type, MIN(value) AS v_min, MAX(value) AS v_max
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, m.v_min, m.v_max,
+           (e.value - m.v_min) / nullif(m.v_max - m.v_min, 0) AS scaled
+    FROM events e JOIN m USING (event_type)
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.min("value").alias("v_min"), F.max("value").alias("v_max")
+    )
+    return e.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "v_min",
+        "v_max",
+        (
+            (F.col("value") - F.col("v_min"))
+            / F.nullif(F.col("v_max") - F.col("v_min"), F.lit(0.0))
+        ).alias("scaled"),
+    )

@@ -956,3 +956,62 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_user_sum") == F.col("total_users")).alias("leak_free"),
         )
     )
+
+
+# ===================== round-3 additions ====================================
+# --- instruction-tuning loss masks (prompt/completion span split) ----------
+# SFT data prep: every example needs to know which token span is prompt
+# (loss-masked) and which is completion (trained on). The boundary here
+# is the first occurrence of the marker token 'query' (the corpus's
+# instruction-boundary stand-in); docs without it are all-prompt
+# (mask_ratio 0 — they contribute no training signal and a real pipeline
+# would drop them, which is why the ratio is the output). Pure scan-side
+# arithmetic: array_position + three exact integers + ONE shared-text
+# division. At 100 TB this is a zero-shuffle projection.
+@_q(
+    "q_loss_mask",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               COALESCE(list_position(string_split(text, ' '), 'query'), 0)
+                   AS marker_pos
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           marker_pos > 0 AS has_marker,
+           CAST(CASE WHEN marker_pos > 0 THEN marker_pos ELSE n_tokens END
+                AS BIGINT) AS prompt_tokens,
+           CAST(n_tokens - CASE WHEN marker_pos > 0 THEN marker_pos
+                                ELSE n_tokens END AS BIGINT)
+               AS completion_tokens,
+           CAST(n_tokens - CASE WHEN marker_pos > 0 THEN marker_pos
+                                ELSE n_tokens END AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE) AS mask_ratio
+    FROM d
+    """,
+)
+def q_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        # Spark's array_position already returns 0 when absent (DuckDB's
+        # list_position returns NULL — coalesced in the oracle).
+        F.array_position(tk, "query").alias("marker_pos"),
+    )
+    prompt = F.when(F.col("marker_pos") > 0, F.col("marker_pos")).otherwise(
+        F.col("n_tokens")
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("marker_pos") > 0).alias("has_marker"),
+        prompt.cast("bigint").alias("prompt_tokens"),
+        (F.col("n_tokens") - prompt).cast("bigint").alias("completion_tokens"),
+        (
+            (F.col("n_tokens") - prompt).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("mask_ratio"),
+    )

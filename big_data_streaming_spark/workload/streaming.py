@@ -1083,3 +1083,112 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events", "closed_by"
     )
+
+
+# ===================== round-3 additions ====================================
+# Streaming B8 completion: STREAM-STREAM FULL OUTER join — both sides'
+# unmatched rows surface with NULLs once the watermark proves no partner
+# can still arrive (matched pairs emit immediately, no watermark needed).
+# Decided-region contract, stated identically in the oracle: click-side
+# rows (matched or left-null) are decided when the click's 30-minute
+# match window closed strictly before the final global watermark;
+# purchase-only rows when the purchase's backward window did (the
+# purchase at p matches clicks in [p-30m, p], so symmetry gives the same
+# +30min cutoff). The 1 s margin absorbs the engine's ms-truncated
+# watermark, exactly as in q_stream_stream_left.
+@_q(
+    "q_stream_full_outer",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least(
+                    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+                ) - INTERVAL 1 HOUR AS w)
+    SELECT click_id, purchase_id,
+           COALESCE(user_id, p_user) AS any_user,
+           click_ts, purchase_ts
+    FROM c FULL JOIN p ON user_id = p_user
+               AND purchase_ts >= click_ts
+               AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+    CROSS JOIN wm
+    WHERE (click_ts IS NOT NULL
+           AND click_ts + INTERVAL 30 MINUTE < w - INTERVAL 1 SECOND)
+       OR (click_ts IS NULL
+           AND purchase_ts + INTERVAL 30 MINUTE < w - INTERVAL 1 SECOND)
+    """,
+)
+def q_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir(sf_dir, "events")
+    name = f"stream_ss_full_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+
+    def stream_side(alias: str, etype: str) -> DataFrame:
+        sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
+        sdf = normalize_raw_timestamps(sdf, src_dir)
+        return (
+            sdf.where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{alias}_event_id"),
+                F.col("user_id").alias(f"{alias}_user_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = stream_side("c", "click").join(
+        stream_side("p", "purchase"),
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    batch = normalize_raw_timestamps(spark.read.parquet(src_dir), src_dir)
+    maxes = batch.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).first()
+    wm = min(maxes["mc"], maxes["mp"])
+    cutoff = F.lit(wm) - F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 SECOND")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    return (
+        spark.table(name)
+        .where(
+            (
+                F.col("c_ts").isNotNull()
+                & (F.col("c_ts") + half_hour < cutoff)
+            )
+            | (
+                F.col("c_ts").isNull()
+                & (F.col("p_ts") + half_hour < cutoff)
+            )
+        )
+        .select(
+            F.col("c_event_id").alias("click_id"),
+            F.col("p_event_id").alias("purchase_id"),
+            F.coalesce("c_user_id", "p_user_id").alias("any_user"),
+            F.col("c_ts").alias("click_ts"),
+            F.col("p_ts").alias("purchase_ts"),
+        )
+    )

@@ -2022,3 +2022,126 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     longs = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
     return d.select("doc_id", F.explode_outer(longs).alias("long_token"))
+
+
+# ===================== round-3 additions ====================================
+# --- bigram-LM document scoring (log-free held-out fluency) ----------------
+# Scores every document against the corpus bigram LM (the apply side of
+# q_bigram_lm's train side): per doc, how many of its bigrams the corpus
+# sees more than once (coverage — log-free stand-in for perplexity), and
+# the weakest link min P(next|cur). Exactness: counts are ints; each
+# conditional probability is ONE division and MIN over them is
+# order-free; coverage is one shared-text division. At 100 TB the LM
+# relation is the vocabulary² aggregate (small, broadcast); docs stream
+# through one bigram explode + broadcast join — no corpus self-join.
+@_q(
+    "q_bigram_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, tk[i] AS cur, tk[i+1] AS nxt
+        FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS r(i)
+    ),
+    bc AS (SELECT cur, nxt, COUNT(*) AS c_bigram FROM bg GROUP BY cur, nxt),
+    cc AS (SELECT cur, CAST(SUM(c_bigram) AS BIGINT) AS c_cur FROM bc GROUP BY cur)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c_bigram >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_known,
+           CAST(SUM(CASE WHEN c_bigram >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS coverage,
+           MIN(CAST(c_bigram AS DOUBLE) / CAST(c_cur AS DOUBLE))
+               AS min_cond_prob
+    FROM bg JOIN bc USING (cur, nxt) JOIN cc USING (cur)
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),"
+                    " (a, b) -> struct(a AS cur, b AS nxt))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.cur", "p.nxt")
+    )
+    bc = bg.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c_bigram"))
+    cc = bc.groupBy("cur").agg(F.sum("c_bigram").cast("bigint").alias("c_cur"))
+    lm = F.broadcast(bc.join(cc, "cur"))
+    known = F.when(F.col("c_bigram") >= 2, 1).otherwise(0)
+    return (
+        bg.join(lm, ["cur", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(known).cast("bigint").alias("n_known"),
+            (F.sum(known).cast("double") / F.count(F.lit(1))).alias("coverage"),
+            F.min(
+                F.col("c_bigram").cast("double") / F.col("c_cur").cast("double")
+            ).alias("min_cond_prob"),
+        )
+    )
+
+
+# --- feature hashing (the hashing trick, exact-integer) ---------------------
+# Bag-of-tokens → fixed 16-dim signed feature vector without a vocabulary
+# (Weinberger et al.): dim = h(token) mod 16, sign = bit 4 of h, weight =
+# Σ sign over occurrences. The hash is a shared-arithmetic character hash
+# (ascii-sum/length/first/last-char polynomial) so the DuckDB oracle is
+# exact — at 100 TB swap in scan-side xxhash64 (one line); hash QUALITY
+# does not affect the operator's correctness, only collision rates, and
+# the trick is collision-tolerant by construction. Everything is integer
+# arithmetic: map-side combinable, one (doc, dim) exchange.
+@_q(
+    "q_feature_hash",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), h AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(string_split(token, ''),
+                                             x -> ascii(x)), 'sum') * 131
+                 + strlen(token) * 31
+                 + ascii(substr(token, 1, 1)) * 7
+                 + ascii(substr(token, strlen(token), 1)) AS hv
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(hv % 16 AS INTEGER) AS dim,
+           CAST(SUM(CASE WHEN hv % 32 < 16 THEN 1 ELSE -1 END) AS BIGINT)
+               AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM h
+    GROUP BY doc_id, hv % 16
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    sum_ascii = F.aggregate(
+        F.transform(F.split(F.col("token"), ""), lambda c: F.ascii(c)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    hv = (
+        sum_ascii * 131
+        + F.length("token") * 31
+        + F.ascii(F.substring(F.col("token"), 1, 1)) * 7
+        + F.ascii(F.expr("substr(token, length(token), 1)"))
+    )
+    h = tok.select("doc_id", hv.alias("hv"))
+    return (
+        h.groupBy("doc_id", F.pmod("hv", F.lit(16)).cast("int").alias("dim"))
+        .agg(
+            F.sum(F.when(F.pmod("hv", F.lit(32)) < 16, 1).otherwise(-1))
+            .cast("bigint")
+            .alias("weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )

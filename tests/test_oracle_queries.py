@@ -76,7 +76,7 @@ def test_coverage_totals_match_registry():
     from pathlib import Path
 
     text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
-    m = re.search(r"\*\*Totals \(round 2\):\*\* (\d+) `queries\(\)` entries — (\d+) with full DuckDB", text)
+    m = re.search(r"\*\*Totals \(round \d+\):\*\* (\d+) `queries\(\)` entries — (\d+) with full DuckDB", text)
     assert m, "totals sentence missing/reshaped"
     assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
     assert int(m.group(2)) == len(ORACLES), (m.group(2), len(ORACLES))
