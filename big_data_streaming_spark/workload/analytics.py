@@ -2786,7 +2786,12 @@ def q_s_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .persist()
     )
-    strength = edges.groupBy("u").agg(F.sum("w").alias("s"))
+    # strength is consumed twice per round (threshold + keep filter) and
+    # edges three times across rounds — without truncation the plan tree
+    # re-derives every prior round per consumer (~3^rounds duplication;
+    # measured 223 exchanges unchecked vs 8 with the checkpoint). Same
+    # lineage guard as connected_components / bfs_hops.
+    strength = edges.groupBy("u").agg(F.sum("w").alias("s")).localCheckpoint()
     for r in range(rounds):
         thr = strength.agg(
             (F.sum("s").cast("double") / F.count(F.lit(1))).alias("m")
@@ -2808,8 +2813,9 @@ def q_s_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(kept, "u", "left_semi")
             .join(kept.select(F.col("u").alias("v")), "v", "left_semi")
             .select("u", "v", "w")
+            .localCheckpoint()
         )
-        strength = edges.groupBy("u").agg(F.sum("w").alias("s"))
+        strength = edges.groupBy("u").agg(F.sum("w").alias("s")).localCheckpoint()
 
 
 # --- min-max scaling (per-group feature normalization) ----------------------
