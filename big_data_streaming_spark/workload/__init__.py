@@ -144,6 +144,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_loss_mask",
     "q_minmax_scale",
     "q_stream_full_outer",
+    "q_lag_corr",
+    "q_stream_complete_rank",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -2853,3 +2853,70 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("v_max") - F.col("v_min"), F.lit(0.0))
         ).alias("scaled"),
     )
+
+
+# --- lead-lag cross-correlation (hourly series, lags 0 and 1) ---------------
+# Does one event type's hourly volume LEAD another's? Pearson correlation
+# between type-a's hour-h total and type-b's hour-(h+lag) total, for all
+# ordered type pairs at lags 0 and 1 — the market/ops question behind
+# "do clicks predict purchases an hour later". Shared SQL text evaluated
+# verbatim by BOTH engines (the q_ols_by_group pattern): hourly totals
+# are exact integer thousandths; the six sufficient statistics route
+# through DECIMAL(38,0); the Pearson finish is one fixed-order IEEE
+# expression (sqrt is correctly rounded on both engines). Scale: the
+# hourly rollup is one combinable aggregate; everything after runs on
+# the O(types × hours) frame — the self-join is on that tiny relation,
+# never on events.
+def _lag_corr_sql(table: str) -> str:
+    stats = (
+        "COUNT(*) AS n, "
+        "SUM(CAST(xa AS DECIMAL(38,0))) AS sx, "
+        "SUM(CAST(xb AS DECIMAL(38,0))) AS sy, "
+        "SUM(CAST(xa * xb AS DECIMAL(38,0))) AS sxy, "
+        "SUM(CAST(xa * xa AS DECIMAL(38,0))) AS sxx, "
+        "SUM(CAST(xb * xb AS DECIMAL(38,0))) AS syy"
+    )
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    denx = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    deny = (
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS tq
+        FROM {table}
+        GROUP BY event_type, date_trunc('hour', ts)
+    ), lagged AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, l.lh AS lag_h,
+               a.tq AS xa, b.tq AS xb
+        FROM h a
+        JOIN (SELECT 0 AS lh UNION ALL SELECT 1) l ON 1 = 1
+        JOIN h b
+          ON b.event_type <> a.event_type
+         AND b.hour = a.hour + l.lh * INTERVAL '1' HOUR
+         AND a.event_type < b.event_type
+    ), s AS (
+        SELECT type_a, type_b, lag_h, {stats}
+        FROM lagged GROUP BY type_a, type_b, lag_h
+    )
+    SELECT type_a, type_b, CAST(lag_h AS INTEGER) AS lag_h,
+           CAST(n AS BIGINT) AS n_hours,
+           {num} / nullif(sqrt({denx}) * sqrt({deny}), 0) AS pearson_r
+    FROM s
+    """
+
+
+@_q("q_lag_corr", _lag_corr_sql("events"))
+def q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_lagcorr")
+    return spark.sql(_lag_corr_sql("events_lagcorr"))

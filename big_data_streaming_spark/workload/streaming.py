@@ -1192,3 +1192,67 @@ def q_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_ts").alias("purchase_ts"),
         )
     )
+
+
+# Complete-mode streaming ranking — the one output mode where sort+limit
+# run INSIDE the streaming plan (append/update forbid unbounded sorts;
+# complete re-emits the whole result per batch, so ranking the full state
+# is legal). Contrast with q_stream_topk, which ranks finalized windows
+# in foreachBatch under append mode. The memory sink holds the LAST
+# emission = the all-data ranking, so the batch oracle is exact with no
+# watermark contract. Scale: complete mode means O(groups) state and a
+# full re-emission per batch — correct for small dashboards (top-10
+# types), wrong for unbounded keys; that trade IS the lesson this query
+# pins. Deterministic tie-break (total DESC, type) makes the LIMIT set
+# unique.
+@_q(
+    "q_stream_complete_rank",
+    f"""
+    SELECT event_type,
+           {oracle_dec_sum('value', 'total_value')},
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY total_value DESC, event_type
+    LIMIT 10
+    """,
+)
+def q_stream_complete_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir(sf_dir, "events")
+    name = f"stream_complete_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    ranked = (
+        sdf.groupBy("event_type")
+        .agg(
+            dec_sum("value", "total_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), "event_type")
+        .limit(10)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            ranked.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.table(name)
