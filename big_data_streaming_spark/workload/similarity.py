@@ -776,3 +776,96 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reciprocal_rank"),
         )
     )
+
+
+# ===================== round-3 additions ====================================
+# --- MaxSim late-interaction scoring (ColBERT-style) ------------------------
+# Multi-vector retrieval: treat each 64-dim embedding as 4 token vectors
+# of 16 dims; score(q, d) = Σ over q's chunks of max over d's chunks of
+# their dot product — the late-interaction form that beats single-vector
+# cosine on fine-grained matches. Components are quantized once to exact
+# 1e-4 integers (the q_embed_quantize floor pattern), so every dot, max
+# and sum is integer-exact and the oracle matches bit-for-bit. The whole
+# computation is RELATIONAL (posexplode to (vec, chunk, dim, q) rows;
+# dot = grouped SUM of products over the dim equi-join) — no UDFs, all
+# codegen. Scale: the 5-query side is broadcast (320 component rows);
+# the corpus is scanned once; chunk-dot cardinality is
+# |queries|·|docs|·16 grouped rows — at real scale the IVF router
+# (functions/similarity.py) prunes the doc side first and MaxSim
+# re-ranks only the candidate list, which is exactly how ColBERT serves.
+@_q(
+    "q_maxsim",
+    """
+    WITH comp AS (
+        SELECT vec_id,
+               CAST((g.i - 1) // 16 AS INTEGER) AS ch,
+               CAST((g.i - 1) % 16 AS INTEGER) AS d,
+               CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ), qc AS (SELECT * FROM comp WHERE vec_id < 5),
+    cc AS (SELECT * FROM comp WHERE vec_id >= 5),
+    dots AS (
+        SELECT qc.vec_id AS q_id, cc.vec_id AS doc_id,
+               qc.ch AS q_ch, cc.ch AS d_ch,
+               SUM(qc.q * cc.q) AS dot
+        FROM qc JOIN cc ON qc.d = cc.d
+        GROUP BY 1, 2, 3, 4
+    ), best AS (
+        SELECT q_id, doc_id, q_ch, MAX(dot) AS best_dot
+        FROM dots GROUP BY q_id, doc_id, q_ch
+    ), scores AS (
+        SELECT q_id, doc_id, CAST(SUM(best_dot) AS BIGINT) AS maxsim_q
+        FROM best GROUP BY q_id, doc_id
+    )
+    SELECT q_id, doc_id, maxsim_q,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY maxsim_q DESC, doc_id) AS INTEGER)
+               AS rank
+    FROM scores
+    QUALIFY rank <= 3
+    """,
+)
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    comp = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("i", "f"))
+        .select(
+            "vec_id",
+            (F.col("i") / 16).cast("int").alias("ch"),
+            F.pmod("i", F.lit(16)).cast("int").alias("d"),
+            F.floor(F.col("f").cast("double") * 10000 + 0.5)
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    qc = comp.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ch").alias("q_ch"),
+        "d",
+        F.col("q").alias("qv"),
+    )
+    cc = comp.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("ch").alias("d_ch"),
+        "d",
+        F.col("q").alias("cv"),
+    )
+    dots = (
+        cc.join(F.broadcast(qc), "d")
+        .groupBy("q_id", "doc_id", "q_ch", "d_ch")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
+    )
+    best = dots.groupBy("q_id", "doc_id", "q_ch").agg(
+        F.max("dot").alias("best_dot")
+    )
+    scores = best.groupBy("q_id", "doc_id").agg(
+        F.sum("best_dot").cast("bigint").alias("maxsim_q")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim_q"), "doc_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
