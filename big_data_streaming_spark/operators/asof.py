@@ -125,10 +125,18 @@ def asof_join(
     right_ts: str = "ts",
     right_payload: Sequence[str] = (),
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join. Returns every left row plus
     ``<payload><suffix>`` columns from the latest right row at or before
     its timestamp (nulls when no right row precedes it).
+
+    ``tolerance`` (an interval string like ``"15 minutes"`` — pandas
+    ``merge_asof(tolerance=...)`` parity) bounds the allowed staleness:
+    a carried match older than ``left_ts - tolerance`` is nulled out, as
+    if no right row preceded the left row. Same single shuffle + sort;
+    the freshness check is a per-row expression on the carried right
+    timestamp.
 
     The whole right row travels as ONE nullable struct: per-column
     last(ignoreNulls) would skip a legitimately-NULL payload value and
@@ -141,7 +149,7 @@ def asof_join(
     right_payload = _resolve_payload(right, keys, right_ts, right_payload)
     u, lcols = _tag_union(
         left, right, keys, left_ts, right_ts, right_payload,
-        left_side=1, include_rts=False,
+        left_side=1, include_rts=tolerance is not None,
     )
     w = (
         Window.partitionBy(*keys)
@@ -153,9 +161,21 @@ def asof_join(
         "_side",
         F.last("_p", ignorenulls=True).over(w).alias("_carry"),
     )
-    return carried.filter(F.col("_side") == 1).select(
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance is None:
+        return out.select(
+            *lcols,
+            *[F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in right_payload],
+        )
+    fresh = F.col("_carry._rts") >= (
+        F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+    )
+    return out.select(
         *lcols,
-        *[F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in right_payload],
+        *[
+            F.when(fresh, F.col(f"_carry.{c}")).alias(f"{c}{suffix}")
+            for c in right_payload
+        ],
     )
 
 

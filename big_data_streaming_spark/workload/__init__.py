@@ -147,6 +147,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_lag_corr",
     "q_stream_complete_rank",
     "q_maxsim",
+    "q_asof_tolerance",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -1453,3 +1453,42 @@ def q_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item.sku").alias("sku"),
         F.col("item.qty").alias("qty"),
     )
+
+
+# --- as-of join with tolerance (bounded staleness) --------------------------
+# q_asof_join's backward carry, but a mark older than 15 minutes is no
+# mark at all (pandas merge_asof(tolerance=...) parity — the market rule
+# "don't price a trade off a stale quote"). The oracle uses DuckDB's
+# native ASOF JOIN and nulls stale matches post-hoc, so the operator's
+# tolerance path is checked against the reference implementation. Same
+# one-shuffle plan as the unbounded join; the freshness check is one
+# per-row expression on the carried right timestamp.
+@_q(
+    "q_asof_tolerance",
+    f"""
+    WITH marks AS (
+        SELECT user_id, date_trunc('hour', ts) AS mts,
+               {oracle_dec_sum('value', 'mark_value')}
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.value,
+           CASE WHEN m.mts >= e.ts - INTERVAL 15 MINUTE
+                THEN m.mark_value END AS mark_value_right
+    FROM events e ASOF LEFT JOIN marks m
+      ON e.user_id = m.user_id AND e.ts >= m.mts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    marks = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(dec_sum("value", "mark_value"))
+        .select("user_id", F.col("w.start").alias("mts"), "mark_value")
+    )
+    return asof_join(
+        ev, marks, keys=["user_id"], left_ts="ts", right_ts="mts",
+        right_payload=["mark_value"], tolerance="15 minutes",
+    )
