@@ -148,6 +148,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_stream_complete_rank",
     "q_maxsim",
     "q_asof_tolerance",
+    "q_seasonal_decompose",
+    "q_covisit",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

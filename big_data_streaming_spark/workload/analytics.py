@@ -2920,3 +2920,154 @@ def _lag_corr_sql(table: str) -> str:
 def q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "events").createOrReplaceTempView("events_lagcorr")
     return spark.sql(_lag_corr_sql("events_lagcorr"))
+
+
+# --- additive seasonal decomposition (trend / seasonal / residual) ----------
+# Classic STL-lite over the hourly spine: trend = centered 25-hour
+# rolling mean, seasonal = hour-of-day mean of the detrended series,
+# residual = observed - trend - seasonal. Exactness trick: the detrended
+# series is kept in the EXACT-INTEGER domain as 25·tq − Σwindow(tq)
+# (both bigint), so the seasonal mean is one integer sum + one shared
+# division — no order-dependent float accumulation anywhere; trend and
+# residual are fixed-order IEEE expressions over those integers. Scale:
+# one event_type exchange for the hourly rollup; trend frame is O(25)
+# state; seasonal is an O(types × 24) aggregate broadcast back.
+@_q(
+    "q_seasonal_decompose",
+    """
+    WITH h AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS tq
+        FROM events GROUP BY 1, 2
+    ), tr AS (
+        SELECT event_type, hr, tq,
+               SUM(tq) OVER w AS tnum, COUNT(*) OVER w AS tn
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), full_tr AS (
+        SELECT event_type, hr, tq, tnum,
+               CAST(25 * tq - tnum AS BIGINT) AS dq25,
+               CAST(EXTRACT(HOUR FROM hr) AS INTEGER) AS hod
+        FROM tr WHERE tn = 25
+    ), se AS (
+        SELECT event_type, hod,
+               CAST(SUM(dq25) AS BIGINT) AS snum,
+               CAST(COUNT(*) AS BIGINT) AS sn
+        FROM full_tr GROUP BY 1, 2
+    )
+    SELECT f.event_type, f.hr,
+           CAST(f.tq AS DOUBLE) / 1000.0 AS observed,
+           CAST(f.tnum AS DOUBLE) / 25000.0 AS trend,
+           CAST(s.snum AS DOUBLE) / (25000.0 * CAST(s.sn AS DOUBLE))
+               AS seasonal,
+           CAST(f.tq AS DOUBLE) / 1000.0
+             - CAST(f.tnum AS DOUBLE) / 25000.0
+             - CAST(s.snum AS DOUBLE) / (25000.0 * CAST(s.sn AS DOUBLE))
+               AS residual
+    FROM full_tr f JOIN se s
+      ON f.event_type = s.event_type AND f.hod = s.hod
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("tq")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-12, 12)
+    )
+    tr = h.select(
+        "event_type",
+        "hr",
+        "tq",
+        F.sum("tq").over(w).alias("tnum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+    )
+    full_tr = tr.where(F.col("tn") == 25).select(
+        "event_type",
+        "hr",
+        "tq",
+        "tnum",
+        (25 * F.col("tq") - F.col("tnum")).cast("bigint").alias("dq25"),
+        F.hour("hr").cast("int").alias("hod"),
+    )
+    se = full_tr.groupBy("event_type", "hod").agg(
+        F.sum("dq25").cast("bigint").alias("snum"),
+        F.count(F.lit(1)).cast("bigint").alias("sn"),
+    )
+    seasonal = F.col("snum").cast("double") / (
+        F.lit(25000.0) * F.col("sn").cast("double")
+    )
+    trend = F.col("tnum").cast("double") / F.lit(25000.0)
+    observed = F.col("tq").cast("double") / F.lit(1000.0)
+    return full_tr.join(F.broadcast(se), ["event_type", "hod"]).select(
+        "event_type",
+        "hr",
+        observed.alias("observed"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (observed - trend - seasonal).alias("residual"),
+    )
+
+
+# --- co-visitation candidates (recsys candidate generation) -----------------
+# The classic co-occurrence recommender primitive: parts ordered together
+# (same orderkey) → pair counts → top-3 co-visited parts per part. Pure
+# integer counts; the per-part top-k is a window over the aggregated
+# pair relation, never over line items. Scale: the self-join is keyed on
+# orderkey (bounded fan-out per order — ≤ items² per order), the pair
+# aggregate is map-side combinable, and the rank runs on O(parts × k)
+# candidates. This is the broadcastable candidate matrix that feeds
+# serving-time retrieval.
+@_q(
+    "q_covisit",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(row_number() OVER (PARTITION BY part_a
+                                   ORDER BY n_orders DESC, part_b) AS INTEGER)
+               AS rank
+    FROM pairs
+    QUALIFY rank <= 3
+    """,
+)
+def q_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    w = Window.partitionBy("part_a").orderBy(F.desc("n_orders"), "part_b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
