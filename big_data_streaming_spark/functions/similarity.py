@@ -342,3 +342,79 @@ def kmeans_ivf_index(
     )
     centroids = build_centroids(indexed, cluster_col="ivf_cluster", vec_col=vec_col)
     return indexed, centroids
+
+
+def maxsim_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_chunks: int = 4,
+    k: int = 3,
+    scale: int = 10_000,
+) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction top-k (library form of
+    ``q_maxsim``): each vector is split into ``n_chunks`` contiguous
+    token vectors; score(q, d) = Σ over q's chunks of MAX over d's
+    chunks of their dot product. Components are quantized once to exact
+    ``1/scale`` integers so every dot/max/sum is integer-exact and
+    results are deterministic across partitionings.
+
+    The computation is fully relational (posexplode to components, dot =
+    grouped SUM over the dim equi-join — no UDFs): the query side is
+    broadcast, the corpus scanned once. With ``n_chunks=1`` MaxSim
+    degenerates to exact quantized dot-product ranking — the property
+    the test suite pins against a numpy reference. At 100 TB route
+    candidates through ``ivf_topk`` first and MaxSim-re-rank the list.
+
+    Returns (q_id, doc_id, maxsim_q, rank ≤ k).
+    """
+    dim_expr = F.size(vec_col)
+    comp = (
+        emb.withColumn("_isq", query_filter)
+        .withColumn("_cw", (dim_expr / n_chunks).cast("int"))
+        .select(
+            F.col(id_col).alias("_vid"),
+            "_isq",
+            F.posexplode(vec_col).alias("_i", "_f"),
+            "_cw",
+        )
+        .select(
+            "_vid",
+            "_isq",
+            (F.col("_i") / F.col("_cw")).cast("int").alias("_ch"),
+            F.pmod("_i", F.col("_cw")).cast("int").alias("_d"),
+            F.floor(F.col("_f").cast("double") * scale + 0.5)
+            .cast("bigint")
+            .alias("_q"),
+        )
+    )
+    qc = comp.where(F.col("_isq")).select(
+        F.col("_vid").alias("q_id"),
+        F.col("_ch").alias("_qch"),
+        "_d",
+        F.col("_q").alias("_qv"),
+    )
+    cc = comp.where(~F.col("_isq")).select(
+        F.col("_vid").alias("doc_id"),
+        F.col("_ch").alias("_dch"),
+        "_d",
+        F.col("_q").alias("_cv"),
+    )
+    dots = (
+        cc.join(F.broadcast(qc), "_d")
+        .groupBy("q_id", "doc_id", "_qch", "_dch")
+        .agg(F.sum(F.col("_qv") * F.col("_cv")).alias("_dot"))
+    )
+    best = dots.groupBy("q_id", "doc_id", "_qch").agg(
+        F.max("_dot").alias("_best")
+    )
+    scores = best.groupBy("q_id", "doc_id").agg(
+        F.sum("_best").cast("bigint").alias("maxsim_q")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim_q"), "doc_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -827,45 +827,12 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from big_data_streaming_spark.functions.similarity import maxsim_topk
 
-    comp = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("i", "f"))
-        .select(
-            "vec_id",
-            (F.col("i") / 16).cast("int").alias("ch"),
-            F.pmod("i", F.lit(16)).cast("int").alias("d"),
-            F.floor(F.col("f").cast("double") * 10000 + 0.5)
-            .cast("bigint")
-            .alias("q"),
-        )
-    )
-    qc = comp.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("ch").alias("q_ch"),
-        "d",
-        F.col("q").alias("qv"),
-    )
-    cc = comp.where(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("ch").alias("d_ch"),
-        "d",
-        F.col("q").alias("cv"),
-    )
-    dots = (
-        cc.join(F.broadcast(qc), "d")
-        .groupBy("q_id", "doc_id", "q_ch", "d_ch")
-        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
-    )
-    best = dots.groupBy("q_id", "doc_id", "q_ch").agg(
-        F.max("dot").alias("best_dot")
-    )
-    scores = best.groupBy("q_id", "doc_id").agg(
-        F.sum("best_dot").cast("bigint").alias("maxsim_q")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim_q"), "doc_id")
-    return (
-        scores.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 3)
+    return maxsim_topk(
+        t(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 5,
+        n_chunks=4,
+        k=3,
+        scale=10_000,
     )

@@ -388,3 +388,70 @@ def test_prefix_filter_candidates_complete_and_pruning(spark):
     assert naive >= 190 + 1, naive
     # measured candidate-set shrinkage: two orders of magnitude here
     assert len(got) < naive / 10, (len(got), naive)
+
+
+def test_maxsim_single_chunk_equals_numpy_dot_ranking(spark):
+    """maxsim_topk with n_chunks=1 degenerates to exact quantized
+    dot-product ranking — pinned against an independent numpy reference
+    (third implementation, after the Spark plan and the q_maxsim DuckDB
+    oracle)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.functions.similarity import maxsim_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(40, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.q_id, r.rank): (r.doc_id, r.maxsim_q)
+        for r in maxsim_topk(
+            df, F.col("vec_id") < 3, n_chunks=1, k=5, scale=10_000
+        ).collect()
+    }
+
+    q = np.floor(vecs.astype("float64") * 10_000 + 0.5).astype("int64")
+    for qid in range(3):
+        scores = sorted(
+            ((int(q[qid] @ q[d]), d) for d in range(3, 40)),
+            key=lambda sd: (-sd[0], sd[1]),
+        )
+        for rank, (s, d) in enumerate(scores[:5], start=1):
+            assert got[(qid, rank)] == (d, s), (qid, rank, got[(qid, rank)], (d, s))
+
+
+def test_maxsim_multichunk_dominates_worst_chunk(spark):
+    """MaxSim structural property: with n_chunks=c, score >= the
+    single-chunk dot of the full vectors is NOT guaranteed, but score is
+    always >= sum over query chunks of the MIN doc chunk dot — and equals
+    the full dot when query and doc chunks align best pairwise. Checked
+    on a constructed case: a doc that matches the query chunk-for-chunk
+    scores the full quantized dot; a permuted doc (same chunks, shuffled)
+    scores the SAME MaxSim (chunk max is order-invariant) — the
+    permutation invariance that makes late interaction robust to token
+    order."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.functions.similarity import maxsim_topk
+
+    a = [1.0, 0.0, 0.0, 1.0]  # 2 chunks of 2 dims
+    doc_aligned = [1.0, 0.0, 0.0, 1.0]
+    doc_permuted = [0.0, 1.0, 1.0, 0.0]  # chunks swapped within... distinct
+    df = spark.createDataFrame(
+        [(0, a), (10, doc_aligned), (11, [doc_aligned[2], doc_aligned[3], doc_aligned[0], doc_aligned[1]])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.doc_id: r.maxsim_q
+        for r in maxsim_topk(
+            df, F.col("vec_id") < 1, n_chunks=2, k=5, scale=100
+        ).collect()
+    }
+    # aligned doc: chunk dots are (100*100, 100*100) -> 20000
+    assert rows[10] == 20_000, rows
+    # chunk-swapped doc: each query chunk still finds its best partner
+    assert rows[11] == 20_000, rows
