@@ -90,18 +90,39 @@ class KlineFeedStreamReader(DataSourceStreamReader):
         # start, so a growing end offset would under-drain there).
         self._poll = int(options.get("rows_per_poll", self._max))
         self._available = 0
+        # High-water mark of offsets this instance has DELIVERED, seeded
+        # by the engine's committed start on the first partitions() call.
+        # Restart hazard (found by the demo kill-resume test): a fresh
+        # reader's throttled poll counter restarts at 0, so its first
+        # latestOffset can sit BELOW the checkpoint's committed offset —
+        # the engine then records that regressed end in the WAL and the
+        # following batches would re-deliver already-committed rows
+        # (observed: doubled volume in every still-open window; closed
+        # windows were shielded only because watermarks dropped the
+        # replays as late). The clamp below makes delivery exactly-once
+        # under any offset regression while leaving genuine crash-replay
+        # of an UNCOMMITTED batch intact (a replayed batch's start is the
+        # committed floor itself, so nothing clips).
+        self._hwm = 0
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
-        self._available = min(self._available + self._poll, self._max)
+        self._available = min(
+            max(self._available + self._poll, self._hwm), self._max
+        )
         return {"offset": self._available}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["offset"], end["offset"]
+        # learn the committed floor; never re-deliver below it
+        self._hwm = max(self._hwm, lo)
+        self._available = max(self._available, lo, hi)
+        lo = max(lo, self._hwm)
         if hi <= lo:
             return [_Range(lo, lo)]
+        self._hwm = hi
         # split the range so a large catch-up batch still parallelizes
         step = max(1, self._split)
         return [

@@ -166,3 +166,65 @@ def test_live_topk_demo(spark, tmp_path):
     for g, e in zip(got, expect):
         assert g[0] == e[0] and g[1] == e[1] and g[3] == e[3], (g, e)
         assert math.isclose(g[2], e[2]), (g, e)
+
+
+def test_live_topk_demo_resumes_from_checkpoint(spark, tmp_path):
+    """Kill the live demo mid-drain and restart on the same checkpoint:
+    the feed's offset WAL resumes where the first run committed, replayed
+    batches overwrite their own dirs, and the final result set is
+    identical to an uninterrupted run (same python oracle as
+    test_live_topk_demo)."""
+    import collections
+    import datetime as dt
+    import glob
+    import time
+
+    from big_data_streaming_spark.streaming.demo import (
+        drain_until_idle,
+        run_live_topk,
+    )
+
+    out = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_live_topk(spark, out, ckpt, max_rows=7200, rows_per_poll=1200)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] is not None and p["batchId"] >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = run_live_topk(spark, out, ckpt, max_rows=7200, rows_per_poll=1200)
+    drain_until_idle(q2)
+
+    got = sorted(
+        (r.window_start, r.coin, r.rk)
+        for p in glob.glob(out + "/batch_*")
+        for r in spark.read.parquet(p).collect()
+    )
+    coins = ("BTCUSDT", "ETHUSDT", "SOLUSDT", "BNBUSDT", "XRPUSDT")
+    epoch = 1_700_000_000
+    sums: dict = collections.defaultdict(float)
+    for i in range(7200):
+        w = (epoch + i) // 600 * 600
+        sums[(w, coins[i % 5])] += (i * 7) % 31 + 1
+    wm = (epoch + 7199) - 600
+    expect = []
+    for w in sorted({k[0] for k in sums}):
+        if w + 600 > wm:
+            continue
+        ranked = sorted(
+            ((c, v) for (ww, c), v in sums.items() if ww == w),
+            key=lambda cv: (-cv[1], cv[0]),
+        )[:3]
+        for rk, (c, _v) in enumerate(ranked, start=1):
+            expect.append(
+                (
+                    dt.datetime.fromtimestamp(w, dt.timezone.utc).replace(tzinfo=None),
+                    c,
+                    rk,
+                )
+            )
+    assert got == sorted(expect), (len(got), len(expect))
