@@ -31,6 +31,14 @@ SWEEP = [
     "q_profile_columns",    # decimal sum + exact NDV per column
     "q_twap",               # cents×µs integer products, DECIMAL(38,0) sum
     "q_realized_vol",       # quantized squared-return sums
+    # round-3 float-bearing additions
+    "q_bollinger",          # integer rolling sums + sqrt shared formula
+    "q_rsi",                # integer gain/loss sums + ratio finish
+    "q_lag_corr",           # DECIMAL(38,0) sufficient stats, Pearson finish
+    "q_s_core",             # adaptive mean threshold + localCheckpoint loop
+    "q_seasonal_decompose", # 25·tq−Σwindow exact-integer detrending
+    "q_maxsim",             # quantized chunk dots, max/sum over integers
+    "q_bigram_score",       # MIN over per-row divisions, coverage ratio
 ]
 
 
