@@ -150,6 +150,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_asof_tolerance",
     "q_seasonal_decompose",
     "q_covisit",
+    "q_pit_features",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -1492,3 +1492,65 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, marks, keys=["user_id"], left_ts="ts", right_ts="mts",
         right_payload=["mark_value"], tolerance="15 minutes",
     )
+
+
+# --- point-in-time feature join (feature-store correctness) -----------------
+# The ML-feature-store marquee op: enrich each training event with the
+# latest value of EVERY feature table as of the event's timestamp —
+# never a future value (leakage) and never a stale-beyond-tolerance one.
+# Composed from the as-of operator applied per feature table: hourly
+# per-user activity marks (tolerance-bounded, 2h) and daily per-type
+# totals (unbounded). The oracle is two native DuckDB ASOF joins, so the
+# composition is checked against a first-class reference. Scale: each
+# feature table joins with ONE shuffle on its own entity key; feature
+# tables are aggregates (small relative to the event log), and the plan
+# chains without ever re-shuffling the events on the same key twice.
+@_q(
+    "q_pit_features",
+    f"""
+    WITH user_marks AS (
+        SELECT user_id, date_trunc('hour', ts) AS mts,
+               {oracle_dec_sum('value', 'user_hour_value')}
+        FROM events GROUP BY 1, 2
+    ), type_marks AS (
+        SELECT event_type, date_trunc('day', ts) AS dts,
+               {oracle_dec_sum('value', 'type_day_value')}
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+           CASE WHEN u.mts >= e.ts - INTERVAL 2 HOUR
+                THEN u.user_hour_value END AS user_hour_value_right,
+           t.type_day_value AS type_day_value_right
+    FROM events e
+    ASOF LEFT JOIN user_marks u
+      ON e.user_id = u.user_id AND e.ts >= u.mts
+    ASOF LEFT JOIN type_marks t
+      ON e.event_type = t.event_type AND e.ts >= t.dts
+    """,
+)
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    user_marks = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(dec_sum("value", "user_hour_value"))
+        .select("user_id", F.col("w.start").alias("mts"), "user_hour_value")
+    )
+    type_marks = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("dts"), "event_type")
+        .agg(dec_sum("value", "type_day_value"))
+        .select("event_type", "dts", "type_day_value")
+    )
+    step1 = asof_join(
+        ev, user_marks, keys=["user_id"], left_ts="ts", right_ts="mts",
+        right_payload=["user_hour_value"], tolerance="2 hours",
+    )
+    return asof_join(
+        step1, type_marks, keys=["event_type"], left_ts="ts", right_ts="dts",
+        right_payload=["type_day_value"],
+    )
