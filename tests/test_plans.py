@@ -469,3 +469,51 @@ def test_realized_vol_single_exchange(spark, sf_small):
     exchange."""
     df = QUERIES["q_realized_vol"](spark, sf_small)
     assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_bollinger_rsi_single_exchange(spark, sf_small):
+    """The trailing ROWS frames partition on event_type and nothing
+    downstream needs another distribution — one exchange end-to-end for
+    both market indicators."""
+    for name in ("q_bollinger", "q_rsi"):
+        df = QUERIES[name](spark, sf_small)
+        assert shuffle_count(df) == 1, (name, formatted_plan(df))
+
+
+def test_minmax_scale_broadcasts_extrema(spark, sf_small):
+    """The per-group extrema frame must come back as a broadcast join —
+    a window over the fact table (or a shuffled join) would be a wasted
+    full-table exchange."""
+    df = QUERIES["q_minmax_scale"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_refint_audit_no_cartesian_fact_joins(spark, sf_small):
+    """Seven anti-join edges: parent sides are keys-only and the dim
+    edges broadcast; the only BroadcastNestedLoopJoins permitted are the
+    1-row × 1-row aggregate cross-joins that assemble each edge's output
+    row — never a fact-table nested loop."""
+    df = QUERIES["q_refint_audit"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_maxsim_broadcasts_query_components(spark, sf_small):
+    """The query-side component relation is tiny and must broadcast into
+    the dim equi-join; the corpus is scanned once."""
+    df = QUERIES["q_maxsim"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pit_features_one_exchange_per_entity_key(spark, sf_small):
+    """Point-in-time enrichment chains two as-of joins on different
+    entity keys: expect one events exchange per key (plus the feature
+    tables' own aggregation exchanges) and no nested-loop joins."""
+    df = QUERIES["q_pit_features"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
