@@ -151,6 +151,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_seasonal_decompose",
     "q_covisit",
     "q_pit_features",
+    "q_embed_cov",
+    "q_hellinger_drift",
+    "q_assoc_rules",
+    "q_table_checksum",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -877,3 +877,84 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["c_nationkey", "blk"],
         max_distance=1,
     )
+
+
+# --- order-insensitive table checksum (migration validation) --------------
+# The fingerprint a migration runs on both sides of a copy: per table,
+# a row count plus two order-insensitive digests of a canonical row
+# string — a modular sum and a bitwise XOR of a 48-bit md5 prefix.
+# Doubles enter the canonical string as DECIMAL(38,6) text ("1234.500000"
+# in both engines), timestamps/dates as their identical cast-to-string
+# forms, and NULLs via an explicit sentinel, so the byte string is
+# engine-independent. hex -> int is Spark conv(x, 16, 10) / DuckDB
+# CAST('0x'||x AS BIGINT) — verified bit-identical. The modular sum
+# (terms < 1e9+7) stays within bigint up to ~9e9 rows; XOR is width-free.
+# Plan per table: one scan, map-side-combinable aggregate, one row out —
+# at 100 TB the cost is the scans, with zero shuffle beyond the 1-row
+# final reduce. COUNT(col) audits per-column null counts for free.
+_CK_MOD = 1_000_000_007
+_CK_TABLES: dict[str, tuple[str, ...]] = {
+    "nation": (
+        "CAST(n_nationkey AS STRING)",
+        "n_name",
+        "CAST(n_regionkey AS STRING)",
+    ),
+    "customer": (
+        "CAST(c_custkey AS STRING)",
+        "c_name",
+        "CAST(c_nationkey AS STRING)",
+        "CAST(CAST(c_acctbal AS DECIMAL(38,6)) AS STRING)",
+        "c_mktsegment",
+    ),
+    "orders": (
+        "CAST(o_orderkey AS STRING)",
+        "CAST(o_custkey AS STRING)",
+        "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS STRING)",
+        "CAST(o_orderdate AS STRING)",
+        "o_orderpriority",
+    ),
+}
+
+
+def _ck_row_expr(cols: tuple[str, ...]) -> str:
+    canon = ", ".join(f"coalesce({c}, chr(1) || 'NULL')" for c in cols)
+    return f"concat_ws('|', {canon})"
+
+
+def _ck_oracle() -> str:
+    arms = []
+    for tbl, cols in _CK_TABLES.items():
+        canon = ", ".join(
+            f"coalesce({c.replace(' AS STRING', ' AS VARCHAR')}, chr(1) || 'NULL')"
+            for c in cols
+        )
+        arms.append(
+            f"""
+        SELECT '{tbl}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|', {canon})), 1, 12)
+                        AS BIGINT) % {_CK_MOD} AS BIGINT)) AS BIGINT) AS checksum_sum,
+               CAST(bit_xor(CAST('0x' || substr(md5(concat_ws('|', {canon})), 1, 12)
+                        AS BIGINT)) AS BIGINT) AS checksum_xor
+        FROM {tbl}"""
+        )
+    return "\n        UNION ALL ".join(arms)
+
+
+@_q("q_table_checksum", _ck_oracle())
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, cols in _CK_TABLES.items():
+        hv = (
+            f"CAST(conv(substr(md5({_ck_row_expr(cols)}), 1, 12), 16, 10)"
+            f" AS BIGINT)"
+        )
+        one = t(spark, sf_dir, tbl).agg(
+            F.lit(tbl).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.expr(f"{hv} % {_CK_MOD}")).cast("bigint").alias("checksum_sum"),
+            F.expr(f"bit_xor({hv})").cast("bigint").alias("checksum_xor"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out

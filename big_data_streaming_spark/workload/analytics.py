@@ -3071,3 +3071,212 @@ def q_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 3)
     )
+
+
+# --- categorical drift: Hellinger + total-variation distance --------------
+# The categorical companion to q_ks_drift (which is continuous-only):
+# compare the event_type distribution of the first half of the observed
+# time range against the second half. Hellinger and TV are chosen over
+# KL/JS because they are TRANSCENDENTAL-FREE — sqrt is IEEE
+# correctly-rounded in both engines while log is not (the module
+# exactness policy; same reason q_benford reports proportions, not
+# log-expected digits). Per-type terms are fixed-order double
+# expressions; the cross-type reduce is 1e12-quantized to an exact
+# integer sum (q_embed_dimstats policy) so the ~|types| additions are
+# order-free. Plan: one bounds aggregate (min/max ts) broadcast into the
+# scan, one (side, type) count with map-side combine, then everything
+# downstream operates on a <= 2x|types| frame — at 100 TB the cost is
+# two fact scans and one tiny shuffle.
+_HD_PA = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+_HD_PB = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+_HD_BC_Q = (
+    f"CAST(floor(sqrt({_HD_PA} * {_HD_PB}) * 1000000000000 + 0.5) AS BIGINT)"
+)
+_HD_TV_Q = (
+    f"CAST(floor(abs({_HD_PA} - {_HD_PB}) * 1000000000000 + 0.5) AS BIGINT)"
+)
+_HD_BC = "(CAST(bcq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))"
+_HD_TV = "(CAST(tvq AS DOUBLE) / (CAST(1000000000000 AS DOUBLE) * CAST(2 AS DOUBLE)))"
+_HD_HELL = f"sqrt(greatest(CAST(1 AS DOUBLE) - {_HD_BC}, CAST(0 AS DOUBLE)))"
+
+
+@_q(
+    "q_hellinger_drift",
+    f"""
+    WITH b AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+    ), c AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN epoch_us(ts) < b.mid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM events, b
+        GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM c
+    ), terms AS (
+        SELECT {_HD_BC_Q} AS bc_q, {_HD_TV_Q} AS tv_q
+        FROM c, tot
+    ), red AS (
+        SELECT CAST(SUM(bc_q) AS BIGINT) AS bcq,
+               CAST(SUM(tv_q) AS BIGINT) AS tvq,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM terms
+    )
+    SELECT tot.na AS n_first_half, tot.nb AS n_second_half, red.n_types,
+           {_HD_BC} AS bhattacharyya,
+           {_HD_HELL} AS hellinger,
+           {_HD_TV} AS tv_distance
+    FROM red, tot
+    """,
+)
+def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    b = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    tot = c.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        F.expr(_HD_BC_Q).alias("bc_q"), F.expr(_HD_TV_Q).alias("tv_q")
+    )
+    red = terms.agg(
+        F.sum("bc_q").cast("bigint").alias("bcq"),
+        F.sum("tv_q").cast("bigint").alias("tvq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return red.crossJoin(F.broadcast(tot)).select(
+        F.col("na").alias("n_first_half"),
+        F.col("nb").alias("n_second_half"),
+        "n_types",
+        F.expr(_HD_BC).alias("bhattacharyya"),
+        F.expr(_HD_HELL).alias("hellinger"),
+        F.expr(_HD_TV).alias("tv_distance"),
+    )
+
+
+# --- association-rule mining (support / confidence / lift) ----------------
+# Market-basket rules over order baskets with items = part brands: the
+# rule-quality layer q_covisit (raw co-visitation counts) stops short
+# of. The Spark side builds baskets ONCE — groupBy(order).collect_set —
+# so pair generation is an array transform INSIDE the row (<= |brands|^2
+# per basket, no self-join of the fact table); at 100 TB that is one
+# shuffle keyed on the basket id plus a tiny (brand, brand) aggregate,
+# versus the self-join's re-shuffle of the whole item relation. All
+# three metrics are exact integer-count ratios written ONCE as
+# fixed-order double SQL; ORDER BY lift with full name tie-breaks makes
+# the LIMIT cut deterministic in both engines.
+_AR_MIN_COUNT = 3
+_AR_TOPK = 50
+_AR_SUP = "(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE))"
+_AR_CONF = "(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE))"
+_AR_LIFT = (
+    "((CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))"
+    " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_assoc_rules",
+    f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), pair AS (
+        SELECT a.item AS antecedent, b.item AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM ob a JOIN ob b
+          ON a.basket = b.basket AND a.item <> b.item
+        GROUP BY 1, 2
+    ), ic AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM ob GROUP BY item
+    ), nb AS (
+        SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM ob
+    ), r AS (
+        SELECT antecedent, consequent, n_ab,
+               ia.n_item AS n_a, ib.n_item AS n_b, nb.n_baskets
+        FROM pair
+        JOIN ic ia ON ia.item = pair.antecedent
+        JOIN ic ib ON ib.item = pair.consequent
+        CROSS JOIN nb
+        WHERE n_ab >= {_AR_MIN_COUNT}
+    )
+    SELECT antecedent, consequent, n_ab, n_a, n_b, n_baskets,
+           {_AR_SUP} AS support, {_AR_CONF} AS confidence, {_AR_LIFT} AS lift
+    FROM r
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT {_AR_TOPK}
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.collect_set("p_brand").alias("items"))
+        .persist()
+    )
+    pair = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items,"
+                    " a -> transform(items, b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .where(F.col("p.a") != F.col("p.b"))
+        .groupBy(
+            F.col("p.a").alias("antecedent"), F.col("p.b").alias("consequent")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= _AR_MIN_COUNT)
+    )
+    ic = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    r = (
+        pair.join(
+            F.broadcast(ic.select(F.col("item").alias("antecedent"),
+                                  F.col("n_item").alias("n_a"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("item").alias("consequent"),
+                                  F.col("n_item").alias("n_b"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    return (
+        r.select(
+            "antecedent", "consequent", "n_ab", "n_a", "n_b", "n_baskets",
+            F.expr(_AR_SUP).alias("support"),
+            F.expr(_AR_CONF).alias("confidence"),
+            F.expr(_AR_LIFT).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(_AR_TOPK)
+    )

@@ -836,3 +836,102 @@ def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         scale=10_000,
     )
+
+
+# --- covariance matrix of the leading embedding dimensions (PCA prep) -----
+# The single-pass sufficient-statistics shape: ONE aggregate over the
+# corpus produces count + per-dim sums + all pairwise product sums, then
+# the (i, j, cov) matrix is unpivoted from that one row with stack().
+# No explode, no shuffle of row-level data — at 100 TB this is a map-side
+# partial aggregate per partition plus a single-row final reduce, the
+# cheapest possible plan for second moments (the same statistics feed a
+# driver-side eigensolve for PCA; the Spark job's product is the exact
+# scatter matrix). Exactness: dims are 1e6-quantized up front
+# (floor(x*1e6 + 0.5), the q_embed_dimstats policy) so every sum is an
+# exact integer; the covariance formula is ONE fixed-order double
+# expression evaluated verbatim by both engines. Population covariance
+# (divide by n). Quantized products are <= 1e12 and row counts here are
+# <= 5e4 per dim-pair, so bigint sums cannot overflow until ~9e6 rows;
+# the 100 TB variant widens the accumulators to DECIMAL(38,0).
+_COV_DIMS = 8
+_COV_FORMULA = (
+    "((CAST(sij AS DOUBLE) / n"
+    " - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))"
+    " / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE)))"
+)
+
+
+def _cov_oracle() -> str:
+    qcols = ",\n               ".join(
+        f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1000000 + 0.5)"
+        f" AS BIGINT) AS q{i}"
+        for i in range(1, _COV_DIMS + 1)
+    )
+    sums = ",\n               ".join(
+        f"CAST(SUM(q{i}) AS BIGINT) AS s{i}" for i in range(1, _COV_DIMS + 1)
+    )
+    psums = ",\n               ".join(
+        f"CAST(SUM(q{i} * q{j}) AS BIGINT) AS s{i}_{j}"
+        for i in range(1, _COV_DIMS + 1)
+        for j in range(i, _COV_DIMS + 1)
+    )
+    arms = "\n        UNION ALL ".join(
+        f"SELECT {i} AS dim_i, {j} AS dim_j, n, s{i} AS si, s{j} AS sj,"
+        f" s{i}_{j} AS sij FROM s"
+        for i in range(1, _COV_DIMS + 1)
+        for j in range(i, _COV_DIMS + 1)
+    )
+    return f"""
+    WITH q AS (
+        SELECT {qcols}
+        FROM embeddings
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               {sums},
+               {psums}
+        FROM q
+    ), u AS (
+        {arms}
+    )
+    SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j,
+           n, {_COV_FORMULA} AS cov
+    FROM u
+    """
+
+
+@_q("q_embed_cov", _cov_oracle())
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _COV_DIMS
+    q = t(spark, sf_dir, "embeddings").select(
+        *[
+            F.expr(
+                f"CAST(floor(CAST(element_at(embedding, {i}) AS DOUBLE)"
+                f" * 1000000 + 0.5) AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(1, d + 1)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"q{i}").cast("bigint").alias(f"s{i}") for i in range(1, d + 1)]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).cast("bigint").alias(f"s{i}_{j}")
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    ]
+    s = q.agg(*aggs)
+    pairs = [(i, j) for i in range(1, d + 1) for j in range(i, d + 1)]
+    stack_args = ", ".join(
+        f"{i}, {j}, s{i}, s{j}, s{i}_{j}" for i, j in pairs
+    )
+    u = s.select(
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (dim_i, dim_j, si, sj, sij)"
+        ),
+    )
+    return u.select(
+        F.col("dim_i").cast("int").alias("dim_i"),
+        F.col("dim_j").cast("int").alias("dim_j"),
+        "n",
+        F.expr(_COV_FORMULA).alias("cov"),
+    )
