@@ -517,3 +517,47 @@ def test_pit_features_one_exchange_per_entity_key(spark, sf_small):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_embed_cov_zero_rowlevel_shuffle(spark, sf_small):
+    """The covariance sufficient-statistics aggregate must be map-side
+    partials + a 1-row final reduce: the only exchange permitted is the
+    SinglePartition collect for the final aggregate — no hash exchange
+    of row-level data, no explode."""
+    df = QUERIES["q_embed_cov"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    # Column pruning: the scan must read only the embedding column.
+    assert "ReadSchema: struct<embedding:array<float>>" in plan, plan
+
+
+def test_assoc_rules_no_fact_self_join(spark, sf_small):
+    """Baskets are built once (one exchange on the basket key); pair
+    generation happens inside the row via array transforms. The brand
+    dimension joins must broadcast and nothing may cartesian."""
+    df = QUERIES["q_assoc_rules"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # The only SortMergeJoin-eligible relation is basket×basket — absent.
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_table_checksum_no_hash_exchange(spark, sf_small):
+    """Each table digest is a map-side-combinable aggregate: the plan may
+    contain only SinglePartition exchanges (1-row final reduces), never a
+    hash exchange of row-level data."""
+    df = QUERIES["q_table_checksum"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_hellinger_terms_stay_tiny(spark, sf_small):
+    """The (side, type) count is the only fact-table aggregate; the
+    bounds frame and totals broadcast back. No sort-merge join anywhere —
+    every join is on a broadcast scalar/tiny frame."""
+    df = QUERIES["q_hellinger_drift"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
