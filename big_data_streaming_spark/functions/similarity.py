@@ -418,3 +418,72 @@ def maxsim_topk(
         scores.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def scatter_stats(
+    df: DataFrame, vec_col: str, dims: int, scale: int = 1_000_000
+) -> DataFrame:
+    """Single-pass sufficient statistics for second moments of the
+    leading ``dims`` entries of an ``array<float>`` column.
+
+    Returns a ONE-ROW DataFrame with ``n``, per-dim quantized sums
+    ``s{i}`` and pairwise product sums ``s{i}_{j}`` (i <= j). Values are
+    ``floor(x * scale + 0.5)``-quantized so every sum is an exact
+    integer — the cross-engine exactness policy of
+    workload/common.py. The plan is map-side partial aggregates plus a
+    1-row final reduce: zero shuffle of row-level data, the cheapest
+    possible second-moment plan at any scale. bigint accumulators hold
+    to ~(2^63 / scale^2) rows; widen to DECIMAL(38,0) beyond that.
+    """
+    q = df.select(
+        *[
+            F.expr(
+                f"CAST(floor(CAST(element_at({vec_col}, {i}) AS DOUBLE)"
+                f" * {scale} + 0.5) AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(1, dims + 1)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(f"q{i}").cast("bigint").alias(f"s{i}") for i in range(1, dims + 1)
+    ]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).cast("bigint").alias(f"s{i}_{j}")
+        for i in range(1, dims + 1)
+        for j in range(i, dims + 1)
+    ]
+    return q.agg(*aggs)
+
+
+# Population covariance of one (i, j) pair from quantized sums — ONE
+# fixed-order double expression, shared verbatim with SQL oracles.
+def cov_formula(scale: int = 1_000_000) -> str:
+    return (
+        "((CAST(sij AS DOUBLE) / n"
+        " - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))"
+        f" / (CAST({scale} AS DOUBLE) * CAST({scale} AS DOUBLE)))"
+    )
+
+
+def cov_matrix(
+    df: DataFrame, vec_col: str, dims: int, scale: int = 1_000_000
+) -> DataFrame:
+    """Upper-triangle population covariance matrix ``(dim_i, dim_j, n,
+    cov)`` of the leading ``dims`` embedding entries, unpivoted via
+    ``stack()`` from the one-row scatter statistics."""
+    s = scatter_stats(df, vec_col, dims, scale)
+    pairs = [(i, j) for i in range(1, dims + 1) for j in range(i, dims + 1)]
+    stack_args = ", ".join(f"{i}, {j}, s{i}, s{j}, s{i}_{j}" for i, j in pairs)
+    u = s.select(
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (dim_i, dim_j, si, sj, sij)"
+        ),
+    )
+    return u.select(
+        F.col("dim_i").cast("int").alias("dim_i"),
+        F.col("dim_j").cast("int").alias("dim_j"),
+        "n",
+        F.expr(cov_formula(scale)).alias("cov"),
+    )

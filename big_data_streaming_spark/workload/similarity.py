@@ -854,11 +854,13 @@ def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # <= 5e4 per dim-pair, so bigint sums cannot overflow until ~9e6 rows;
 # the 100 TB variant widens the accumulators to DECIMAL(38,0).
 _COV_DIMS = 8
-_COV_FORMULA = (
-    "((CAST(sij AS DOUBLE) / n"
-    " - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))"
-    " / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE)))"
+# ONE formula text shared by the Spark implementation (via
+# functions/similarity.py:cov_matrix) and the DuckDB oracle below.
+from big_data_streaming_spark.functions.similarity import (  # noqa: E402
+    cov_formula as _cov_formula,
 )
+
+_COV_FORMULA = _cov_formula(1_000_000)
 
 
 def _cov_oracle() -> str:
@@ -901,37 +903,11 @@ def _cov_oracle() -> str:
 
 @_q("q_embed_cov", _cov_oracle())
 def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _COV_DIMS
-    q = t(spark, sf_dir, "embeddings").select(
-        *[
-            F.expr(
-                f"CAST(floor(CAST(element_at(embedding, {i}) AS DOUBLE)"
-                f" * 1000000 + 0.5) AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in range(1, d + 1)
-        ]
-    )
-    aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [F.sum(f"q{i}").cast("bigint").alias(f"s{i}") for i in range(1, d + 1)]
-    aggs += [
-        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).cast("bigint").alias(f"s{i}_{j}")
-        for i in range(1, d + 1)
-        for j in range(i, d + 1)
-    ]
-    s = q.agg(*aggs)
-    pairs = [(i, j) for i in range(1, d + 1) for j in range(i, d + 1)]
-    stack_args = ", ".join(
-        f"{i}, {j}, s{i}, s{j}, s{i}_{j}" for i, j in pairs
-    )
-    u = s.select(
-        "n",
-        F.expr(
-            f"stack({len(pairs)}, {stack_args}) AS (dim_i, dim_j, si, sj, sij)"
-        ),
-    )
-    return u.select(
-        F.col("dim_i").cast("int").alias("dim_i"),
-        F.col("dim_j").cast("int").alias("dim_j"),
-        "n",
-        F.expr(_COV_FORMULA).alias("cov"),
+    # Core promoted to functions/similarity.py:cov_matrix (single-pass
+    # scatter statistics; property-tested against an exact integer
+    # replica of the quantized formula on random vectors).
+    from big_data_streaming_spark.functions.similarity import cov_matrix
+
+    return cov_matrix(
+        t(spark, sf_dir, "embeddings"), "embedding", _COV_DIMS, 1_000_000
     )

@@ -455,3 +455,52 @@ def test_maxsim_multichunk_dominates_worst_chunk(spark):
     assert rows[10] == 20_000, rows
     # chunk-swapped doc: each query chunk still finds its best partner
     assert rows[11] == 20_000, rows
+
+
+def test_cov_matrix_matches_integer_reference(spark):
+    """cov_matrix vs a pure-Python exact replica: quantize with the same
+    floor(x*scale + 0.5), accumulate exact integer sums, finish with the
+    same fixed-order double formula — the third implementation beside
+    the Spark plan and the q_embed_cov DuckDB oracle. Equality is exact
+    (==), not approximate: both sides perform the identical IEEE
+    sequence."""
+    import math
+    import random
+
+    from big_data_streaming_spark.functions.similarity import cov_matrix
+
+    rng = random.Random(7)
+    dims, scale, n = 5, 1_000_000, 60
+    vecs = [
+        [rng.uniform(-2.0, 2.0) for _ in range(dims)] for _ in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    got = {
+        (r.dim_i, r.dim_j): (r.n, r.cov)
+        for r in cov_matrix(df, "embedding", dims, scale).collect()
+    }
+    # float32 storage round-trip first (the column is array<float>)
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    q = [
+        [math.floor(f32(x) * scale + 0.5) for x in v] for v in vecs
+    ]
+    for i in range(1, dims + 1):
+        for j in range(i, dims + 1):
+            si = sum(row[i - 1] for row in q)
+            sj = sum(row[j - 1] for row in q)
+            sij = sum(row[i - 1] * row[j - 1] for row in q)
+            expect = (float(sij) / n - (float(si) / n) * (float(sj) / n)) / (
+                float(scale) * float(scale)
+            )
+            rn, rcov = got[(i, j)]
+            assert rn == n
+            assert rcov == expect, (i, j, rcov, expect)
+    # Symmetry/diagonal sanity: variances non-negative.
+    assert all(got[(i, i)][1] >= 0.0 for i in range(1, dims + 1))
