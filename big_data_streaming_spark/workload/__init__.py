@@ -152,6 +152,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_covisit",
     "q_pit_features",
     "q_embed_cov",
+    "q_pca_power",
     "q_hellinger_drift",
     "q_assoc_rules",
     "q_table_checksum",

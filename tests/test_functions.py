@@ -504,3 +504,29 @@ def test_cov_matrix_matches_integer_reference(spark):
             assert rcov == expect, (i, j, rcov, expect)
     # Symmetry/diagonal sanity: variances non-negative.
     assert all(got[(i, i)][1] >= 0.0 for i in range(1, dims + 1))
+
+
+def test_pca_power_matches_numpy_eigensolve(spark):
+    """q_pca_power's 12 weighted power iterations must land on numpy's
+    top eigenvector of the same weighted quantized covariance (|cos| >
+    0.999) with a matching eigenvalue estimate — the third
+    implementation beside the Spark+driver chain and the DuckDB CTE
+    chain."""
+    import numpy as np
+
+    from big_data_streaming_spark.workload.similarity import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    X = np.array(
+        [np.floor(np.array(r.embedding[:8], dtype=np.float64) * 1e6 + 0.5)
+         for r in emb]
+    ) / 1e6
+    Xw = X * np.arange(1, 9, dtype=float)
+    C = np.cov(Xw.T, bias=True)
+    w, V = np.linalg.eigh(C)
+    rows = QUERIES["q_pca_power"](spark, sf).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    assert abs(float(v @ V[:, -1])) > 0.999
+    assert abs(rows[0].lambda_est - w[-1]) < 1e-3 * abs(w[-1])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
