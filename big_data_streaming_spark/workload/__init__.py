@@ -156,6 +156,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_hellinger_drift",
     "q_assoc_rules",
     "q_table_checksum",
+    "q_fd_audit",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -958,3 +958,76 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out
+
+
+# --- functional-dependency audit (schema-rule discovery) ------------------
+# For each candidate FD lhs → rhs: does every lhs group carry exactly
+# one rhs value? The profiling op behind key inference, normalization
+# advice and constraint monitoring — the discovery complement to
+# q_dq_audit's declared-rule checks. Plan per candidate: ONE
+# groupBy(lhs) count-distinct with map-side partial aggregation, then
+# an O(1) rollup — at 100 TB each candidate costs one shuffle of
+# (lhs, rhs) pairs and nothing else; candidates on the same table share
+# the scan via DataFrame reuse when batched. Violation rate is a fixed-
+# order integer-count ratio, exact in both engines.
+_FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("part", "p_brand", "p_type"),
+)
+_FD_RATE = "(CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE))"
+
+
+def _fd_oracle() -> str:
+    arms = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        arms.append(
+            f"""
+        SELECT '{tbl}' AS table_name, '{lhs}' AS lhs, '{rhs}' AS rhs,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating
+        FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS d
+              FROM {tbl} GROUP BY {lhs})"""
+        )
+    return (
+        "WITH g AS ("
+        + "\n        UNION ALL ".join(arms)
+        + f""")
+    SELECT table_name, lhs, rhs, n_groups, n_violating,
+           (n_violating = 0) AS holds,
+           {_FD_RATE} AS violation_rate
+    FROM g
+    """
+    )
+
+
+@_q("q_fd_audit", _fd_oracle())
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            t(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.count_distinct(F.col(rhs)).alias("d"))
+            .agg(
+                F.lit(tbl).alias("table_name"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+            )
+        )
+        out = g if out is None else out.unionAll(g)
+    return out.select(
+        "table_name", "lhs", "rhs", "n_groups", "n_violating",
+        (F.col("n_violating") == 0).alias("holds"),
+        F.expr(_FD_RATE).alias("violation_rate"),
+    )
