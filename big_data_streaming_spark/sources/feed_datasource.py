@@ -90,19 +90,37 @@ class KlineFeedStreamReader(DataSourceStreamReader):
         # start, so a growing end offset would under-drain there).
         self._poll = int(options.get("rows_per_poll", self._max))
         self._available = 0
-        # High-water mark of offsets this instance has DELIVERED, seeded
-        # by the engine's committed start on the first partitions() call.
-        # Restart hazard (found by the demo kill-resume test): a fresh
-        # reader's throttled poll counter restarts at 0, so its first
-        # latestOffset can sit BELOW the checkpoint's committed offset —
-        # the engine then records that regressed end in the WAL and the
-        # following batches would re-deliver already-committed rows
-        # (observed: doubled volume in every still-open window; closed
-        # windows were shielded only because watermarks dropped the
-        # replays as late). The clamp below makes delivery exactly-once
-        # under any offset regression while leaving genuine crash-replay
-        # of an UNCOMMITTED batch intact (a replayed batch's start is the
-        # committed floor itself, so nothing clips).
+        # Committed floor: the highest offset known to be committed, below
+        # which nothing may be re-delivered. Restart hazard (found by the
+        # demo kill-resume test): a fresh reader's throttled poll counter
+        # restarts at 0, so its first latestOffset can sit BELOW the
+        # checkpoint's committed offset — the engine then records that
+        # regressed end in the WAL and the following batches would
+        # re-deliver already-committed rows (observed: doubled volume in
+        # every still-open window). Two mechanisms close it:
+        #
+        # 1. partitions() seeds _available from every (start, end) it
+        #    sees — including the engine's restart-time PROBE call
+        #    partitions(latest, latest) — so latestOffset resumes from
+        #    the restored planning point instead of 0.
+        # 2. A batch whose start EXCEEDS its end is the regression
+        #    telltale (engine planned against a stale latestOffset); its
+        #    start is by construction the committed offset, so it becomes
+        #    the floor and later batches clip against it.
+        #
+        # The floor is learned ONLY from that start>end telltale. Round-3
+        # post-mortem of the kill-resume flake: an earlier version also
+        # learned the floor from every start and raised it to every
+        # delivered end — but the restart probe partitions(latest, latest)
+        # then poisoned the floor with the latest UNCOMMITTED offset, and
+        # the genuine WAL replay of the uncommitted batch (start =
+        # committed 3600, end = 4800) clipped to empty: the batch
+        # committed with zero rows and every window overlapping it lost
+        # that slice of volume. Not raising the floor to delivered ends
+        # also makes partitions() idempotent — a re-plan of the same
+        # range (task retry, plan re-materialization) re-delivers the
+        # same rows for the same batch id, which is exactly-once at the
+        # sink, not double delivery.
         self._hwm = 0
 
     def initialOffset(self) -> dict:
@@ -116,13 +134,17 @@ class KlineFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["offset"], end["offset"]
-        # learn the committed floor; never re-deliver below it
-        self._hwm = max(self._hwm, lo)
+        # Seed the poll counter: latestOffset must never regress below
+        # the engine's restored planning point (mechanism 1 above).
         self._available = max(self._available, lo, hi)
-        lo = max(lo, self._hwm)
-        if hi <= lo:
+        if hi < lo:
+            # Offset-regressed batch: start is the committed floor
+            # (mechanism 2 above); nothing to deliver.
+            self._hwm = max(self._hwm, lo)
             return [_Range(lo, lo)]
-        self._hwm = hi
+        lo = max(lo, self._hwm)  # never re-deliver below the floor
+        if hi <= lo:
+            return [_Range(hi, hi)]
         # split the range so a large catch-up batch still parallelizes
         step = max(1, self._split)
         return [
