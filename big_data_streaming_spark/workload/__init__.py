@@ -157,6 +157,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_assoc_rules",
     "q_table_checksum",
     "q_fd_audit",
+    "q_stream_drift",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -1256,3 +1256,158 @@ def q_stream_complete_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- streaming distribution-drift monitor ---------------------------------
+# Per-micro-batch categorical drift against the full-corpus reference:
+# the observability op a production stream runs beside its business
+# aggregates (alerting when a batch's event mix diverges — upstream
+# outage, bot flood, schema rot). Four deterministic file-batches
+# (maxFilesPerTrigger=1 over the contiguous 4-way split); foreachBatch
+# reduces each batch to its (event_type, count) profile — O(|types|)
+# scalars, the A13 bounded-collect rule — and the drift math runs as
+# Spark expressions over those counts with the SAME transcendental-free
+# quantized Hellinger/TV texts as the batch twin (analytics.py
+# q_hellinger_drift). Batches are identified by their min event_id, not
+# batch_id, so the result is invariant to file arrival order. The
+# oracle replicates the 4-way contiguous slicing arithmetically
+# (events.parquet is event_id-ordered; part = rn // ceil(n/4), the
+# exact slice formula of _stage_stream_dir_parts). At 100 TB the
+# foreachBatch profile aggregate is map-side combinable and the
+# reference distribution comes from a broadcast stats table instead of
+# a second scan.
+def _drift_oracle() -> str:
+    from big_data_streaming_spark.workload.analytics import (
+        _HD_BC,
+        _HD_BC_Q,
+        _HD_HELL,
+        _HD_TV,
+        _HD_TV_Q,
+    )
+
+    return f"""
+    WITH r AS (
+        SELECT event_type, event_id,
+               row_number() OVER (ORDER BY event_id) - 1 AS rn
+        FROM events
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events
+    ), p AS (
+        SELECT event_type, event_id,
+               rn // ((nn.total + 3) // 4) AS part
+        FROM r, nn
+    ), b AS (
+        SELECT part, MIN(event_id) AS batch_key FROM p GROUP BY part
+    ), c AS (
+        SELECT part, event_type, CAST(COUNT(*) AS BIGINT) AS ca
+        FROM p GROUP BY 1, 2
+    ), tp AS (
+        SELECT part, CAST(SUM(ca) AS BIGINT) AS na FROM c GROUP BY part
+    ), g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM events GROUP BY 1
+    ), tg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM events
+    ), terms AS (
+        SELECT c.part, {_HD_BC_Q} AS bc_q, {_HD_TV_Q} AS tv_q
+        FROM c
+        JOIN tp USING (part)
+        JOIN g USING (event_type)
+        CROSS JOIN tg
+    ), red AS (
+        SELECT part, CAST(SUM(bc_q) AS BIGINT) AS bcq,
+               CAST(SUM(tv_q) AS BIGINT) AS tvq,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM terms GROUP BY part
+    )
+    SELECT b.batch_key, tp.na AS n_rows, red.n_types,
+           {_HD_BC} AS bhattacharyya,
+           {_HD_HELL} AS hellinger,
+           {_HD_TV} AS tv_distance
+    FROM red
+    JOIN tp USING (part)
+    JOIN b USING (part)
+    """
+
+
+@_q("q_stream_drift", _drift_oracle())
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+    from big_data_streaming_spark.workload.analytics import (
+        _HD_BC,
+        _HD_BC_Q,
+        _HD_HELL,
+        _HD_TV,
+        _HD_TV_Q,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    profiles: list[tuple[int, str, int]] = []
+
+    def profile(bdf: DataFrame, batch_id: int) -> None:
+        rows = (
+            bdf.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("ca"),
+                F.min("event_id").alias("mn"),
+            )
+            .collect()
+        )
+        if not rows:
+            return
+        batch_key = min(r.mn for r in rows)
+        profiles.extend((batch_key, r.event_type, r.ca) for r in rows)
+
+    q = (
+        sdf.writeStream.foreachBatch(profile)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(),
+                f"bdss_drift_ckpt_{uuid.uuid4().hex[:8]}",
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per = spark.createDataFrame(
+        profiles, "batch_key: bigint, event_type: string, ca: bigint"
+    )
+    tp = per.groupBy("batch_key").agg(F.sum("ca").cast("bigint").alias("na"))
+    g = per.groupBy("event_type").agg(F.sum("ca").cast("bigint").alias("cb"))
+    tg = per.agg(F.sum("ca").cast("bigint").alias("nb"))
+    terms = (
+        per.join(F.broadcast(tp), "batch_key")
+        .join(F.broadcast(g), "event_type")
+        .crossJoin(F.broadcast(tg))
+        .select(
+            "batch_key",
+            F.expr(_HD_BC_Q).alias("bc_q"),
+            F.expr(_HD_TV_Q).alias("tv_q"),
+        )
+    )
+    red = terms.groupBy("batch_key").agg(
+        F.sum("bc_q").cast("bigint").alias("bcq"),
+        F.sum("tv_q").cast("bigint").alias("tvq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return red.join(F.broadcast(tp), "batch_key").select(
+        "batch_key",
+        F.col("na").alias("n_rows"),
+        "n_types",
+        F.expr(_HD_BC).alias("bhattacharyya"),
+        F.expr(_HD_HELL).alias("hellinger"),
+        F.expr(_HD_TV).alias("tv_distance"),
+    )
