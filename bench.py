@@ -118,6 +118,12 @@ HEADLINE = (
     "q_stream_feed",
     "q_embed_neardup",
     "q_stream_sessionize",
+    # round-3 second wave: sufficient-statistics / profiling / streaming
+    # observability representatives (scan-bound single-aggregate shapes)
+    "q_embed_cov",
+    "q_assoc_rules",
+    "q_table_checksum",
+    "q_stream_drift",
 )
 
 

@@ -158,6 +158,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_table_checksum",
     "q_fd_audit",
     "q_stream_drift",
+    "q_rrf_fusion",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -1078,3 +1078,127 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, v[i], nrm, n) for i in range(1, d + 1)],
         "dim: int, loading: double, lambda_est: double, n: bigint",
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (RRF) -----------------------
+# The fusion layer of a hybrid search stack: two retrieval systems rank
+# the corpus per query — system A = exact double-precision cosine (the
+# fine scorer), system B = int8-quantized dot product (the coarse
+# scorer an ANN index serves) — and RRF combines them with
+# score = Σ 1/(60 + rank), the rank-only formula (Cormack et al.'s
+# constant) that needs no score calibration between systems. Exactness:
+# ranks are integers with deterministic tie-breaks, each RRF term is
+# one exact double division, and the two-term sum is a fixed-order
+# shared text. Plan: both systems are the broadcast-queries × one-
+# corpus-scan shape of q_sim_topk; the fusion join runs on the
+# O(queries × depth) rank lists only. At 100 TB each system's list
+# comes from its own index (IVF for B); the fusion cost never touches
+# the corpus.
+_RRF_DEPTH = 10
+_RRF_K = 5
+_RRF_SCORE = (
+    "(COALESCE(CAST(1 AS DOUBLE) / (60 + rank_a), CAST(0 AS DOUBLE))"
+    " + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_b), CAST(0 AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_rrf_fusion",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec,
+               [CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5) AS BIGINT)
+                FOR e IN embedding] AS q_q
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               [CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5) AS BIGINT)
+                FOR e IN embedding] AS cq
+        FROM embeddings
+    ), a AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_dot_product(c.vec, q.q_vec)
+                            / (sqrt(list_dot_product(c.vec, c.vec))
+                               * sqrt(list_dot_product(q.q_vec, q.q_vec)))
+                            DESC, c.vec_id) AS INTEGER) AS rank_a
+        FROM c CROSS JOIN q
+        WHERE c.vec_id <> q.q_id
+        QUALIFY rank_a <= {_RRF_DEPTH}
+    ), b AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY CAST(list_dot_product(c.cq, q.q_q) AS BIGINT)
+                            DESC, c.vec_id) AS INTEGER) AS rank_b
+        FROM c CROSS JOIN q
+        WHERE c.vec_id <> q.q_id
+        QUALIFY rank_b <= {_RRF_DEPTH}
+    ), fused AS (
+        SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+               COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+               a.rank_a, b.rank_b, {_RRF_SCORE} AS rrf_score
+        FROM a FULL OUTER JOIN b
+          ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+    )
+    SELECT q_id, neighbor_id, rank_a, rank_b, rrf_score,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_score DESC, neighbor_id)
+                AS INTEGER) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_RRF_K}
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.functions.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        F.expr(
+            "transform(embedding, e ->"
+            " CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5) AS BIGINT))"
+        ).alias("cq"),
+    )
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("cq").alias("q_q"),
+        )
+    )
+    pairs = emb.crossJoin(q).where(F.col("vec_id") != F.col("q_id"))
+    wa = Window.partitionBy("q_id").orderBy(
+        F.desc(cosine(F.col("vec"), F.col("q_vec"))), "vec_id"
+    )
+    a = (
+        pairs.withColumn("rank_a", F.row_number().over(wa).cast("int"))
+        .where(F.col("rank_a") <= _RRF_DEPTH)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank_a")
+    )
+    int_dot = F.expr(
+        "CAST(aggregate(zip_with(cq, q_q, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+    )
+    wb = Window.partitionBy("q_id").orderBy(F.desc(int_dot), "vec_id")
+    b = (
+        pairs.withColumn("rank_b", F.row_number().over(wb).cast("int"))
+        .where(F.col("rank_b") <= _RRF_DEPTH)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank_b")
+    )
+    fused = (
+        a.join(b, ["q_id", "neighbor_id"], "full_outer")
+        .withColumn("rrf_score", F.expr(_RRF_SCORE))
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("fused_rank") <= _RRF_K)
+        .select(
+            "q_id", "neighbor_id", "rank_a", "rank_b", "rrf_score",
+            "fused_rank",
+        )
+    )

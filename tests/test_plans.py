@@ -561,3 +561,13 @@ def test_hellinger_terms_stay_tiny(spark, sf_small):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_fusion_broadcasts_queries_both_systems(spark, sf_small):
+    """Both retrieval systems must be the broadcast-queries × one-
+    corpus-scan shape; the fusion join runs on rank lists only. No
+    cartesian product, no sort-merge join of the corpus."""
+    df = QUERIES["q_rrf_fusion"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
