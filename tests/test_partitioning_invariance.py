@@ -39,6 +39,14 @@ SWEEP = [
     "q_seasonal_decompose", # 25·tq−Σwindow exact-integer detrending
     "q_maxsim",             # quantized chunk dots, max/sum over integers
     "q_bigram_score",       # MIN over per-row divisions, coverage ratio
+    # round-3 second wave
+    "q_embed_cov",          # quantized scatter sums, fixed-order cov finish
+    "q_pca_power",          # driver-side IEEE iteration on collected sums
+    "q_hellinger_drift",    # quantized cross-type reduce, sqrt finish
+    "q_assoc_rules",        # integer-count ratios, lift-ordered limit
+    "q_table_checksum",     # order-insensitive modular sum + XOR digests
+    "q_fd_audit",           # count-distinct rollup, exact ratio
+    "q_rrf_fusion",         # integer ranks, two-term reciprocal sum
 ]
 
 
