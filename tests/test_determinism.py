@@ -110,3 +110,46 @@ def test_kmeans_invariant_across_partitionings(spark, sf_small):
         r = kmeans_assign(emb.repartition(parts), k=4, iters=2).collect()
         results.add(tuple(sorted((x["vec_id"], x["cid"], x["d2"]) for x in r)))
     assert len(results) == 1, "k-means changed under repartitioning"
+
+
+def test_table_checksum_detects_single_cell_change(spark, sf_small):
+    """The migration-validator property: flip ONE cell in one row and
+    both digests (modular sum AND xor) must change; re-ordering rows
+    must change neither. Runs the same digest expressions as
+    q_table_checksum over an in-memory copy."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.workload.advanced import (
+        _CK_MOD,
+        _CK_TABLES,
+        _ck_row_expr,
+    )
+
+    cols = _CK_TABLES["nation"]
+    hv = (
+        f"CAST(conv(substr(md5({_ck_row_expr(cols)}), 1, 12), 16, 10)"
+        f" AS BIGINT)"
+    )
+
+    def digest(df):
+        r = df.agg(
+            F.sum(F.expr(f"{hv} % {_CK_MOD}")).alias("s"),
+            F.expr(f"bit_xor({hv})").alias("x"),
+        ).collect()[0]
+        return (r.s, r.x)
+
+    base = spark.read.parquet(f"{sf_small}/nation.parquet")
+    d0 = digest(base)
+    # Row order / partitioning must not matter.
+    assert digest(base.orderBy(F.desc("n_name")).repartition(7)) == d0
+    # One changed cell must flip both digests.
+    mutated = base.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 3, F.concat(F.col("n_name"), F.lit("_X")))
+        .otherwise(F.col("n_name")),
+    )
+    d1 = digest(mutated)
+    assert d1[0] != d0[0] and d1[1] != d0[1]
+    # One dropped row must flip the sum digest.
+    d2 = digest(base.where(F.col("n_nationkey") != 3))
+    assert d2[0] != d0[0]
