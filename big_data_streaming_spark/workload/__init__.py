@@ -159,6 +159,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_fd_audit",
     "q_stream_drift",
     "q_rrf_fusion",
+    "q_schema_evolution",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

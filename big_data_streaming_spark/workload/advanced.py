@@ -1031,3 +1031,94 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_violating") == 0).alias("holds"),
         F.expr(_FD_RATE).alias("violation_rate"),
     )
+
+
+# --- schema evolution: mergeSchema over mixed-generation parquet ----------
+# The lake reality a 100 TB pipeline lives with: yesterday's files lack
+# the column today's writer added. The query stages a two-generation
+# copy of events (v1 = first half, no `region`; v2 = second half with
+# `region`), reads the WHOLE directory with mergeSchema=true, and
+# audits per event_type how many rows carry the new column — the
+# backfill-planning query a migration runs. The oracle states the
+# logical contract directly over the events view (v1 rows → NULL
+# region), so the gate verifies Spark's evolved-schema scan produces
+# exactly the declared semantics. The contiguous half-split follows the
+# event_id file order (events.parquet is event_id-sorted; same slice
+# arithmetic as the streaming 4-way split). At 100 TB mergeSchema's
+# footer-union cost is driver-side and amortized by the file index;
+# the scan itself stays columnar with NULL-fill on legacy files.
+def _stage_schema_generations(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(f"{sf_dir}:schema_gen".encode()).hexdigest()[:10]
+    dst = os.path.join(
+        tempfile.gettempdir(), "bdss_stream_stage", f"schema_gen_{tag}"
+    )
+    want = [os.path.join(dst, "gen1.parquet"), os.path.join(dst, "gen2.parquet")]
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{int(st.st_mtime_ns)}"
+    marker = os.path.join(dst, "_source_fingerprint")
+    if (
+        all(os.path.isfile(p) for p in want)
+        and os.path.isfile(marker)
+        and open(marker).read() == fingerprint
+    ):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    tbl = pq.read_table(src, columns=["event_id", "event_type", "value", "user_id"])
+    half = (tbl.num_rows + 1) // 2
+    v1 = tbl.slice(0, half).drop_columns(["user_id"])
+    v2_raw = tbl.slice(half)
+    # user_id is nonnegative, so % 4 == & 3 (arrow has no mod kernel)
+    region = pc.cast(
+        pc.bit_wise_and(v2_raw.column("user_id"), pa.scalar(3, pa.int64())),
+        pa.int32(),
+    )
+    v2 = v2_raw.drop_columns(["user_id"]).append_column("region", region)
+    pq.write_table(v1, want[0])
+    pq.write_table(v2, want[1])
+    with open(marker, "w") as fh:
+        fh.write(fingerprint)
+    return dst
+
+
+@_q(
+    "q_schema_evolution",
+    """
+    WITH r AS (
+        SELECT event_id, event_type, user_id,
+               row_number() OVER (ORDER BY event_id) AS rn,
+               (SELECT COUNT(*) FROM events) AS n
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               CASE WHEN rn > (n + 1) // 2
+                    THEN CAST(user_id % 4 AS INTEGER) END AS region
+        FROM r
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(region) AS BIGINT) AS n_with_region,
+           CAST(COUNT(*) - COUNT(region) AS BIGINT) AS n_legacy,
+           CAST(COUNT(DISTINCT region) AS BIGINT) AS n_regions
+    FROM m GROUP BY event_type
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _stage_schema_generations(sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(src)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("region").cast("bigint").alias("n_with_region"),
+        (F.count(F.lit(1)) - F.count("region")).cast("bigint").alias("n_legacy"),
+        F.count_distinct("region").cast("bigint").alias("n_regions"),
+    )
