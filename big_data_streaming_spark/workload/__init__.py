@@ -160,6 +160,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_stream_drift",
     "q_rrf_fusion",
     "q_schema_evolution",
+    "q_calibration",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -699,10 +699,9 @@ _QC_W = {
 }
 
 
-@_q(
-    "q_quality_classifier",
-    f"""
-    WITH feat AS (
+# The classifier's full scoring SQL (CTE form) — single text shared by
+# the q_quality_classifier oracle and the q_calibration oracle below.
+_QC_SCORED_SQL = f"""feat AS (
         SELECT doc_id,
                string_split(text, ' ') AS toks,
                CAST(len(text) AS DOUBLE) AS n_chars,
@@ -721,20 +720,25 @@ _QC_W = {
                n_digits / n_chars AS digit_ratio,
                punct_runs
         FROM feat
-    )
+    ), scored AS (
+        SELECT doc_id, mean_token_len, stopword_ratio, unique_ratio,
+               digit_ratio, punct_runs,
+               {_QC_W['bias']} + {_QC_W['mean_token_len']} * mean_token_len
+                 + {_QC_W['stopword_ratio']} * stopword_ratio
+                 + {_QC_W['unique_ratio']} * unique_ratio
+                 + {_QC_W['digit_ratio']} * digit_ratio
+                 + {_QC_W['punct_run']} * punct_runs AS logit
+        FROM ratios
+    )"""
+
+
+@_q(
+    "q_quality_classifier",
+    f"""
+    WITH {_QC_SCORED_SQL}
     SELECT doc_id, mean_token_len, stopword_ratio, unique_ratio,
-           digit_ratio, punct_runs,
-           {_QC_W['bias']} + {_QC_W['mean_token_len']} * mean_token_len
-             + {_QC_W['stopword_ratio']} * stopword_ratio
-             + {_QC_W['unique_ratio']} * unique_ratio
-             + {_QC_W['digit_ratio']} * digit_ratio
-             + {_QC_W['punct_run']} * punct_runs AS logit,
-           ({_QC_W['bias']} + {_QC_W['mean_token_len']} * mean_token_len
-             + {_QC_W['stopword_ratio']} * stopword_ratio
-             + {_QC_W['unique_ratio']} * unique_ratio
-             + {_QC_W['digit_ratio']} * digit_ratio
-             + {_QC_W['punct_run']} * punct_runs) >= 0 AS keep
-    FROM ratios
+           digit_ratio, punct_runs, logit, logit >= 0 AS keep
+    FROM scored
     """,
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2144,4 +2148,98 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight"),
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         )
+    )
+
+
+# --- classifier calibration: reliability-by-decile table -------------------
+# The eval every score-gated data pipeline owes itself: bucket the
+# corpus into score deciles (NTILE over a TOTAL order — logit then
+# doc_id, so the cut is deterministic in both engines) and report the
+# observed positive rate per bucket against the score range. Stays in
+# score space: observed rates are exact integer ratios and mean logit
+# is a 1e9-quantized exact sum — sigmoid/log-loss would be
+# transcendental (module exactness policy), and a reliability table in
+# link space carries the same information. Outcome here = "document
+# longer than the corpus mean" (deterministic proxy label; the operator
+# under test is the bucketing/aggregation plumbing, which at 100 TB is
+# one window sort + one map-side-combinable aggregate over
+# (bucket, y) pairs — text never leaves the scoring scan).
+_CAL_BUCKETS = 10
+_CAL_MEAN_LOGIT = (
+    "((CAST(s_lq AS DOUBLE) / n) / CAST(1000000000 AS DOUBLE))"
+)
+_CAL_OBS = "(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+
+
+@_q(
+    "q_calibration",
+    f"""
+    WITH {_QC_SCORED_SQL}, avgc AS (
+        SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        FROM documents
+    ), lab AS (
+        SELECT s.doc_id, s.logit,
+               CASE WHEN CAST(d.n_chars AS DOUBLE) > avgc.mean_chars
+                    THEN 1 ELSE 0 END AS y
+        FROM scored s
+        JOIN documents d ON s.doc_id = d.doc_id
+        CROSS JOIN avgc
+    ), bkt AS (
+        SELECT logit, y,
+               NTILE({_CAL_BUCKETS}) OVER (ORDER BY logit, doc_id) AS bucket
+        FROM lab
+    ), agg AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(logit) AS lo_logit, MAX(logit) AS hi_logit,
+               CAST(SUM(CAST(floor(logit * 1000000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s_lq,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM bkt GROUP BY bucket
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, n, lo_logit, hi_logit,
+           {_CAL_MEAN_LOGIT} AS mean_logit,
+           n_pos, {_CAL_OBS} AS obs_rate
+    FROM agg
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    avgc = docs.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars")
+    )
+    lab = (
+        scored.join(docs, "doc_id")
+        .crossJoin(F.broadcast(avgc))
+        .select(
+            "doc_id",
+            "logit",
+            F.when(
+                F.col("n_chars").cast("double") > F.col("mean_chars"), 1
+            ).otherwise(0).alias("y"),
+        )
+    )
+    w = Window.orderBy("logit", "doc_id")
+    bkt = lab.select(
+        "logit", "y", F.ntile(_CAL_BUCKETS).over(w).alias("bucket")
+    )
+    agg = bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("logit").alias("lo_logit"),
+        F.max("logit").alias("hi_logit"),
+        F.sum(
+            F.expr("CAST(floor(logit * 1000000000 + 0.5) AS BIGINT)")
+        ).cast("bigint").alias("s_lq"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    return agg.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n",
+        "lo_logit",
+        "hi_logit",
+        F.expr(_CAL_MEAN_LOGIT).alias("mean_logit"),
+        "n_pos",
+        F.expr(_CAL_OBS).alias("obs_rate"),
     )
