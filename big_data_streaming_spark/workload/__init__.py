@@ -161,6 +161,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_rrf_fusion",
     "q_schema_evolution",
     "q_calibration",
+    "q_outlier_maha",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

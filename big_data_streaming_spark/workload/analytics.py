@@ -3277,3 +3277,104 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(_AR_TOPK)
     )
+
+
+# --- multivariate outliers: 2-D Mahalanobis distance ----------------------
+# The multivariate step past q_anomaly_zscore/q_mad: per event_type,
+# score each event by its Mahalanobis distance over the (value,
+# hour-of-day) pair — a high value AT AN UNUSUAL HOUR outranks the same
+# value at a routine hour, which no per-feature z-score can express.
+# The 2×2 covariance inverts in closed form (det & adjugate — no
+# linear-algebra library, no iteration), so the whole computation is
+# quantized exact-integer sufficient statistics (1e3 for value — the
+# fixture's tick precision is 1e-2, and 1e3 keeps vq^2 sums in bigint
+# to ~1e8 rows; exact
+# ints for hour) + ONE fixed-order IEEE finish shared with the oracle.
+# Top-3 per type by squared distance, event_id tie-break. Plan: one
+# map-side-combinable stats aggregate, broadcast back onto the scan,
+# one per-type rank window — two exchanges end-to-end at any scale.
+_MH_Q = "CAST(floor(value * 1000 + 0.5) AS BIGINT)"
+_MH_STATS = (
+    # population moments from quantized sums (vq scaled 1e6, h exact)
+    "(CAST(s_v AS DOUBLE) / n / CAST(1000 AS DOUBLE))",  # mean_v
+    "(CAST(s_h AS DOUBLE) / n)",  # mean_h
+)
+_MH_CXX = (
+    "((CAST(s_vv AS DOUBLE) / n"
+    " - (CAST(s_v AS DOUBLE) / n) * (CAST(s_v AS DOUBLE) / n))"
+    " / (CAST(1000 AS DOUBLE) * CAST(1000 AS DOUBLE)))"
+)
+_MH_CYY = (
+    "((CAST(s_hh AS DOUBLE) / n"
+    " - (CAST(s_h AS DOUBLE) / n) * (CAST(s_h AS DOUBLE) / n)))"
+)
+_MH_CXY = (
+    "((CAST(s_vh AS DOUBLE) / n"
+    " - (CAST(s_v AS DOUBLE) / n) * (CAST(s_h AS DOUBLE) / n))"
+    " / CAST(1000 AS DOUBLE))"
+)
+# det and the quadratic form — written once, evaluated verbatim twice.
+_MH_DET = f"({_MH_CXX} * {_MH_CYY} - {_MH_CXY} * {_MH_CXY})"
+_MH_DX = f"(value - {_MH_STATS[0]})"
+_MH_DY = f"(CAST(hr AS DOUBLE) - {_MH_STATS[1]})"
+_MH_D2 = (
+    f"((({_MH_CYY} * {_MH_DX} * {_MH_DX})"
+    f" - (CAST(2 AS DOUBLE) * {_MH_CXY} * {_MH_DX} * {_MH_DY})"
+    f" + ({_MH_CXX} * {_MH_DY} * {_MH_DY})) / nullif({_MH_DET}, 0))"
+)
+
+
+@_q(
+    "q_outlier_maha",
+    f"""
+    WITH base AS (
+        SELECT event_type, event_id, value,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               {_MH_Q} AS vq
+        FROM events
+    ), stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vq) AS BIGINT) AS s_v,
+               CAST(SUM(hr) AS BIGINT) AS s_h,
+               CAST(SUM(vq * vq) AS BIGINT) AS s_vv,
+               CAST(SUM(hr * hr) AS BIGINT) AS s_hh,
+               CAST(SUM(vq * hr) AS BIGINT) AS s_vh
+        FROM base GROUP BY event_type
+    ), scored AS (
+        SELECT b.event_type, b.event_id, b.value, b.hr,
+               {_MH_D2} AS maha_sq
+        FROM base b JOIN stats USING (event_type)
+    )
+    SELECT event_type, event_id, value, hr, maha_sq,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY maha_sq DESC, event_id)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q_outlier_maha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.expr(_MH_Q).alias("vq"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vq").cast("bigint").alias("s_v"),
+        F.sum("hr").cast("bigint").alias("s_h"),
+        F.sum(F.col("vq") * F.col("vq")).cast("bigint").alias("s_vv"),
+        F.sum(F.col("hr") * F.col("hr")).cast("bigint").alias("s_hh"),
+        F.sum(F.col("vq") * F.col("hr")).cast("bigint").alias("s_vh"),
+    )
+    scored = base.join(F.broadcast(stats), "event_type").select(
+        "event_type", "event_id", "value", "hr",
+        F.expr(_MH_D2).alias("maha_sq"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("maha_sq"), "event_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
