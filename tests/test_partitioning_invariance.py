@@ -47,6 +47,9 @@ SWEEP = [
     "q_table_checksum",     # order-insensitive modular sum + XOR digests
     "q_fd_audit",           # count-distinct rollup, exact ratio
     "q_rrf_fusion",         # integer ranks, two-term reciprocal sum
+    "q_calibration",        # NTILE total order + quantized mean logit
+    "q_outlier_maha",       # quantized 2-D moments, closed-form inverse
+    "q_schema_evolution",   # mergeSchema NULL-fill counts
 ]
 
 

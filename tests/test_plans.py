@@ -571,3 +571,13 @@ def test_rrf_fusion_broadcasts_queries_both_systems(spark, sf_small):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_outlier_maha_broadcasts_stats(spark, sf_small):
+    """The per-type moment frame is O(types) and must broadcast back
+    onto the event scan — a shuffled join or a window over the fact
+    table would re-exchange the full relation."""
+    df = QUERIES["q_outlier_maha"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
