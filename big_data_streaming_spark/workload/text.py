@@ -2243,3 +2243,86 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         F.expr(_CAL_OBS).alias("obs_rate"),
     )
+
+
+# --- dataset card: one-row corpus summary ---------------------------------
+# The summary a data team publishes beside a training set — composition
+# (docs, languages, sources, chars, whitespace tokens), exact-duplicate
+# rate (md5 fingerprints, the q_dedup_exact contract), and quality-gate
+# posture (keep rate + 1e9-quantized mean logit from the shared
+# classifier text). Every number is an exact integer or a fixed-order
+# ratio, so the one output row is bit-identical across engines. Plan:
+# one documents scan computes all per-doc terms, one global aggregate
+# (count_distinct adds its exchange) — the whole card is two exchanges
+# regardless of corpus size.
+_DC_MEAN_LOGIT = "((CAST(s_lq AS DOUBLE) / n_docs) / CAST(1000000000 AS DOUBLE))"
+_DC_DUP = "(CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+_DC_KEEP = "(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+
+
+@_q(
+    "q_dataset_card",
+    f"""
+    WITH {_QC_SCORED_SQL}, per AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+               len(string_split(d.text, ' ')) AS n_toks,
+               md5(d.text) AS fp,
+               s.logit,
+               CASE WHEN s.logit >= 0 THEN 1 ELSE 0 END AS keep_i,
+               CAST(floor(s.logit * 1000000000 + 0.5) AS BIGINT) AS lq
+        FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+               CAST(SUM(keep_i) AS BIGINT) AS n_keep,
+               CAST(SUM(lq) AS BIGINT) AS s_lq
+        FROM per
+    )
+    SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+           n_distinct AS distinct_texts,
+           n_docs - n_distinct AS dup_docs,
+           {_DC_DUP} AS dup_fraction,
+           n_keep AS keep_docs,
+           {_DC_KEEP} AS keep_rate,
+           {_DC_MEAN_LOGIT} AS mean_logit
+    FROM agg
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    per = (
+        t(spark, sf_dir, "documents")
+        .join(scored, "doc_id")
+        .select(
+            "lang",
+            "source",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_toks"),
+            F.md5("text").alias("fp"),
+            F.when(F.col("logit") >= 0, 1).otherwise(0).alias("keep_i"),
+            F.expr("CAST(floor(logit * 1000000000 + 0.5) AS BIGINT)").alias("lq"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.count_distinct("fp").cast("bigint").alias("n_distinct"),
+        F.sum("keep_i").cast("bigint").alias("n_keep"),
+        F.sum("lq").cast("bigint").alias("s_lq"),
+    )
+    return agg.select(
+        "n_docs", "n_langs", "n_sources", "total_chars", "total_tokens",
+        F.col("n_distinct").alias("distinct_texts"),
+        (F.col("n_docs") - F.col("n_distinct")).alias("dup_docs"),
+        F.expr(_DC_DUP).alias("dup_fraction"),
+        F.col("n_keep").alias("keep_docs"),
+        F.expr(_DC_KEEP).alias("keep_rate"),
+        F.expr(_DC_MEAN_LOGIT).alias("mean_logit"),
+    )
