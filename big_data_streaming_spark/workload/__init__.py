@@ -163,6 +163,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_calibration",
     "q_outlier_maha",
     "q_dataset_card",
+    "q_stream_asof",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -1411,3 +1411,90 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_HD_HELL).alias("hellinger"),
         F.expr(_HD_TV).alias("tv_distance"),
     )
+
+
+# --- streaming as-of enrichment against a static dimension ----------------
+# The as-of family through the streaming engine: each micro-batch of
+# events is enriched with the latest per-user hourly mark at or before
+# the event (operators/asof.py, the q_asof_join operator) inside
+# foreachBatch, batches landing in idempotent per-batch parquet dirs
+# (the q_stream_topk sink contract). Because backward as-of against a
+# STATIC right side is a per-row operator, the union of enriched
+# batches is row-for-row identical to the batch join — the stream/batch
+# equivalence this query pins, with DuckDB's native ASOF JOIN as the
+# reference. At 100 TB the marks dim is broadcast into every batch and
+# the per-batch cost is the batch's own one-exchange as-of window.
+@_q(
+    "q_stream_asof",
+    f"""
+    WITH marks AS (
+        SELECT user_id, date_trunc('hour', ts) AS mts,
+               {oracle_dec_sum('value', 'mark_value')}
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.value, m.mark_value AS mark_value_right
+    FROM events e ASOF LEFT JOIN marks m
+      ON e.user_id = m.user_id AND e.ts >= m.mts
+    """,
+)
+def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.operators.asof import asof_join
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    marks = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(dec_sum("value", "mark_value"))
+        .select("user_id", F.col("w.start").alias("mts"), "mark_value")
+        .persist()
+    )
+    marks.count()  # materialize once; every micro-batch reuses it
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"bdss_stream_asof_{uuid.uuid4().hex[:8]}"
+    )
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+
+    def enrich(bdf: DataFrame, batch_id: int) -> None:
+        enriched = asof_join(
+            bdf.select("event_id", "ts", "user_id", "value"),
+            marks,
+            keys=["user_id"],
+            left_ts="ts",
+            right_ts="mts",
+            right_payload=["mark_value"],
+        )
+        (
+            enriched.select(
+                "event_id", "user_id", "value",
+                F.col("mark_value_right"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_{batch_id}"))
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(enrich)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(),
+                f"bdss_stream_asof_ckpt_{uuid.uuid4().hex[:8]}",
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    marks.unpersist()
+    return spark.read.parquet(os.path.join(out_dir, "batch_*"))
