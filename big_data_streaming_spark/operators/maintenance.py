@@ -100,3 +100,40 @@ def overwrite_partitions_dynamic(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def table_digest(
+    df: DataFrame,
+    canon_cols: list[str],
+    *,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Order-insensitive content digest of a DataFrame — the primitive a
+    migration/copy validator runs on both sides of a transfer.
+
+    ``canon_cols`` are SQL expression strings producing the canonical
+    STRING form of each column (doubles via ``CAST(x AS DECIMAL(38,6))``
+    then string, timestamps/dates via their cast-to-string forms — all
+    verified byte-identical between Spark and DuckDB; see
+    workload/advanced.py:q_table_checksum, whose oracle mirrors this
+    construction). NULLs map to an explicit ``chr(1) || 'NULL'``
+    sentinel. Returns one row: (n_rows, checksum_sum, checksum_xor)
+    where checksum_sum is a modular sum (terms < mod, bigint-safe to
+    ~9e9 rows at the default) and checksum_xor a width-free XOR of a
+    48-bit md5 prefix. Both digests are order- and partitioning-
+    insensitive by construction; one scan + 1-row map-side-combinable
+    reduce. Sensitivity (cell flip, row drop) and invariance pinned in
+    tests/test_determinism.py.
+    """
+    from pyspark.sql import functions as F
+
+    canon = ", ".join(f"coalesce({c}, chr(1) || 'NULL')" for c in canon_cols)
+    hv = (
+        f"CAST(conv(substr(md5(concat_ws('|', {canon})), 1, 12), 16, 10)"
+        f" AS BIGINT)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr(f"{hv} % {mod}")).cast("bigint").alias("checksum_sum"),
+        F.expr(f"bit_xor({hv})").cast("bigint").alias("checksum_xor"),
+    )

@@ -944,17 +944,17 @@ def _ck_oracle() -> str:
 
 @_q("q_table_checksum", _ck_oracle())
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Core promoted to operators/maintenance.py:table_digest (sensitivity
+    # + order-invariance property-tested in tests/test_determinism.py).
+    from big_data_streaming_spark.operators.maintenance import table_digest
+
     out = None
     for tbl, cols in _CK_TABLES.items():
-        hv = (
-            f"CAST(conv(substr(md5({_ck_row_expr(cols)}), 1, 12), 16, 10)"
-            f" AS BIGINT)"
-        )
-        one = t(spark, sf_dir, tbl).agg(
+        one = table_digest(
+            t(spark, sf_dir, tbl), list(cols), mod=_CK_MOD
+        ).select(
             F.lit(tbl).alias("table_name"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(F.expr(f"{hv} % {_CK_MOD}")).cast("bigint").alias("checksum_sum"),
-            F.expr(f"bit_xor({hv})").cast("bigint").alias("checksum_xor"),
+            "n_rows", "checksum_sum", "checksum_xor",
         )
         out = one if out is None else out.unionAll(one)
     return out
