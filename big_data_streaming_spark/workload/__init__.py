@@ -164,6 +164,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_outlier_maha",
     "q_dataset_card",
     "q_stream_asof",
+    "q_attribution_multi",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

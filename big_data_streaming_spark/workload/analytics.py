@@ -3378,3 +3378,82 @@ def q_outlier_maha(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 3)
     )
+
+
+# --- multi-touch attribution (linear credit) ------------------------------
+# The fractional complement to q_attribution's binary last-touch: every
+# click/view in the hour before a purchase shares the conversion credit
+# equally (1/n per touchpoint — the "linear" model). Fractional credits
+# are ORDER-DEPENDENT double sums, so each touch's credit is quantized
+# to an exact integer (floor(1e12/n + 0.5), the module policy) before
+# aggregation; the per-channel totals are then exact and the final
+# divisions fixed-order. Plan: purchases × touches is a per-user
+# interval self-join — one user_id exchange, per-user fan-out bounded
+# by the 1-hour window — then O(channels) aggregates.
+_MT_CREDIT_Q = (
+    "CAST(floor((CAST(1 AS DOUBLE) / CAST(n_touches AS DOUBLE))"
+    " * 1000000000000 + 0.5) AS BIGINT)"
+)
+_MT_CREDIT = "(CAST(s_credit AS DOUBLE) / CAST(1000000000000 AS DOUBLE))"
+
+
+@_q(
+    "q_attribution_multi",
+    f"""
+    WITH p AS (
+        SELECT user_id, ts AS pts, event_id AS pid
+        FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+        SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel
+        FROM events WHERE event_type IN ('click', 'view')
+    ), pair AS (
+        SELECT p.pid, tch.tid, tch.channel,
+               COUNT(*) OVER (PARTITION BY p.pid) AS n_touches
+        FROM p JOIN tch
+          ON p.user_id = tch.user_id
+         AND tch.tts < p.pts
+         AND p.pts - tch.tts <= INTERVAL 1 HOUR
+    ), credited AS (
+        SELECT channel, pid, {_MT_CREDIT_Q} AS credit_q FROM pair
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+           CAST(SUM(credit_q) AS BIGINT) AS s_credit,
+           {_MT_CREDIT} AS total_credit
+    FROM credited
+    GROUP BY channel
+    """,
+)
+def q_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    tch = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    pair = (
+        p.join(tch, "user_id")
+        .where(
+            (F.col("tts") < F.col("pts"))
+            & F.expr("pts - tts <= INTERVAL 1 HOUR")
+        )
+        .withColumn(
+            "n_touches", F.count(F.lit(1)).over(Window.partitionBy("pid"))
+        )
+    )
+    credited = pair.select(
+        "channel", "pid", F.expr(_MT_CREDIT_Q).alias("credit_q")
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+        F.count_distinct("pid").cast("bigint").alias("n_purchases_touched"),
+        F.sum("credit_q").cast("bigint").alias("s_credit"),
+    ).select(
+        "channel", "n_touchpoints", "n_purchases_touched", "s_credit",
+        F.expr(_MT_CREDIT).alias("total_credit"),
+    )
