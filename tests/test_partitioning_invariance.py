@@ -50,6 +50,8 @@ SWEEP = [
     "q_calibration",        # NTILE total order + quantized mean logit
     "q_outlier_maha",       # quantized 2-D moments, closed-form inverse
     "q_schema_evolution",   # mergeSchema NULL-fill counts
+    "q_attribution_multi",  # quantized 1/n credits, order-free rollup
+    "q_dataset_card",       # exact ratios + quantized mean logit
 ]
 
 
