@@ -165,6 +165,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_dataset_card",
     "q_stream_asof",
     "q_attribution_multi",
+    "q_rate_smoothing",
+    "q_mmr_rerank",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

@@ -3457,3 +3457,63 @@ def q_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel", "n_touchpoints", "n_purchases_touched", "s_credit",
         F.expr(_MT_CREDIT).alias("total_credit"),
     )
+
+
+# --- empirical-Bayes rate smoothing (Beta prior shrinkage) ----------------
+# The ads/recsys estimator q_wilson_rank's confidence bound complements:
+# shrink each user's click-through rate toward the global prior with a
+# documented fixed-strength Beta(a, b) pseudo-count prior —
+# smoothed = (clicks + a) / (trials + a + b). Small-sample users pull
+# hard toward the prior; heavy users keep their empirical rate. Every
+# number is an exact integer count or a fixed-order ratio with literal
+# pseudo-counts, so the ranking is bit-identical cross-engine
+# (deterministic user_id tie-break at the LIMIT cut). Plan: one user
+# aggregate with map-side combine + a global top-k — the same two-
+# exchange shape as q_wilson_rank.
+_EB_A = 3  # prior pseudo-clicks
+_EB_B = 12  # prior pseudo-non-clicks
+_EB_RAW = "(CAST(n_clicks AS DOUBLE) / CAST(n_events AS DOUBLE))"
+_EB_SMOOTH = (
+    f"(CAST(n_clicks + {_EB_A} AS DOUBLE)"
+    f" / CAST(n_events + {_EB_A} + {_EB_B} AS DOUBLE))"
+)
+
+
+@_q(
+    "q_rate_smoothing",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clicks
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_clicks,
+           {_EB_RAW} AS raw_rate,
+           {_EB_SMOOTH} AS smoothed_rate
+    FROM u
+    ORDER BY smoothed_rate DESC, user_id
+    LIMIT 25
+    """,
+)
+def q_rate_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clicks"),
+        )
+    )
+    return (
+        u.select(
+            "user_id", "n_events", "n_clicks",
+            F.expr(_EB_RAW).alias("raw_rate"),
+            F.expr(_EB_SMOOTH).alias("smoothed_rate"),
+        )
+        .orderBy(F.desc("smoothed_rate"), "user_id")
+        .limit(25)
+    )

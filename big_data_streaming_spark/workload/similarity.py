@@ -1202,3 +1202,200 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rank",
         )
     )
+
+
+# --- diversified re-ranking: Maximal Marginal Relevance (MMR) -------------
+# The diversity layer a retrieval stack applies after scoring: greedily
+# pick k results balancing relevance against redundancy with what is
+# already selected — score = λ·rel − (1−λ)·max_sim_to_selected
+# (Carbonell & Goldstein's MMR). The greedy loop is unrolled into k
+# relational selection steps over the POOLED candidates only (top-8 per
+# query), so the corpus is touched once by candidate generation and the
+# iteration runs on an O(queries × pool) frame. Exactness: relevance
+# and pairwise similarity are exact integer dots over 127-quantized
+# vectors; the MMR score is ONE fixed-order double text; ties break on
+# doc_id. rank-1 uses the same formula with max-sim := 0, so one text
+# serves every step.
+_MMR_NQ = 4
+_MMR_POOL = 8
+_MMR_SCORE = "(0.7 * CAST(rel AS DOUBLE) - 0.3 * CAST(msim AS DOUBLE))"
+
+
+@_q(
+    "q_mmr_rerank",
+    f"""
+    WITH c0 AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5) AS BIGINT)
+                FOR e IN embedding] AS cq
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, cq AS q_q FROM c0 WHERE vec_id < {_MMR_NQ}
+    ), scored AS (
+        SELECT q.q_id, c0.vec_id AS doc_id, c0.cq,
+               CAST(list_dot_product(c0.cq, q.q_q) AS BIGINT) AS rel
+        FROM c0 CROSS JOIN q
+        WHERE c0.vec_id <> q.q_id
+    ), cand AS (
+        SELECT q_id, doc_id, cq, rel
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rel DESC, doc_id) <= {_MMR_POOL}
+    ), sims AS (
+        SELECT a.q_id, a.doc_id AS a, b.doc_id AS b,
+               CAST(list_dot_product(a.cq, b.cq) AS BIGINT) AS sim
+        FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.doc_id <> b.doc_id
+    ), s1 AS (
+        SELECT q_id, doc_id, rel, CAST(0 AS BIGINT) AS msim
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rel DESC, doc_id) = 1
+    ), rem1 AS (
+        SELECT c.q_id, c.doc_id, c.rel FROM cand c
+        JOIN s1 ON c.q_id = s1.q_id AND c.doc_id <> s1.doc_id
+    ), sc2 AS (
+        SELECT r.q_id, r.doc_id, r.rel, sims.sim AS msim
+        FROM rem1 r
+        JOIN s1 ON r.q_id = s1.q_id
+        JOIN sims ON sims.q_id = r.q_id AND sims.a = r.doc_id
+                 AND sims.b = s1.doc_id
+    ), s2 AS (
+        SELECT q_id, doc_id, rel, msim
+        FROM sc2
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY {_MMR_SCORE} DESC, doc_id) = 1
+    ), rem2 AS (
+        SELECT r.q_id, r.doc_id, r.rel FROM rem1 r
+        JOIN s2 ON r.q_id = s2.q_id AND r.doc_id <> s2.doc_id
+    ), sc3 AS (
+        SELECT r.q_id, r.doc_id, r.rel,
+               CAST(MAX(sims.sim) AS BIGINT) AS msim
+        FROM rem2 r
+        JOIN s1 ON r.q_id = s1.q_id
+        JOIN s2 ON r.q_id = s2.q_id
+        JOIN sims ON sims.q_id = r.q_id AND sims.a = r.doc_id
+                 AND sims.b IN (s1.doc_id, s2.doc_id)
+        GROUP BY r.q_id, r.doc_id, r.rel
+    ), s3 AS (
+        SELECT q_id, doc_id, rel, msim
+        FROM sc3
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY {_MMR_SCORE} DESC, doc_id) = 1
+    ), united AS (
+        SELECT q_id, 1 AS mmr_rank, doc_id, rel, msim FROM s1
+        UNION ALL SELECT q_id, 2, doc_id, rel, msim FROM s2
+        UNION ALL SELECT q_id, 3, doc_id, rel, msim FROM s3
+    )
+    SELECT q_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, doc_id, rel, msim,
+           {_MMR_SCORE} AS mmr_score
+    FROM united
+    """,
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, e ->"
+            " CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5) AS BIGINT))"
+        ).alias("cq"),
+    )
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < _MMR_NQ).select(
+            F.col("vec_id").alias("q_id"), F.col("cq").alias("q_q")
+        )
+    )
+
+    def int_dot(a: str, b: str):
+        return F.expr(
+            f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+        )
+
+    scored = (
+        emb.crossJoin(q)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            "cq",
+            int_dot("cq", "q_q").alias("rel"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("rel"), "doc_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+        .persist()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.doc_id").alias("sa"),
+            F.col("b.doc_id").alias("sb"),
+            int_dot("a.cq", "b.cq").alias("sim"),
+        )
+        .persist()
+    )
+
+    def argmax(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc(F.expr(_MMR_SCORE)), "doc_id"
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    flat = cand.select("q_id", "doc_id", "rel")
+    s1 = argmax(flat.withColumn("msim", F.lit(0).cast("bigint")))
+    rem1 = flat.join(
+        s1.select("q_id", F.col("doc_id").alias("sel1")), "q_id"
+    ).where(F.col("doc_id") != F.col("sel1"))
+    sc2 = rem1.join(
+        sims,
+        (sims.q_id == rem1.q_id)
+        & (sims.sa == rem1.doc_id)
+        & (sims.sb == rem1.sel1),
+    ).select(rem1.q_id, "doc_id", "rel", F.col("sim").alias("msim"))
+    s2 = argmax(sc2)
+    rem2 = rem1.join(
+        s2.select("q_id", F.col("doc_id").alias("sel2")), "q_id"
+    ).where(F.col("doc_id") != F.col("sel2"))
+    sc3 = (
+        rem2.join(
+            sims,
+            (sims.q_id == rem2.q_id)
+            & (sims.sa == rem2.doc_id)
+            & ((sims.sb == rem2.sel1) | (sims.sb == rem2.sel2)),
+        )
+        .groupBy(rem2.q_id, "doc_id", "rel")
+        .agg(F.max("sim").cast("bigint").alias("msim"))
+    )
+    s3 = argmax(sc3)
+    united = (
+        s1.select("q_id", F.lit(1).alias("mmr_rank"), "doc_id", "rel", "msim")
+        .unionAll(
+            s2.select("q_id", F.lit(2).alias("mmr_rank"), "doc_id", "rel", "msim")
+        )
+        .unionAll(
+            s3.select("q_id", F.lit(3).alias("mmr_rank"), "doc_id", "rel", "msim")
+        )
+    )
+    return united.select(
+        "q_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "doc_id",
+        "rel",
+        "msim",
+        F.expr(_MMR_SCORE).alias("mmr_score"),
+    )
