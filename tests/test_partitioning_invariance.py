@@ -52,6 +52,8 @@ SWEEP = [
     "q_schema_evolution",   # mergeSchema NULL-fill counts
     "q_attribution_multi",  # quantized 1/n credits, order-free rollup
     "q_dataset_card",       # exact ratios + quantized mean logit
+    "q_rate_smoothing",     # pseudo-count ratios, deterministic top-k
+    "q_mmr_rerank",         # integer dots, shared MMR score text
 ]
 
 
