@@ -167,6 +167,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_attribution_multi",
     "q_rate_smoothing",
     "q_mmr_rerank",
+    "q_salted_join",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

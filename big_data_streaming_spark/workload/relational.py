@@ -1860,3 +1860,60 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_sqludf
         """
     )
+
+
+# --- skew remedy as an operator: salted hot-key join ----------------------
+# The manual companion to the AQE skew-join plan pin
+# (tests/test_plans.py:test_aqe_splits_skewed_join_partition) and the
+# salted AGGREGATE (q_salted_agg): when one join key holds most of the
+# fact side, salt the fact key with hash(row)%S and replicate the dim
+# row S times, so the hot key spreads over S shuffle partitions instead
+# of one straggler task. The query manufactures 90% skew (9 of every 10
+# lineitems collapse onto supplier key 1), joins SALTED, and aggregates
+# back — the oracle runs the PLAIN join + aggregate, proving the salt
+# is physical-only: bit-identical logical result (decimal-routed sums
+# are associative, so partial order under salting cannot leak). At
+# 100 TB S scales with the observed hot-partition factor; the dim
+# replication is S× a broadcastable relation, i.e. free.
+_SJ_SALTS = 8
+_SJ_KEY = "CASE WHEN l_suppkey % 10 < 9 THEN 1 ELSE l_suppkey END"
+
+
+@_q(
+    "q_salted_join",
+    f"""
+    WITH f AS (
+        SELECT {_SJ_KEY} AS jk, l_quantity FROM lineitem
+    ), d AS (
+        SELECT s_suppkey AS jk, CAST(s_nationkey + 1 AS DOUBLE) AS w
+        FROM supplier
+    )
+    SELECT f.jk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {oracle_dec_sum('f.l_quantity * d.w', 'weighted_qty')}
+    FROM f JOIN d ON f.jk = d.jk
+    GROUP BY f.jk
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = t(spark, sf_dir, "lineitem").select(
+        F.expr(_SJ_KEY).alias("jk"),
+        "l_quantity",
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_SJ_SALTS)).alias(
+            "salt"
+        ),
+    )
+    dim = (
+        t(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").alias("jk"),
+            (F.col("s_nationkey") + 1).cast("double").alias("w"),
+        )
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(_SJ_SALTS)]))
+        )
+    )
+    joined = fact.join(dim, ["jk", "salt"])
+    return joined.groupBy("jk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dec_sum(F.col("l_quantity") * F.col("w"), "weighted_qty"),
+    )

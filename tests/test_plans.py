@@ -581,3 +581,18 @@ def test_outlier_maha_broadcasts_stats(spark, sf_small):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_salted_join_keys_include_salt(spark, sf_small):
+    """The physical join must run on (jk, salt) — the salt column in the
+    join keys is the whole point; without it the query silently degrades
+    to the hot-key single-partition join it exists to remedy."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q_salted_join"](spark, sf_small)
+        plan = formatted_plan(df)
+        assert "salt" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
