@@ -168,6 +168,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_rate_smoothing",
     "q_mmr_rerank",
     "q_salted_join",
+    "q_monotonic_audit",
     # Remaining TPC-H completion pack — full-oracle, pytest-green.
     "q_tpch_q7",
     "q_tpch_q8",

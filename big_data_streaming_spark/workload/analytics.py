@@ -3517,3 +3517,54 @@ def q_rate_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("smoothed_rate"), "user_id")
         .limit(25)
     )
+
+
+# --- sequence-order audit: per-user monotonicity inversions ---------------
+# The event-log contract check q_dq_audit's row-local rules cannot see:
+# within each user's stream, event_id order and event-time order should
+# agree; an "inversion" (next event_id carries an EARLIER timestamp) is
+# clock skew, replay, or producer reordering. One user_id exchange; the
+# LEAD comparison runs inside the per-user sort and the rollup is
+# map-side combinable. Output: per-user inversion counts for offenders
+# plus a deterministic global summary row (user_id = -1).
+@_q(
+    "q_monotonic_audit",
+    """
+    WITH seq AS (
+        SELECT user_id, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY event_id) AS next_ts
+        FROM events
+    ), per AS (
+        SELECT user_id,
+               CAST(COUNT(next_ts) AS BIGINT) AS n_steps,
+               CAST(SUM(CASE WHEN next_ts < ts THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inversions
+        FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_steps, n_inversions FROM per WHERE n_inversions > 0
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS user_id,
+           CAST(SUM(n_steps) AS BIGINT) AS n_steps,
+           CAST(SUM(n_inversions) AS BIGINT) AS n_inversions
+    FROM per
+    """,
+)
+def q_monotonic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.lead("ts").over(w).alias("next_ts")
+    )
+    per = seq.groupBy("user_id").agg(
+        F.count("next_ts").cast("bigint").alias("n_steps"),
+        F.sum(F.when(F.col("next_ts") < F.col("ts"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inversions"),
+    )
+    offenders = per.where(F.col("n_inversions") > 0)
+    summary = per.agg(
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.sum("n_steps").cast("bigint").alias("n_steps"),
+        F.sum("n_inversions").cast("bigint").alias("n_inversions"),
+    )
+    return offenders.unionAll(summary)
