@@ -1058,7 +1058,7 @@ def _stage_schema_generations(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(f"{sf_dir}:schema_gen".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:schema_gen_v2".encode()).hexdigest()[:10]
     dst = os.path.join(
         tempfile.gettempdir(), "bdss_stream_stage", f"schema_gen_{tag}"
     )
@@ -1074,7 +1074,7 @@ def _stage_schema_generations(sf_dir: str) -> str:
         return dst
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
-    tbl = pq.read_table(src, columns=["event_id", "event_type", "value", "user_id"])
+    tbl = pq.read_table(src, columns=["event_id", "event_type", "user_id"])
     half = (tbl.num_rows + 1) // 2
     v1 = tbl.slice(0, half).drop_columns(["user_id"])
     v2_raw = tbl.slice(half)

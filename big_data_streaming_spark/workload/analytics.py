@@ -3087,8 +3087,11 @@ def q_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan, one (side, type) count with map-side combine, then everything
 # downstream operates on a <= 2x|types| frame — at 100 TB the cost is
 # two fact scans and one tiny shuffle.
-_HD_PA = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
-_HD_PB = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+# nullif guards: a degenerate corpus (time range <= 1us) makes one side
+# empty; Spark ANSI throws on /0 while DuckDB yields NULL — nullif makes
+# BOTH engines emit NULL terms (review finding, round 3).
+_HD_PA = "(CAST(ca AS DOUBLE) / CAST(nullif(na, 0) AS DOUBLE))"
+_HD_PB = "(CAST(cb AS DOUBLE) / CAST(nullif(nb, 0) AS DOUBLE))"
 _HD_BC_Q = (
     f"CAST(floor(sqrt({_HD_PA} * {_HD_PB}) * 1000000000000 + 0.5) AS BIGINT)"
 )
@@ -3295,7 +3298,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one per-type rank window — two exchanges end-to-end at any scale.
 _MH_Q = "CAST(floor(value * 1000 + 0.5) AS BIGINT)"
 _MH_STATS = (
-    # population moments from quantized sums (vq scaled 1e6, h exact)
+    # population moments from quantized sums (vq scaled 1e3, h exact)
     "(CAST(s_v AS DOUBLE) / n / CAST(1000 AS DOUBLE))",  # mean_v
     "(CAST(s_h AS DOUBLE) / n)",  # mean_h
 )

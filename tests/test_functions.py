@@ -506,7 +506,7 @@ def test_cov_matrix_matches_integer_reference(spark):
     assert all(got[(i, i)][1] >= 0.0 for i in range(1, dims + 1))
 
 
-def test_pca_power_matches_numpy_eigensolve(spark):
+def test_pca_power_matches_numpy_eigensolve(spark, sf_small):
     """q_pca_power's 12 weighted power iterations must land on numpy's
     top eigenvector of the same weighted quantized covariance (|cos| >
     0.999) with a matching eigenvalue estimate — the third
@@ -516,7 +516,7 @@ def test_pca_power_matches_numpy_eigensolve(spark):
 
     from big_data_streaming_spark.workload.similarity import QUERIES
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_small
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
     X = np.array(
         [np.floor(np.array(r.embedding[:8], dtype=np.float64) * 1e6 + 0.5)

@@ -592,7 +592,15 @@ def test_salted_join_keys_include_salt(spark, sf_small):
     try:
         df = QUERIES["q_salted_join"](spark, sf_small)
         plan = formatted_plan(df)
-        assert "salt" in plan, plan
+        # The salt must be IN the join keys ("Left keys [2]: [jk#…, salt#…]"
+        # for SMJ / ShuffledHashJoin) — merely appearing in a Project or
+        # Exchange would not spread the hot key (review finding, round 3).
+        import re
+
+        key_lines = [
+            ln for ln in plan.splitlines() if re.search(r"keys \[\d+\]", ln)
+        ]
+        assert key_lines and all("salt" in ln for ln in key_lines), plan
         assert "CartesianProduct" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
