@@ -487,3 +487,27 @@ def cov_matrix(
         "n",
         F.expr(cov_formula(scale)).alias("cov"),
     )
+
+
+# Shared SQL expression texts for exact-integer vector arithmetic (used
+# by the RRF and MMR retrieval queries; single source so accumulator
+# fixes cannot drift between call sites).
+def quantize_int_expr(vec_col: str, scale: int = 127) -> str:
+    """SQL text: per-element floor(x*scale + 0.5) quantization of an
+    array<float> column to array<bigint> — the exact-integer domain all
+    cross-engine dot products run in."""
+    return (
+        f"transform({vec_col}, e ->"
+        f" CAST(floor(CAST(e AS DOUBLE) * {scale} + 0.5) AS BIGINT))"
+    )
+
+
+def int_dot_expr(a: str, b: str) -> str:
+    """SQL text: exact bigint dot product of two array<bigint> columns
+    via a zip_with/aggregate left fold. bigint-safe while
+    |elements| * scale² * dims stays under 2^63 (127-quantized 64-dim
+    vectors: ~5e14 headroom)."""
+    return (
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+    )

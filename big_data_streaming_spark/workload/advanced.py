@@ -1050,7 +1050,6 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_schema_generations(sf_dir: str) -> str:
     import hashlib
     import os
-    import shutil
     import tempfile
 
     import pyarrow as pa
@@ -1063,32 +1062,23 @@ def _stage_schema_generations(sf_dir: str) -> str:
         tempfile.gettempdir(), "bdss_stream_stage", f"schema_gen_{tag}"
     )
     want = [os.path.join(dst, "gen1.parquet"), os.path.join(dst, "gen2.parquet")]
-    st = os.stat(src)
-    fingerprint = f"{st.st_size}:{int(st.st_mtime_ns)}"
-    marker = os.path.join(dst, "_source_fingerprint")
-    if (
-        all(os.path.isfile(p) for p in want)
-        and os.path.isfile(marker)
-        and open(marker).read() == fingerprint
-    ):
-        return dst
-    shutil.rmtree(dst, ignore_errors=True)
-    os.makedirs(dst)
-    tbl = pq.read_table(src, columns=["event_id", "event_type", "user_id"])
-    half = (tbl.num_rows + 1) // 2
-    v1 = tbl.slice(0, half).drop_columns(["user_id"])
-    v2_raw = tbl.slice(half)
-    # user_id is nonnegative, so % 4 == & 3 (arrow has no mod kernel)
-    region = pc.cast(
-        pc.bit_wise_and(v2_raw.column("user_id"), pa.scalar(3, pa.int64())),
-        pa.int32(),
-    )
-    v2 = v2_raw.drop_columns(["user_id"]).append_column("region", region)
-    pq.write_table(v1, want[0])
-    pq.write_table(v2, want[1])
-    with open(marker, "w") as fh:
-        fh.write(fingerprint)
-    return dst
+    from big_data_streaming_spark.sources.staging import fingerprint_cached_dir
+
+    def build() -> None:
+        tbl = pq.read_table(src, columns=["event_id", "event_type", "user_id"])
+        half = (tbl.num_rows + 1) // 2
+        v1 = tbl.slice(0, half).drop_columns(["user_id"])
+        v2_raw = tbl.slice(half)
+        # user_id is nonnegative, so % 4 == & 3 (arrow has no mod kernel)
+        region = pc.cast(
+            pc.bit_wise_and(v2_raw.column("user_id"), pa.scalar(3, pa.int64())),
+            pa.int32(),
+        )
+        v2 = v2_raw.drop_columns(["user_id"]).append_column("region", region)
+        pq.write_table(v1, want[0])
+        pq.write_table(v2, want[1])
+
+    return fingerprint_cached_dir(src, dst, want, build)
 
 
 @_q(

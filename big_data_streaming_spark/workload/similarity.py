@@ -858,6 +858,8 @@ _COV_DIMS = 8
 # functions/similarity.py:cov_matrix) and the DuckDB oracle below.
 from big_data_streaming_spark.functions.similarity import (  # noqa: E402
     cov_formula as _cov_formula,
+    int_dot_expr as _idot,
+    quantize_int_expr as _q127,
 )
 
 _COV_FORMULA = _cov_formula(1_000_000)
@@ -1158,10 +1160,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-        F.expr(
-            "transform(embedding, e ->"
-            " CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5) AS BIGINT))"
-        ).alias("cq"),
+        F.expr(_q127("embedding")).alias("cq"),
     )
     q = F.broadcast(
         emb.where(F.col("vec_id") < _N_QUERIES).select(
@@ -1179,10 +1178,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_a") <= _RRF_DEPTH)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank_a")
     )
-    int_dot = F.expr(
-        "CAST(aggregate(zip_with(cq, q_q, (x, y) -> x * y),"
-        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
-    )
+    int_dot = F.expr(_idot("cq", "q_q"))
     wb = Window.partitionBy("q_id").orderBy(F.desc(int_dot), "vec_id")
     b = (
         pairs.withColumn("rank_b", F.row_number().over(wb).cast("int"))
@@ -1296,10 +1292,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.expr(
-            "transform(embedding, e ->"
-            " CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5) AS BIGINT))"
-        ).alias("cq"),
+        F.expr(_q127("embedding")).alias("cq"),
     )
     q = F.broadcast(
         emb.where(F.col("vec_id") < _MMR_NQ).select(
@@ -1308,10 +1301,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def int_dot(a: str, b: str):
-        return F.expr(
-            f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-            f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
-        )
+        return F.expr(_idot(a, b))
 
     scored = (
         emb.crossJoin(q)

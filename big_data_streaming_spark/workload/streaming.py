@@ -675,31 +675,18 @@ def _stage_stream_dir_parts(sf_dir: str, table: str, n_parts: int = 4) -> str:
         tempfile.gettempdir(), "bdss_stream_stage", f"{table}_split_{tag}"
     )
     want = [os.path.join(dst, f"part_{i}.parquet") for i in range(n_parts)]
-    # Cache validity = a marker recording the SOURCE's (size, mtime),
-    # written only after every part file lands. Mere part-file existence
-    # is not enough: a regenerated fixture at the same path would stream
-    # stale rows, and a crash mid-write would leave a partial dir that
-    # "exists" (review finding — sibling _stage_stream_dir validates
-    # sizes; split parts can't size-match the source, so fingerprint it).
-    st = os.stat(src)
-    fingerprint = f"{st.st_size}:{int(st.st_mtime_ns)}"
-    marker = os.path.join(dst, "_source_fingerprint")
-    if (
-        all(os.path.isfile(p) for p in want)
-        and os.path.isfile(marker)
-        and open(marker).read() == fingerprint
-    ):
-        return dst
-    shutil.rmtree(dst, ignore_errors=True)
-    os.makedirs(dst)
-    tbl = pq.read_table(src)
-    step = max(1, (tbl.num_rows + n_parts - 1) // n_parts)
-    for i in range(n_parts):
-        chunk = tbl.slice(i * step, step)
-        pq.write_table(chunk, want[i])
-    with open(marker, "w") as fh:
-        fh.write(fingerprint)
-    return dst
+    # Cache validity: the shared fingerprint contract in sources/staging.py
+    # (sibling _stage_stream_dir validates sizes; split parts can't
+    # size-match the source, so fingerprint it).
+    from big_data_streaming_spark.sources.staging import fingerprint_cached_dir
+
+    def build() -> None:
+        tbl = pq.read_table(src)
+        step = max(1, (tbl.num_rows + n_parts - 1) // n_parts)
+        for i in range(n_parts):
+            pq.write_table(tbl.slice(i * step, step), want[i])
+
+    return fingerprint_cached_dir(src, dst, want, build)
 
 
 # Streaming OHLC bars: the kline resample (batch twin: analytics.py
