@@ -89,7 +89,19 @@ class KlineFeedStreamReader(DataSourceStreamReader):
         # (the engine snapshots the end offset a single time at query
         # start, so a growing end offset would under-drain there).
         self._poll = int(options.get("rows_per_poll", self._max))
-        self._available = 0
+        # Durable committed floor (optional): with floor_dir set, every
+        # commit(end) persists the committed offset and a FRESH reader
+        # seeds its floor and poll counter from it — closing the
+        # double-restart hole the in-memory mechanisms below cannot: if
+        # life 1 accepts a regressed end into the offset WAL (clipped to
+        # an empty batch by mechanism 2) and then dies BEFORE any later
+        # batch commits, life 2's reader has no in-memory floor and the
+        # engine's WAL now genuinely says the regressed offset — only a
+        # floor that survives the process can refuse the re-delivery.
+        # Point floor_dir at the same durable store as the checkpoint
+        # (run_live_topk derives it from the checkpoint path).
+        self._floor_dir = options.get("floor_dir") or None
+        self._available = self._load_floor()
         # Committed floor: the highest offset known to be committed, below
         # which nothing may be re-delivered. Restart hazard (found by the
         # demo kill-resume test): a fresh reader's throttled poll counter
@@ -121,7 +133,21 @@ class KlineFeedStreamReader(DataSourceStreamReader):
         # range (task retry, plan re-materialization) re-delivers the
         # same rows for the same batch id, which is exactly-once at the
         # sink, not double delivery.
-        self._hwm = 0
+        self._hwm = self._available
+
+    def _floor_path(self) -> str:
+        import os
+
+        return os.path.join(self._floor_dir, "committed_floor")
+
+    def _load_floor(self) -> int:
+        if not self._floor_dir:
+            return 0
+        try:
+            with open(self._floor_path()) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return 0
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
@@ -156,7 +182,21 @@ class KlineFeedStreamReader(DataSourceStreamReader):
             yield _kline(i)
 
     def commit(self, end: dict) -> None:
-        pass  # generator feed: nothing to ack upstream
+        # Generator feed: nothing to ack upstream — but with floor_dir
+        # set, persist the committed offset (atomic tmp+rename; never
+        # lowered, so a regressed-WAL commit cannot roll the floor back).
+        if not self._floor_dir:
+            return
+        import os
+
+        off = int(end.get("offset", 0))
+        if off <= self._load_floor():
+            return
+        os.makedirs(self._floor_dir, exist_ok=True)
+        tmp = self._floor_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(off))
+        os.replace(tmp, self._floor_path())
 
 
 class KlineFeedDataSource(DataSource):

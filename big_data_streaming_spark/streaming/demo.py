@@ -61,6 +61,10 @@ def run_live_topk(
         spark.readStream.format("kline_feed")
         .option("max_rows", str(max_rows))
         .option("rows_per_poll", str(rows_per_poll))
+        # Durable committed floor beside the checkpoint: exactly-once
+        # delivery holds across ANY number of restarts, including the
+        # regressed-WAL double-restart corner (feed_datasource.py).
+        .option("floor_dir", os.path.join(checkpoint, "feed_floor"))
         .load()
     )
     agg = (

@@ -140,3 +140,69 @@ def test_feed_to_product_query_end_to_end(spark, tmp_path):
     got = sorted(map(str, spark.table(name).collect()))
     want = sorted(map(str, expected.collect()))
     assert got == want and len(got) > 0
+
+
+def test_feed_floor_survives_double_restart(tmp_path):
+    """The double-restart corner (round-3 review finding): life 1 commits
+    up to 3600, dies; life 2's fresh reader polls a regressed
+    latestOffset, the engine records the regressed end in the WAL, and
+    life 2 dies BEFORE any later batch commits; life 3 must still refuse
+    to re-deliver below 3600 — only a durable floor can know that.
+    Drives raw reader instances through the engine's call sequence."""
+    from big_data_streaming_spark.sources.feed_datasource import (
+        KlineFeedStreamReader,
+    )
+
+    floor = str(tmp_path / "feed_floor")
+    opts = {
+        "max_rows": "7200",
+        "rows_per_poll": "1200",
+        "floor_dir": floor,
+    }
+
+    def delivered(parts):
+        return sum(p.end - p.start for p in parts)
+
+    # Life 1: three batches planned and committed.
+    r1 = KlineFeedStreamReader(opts)
+    for lo in (0, 1200, 2400):
+        end = r1.latestOffset()
+        parts = r1.partitions({"offset": lo}, end)
+        assert delivered(parts) == 1200
+        r1.commit(end)
+
+    # Life 2: fresh reader; engine restores committed=3600 but (in this
+    # simulated path) calls latestOffset FIRST — with the durable floor
+    # it must NOT regress below 3600.
+    r2 = KlineFeedStreamReader(opts)
+    end2 = r2.latestOffset()
+    assert end2["offset"] >= 3600, end2
+    # Life 2 dies before committing anything.
+
+    # Life 3: even if the engine hands a below-floor range (the
+    # regressed-WAL corner), nothing below 3600 may be re-delivered.
+    r3 = KlineFeedStreamReader(opts)
+    parts = r3.partitions({"offset": 1200}, {"offset": 2400})
+    assert delivered(parts) == 0, parts
+    # A genuine new range above the floor still flows.
+    parts = r3.partitions({"offset": 3600}, {"offset": 4800})
+    assert delivered(parts) == 1200
+    # commit() never lowers the floor.
+    r3.commit({"offset": 1200})
+    r4 = KlineFeedStreamReader(opts)
+    assert r4.latestOffset()["offset"] >= 3600
+
+
+def test_feed_without_floor_dir_unchanged(tmp_path):
+    """No floor_dir → the in-memory behavior is exactly as before (the
+    probe-seeded single-restart contract)."""
+    from big_data_streaming_spark.sources.feed_datasource import (
+        KlineFeedStreamReader,
+    )
+
+    r = KlineFeedStreamReader({"max_rows": "2400", "rows_per_poll": "1200"})
+    end = r.latestOffset()
+    assert end == {"offset": 1200}
+    parts = r.partitions({"offset": 0}, end)
+    assert sum(p.end - p.start for p in parts) == 1200
+    r.commit(end)  # no-op, must not raise
