@@ -161,14 +161,41 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    result = {
+    # The driver tail-captures ~2 kB of stdout: a single line carrying all
+    # per-query entries overflowed it in round 3 (BENCH_r03 parsed=null —
+    # VERDICT.md r3 #3). Emit full per-query detail FIRST (and persist it
+    # to BENCH_DETAIL.json next to this script), then a compact headline
+    # line (< 500 chars) LAST so any tail window catches a parseable line.
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
     }
-    print(json.dumps(result))
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still has it
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": slowest,
+    }
+    line = json.dumps(result)
+    if len(line) > 500:  # belt-and-braces: drop the sample before the total
+        result.pop("queries")
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -67,109 +67,30 @@ _MODULES = (
 # completion operators (q_ohlc_bars … q_kanonymity), (4) the first three
 # TPC-H completion queries to fill the window to exactly 50.
 #
-# ROUND-4 ROTATION TODO: once CORRECTNESS_r03 lands, move its green keys
+# ROUND-4 ROTATION (executed per the TODO + VERDICT.md r3 task 3):
+# CORRECTNESS_r03 came back 49 green + 1 red (q_agg_boolean — oracle
+# HUGEINT typing, fixed with CAST ... AS BIGINT). All 49 greens moved to
+# the tail; q_agg_boolean STAYS in the window so CORRECTNESS_r04
+# confirms the fix. The rest of the window promotes, in the TODO's
+# priority order: (1) the remaining TPC-H completion pack, (2) the
+# finale-era keys after q_kanonymity, (3) the round-2 just-past-window
+# block (3 of its 4 rows-only keys — the window carries at most 3
+# rows-only slots per the contract test; q_dedup_simhash defers one
+# round, its value-checked twin q_simhash_audit is already green), (4)
+# completion operators to fill to exactly 50.
+#
+# ROUND-5 ROTATION TODO: once CORRECTNESS_r04 lands, move its green keys
 # to the tail and promote the next unchecked block — priority order:
-# (1) the remaining TPC-H completion pack (q_tpch_q7…q22, q10, q19),
-# (2) the finale-era keys after q_kanonymity (q_modularity …
-# q_kanon_generalize), (3) the round-2 just-past-window block
-# (q_dedup_near_pairs … q_zorder_layout), (4) completion ops
-# (q_line_dedup … q_try_arith), (5) analytics continuation
-# (q_interval_merge … q_zipf_audit), (6) anything added in round 3
-# (queued directly below the window, marked "round-3 additions").
+# (1) q_dedup_simhash + remaining completion ops (q_funnel …
+# q_try_arith), (2) analytics continuation (q_interval_merge …
+# q_zipf_audit), (3) round-3 additions (q_bollinger … q_monotonic_audit),
+# (4) anything added in round 4 (queued below the window, marked
+# "round-4 additions").
 _CHECK_FIRST: tuple[str, ...] = (
-    # ============ round-3 driver window (positions 0-49) =================
-    # (1) round-2 finale wave — flagship-grade operators, zero driver rows
-    "q_entity_resolution",
-    "q_multi_distinct",
-    "q_minhash_audit",
-    "q_profile_columns",
-    "q_group_split",
-    "q_simhash_audit",
-    "q_corrupt_quarantine",
-    "q_stream_topk",
-    "q_stream_sessionize",
-    "q_asof_nearest",
-    "q_nested_json",
-    "q_twap",
-    "q_realized_vol",
-    "q_sql_udf",
-    # (2) value-checked audit twins for the rows-only driver keys
-    "q_dedup_cc_checked",
-    "q_sim_ivf_checked",
-    "q_multimodal_features",
-    # (3) third-wave + completion operators — never driver-checked
-    "q_ohlc_bars",
-    "q_dedup_incremental",
-    "q_ols_by_group",
-    "q_bigram_lm",
-    "q_stream_ohlc",
-    "q_robust_scaler",
-    "q_token_budget",
-    "q_knn_classify",
-    "q_shortest_path",
-    "q_containment",
-    "q_cdc_apply",
-    "q_bpe_train",
-    "q_bpe_tokens",
-    "q_simpson_diversity",
-    "q_gini_sources",
-    "q_vocab_coverage",
-    "q_intersect_all",
-    "q_except_all",
+    # ============ round-4 driver window (positions 0-49) =================
+    # (0) the r3 red row — oracle retyped, re-checked this round
     "q_agg_boolean",
-    "q_grouping_id",
-    "q_percentile_disc",
-    "q_agg_bitwise",
-    "q_target_encoding",
-    "q_wilson_rank",
-    "q_ks_drift",
-    "q_chi2",
-    "q_auc",
-    "q_retrieval_mrr",
-    "q_sessionize_label",
-    "q_kanonymity",
-    # (4) TPC-H completion pack — first three fill the window to 50
-    "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q4",
-    # ============ round-4 rotation candidates (positions 50+) ============
-    # Round-3 additions — full-oracle, green under the in-repo gate at
-    # sf0.001+sf0.01; first in line for the round-4 window.
-    "q_bollinger",
-    "q_rsi",
-    "q_refint_audit",
-    "q_s_core",
-    "q_bigram_score",
-    "q_feature_hash",
-    "q_loss_mask",
-    "q_minmax_scale",
-    "q_stream_full_outer",
-    "q_lag_corr",
-    "q_stream_complete_rank",
-    "q_maxsim",
-    "q_asof_tolerance",
-    "q_seasonal_decompose",
-    "q_covisit",
-    "q_pit_features",
-    "q_embed_cov",
-    "q_pca_power",
-    "q_hellinger_drift",
-    "q_assoc_rules",
-    "q_table_checksum",
-    "q_fd_audit",
-    "q_stream_drift",
-    "q_rrf_fusion",
-    "q_schema_evolution",
-    "q_calibration",
-    "q_outlier_maha",
-    "q_dataset_card",
-    "q_stream_asof",
-    "q_attribution_multi",
-    "q_rate_smoothing",
-    "q_mmr_rerank",
-    "q_salted_join",
-    "q_monotonic_audit",
-    # Remaining TPC-H completion pack — full-oracle, pytest-green.
+    # (1) TPC-H completion pack — full-oracle, pytest-green
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",
@@ -185,7 +106,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
-    # Finale-era keys after q_kanonymity — never driver-checked.
+    # (2) finale-era keys — never driver-checked
     "q_modularity",
     "q_graph_evolution",
     "q_frame_sample",
@@ -202,11 +123,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_explode_outer",
     "q_seasonal_anomaly",
     "q_kanon_generalize",
-    # Round-2 just-past-window block (rows-only-era + late round-2 adds).
+    # (3) round-2 just-past-window block (incl. the 3 rows-only slots)
     "q_dedup_near_pairs",
     "q_minhash_signature",
     "q_embed_neardup",
-    "q_dedup_simhash",
     "q_scalar_map",
     "q_doc_chunks",
     "q_embed_normalize",
@@ -216,13 +136,17 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_sketch_cms",
     "q_salted_agg",
     "q_zorder_layout",
-    # Completion operators.
+    # (4) completion operators — fill the window to exactly 50
     "q_line_dedup",
     "q_kmeans",
     "q_join_full",
     "q_join_cross",
     "q_join_nullsafe",
     "q_scd2_build",
+    # ============ round-5 rotation candidates (positions 50+) ============
+    # Deferred rows-only key (twin q_simhash_audit green r3) + remaining
+    # completion operators — first in line for the round-5 window.
+    "q_dedup_simhash",
     "q_funnel",
     "q_triangles",
     "q_window_distribution",
@@ -274,6 +198,92 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_char_ngrams",
     "q_doc_jaccard",
     "q_zipf_audit",
+    # Round-3 additions — full-oracle, green under the in-repo gate at
+    # sf0.001+sf0.01; queued for the round-5/6 windows.
+    "q_bollinger",
+    "q_rsi",
+    "q_refint_audit",
+    "q_s_core",
+    "q_bigram_score",
+    "q_feature_hash",
+    "q_loss_mask",
+    "q_minmax_scale",
+    "q_stream_full_outer",
+    "q_lag_corr",
+    "q_stream_complete_rank",
+    "q_maxsim",
+    "q_asof_tolerance",
+    "q_seasonal_decompose",
+    "q_covisit",
+    "q_pit_features",
+    "q_embed_cov",
+    "q_pca_power",
+    "q_hellinger_drift",
+    "q_assoc_rules",
+    "q_table_checksum",
+    "q_fd_audit",
+    "q_stream_drift",
+    "q_rrf_fusion",
+    "q_schema_evolution",
+    "q_calibration",
+    "q_outlier_maha",
+    "q_dataset_card",
+    "q_stream_asof",
+    "q_attribution_multi",
+    "q_rate_smoothing",
+    "q_mmr_rerank",
+    "q_salted_join",
+    "q_monotonic_audit",
+    # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
+    "q_entity_resolution",
+    "q_multi_distinct",
+    "q_minhash_audit",
+    "q_profile_columns",
+    "q_group_split",
+    "q_simhash_audit",
+    "q_corrupt_quarantine",
+    "q_stream_topk",
+    "q_stream_sessionize",
+    "q_asof_nearest",
+    "q_nested_json",
+    "q_twap",
+    "q_realized_vol",
+    "q_sql_udf",
+    "q_dedup_cc_checked",
+    "q_sim_ivf_checked",
+    "q_multimodal_features",
+    "q_ohlc_bars",
+    "q_dedup_incremental",
+    "q_ols_by_group",
+    "q_bigram_lm",
+    "q_stream_ohlc",
+    "q_robust_scaler",
+    "q_token_budget",
+    "q_knn_classify",
+    "q_shortest_path",
+    "q_containment",
+    "q_cdc_apply",
+    "q_bpe_train",
+    "q_bpe_tokens",
+    "q_simpson_diversity",
+    "q_gini_sources",
+    "q_vocab_coverage",
+    "q_intersect_all",
+    "q_except_all",
+    "q_grouping_id",
+    "q_percentile_disc",
+    "q_agg_bitwise",
+    "q_target_encoding",
+    "q_wilson_rank",
+    "q_ks_drift",
+    "q_chi2",
+    "q_auc",
+    "q_retrieval_mrr",
+    "q_sessionize_label",
+    "q_kanonymity",
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q4",
     # -- driver-green in round 2 (CORRECTNESS_r02) — rotated to the tail --
     "q_scalar_date",
     "q_scalar_null",

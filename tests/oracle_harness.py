@@ -69,11 +69,17 @@ def canonicalize(df: pd.DataFrame, atol: float = 0.0) -> list[tuple]:
             out[c] = out[c].astype("int64")
         elif pd.api.types.is_bool_dtype(out[c]):
             out[c] = out[c].astype("bool")
+    # Driver-strict form: the driver hashes STRINGIFIED cell values, so a
+    # numerically-equal-but-differently-typed pair (DuckDB HUGEINT → pandas
+    # float "290.0" vs Spark bigint "290") must FAIL here too. Python `==`
+    # says 290.0 == 290; str() does not — compare the stringified tuples
+    # (VERDICT.md r3 "What's wrong" #2). Stringifying floats uses repr
+    # (shortest round-trip), so bit-exact doubles still compare equal.
     rows = [
-        tuple(_canon_cell(v, atol) for v in row)
+        tuple(str(_canon_cell(v, atol)) for v in row)
         for row in out.itertuples(index=False, name=None)
     ]
-    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+    return sorted(rows)
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> None:

@@ -51,6 +51,37 @@ def test_oracle_outputs_are_scalar_only(spark):
     assert not offenders, offenders
 
 
+def test_oracle_output_types_hashable():
+    """DuckDB-side twin of the scalar-only sweep (VERDICT.md r3 #2):
+    DESCRIBE every oracle and reject output column types whose pandas
+    rendering diverges from Spark's under the driver's stringified-value
+    hash. HUGEINT reaches pandas as float64 ("290.0" vs Spark's "290" —
+    the q_agg_boolean r3 red row); LIST/STRUCT/MAP crash or tuple-ize
+    the canonicalizer. DESCRIBE plans without executing, so the sweep
+    covers all oracles cheaply."""
+    import duckdb
+
+    from big_data_streaming_spark.schemas import TESTDATA_TABLES
+
+    banned = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP")
+    con = duckdb.connect()
+    try:
+        con.execute("SET TimeZone='UTC'")
+        for t in TESTDATA_TABLES:
+            path = os.path.join("/root/testdata/sf0.001", f"{t}.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        offenders = []
+        for name in sorted(ORACLES):
+            for row in con.execute(f"DESCRIBE {ORACLES[name]}").fetchall():
+                col, typ = row[0], row[1]
+                u = typ.upper()
+                if u.endswith("[]") or any(b in u for b in banned):
+                    offenders.append((name, col, typ))
+        assert not offenders, offenders
+    finally:
+        con.close()
+
+
 def test_registry_contract_window():
     """Driver-contract guardrails: the check window (first 50 registry
     entries) must stay populated with resolvable queries, mostly
