@@ -370,10 +370,27 @@ def maxsim_topk(
 
     Returns (q_id, doc_id, maxsim_q, rank ≤ k).
     """
+    if n_chunks < 1:
+        raise ValueError(f"maxsim_topk: n_chunks must be >= 1, got {n_chunks}")
     dim_expr = F.size(vec_col)
+    # Contract: dim must split into n_chunks equal token vectors. With
+    # dim < n_chunks the old code computed _cw = 0 and the /0 and pmod-0
+    # downstream yielded NULL chunk ids — silently empty scores; a
+    # non-divisible dim created a ragged extra chunk (ADVICE r3). Fail
+    # loudly in-plan instead: raise_error fires on the first bad row.
+    _cw_ok = (dim_expr >= F.lit(n_chunks)) & (dim_expr % n_chunks == 0)
+    _cw_expr = F.when(_cw_ok, (dim_expr / n_chunks).cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("maxsim_topk: vector dim "),
+                dim_expr.cast("string"),
+                F.lit(f" is not divisible into n_chunks={n_chunks} equal chunks"),
+            )
+        ).cast("int")
+    )
     comp = (
         emb.withColumn("_isq", query_filter)
-        .withColumn("_cw", (dim_expr / n_chunks).cast("int"))
+        .withColumn("_cw", _cw_expr)
         .select(
             F.col(id_col).alias("_vid"),
             "_isq",

@@ -30,11 +30,40 @@ a fix cannot drift between variants (round-2 review finding).
 
 from __future__ import annotations
 
+import datetime
+import re
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Strict "<int> <unit>" (optionally several space-separated pairs, e.g.
+# "1 hour 30 minutes") — the only shape ever interpolated into an
+# INTERVAL literal. Anything else raises BEFORE reaching F.expr, so a
+# caller-tainted string cannot become an arbitrary expression fragment
+# (ADVICE r3: expression-level injection hardening).
+_TOLERANCE_RE = re.compile(
+    r"^\s*\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week)s?"
+    r"(?:\s+\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week)s?)*\s*$",
+    re.IGNORECASE,
+)
+
+
+def _tolerance_interval(tolerance: str | datetime.timedelta) -> Column:
+    """Validate a staleness tolerance and return it as an interval Column.
+
+    Accepts a ``datetime.timedelta`` (preferred — no parsing at all) or a
+    strict ``"<int> <unit>"`` string; rejects everything else loudly.
+    """
+    if isinstance(tolerance, datetime.timedelta):
+        return F.lit(tolerance)
+    if not _TOLERANCE_RE.match(tolerance):
+        raise ValueError(
+            "asof_join tolerance must be a datetime.timedelta or a strict "
+            f"'<int> <unit>' interval string, got {tolerance!r}"
+        )
+    return F.expr(f"INTERVAL {tolerance}")
 
 
 def _resolve_payload(
@@ -125,13 +154,14 @@ def asof_join(
     right_ts: str = "ts",
     right_payload: Sequence[str] = (),
     suffix: str = "_right",
-    tolerance: str | None = None,
+    tolerance: str | datetime.timedelta | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join. Returns every left row plus
     ``<payload><suffix>`` columns from the latest right row at or before
     its timestamp (nulls when no right row precedes it).
 
-    ``tolerance`` (an interval string like ``"15 minutes"`` — pandas
+    ``tolerance`` (a ``datetime.timedelta`` or a strict ``"<int> <unit>"``
+    interval string like ``"15 minutes"`` — pandas
     ``merge_asof(tolerance=...)`` parity) bounds the allowed staleness:
     a carried match older than ``left_ts - tolerance`` is nulled out, as
     if no right row preceded the left row. Same single shuffle + sort;
@@ -168,7 +198,7 @@ def asof_join(
             *[F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in right_payload],
         )
     fresh = F.col("_carry._rts") >= (
-        F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        F.col(left_ts) - _tolerance_interval(tolerance)
     )
     return out.select(
         *lcols,

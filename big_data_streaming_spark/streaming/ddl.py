@@ -140,6 +140,23 @@ def ensure_table(
         table_name = parts[-1]
         # Case-sensitive metadata patterns: probe the common catalog
         # casings (Derby/Oracle upper, Postgres lower, MySQL as-is).
+        # getTables treats its arguments as LIKE patterns: '_' matches any
+        # single character, so a probe for 'prov_t' would also match an
+        # existing 'provXt' and falsely skip creation (ADVICE r3). Escape
+        # '_'/'%' with the driver's escape string where one exists (Derby
+        # reports an EMPTY escape string, so escaping alone is not
+        # sufficient) and ALWAYS verify candidates by exact TABLE_NAME /
+        # TABLE_SCHEM equality — wildcard matches are then only extra
+        # candidates, never false positives.
+        esc = meta.getSearchStringEscape() or ""
+
+        def _like_quote(name: str) -> str:
+            if not esc:
+                return name
+            return name.replace(esc, esc + esc).replace("_", esc + "_").replace(
+                "%", esc + "%"
+            )
+
         for pat in {table_name.upper(), table_name.lower(), table_name}:
             sp = None
             if schema_name is not None:
@@ -150,9 +167,18 @@ def ensure_table(
                     if pat == table_name.lower()
                     else schema_name
                 )
-            rs = meta.getTables(None, sp, pat, None)
+            rs = meta.getTables(
+                None,
+                _like_quote(sp) if sp is not None else None,
+                _like_quote(pat),
+                None,
+            )
             try:
-                if rs.next():
+                while rs.next():
+                    if rs.getString("TABLE_NAME") != pat:
+                        continue
+                    if sp is not None and rs.getString("TABLE_SCHEM") != sp:
+                        continue
                     return False
             finally:
                 rs.close()

@@ -116,23 +116,31 @@ def drain_until_idle(
 
     deadline = time.monotonic() + timeout
     seen_data = False
-    last_counted: str | None = None
+    counted: set[int] = set()
     idle = 0
     while time.monotonic() < deadline:
-        p = q.lastProgress
-        if p is not None and p["batchId"] is not None and p["id"] is not None:
-            key = f"{p['batchId']}"
-            if key != last_counted:
-                last_counted = key
-                if p["numInputRows"] > 0:
-                    seen_data = True
-                    idle = 0
-                elif seen_data:
-                    idle += 1
-                    if idle >= idle_batches:
-                        q.stop()
-                        q.awaitTermination()
-                        return
+        # recentProgress, not lastProgress: the two trailing no-data flush
+        # batches can both complete within one 0.2 s poll interval, and a
+        # lastProgress sample would observe only the second — idle would
+        # never reach idle_batches and a healthy drain would time out
+        # (ADVICE r3). recentProgress retains a window of completed
+        # batches; dedupe by batchId so each is counted exactly once.
+        for p in q.recentProgress:
+            if p is None or p["batchId"] is None:
+                continue
+            bid = int(p["batchId"])
+            if bid in counted:
+                continue
+            counted.add(bid)
+            if p["numInputRows"] > 0:
+                seen_data = True
+                idle = 0
+            elif seen_data:
+                idle += 1
+                if idle >= idle_batches:
+                    q.stop()
+                    q.awaitTermination()
+                    return
         if q.exception() is not None:
             raise q.exception()
         time.sleep(0.2)

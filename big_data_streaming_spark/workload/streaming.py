@@ -1295,9 +1295,16 @@ def _drift_oracle() -> str:
         FROM events GROUP BY 1
     ), tg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM events
+    ), cf AS (
+        -- Full (batch x global-type) grid: a type ABSENT from a batch
+        -- must still contribute its |0 - pb| mass to TV, else drift is
+        -- understated exactly when a type vanishes (ADVICE r3).
+        SELECT tp.part, g.event_type, COALESCE(c.ca, CAST(0 AS BIGINT)) AS ca
+        FROM tp CROSS JOIN g
+        LEFT JOIN c ON c.part = tp.part AND c.event_type = g.event_type
     ), terms AS (
-        SELECT c.part, {_HD_BC_Q} AS bc_q, {_HD_TV_Q} AS tv_q
-        FROM c
+        SELECT cf.part, {_HD_BC_Q} AS bc_q, {_HD_TV_Q} AS tv_q
+        FROM cf
         JOIN tp USING (part)
         JOIN g USING (event_type)
         CROSS JOIN tg
@@ -1375,8 +1382,22 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = per.groupBy("batch_key").agg(F.sum("ca").cast("bigint").alias("na"))
     g = per.groupBy("event_type").agg(F.sum("ca").cast("bigint").alias("cb"))
     tg = per.agg(F.sum("ca").cast("bigint").alias("nb"))
+    # Full (batch x global-type) grid before the term build: a type absent
+    # from a micro-batch must contribute its |0 - pb| mass to TV instead
+    # of silently dropping out of the inner join (ADVICE r3). The grid is
+    # batches x types — trivially small at any scale.
+    cf = (
+        tp.select("batch_key")
+        .crossJoin(F.broadcast(g.select("event_type")))
+        .join(per, ["batch_key", "event_type"], "left")
+        .select(
+            "batch_key",
+            "event_type",
+            F.coalesce(F.col("ca"), F.lit(0)).cast("bigint").alias("ca"),
+        )
+    )
     terms = (
-        per.join(F.broadcast(tp), "batch_key")
+        cf.join(F.broadcast(tp), "batch_key")
         .join(F.broadcast(g), "event_type")
         .crossJoin(F.broadcast(tg))
         .select(

@@ -240,3 +240,50 @@ def test_nearest_matches_pandas_merge_asof_property(spark):
             )
 
     check()
+
+
+def test_tolerance_rejects_tainted_string_and_accepts_timedelta(spark):
+    """The tolerance string is interpolated into an INTERVAL literal; a
+    malformed or caller-tainted value must raise BEFORE reaching
+    F.expr (ADVICE r3 expression-injection hardening), and a
+    datetime.timedelta must behave identically to its string form."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("A", _ts(0), 1), ("A", _ts(40), 2)], ["coin", "ts", "trade_id"]
+    )
+    right = spark.createDataFrame(
+        [("A", _ts(10), 100.0)], ["coin", "ts", "px"]
+    )
+    for bad in (
+        "15 minutes) OR (1=1",
+        "15; DROP TABLE t",
+        "fifteen minutes",
+        "15",
+        "minutes 15",
+    ):
+        with pytest.raises(ValueError, match="tolerance"):
+            asof_join(left, right, keys=["coin"], tolerance=bad)
+
+    via_str = {
+        r["trade_id"]: r["px_right"]
+        for r in asof_join(
+            left, right, keys=["coin"], tolerance="15 minutes"
+        ).collect()
+    }
+    via_td = {
+        r["trade_id"]: r["px_right"]
+        for r in asof_join(
+            left, right, keys=["coin"], tolerance=dt.timedelta(minutes=15)
+        ).collect()
+    }
+    # trade@40 is 30 min after the quote — stale under a 15 min tolerance
+    assert via_str == via_td == {1: None, 2: None}
+
+    via_str2 = {
+        r["trade_id"]: r["px_right"]
+        for r in asof_join(
+            left, right, keys=["coin"], tolerance="45 minutes"
+        ).collect()
+    }
+    assert via_str2 == {1: None, 2: 100.0}

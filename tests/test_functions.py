@@ -530,3 +530,27 @@ def test_pca_power_matches_numpy_eigensolve(spark, sf_small):
     assert abs(float(v @ V[:, -1])) > 0.999
     assert abs(rows[0].lambda_est - w[-1]) < 1e-3 * abs(w[-1])
     assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+
+def test_maxsim_rejects_non_divisible_chunking(spark):
+    """dim % n_chunks != 0 used to produce _cw = 0 (dim < n_chunks) or a
+    ragged extra chunk — NULL chunk ids and silently empty scores
+    (ADVICE r3). The contract violation must now fail loudly, in-plan."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.functions.similarity import maxsim_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="maxsim_topk"):
+        maxsim_topk(df, F.col("vec_id") < 2, n_chunks=3, k=3).collect()
+    with pytest.raises(Exception, match="maxsim_topk"):
+        maxsim_topk(df, F.col("vec_id") < 2, n_chunks=16, k=3).collect()
+    with pytest.raises(ValueError, match="n_chunks"):
+        maxsim_topk(df, F.col("vec_id") < 2, n_chunks=0, k=3)
+    # the divisible case still works: 8 dims / 4 chunks
+    assert maxsim_topk(df, F.col("vec_id") < 2, n_chunks=4, k=3).count() > 0

@@ -325,3 +325,22 @@ def test_ensure_table_rejects_injection(spark, derby_url):
         string_length=128,
     )
     assert ddl == 'CREATE TABLE "s"."t" ("a" BIGINT NOT NULL, "b" VARCHAR(128))'
+
+
+def test_ensure_table_underscore_is_not_a_wildcard(spark, derby_url):
+    """getTables treats '_' as a single-char LIKE wildcard: an existence
+    probe for 'wild_t' used to match an existing 'wildxt' and falsely
+    skip creation (ADVICE r3). The patterns are now escaped with the
+    driver's search-string escape."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from big_data_streaming_spark.streaming.ddl import ensure_table
+
+    schema = StructType([StructField("v", LongType())])
+    assert ensure_table(spark, derby_url, "wildxt", schema, driver=DRIVER)
+    # 'wild_t' does NOT exist; the unescaped probe would match 'wildxt'
+    # and return False without creating it.
+    assert ensure_table(spark, derby_url, "wild_t", schema, driver=DRIVER)
+    # both now exist; both re-ensures are no-ops
+    assert not ensure_table(spark, derby_url, "wildxt", schema, driver=DRIVER)
+    assert not ensure_table(spark, derby_url, "wild_t", schema, driver=DRIVER)
