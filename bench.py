@@ -124,6 +124,13 @@ HEADLINE = (
     "q_assoc_rules",
     "q_table_checksum",
     "q_stream_drift",
+    # round 4: the new operator wave (q_triangles already above carries
+    # the density-guard speedup)
+    "q_winnow_fingerprint",
+    "q_stream_neardup",
+    "q_theilsen",
+    "q_mannwhitney",
+    "q_percentile_cont",
 )
 
 

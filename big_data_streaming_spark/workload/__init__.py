@@ -234,6 +234,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_mmr_rerank",
     "q_salted_join",
     "q_monotonic_audit",
+    # Round-4 additions — full-oracle, green under the in-repo gate at
+    # sf0.001+sf0.01; round-5 rotation priority (4).
+    "q_winnow_fingerprint",
+    "q_mix_temperature",
+    "q_percentile_cont",
+    "q_mannwhitney",
+    "q_theilsen",
+    "q_stream_neardup",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -3571,3 +3571,156 @@ def q_monotonic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_inversions").cast("bigint").alias("n_inversions"),
     )
     return offenders.unionAll(summary)
+
+
+# --- Mann-Whitney U rank-sum test (round 4) -------------------------------
+# The nonparametric two-sample test the stats pack was missing next to
+# q_ks_drift / q_chi2 / q_abtest: does one event_type's value
+# distribution stochastically dominate the rest? One-vs-rest per type.
+# Exactness strategy: average tie ranks are half-integers, so DOUBLED
+# ranks are pure BIGINTs — r2(v) = 2*(#less) + (#equal) + 1. Every sum
+# (rank sums, counts) is an exact integer aggregate; U and the normal
+# approximation z are then a handful of IEEE ops written ONCE as shared
+# SQL text for both engines (no tie-correction term in the variance —
+# documented simplification, identical on both sides).
+# Plan: the rank table lives on DISTINCT values (collapses duplicates
+# before any window); the per-(type,value) join is a broadcast of the
+# O(|distinct|) rank relation at 100 TB, and the global cumsum over
+# distinct values takes the q_train_order range-partitioned ranking
+# shape when |distinct| is itself huge.
+_MW_U = "(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE))"
+_MW_Z = (
+    f"(({_MW_U} - CAST(n1 * n2 AS DOUBLE) / CAST(2 AS DOUBLE))"
+    " / sqrt(CAST(n1 * n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE)"
+    " / CAST(12 AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_mannwhitney",
+    f"""
+    WITH vc AS (
+        SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY value
+    ), v2 AS (
+        SELECT value,
+               CAST(2 * (SUM(cnt) OVER (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - cnt) + cnt + 1 AS BIGINT) AS r2
+        FROM vc
+    ), gv AS (
+        SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS gcnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+        WHERE value IS NOT NULL
+    ), per AS (
+        SELECT event_type,
+               CAST(SUM(gcnt) AS BIGINT) AS n1,
+               CAST(SUM(gcnt * r2) AS BIGINT) AS r1_2
+        FROM gv JOIN v2 USING (value) GROUP BY event_type
+    ), sized AS (
+        SELECT event_type, n1, CAST(n - n1 AS BIGINT) AS n2, r1_2
+        FROM per CROSS JOIN tot
+    )
+    SELECT event_type, n1, n2, {_MW_U} AS u, {_MW_Z} AS z
+    FROM sized
+    """,
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vc = e.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    v2 = vc.select(
+        "value",
+        (2 * (F.sum("cnt").over(wcum) - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    gv = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gcnt")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per = gv.join(v2, "value").groupBy("event_type").agg(
+        F.sum("gcnt").cast("bigint").alias("n1"),
+        F.sum(F.col("gcnt") * F.col("r2")).cast("bigint").alias("r1_2"),
+    )
+    sized = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n1",
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n2"),
+        "r1_2",
+    )
+    return sized.select(
+        "event_type", "n1", "n2",
+        F.expr(_MW_U).alias("u"),
+        F.expr(_MW_Z).alias("z"),
+    )
+
+
+# --- Theil-Sen robust trend slope per user (round 4) ----------------------
+# The robust regression counterpart to q_ols_by_group: the median of all
+# pairwise slopes is insensitive to up to ~29% outliers, which OLS is
+# not. Slope of value vs time (per hour) over every ordered event pair
+# within a user. Exactness: dt is an exact BIGINT microsecond
+# difference; dv is one IEEE subtraction; the per-hour slope is the
+# shared two-op expression text below; the median is SELECTED (lower
+# middle via row_number = (m+1) div 2), never averaged, so the output
+# is a value both engines computed identically. Plan: the pair build is
+# a per-user self-join — quadratic in per-key density, fine for bounded
+# per-user activity (~70 events/user here); at 100 TB cap per-key input
+# first with deterministic sampling (the q_mix_domains hash-mod filter
+# per user) — the estimator is explicitly sample-robust.
+_TS_SLOPE = "((dv * 3600000000.0) / CAST(dt AS DOUBLE))"
+
+
+@_q(
+    "q_theilsen",
+    f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tus, value AS v
+        FROM events WHERE value IS NOT NULL
+    ), p AS (
+        SELECT a.user_id, b.v - a.v AS dv, b.tus - a.tus AS dt
+        FROM e a JOIN e b ON a.user_id = b.user_id AND a.tus < b.tus
+    ), s AS (
+        SELECT user_id, {_TS_SLOPE} AS slope FROM p
+    ), r AS (
+        SELECT user_id, slope,
+               row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS m
+        FROM s
+    )
+    SELECT user_id, m AS n_pairs, slope AS trend_slope_per_hour
+    FROM r WHERE rn = (m + 1) // 2
+    """,
+)
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("tus"), F.col("value").alias("v"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.tus") < F.col("b.tus")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (F.col("b.v") - F.col("a.v")).alias("dv"),
+        (F.col("b.tus") - F.col("a.tus")).alias("dt"),
+    )
+    s = p.select("user_id", F.expr(_TS_SLOPE).alias("slope"))
+    wu = Window.partitionBy("user_id")
+    r = s.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wu.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(wu).cast("bigint").alias("m"),
+    )
+    return r.where(F.col("rn") == F.expr("(m + 1) div 2")).select(
+        "user_id",
+        F.col("m").alias("n_pairs"),
+        F.col("slope").alias("trend_slope_per_hour"),
+    )

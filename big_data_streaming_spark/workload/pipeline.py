@@ -1015,3 +1015,60 @@ def q_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("mask_ratio"),
     )
+
+
+# --- north star: temperature-scaled mixture weights (round 4) -------------
+# The other standard mixture policy next to q_mix_domains' min-downsample:
+# temperature sampling weights w_s = n_s^tau / SUM n^tau with tau = 0.5
+# (the multilingual-LM "temperature" that upsamples small domains without
+# flattening to uniform). sqrt is correctly rounded in IEEE-754, so
+# sqrt(n) is bit-identical across engines — but a SUM of those doubles
+# is order-dependent, so each sqrt is quantized to an exact 1e6-grain
+# BIGINT first (the workload's standard quantize-then-integer-sum form);
+# the weight is then ONE double division of exact integers. planned_docs
+# applies the weights to a fixed 10k-sample budget with floor (exact).
+# Plan: per-source counts (combinable agg, O(sources) rows), one 1-row
+# total, broadcast both — zero corpus shuffle at any scale.
+_TEMP_BUDGET = 10_000
+_TEMP_SCALE = 1_000_000
+
+
+@_q(
+    "q_mix_temperature",
+    f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY source
+    ), q AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_TEMP_SCALE} + 0.5)
+                    AS BIGINT) AS qs
+        FROM counts
+    ), tot AS (SELECT CAST(SUM(qs) AS BIGINT) AS qtot FROM q)
+    SELECT source, n_docs,
+           CAST(qs AS DOUBLE) / CAST(qtot AS DOUBLE) AS weight,
+           CAST(floor((CAST(qs AS DOUBLE) / CAST(qtot AS DOUBLE))
+                      * {_TEMP_BUDGET}) AS BIGINT) AS planned_docs
+    FROM q CROSS JOIN tot
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    q = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _TEMP_SCALE + 0.5)
+        .cast("bigint")
+        .alias("qs"),
+    )
+    tot = q.agg(F.sum("qs").cast("bigint").alias("qtot"))
+    w = F.col("qs").cast("double") / F.col("qtot").cast("double")
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        w.alias("weight"),
+        F.floor(w * _TEMP_BUDGET).cast("bigint").alias("planned_docs"),
+    )

@@ -1946,3 +1946,39 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         dec_sum(F.col("l_quantity") * F.col("w"), "weighted_qty"),
     )
+
+
+# --- B15 completion: exact interpolated percentiles (round 4) -------------
+# percentile_cont semantics — the continuous counterpart to
+# q_percentile_disc and the exact counterpart to q_approx_percentile.
+# Spark's `percentile` and DuckDB's `quantile_cont` both compute
+# a[floor(p*(n-1))] + frac * (a[+1] - a[floor]) over the sorted group;
+# verified bit-identical on genuinely interpolated doubles (97 small
+# groups over l_extendedprice, zero mismatches at sf0.01). Small keyed
+# groups make the interpolation path real instead of collapsing onto
+# repeated integer values. Plan: one hash aggregate; percentile is an
+# order-carrying agg, so partials hold the group's values — at 100 TB
+# prefer q_approx_percentile for hot paths and this for exact audits.
+@_q(
+    "q_percentile_cont",
+    """
+    SELECT l_orderkey % 97 AS grp,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS qty_q1,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS qty_median,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS qty_q3,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.905) AS price_p905
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return li.groupBy((F.col("l_orderkey") % 97).alias("grp")).agg(
+        F.percentile(qty, F.lit(0.25)).alias("qty_q1"),
+        F.percentile(qty, F.lit(0.5)).alias("qty_median"),
+        F.percentile(qty, F.lit(0.75)).alias("qty_q3"),
+        F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.905)).alias(
+            "price_p905"
+        ),
+    )

@@ -1506,3 +1506,105 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     marks.unpersist()
     return spark.read.parquet(os.path.join(out_dir, "batch_*"))
+
+
+# --- streaming near-duplicate suppression (LLM-ingest dedup, round 4) -----
+# Keep-first near-dup filtering ON THE STREAM: each document is hashed
+# to a 1-permutation MinHash bucket (min over tokens of the 48-bit md5
+# token hash — the width-1 LSH band of functions/dedup.py's banded
+# MinHash, and the verified cross-engine hash primitive), and only the
+# FIRST document of each bucket survives. State = the accepted
+# (bucket, doc_id) parquet itself: every micro-batch computes its
+# per-bucket min candidate, anti-joins against the accumulated output,
+# and appends survivors to an idempotent per-batch dir (the
+# q_stream_topk sink contract — a WAL-replayed batch overwrites its own
+# dir). Deterministic because the staged parts are doc_id-contiguous
+# ascending: the first batch containing a bucket holds its global min
+# doc_id, so survivors == the batch answer "min doc_id per bucket" and
+# the DuckDB oracle can value-check a custom stateful streaming op.
+# 100 TB plan: bucket build is one explode + map-side-combinable min
+# (zero cross-doc shuffle); the anti-join is keyed on bucket — at scale
+# the accepted set partitions by bucket and each micro-batch joins only
+# its own bucket partitions (broadcast while small, shuffle-hash later).
+@_q(
+    "q_stream_neardup",
+    """
+    WITH buck AS (
+        SELECT doc_id,
+               MIN(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT)) AS bucket
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id
+    )
+    SELECT bucket, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM buck GROUP BY bucket
+    """,
+)
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    src_dir = _stage_stream_dir_parts(sf_dir, "documents", n_parts=4)
+    tag = hashlib.md5(f"neardup:{sf_dir}".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), "bdss_stream_stage")
+    out_dir = os.path.join(base, f"stream_neardup_{tag}")
+    ckpt_dir = os.path.join(base, f"stream_neardup_ckpt_{tag}")
+    for d in (out_dir, ckpt_dir):  # fresh deterministic run (leak policy)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cand = (
+            batch_df.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("tok")
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.min(
+                    F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast(
+                        "bigint"
+                    )
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        )
+        spark_b = batch_df.sparkSession
+        # Only dirs from STRICTLY EARLIER batches are state: a
+        # WAL-replayed batch may find its own (possibly partial) dir on
+        # disk and must not anti-join against it — that would drop its
+        # own survivors and overwrite the dir empty.
+        prior = [
+            os.path.join(out_dir, d)
+            for d in sorted(os.listdir(out_dir))
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if prior:
+            seen = spark_b.read.parquet(*prior).select("bucket")
+            cand = cand.join(seen, "bucket", "left_anti")
+        cand.select("bucket", "doc_id").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_{batch_id}")
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = [
+        os.path.join(out_dir, d)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("batch_")
+    ]
+    return spark.read.parquet(*parts).select("bucket", "doc_id")

@@ -2326,3 +2326,120 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_DC_KEEP).alias("keep_rate"),
         F.expr(_DC_MEAN_LOGIT).alias("mean_logit"),
     )
+
+
+# --- C1/C4: MOSS winnowing document fingerprints (round 4) ----------------
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+# algorithm): hash every k-gram (k=3 tokens), slide a window of w=4
+# consecutive gram hashes, and record the window MINIMUM. The selected
+# fingerprints are position-robust (guaranteed to share fingerprints
+# with any copy that reuses >= w+k-1 consecutive tokens), at a ~1/w
+# density of the full gram set. The per-doc summary keeps the driver
+# output scalar: fingerprint count plus order-insensitive XOR and
+# modular-sum digests (the q_table_checksum digest forms — bigint-exact
+# in both engines). The 48-bit gram hash is the verified cross-engine
+# primitive: Spark conv(substr(md5,1,12),16,10) == DuckDB
+# CAST('0x'||substr(md5,1,12) AS BIGINT).
+#
+# 100 TB plan: tokenize + gram-hash + windowed min are all map-side per
+# document (one window function partitioned by doc_id — embarrassingly
+# parallel, no cross-doc shuffle at all); the per-doc aggregate is one
+# combinable groupBy. The downstream pair-join (not materialized here —
+# q_dedup_ngram / q_containment own that stage) joins on fingerprint
+# posting lists with df capping, never all-pairs.
+_WINNOW_K = 3  # tokens per gram
+_WINNOW_W = 4  # grams per winnowing window
+_WINNOW_MOD = 1_000_000_007
+
+
+@_q(
+    "q_winnow_fingerprint",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, pos,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS gram
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), hashes AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) AS h
+        FROM grams
+    ), wmins AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                            AND CURRENT ROW) AS fp,
+               pos
+        FROM hashes
+        QUALIFY pos >= {_WINNOW_W}
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wmins
+    ), per AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+               bit_xor(fp) AS fp_xor,
+               CAST(SUM(fp % {_WINNOW_MOD}) % {_WINNOW_MOD} AS BIGINT)
+                   AS fp_modsum
+        FROM fps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_fingerprints, CAST(0 AS BIGINT)) AS n_fingerprints,
+           COALESCE(p.fp_xor, CAST(0 AS BIGINT)) AS fp_xor,
+           COALESCE(p.fp_modsum, CAST(0 AS BIGINT)) AS fp_modsum
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("gram"),
+        F.lead("tok", 2).over(w).alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    hashes = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(_WINNOW_W - 1), 0
+    )
+    fps = (
+        hashes.select("doc_id", "pos", F.min("h").over(wmin).alias("fp"))
+        .where(F.col("pos") >= _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    per = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.expr("bit_xor(fp)").alias("fp_xor"),
+        (F.sum(F.col("fp") % _WINNOW_MOD) % _WINNOW_MOD)
+        .cast("bigint")
+        .alias("fp_modsum"),
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_fingerprints", F.lit(0).cast("bigint")).alias(
+            "n_fingerprints"
+        ),
+        F.coalesce("fp_xor", F.lit(0).cast("bigint")).alias("fp_xor"),
+        F.coalesce("fp_modsum", F.lit(0).cast("bigint")).alias("fp_modsum"),
+    )
