@@ -242,6 +242,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_mannwhitney",
     "q_theilsen",
     "q_stream_neardup",
+    "q_ngram_leakage",
+    "q_filter_cascade",
+    "q_audience_overlap",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -3724,3 +3724,71 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_pairs"),
         F.col("slope").alias("trend_slope_per_hour"),
     )
+
+
+# --- audience-overlap matrix (segment Jaccard, round 4) -------------------
+# Pairwise Jaccard similarity between the USER SETS of every event-type
+# pair — the audience-overlap matrix growth/ads teams pull before
+# merging segments. Distinct from q_covisit (co-occurrence counts
+# within a basket): this is set overlap across the whole activity
+# horizon. All counts are exact integers off ONE distinct (user, type)
+# relation; Jaccard = one final division. Plan: distinct → self-join on
+# user_id (per-user type lists are tiny; the join output is bounded by
+# |users| * types²) → (a, b) aggregate joined to the broadcast per-type
+# totals. At 100 TB: one user_id shuffle for the distinct + join
+# (shared partitioning), then O(types²) rows.
+@_q(
+    "q_audience_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tc AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY event_type
+    ), pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, ta.n_users AS n_a, tb.n_users AS n_b,
+           p.n_both,
+           CAST(p.n_both AS DOUBLE)
+               / CAST(ta.n_users + tb.n_users - p.n_both AS DOUBLE)
+               AS jaccard
+    FROM pair p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1072,3 +1072,106 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.alias("weight"),
         F.floor(w * _TEMP_BUDGET).cast("bigint").alias("planned_docs"),
     )
+
+
+# --- filter-cascade funnel audit (round 4) --------------------------------
+# The dataset-engineering report that precedes any corpus release: how
+# many documents survive each successive quality gate, in order. Gates
+# are DIVISION-FREE integer predicates so both engines agree exactly:
+#   g1 length window       100 <= n_chars <= 2000
+#   g2 lexical diversity   5 * distinct_tokens >= total_tokens
+#   g3 repetition cap      4 * max_token_count <= total_tokens
+#   g4 exact-dup winner    doc_id == min(doc_id) per identical text
+# One pass computes all per-doc flags (token stats in a single grouped
+# explode, dup winners via a groupBy-min join — both combinable), then
+# ONE aggregate emits the 5-stage funnel as rows. At 100 TB: two
+# shuffles total (token agg by doc, dedup agg by text) + a broadcast of
+# nothing — the funnel itself is a 1-row-per-stage reduce.
+@_q(
+    "q_filter_cascade",
+    """
+    WITH ts AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_toks,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM (
+            SELECT doc_id, tok, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    ), winner AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ), flags AS (
+        SELECT d.doc_id,
+               CASE WHEN d.n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS g1,
+               CASE WHEN 5 * ts.n_distinct >= ts.n_toks THEN 1 ELSE 0 END AS g2,
+               CASE WHEN 4 * ts.max_cnt <= ts.n_toks THEN 1 ELSE 0 END AS g3,
+               CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g4
+        FROM documents d
+        JOIN ts USING (doc_id)
+        LEFT JOIN winner w ON w.doc_id = d.doc_id
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+               CAST(SUM(g1) AS BIGINT) AS s1,
+               CAST(SUM(g1 * g2) AS BIGINT) AS s2,
+               CAST(SUM(g1 * g2 * g3) AS BIGINT) AS s3,
+               CAST(SUM(g1 * g2 * g3 * g4) AS BIGINT) AS s4
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'all' AS gate, s0 AS n_docs FROM agg
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'length', s1 FROM agg
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'diversity', s2 FROM agg
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'repetition', s3 FROM agg
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), 'exact_dedup', s4 FROM agg
+    )
+    """,
+)
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ts = tok.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_toks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    winner = d.groupBy("text").agg(F.min("doc_id").alias("wid"))
+    flags = (
+        d.join(ts, "doc_id")
+        .join(winner.select(F.col("wid").alias("doc_id"), F.lit(1).alias("w")),
+              "doc_id", "left")
+        .select(
+            F.when(F.col("n_chars").between(100, 2000), 1).otherwise(0).alias("g1"),
+            F.when(5 * F.col("n_distinct") >= F.col("n_toks"), 1)
+            .otherwise(0)
+            .alias("g2"),
+            F.when(4 * F.col("max_cnt") <= F.col("n_toks"), 1)
+            .otherwise(0)
+            .alias("g3"),
+            F.when(F.col("w").isNotNull(), 1).otherwise(0).alias("g4"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s0"),
+        F.sum("g1").cast("bigint").alias("s1"),
+        F.sum(F.col("g1") * F.col("g2")).cast("bigint").alias("s2"),
+        F.sum(F.col("g1") * F.col("g2") * F.col("g3")).cast("bigint").alias("s3"),
+        F.sum(F.col("g1") * F.col("g2") * F.col("g3") * F.col("g4"))
+        .cast("bigint")
+        .alias("s4"),
+    )
+    return agg.selectExpr(
+        "stack(5, CAST(0 AS BIGINT), 'all', s0,"
+        " CAST(1 AS BIGINT), 'length', s1,"
+        " CAST(2 AS BIGINT), 'diversity', s2,"
+        " CAST(3 AS BIGINT), 'repetition', s3,"
+        " CAST(4 AS BIGINT), 'exact_dedup', s4) AS (stage, gate, n_docs)"
+    )

@@ -2443,3 +2443,87 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("fp_xor", F.lit(0).cast("bigint")).alias("fp_xor"),
         F.coalesce("fp_modsum", F.lit(0).cast("bigint")).alias("fp_modsum"),
     )
+
+
+# --- memorization-leakage audit: duplicated n-gram coverage (round 4) -----
+# For every document: what fraction of its 8-token shingle POSITIONS is
+# covered by shingles that also occur in at least one OTHER document?
+# This is the memorization-risk score LLM data work runs after dedup —
+# q_line_dedup REMOVES repeated chunks, q_lm_novelty scores bigram
+# novelty; this measures residual verbatim overlap at the span level
+# without mutating the corpus. Counts are exact integers; the ratio is
+# one final division. Plan: shingle explode → (shingle, distinct-doc
+# df) aggregate → join back keyed on shingle → per-doc aggregate. At
+# 100 TB the df relation is the standard posting-list aggregate
+# (map-side combinable; boilerplate shingles are the hot keys and AQE
+# skew-splits the join back — same story as q_lm_novelty).
+_LEAK_SHINGLE = 8
+
+
+@_q(
+    "q_ngram_leakage",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, len(toks) - {_LEAK_SHINGLE} + 1),
+                   i -> array_to_string(toks[i + 1 : i + {_LEAK_SHINGLE}], ' ')
+               )) AS shingle
+        FROM tok WHERE len(toks) >= {_LEAK_SHINGLE}
+    ), df AS (
+        SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM sh GROUP BY shingle
+    ), per AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_leaked
+        FROM sh s JOIN df USING (shingle)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_grams, n_leaked,
+           CAST(n_leaked AS DOUBLE) / CAST(n_grams AS DOUBLE) AS leak_ratio
+    FROM per
+    """,
+)
+def q_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= _LEAK_SHINGLE)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - _LEAK_SHINGLE),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i + 1, _LEAK_SHINGLE), " "
+                    ),
+                )
+            ).alias("shingle"),
+        )
+    )
+    df_rel = sh.groupBy("shingle").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    per = (
+        sh.join(df_rel, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_leaked",
+        (F.col("n_leaked").cast("double") / F.col("n_grams").cast("double")).alias(
+            "leak_ratio"
+        ),
+    )
