@@ -245,6 +245,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_ngram_leakage",
     "q_filter_cascade",
     "q_audience_overlap",
+    "q_winnow_pairs",
+    "q_lorenz_deciles",
+    "q_source_overlap",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

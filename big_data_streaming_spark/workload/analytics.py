@@ -3792,3 +3792,68 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- Lorenz deciles / revenue concentration (round 4) ---------------------
+# The concentration table behind a Gini number (q_gini_sources gives the
+# scalar; this gives the curve): customers ranked into revenue deciles,
+# each decile's exact revenue, share, and cumulative share. Revenue
+# stays DECIMAL(38,6) through BOTH aggregation levels (per-customer,
+# per-decile) and the 10-row cumulative window, so every sum is
+# order-free exact; the two shares are single IEEE divisions of
+# identically-derived doubles. ntile ties are broken by customer id —
+# fully deterministic bucket assignment in both engines.
+# Plan: one customer-keyed aggregate; the decile ranking is a global
+# sort of O(|customers|) rows — at 100 TB use the q_train_order
+# range-partitioned ranking; the decile rollup is 10 rows.
+@_q(
+    "q_lorenz_deciles",
+    """
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, r,
+               ntile(10) OVER (ORDER BY r, o_custkey) AS decile
+        FROM rev
+    ), per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers, SUM(r) AS dr
+        FROM ranked GROUP BY decile
+    ), tot AS (SELECT SUM(r) AS tr FROM rev)
+    SELECT CAST(decile AS INTEGER) AS decile, n_customers,
+           CAST(dr AS DOUBLE) AS decile_revenue,
+           CAST(dr AS DOUBLE) / CAST(tr AS DOUBLE) AS revenue_share,
+           CAST(SUM(dr) OVER (ORDER BY decile
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS DOUBLE)
+               / CAST(tr AS DOUBLE) AS cum_share
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
+    )
+    ranked = rev.select(
+        "o_custkey",
+        "r",
+        F.ntile(10).over(Window.orderBy("r", "o_custkey")).alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("r").alias("dr"),
+    )
+    tot = rev.agg(F.sum("r").alias("tr"))
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("integer").alias("decile"),
+        "n_customers",
+        F.col("dr").cast("double").alias("decile_revenue"),
+        (F.col("dr").cast("double") / F.col("tr").cast("double")).alias(
+            "revenue_share"
+        ),
+        (
+            F.sum("dr").over(wcum).cast("double") / F.col("tr").cast("double")
+        ).alias("cum_share"),
+    )

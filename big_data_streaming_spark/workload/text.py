@@ -2351,11 +2351,12 @@ _WINNOW_K = 3  # tokens per gram
 _WINNOW_W = 4  # grams per winnowing window
 _WINNOW_MOD = 1_000_000_007
 
-
-@_q(
-    "q_winnow_fingerprint",
-    f"""
-    WITH toks AS (
+# The winnowing fingerprint derivation, written ONCE and shared by the
+# per-doc digest oracle (q_winnow_fingerprint) and the pair-level dedup
+# oracle (q_winnow_pairs) — the fps relation is exactness-critical text
+# that must not drift between consumers. Yields fps(doc_id, fp).
+_WINNOW_FPS_CTE = f"""
+    toks AS (
         SELECT doc_id,
                unnest(string_split(text, ' ')) AS tok,
                generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -2381,22 +2382,12 @@ _WINNOW_MOD = 1_000_000_007
         QUALIFY pos >= {_WINNOW_W}
     ), fps AS (
         SELECT DISTINCT doc_id, fp FROM wmins
-    ), per AS (
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
-               bit_xor(fp) AS fp_xor,
-               CAST(SUM(fp % {_WINNOW_MOD}) % {_WINNOW_MOD} AS BIGINT)
-                   AS fp_modsum
-        FROM fps GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           COALESCE(p.n_fingerprints, CAST(0 AS BIGINT)) AS n_fingerprints,
-           COALESCE(p.fp_xor, CAST(0 AS BIGINT)) AS fp_xor,
-           COALESCE(p.fp_modsum, CAST(0 AS BIGINT)) AS fp_modsum
-    FROM documents d LEFT JOIN per p USING (doc_id)
-    """,
-)
-def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_WINNOW_FPS_CTE``: (doc_id, fp) winnowing
+    fingerprints — shared by q_winnow_fingerprint and q_winnow_pairs."""
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents")
@@ -2422,12 +2413,35 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
         -(_WINNOW_W - 1), 0
     )
-    fps = (
+    return (
         hashes.select("doc_id", "pos", F.min("h").over(wmin).alias("fp"))
         .where(F.col("pos") >= _WINNOW_W)
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+@_q(
+    "q_winnow_fingerprint",
+    f"""
+    WITH {_WINNOW_FPS_CTE}, per AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+               bit_xor(fp) AS fp_xor,
+               CAST(SUM(fp % {_WINNOW_MOD}) % {_WINNOW_MOD} AS BIGINT)
+                   AS fp_modsum
+        FROM fps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_fingerprints, CAST(0 AS BIGINT)) AS n_fingerprints,
+           COALESCE(p.fp_xor, CAST(0 AS BIGINT)) AS fp_xor,
+           COALESCE(p.fp_modsum, CAST(0 AS BIGINT)) AS fp_modsum
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fps = _winnow_fps(spark, sf_dir)
     per = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
         F.expr("bit_xor(fp)").alias("fp_xor"),
@@ -2526,4 +2540,140 @@ def q_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_leaked").cast("double") / F.col("n_grams").cast("double")).alias(
             "leak_ratio"
         ),
+    )
+
+
+# --- winnowing pair-level near-dup candidates (round 4) -------------------
+# The pair stage over the shared winnowing fingerprints: documents
+# sharing >= 3 fingerprints, ranked by shared count. The df cap (keep
+# fingerprints appearing in 2..50 documents) is the posting-list
+# discipline that bounds the join at scale: boilerplate fingerprints
+# with huge df would otherwise dominate Σdf² — dropping them loses only
+# pairs whose OTHER shared fingerprints still connect them, the
+# standard winnowing-pipeline trade. Deterministic top-200 report
+# (shared count desc, then ids). All counts exact integers.
+# 100 TB: fps is map-side per doc (see q_winnow_fingerprint); the df
+# relation is combinable; the pair join shuffles (fp)-keyed posting
+# lists with Σdf² bounded by the cap — never |docs|².
+_WP_DF_MIN, _WP_DF_MAX = 2, 50
+_WP_MIN_SHARED = 3
+_WP_TOPK = 200
+
+
+@_q(
+    "q_winnow_pairs",
+    f"""
+    WITH {_WINNOW_FPS_CTE}, df AS (
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS df
+        FROM fps GROUP BY fp
+    ), kept AS (
+        SELECT f.doc_id, f.fp
+        FROM fps f JOIN df USING (fp)
+        WHERE df.df BETWEEN {_WP_DF_MIN} AND {_WP_DF_MAX}
+    ), pair AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared
+    FROM pair
+    WHERE n_shared >= {_WP_MIN_SHARED}
+    ORDER BY n_shared DESC, doc_a, doc_b
+    LIMIT {_WP_TOPK}
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = _winnow_fps(spark, sf_dir)
+    df_rel = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    kept = (
+        fps.join(df_rel, "fp")
+        .where(F.col("df").between(_WP_DF_MIN, _WP_DF_MAX))
+        .select("doc_id", "fp")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        pair.where(F.col("n_shared") >= _WP_MIN_SHARED)
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(_WP_TOPK)
+    )
+
+
+# --- cross-source duplication overlap (round 4) ---------------------------
+# Which sources duplicate each other? Pairwise count of IDENTICAL texts
+# appearing in both sources, plus the overlap coefficient
+# n_shared / min(n_a, n_b) — the dataset-governance view that decides
+# which source to drop before training (q_dataset_card's corpus-level
+# dup_fraction cannot localize it). Exact integer counts off one
+# DISTINCT (source, text) relation; one final division. At 100 TB join
+# on a text fingerprint instead of raw text (q_text_fingerprint) —
+# same shape, narrow key; texts with huge cross-source df are the hot
+# keys and AQE splits them.
+@_q(
+    "q_source_overlap",
+    """
+    WITH st AS (SELECT DISTINCT source, text FROM documents),
+    sc AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_texts
+        FROM st GROUP BY source
+    ), pair AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM st a JOIN st b ON a.text = b.text AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, ca.n_texts AS n_a, cb.n_texts AS n_b,
+           p.n_shared,
+           CAST(p.n_shared AS DOUBLE)
+               / CAST(least(ca.n_texts, cb.n_texts) AS DOUBLE)
+               AS overlap_coeff
+    FROM pair p
+    JOIN sc ca ON ca.source = p.source_a
+    JOIN sc cb ON cb.source = p.source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = t(spark, sf_dir, "documents").select("source", "text").distinct()
+    sc = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_texts")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ca = sc.select(F.col("source").alias("source_a"), F.col("n_texts").alias("n_a"))
+    cb = sc.select(F.col("source").alias("source_b"), F.col("n_texts").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("overlap_coeff"),
+        )
     )
