@@ -248,6 +248,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_winnow_pairs",
     "q_lorenz_deciles",
     "q_source_overlap",
+    "q_label_spread",
+    "q_slice_finder",
+    "q_rendezvous_shards",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

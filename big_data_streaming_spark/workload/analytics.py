@@ -3857,3 +3857,56 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dr").over(wcum).cast("double") / F.col("tr").cast("double")
         ).alias("cum_share"),
     )
+
+
+# --- slice finder: worst data slices by Wilson lower bound (round 4) -------
+# The data-quality triage op LLM pipelines run before training: scan
+# candidate slices of the corpus (here the GROUPING SETS lattice over
+# event_type × day-part) and rank them by the Wilson lower confidence
+# bound of their success rate — the same statistically-honest ranking
+# as q_wilson_rank (shared `_WILSON` expression text, cannot drift),
+# applied per-slice so tiny terrible slices don't outrank large
+# mediocre ones. Both engines evaluate the IDENTICAL SQL text (the
+# q_wilson_rank discipline): one GROUPING SETS aggregate (Spark expands
+# it into a single Expand + hash aggregate — one shuffle), a scalar
+# Wilson formula (sqrt only — no transcendental ban violation), and a
+# deterministic bottom-15 with slice-label tie-break. 100 TB: the
+# aggregate is map-side combinable and output-tiny (|types| × |parts|
+# lattice); adding slice dimensions grows the Expand factor linearly,
+# never a second scan.
+def _slice_finder_sql(table: str) -> str:
+    return f"""
+    WITH base AS (
+        SELECT CASE WHEN value > 100 THEN 1 ELSE 0 END AS hit,
+               event_type,
+               CASE WHEN hour(ts) < 6 THEN 'night'
+                    WHEN hour(ts) < 12 THEN 'morning'
+                    WHEN hour(ts) < 18 THEN 'afternoon'
+                    ELSE 'evening' END AS day_part
+        FROM {table}
+    ), g AS (
+        SELECT CASE WHEN GROUPING(event_type) = 0 AND GROUPING(day_part) = 0
+                    THEN concat('type=', event_type, '&part=', day_part)
+                    WHEN GROUPING(event_type) = 0
+                    THEN concat('type=', event_type)
+                    ELSE concat('part=', day_part) END AS slice,
+               CAST(SUM(hit) AS DOUBLE) AS hits,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM base
+        GROUP BY GROUPING SETS ((event_type), (day_part),
+                                (event_type, day_part))
+    ), p AS (
+        SELECT slice, hits, n, hits / n AS p FROM g
+    )
+    SELECT slice, CAST(hits AS BIGINT) AS n_hits, CAST(n AS BIGINT) AS n_total,
+           p AS rate, {_WILSON} AS wilson_lower
+    FROM p
+    ORDER BY wilson_lower, slice
+    LIMIT 15
+    """
+
+
+@_q("q_slice_finder", _slice_finder_sql("events"))
+def q_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_slice")
+    return spark.sql(_slice_finder_sql("events_slice"))

@@ -1175,3 +1175,84 @@ def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(3 AS BIGINT), 'repetition', s3,"
         " CAST(4 AS BIGINT), 'exact_dedup', s4) AS (stage, gate, n_docs)"
     )
+
+
+# --- rendezvous (HRW) sharding + reshard-movement audit (round 4) ----------
+# Data-placement primitive for serving a 100 TB corpus: each key goes to
+# the shard with the highest md5(key ':' shard) — Highest Random Weight
+# (rendezvous) hashing, the consistent-hashing scheme with provably
+# minimal movement. The audit computes every doc's shard under N=8 and
+# N=9 and proves the property on real data: per old shard, how many keys
+# moved at all (~1/9 expected) and how many moved to a shard OTHER than
+# the new one (`n_moved_wrong` — MUST be 0 by the HRW argmax argument:
+# adding a candidate can only win or leave the old argmax standing).
+# Cross-engine exact: md5 is bit-identical (verified primitive), the
+# argmax compares hex strings lexicographically, ties are impossible
+# (md5 collision), counts are integers. The per-row shard choice is a
+# higher-order array expression inside whole-stage codegen — zero
+# Python, zero shuffle; the audit aggregate is one combinable groupBy
+# on 9 keys. At 100 TB this is exactly the assignment job a placement
+# controller runs, embarrassingly parallel over the corpus scan.
+_HRW_N_OLD, _HRW_N_NEW = 8, 9
+
+
+def _hrw_oracle() -> str:
+    def grid(n: int, tag: str) -> str:
+        return f"""
+    g{tag} AS (
+        SELECT doc_id, CAST(r.s AS INT) AS s,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r.s AS VARCHAR)) AS h
+        FROM documents, range(0, {n}) r(s)
+    ), a{tag} AS (
+        SELECT doc_id, arg_max(s, h) AS shard{tag} FROM g{tag} GROUP BY doc_id
+    )"""
+
+    return f"""
+    WITH {grid(_HRW_N_OLD, "8")}, {grid(_HRW_N_NEW, "9")}
+    SELECT shard8,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+           CAST(SUM(CASE WHEN shard9 <> shard8
+                          AND shard9 <> {_HRW_N_OLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_wrong
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY shard8
+    """
+
+
+def _hrw_shard(n: int):
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda s: F.struct(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        s.cast("string"),
+                    )
+                ).alias("h"),
+                s.cast("int").alias("shard"),
+            ),
+        )
+    )["shard"]
+
+
+@_q("q_rendezvous_shards", _hrw_oracle())
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _hrw_shard(_HRW_N_OLD).alias("shard8"),
+        _hrw_shard(_HRW_N_NEW).alias("shard9"),
+    )
+    moved = F.col("shard9") != F.col("shard8")
+    return d.groupBy("shard8").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(moved, 1).otherwise(0)).cast("bigint").alias("n_moved"),
+        F.sum(
+            F.when(moved & (F.col("shard9") != _HRW_N_OLD), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved_wrong"),
+    )

@@ -2677,3 +2677,152 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coeff"),
         )
     )
+
+
+# --- semi-supervised label propagation over near-dup edges (round 4) ------
+# Weak supervision for LLM corpora: 20% of documents carry a trusted
+# label (the seed set, doc_id % 5 = 0, labelled with their `lang`);
+# labels propagate 2 synchronous rounds across the rare-shingle
+# candidate graph (docs sharing an 8-token shingle with df in [2, 20] —
+# the same posting-list discipline as q_winnow_pairs: the df cap bounds
+# the pair join at Σdf², boilerplate shingles excluded). Update rule is
+# the classic sync label propagation: an unlabeled node takes the
+# MAJORITY label among its labelled neighbours, ties broken by label
+# string ascending — fully deterministic, all-integer counts. Seeds
+# never change; `agrees_truth` audits propagation accuracy against the
+# held-out true lang. On this fixture the candidate graph is a union of
+# diameter-1 near-dup cliques, so round 2 is exercised as a verified
+# no-op (the per-round SQL is one shared template, so both rounds are
+# the same code path). 100 TB: shingle explode and df aggregate are
+# map-side combinable; the edge join shuffles capped posting lists; each
+# propagation round is one groupBy + window on O(edges) rows — at scale
+# run more rounds with localCheckpoint per round (q_s_core's loop
+# discipline).
+_LS_SHINGLE = 8
+_LS_DF_MIN, _LS_DF_MAX = 2, 20
+_LS_SEED_MOD = 5
+_LS_ROUNDS = 2
+
+_LS_EDGES_CTE = f"""
+    tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(0, len(toks) - {_LS_SHINGLE} + 1),
+                   i -> array_to_string(toks[i + 1 : i + {_LS_SHINGLE}], ' ')
+               )) AS shingle
+        FROM tok WHERE len(toks) >= {_LS_SHINGLE}
+    ), rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) BETWEEN {_LS_DF_MIN} AND {_LS_DF_MAX}
+    ), e AS (
+        SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+        FROM sh s1 JOIN rare USING (shingle) JOIN sh s2 USING (shingle)
+        WHERE s1.doc_id <> s2.doc_id
+    )"""
+
+# One template per propagation round — both rounds are the identical
+# text, so the unrolled oracle cannot drift between iterations.
+_LS_ROUND_CTE = """
+    , n{r} AS (
+        SELECT e.a AS doc_id, l.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN l{p} l ON e.b = l.doc_id
+        WHERE e.a NOT IN (SELECT doc_id FROM l{p})
+        GROUP BY e.a, l.label
+    ), w{r} AS (
+        SELECT doc_id, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY c DESC, label
+               ) AS rn
+        FROM n{r}
+    ), l{r} AS (
+        SELECT * FROM l{p}
+        UNION ALL
+        SELECT doc_id, label, {r} AS assigned_round FROM w{r} WHERE rn = 1
+    )"""
+
+
+def _label_spread_oracle() -> str:
+    rounds = "".join(
+        _LS_ROUND_CTE.format(r=i + 1, p=i) for i in range(_LS_ROUNDS)
+    )
+    return f"""
+    WITH {_LS_EDGES_CTE}, l0 AS (
+        SELECT doc_id, lang AS label, 0 AS assigned_round
+        FROM documents WHERE doc_id % {_LS_SEED_MOD} = 0
+    ){rounds}
+    SELECT lf.doc_id, lf.label, lf.assigned_round,
+           lf.label = d.lang AS agrees_truth
+    FROM l{_LS_ROUNDS} lf JOIN documents d USING (doc_id)
+    """
+
+
+@_q("q_label_spread", _label_spread_oracle())
+def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= _LS_SHINGLE)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - _LS_SHINGLE),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i + 1, _LS_SHINGLE), " "
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(_LS_DF_MIN, _LS_DF_MAX))
+        .select("shingle")
+    )
+    edges = (
+        sh.join(rare, "shingle")
+        .select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist()
+    )
+    labels = d.where(F.col("doc_id") % _LS_SEED_MOD == 0).select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        F.lit(0).alias("assigned_round"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "label")
+    for r in range(1, _LS_ROUNDS + 1):
+        votes = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("b"), "label"), "b"
+            )
+            .join(
+                labels.select(F.col("doc_id").alias("a")),
+                "a",
+                "left_anti",
+            )
+            .groupBy(F.col("a").alias("doc_id"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        winners = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "label", F.lit(r).alias("assigned_round"))
+        )
+        labels = labels.unionByName(winners)
+    return labels.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "label",
+        "assigned_round",
+        (F.col("label") == F.col("lang")).alias("agrees_truth"),
+    )
