@@ -251,6 +251,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_label_spread",
     "q_slice_finder",
     "q_rendezvous_shards",
+    "q_rle_advisor",
+    "q_anon_ldiversity",
+    "q_rr_privacy",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

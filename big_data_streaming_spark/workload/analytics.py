@@ -3910,3 +3910,182 @@ def _slice_finder_sql(table: str) -> str:
 def q_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "events").createOrReplaceTempView("events_slice")
     return spark.sql(_slice_finder_sql("events_slice"))
+
+
+# --- storage-layout advisor: run-length + cardinality profile (round 4) ----
+# The companion to q_zorder_layout: for each candidate column, how many
+# VALUE RUNS does the table hold in its reference order, and how many
+# distinct values — the two numbers that decide whether RLE / dictionary
+# encoding pays and which sort key would compress best (runs →
+# n_distinct under a perfect sort). The reference order is
+# (l_orderkey, l_linenumber, <audited columns>): the fixture's
+# (l_orderkey, l_linenumber) is NOT unique, so the audited columns
+# complete the total order — rows tying on the full key are identical
+# in every audited column, so run counts are permutation-invariant and
+# well-defined. The Spark plan is deliberately DISTRIBUTED where the
+# naive formulation is not: within-order change points come from a
+# window PARTITIONED BY l_orderkey (parallel), and only the per-order
+# (first, last) boundary relation — one row per order — flows through
+# the global order window, the q_lorenz_deciles discipline (global
+# windows rank pre-aggregated rows, never raw line items). The oracle
+# computes the same runs with one flat global lag — two independent
+# formulations, one answer. Counts exact; avg_run_len is one final
+# division.
+_RLE_COLS = ("l_returnflag", "l_linestatus", "l_suppkey", "l_quantity")
+_RLE_ORDER = ("l_linenumber",) + _RLE_COLS
+
+
+def _rle_oracle() -> str:
+    order = ", ".join(("l_orderkey",) + _RLE_ORDER)
+    lags = ", ".join(
+        f"lag({c}) OVER w AS p_{c}" for c in _RLE_COLS
+    )
+    runs = ", ".join(
+        f"CAST(1 + SUM(CASE WHEN p_{c} IS NOT NULL AND p_{c} <> {c} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS runs_{c}"
+        for c in _RLE_COLS
+    )
+    dists = ", ".join(
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS d_{c}" for c in _RLE_COLS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, d_{c} AS n_distinct, "
+        f"runs_{c} AS n_runs, "
+        f"CAST(n_rows AS DOUBLE) / CAST(runs_{c} AS DOUBLE) AS avg_run_len "
+        f"FROM agg"
+        for c in _RLE_COLS
+    )
+    return f"""
+    WITH ord AS (
+        SELECT {", ".join(_RLE_COLS)}, {lags}
+        FROM lineitem
+        WINDOW w AS (ORDER BY {order})
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {runs}, {dists}
+        FROM ord
+    )
+    {rows}
+    """
+
+
+@_q("q_rle_advisor", _rle_oracle())
+def q_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", *_RLE_ORDER
+    )
+    win = Window.partitionBy("l_orderkey").orderBy(*_RLE_ORDER)
+    # One struct carries the full within-order sort key; min/max of it
+    # are the first/last rows of the order under the total order, and
+    # every audited value is a field of it.
+    key = F.struct(*_RLE_ORDER).alias("k")
+    chg = li.select(
+        "l_orderkey",
+        key,
+        *[
+            F.when(
+                F.lag(c).over(win).isNotNull()
+                & ~F.lag(c).over(win).eqNullSafe(F.col(c)),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"wc_{c}")
+            for c in _RLE_COLS
+        ],
+    )
+    per_order = chg.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"wc_{c}").alias(f"wc_{c}") for c in _RLE_COLS],
+        F.min("k").alias("first_k"),
+        F.max("k").alias("last_k"),
+    )
+    worder = Window.orderBy("l_orderkey")
+    bchg = per_order.select(
+        "n",
+        *[F.col(f"wc_{c}") for c in _RLE_COLS],
+        *[
+            F.when(
+                F.lag(F.col("last_k")[c]).over(worder).isNotNull()
+                & ~F.lag(F.col("last_k")[c])
+                .over(worder)
+                .eqNullSafe(F.col("first_k")[c]),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"bc_{c}")
+            for c in _RLE_COLS
+        ],
+    )
+    totals = bchg.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        *[
+            (F.lit(1) + F.sum(f"wc_{c}") + F.sum(f"bc_{c}"))
+            .cast("bigint")
+            .alias(f"runs_{c}")
+            for c in _RLE_COLS
+        ],
+    )
+    dists = li.agg(
+        *[
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"d_{c}")
+            for c in _RLE_COLS
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{c}', d_{c}, runs_{c}" for c in _RLE_COLS
+    )
+    return (
+        totals.crossJoin(F.broadcast(dists))
+        .selectExpr(
+            "n_rows",
+            f"stack({len(_RLE_COLS)}, {stack_args}) AS "
+            "(column_name, n_distinct, n_runs)",
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "n_distinct",
+            "n_runs",
+            (
+                F.col("n_rows").cast("double")
+                / F.col("n_runs").cast("double")
+            ).alias("avg_run_len"),
+        )
+    )
+
+
+# --- l-diversity audit: the k-anonymity companion (round 4) ----------------
+# k-anonymity (q_kanonymity) asks "is every quasi-identifier group big
+# enough"; l-diversity asks the stronger question — does every group
+# hold at least L distinct SENSITIVE values, so membership in a group
+# reveals nothing specific. Same quasi-identifier lattice as
+# q_kanonymity ((source, n_chars // 64) buckets), sensitive attribute =
+# lang, L = 3. One combinable aggregate (count + count distinct per
+# group); output-tiny. All-integer; BOOLEAN flag.
+_LDIV_L = 3
+
+
+@_q(
+    "q_anon_ldiversity",
+    f"""
+    WITH q AS (
+        SELECT source, CAST(n_chars // 64 AS BIGINT) AS len_bucket, lang
+        FROM documents
+    )
+    SELECT source, len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           COUNT(DISTINCT lang) < {_LDIV_L} AS fails_ldiversity
+    FROM q GROUP BY source, len_bucket
+    """,
+)
+def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.floor(F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+        "lang",
+    )
+    return d.groupBy("source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        (F.count_distinct("lang") < _LDIV_L).alias("fails_ldiversity"),
+    )

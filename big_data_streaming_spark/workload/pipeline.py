@@ -1256,3 +1256,74 @@ def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_moved_wrong"),
     )
+
+
+# --- randomized-response private counts (round 4) ---------------------------
+# Local differential privacy for a binary attribute, the governance
+# complement to q_pii_scrub / q_kanonymity: each document reports its
+# sensitive bit (lang = 'en') TRUTHFULLY only when its first hash coin
+# says so, otherwise it reports a second hash coin — classic Warner
+# randomized response with p(truth) = 1/2, noise mean 1/2, giving every
+# individual row plausible deniability while the per-source aggregate
+# stays estimable: E[obs] = T/2 + n/4, so T̂ = 2·obs − n/2. The "coins"
+# are md5-derived (first 4 hex digits → 16-bit integer; bit 0 and bit 1)
+# so the whole mechanism is deterministic and cross-engine exact — the
+# hex→bigint bridge is the verified conv/CAST('0x'…) primitive, and the
+# estimator's arithmetic is dyadic (×2, ×0.5 of integers), hence
+# IEEE-exact in both engines. est_err audits the estimator against the
+# held-out truth. 100 TB: one narrow projection + one combinable
+# 5-column aggregate per source; zero shuffles beyond the groupBy.
+@_q(
+    "q_rr_privacy",
+    """
+    WITH r AS (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    AS BIGINT) AS c
+        FROM documents
+    ), m AS (
+        SELECT source, truth,
+               CASE WHEN c % 2 = 1 THEN truth
+                    WHEN c % 4 >= 2 THEN 1 ELSE 0 END AS reported
+        FROM r
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(truth) AS BIGINT) AS n_true,
+           CAST(SUM(reported) AS BIGINT) AS n_reported,
+           2.0 * CAST(SUM(reported) AS DOUBLE)
+             - 0.5 * CAST(COUNT(*) AS DOUBLE) AS est_true,
+           (2.0 * CAST(SUM(reported) AS DOUBLE)
+             - 0.5 * CAST(COUNT(*) AS DOUBLE))
+             - CAST(SUM(truth) AS DOUBLE) AS est_err
+    FROM m GROUP BY source
+    """,
+)
+def q_rr_privacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        .alias("c"),
+    )
+    m = d.select(
+        "source",
+        "truth",
+        F.when(F.col("c") % 2 == 1, F.col("truth"))
+        .when(F.col("c") % 4 >= 2, F.lit(1))
+        .otherwise(0)
+        .alias("reported"),
+    )
+    est = (
+        F.lit(2.0) * F.sum("reported").cast("double")
+        - F.lit(0.5) * F.count(F.lit(1)).cast("double")
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("truth").cast("bigint").alias("n_true"),
+        F.sum("reported").cast("bigint").alias("n_reported"),
+        est.alias("est_true"),
+        (est - F.sum("truth").cast("double")).alias("est_err"),
+    )
