@@ -254,6 +254,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_rle_advisor",
     "q_anon_ldiversity",
     "q_rr_privacy",
+    "q_stream_quantile",
+    "q_bloom_membership",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

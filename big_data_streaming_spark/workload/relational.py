@@ -1982,3 +1982,160 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_p905"
         ),
     )
+
+
+# --- Bloom-filter build + false-positive audit (round 4) --------------------
+# The join-pruning primitive made first-class: build a 2^17-bit Bloom
+# filter (4096 × 32-bit words, k = 3 md5-derived hashes — ~6.5 bits per
+# build key at the bench scale factor, fpr well under 1%) over the
+# DISTINCT l_partkey build set, then probe it with keys GUARANTEED
+# absent (p_partkey + 1,000,000) and measure the realized
+# false-positive rate against the classic (1 − e^{−kn/m})^k ballpark —
+# except nothing transcendental is computed: the audit reports the
+# EXACT bit population and the MEASURED fpr, both integers plus one
+# division. Everything is codegen bit arithmetic (md5 → hex→bigint
+# bridge, shifts, masks); the filter itself is a 128-row bit_or
+# aggregate — the same shape Spark's runtime row-level bloom pruning
+# materializes, here inspectable and oracle-checked. 100 TB: the build
+# is one combinable aggregate over the distinct keys; the probe joins
+# against a BROADCAST 128-row bitmap — per-row work only, no shuffle.
+_BLOOM_BITS = 131072
+_BLOOM_WORD = 32
+_BLOOM_K = 3
+
+
+@_q(
+    "q_bloom_membership",
+    f"""
+    WITH build AS (
+        SELECT DISTINCT l_partkey AS key FROM lineitem
+    ), bits AS (
+        SELECT CAST('0x' || substr(md5(CAST(key AS VARCHAR) || ':' ||
+                                       CAST(g.j AS VARCHAR)), 1, 8)
+                    AS BIGINT) % {_BLOOM_BITS} AS pos
+        FROM build, range(0, {_BLOOM_K}) g(j)
+    ), words AS (
+        SELECT pos // {_BLOOM_WORD} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INT))
+                   AS bits
+        FROM bits GROUP BY 1
+    ), filt AS (
+        SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_keys,
+               CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bits_set
+        FROM words
+    ), probes AS (
+        SELECT p_partkey + 1000000 AS probe FROM part
+    ), phash AS (
+        SELECT probe,
+               CAST('0x' || substr(md5(CAST(probe AS VARCHAR) || ':' ||
+                                       CAST(g.j AS VARCHAR)), 1, 8)
+                    AS BIGINT) % {_BLOOM_BITS} AS pos
+        FROM probes, range(0, {_BLOOM_K}) g(j)
+    ), checked AS (
+        SELECT p.probe,
+               CAST(SUM(CASE WHEN (COALESCE(w.bits, 0) &
+                        (CAST(1 AS BIGINT) <<
+                         CAST(p.pos % {_BLOOM_WORD} AS INT))) <> 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM phash p LEFT JOIN words w ON p.pos // {_BLOOM_WORD} = w.word
+        GROUP BY p.probe
+    ), audit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos
+        FROM checked
+    )
+    SELECT f.n_keys, CAST({_BLOOM_BITS} AS BIGINT) AS m_bits, f.n_bits_set,
+           a.n_probes, a.n_false_pos,
+           CAST(a.n_false_pos AS DOUBLE) / CAST(a.n_probes AS DOUBLE) AS fpr
+    FROM filt f CROSS JOIN audit a
+    """,
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    js = F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
+
+    def positions(key_col: str):
+        return F.explode(
+            F.transform(
+                js,
+                lambda j: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col(key_col).cast("string"),
+                                j.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _BLOOM_BITS,
+            )
+        ).alias("pos")
+
+    build = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("key"))
+        .distinct()
+    )
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+    )
+    words = (
+        build.select(positions("key"))
+        .select(F.floor(F.col("pos") / _BLOOM_WORD).alias("word"), mask.alias("m"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    filt = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys")).crossJoin(
+        F.broadcast(
+            words.agg(
+                F.sum(F.bit_count("bits")).cast("bigint").alias("n_bits_set")
+            )
+        )
+    )
+    probes = t(spark, sf_dir, "part").select(
+        (F.col("p_partkey") + 1000000).alias("probe")
+    )
+    checked = (
+        probes.select("probe", positions("probe"))
+        .select(
+            "probe",
+            F.floor(F.col("pos") / _BLOOM_WORD).alias("word"),
+            mask.alias("m"),
+        )
+        .join(F.broadcast(words), "word", "left")
+        .groupBy("probe")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")))
+                    != 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hit")
+        )
+    )
+    audit = checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("n_hit") == _BLOOM_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+    return filt.crossJoin(F.broadcast(audit)).select(
+        "n_keys",
+        F.lit(_BLOOM_BITS).cast("bigint").alias("m_bits"),
+        "n_bits_set",
+        "n_probes",
+        "n_false_pos",
+        (
+            F.col("n_false_pos").cast("double")
+            / F.col("n_probes").cast("double")
+        ).alias("fpr"),
+    )

@@ -1608,3 +1608,73 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if d.startswith("batch_")
     ]
     return spark.read.parquet(*parts).select("bucket", "doc_id")
+
+
+# --- streaming exact windowed quantiles (round 4) ---------------------------
+# Per-hour, per-type EXACT lower-median and p90 of `value` through the
+# streaming engine — the latency-SLO monitor shape ("p90 this hour")
+# that approx sketches usually fill; here the windows are bounded so the
+# exact order statistic is affordable and ORACLE-CHECKABLE. The
+# streaming agg collects the window's values (state = one list per
+# (window, type) group — bounded by the window's row count; at 100 TB
+# swap in percentile_approx or a KLL sketch and keep the same plan
+# shape), sorts once per emitted group, and indexes the order
+# statistics: lower median at (n+1) div 2, p90 at floor(0.9·(n−1)) + 1
+# — pure element selection, NO interpolation arithmetic, so the values
+# are bit-identical to the batch oracle's window-function formulation
+# by construction. Complete mode + AvailableNow drain (the
+# q_stream_window_tumbling scaffold).
+@_q(
+    "q_stream_quantile",
+    """
+    WITH b AS (
+        SELECT epoch_ms(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                        * 1000) AS window_start,
+               event_type, value
+        FROM events
+    ), r AS (
+        SELECT window_start, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY window_start, event_type ORDER BY value
+               ) AS rn,
+               COUNT(*) OVER (
+                   PARTITION BY window_start, event_type
+               ) AS n
+        FROM b
+    )
+    SELECT window_start, event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_value,
+           MAX(CASE WHEN rn = CAST(floor(0.9 * CAST(n - 1 AS DOUBLE))
+                                   AS BIGINT) + 1 THEN value END)
+               AS p90_value
+    FROM r GROUP BY window_start, event_type
+    """,
+)
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(sdf):
+        return (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.sort_array(F.collect_list("value")).alias("vs"),
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            )
+        )
+
+    out = _drain_events_stream(spark, sf_dir, build, "stream_quantile")
+    n = F.col("n_events")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.element_at(
+            "vs", F.expr("CAST((n_events + 1) DIV 2 AS INT)")
+        ).alias("median_value"),
+        F.element_at(
+            "vs",
+            (
+                F.floor(F.lit(0.9) * (n - 1).cast("double")) + 1
+            ).cast("int"),
+        ).alias("p90_value"),
+    )
