@@ -256,6 +256,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_rr_privacy",
     "q_stream_quantile",
     "q_bloom_membership",
+    "q_graph_reciprocity",
+    "q_heavy_hitters",
+    "q_tail_concentration",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -1112,3 +1112,108 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("region")).cast("bigint").alias("n_legacy"),
         F.count_distinct("region").cast("bigint").alias("n_regions"),
     )
+
+
+# --- directed-graph reciprocity audit (round 4) ------------------------------
+# Reciprocity of the nation trade graph: for every directed edge kept
+# after an ADAPTIVE weight threshold (w > mean edge weight — the
+# q_s_core discipline; the raw graph is near-complete so an absolute
+# threshold would be degenerate at one SF and empty at another), does
+# the reverse edge also survive? Per-nation out/in degree and the
+# reciprocal fraction — the trade-imbalance audit. Edge derivation =
+# the q_pagerank fact join (broadcast dims, one wide aggregate to
+# ≤ nations² rows); everything after runs on that tiny relation. All
+# integers; one NULLIF-guarded division.
+@_q(
+    "q_graph_reciprocity",
+    """
+    WITH edges AS (
+        SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE sn.n_nationkey <> cn.n_nationkey
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT AVG(CAST(w AS DOUBLE)) AS avg_w FROM edges
+    ), kept AS (
+        SELECT src, dst FROM edges, stats
+        WHERE CAST(w AS DOUBLE) > avg_w
+    ), recip AS (
+        SELECT k.src, k.dst,
+               CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+        FROM kept k
+        LEFT JOIN kept r ON k.src = r.dst AND k.dst = r.src
+    ), outd AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
+               CAST(SUM(has_rev) AS BIGINT) AS n_recip
+        FROM recip GROUP BY src
+    ), ind AS (
+        SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
+        FROM kept GROUP BY dst
+    )
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+           COALESCE(o.out_deg, CAST(0 AS BIGINT)) AS out_deg,
+           COALESCE(i.in_deg, CAST(0 AS BIGINT)) AS in_deg,
+           COALESCE(o.n_recip, CAST(0 AS BIGINT)) AS n_recip,
+           CAST(o.n_recip AS DOUBLE) / NULLIF(CAST(o.out_deg AS DOUBLE), 0.0)
+               AS reciprocity
+    FROM nation n
+    LEFT JOIN outd o ON n.n_nationkey = o.node
+    LEFT JOIN ind i ON n.n_nationkey = i.node
+    """,
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    stats = edges.agg(F.avg(F.col("w").cast("double")).alias("avg_w"))
+    kept = (
+        edges.crossJoin(F.broadcast(stats))
+        .where(F.col("w").cast("double") > F.col("avg_w"))
+        .select("src", "dst")
+        .persist()
+    )
+    rev = kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = kept.join(
+        rev.withColumn("has_rev", F.lit(1)), ["src", "dst"], "left"
+    ).select("src", "dst", F.coalesce("has_rev", F.lit(0)).alias("has_rev"))
+    outd = recip.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg"),
+        F.sum("has_rev").cast("bigint").alias("n_recip"),
+    )
+    ind = kept.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_deg")
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        n.join(outd, n.n_nationkey == outd.node, "left")
+        .join(ind, n.n_nationkey == ind.node, "left")
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.coalesce("out_deg", zero).alias("out_deg"),
+            F.coalesce("in_deg", zero).alias("in_deg"),
+            F.coalesce("n_recip", zero).alias("n_recip"),
+            (
+                F.col("n_recip").cast("double")
+                / F.nullif(F.col("out_deg").cast("double"), F.lit(0.0))
+            ).alias("reciprocity"),
+        )
+    )

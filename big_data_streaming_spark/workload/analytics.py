@@ -4089,3 +4089,72 @@ def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").cast("bigint").alias("n_langs"),
         (F.count_distinct("lang") < _LDIV_L).alias("fails_ldiversity"),
     )
+
+
+# --- tail-concentration audit: top-1% share of value (round 4) --------------
+# The SRE/cost question "how much of the total is the tail": per event
+# type, what share of total `value` sits in the top 1% of events
+# (k = ceil(n/100), ranked by value with event_id tie-break — a strict
+# total order, so the cut is deterministic). Sums are decimal-routed
+# (order-insensitive, common.py policy); the share is ONE double
+# division of two decimal-exact doubles. 100 TB note: the per-type
+# rank is a sort — at scale replace row_number with a pre-computed
+# threshold (approx_percentile to find the 99th-percentile cut, then a
+# filtered decimal sum), same output contract; the fixture-scale form
+# keeps the oracle exact.
+@_q(
+    "q_tail_concentration",
+    f"""
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value DESC, event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), agg AS (
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST((MAX(n) + 99) // 100 AS BIGINT) AS k_tail,
+               {oracle_dec_sum('value', 'total_value')},
+               CAST(SUM(CASE WHEN rn <= (n + 99) // 100
+                             THEN CAST(value AS DECIMAL(38,6)) END)
+                    AS DOUBLE) AS tail_value
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_events, k_tail, total_value, tail_value,
+           tail_value / total_value AS tail_share
+    FROM agg
+    """,
+)
+def q_tail_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), "event_id"
+    )
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.floor((F.col("n") + 99) / 100)
+    agg = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.floor((F.max("n") + 99) / 100).cast("bigint").alias("k_tail"),
+        dec_sum("value", "total_value"),
+        F.sum(
+            F.when(F.col("rn") <= k, F.col("value").cast(DEC))
+        )
+        .cast("double")
+        .alias("tail_value"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "k_tail",
+        "total_value",
+        "tail_value",
+        (F.col("tail_value") / F.col("total_value")).alias("tail_share"),
+    )

@@ -2826,3 +2826,121 @@ def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "assigned_round",
         (F.col("label") == F.col("lang")).alias("agrees_truth"),
     )
+
+
+# --- distributed Misra-Gries heavy hitters + bound audit (round 4) ----------
+# A real distributed sketch operator: each partition runs a Misra-Gries
+# summary (K = 64 counters) over the document bigram stream inside ONE
+# Arrow-batched mapInPandas pass (per-batch Counter at C speed, then a
+# bulk-decrement merge — never per-row Python on the raw stream); the
+# per-partition summaries merge by summing lower bounds (the standard
+# mergeable-summaries result: summed undercount ≤ n/(K+1)). The audit
+# joins the sketch against the EXACT top-10 bigrams and checks the
+# theorem on real data: 0 ≤ cnt − est ≤ n/(K+1), reported as
+# `mg_bound_ok` — the oracle asserts TRUE, so any implementation bug
+# that violates the bound is a driver value failure. The exact side is
+# ordinary count/top-k SQL; the sketch side is engine-specific by
+# nature and surfaces only through the boolean. 100 TB: the sketch is
+# O(K) memory per partition, one narrow shuffle of ≤ K·partitions
+# summary rows — the whole point of sketching; the exact top-10 is the
+# verifiable yardstick at test scale.
+_MG_K = 64
+_MG_TOPN = 10
+
+
+def _mg_partition(batches):
+    import collections
+
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for bigram, c in collections.Counter(pdf["bigram"]).items():
+            counters[bigram] = counters.get(bigram, 0) + int(c)
+            if len(counters) > _MG_K:
+                m = min(counters.values())
+                counters = {
+                    k: v - m for k, v in counters.items() if v - m > 0
+                }
+    yield pd.DataFrame(
+        {"bigram": list(counters), "lb": list(counters.values())}
+    )
+
+
+@_q(
+    "q_heavy_hitters",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bi AS (
+        SELECT unnest(list_transform(
+                   range(0, len(toks) - 1),
+                   i -> toks[i + 1] || ' ' || toks[i + 2]
+               )) AS bigram
+        FROM tok WHERE len(toks) >= 2
+    ), cnt AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY bigram
+    ), top AS (
+        SELECT bigram, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rn
+        FROM cnt
+    )
+    SELECT bigram, cnt, TRUE AS mg_bound_ok
+    FROM top WHERE rn <= {_MG_TOPN}
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bi = (
+        d.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("bigram")
+        )
+        .persist()
+    )
+    exact = bi.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "bigram")),
+        )
+        .where(F.col("rn") <= _MG_TOPN)
+        .drop("rn")
+    )
+    total = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sketch = (
+        bi.mapInPandas(_mg_partition, "bigram string, lb long")
+        .groupBy("bigram")
+        .agg(F.sum("lb").cast("bigint").alias("est"))
+    )
+    return (
+        top.join(F.broadcast(sketch), "bigram", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "cnt",
+            (
+                (F.coalesce("est", F.lit(0)) <= F.col("cnt"))
+                & (
+                    (F.col("cnt") - F.coalesce("est", F.lit(0)))
+                    * (_MG_K + 1)
+                    <= F.col("n")
+                )
+            ).alias("mg_bound_ok"),
+        )
+    )
