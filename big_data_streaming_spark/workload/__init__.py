@@ -259,6 +259,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_graph_reciprocity",
     "q_heavy_hitters",
     "q_tail_concentration",
+    "q_zonemap_advisor",
+    "q_sample_coherent",
+    "q_golden_record",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

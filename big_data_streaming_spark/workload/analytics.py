@@ -4158,3 +4158,100 @@ def q_tail_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tail_value",
         (F.col("tail_value") / F.col("total_value")).alias("tail_share"),
     )
+
+
+# --- zone-map / data-skipping advisor (round 4) ------------------------------
+# Simulates parquet row-group pruning: split events into 500-row blocks
+# under (a) the natural event_id order and (b) a value-sorted layout,
+# record each block's max(value), and for a grid of `value > X`
+# predicates count the blocks a zone map would skip entirely
+# (block_max <= X). Natural order prunes ~nothing (values are
+# uniform); the sorted layout prunes ~quantile(X) of blocks — the
+# measured argument for sort-on-write, completing the layout-advisor
+# trio (q_zorder_layout, q_rle_advisor). At 100 TB the block stats ARE
+# the parquet footers (free); this query is the planning simulation at
+# fixture scale, where the two global row_numbers rank 10k rows.
+# All-integer counts, one division.
+_ZM_BLOCK = 500
+_ZM_THRESHOLDS = (100, 250, 400)
+
+
+@_q(
+    "q_zonemap_advisor",
+    f"""
+    WITH ranked AS (
+        SELECT value,
+               ROW_NUMBER() OVER (ORDER BY event_id) AS rn_nat,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn_val
+        FROM events
+    ), blocks AS (
+        SELECT 'natural' AS layout, (rn_nat - 1) // {_ZM_BLOCK} AS block,
+               MAX(value) AS block_max
+        FROM ranked GROUP BY 2
+        UNION ALL
+        SELECT 'value_sorted' AS layout, (rn_val - 1) // {_ZM_BLOCK} AS block,
+               MAX(value) AS block_max
+        FROM ranked GROUP BY 2
+    ), grid AS (
+        SELECT layout, CAST(g.x AS DOUBLE) AS threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN block_max <= g.x THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_prunable
+        FROM blocks, (VALUES {", ".join(f"({x})" for x in _ZM_THRESHOLDS)})
+             g(x)
+        GROUP BY 1, 2
+    )
+    SELECT layout, threshold, n_blocks, n_prunable,
+           CAST(n_prunable AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+               AS prune_frac
+    FROM grid
+    """,
+)
+def q_zonemap_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    ranked = ev.select(
+        "value",
+        F.row_number().over(Window.orderBy("event_id")).alias("rn_nat"),
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .alias("rn_val"),
+    )
+    def blocks(rn: str, layout: str):
+        return (
+            ranked.groupBy(
+                F.floor((F.col(rn) - 1) / _ZM_BLOCK).alias("block")
+            )
+            .agg(F.max("value").alias("block_max"))
+            .select(F.lit(layout).alias("layout"), "block_max")
+        )
+
+    allb = blocks("rn_nat", "natural").unionByName(
+        blocks("rn_val", "value_sorted")
+    )
+    grid = F.explode(
+        F.array(*[F.lit(float(x)) for x in _ZM_THRESHOLDS])
+    ).alias("threshold")
+    return (
+        allb.select("layout", "block_max", grid)
+        .groupBy("layout", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(
+                F.when(F.col("block_max") <= F.col("threshold"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_prunable"),
+        )
+        .select(
+            "layout",
+            "threshold",
+            "n_blocks",
+            "n_prunable",
+            (
+                F.col("n_prunable").cast("double")
+                / F.col("n_blocks").cast("double")
+            ).alias("prune_frac"),
+        )
+    )

@@ -1327,3 +1327,119 @@ def q_rr_privacy(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_true"),
         (est - F.sum("truth").cast("double")).alias("est_err"),
     )
+
+
+# --- coherent multi-table sampling (round 4) ---------------------------------
+# Sampling a star schema for a dev slice: hash-select 5% of CUSTOMERS,
+# then take exactly their orders and those orders' line items. The
+# 100 TB trick this query demonstrates AND verifies: orders don't need
+# a join against the sampled customer set — hashing the FOREIGN KEY
+# (o_custkey) with the same md5 rule selects the identical rows with
+# zero shuffle (`join_free_consistent` must be TRUE; any drift between
+# the two derivations is a driver value failure). Line items hang off
+# orders by key join (their FK is o_orderkey, one hop removed). The
+# md5→bigint bridge is the verified cross-engine primitive; all counts
+# exact, fractions one division each.
+_COH_MOD = 20  # keep key % 20 == 0 → 5%
+
+
+def _coh_pick(col: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" % {_COH_MOD} = 0"
+    )
+
+
+@_q(
+    "q_sample_coherent",
+    f"""
+    WITH sc AS (
+        SELECT c_custkey FROM customer WHERE {_coh_pick('c_custkey')}
+    ), so AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM sc)
+    ), so_hash AS (
+        SELECT o_orderkey FROM orders WHERE {_coh_pick('o_custkey')}
+    ), sl AS (
+        SELECT l.l_orderkey FROM lineitem l
+        WHERE l.l_orderkey IN (SELECT o_orderkey FROM so)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM sc) AS BIGINT) AS n_sampled,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total,
+           CAST((SELECT COUNT(*) FROM sc) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS frac,
+           (SELECT COUNT(*) FROM so) = (SELECT COUNT(*) FROM so_hash)
+               AS join_free_consistent
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM so) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM so) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE),
+           (SELECT COUNT(*) FROM so) = (SELECT COUNT(*) FROM so_hash)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM sl) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM sl) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE),
+           (SELECT COUNT(*) FROM so) = (SELECT COUNT(*) FROM so_hash)
+    """,
+)
+def q_sample_coherent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pick(col):
+        return (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % _COH_MOD
+            == 0
+        )
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    sc = cust.where(pick("c_custkey")).select("c_custkey")
+    so = orders.join(
+        F.broadcast(sc), orders.o_custkey == sc.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    so_hash = orders.where(pick("o_custkey")).select("o_orderkey")
+    sl = li.join(
+        F.broadcast(so), li.l_orderkey == so.o_orderkey, "left_semi"
+    )
+    counts = {
+        "sc": sc.agg(F.count(F.lit(1)).alias("c")),
+        "so": so.agg(F.count(F.lit(1)).alias("c")),
+        "so_hash": so_hash.agg(F.count(F.lit(1)).alias("c")),
+        "sl": sl.agg(F.count(F.lit(1)).alias("c")),
+        "customer": cust.agg(F.count(F.lit(1)).alias("c")),
+        "orders": orders.agg(F.count(F.lit(1)).alias("c")),
+        "lineitem": li.agg(F.count(F.lit(1)).alias("c")),
+    }
+    # Seven one-row aggregates folded into one row via broadcast
+    # cross-joins (each side is a single row — no data movement).
+    row = None
+    for name, df in counts.items():
+        df = df.select(F.col("c").alias(f"c_{name}"))
+        row = df if row is None else row.crossJoin(F.broadcast(df))
+    consistent = (F.col("c_so") == F.col("c_so_hash")).alias(
+        "join_free_consistent"
+    )
+
+    def line(table: str, sampled: str, total: str):
+        return row.select(
+            F.lit(table).alias("table_name"),
+            F.col(f"c_{sampled}").cast("bigint").alias("n_sampled"),
+            F.col(f"c_{total}").cast("bigint").alias("n_total"),
+            (
+                F.col(f"c_{sampled}").cast("double")
+                / F.col(f"c_{total}").cast("double")
+            ).alias("frac"),
+            consistent,
+        )
+
+    return (
+        line("customer", "sc", "customer")
+        .unionByName(line("orders", "so", "orders"))
+        .unionByName(line("lineitem", "sl", "lineitem"))
+    )

@@ -2944,3 +2944,57 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mg_bound_ok"),
         )
     )
+
+
+# --- survivorship / golden-record merge (round 4) ----------------------------
+# The MDM step after the match stage: clusters come from a BLOCKING
+# KEY (the 8-token text prefix — the fixture has no byte-identical
+# texts, so exact-text grouping is the empty set; a prefix block is
+# exactly what a real matcher feeds survivorship). For every cluster
+# with ≥ 2 members build the GOLDEN record by field-level
+# survivorship rules — keep the smallest doc_id as the survivor key,
+# the lexicographically-first lang and source (deterministic policy),
+# the max n_chars, and flag clusters whose copies DISAGREE on a field
+# (the data-quality signal driving manual review queues). One hash
+# groupBy on text — the q_dedup_exact shuffle — with a handful of
+# combinable aggregates on top; output is only the conflicted/multi-
+# copy clusters. 100 TB: identical to exact dedup (the canonical
+# map-side-combine groupBy), no extra pass.
+@_q(
+    "q_golden_record",
+    """
+    SELECT MIN(doc_id) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(lang) AS golden_lang,
+           MIN(source) AS golden_source,
+           CAST(MAX(n_chars) AS BIGINT) AS golden_chars,
+           COUNT(DISTINCT lang) > 1 OR COUNT(DISTINCT source) > 1
+               AS field_conflict
+    FROM (
+        SELECT *, array_to_string(string_split(text, ' ')[1:8], ' ') AS blk
+        FROM documents
+    )
+    GROUP BY blk
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "blk", F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    )
+    return (
+        d.groupBy("blk")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("lang").alias("golden_lang"),
+            F.min("source").alias("golden_source"),
+            F.max("n_chars").cast("bigint").alias("golden_chars"),
+            (
+                (F.count_distinct("lang") > 1)
+                | (F.count_distinct("source") > 1)
+            ).alias("field_conflict"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .drop("blk")
+    )
