@@ -262,6 +262,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_zonemap_advisor",
     "q_sample_coherent",
     "q_golden_record",
+    "q_cramers_v",
+    "q_forecast_eval",
+    "q_doc_langmix",
+    "q_partition_planner",
+    "q_selfjoin_estimator",
+    "q_acceptance_sampling",
+    "q_centroid_shift",
+    "q_graph_assortativity",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

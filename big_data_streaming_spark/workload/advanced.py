@@ -1217,3 +1217,107 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reciprocity"),
         )
     )
+
+
+# --- degree assortativity of the trade graph (round 4) -----------------------
+# Pearson correlation of (out-degree of src, in-degree of dst) across
+# the directed edges kept by q_graph_reciprocity's adaptive mean-weight
+# threshold: do high-degree nations trade with other hubs (assortative,
+# r > 0) or with the periphery (disassortative, r < 0)? Degrees are
+# small integers, so every sufficient statistic (Σx, Σy, Σxy, Σx², Σy²)
+# is an exact integer sum — the Pearson finish is shared expression
+# text over those integers, sqrt only. All graph work happens on the
+# ≤ nations² kept-edge relation.
+_ASSORT_R = (
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / nullif(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    "   * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0)"
+)
+
+
+@_q(
+    "q_graph_assortativity",
+    f"""
+    WITH edges AS (
+        SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE sn.n_nationkey <> cn.n_nationkey
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT AVG(CAST(w AS DOUBLE)) AS avg_w FROM edges
+    ), kept AS (
+        SELECT src, dst FROM edges, stats
+        WHERE CAST(w AS DOUBLE) > avg_w
+    ), outd AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS od
+        FROM kept GROUP BY src
+    ), ind AS (
+        SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS id_
+        FROM kept GROUP BY dst
+    ), pairs AS (
+        SELECT o.od AS x, i.id_ AS y
+        FROM kept k JOIN outd o ON k.src = o.node
+        JOIN ind i ON k.dst = i.node
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    SELECT n AS n_edges, sx, sy, sxy, {_ASSORT_R} AS assortativity
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    stats = edges.agg(F.avg(F.col("w").cast("double")).alias("avg_w"))
+    kept = (
+        edges.crossJoin(F.broadcast(stats))
+        .where(F.col("w").cast("double") > F.col("avg_w"))
+        .select("src", "dst")
+        .persist()
+    )
+    outd = kept.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("od")
+    )
+    ind = kept.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("id_")
+    )
+    pairs = (
+        kept.join(F.broadcast(outd), kept.src == outd.node)
+        .join(F.broadcast(ind), kept.dst == ind.node)
+        .select(F.col("od").alias("x"), F.col("id_").alias("y"))
+    )
+    stats2 = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return stats2.selectExpr(
+        "n AS n_edges", "sx", "sy", "sxy", f"{_ASSORT_R} AS assortativity"
+    )

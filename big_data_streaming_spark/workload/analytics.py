@@ -4255,3 +4255,198 @@ def q_zonemap_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prune_frac"),
         )
     )
+
+
+# --- Cramér's V categorical association (round 4) ----------------------------
+# How strongly is event_type associated with time-of-day? Cramér's V =
+# sqrt(chi² / (n · min(r−1, c−1))) over the event_type × day-part
+# contingency table — the normalized association measure the drift pack
+# lacks (mutual information needs log, which stays banned; V is
+# sqrt-only). chi² reuses the EXACT shared term/expectation texts and
+# the 1e-6 integer-quantized summation of q_chi2 (order-insensitive,
+# cross-engine exact); r, c, n are integers from the same tiny
+# contingency relation. One combinable aggregate over the raw table;
+# everything after runs on ≤ r·c rows.
+def _cramers_sql(table: str) -> str:
+    return f"""
+    WITH o AS (
+        SELECT event_type AS rv,
+               CASE WHEN hour(ts) < 6 THEN 'night'
+                    WHEN hour(ts) < 12 THEN 'morning'
+                    WHEN hour(ts) < 18 THEN 'afternoon'
+                    ELSE 'evening' END AS cv,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM {table} GROUP BY 1, 2
+    ), m AS (
+        SELECT rv, cv, obs,
+               CAST(SUM(obs) OVER (PARTITION BY rv) AS BIGINT) AS row_tot,
+               CAST(SUM(obs) OVER (PARTITION BY cv) AS BIGINT) AS col_tot,
+               CAST(SUM(obs) OVER () AS BIGINT) AS tot
+        FROM o
+    ), q AS (
+        SELECT CAST(floor({_CHI2_TERM} * {_CHI2_TERM} / {_CHI2_EXP}
+                          * 1000000 + 0.5) AS BIGINT) AS term_q,
+               tot, rv, cv
+        FROM m
+    ), s AS (
+        SELECT CAST(SUM(term_q) AS DOUBLE) / 1000000 AS chi2,
+               CAST(MAX(tot) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT rv) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT cv) AS BIGINT) AS c
+        FROM q
+    )
+    SELECT chi2, n, r, c,
+           sqrt(chi2 / (CAST(n AS DOUBLE)
+                        * CAST(least(r - 1, c - 1) AS DOUBLE)))
+               AS cramers_v
+    FROM s
+    """
+
+
+@_q("q_cramers_v", _cramers_sql("events"))
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_cramers")
+    return spark.sql(_cramers_sql("events_cramers"))
+
+
+# --- naive-seasonal forecast backtest (round 4) ------------------------------
+# The capacity-planning eval loop: forecast each (type, hour) event
+# count with the value 24 hours earlier (naive daily seasonality) and
+# score MAE + signed bias per type over the whole history. Counts are
+# integers, so every |error| is exact and the two averages are single
+# divisions — no float-summation hazard. Plan: one hourly aggregate
+# (combinable), one per-type window lag on the tiny (type × 720 hours)
+# relation, one final aggregate. At 100 TB only the first aggregate
+# touches raw events.
+@_q(
+    "q_forecast_eval",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), j AS (
+        SELECT a.event_type, a.n AS actual, f.n AS forecast
+        FROM hourly a JOIN hourly f
+          ON a.event_type = f.event_type AND a.hr = f.hr + 24
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(abs(actual - forecast)) AS DOUBLE) / COUNT(*) AS mae,
+           CAST(SUM(actual - forecast) AS DOUBLE) / COUNT(*) AS bias
+    FROM j GROUP BY event_type
+    """,
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = hourly.alias("a")
+    f_ = hourly.alias("f")
+    j = a.join(
+        f_,
+        (F.col("a.event_type") == F.col("f.event_type"))
+        & (F.col("a.hr") == F.col("f.hr") + 24),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("actual"),
+        F.col("f.n").alias("forecast"),
+    )
+    err = F.col("actual") - F.col("forecast")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (F.sum(F.abs(err)).cast("double") / F.count(F.lit(1))).alias("mae"),
+        (F.sum(err).cast("double") / F.count(F.lit(1))).alias("bias"),
+    )
+
+
+# --- shuffle/file partition planner (round 4) --------------------------------
+# The autotuning arithmetic every job does by hand: estimate each
+# table's in-flight byte size from a fixed-width column model (8 B per
+# 64-bit numeric/timestamp, 4 B per int32, actual length per string)
+# and recommend the partition count that lands ~128 MB per partition —
+# the number you'd feed spark.sql.shuffle.partitions or a writer's
+# repartition before producing files. The estimate is ONE combinable
+# aggregate per table (count + length sums); the recommendation is
+# ceil-division. Exact integers end-to-end; avg_row_bytes is one
+# division. At 100 TB this query IS the plan — it reads stats, not
+# data, when the catalog has them; here it derives them with one scan.
+_PP_TARGET = 128 * 1024 * 1024
+
+
+@_q(
+    "q_partition_planner",
+    f"""
+    WITH li AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) * 68
+                    + SUM(length(l_returnflag) + length(l_linestatus))
+                    AS BIGINT) AS est_bytes
+        FROM lineitem
+    ), ev AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) * 32
+                    + SUM(length(event_type) + length(props))
+                    AS BIGINT) AS est_bytes
+        FROM events
+    ), docs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) * 16
+                    + SUM(length(text) + length(lang) + length(source))
+                    AS BIGINT) AS est_bytes
+        FROM documents
+    ), u AS (
+        SELECT 'lineitem' AS table_name, * FROM li
+        UNION ALL SELECT 'events', * FROM ev
+        UNION ALL SELECT 'documents', * FROM docs
+    )
+    SELECT table_name, n_rows, est_bytes,
+           CAST(est_bytes AS DOUBLE) / CAST(n_rows AS DOUBLE)
+               AS avg_row_bytes,
+           CAST(greatest((est_bytes + {_PP_TARGET} - 1) // {_PP_TARGET}, 1)
+                AS BIGINT) AS rec_partitions
+    FROM u
+    """,
+)
+def q_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def est(table: str, fixed: int, strcols: list[str]):
+        df = t(spark, sf_dir, table)
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                F.count(F.lit(1)) * fixed
+                + F.sum(
+                    sum(
+                        (F.length(c) for c in strcols[1:]),
+                        F.length(strcols[0]),
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("est_bytes"),
+        ).select(F.lit(table).alias("table_name"), "n_rows", "est_bytes")
+
+    u = (
+        est("lineitem", 68, ["l_returnflag", "l_linestatus"])
+        .unionByName(est("events", 32, ["event_type", "props"]))
+        .unionByName(est("documents", 16, ["text", "lang", "source"]))
+    )
+    return u.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        (
+            F.col("est_bytes").cast("double") / F.col("n_rows").cast("double")
+        ).alias("avg_row_bytes"),
+        F.greatest(
+            F.floor(
+                (F.col("est_bytes") + _PP_TARGET - 1) / _PP_TARGET
+            ),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("rec_partitions"),
+    )

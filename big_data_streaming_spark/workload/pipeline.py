@@ -1443,3 +1443,57 @@ def q_sample_coherent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(line("orders", "so", "orders"))
         .unionByName(line("lineitem", "sl", "lineitem"))
     )
+
+
+# --- acceptance sampling QC gate (round 4) -----------------------------------
+# Lot-acceptance quality control per source: deterministically sample
+# 10 documents per source (md5 rank — the reproducible "random" draw,
+# doc_id tie-break), count defects (n_chars < 150, the short-doc
+# gate), and accept the lot only if defects ≤ c = 1 — the AQL
+# single-sampling plan run as a query. The point at 100 TB: the QC
+# decision reads ONLY the per-source sample (window top-10 on the
+# md5 rank — a bounded per-group selection, map-side prunable with
+# AQE), never the full lot. All integers + one BOOLEAN.
+_AQL_N = 10
+_AQL_C = 1
+_AQL_MIN_CHARS = 150
+
+
+@_q(
+    "q_acceptance_sampling",
+    f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN n_chars < {_AQL_MIN_CHARS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_defects,
+           SUM(CASE WHEN n_chars < {_AQL_MIN_CHARS} THEN 1 ELSE 0 END)
+               <= {_AQL_C} AS accepted
+    FROM ranked WHERE rn <= {_AQL_N}
+    GROUP BY source
+    """,
+)
+def q_acceptance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("source", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _AQL_N)
+    )
+    defects = F.sum(
+        F.when(F.col("n_chars") < _AQL_MIN_CHARS, 1).otherwise(0)
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        defects.cast("bigint").alias("n_defects"),
+        (defects <= _AQL_C).alias("accepted"),
+    )

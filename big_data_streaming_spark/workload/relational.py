@@ -2139,3 +2139,98 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_probes").cast("double")
         ).alias("fpr"),
     )
+
+
+# --- self-join cardinality estimator vs ground truth (round 4) ---------------
+# The optimizer-statistics audit behind every LSH/posting-list design
+# decision in this repo: a self-equi-join on key k produces EXACTLY
+# Σ c(k)² rows, while the textbook uniform estimate says n²/d. This
+# query computes both for (a) lineitem.l_partkey (the classic fact
+# self-join) and (b) the documents 8-token shingle posting lists (the
+# dedup candidate join q_winnow_pairs/q_label_spread bound by df caps)
+# — and reports the skew ratio exact/estimate that tells a planner
+# whether the uniform assumption is safe. Both sides are one
+# count-per-key aggregate + one tiny rollup; nothing joins. Σc² is
+# exact integer arithmetic; the estimate is double division.
+@_q(
+    "q_selfjoin_estimator",
+    """
+    WITH pk AS (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ), pk_s AS (
+        SELECT 'lineitem.l_partkey' AS join_key,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c * c) AS BIGINT) AS exact_pairs
+        FROM pk
+    ), sh AS (
+        SELECT array_to_string(toks[i + 1 : i + 8], ' ') AS k,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT string_split(text, ' ') AS toks FROM documents
+        ), unnest(range(0, len(toks) - 7)) AS g(i)
+        WHERE len(toks) >= 8
+        GROUP BY 1
+    ), sh_s AS (
+        SELECT 'documents.shingle8' AS join_key,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c * c) AS BIGINT) AS exact_pairs
+        FROM sh
+    ), u AS (
+        SELECT * FROM pk_s UNION ALL SELECT * FROM sh_s
+    )
+    SELECT join_key, n_rows, n_distinct, exact_pairs,
+           CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+             / CAST(n_distinct AS DOUBLE) AS est_uniform,
+           CAST(exact_pairs AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                / CAST(n_distinct AS DOUBLE)) AS skew_ratio
+    FROM u
+    """,
+)
+def q_selfjoin_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def rollup(keyed: DataFrame, label: str):
+        per = keyed.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        return per.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"),
+        ).select(F.lit(label).alias("join_key"), "*")
+
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    toks = F.split("text", " ")
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select(toks.alias("toks"))
+        .where(F.size("toks") >= 8)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 8),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i + 1, 8), " "
+                    ),
+                )
+            ).alias("k")
+        )
+    )
+    u = rollup(li, "lineitem.l_partkey").unionByName(
+        rollup(sh, "documents.shingle8")
+    )
+    est = (
+        F.col("n_rows").cast("double")
+        * F.col("n_rows").cast("double")
+        / F.col("n_distinct").cast("double")
+    )
+    return u.select(
+        "join_key",
+        "n_rows",
+        "n_distinct",
+        "exact_pairs",
+        est.alias("est_uniform"),
+        (F.col("exact_pairs").cast("double") / est).alias("skew_ratio"),
+    )

@@ -1389,3 +1389,93 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "msim",
         F.expr(_MMR_SCORE).alias("mmr_score"),
     )
+
+
+# --- per-label centroid shift (embedding drift by group, round 4) ----------
+# How far does each label's embedding centroid sit from the global
+# centroid — the geometric drift check a training pipeline runs per
+# source/label before mixing corpora (the vector-space complement to
+# q_hellinger_drift's distributional form). Per-dim means come from the
+# q_embed_dimstats 1e-6-quantized integer sums (order-free, cross-engine
+# exact); the per-dim mean gaps are squared and re-quantized before the
+# across-dims reduce (the q_chi2 integer-summation rule), so the final
+# sqrt sees the identical double on both engines. Plan: ONE posexplode
+# aggregate to (label × dims) + a broadcast of the dims-sized global
+# row — no second corpus scan, no row shuffle beyond the tiny rollups.
+@_q(
+    "q_centroid_shift",
+    f"""
+    WITH x AS (
+        SELECT label, CAST(t.i AS INTEGER) AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), q AS (
+        SELECT label, dim, {_DS_Q} AS xq FROM x
+    ), per AS (
+        SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY label, dim
+    ), gctr AS (
+        SELECT dim, CAST(SUM(sx) AS BIGINT) AS gx,
+               CAST(SUM(n) AS BIGINT) AS gn
+        FROM per GROUP BY dim
+    ), gap AS (
+        SELECT per.label,
+               CAST(SUM(CAST(floor(
+                   (CAST(per.sx AS DOUBLE) / per.n
+                    - CAST(gctr.gx AS DOUBLE) / gctr.gn)
+                   * (CAST(per.sx AS DOUBLE) / per.n
+                      - CAST(gctr.gx AS DOUBLE) / gctr.gn)
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ssq,
+               CAST(MAX(per.n) AS BIGINT) AS n_vecs
+        FROM per JOIN gctr USING (dim)
+        GROUP BY per.label
+    )
+    SELECT label, n_vecs,
+           sqrt(CAST(ssq AS DOUBLE) / 1000000.0) / 1000000.0
+               AS centroid_shift
+    FROM gap
+    """,
+)
+def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = (
+        t(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "f"))
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.col("f").cast("double").alias("x"),
+        )
+    )
+    q = x.withColumn("xq", F.expr(_DS_Q))
+    per = q.groupBy("label", "dim").agg(
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    glob = per.groupBy("dim").agg(
+        F.sum("sx").cast("bigint").alias("gx"),
+        F.sum("n").cast("bigint").alias("gn"),
+    )
+    d = (
+        F.col("sx").cast("double") / F.col("n")
+        - F.col("gx").cast("double") / F.col("gn")
+    )
+    gap = (
+        per.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.floor(d * d * 1000000 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("ssq"),
+            F.max("n").cast("bigint").alias("n_vecs"),
+        )
+    )
+    return gap.select(
+        "label",
+        "n_vecs",
+        (F.sqrt(F.col("ssq").cast("double") / 1000000.0) / 1000000.0).alias(
+            "centroid_shift"
+        ),
+    )

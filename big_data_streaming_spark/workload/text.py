@@ -2998,3 +2998,91 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") >= 2)
         .drop("blk")
     )
+
+
+# --- code-switching / language-mix audit (round 4) ---------------------------
+# Token-level language mixing: assign every token its CORPUS-majority
+# language (occurrence-weighted vote across all documents, ties broken
+# by lang ascending — deterministic), then score each document by the
+# fraction of its token occurrences whose majority language disagrees
+# with the document's own label. High mix_ratio = code-switched or
+# mislabelled — both are routing signals in LLM data prep (q_text_lang
+# assigns a label; this measures how internally consistent it is).
+# Plan: one token-occurrence explode feeding (a) the (token, lang)
+# vote aggregate (combinable; ≤ vocab × langs rows ranked by a window)
+# and (b) the per-doc join back against the BROADCAST token→lang map.
+# All-integer counts, one division, BOOLEAN flag.
+_LM_SWITCH = 0.5
+
+
+@_q(
+    "q_doc_langmix",
+    f"""
+    WITH occ AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), votes AS (
+        SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM occ GROUP BY token, lang
+    ), map AS (
+        SELECT token, lang AS tok_lang
+        FROM (
+            SELECT token, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY token ORDER BY c DESC, lang
+                   ) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    ), per AS (
+        SELECT o.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN m.tok_lang <> o.lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_foreign
+        FROM occ o JOIN map m USING (token)
+        GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_tokens, n_foreign,
+           CAST(n_foreign AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mix_ratio,
+           CAST(n_foreign AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               > {_LM_SWITCH} AS code_switched
+    FROM per
+    """,
+)
+def q_doc_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    votes = occ.groupBy("token", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("c"), "lang")
+    lang_map = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("token", F.col("lang").alias("tok_lang"))
+    )
+    per = (
+        occ.join(F.broadcast(lang_map), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("tok_lang") != F.col("lang"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_foreign"),
+        )
+    )
+    ratio = F.col("n_foreign").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_foreign",
+        ratio.alias("mix_ratio"),
+        (ratio > _LM_SWITCH).alias("code_switched"),
+    )

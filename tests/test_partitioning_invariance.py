@@ -54,6 +54,21 @@ SWEEP = [
     "q_dataset_card",       # exact ratios + quantized mean logit
     "q_rate_smoothing",     # pseudo-count ratios, deterministic top-k
     "q_mmr_rerank",         # integer dots, shared MMR score text
+    # round-4 additions
+    "q_lorenz_deciles",     # decimal revenue sums + global ntile
+    "q_slice_finder",       # shared Wilson text over a grouping-sets lattice
+    "q_rr_privacy",         # dyadic estimator on exact integer sums
+    "q_tail_concentration", # decimal-routed tail cut, total-order rank
+    "q_cramers_v",          # quantized chi2 + sqrt finish
+    "q_forecast_eval",      # integer |error| sums, single divisions
+    "q_heavy_hitters",      # MG bound boolean must hold at ANY partitioning
+    "q_graph_reciprocity",  # integer-valued mean threshold + ratio
+    "q_zonemap_advisor",    # global row_number blocks, integer prune counts
+    "q_selfjoin_estimator", # Σc² integer rollup + uniform-estimate division
+    "q_label_spread",       # majority vote with total-order tie-break
+    "q_rendezvous_shards",  # per-row argmax, partition-free by construction
+    "q_centroid_shift",     # quantized per-dim sums + re-quantized reduce
+    "q_graph_assortativity",  # integer degree sufficient statistics
 ]
 
 
