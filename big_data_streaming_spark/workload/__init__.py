@@ -270,6 +270,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_acceptance_sampling",
     "q_centroid_shift",
     "q_graph_assortativity",
+    "q_session_gap_advisor",
+    "q_float32_audit",
+    "q_qq_plot",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

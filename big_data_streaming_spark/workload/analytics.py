@@ -4450,3 +4450,171 @@ def q_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rec_partitions"),
     )
+
+
+# --- session-gap advisor (round 4) -------------------------------------------
+# What session timeout should sessionization use? The empirical answer
+# is the distribution of per-user inter-event gaps: this query reports
+# the gap deciles (exact element selection over the global gap
+# population — integer seconds, no interpolation) so the knee is
+# visible and q_window_session's 30-minute constant stops being a guess.
+# Plan: per-user lag (window partitioned by user — parallel), then ONE
+# global rank over the gap population for the decile cut; at 100 TB the
+# decile extraction swaps to approx_percentile, same output contract.
+@_q(
+    "q_session_gap_advisor",
+    """
+    WITH g AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ))) AS BIGINT) AS gap_s
+        FROM events
+    ), gaps AS (
+        SELECT gap_s FROM g WHERE gap_s IS NOT NULL
+    ), r AS (
+        SELECT gap_s,
+               ROW_NUMBER() OVER (ORDER BY gap_s) AS rn,
+               COUNT(*) OVER () AS n
+        FROM gaps
+    ), d AS (
+        SELECT CAST(g.d AS INTEGER) AS decile FROM range(1, 10) g(d)
+    )
+    SELECT d.decile,
+           MAX(CASE WHEN r.rn = (r.n * d.decile) // 10 THEN r.gap_s END)
+               AS gap_seconds
+    FROM d JOIN r ON r.rn = (r.n * d.decile) // 10
+    GROUP BY d.decile
+    """,
+)
+def q_session_gap_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+            )
+            .cast("bigint")
+            .alias("gap_s")
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    r = gaps.select(
+        "gap_s",
+        F.row_number().over(Window.orderBy("gap_s")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("n"),
+    )
+    d = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    return (
+        F.broadcast(d)
+        .join(r, r.rn == F.floor((r.n * F.col("decile")) / 10))
+        .groupBy("decile")
+        .agg(F.max("gap_s").alias("gap_seconds"))
+    )
+
+
+# --- float32 downcast precision audit (round 4) ------------------------------
+# Before shipping doubles into a float32 embedding/feature store: how
+# many values per event type survive the downcast bit-exactly, and how
+# large is the worst relative error? CAST(value AS FLOAT) is IEEE
+# round-to-nearest in both engines, so the audit is deterministic; the
+# max of per-row relative errors is order-free (MAX, not SUM — no
+# accumulation hazard). One combinable aggregate.
+@_q(
+    "q_float32_audit",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(CAST(value AS REAL) AS DOUBLE) = value
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           MAX(abs(CAST(CAST(value AS REAL) AS DOUBLE) - value)
+               / abs(value)) AS max_rel_err
+    FROM events WHERE value <> 0
+    GROUP BY event_type
+    """,
+)
+def q_float32_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("value") != 0)
+    f32 = F.col("value").cast("float").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(f32 == F.col("value"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.max(F.abs(f32 - F.col("value")) / F.abs("value")).alias(
+            "max_rel_err"
+        ),
+    )
+
+
+# --- QQ comparison table (round 4) -------------------------------------------
+# Quantile-quantile table for `value` between click and view events:
+# both distributions cut at the same nine deciles by exact element
+# selection (rank = (n·d) // 10 — no interpolation), giving the
+# QQ-plot's coordinate pairs plus their gap. Complements q_ks_drift
+# (which reduces the comparison to one statistic) with the full
+# shape-vs-shape view. Two windowed ranks over the filtered population.
+@_q(
+    "q_qq_plot",
+    """
+    WITH s AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE event_type IN ('click', 'view')
+    ), d AS (
+        SELECT CAST(g.d AS INTEGER) AS decile FROM range(1, 10) g(d)
+    ), cut AS (
+        SELECT d.decile, s.event_type, MAX(s.value) AS v
+        FROM d JOIN s ON s.rn = (s.n * d.decile) // 10
+        GROUP BY d.decile, s.event_type
+    )
+    SELECT a.decile,
+           a.v AS click_value,
+           b.v AS view_value,
+           a.v - b.v AS qq_gap
+    FROM cut a JOIN cut b
+      ON a.decile = b.decile
+     AND a.event_type = 'click' AND b.event_type = 'view'
+    """,
+)
+def q_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        )
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    d = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    cut = (
+        F.broadcast(d)
+        .join(s, s.rn == F.floor((s.n * F.col("decile")) / 10))
+        .groupBy("decile", "event_type")
+        .agg(F.max("value").alias("v"))
+    )
+    a = cut.where(F.col("event_type") == "click").select(
+        "decile", F.col("v").alias("click_value")
+    )
+    b = cut.where(F.col("event_type") == "view").select(
+        "decile", F.col("v").alias("view_value")
+    )
+    return a.join(b, "decile").select(
+        "decile",
+        "click_value",
+        "view_value",
+        (F.col("click_value") - F.col("view_value")).alias("qq_gap"),
+    )

@@ -69,6 +69,8 @@ SWEEP = [
     "q_rendezvous_shards",  # per-row argmax, partition-free by construction
     "q_centroid_shift",     # quantized per-dim sums + re-quantized reduce
     "q_graph_assortativity",  # integer degree sufficient statistics
+    "q_float32_audit",      # order-free MAX error reduce
+    "q_qq_plot",            # element-selection deciles, total-order ranks
 ]
 
 
