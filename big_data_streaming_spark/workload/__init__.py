@@ -273,6 +273,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_session_gap_advisor",
     "q_float32_audit",
     "q_qq_plot",
+    "q_priority_sampling",
+    "q_stratified_kfold",
+    "q_maxcover_select",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

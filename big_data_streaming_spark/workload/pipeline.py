@@ -1497,3 +1497,137 @@ def q_acceptance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         defects.cast("bigint").alias("n_defects"),
         (defects <= _AQL_C).alias("accepted"),
     )
+
+
+# --- priority sampling: weighted without-replacement draw (round 4) ----------
+# Duffield-Lund-Thorup priority sampling — THE weighted
+# without-replacement scheme for data pipelines: each item gets
+# priority w/u with u a uniform (0,1] draw, and the k highest
+# priorities are the sample (with w/τ estimators, τ = the (k+1)-th
+# priority). Here u is md5-derived ((h+1)/2^32 from the first 8 hex
+# digits — deterministic, reproducible, cross-engine exact via the
+# verified hex→bigint bridge), w = n_chars. Everything is one narrow
+# projection + a global top-(k+1) — TakeOrderedAndProject, no full
+# sort at any scale. The sample itself (k=100 by priority desc, doc_id
+# tie-break) and τ are both reported; weights stay exact integers, the
+# priorities are single divisions.
+_PS_K = 100
+
+
+@_q(
+    "q_priority_sampling",
+    f"""
+    WITH p AS (
+        SELECT doc_id, n_chars,
+               CAST(n_chars AS DOUBLE) /
+                 ((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS DOUBLE) + 1.0) / 4294967296.0)
+                   AS priority
+        FROM documents
+    ), r AS (
+        SELECT doc_id, n_chars, priority,
+               ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+        FROM p
+    ), tau AS (
+        SELECT priority AS t FROM r WHERE rn = {_PS_K} + 1
+    )
+    SELECT r.doc_id, CAST(r.n_chars AS BIGINT) AS weight, r.priority,
+           tau.t AS tau,
+           greatest(CAST(r.n_chars AS DOUBLE), tau.t) AS est_weight
+    FROM r CROSS JOIN tau
+    WHERE r.rn <= {_PS_K}
+    """,
+)
+def q_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + 1.0
+    ) / 4294967296.0
+    p = d.select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    r = p.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("priority"), "doc_id"))
+        .alias("rn"),
+    )
+    tau = r.where(F.col("rn") == _PS_K + 1).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        r.where(F.col("rn") <= _PS_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            "priority",
+            "tau",
+            F.greatest(F.col("n_chars").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )
+
+
+# --- stratified k-fold assignment + balance audit (round 4) ------------------
+# Reproducible 5-fold cross-validation splits stratified by lang: fold
+# = md5-rank within each stratum mod 5, so every fold holds an equal
+# (±1) share of every stratum by construction — and the audit PROVES it:
+# per (lang, fold) counts plus the max-minus-min spread per lang, which
+# the oracle pins to <= 1. Pure hash ranking (one per-stratum window),
+# integer counts. 100 TB: fold assignment is per-row hash + a
+# per-stratum rank — the rank can be replaced by direct hash mod 5
+# when exact equality is relaxed; the audit stays one tiny aggregate.
+_KF_FOLDS = 5
+
+
+@_q(
+    "q_stratified_kfold",
+    f"""
+    WITH r AS (
+        SELECT lang,
+               CAST((ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1) % {_KF_FOLDS} AS INTEGER) AS fold
+        FROM documents
+    ), c AS (
+        SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY lang, fold
+    )
+    SELECT lang, fold, n,
+           CAST(MAX(n) OVER (PARTITION BY lang)
+                - MIN(n) OVER (PARTITION BY lang) AS BIGINT) AS spread,
+           (MAX(n) OVER (PARTITION BY lang)
+            - MIN(n) OVER (PARTITION BY lang)) <= 1 AS balanced
+    FROM c
+    """,
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = t(spark, sf_dir, "documents").select(
+        "lang",
+        ((F.row_number().over(w) - 1) % _KF_FOLDS)
+        .cast("int")
+        .alias("fold"),
+    )
+    c = r.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    spread = F.max("n").over(wl) - F.min("n").over(wl)
+    return c.select(
+        "lang",
+        "fold",
+        "n",
+        spread.cast("bigint").alias("spread"),
+        (spread <= 1).alias("balanced"),
+    )

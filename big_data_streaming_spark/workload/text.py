@@ -3086,3 +3086,117 @@ def q_doc_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("mix_ratio"),
         (ratio > _LM_SWITCH).alias("code_switched"),
     )
+
+
+# --- greedy max-coverage subset selection (round 4) --------------------------
+# Submodular data curation: pick 10 documents that greedily maximize
+# covered 8-token shingles — the lazy-greedy family (facility
+# location / max-coverage) used to select diverse fine-tuning subsets,
+# with the classic (1 − 1/e) guarantee. Each round scores every
+# remaining doc by its MARGINAL gain (distinct shingles not yet
+# covered), picks the argmax (gain desc, doc_id asc — deterministic),
+# and the oracle unrolls the identical 10 steps from ONE shared SQL
+# template (the q_pagerank discipline: per-round text cannot drift).
+# Spark side: the shingle relation is computed once and persisted;
+# each round is one anti-join + one aggregate + a 1-row collect (the
+# BPE bounded-scalar rule, 10 rows total). Zero-gain docs drop out of
+# the scoring relation identically in both engines. 100 TB: gains are
+# posting-list aggregates; the candidate pool is pre-filtered (top-N
+# by doc stats) before the greedy loop, and lazy evaluation bounds
+# re-scoring.
+_MC_PICKS = 10
+
+_MC_SH_CTE = """
+    tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(0, len(toks) - 7),
+                   i -> array_to_string(toks[i + 1 : i + 8], ' ')
+               )) AS shingle
+        FROM tok WHERE len(toks) >= 8
+    )"""
+
+# Every per-step CTE is MATERIALIZED: the p-chain is referenced twice
+# per step, and without materialization the expression tree re-expands
+# ~3^steps — the DuckDB twin of the Spark iterative-loop plan blowup
+# that localCheckpoint solves (q_s_core discipline).
+_MC_STEP = """
+    , g{i} AS MATERIALIZED (
+        SELECT s.doc_id, CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS gain
+        FROM sh s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM p{p})
+          AND s.shingle NOT IN (
+              SELECT s2.shingle FROM sh s2
+              JOIN p{p} pp ON s2.doc_id = pp.doc_id)
+        GROUP BY s.doc_id
+    ), pk{i} AS MATERIALIZED (
+        SELECT CAST({i} AS INTEGER) AS pick_order, doc_id, gain
+        FROM g{i} ORDER BY gain DESC, doc_id LIMIT 1
+    ), p{i} AS MATERIALIZED (
+        SELECT doc_id FROM p{p} UNION ALL SELECT doc_id FROM pk{i}
+    )"""
+
+
+def _maxcover_oracle() -> str:
+    steps = "".join(
+        _MC_STEP.format(i=i + 1, p=i) for i in range(_MC_PICKS)
+    )
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM pk{i + 1}" for i in range(_MC_PICKS)
+    )
+    return f"""
+    WITH {_MC_SH_CTE}, p0 AS (
+        SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
+    ){steps}
+    SELECT pick_order, doc_id, gain,
+           CAST(SUM(gain) OVER (ORDER BY pick_order) AS BIGINT)
+               AS covered_total
+    FROM ({picks})
+    """
+
+
+@_q("q_maxcover_select", _maxcover_oracle())
+def q_maxcover_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 8),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i + 1, 8), " "
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .persist()
+    )
+    picked: list[int] = []
+    rows = []
+    covered_total = 0
+    for order in range(1, _MC_PICKS + 1):
+        remaining = sh.where(~F.col("doc_id").isin(picked)) if picked else sh
+        if picked:
+            covered = sh.where(F.col("doc_id").isin(picked)).select(
+                "shingle"
+            ).distinct()
+            remaining = remaining.join(covered, "shingle", "left_anti")
+        gains = remaining.groupBy("doc_id").agg(
+            F.count_distinct("shingle").cast("bigint").alias("gain")
+        )
+        top = gains.orderBy(F.desc("gain"), "doc_id").limit(1).collect()
+        if not top:
+            break
+        picked.append(top[0].doc_id)
+        covered_total += top[0].gain
+        rows.append((order, top[0].doc_id, top[0].gain, covered_total))
+    return spark.createDataFrame(
+        rows, "pick_order int, doc_id bigint, gain bigint, covered_total bigint"
+    )
