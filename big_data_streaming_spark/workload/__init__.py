@@ -276,6 +276,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_priority_sampling",
     "q_stratified_kfold",
     "q_maxcover_select",
+    "q_seq_rules",
+    "q_blocking_eval",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

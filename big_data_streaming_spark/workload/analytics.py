@@ -4618,3 +4618,78 @@ def q_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_value",
         (F.col("click_value") - F.col("view_value")).alias("qq_gap"),
     )
+
+
+# --- sequential-pattern support: ordered pairs with any gap (round 4) --------
+# The level-1 PrefixSpan question q_transitions (ADJACENT Markov pairs)
+# cannot answer: for how many users does event type A occur — anywhere
+# — before type B? Exists-ordered-pair support reduces to per-(user,
+# type) min/max timestamps: A-before-B for a user ⇔ min_ts(A) <
+# max_ts(B), so the pair join runs on the ≤ |types| rows per user
+# (bounded fan-out, never an event-level self-join). Confidence =
+# support / users-with-A. All integers + one division.
+@_q(
+    "q_seq_rules",
+    """
+    WITH u AS (
+        SELECT user_id, event_type,
+               MIN(ts) AS mn, MAX(ts) AS mx
+        FROM events GROUP BY user_id, event_type
+    ), ua AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM u GROUP BY event_type
+    ), pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users_ab
+        FROM u a JOIN u b
+          ON a.user_id = b.user_id
+         AND a.event_type <> b.event_type
+         AND a.mn < b.mx
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_users_ab,
+           ua.n_users AS n_users_a,
+           CAST(p.n_users_ab AS DOUBLE) / CAST(ua.n_users AS DOUBLE)
+               AS confidence
+    FROM pair p JOIN ua ON p.type_a = ua.event_type
+    """,
+)
+def q_seq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    ua = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = u.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("mn").alias("a_mn")
+    )
+    b = u.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("mx").alias("b_mx")
+    )
+    pair = (
+        a.join(b, "user_id")
+        .where(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("a_mn") < F.col("b_mx"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_ab"))
+    )
+    return (
+        pair.join(
+            F.broadcast(ua.withColumnRenamed("event_type", "type_a")),
+            "type_a",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_ab",
+            F.col("n_users").alias("n_users_a"),
+            (
+                F.col("n_users_ab").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("confidence"),
+        )
+    )

@@ -3200,3 +3200,92 @@ def q_maxcover_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "pick_order int, doc_id bigint, gain bigint, covered_total bigint"
     )
+
+
+# --- blocking-scheme evaluation for record linkage (round 4) -----------------
+# Evaluates the blocking stage q_entity_resolution/q_golden_record
+# depend on, with the two standard metrics — and computes BOTH purely
+# from cluster SIZES, never materializing a pair: ground-truth matches
+# are 8-token-prefix clusters (Σ c(c−1)/2 pairs), the candidate
+# blocking key is the LAST-4-token suffix (Σ over its clusters),
+# found pairs are clusters of the COMBINED key (a true pair is found
+# iff both docs also share the suffix block, i.e. they sit in the same
+# (prefix8, suffix4) group). pairs_completeness = found/true (recall
+# of the blocker), reduction_ratio = 1 − candidates/all-pairs (the
+# work it saves). Three combinable aggregations; integers + two
+# divisions. 100 TB: this is the advisor you run BEFORE committing to
+# a blocking key — each candidate scheme costs one groupBy.
+@_q(
+    "q_blocking_eval",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               array_to_string(string_split(text, ' ')[1:8], ' ') AS k_true,
+               array_to_string(string_split(text, ' ')[5:12], ' ') AS k_block
+        FROM documents
+    ), truec AS (
+        SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_true
+        FROM (SELECT COUNT(*) AS c FROM d GROUP BY k_true)
+    ), cand AS (
+        SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_cand
+        FROM (SELECT COUNT(*) AS c FROM d GROUP BY k_block)
+    ), found AS (
+        SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_found
+        FROM (SELECT COUNT(*) AS c FROM d GROUP BY k_true, k_block)
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
+    )
+    SELECT tot.n_docs, truec.n_true, cand.n_cand, found.n_found,
+           CAST(found.n_found AS DOUBLE) / NULLIF(CAST(truec.n_true AS DOUBLE), 0.0)
+               AS pairs_completeness,
+           1.0 - CAST(cand.n_cand AS DOUBLE)
+             / (CAST(tot.n_docs AS DOUBLE) * (CAST(tot.n_docs AS DOUBLE) - 1.0)
+                / 2.0) AS reduction_ratio
+    FROM tot CROSS JOIN truec CROSS JOIN cand CROSS JOIN found
+    """,
+)
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("k_true"),
+        F.array_join(F.slice(toks, 5, 8), " ").alias("k_block"),
+    )
+    def pair_sum(*keys):
+        return (
+            d.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                .cast("bigint")
+                .alias("n")
+            )
+        )
+
+    truec = pair_sum("k_true").withColumnRenamed("n", "n_true")
+    cand = pair_sum("k_block").withColumnRenamed("n", "n_cand")
+    found = pair_sum("k_true", "k_block").withColumnRenamed("n", "n_found")
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    row = (
+        tot.crossJoin(F.broadcast(truec))
+        .crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(found))
+    )
+    allp = (
+        F.col("n_docs").cast("double")
+        * (F.col("n_docs").cast("double") - 1.0)
+        / 2.0
+    )
+    return row.select(
+        "n_docs",
+        "n_true",
+        "n_cand",
+        "n_found",
+        (
+            F.col("n_found").cast("double")
+            / F.nullif(F.col("n_true").cast("double"), F.lit(0.0))
+        ).alias("pairs_completeness"),
+        (F.lit(1.0) - F.col("n_cand").cast("double") / allp).alias(
+            "reduction_ratio"
+        ),
+    )
