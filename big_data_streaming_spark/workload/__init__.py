@@ -278,6 +278,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_maxcover_select",
     "q_seq_rules",
     "q_blocking_eval",
+    "q_poisson_bootstrap",
+    "q_welch_t",
+    "q_diff_in_diff",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

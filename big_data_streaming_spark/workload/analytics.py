@@ -4693,3 +4693,275 @@ def q_seq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("confidence"),
         )
     )
+
+
+# --- Poisson bootstrap confidence intervals (round 4) ------------------------
+# The one-pass bootstrap that actually works on a cluster: instead of
+# resampling rows (impossible without global coordination), each of
+# B = 32 replicates gives every row a Poisson(1)-distributed weight —
+# here DERIVED FROM md5(event_id:replicate), with the Poisson pmf
+# cut at hard-coded 32-bit integer thresholds (P(0), P(0..1), P(0..2)
+# of Poisson(1) scaled by 2^32; tail collapsed to weight 3) so the
+# "randomness" is reproducible and cross-engine exact. Replicate means
+# are weighted DECIMAL sums over integer weights (order-insensitive);
+# the 90%-ish band is ELEMENT SELECTION (3rd and 30th of the 32 sorted
+# replicate means — no interpolation). One explode(×32) + two
+# combinable aggregates; at 100 TB this is the textbook
+# streaming-bootstrap plan (Chamandy et al.), no second pass.
+_PB_B = 32
+# floor/round of cumulative Poisson(1) pmf × 2^32
+_PB_C0 = 1580030169   # P(X=0)  = e^-1
+_PB_C1 = 3160060337   # P(X<=1)
+_PB_C2 = 3950075380   # P(X<=2)
+
+
+@_q(
+    "q_poisson_bootstrap",
+    f"""
+    WITH g AS (
+        SELECT event_type, value, r.b,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+                                       CAST(r.b AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS h
+        FROM events, range(0, {_PB_B}) r(b)
+    ), w AS (
+        SELECT event_type, value, b,
+               CASE WHEN h < {_PB_C0} THEN 0
+                    WHEN h < {_PB_C1} THEN 1
+                    WHEN h < {_PB_C2} THEN 2
+                    ELSE 3 END AS wt
+        FROM g
+    ), rep AS (
+        SELECT event_type, b,
+               CAST(SUM(wt * CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(wt) AS BIGINT) AS m
+        FROM w GROUP BY event_type, b
+    ), rk AS (
+        SELECT event_type, m,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY m, b
+               ) AS rn
+        FROM rep
+    ), point AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS point_mean
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.point_mean,
+           MAX(CASE WHEN rk.rn = 3 THEN rk.m END) AS boot_lo,
+           MAX(CASE WHEN rk.rn = {_PB_B} - 2 THEN rk.m END) AS boot_hi
+    FROM point p JOIN rk ON p.event_type = rk.event_type
+    GROUP BY p.event_type, p.point_mean
+    """,
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_PB_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "value",
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = g.select(
+        "event_type",
+        "value",
+        "b",
+        F.when(F.col("h") < _PB_C0, 0)
+        .when(F.col("h") < _PB_C1, 1)
+        .when(F.col("h") < _PB_C2, 2)
+        .otherwise(3)
+        .alias("wt"),
+    )
+    rep = w.groupBy("event_type", "b").agg(
+        (
+            F.sum(F.col("wt") * F.col("value").cast(DEC)).cast("double")
+            / F.sum("wt").cast("bigint")
+        ).alias("m")
+    )
+    rk = rep.select(
+        "event_type",
+        "m",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("m", "b"))
+        .alias("rn"),
+    )
+    point = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias(
+            "point_mean"
+        )
+    )
+    return (
+        point.join(rk, "event_type")
+        .groupBy("event_type", "point_mean")
+        .agg(
+            F.max(F.when(F.col("rn") == 3, F.col("m"))).alias("boot_lo"),
+            F.max(F.when(F.col("rn") == _PB_B - 2, F.col("m"))).alias(
+                "boot_hi"
+            ),
+        )
+    )
+
+
+# --- Welch's t statistic: unequal-variance two-sample test (round 4) ---------
+# Completes the two-sample pack (q_mannwhitney = rank test, q_abtest =
+# proportions, q_ks_drift = distribution): Welch's t on click-vs-view
+# `value`, the statistic practitioners reach for first. Moments come
+# from 1e-6-quantized integer sums (the q_embed_dimstats rule, exact
+# at any partitioning); the t finish — mean gap over sqrt of summed
+# variance rates — is one shared expression evaluated on six exact
+# integers, sqrt only (no p-value: the t→p map needs the banned
+# transcendentals; the statistic itself is the decision input).
+# Quantization is 1e-3 (not the usual 1e-6): `value` carries two
+# decimal places, so 1e-3 is already exact — and the squared sums of
+# 1e-6-quantized ~500-range values overflow int64 (found the hard way).
+_WT_FIN = (
+    "(CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2) / 1000.0"
+    " / sqrt((((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n1)"
+    "          / (n1 - 1)) / n1"
+    "        + ((CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n2)"
+    "          / (n2 - 1)) / n2)"
+    "       / (1000.0 * 1000.0))"
+)
+
+
+@_q(
+    "q_welch_t",
+    f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS xq
+        FROM events WHERE event_type IN ('click', 'view')
+    ), s AS (
+        SELECT CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN xq END) AS BIGINT) AS sx1,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN xq * xq END) AS BIGINT) AS sxx1,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN xq END) AS BIGINT) AS sx2,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN xq * xq END) AS BIGINT) AS sxx2
+        FROM q
+    )
+    SELECT n1, n2,
+           CAST(sx1 AS DOUBLE) / n1 / 1000.0 AS mean_click,
+           CAST(sx2 AS DOUBLE) / n2 / 1000.0 AS mean_view,
+           {_WT_FIN} AS welch_t
+    FROM s
+    """,
+)
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    is1 = F.col("event_type") == "click"
+    is2 = F.col("event_type") == "view"
+    s = q.agg(
+        F.count(F.when(is1, 1)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, F.col("xq"))).cast("bigint").alias("sx1"),
+        F.sum(F.when(is1, F.col("xq") * F.col("xq"))).cast("bigint").alias("sxx1"),
+        F.count(F.when(is2, 1)).cast("bigint").alias("n2"),
+        F.sum(F.when(is2, F.col("xq"))).cast("bigint").alias("sx2"),
+        F.sum(F.when(is2, F.col("xq") * F.col("xq"))).cast("bigint").alias("sxx2"),
+    )
+    return s.selectExpr(
+        "n1",
+        "n2",
+        "CAST(sx1 AS DOUBLE) / n1 / 1000.0 AS mean_click",
+        "CAST(sx2 AS DOUBLE) / n2 / 1000.0 AS mean_view",
+        f"{_WT_FIN} AS welch_t",
+    )
+
+
+# --- difference-in-differences estimate (round 4) ----------------------------
+# The workhorse causal read-out on observational event data: a
+# synthetic "treatment" (odd user_id) switching on at mid-month; the
+# DiD estimate is (post−pre) for treated minus (post−pre) for
+# control. All four cell means are decimal-routed exact doubles and
+# the estimate is three subtractions in one shared expression order —
+# no accumulation hazard anywhere. One combinable 4-cell aggregate.
+@_q(
+    "q_diff_in_diff",
+    """
+    WITH c AS (
+        SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END AS post,
+               value
+        FROM events
+    ), cell AS (
+        SELECT treated, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM c GROUP BY treated, post
+    )
+    SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN m END) AS m_treat_post,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN m END) AS m_treat_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN m END) AS m_ctrl_post,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN m END) AS m_ctrl_pre,
+        (MAX(CASE WHEN treated = 1 AND post = 1 THEN m END)
+         - MAX(CASE WHEN treated = 1 AND post = 0 THEN m END))
+        - (MAX(CASE WHEN treated = 0 AND post = 1 THEN m END)
+           - MAX(CASE WHEN treated = 0 AND post = 0 THEN m END)) AS did
+    FROM cell
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("treated"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        "value",
+    )
+    cell = c.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+
+    def pick(tr, po):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), F.col("m"))
+        )
+
+    return cell.agg(
+        pick(1, 1).alias("m_treat_post"),
+        pick(1, 0).alias("m_treat_pre"),
+        pick(0, 1).alias("m_ctrl_post"),
+        pick(0, 0).alias("m_ctrl_pre"),
+        (
+            (pick(1, 1) - pick(1, 0)) - (pick(0, 1) - pick(0, 0))
+        ).alias("did"),
+    )

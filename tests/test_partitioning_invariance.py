@@ -71,6 +71,9 @@ SWEEP = [
     "q_graph_assortativity",  # integer degree sufficient statistics
     "q_float32_audit",      # order-free MAX error reduce
     "q_qq_plot",            # element-selection deciles, total-order ranks
+    "q_poisson_bootstrap",  # hash weights + decimal replicate means
+    "q_welch_t",            # quantized moments, shared sqrt finish
+    "q_diff_in_diff",       # decimal cell means, fixed subtraction order
 ]
 
 
