@@ -281,6 +281,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_poisson_bootstrap",
     "q_welch_t",
     "q_diff_in_diff",
+    "q_lsh_advisor",
+    "q_changepoint",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

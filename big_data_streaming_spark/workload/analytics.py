@@ -4965,3 +4965,88 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pick(1, 1) - pick(1, 0)) - (pick(0, 1) - pick(0, 0))
         ).alias("did"),
     )
+
+
+# --- top-1 changepoint by binary segmentation (round 4) ----------------------
+# Where does the hourly click-rate series break? Binary segmentation's
+# first split: the hour k maximizing the between-segment sum of
+# squares, which for integer prefix sums reduces to
+# argmax (n·S_k − k·S)² / (k·(n−k)) — every term an EXACT integer
+# (hourly counts are small, n·S_k < 2^53), one double division, a
+# deterministic argmax (gain desc, hour asc). Complements q_cusum
+# (which accumulates deviations) with the classic segmentation
+# statistic. The global window ranks the 720-row hourly aggregate,
+# never raw events.
+@_q(
+    "q_changepoint",
+    """
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1
+    ), p AS (
+        SELECT hr, c,
+               CAST(SUM(c) OVER (ORDER BY hr) AS BIGINT) AS sk,
+               CAST(ROW_NUMBER() OVER (ORDER BY hr) AS BIGINT) AS k,
+               CAST(SUM(c) OVER () AS BIGINT) AS s,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM hourly
+    ), gain AS (
+        SELECT hr, k, n, sk, s,
+               CAST((n * sk - k * s) AS DOUBLE)
+                 * CAST((n * sk - k * s) AS DOUBLE)
+                 / CAST(k * (n - k) AS DOUBLE) AS g
+        FROM p WHERE k < n
+    )
+    SELECT hr AS split_hour, k AS split_index, n AS n_hours,
+           CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
+           CAST(s - sk AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_after,
+           g AS gain
+    FROM gain
+    ORDER BY g DESC, hr
+    LIMIT 1
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    p = hourly.select(
+        "hr",
+        F.sum("c").over(wcum).cast("bigint").alias("sk"),
+        F.row_number().over(Window.orderBy("hr")).cast("bigint").alias("k"),
+        F.sum("c").over(wall).cast("bigint").alias("s"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    ).where(F.col("k") < F.col("n"))
+    num = (F.col("n") * F.col("sk") - F.col("k") * F.col("s")).cast("double")
+    gain = p.select(
+        "hr",
+        "k",
+        "n",
+        "sk",
+        "s",
+        (num * num / (F.col("k") * (F.col("n") - F.col("k"))).cast("double")).alias(
+            "g"
+        ),
+    )
+    return (
+        gain.orderBy(F.desc("g"), "hr")
+        .limit(1)
+        .select(
+            F.col("hr").alias("split_hour"),
+            F.col("k").alias("split_index"),
+            F.col("n").alias("n_hours"),
+            (F.col("sk").cast("double") / F.col("k").cast("double")).alias(
+                "mean_before"
+            ),
+            (
+                (F.col("s") - F.col("sk")).cast("double")
+                / (F.col("n") - F.col("k")).cast("double")
+            ).alias("mean_after"),
+            F.col("g").alias("gain"),
+        )
+    )

@@ -3289,3 +3289,137 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reduction_ratio"
         ),
     )
+
+
+# --- LSH banding-parameter advisor (round 4) ---------------------------------
+# The tuning table behind every banded-MinHash choice in this repo,
+# evaluated against THIS corpus: take the df-capped winnowing
+# candidate pairs (the q_winnow_pairs discipline), measure their
+# fingerprint-set Jaccard quartiles, and for each (bands b, rows r)
+# design point report the s-curve catch probability
+# p = 1 − (1 − s^r)^b at those observed similarities. The powers are
+# EXACT SQUARING CHAINS ((s·s)·(s·s), …) in ONE shared expression text
+# — no pow(), no transcendental, bit-identical on both engines.
+# Quartiles are element selection. 100 TB: pair stats come from the
+# same bounded posting-list join the dedup pipeline already runs; the
+# curve itself is arithmetic on a 12-row grid.
+_LSH_GRID = ((4, 4), (8, 4), (16, 4), (8, 8))
+# s^r for r in {4, 8} as explicit squaring chains (shared text; `s`)
+_LSH_SR = (
+    "(CASE WHEN r = 4 THEN ((s * s) * (s * s))"
+    " ELSE (((s * s) * (s * s)) * ((s * s) * (s * s))) END)"
+)
+# (1-sr)^b for b in {4, 8, 16} as squaring chains (shared text; `u`)
+_LSH_P = (
+    "(1.0 - (CASE WHEN b = 4 THEN ((u * u) * (u * u))"
+    " WHEN b = 8 THEN (((u * u) * (u * u)) * ((u * u) * (u * u)))"
+    " ELSE ((((u * u) * (u * u)) * ((u * u) * (u * u)))"
+    "       * (((u * u) * (u * u)) * ((u * u) * (u * u)))) END))"
+)
+
+
+def _lsh_advisor_oracle() -> str:
+    grid = ", ".join(f"({b}, {r})" for b, r in _LSH_GRID)
+    return f"""
+    WITH {_WINNOW_FPS_CTE}, capped AS (
+        SELECT doc_id, fp FROM (
+            SELECT DISTINCT doc_id, fp FROM fps
+        ) WHERE fp IN (
+            SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
+            GROUP BY fp
+            HAVING COUNT(*) BETWEEN {_WP_DF_MIN} AND {_WP_DF_MAX}
+        )
+    ), perdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+        FROM capped GROUP BY doc_id
+    ), pair AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jac AS (
+        SELECT CAST(p.shared AS DOUBLE)
+                 / CAST(pa.nf + pb.nf - p.shared AS DOUBLE) AS s,
+               p.da, p.db
+        FROM pair p
+        JOIN perdoc pa ON p.da = pa.doc_id
+        JOIN perdoc pb ON p.db = pb.doc_id
+    ), rk AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s, da, db) AS rn,
+               COUNT(*) OVER () AS n
+        FROM jac
+    ), probes AS (
+        SELECT CAST(g.q AS INTEGER) AS quartile, rk.s
+        FROM range(1, 4) g(q)
+        JOIN rk ON rk.rn = greatest((rk.n * g.q) // 4, 1)
+    ), curve AS (
+        SELECT p.quartile, p.s, g.b, g.r, {_LSH_SR} AS sr
+        FROM probes p CROSS JOIN (VALUES {grid}) g(b, r)
+    ), u AS (
+        SELECT quartile, s, b, r, 1.0 - sr AS u FROM curve
+    )
+    SELECT quartile, s, b, r, {_LSH_P} AS p_catch
+    FROM u
+    """
+
+
+@_q("q_lsh_advisor", _lsh_advisor_oracle())
+def q_lsh_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    fps = _winnow_fps(spark, sf_dir).select("doc_id", "fp").distinct()
+    dfc = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(_WP_DF_MIN, _WP_DF_MAX))
+        .select("fp")
+    )
+    capped = fps.join(dfc, "fp").persist()
+    perdoc = capped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nf")
+    )
+    a = capped.select(F.col("doc_id").alias("da"), "fp")
+    b = capped.select(F.col("doc_id").alias("db"), "fp")
+    pair = (
+        a.join(b, "fp")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    jac = (
+        pair.join(
+            perdoc.select(F.col("doc_id").alias("da"), F.col("nf").alias("nfa")),
+            "da",
+        )
+        .join(
+            perdoc.select(F.col("doc_id").alias("db"), F.col("nf").alias("nfb")),
+            "db",
+        )
+        .select(
+            (
+                F.col("shared").cast("double")
+                / (F.col("nfa") + F.col("nfb") - F.col("shared")).cast("double")
+            ).alias("s"),
+            "da",
+            "db",
+        )
+    )
+    rk = jac.select(
+        "s",
+        F.row_number().over(Window.orderBy("s", "da", "db")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    q = spark.range(1, 4).select(F.col("id").cast("int").alias("quartile"))
+    probes = F.broadcast(q).join(
+        rk,
+        rk.rn
+        == F.greatest(F.floor((rk.n * F.col("quartile")) / 4), F.lit(1)),
+    ).select("quartile", "s")
+    grid = spark.createDataFrame(list(_LSH_GRID), "b int, r int")
+    return (
+        probes.crossJoin(F.broadcast(grid))
+        .selectExpr("quartile", "s", "b", "r", f"{_LSH_SR} AS sr")
+        .selectExpr("quartile", "s", "b", "r", "1.0 - sr AS u")
+        .selectExpr("quartile", "s", "b", "r", f"{_LSH_P} AS p_catch")
+    )

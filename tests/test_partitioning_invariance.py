@@ -74,6 +74,8 @@ SWEEP = [
     "q_poisson_bootstrap",  # hash weights + decimal replicate means
     "q_welch_t",            # quantized moments, shared sqrt finish
     "q_diff_in_diff",       # decimal cell means, fixed subtraction order
+    "q_lsh_advisor",        # squaring-chain powers on exact ratios
+    "q_changepoint",        # integer prefix-sum argmax
 ]
 
 
