@@ -283,6 +283,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_diff_in_diff",
     "q_lsh_advisor",
     "q_changepoint",
+    "q_session_count_grid",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -5050,3 +5050,96 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g").alias("gain"),
         )
     )
+
+
+# --- session counts across a timeout grid (round 4) --------------------------
+# The sensitivity companion to q_session_gap_advisor: how many sessions
+# does the corpus split into at 10/30/60-minute timeouts? Sessions per
+# user = 1 + gaps exceeding the timeout, so the whole grid needs ONE
+# per-user lag pass (partitioned window) and one tiny aggregate per
+# grid point — no re-sessionization per candidate. Events-per-session
+# is the one division. Gap arithmetic floors epochs before
+# subtracting (the q_session_gap_advisor cross-engine rule).
+_SG_GRID = (600, 1800, 3600)
+
+
+@_q(
+    "q_session_count_grid",
+    f"""
+    WITH g AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ))) AS BIGINT) AS gap_s
+        FROM events
+    ), u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN gap_s IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_gaps
+        FROM g GROUP BY user_id
+    ), grid AS (
+        SELECT CAST(t.x AS BIGINT) AS timeout_s
+        FROM (VALUES {", ".join(f"({x})" for x in _SG_GRID)}) t(x)
+    ), cnt AS (
+        SELECT grid.timeout_s,
+               CAST(SUM(CASE WHEN g.gap_s > grid.timeout_s
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+        FROM g JOIN grid ON TRUE
+        WHERE g.gap_s IS NOT NULL
+        GROUP BY grid.timeout_s
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM u
+    )
+    SELECT c.timeout_s,
+           tot.n_users + c.n_breaks AS n_sessions,
+           tot.n_events,
+           CAST(tot.n_events AS DOUBLE)
+             / CAST(tot.n_users + c.n_breaks AS DOUBLE)
+               AS events_per_session
+    FROM cnt c CROSS JOIN tot
+    """,
+)
+def q_session_count_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.floor(F.unix_timestamp("ts"))
+            - F.floor(F.unix_timestamp(F.lag("ts").over(wu)))
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    tot = g.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    grid = spark.createDataFrame(
+        [(x,) for x in _SG_GRID], "timeout_s long"
+    )
+    cnt = (
+        g.where(F.col("gap_s").isNotNull())
+        .crossJoin(F.broadcast(grid))
+        .groupBy("timeout_s")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_s") > F.col("timeout_s"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_breaks")
+        )
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "timeout_s",
+        (F.col("n_users") + F.col("n_breaks")).alias("n_sessions"),
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            / (F.col("n_users") + F.col("n_breaks")).cast("double")
+        ).alias("events_per_session"),
+    )
