@@ -284,6 +284,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_lsh_advisor",
     "q_changepoint",
     "q_session_count_grid",
+    "q_ndcg",
+    "q_precision_at_k",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

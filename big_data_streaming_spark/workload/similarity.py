@@ -1479,3 +1479,231 @@ def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_shift"
         ),
     )
+
+
+# ===================== round-4 closing wave: retrieval evaluation ===========
+# NDCG@10 and precision/recall/AP@10 complete the evaluation tier next to
+# q_retrieval_mrr: MRR grades the first hit, NDCG the whole ranked prefix,
+# AP the precision profile. Binary relevance (neighbor label == query
+# label) over the same exact-cosine full ranking the MRR query uses.
+#
+# Exactness policy: the per-rank discount 1/log2(r+1) is transcendental,
+# so both engines consume the SAME pre-computed integer literals
+# W[r] = round(1e12 / log2(r+1)) (computed once in Python, injected into
+# the Spark plan and the oracle SQL verbatim) — DCG/IDCG are then exact
+# integer sums, order-free under any shuffle, and the final NDCG is one
+# deterministic double division. Scale: the query side is broadcast, the
+# corpus is scanned once, and the per-query ranking is a row_number
+# window over (q_id) — the identical shape the green MRR query runs.
+import math as _math
+
+_NDCG_K = 10
+_NDCG_W = [round(1e12 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)]
+_NDCG_P = [sum(_NDCG_W[: m + 1]) for m in range(_NDCG_K)]
+
+# Shared ranking CTE text (mirrors q_retrieval_mrr's green oracle).
+_EVAL_RANKED_SQL = f"""
+    q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec, label AS q_label
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id, e.label,
+               list_dot_product(e.embedding::DOUBLE[], q.q_vec)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= {_N_QUERIES}
+    ), ranked AS (
+        SELECT q_id, q_label, neighbor_id, label,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id)
+                    AS BIGINT) AS rank
+        FROM scored
+    ), rel AS (
+        SELECT q_id, q_label, rank,
+               CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel
+        FROM ranked
+    ), nrel AS (
+        SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel_corpus
+        FROM rel GROUP BY q_id
+    )
+"""
+
+_W_LIST = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+_P_LIST = "[" + ", ".join(str(p) for p in _NDCG_P) + "]"
+
+
+@_q(
+    "q_ndcg",
+    f"""
+    WITH {_EVAL_RANKED_SQL},
+    dcg AS (
+        SELECT q_id,
+               CAST(SUM(rel) AS BIGINT) AS n_rel_10,
+               CAST(SUM(CASE WHEN rel = 1
+                             THEN list_extract({_W_LIST}, rank)
+                             ELSE 0 END) AS BIGINT) AS dcg_q
+        FROM rel WHERE rank <= {_NDCG_K} GROUP BY q_id
+    )
+    SELECT q.q_id, q.q_label, d.n_rel_10, n.n_rel_corpus, d.dcg_q,
+           CAST(list_extract({_P_LIST}, least(n.n_rel_corpus, {_NDCG_K}))
+                AS BIGINT) AS idcg_q,
+           CAST(d.dcg_q AS DOUBLE)
+             / CAST(list_extract({_P_LIST}, least(n.n_rel_corpus, {_NDCG_K}))
+                    AS DOUBLE) AS ndcg_10
+    FROM q JOIN dcg d ON q.q_id = d.q_id JOIN nrel n ON q.q_id = n.q_id
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    ranked = cosine_topk(corpus, queries, k=None)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    rel = (
+        ranked.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(truth), "q_id")
+        .withColumn(
+            "rel",
+            F.when(F.col("n_label") == F.col("q_label"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    nrel = rel.groupBy("q_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel_corpus")
+    )
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    parr = F.array(*[F.lit(p) for p in _NDCG_P])
+    dcg = (
+        rel.where(F.col("rank") <= _NDCG_K)
+        .groupBy("q_id")
+        .agg(
+            F.sum("rel").cast("bigint").alias("n_rel_10"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.element_at(warr, F.col("rank").cast("int")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dcg_q"),
+        )
+    )
+    idcg = F.element_at(
+        parr, F.least(F.col("n_rel_corpus"), F.lit(_NDCG_K)).cast("int")
+    )
+    return (
+        truth.join(F.broadcast(dcg), "q_id")
+        .join(F.broadcast(nrel), "q_id")
+        .select(
+            "q_id",
+            "q_label",
+            "n_rel_10",
+            "n_rel_corpus",
+            "dcg_q",
+            idcg.cast("bigint").alias("idcg_q"),
+            (F.col("dcg_q").cast("double") / idcg.cast("double")).alias(
+                "ndcg_10"
+            ),
+        )
+    )
+
+
+# Precision@10, recall@10, and average precision@10 per query. AP terms
+# are precision-at-relevant-rank rationals; each is ONE double division
+# then floor-quantized to a 1e-12 integer, so the per-query sum is
+# order-free and exact; the finish is two deterministic divisions.
+@_q(
+    "q_precision_at_k",
+    f"""
+    WITH {_EVAL_RANKED_SQL},
+    cum AS (
+        SELECT q_id, rank, rel,
+               CAST(SUM(rel) OVER (PARTITION BY q_id ORDER BY rank)
+                    AS BIGINT) AS cum_rel
+        FROM rel
+    ), top AS (
+        SELECT q_id,
+               CAST(SUM(rel) AS BIGINT) AS n_rel_10,
+               CAST(SUM(CASE WHEN rel = 1
+                             THEN CAST(floor(1000000000000.0 * cum_rel / rank
+                                             + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS ap_num_q
+        FROM cum WHERE rank <= {_NDCG_K} GROUP BY q_id
+    )
+    SELECT t.q_id, q.q_label, t.n_rel_10, n.n_rel_corpus,
+           CAST(t.n_rel_10 AS DOUBLE) / {_NDCG_K}.0 AS precision_10,
+           CAST(t.n_rel_10 AS DOUBLE) / n.n_rel_corpus AS recall_10,
+           CAST(t.ap_num_q AS DOUBLE) / least(n.n_rel_corpus, {_NDCG_K})
+             / 1000000000000.0 AS ap_10
+    FROM top t JOIN q ON t.q_id = q.q_id JOIN nrel n ON t.q_id = n.q_id
+    """,
+)
+def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    ranked = cosine_topk(corpus, queries, k=None)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    rel = (
+        ranked.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(truth), "q_id")
+        .withColumn(
+            "rel",
+            F.when(F.col("n_label") == F.col("q_label"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    nrel = rel.groupBy("q_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel_corpus")
+    )
+    w = Window.partitionBy("q_id").orderBy("rank")
+    cum = rel.withColumn("cum_rel", F.sum("rel").over(w).cast("bigint"))
+    ap_term = F.floor(
+        F.lit(1000000000000.0) * F.col("cum_rel") / F.col("rank") + F.lit(0.5)
+    ).cast("bigint")
+    top = (
+        cum.where(F.col("rank") <= _NDCG_K)
+        .groupBy("q_id")
+        .agg(
+            F.sum("rel").cast("bigint").alias("n_rel_10"),
+            F.sum(F.when(F.col("rel") == 1, ap_term).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("ap_num_q"),
+        )
+    )
+    return (
+        top.join(F.broadcast(truth), "q_id")
+        .join(F.broadcast(nrel), "q_id")
+        .select(
+            "q_id",
+            "q_label",
+            "n_rel_10",
+            "n_rel_corpus",
+            (F.col("n_rel_10").cast("double") / F.lit(float(_NDCG_K))).alias(
+                "precision_10"
+            ),
+            (
+                F.col("n_rel_10").cast("double") / F.col("n_rel_corpus")
+            ).alias("recall_10"),
+            (
+                F.col("ap_num_q").cast("double")
+                / F.least(F.col("n_rel_corpus"), F.lit(_NDCG_K))
+                / F.lit(1000000000000.0)
+            ).alias("ap_10"),
+        )
+    )

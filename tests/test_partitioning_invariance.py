@@ -76,6 +76,8 @@ SWEEP = [
     "q_diff_in_diff",       # decimal cell means, fixed subtraction order
     "q_lsh_advisor",        # squaring-chain powers on exact ratios
     "q_changepoint",        # integer prefix-sum argmax
+    "q_ndcg",               # literal integer discounts, one-division finish
+    "q_precision_at_k",     # quantized precision rationals, order-free AP
 ]
 
 
