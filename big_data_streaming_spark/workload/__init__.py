@@ -286,6 +286,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_session_count_grid",
     "q_ndcg",
     "q_precision_at_k",
+    "q_spearman",
+    "q_cohen_kappa",
+    "q_link_predict",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -5143,3 +5143,206 @@ def q_session_count_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_users") + F.col("n_breaks")).cast("double")
         ).alias("events_per_session"),
     )
+
+
+# --- Spearman rank correlation (round 4) -------------------------------------
+# Monotone-association companion to q_lag_corr's Pearson: do hours with
+# more clicks also see more views, regardless of the (heavy-tailed)
+# magnitudes? Ranks are row_number over the deterministic total order
+# (count, hr) — a pinned tie policy both engines evaluate identically —
+# so ranks are a permutation and the classic ρ = 1 − 6Σd²/(n(n²−1))
+# closed form applies with EXACT integer Σd² (n ≈ 720 hours → Σd² ≤ n³
+# ≈ 4e8, far inside int64). The finish is one shared-text double
+# expression. Scale: ranking happens on the O(|hours|) aggregate, never
+# raw events; the global window sorts ≤ thousands of rows.
+@_q(
+    "q_spearman",
+    """
+    WITH g AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS BIGINT) AS c_click,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                    AS BIGINT) AS c_view
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+    ), r AS (
+        SELECT hr,
+               CAST(row_number() OVER (ORDER BY c_click, hr) AS BIGINT) AS r1,
+               CAST(row_number() OVER (ORDER BY c_view, hr) AS BIGINT) AS r2
+        FROM g
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS ssd
+        FROM r
+    )
+    SELECT n, ssd,
+           1.0 - 6.0 * CAST(ssd AS DOUBLE)
+               / (CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+               AS spearman_rho
+    FROM s
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    g = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+            "event_type",
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("bigint")
+            .alias("c_click"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("bigint")
+            .alias("c_view"),
+        )
+    )
+    r = g.select(
+        "hr",
+        F.row_number()
+        .over(Window.orderBy("c_click", "hr"))
+        .cast("bigint")
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy("c_view", "hr"))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+        .cast("bigint")
+        .alias("ssd"),
+    )
+    return s.selectExpr(
+        "n",
+        "ssd",
+        "1.0 - 6.0 * CAST(ssd AS DOUBLE)"
+        " / (CAST(n AS DOUBLE)"
+        "    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))"
+        " AS spearman_rho",
+    )
+
+
+# --- link prediction on the part-supplier bipartite graph (round 4) ---------
+# Which supplier pairs that have NOT traded the same niche parts yet are
+# most likely to? Classic link-prediction scores over shared neighbors:
+# common-neighbor count, resource-allocation index Σ 1/deg(part)
+# (Zhou-Lü-Zhang), and neighbor-set Jaccard. The graph is DF-CAPPED the
+# same way the dedup family blocks shingles: only parts in the BOTTOM
+# DECILE of supplier-degree (dcap = max degree among the first ⌊n/10⌋
+# parts under the (d, p) total order — integer element selection, no
+# float percentile) generate candidate pairs, so pair fan-out is
+# Σ d² ≤ |rare parts|·dcap², never |suppliers|² on a hub part. 1/deg
+# terms are floor-quantized at 1e-12 (one deterministic division each)
+# so per-pair RA sums are order-free exact integers; Jaccard is one
+# division on integer degrees. Top-100 by (ra_q, s1, s2) via
+# TakeOrderedAndProject, then ranked within the 100 collected rows.
+@_q(
+    "q_link_predict",
+    """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM ps GROUP BY p
+    ), rk AS (
+        SELECT d, CAST(row_number() OVER (ORDER BY d, p) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM deg
+    ), cap AS (
+        SELECT CAST(MAX(d) AS BIGINT) AS dcap FROM rk WHERE rn * 10 <= n
+    ), rare AS (
+        SELECT ps.p, ps.s, deg.d
+        FROM ps JOIN deg USING (p) CROSS JOIN cap
+        WHERE deg.d <= cap.dcap
+    ), sdeg AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS sd FROM rare GROUP BY s
+    ), pairs AS (
+        SELECT a.s AS s1, b.s AS s2,
+               CAST(COUNT(*) AS BIGINT) AS common_parts,
+               CAST(SUM(CAST(floor(1000000000000.0 / a.d + 0.5) AS BIGINT))
+                    AS BIGINT) AS ra_q
+        FROM rare a JOIN rare b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT s1, s2, common_parts, ra_q, d1.sd AS deg1, d2.sd AS deg2,
+           CAST(common_parts AS DOUBLE)
+             / (d1.sd + d2.sd - common_parts) AS jaccard,
+           CAST(row_number() OVER (ORDER BY ra_q DESC, s1, s2)
+                AS BIGINT) AS rank
+    FROM pairs
+    JOIN sdeg d1 ON pairs.s1 = d1.s
+    JOIN sdeg d2 ON pairs.s2 = d2.s
+    QUALIFY rank <= 100
+    """,
+)
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = ps.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    rk = deg.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "p")).cast("bigint").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    cap = rk.where(F.col("rn") * 10 <= F.col("n")).agg(
+        F.max("d").cast("bigint").alias("dcap")
+    )
+    rare = (
+        ps.join(F.broadcast(deg), "p")
+        .crossJoin(F.broadcast(cap))
+        .where(F.col("d") <= F.col("dcap"))
+        .select("p", "s", "d")
+    )
+    sdeg = rare.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("sd"))
+    a = rare.select(
+        F.col("p").alias("p"), F.col("s").alias("s1"), F.col("d").alias("d")
+    )
+    b = rare.select(F.col("p").alias("p"), F.col("s").alias("s2"))
+    ra_term = F.floor(
+        F.lit(1000000000000.0) / F.col("d") + F.lit(0.5)
+    ).cast("bigint")
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_parts"),
+            F.sum(ra_term).cast("bigint").alias("ra_q"),
+        )
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("sd").alias("deg1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("sd").alias("deg2"))
+    top = (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .orderBy(F.desc("ra_q"), "s1", "s2")
+        .limit(100)
+    )
+    return top.select(
+        "s1",
+        "s2",
+        "common_parts",
+        "ra_q",
+        "deg1",
+        "deg2",
+        (
+            F.col("common_parts").cast("double")
+            / (F.col("deg1") + F.col("deg2") - F.col("common_parts"))
+        ).alias("jaccard"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("ra_q"), "s1", "s2"))
+        .cast("bigint")
+        .alias("rank"),
+    )

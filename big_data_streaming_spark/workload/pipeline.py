@@ -1631,3 +1631,154 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread.cast("bigint").alias("spread"),
         (spread <= 1).alias("balanced"),
     )
+
+
+# --- DSIR-style hashed-bigram importance weights (round 4) -------------------
+# Data Selection via Importance Resampling (Xie et al. 2023, public):
+# score every raw document by how target-like its hashed n-gram profile
+# is, then sample by weight. Here the target distribution is the
+# English slice, features are word bigrams hashed into 256 buckets with
+# the same cheap deterministic ascii hash the feature-hashing query
+# uses (hash QUALITY only moves collision rates, not operator
+# correctness; at 100 TB swap scan-side xxhash64). Exactness: the
+# add-one-smoothed per-bucket probability ratio
+# (ct+1)(Nr+B) / ((cr+1)(Nt+B)) is ONE deterministic double division,
+# floor-quantized at 1e-6 → per-doc importance sums are order-free
+# exact integers; the reported weight is the ratio-mean (a monotone
+# quantized surrogate for DSIR's mean log-ratio — log is
+# transcendental, module exactness policy). Scale: bucket tables are
+# O(B) and broadcast; the corpus is scanned once to featurize and once
+# to score; nothing shuffles at row grain except the (doc, bucket)
+# aggregate, which is map-side combinable.
+_DSIR_B = 256
+_DSIR_HASH = (
+    "list_aggregate(list_transform(string_split(bg, ''),"
+    " x -> ascii(x)), 'sum') * 131"
+    " + strlen(bg) * 31"
+    " + ascii(substr(bg, 1, 1)) * 7"
+    " + ascii(substr(bg, strlen(bg), 1))"
+)
+_DSIR_RATIO = (
+    "CAST(floor(1000000.0 * ((COALESCE(ct, 0) + 1) * (nr + 256))"
+    " / ((cr + 1) * (nt + 256)) + 0.5) AS BIGINT)"
+)
+
+
+@_q(
+    "q_dsir_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+    ), bg AS (
+        SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS bg
+        FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS r(i)
+    ), hashed AS (
+        SELECT doc_id, lang,
+               CAST(({_DSIR_HASH}) % {_DSIR_B} AS INTEGER) AS bucket
+        FROM bg
+    ), raw_b AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM hashed GROUP BY 1
+    ), tgt_b AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM hashed WHERE lang = 'en' GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+               CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS nt
+        FROM hashed
+    ), ratio AS (
+        SELECT r.bucket, {_DSIR_RATIO} AS ratio_q
+        FROM raw_b r
+        -- every observed bucket has cr >= 1; absent target buckets
+        -- contribute ct = 0 through the add-one smoothing
+        LEFT JOIN tgt_b USING (bucket) CROSS JOIN tot
+    ), scored AS (
+        SELECT h.doc_id, h.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(ratio.ratio_q) AS BIGINT) AS imp_q
+        FROM hashed h JOIN ratio USING (bucket)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_bigrams, imp_q,
+           CAST(imp_q AS DOUBLE) / n_bigrams / 1000000.0 AS importance,
+           CAST(row_number() OVER (
+                ORDER BY CAST(imp_q AS DOUBLE) / n_bigrams / 1000000.0 DESC,
+                         doc_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 50
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", "lang", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, size(tk) - 1),"
+                    " slice(tk, 2, size(tk) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bg"),
+        )
+    )
+    sum_ascii = F.aggregate(
+        F.transform(F.split(F.col("bg"), ""), lambda c: F.ascii(c)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    hv = (
+        sum_ascii * 131
+        + F.length("bg") * 31
+        + F.ascii(F.substring(F.col("bg"), 1, 1)) * 7
+        + F.ascii(F.expr("substr(bg, length(bg), 1)"))
+    )
+    hashed = bg.select(
+        "doc_id",
+        "lang",
+        F.pmod(hv, F.lit(_DSIR_B)).cast("int").alias("bucket"),
+    ).persist()
+    raw_b = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr")
+    )
+    tgt_b = (
+        hashed.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    tot = hashed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nr"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("nt"),
+    )
+    ratio = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                "CAST(floor(1000000.0 * ((COALESCE(ct, 0) + 1) * (nr + 256))"
+                " / ((cr + 1) * (nt + 256)) + 0.5) AS BIGINT)"
+            ).alias("ratio_q"),
+        )
+    )
+    scored = (
+        hashed.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("ratio_q").cast("bigint").alias("imp_q"),
+        )
+    )
+    imp = F.col("imp_q").cast("double") / F.col("n_bigrams") / F.lit(1000000.0)
+    return (
+        scored.withColumn("importance", imp)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("importance"), "doc_id"))
+            .cast("bigint"),
+        )
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "lang", "n_bigrams", "imp_q", "importance", "rank")
+    )

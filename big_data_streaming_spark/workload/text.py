@@ -3423,3 +3423,97 @@ def q_lsh_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("quartile", "s", "b", "r", "1.0 - sr AS u")
         .selectExpr("quartile", "s", "b", "r", f"{_LSH_P} AS p_catch")
     )
+
+
+# --- Cohen's kappa for the language-ID heuristic (round 4) ------------------
+# Chance-corrected agreement between the labeled lang column and the
+# marker-heuristic detection that q_lang_confusion cross-tabulates.
+# With N docs, A = Σ diagonal, and S = Σ_cat rowtotal·coltotal, kappa =
+# (N·A − S) / (N² − S) — every sufficient statistic an EXACT integer,
+# the finish a single double division, so the usual po/pe float chain
+# never accumulates. po and pe are reported as one-division ratios.
+# Scale: the confusion matrix is O(langs²) rows out of one hash
+# aggregate over the corpus; everything after is driver-sized.
+@_q(
+    "q_cohen_kappa",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               {_marker_sql('en')},
+               {_marker_sql('de')},
+               {_marker_sql('fr')},
+               {_marker_sql('es')}
+        FROM tok
+    ), conf AS (
+        SELECT lang AS labeled, {_LC_DETECT} AS detected,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM m GROUP BY lang, {_LC_DETECT}
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN labeled = detected THEN n ELSE 0 END)
+                    AS BIGINT) AS agree
+        FROM conf
+    ), rt AS (
+        SELECT labeled AS cat, CAST(SUM(n) AS BIGINT) AS rtot
+        FROM conf GROUP BY 1
+    ), ct AS (
+        SELECT detected AS cat, CAST(SUM(n) AS BIGINT) AS ctot
+        FROM conf GROUP BY 1
+    ), rc AS (
+        SELECT CAST(SUM(rt.rtot * ct.ctot) AS BIGINT) AS src
+        FROM rt JOIN ct USING (cat)
+    )
+    SELECT nn AS n_docs, agree AS n_agree, src AS sum_rowcol,
+           CAST(agree AS DOUBLE) / nn AS po,
+           CAST(src AS DOUBLE)
+             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe,
+           CAST(nn * agree - src AS DOUBLE)
+             / CAST(nn * nn - src AS DOUBLE) AS kappa
+    FROM tot, rc
+    """,
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    cols = [
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+            )
+        ).alias(f"n_{lang}")
+        for lang in ("en", "de", "fr", "es")
+    ]
+    m = d.select(F.col("lang").alias("labeled"), *cols)
+    conf = (
+        m.withColumn("detected", F.expr(_LC_DETECT))
+        .groupBy("labeled", "detected")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = conf.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.when(F.col("labeled") == F.col("detected"), F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rt = conf.groupBy(F.col("labeled").alias("cat")).agg(
+        F.sum("n").cast("bigint").alias("rtot")
+    )
+    ct = conf.groupBy(F.col("detected").alias("cat")).agg(
+        F.sum("n").cast("bigint").alias("ctot")
+    )
+    rc = (
+        rt.join(ct, "cat")
+        .agg(F.sum(F.col("rtot") * F.col("ctot")).cast("bigint").alias("src"))
+    )
+    return tot.crossJoin(rc).selectExpr(
+        "nn AS n_docs",
+        "agree AS n_agree",
+        "src AS sum_rowcol",
+        "CAST(agree AS DOUBLE) / nn AS po",
+        "CAST(src AS DOUBLE)"
+        " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe",
+        "CAST(nn * agree - src AS DOUBLE)"
+        " / CAST(nn * nn - src AS DOUBLE) AS kappa",
+    )

@@ -78,6 +78,9 @@ SWEEP = [
     "q_changepoint",        # integer prefix-sum argmax
     "q_ndcg",               # literal integer discounts, one-division finish
     "q_precision_at_k",     # quantized precision rationals, order-free AP
+    "q_spearman",           # integer rank Σd², shared closed-form finish
+    "q_cohen_kappa",        # integer sufficient stats, one-division kappa
+    "q_link_predict",       # quantized 1/deg sums, TakeOrdered top-100
 ]
 
 
