@@ -435,3 +435,63 @@ def resize_raster(
 
     narrow = df.select("doc_id", width_col, height_col, payload_col)
     return narrow.mapInPandas(run, RESIZED_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+
+
+def dhash_raster(
+    df: DataFrame,
+    *,
+    width_col: str = "width",
+    height_col: str = "height",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of single-channel rasters —
+    the image analogue of the text near-dup fingerprints: bit k of the
+    hash is 1 iff pixel (i, j) < pixel (i, j+1) on a (w, h) grayscale
+    grid (canonically 9×8 → 64 bits; Krawetz's published algorithm).
+    Identical images — and near-identical ones after the resize
+    normalizer — collide, so grouping by the hash buckets visual
+    duplicates without any pairwise comparison.
+
+    Pure index/compare math like ``resize_raster`` — no codec needed,
+    so the kernel runs for real (the honest-gate decode stubs stay
+    upstream for actual JPEG/PNG pixels). Vectorized per row:
+    np.frombuffer → reshape → one vectorized comparison → one packed
+    shift-sum; emitted as two signed 32-bit halves (``dhash_hi``/
+    ``dhash_lo``) so bit 63 never touches the BIGINT sign bit in any
+    engine. Rows with corrupt payloads (length ≠ w·h) are dropped —
+    the same corrupt-raster policy as resize.
+
+    At 100 TB: Arrow-batched ``mapInPandas``, O(pixels) per row, and
+    the downstream dedup is a hash groupBy on the 64-bit key — the
+    exact-dedup shuffle shape, never an all-pairs image join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "dhash_hi": [], "dhash_lo": []}
+            for doc_id, w, h, payload in zip(
+                pdf["doc_id"], pdf[width_col], pdf[height_col], pdf[payload_col]
+            ):
+                if payload is None or w is None or h is None:
+                    continue
+                if w != w or h != h:
+                    continue
+                w, h = int(w), int(h)
+                if w <= 1 or h <= 0 or len(payload) != w * h:
+                    continue
+                raster = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+                bits = (raster[:, :-1] < raster[:, 1:]).ravel()
+                k = np.arange(bits.size, dtype=np.uint64)
+                val = int((bits.astype(np.uint64) << k).sum())
+                out["doc_id"].append(doc_id)
+                out["dhash_hi"].append(val >> 32)
+                out["dhash_lo"].append(val & 0xFFFFFFFF)
+            yield pd.DataFrame(out)
+
+    narrow = df.select("doc_id", width_col, height_col, payload_col)
+    return narrow.mapInPandas(run, DHASH_SCHEMA)

@@ -289,6 +289,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_spearman",
     "q_cohen_kappa",
     "q_link_predict",
+    "q_dsir_weights",
+    "q_holt",
+    "q_markov_attribution",
+    "q_image_dhash",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -1321,3 +1321,153 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats2.selectExpr(
         "n AS n_edges", "sx", "sy", "sxy", f"{_ASSORT_R} AS assortativity"
     )
+
+
+# --- personalized PageRank from a seed region (round 4) ---------------------
+# The recsys/relevance variant of q_pagerank: teleport mass returns to a
+# SEED SET (nations of region EUROPE) instead of the uniform vector, so
+# ranks measure proximity to the seeds through weighted trade edges —
+# the standard personalization used for related-item scoring. Same
+# engineered exactness as q_pagerank: DECIMAL(38,12)-routed incoming
+# mass (order-free), CAST-to-DOUBLE literals (the DuckDB decimal-
+# literal ulp trap), fixed 3 unrolled iterations. The edge derivation
+# is the 100 TB part (broadcast dims, one O(nations²) aggregate); each
+# iteration joins the tiny normalized edge relation. Dangling-mass
+# policy matches q_pagerank (dropped), documented and identical in
+# both engines.
+_PPR_SEED_REGION = "EUROPE"
+
+_PPR_ITER_SQL = """
+    r{i} AS (
+        SELECT ev.node,
+               (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) * ev.e
+                 + CAST({d} AS DOUBLE) * COALESCE(m.mass, 0.0) AS r
+        FROM ev
+        LEFT JOIN (
+            SELECT norm.dst AS node,
+                   CAST(SUM(CAST(r{prev}.r * norm.p AS DECIMAL(38,12)))
+                        AS DOUBLE) AS mass
+            FROM norm JOIN r{prev} ON norm.src = r{prev}.node
+            GROUP BY norm.dst
+        ) m ON ev.node = m.node
+    )
+"""
+
+
+def _ppr_oracle() -> str:
+    iters = ",\n".join(
+        _PPR_ITER_SQL.format(i=i + 1, prev=i, d=_PR_DAMP)
+        for i in range(_PR_ITers)
+    )
+    return f"""
+    WITH edges AS (
+        SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2
+    ),
+    outdeg AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+    norm AS (
+        SELECT e.src, e.dst,
+               CAST(e.w AS DOUBLE) / CAST(o.wout AS DOUBLE) AS p
+        FROM edges e JOIN outdeg o ON e.src = o.src
+    ),
+    nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+    seeds AS (
+        SELECT n.n_nationkey AS node
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = '{_PPR_SEED_REGION}'
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+    ev AS (
+        SELECT nodes.node,
+               CASE WHEN seeds.node IS NOT NULL
+                    THEN CAST(1.0 AS DOUBLE) / ns.n ELSE 0.0 END AS e
+        FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node CROSS JOIN ns
+    ),
+    r0 AS (SELECT node, e AS r FROM ev),
+    {iters}
+    SELECT nodes.node AS nationkey, nodes.n_name AS nation,
+           ev.e > 0.0 AS is_seed, r{_PR_ITers}.r AS ppr
+    FROM nodes
+    JOIN ev ON nodes.node = ev.node
+    JOIN r{_PR_ITers} ON nodes.node = r{_PR_ITers}.node
+    """
+
+
+@_q("q_ppr", _ppr_oracle())
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rg = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    norm = (
+        edges.join(outdeg, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("wout").cast("double")).alias(
+                "p"
+            ),
+        )
+        .persist()
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    seeds = (
+        n.join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+        .where(F.col("r_name") == _PPR_SEED_REGION)
+        .select(F.col("n_nationkey").alias("node"), F.lit(1).alias("is_s"))
+    )
+    n_seeds = float(seeds.count())  # bounded scalar (collect rule §4.3.8)
+    ev = nodes.join(seeds, "node", "left").select(
+        "node",
+        "n_name",
+        F.when(F.col("is_s").isNotNull(), F.lit(1.0) / F.lit(n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("e"),
+    )
+    ranks = ev.select("node", F.col("e").alias("r"))
+    for _ in range(_PR_ITers):
+        mass = (
+            norm.join(F.broadcast(ranks), norm.src == ranks.node)
+            .select("dst", (F.col("r") * F.col("p")).alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("contrib").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("mass")
+            )
+        )
+        ranks = ev.join(mass, ev.node == mass.dst, "left").select(
+            "node",
+            (
+                F.lit(1.0 - _PR_DAMP) * F.col("e")
+                + F.lit(_PR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ev.join(ranks, "node").select(
+        F.col("node").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        (F.col("e") > 0.0).alias("is_seed"),
+        F.col("r").alias("ppr"),
+    )

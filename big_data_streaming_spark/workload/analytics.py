@@ -5346,3 +5346,322 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank"),
     )
+
+
+# --- Holt double exponential smoothing (round 4) -----------------------------
+# Level + trend smoothing of the daily click series — the forecasting
+# companion to q_ewma (level only) and q_seasonal_decompose. Dyadic
+# smoothing constants (α = 1/2, β = 1/4) make every update EXACT in a
+# 2^20 fixed-point domain: l_t = ⌊(x_t·S + l + b)/2⌋,
+# b_t = ⌊(l_t − l + 3b)/4⌋ — floor of a power-of-two division is the
+# same integer in Python, Spark and DuckDB for any |a| < 2^53, so the
+# whole recursion is bit-identical cross-engine at ANY partitioning.
+# The distributed job aggregates the daily series (map-side combinable
+# count); the 30-step recursion finishes on ≤31 collected scalars —
+# the PCA-power-iteration pattern (bounded-scalars collect rule). The
+# oracle replays the identical recursion as a linear recursive CTE.
+_HOLT_S = 1 << 20
+
+
+@_q(
+    "q_holt",
+    f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1
+    ), seq AS MATERIALIZED (
+        SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ), r AS (
+        SELECT s1.t, s1.day, s1.x,
+               s1.x * {_HOLT_S} AS lq,
+               (s2.x - s1.x) * {_HOLT_S} AS bq
+        FROM seq s1 JOIN seq s2 ON s2.t = 2
+        WHERE s1.t = 1
+        UNION ALL
+        SELECT s.t, s.day, s.x,
+               CAST(floor((s.x * {_HOLT_S} + r.lq + r.bq) / 2.0) AS BIGINT),
+               CAST(floor((CAST(floor((s.x * {_HOLT_S} + r.lq + r.bq) / 2.0)
+                                AS BIGINT) - r.lq + 3 * r.bq) / 4.0)
+                    AS BIGINT)
+        FROM r JOIN seq s ON s.t = r.t + 1
+    )
+    SELECT t, day, x, lq AS level_q, bq AS trend_q,
+           CAST(lq AS DOUBLE) / {_HOLT_S}.0 AS level,
+           CAST(bq AS DOUBLE) / {_HOLT_S}.0 AS trend,
+           CAST(lq + bq AS DOUBLE) / {_HOLT_S}.0 AS forecast_next
+    FROM r
+    """,
+)
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, DoubleType, StructField, StructType
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    daily = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .orderBy("day")
+    )
+    series = [(r["day"], r["x"]) for r in daily.collect()]  # ≤31 scalars
+    S = _HOLT_S
+    rows = []
+    if len(series) >= 2:
+        lq = series[0][1] * S
+        bq = (series[1][1] - series[0][1]) * S
+        rows.append((1, series[0][0], series[0][1], lq, bq))
+        for i in range(1, len(series)):
+            day, x = series[i]
+            new_l = (x * S + lq + bq) // 2
+            bq = (new_l - lq + 3 * bq) // 4
+            lq = new_l
+            rows.append((i + 1, day, x, lq, bq))
+    schema = StructType(
+        [
+            StructField("t", LongType()),
+            StructField("day", LongType()),
+            StructField("x", LongType()),
+            StructField("level_q", LongType()),
+            StructField("trend_q", LongType()),
+        ]
+    )
+    out = spark.createDataFrame(rows, schema)
+    return out.select(
+        "t",
+        "day",
+        "x",
+        "level_q",
+        "trend_q",
+        (F.col("level_q").cast("double") / F.lit(float(S))).alias("level"),
+        (F.col("trend_q").cast("double") / F.lit(float(S))).alias("trend"),
+        (
+            (F.col("level_q") + F.col("trend_q")).cast("double")
+            / F.lit(float(S))
+        ).alias("forecast_next"),
+    )
+
+
+# --- Markov removal-effect attribution (round 4) -----------------------------
+# Completes the attribution family (q_attribution last-touch,
+# q_attribution_multi linear): first-order Markov chain over per-user
+# journeys (START → touches → CONV at first purchase / NULL at journey
+# end), channel credit = removal effect 1 − P(conv | channel absorbed
+# to NULL)/P(conv), shares normalized over channels — the standard
+# data-driven attribution model (Anderl et al., public). Exactness:
+# absorption probabilities come from a FIXED 25-step fixed-point
+# iteration in a 1e12 integer domain — v_i ← (c_iCONV·S + Σ_j c_ij·v_j)
+# // c_i· with nonnegative integer floor division, bit-identical in
+# Python and DuckDB; removal pins the absorbed channel's value to 0 at
+# consumption. The distributed job is the transition-count aggregate
+# (two window passes + one hash agg — the 100 TB-heavy part); the
+# chain solve touches ≤30 collected scalars (bounded-collect rule,
+# PCA/BPE precedent). The oracle replays the identical integer
+# iteration as unrolled MATERIALIZED CTEs (5 runs × 25 steps on ≤5-row
+# frames).
+_MKV_S = 10**12
+_MKV_K = 25
+_MKV_CHANNELS = ("click", "error", "signup", "view")
+
+_MKV_TRANS_SQL = """
+    ej AS MATERIALIZED (
+        SELECT user_id, event_type,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                    AS BIGINT) AS rn
+        FROM events
+    ), fp AS MATERIALIZED (
+        SELECT user_id, CAST(MIN(rn) AS BIGINT) AS prn
+        FROM ej WHERE event_type = 'purchase' GROUP BY user_id
+    ), jny AS MATERIALIZED (
+        SELECT ej.user_id, ej.event_type, ej.rn
+        FROM ej LEFT JOIN fp USING (user_id)
+        WHERE fp.prn IS NULL OR ej.rn <= fp.prn
+    ), w AS MATERIALIZED (
+        SELECT user_id, rn, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+                   AS nxt
+        FROM jny
+    ), trans_all AS MATERIALIZED (
+        SELECT 'START' AS i,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS j
+        FROM w WHERE rn = 1
+        UNION ALL
+        SELECT event_type AS i,
+               CASE WHEN nxt IS NULL THEN 'NULL'
+                    WHEN nxt = 'purchase' THEN 'CONV'
+                    ELSE nxt END AS j
+        FROM w WHERE event_type <> 'purchase'
+    ), tc AS MATERIALIZED (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c
+        FROM trans_all GROUP BY 1, 2
+    ), tm AS MATERIALIZED (
+        SELECT i,
+               CAST(SUM(CASE WHEN j = 'CONV' THEN c ELSE 0 END) AS BIGINT)
+                   AS cconv,
+               CAST(SUM(c) AS BIGINT) AS ctot
+        FROM tc GROUP BY i
+    ), trans AS MATERIALIZED (
+        SELECT i, j, c FROM tc WHERE j NOT IN ('CONV', 'NULL')
+    )
+"""
+
+
+def _mkv_run_sql(tag: str, removed: str | None) -> list[str]:
+    """Unrolled 25-step fixed-point chain for one (possibly removed-
+    channel) run; each step is a tiny MATERIALIZED CTE referenced once."""
+    ctes = []
+    for s in range(_MKV_K):
+        name = f"v_{tag}_{s}"
+        if s == 0:
+            ctes.append(
+                f"{name} AS MATERIALIZED (SELECT i,"
+                f" (cconv * {_MKV_S}) // ctot AS v FROM tm)"
+            )
+        else:
+            prev = f"v_{tag}_{s - 1}"
+            pv = (
+                f"CASE WHEN t.j = '{removed}' THEN 0 ELSE p.v END"
+                if removed
+                else "p.v"
+            )
+            ctes.append(
+                f"{name} AS MATERIALIZED (SELECT tm.i,"
+                f" (tm.cconv * {_MKV_S} + COALESCE(s.sv, 0)) // tm.ctot AS v"
+                f" FROM tm LEFT JOIN (SELECT t.i,"
+                f" CAST(SUM(t.c * {pv}) AS BIGINT) AS sv"
+                f" FROM trans t JOIN {prev} p ON p.i = t.j GROUP BY t.i) s"
+                f" ON s.i = tm.i)"
+            )
+    return ctes
+
+
+_MKV_FINAL = (
+    "CAST(floor(1000000000.0 * (1.0 - CAST(p_removed_q AS DOUBLE) / p_base_q)"
+    " + 0.5) AS BIGINT)"
+)
+
+
+def _mkv_oracle() -> str:
+    chains = _mkv_run_sql("base", None)
+    res_rows = []
+    for ch in _MKV_CHANNELS:
+        chains += _mkv_run_sql(ch, ch)
+        res_rows.append(
+            f"SELECT '{ch}' AS channel, b.v AS p_base_q, r.v AS p_removed_q"
+            f" FROM v_base_{_MKV_K - 1} b, v_{ch}_{_MKV_K - 1} r"
+            f" WHERE b.i = 'START' AND r.i = 'START'"
+        )
+    res = " UNION ALL ".join(res_rows)
+    return f"""
+    WITH {_MKV_TRANS_SQL}, {', '.join(chains)},
+    res AS MATERIALIZED ({res}),
+    req AS MATERIALIZED (
+        SELECT channel, p_base_q, p_removed_q, {_MKV_FINAL} AS re_q FROM res
+    ), tot AS (SELECT CAST(SUM(re_q) AS BIGINT) AS s FROM req)
+    SELECT channel, p_base_q, p_removed_q, re_q,
+           CAST(p_base_q AS DOUBLE) / 1000000000000.0 AS p_base,
+           CAST(p_removed_q AS DOUBLE) / 1000000000000.0 AS p_removed,
+           CAST(re_q AS DOUBLE) / 1000000000.0 AS removal_effect,
+           CAST(re_q AS DOUBLE) / tot.s AS attribution_share
+    FROM req CROSS JOIN tot
+    """
+
+
+@_q("q_markov_attribution", _mkv_oracle())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev = t(spark, sf_dir, "events")
+    wrn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ej = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wrn).cast("bigint").alias("rn"),
+    )
+    fp = (
+        ej.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").cast("bigint").alias("prn"))
+    )
+    jny = ej.join(fp, "user_id", "left").where(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    wl = Window.partitionBy("user_id").orderBy("rn")
+    w = jny.select(
+        "user_id",
+        "rn",
+        "event_type",
+        F.lead("event_type").over(wl).alias("nxt"),
+    )
+    start = w.where(F.col("rn") == 1).select(
+        F.lit("START").alias("i"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("j"),
+    )
+    mid = w.where(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("i"),
+        F.when(F.col("nxt").isNull(), "NULL")
+        .when(F.col("nxt") == "purchase", "CONV")
+        .otherwise(F.col("nxt"))
+        .alias("j"),
+    )
+    tc = (
+        start.unionAll(mid)
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    counts = {(r["i"], r["j"]): r["c"] for r in tc.collect()}  # ≤30 scalars
+
+    states = sorted({i for i, _ in counts})
+    cconv = {i: counts.get((i, "CONV"), 0) for i in states}
+    ctot = {i: sum(c for (a, _), c in counts.items() if a == i) for i in states}
+    trans = {
+        (i, j): c
+        for (i, j), c in counts.items()
+        if j not in ("CONV", "NULL")
+    }
+
+    def solve(removed: str | None) -> int:
+        v = {i: 0 for i in states}
+        for _ in range(_MKV_K):
+            nv = {}
+            for i in states:
+                sv = sum(
+                    c * (0 if j == removed else v.get(j, 0))
+                    for (a, j), c in trans.items()
+                    if a == i
+                )
+                nv[i] = (cconv[i] * _MKV_S + sv) // ctot[i]
+            v = nv
+        return v["START"]
+
+    p_base = solve(None)
+    rows = [(ch, p_base, solve(ch)) for ch in _MKV_CHANNELS]
+    schema = StructType(
+        [
+            StructField("channel", StringType()),
+            StructField("p_base_q", LongType()),
+            StructField("p_removed_q", LongType()),
+        ]
+    )
+    req = spark.createDataFrame(rows, schema).withColumn(
+        "re_q", F.expr(_MKV_FINAL)
+    )
+    tot = F.sum("re_q").over(Window.partitionBy()).cast("bigint")
+    return req.select(
+        "channel",
+        "p_base_q",
+        "p_removed_q",
+        "re_q",
+        F.expr("CAST(p_base_q AS DOUBLE) / 1000000000000.0").alias("p_base"),
+        F.expr("CAST(p_removed_q AS DOUBLE) / 1000000000000.0").alias(
+            "p_removed"
+        ),
+        F.expr("CAST(re_q AS DOUBLE) / 1000000000.0").alias("removal_effect"),
+        (F.col("re_q").cast("double") / tot).alias("attribution_share"),
+    )

@@ -3517,3 +3517,71 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(nn * agree - src AS DOUBLE)"
         " / CAST(nn * nn - src AS DOUBLE) AS kappa",
     )
+
+
+# --- C5: perceptual image dedup via dHash (round 4) -------------------------
+# The image member of the dedup family: difference-hash each (synthetic,
+# deterministic) 9×8 grayscale raster through the REAL Arrow kernel
+# (functions/multimodal.py:dhash_raster — vectorized compare + packed
+# shift-sum), then bucket by the 64-bit hash exactly like exact text
+# dedup buckets by content hash. Because dHash is pure index/compare
+# math, the oracle recomputes every bit from the raster FORMULA
+# (pixel k = 32 + (doc_id + k) % 64), so a wrong comparison axis, bit
+# order, or reshape in the kernel breaks the match — the same
+# first-principles check q_multimodal_resize uses. Hash emitted as two
+# 32-bit halves so bit 63 never hits the BIGINT sign. Scale: the dedup
+# is a hash groupBy on (hi, lo) — never a pairwise image comparison.
+_DH_W, _DH_H = 9, 8
+
+
+@_q(
+    "q_image_dhash",
+    f"""
+    WITH bits AS (
+        SELECT d.doc_id, i.i AS i, j.j AS j,
+               CASE WHEN (32 + (d.doc_id + i.i * {_DH_W} + j.j) % 64)
+                       < (32 + (d.doc_id + i.i * {_DH_W} + j.j + 1) % 64)
+                    THEN 1 ELSE 0 END AS b
+        FROM documents d, range({_DH_H}) i(i), range({_DH_W - 1}) j(j)
+    ), h AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i * {_DH_W - 1} + j >= 32
+                             THEN b * (CAST(1 AS BIGINT)
+                                       << (i * {_DH_W - 1} + j - 32))
+                             ELSE 0 END) AS BIGINT) AS dhash_hi,
+               CAST(SUM(CASE WHEN i * {_DH_W - 1} + j < 32
+                             THEN b * (CAST(1 AS BIGINT)
+                                       << (i * {_DH_W - 1} + j))
+                             ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM bits GROUP BY doc_id
+    ), cl AS (
+        SELECT dhash_hi, dhash_lo,
+               CAST(MIN(doc_id) AS BIGINT) AS cluster_rep,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM h GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.dhash_hi, h.dhash_lo, cl.cluster_rep, cl.n_copies
+    FROM h JOIN cl USING (dhash_hi, dhash_lo)
+    """,
+)
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.multimodal import dhash_raster
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    rasters = d.select(
+        "doc_id",
+        F.lit(_DH_W).alias("width"),
+        F.lit(_DH_H).alias("height"),
+        F.expr(
+            f"encode(concat_ws('', transform(sequence(0, {_DH_W * _DH_H - 1}),"
+            " k -> chr(32 + (doc_id + k) % 64))), 'ISO-8859-1')"
+        ).alias("payload"),
+    )
+    h = dhash_raster(rasters)
+    cl = h.groupBy("dhash_hi", "dhash_lo").agg(
+        F.min("doc_id").cast("bigint").alias("cluster_rep"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    return h.join(cl, ["dhash_hi", "dhash_lo"]).select(
+        "doc_id", "dhash_hi", "dhash_lo", "cluster_rep", "n_copies"
+    )

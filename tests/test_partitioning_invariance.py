@@ -81,6 +81,9 @@ SWEEP = [
     "q_spearman",           # integer rank Σd², shared closed-form finish
     "q_cohen_kappa",        # integer sufficient stats, one-division kappa
     "q_link_predict",       # quantized 1/deg sums, TakeOrdered top-100
+    "q_dsir_weights",       # quantized bucket ratios, order-free doc sums
+    "q_holt",               # integer fixed-point recursion on daily series
+    "q_markov_attribution", # integer chain solve on collected counts
 ]
 
 
