@@ -293,6 +293,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_holt",
     "q_markov_attribution",
     "q_image_dhash",
+    "q_ppr",
+    "q_hits",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -1471,3 +1471,152 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e") > 0.0).alias("is_seed"),
         F.col("r").alias("ppr"),
     )
+
+
+# --- HITS hubs & authorities (round 4) --------------------------------------
+# Kleinberg's HITS on the directed nation trade graph (distinct edges of
+# the q_pagerank derivation): authority(d) = Σ h(s) over in-edges,
+# hub(s) = Σ a(d) over out-edges, each vector L2-normalized per step —
+# 3 fixed unrolled iterations. Exactness: every vector sum and every
+# squared-norm sum is routed through DECIMAL(38,12) (order-free, the
+# q_pagerank policy); sqrt and the normalizing division are single
+# correctly-rounded IEEE ops, so the whole chain is bit-identical
+# cross-engine. Scale: iterations join the tiny persisted edge
+# relation; the fact-side edge derivation is the only heavy stage.
+_HITS_ITERS = 3
+
+_HITS_STEP_SQL = """
+    araw{i} AS (
+        SELECT nodes.node,
+               COALESCE(m.v, 0.0) AS v
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(h{prev}.v AS DECIMAL(38,12))) AS DOUBLE) AS v
+            FROM eset e JOIN h{prev} ON e.src = h{prev}.node
+            GROUP BY e.dst
+        ) m ON nodes.node = m.node
+    ),
+    an{i} AS (
+        SELECT sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        FROM araw{i}
+    ),
+    a{i} AS (
+        SELECT node, v / an{i}.nrm AS v FROM araw{i} CROSS JOIN an{i}
+    ),
+    hraw{i} AS (
+        SELECT nodes.node,
+               COALESCE(m.v, 0.0) AS v
+        FROM nodes LEFT JOIN (
+            SELECT e.src AS node,
+                   CAST(SUM(CAST(a{i}.v AS DECIMAL(38,12))) AS DOUBLE) AS v
+            FROM eset e JOIN a{i} ON e.dst = a{i}.node
+            GROUP BY e.src
+        ) m ON nodes.node = m.node
+    ),
+    hn{i} AS (
+        SELECT sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        FROM hraw{i}
+    ),
+    h{i} AS (
+        SELECT node, v / hn{i}.nrm AS v FROM hraw{i} CROSS JOIN hn{i}
+    )
+"""
+
+
+def _hits_oracle() -> str:
+    steps = ",\n".join(
+        _HITS_STEP_SQL.format(i=i + 1, prev=i) for i in range(_HITS_ITERS)
+    )
+    k = _HITS_ITERS
+    return f"""
+    WITH eset AS (
+        SELECT DISTINCT sn.n_nationkey AS src, cn.n_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    ),
+    nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) / sqrt(nn.n) AS v
+        FROM nodes CROSS JOIN nn
+    ),
+    {steps}
+    SELECT nodes.node AS nationkey, nodes.n_name AS nation,
+           h{k}.v AS hub, a{k}.v AS authority
+    FROM nodes
+    JOIN h{k} ON nodes.node = h{k}.node
+    JOIN a{k} ON nodes.node = a{k}.node
+    """
+
+
+@_q("q_hits", _hits_oracle())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    eset = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    import math
+
+    n_nodes = float(nodes.count())  # bounded scalar (collect rule §4.3.8)
+    h = nodes.select("node", F.lit(1.0 / math.sqrt(n_nodes)).alias("v"))
+
+    def _dec_sum_to(vec, key_in, key_out):
+        return (
+            eset.join(F.broadcast(vec), F.col(key_in) == vec.node)
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("m")
+            )
+        )
+
+    def _normalize(raw):
+        filled = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col("m"), F.lit(0.0)).alias("v")
+        )
+        nrm = filled.agg(
+            F.sqrt(
+                F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        return filled.crossJoin(F.broadcast(nrm)).select(
+            "node", (F.col("v") / F.col("nrm")).alias("v")
+        )
+
+    # localCheckpoint per half-step (q_s_core discipline): without it the
+    # plan re-nests the whole fact-join lineage 6× and analysis time
+    # dominates (61 s → ~8 s at sf0.001 when this landed).
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = _normalize(_dec_sum_to(h, "src", "dst")).localCheckpoint()
+        h = _normalize(_dec_sum_to(a, "dst", "src")).localCheckpoint()
+    return (
+        nodes.join(h.withColumnRenamed("v", "hub"), "node")
+        .join(a.withColumnRenamed("v", "authority"), "node")
+        .select(
+            F.col("node").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            "hub",
+            "authority",
+        )
+    )

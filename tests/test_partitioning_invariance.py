@@ -84,6 +84,8 @@ SWEEP = [
     "q_dsir_weights",       # quantized bucket ratios, order-free doc sums
     "q_holt",               # integer fixed-point recursion on daily series
     "q_markov_attribution", # integer chain solve on collected counts
+    "q_ppr",                # decimal-routed mass sums, seed teleport
+    "q_hits",               # decimal-routed vector/norm sums per step
 ]
 
 
