@@ -295,6 +295,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_image_dhash",
     "q_ppr",
     "q_hits",
+    "q_rate_limit",
+    "q_kcenter_select",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -1554,3 +1554,105 @@ def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         step1, type_marks, keys=["event_type"], left_ts="ts", right_ts="dts",
         right_payload=["type_day_value"],
     )
+
+
+# --- token-bucket rate limiter audit (round 4) ------------------------------
+# Which events WOULD an edge rate limiter have admitted? The classic
+# token bucket (capacity 5 tokens, refill 1/60 token per second, cost
+# 1 token per event) replayed over each user's event stream — the
+# admission-control audit a serving team runs before turning a limiter
+# on. State is per-user and inherently sequential in event time, so the
+# Spark-first shape is ``applyInPandas`` over the user partitioning —
+# the same custom-stateful pattern as the sessionizer, batch flavor.
+# Exactness: everything lives in a ×60 integer token domain (cap=300,
+# cost=60, refill = whole elapsed SECONDS — floor(epoch) on both
+# engines per the µs-truncation rule), so the clamped recurrence
+# s ← min(300, s + gap) is bit-identical; the oracle replays it as a
+# per-user recursive CTE advancing all users one event per iteration
+# (depth = max events/user ≈ 100). Scale: one shuffle on user_id; each
+# group is a short integer loop; no driver participation.
+_RL_CAP = 300   # 5 tokens × 60
+_RL_COST = 60   # 1 token × 60
+
+
+@_q(
+    "q_rate_limit",
+    f"""
+    WITH RECURSIVE ej AS MATERIALIZED (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                    AS BIGINT) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, rn, tsec,
+               CAST({_RL_CAP} AS BIGINT) AS before_s,
+               CAST({_RL_CAP - _RL_COST} AS BIGINT) AS after_s,
+               TRUE AS admitted
+        FROM ej WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_id, e.rn, e.tsec,
+               least({_RL_CAP}, r.after_s + (e.tsec - r.tsec)),
+               CASE WHEN least({_RL_CAP}, r.after_s + (e.tsec - r.tsec))
+                         >= {_RL_COST}
+                    THEN least({_RL_CAP}, r.after_s + (e.tsec - r.tsec))
+                         - {_RL_COST}
+                    ELSE least({_RL_CAP}, r.after_s + (e.tsec - r.tsec)) END,
+               least({_RL_CAP}, r.after_s + (e.tsec - r.tsec)) >= {_RL_COST}
+        FROM r JOIN ej e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, rn, admitted,
+           before_s AS tokens_before_x60, after_s AS tokens_after_x60
+    FROM r
+    """,
+)
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("tsec"),
+        "ts",
+    )
+
+    schema = (
+        "user_id bigint, event_id bigint, rn bigint, admitted boolean,"
+        " tokens_before_x60 bigint, tokens_after_x60 bigint"
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        out = {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "rn": range(1, n + 1),
+            "admitted": [False] * n,
+            "tokens_before_x60": [0] * n,
+            "tokens_after_x60": [0] * n,
+        }
+        adm, bef, aft = [], [], []
+        s = _RL_CAP
+        prev_t = None
+        for tsec in pdf["tsec"]:
+            tsec = int(tsec)
+            if prev_t is not None:
+                s = min(_RL_CAP, s + (tsec - prev_t))
+            bef.append(s)
+            ok = s >= _RL_COST
+            if ok:
+                s -= _RL_COST
+            adm.append(ok)
+            aft.append(s)
+            prev_t = tsec
+        out["admitted"] = adm
+        out["tokens_before_x60"] = bef
+        out["tokens_after_x60"] = aft
+        return pd.DataFrame(out)
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(lambda _, pdf: replay(pdf), schema)
+    )

@@ -1707,3 +1707,142 @@ def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ap_10"),
         )
     )
+
+
+# --- k-center coreset selection (farthest-first traversal, round 4) ---------
+# The embedding-space twin of q_maxcover_select's token coverage:
+# greedily pick the point FARTHEST from everything picked so far
+# (Gonzalez's 2-approximation for k-center) — the classic diverse-
+# coreset curation step for training-set subsampling. Components are
+# 1e-4-quantized once (the q_maxsim policy), so every pairwise
+# distance² is an exact integer and min/argmax chains are total-order
+# deterministic (ties → lower vec_id). Seed = vec_id 0; 8 subsequent
+# picks; each pick's selection distance is the shrinking coverage
+# radius. Scale: per step ONE broadcast of the new center's 64
+# components against the exploded corpus (O(n·dims) grouped rows), the
+# running min-distance relation localCheckpoints per step, and the
+# argmax collects ONE row (BPE precedent) — never a pairwise n² join.
+_KC_PICKS = 8
+_KC_SCALE = 10_000
+
+
+def _kc_comp_sql() -> str:
+    return f"""
+    comp AS MATERIALIZED (
+        SELECT vec_id, g.i AS dim,
+               CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_KC_SCALE} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    )"""
+
+
+def _kcenter_oracle() -> str:
+    parts = [_kc_comp_sql()]
+    parts.append(
+        """
+    d0 AS MATERIALIZED (
+        SELECT comp.vec_id,
+               CAST(SUM((comp.q - c.q) * (comp.q - c.q)) AS BIGINT) AS mind
+        FROM comp
+        JOIN (SELECT dim, q FROM comp WHERE vec_id = 0) c USING (dim)
+        GROUP BY comp.vec_id
+    )"""
+    )
+    picks = []
+    for k in range(1, _KC_PICKS + 1):
+        parts.append(
+            f"""
+    s{k} AS MATERIALIZED (
+        SELECT vec_id, mind FROM d{k - 1}
+        ORDER BY mind DESC, vec_id LIMIT 1
+    )"""
+        )
+        picks.append(
+            f"SELECT {k} AS step, vec_id, mind AS radius_q FROM s{k}"
+        )
+        if k < _KC_PICKS:
+            parts.append(
+                f"""
+    d{k} AS MATERIALIZED (
+        SELECT d.vec_id, least(d.mind, nd.nd) AS mind
+        FROM d{k - 1} d
+        JOIN (
+            SELECT comp.vec_id,
+                   CAST(SUM((comp.q - c.q) * (comp.q - c.q)) AS BIGINT) AS nd
+            FROM comp
+            JOIN (SELECT dim, q FROM comp
+                  WHERE vec_id = (SELECT vec_id FROM s{k})) c USING (dim)
+            GROUP BY comp.vec_id
+        ) nd ON d.vec_id = nd.vec_id
+    )"""
+            )
+    union = " UNION ALL ".join(picks)
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT step, vec_id, radius_q,
+           sqrt(CAST(radius_q AS DOUBLE)) / {_KC_SCALE}.0 AS radius
+    FROM ({union})
+    """
+
+
+@_q("q_kcenter_select", _kcenter_oracle())
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    emb = t(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "f"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.floor(F.col("f").cast("double") * _KC_SCALE + F.lit(0.5))
+            .cast("bigint")
+            .alias("q"),
+        )
+        .persist()
+    )
+
+    def dist_to(center_id: int):
+        c = comp.where(F.col("vec_id") == center_id).select(
+            "dim", F.col("q").alias("qc")
+        )
+        return (
+            comp.join(F.broadcast(c), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
+                )
+                .cast("bigint")
+                .alias("nd")
+            )
+        )
+
+    mind = dist_to(0).withColumnRenamed("nd", "mind").localCheckpoint()
+    picks = []
+    for k in range(1, _KC_PICKS + 1):
+        top = mind.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        picks.append((k, top["vec_id"], top["mind"]))  # 1 row per step
+        if k < _KC_PICKS:
+            nd = dist_to(int(top["vec_id"]))
+            mind = (
+                mind.join(nd, "vec_id")
+                .select("vec_id", F.least("mind", "nd").alias("mind"))
+                .localCheckpoint()
+            )
+    schema = StructType(
+        [
+            StructField("step", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("radius_q", LongType()),
+        ]
+    )
+    out = spark.createDataFrame(picks, schema)
+    return out.select(
+        "step",
+        "vec_id",
+        "radius_q",
+        (
+            F.sqrt(F.col("radius_q").cast("double")) / F.lit(float(_KC_SCALE))
+        ).alias("radius"),
+    )
