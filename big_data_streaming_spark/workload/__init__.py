@@ -297,6 +297,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_hits",
     "q_rate_limit",
     "q_kcenter_select",
+    "q_f1_threshold",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

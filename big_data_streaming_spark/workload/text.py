@@ -3585,3 +3585,140 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.join(cl, ["dhash_hi", "dhash_lo"]).select(
         "doc_id", "dhash_hi", "dhash_lo", "cluster_rep", "n_copies"
     )
+
+
+# --- F1-optimal threshold selection (round 4) -------------------------------
+# Where should the quality gate actually cut? Sweep the classifier's
+# own score deciles as candidate thresholds (element-selected logits —
+# never interpolated, the cross-engine quantile rule) and report
+# precision/recall/F1 at each, plus the F1-argmax rank — the eval that
+# turns q_quality_classifier + q_calibration into an operating point.
+# All counts are exact integers; precision/recall/F1 are single
+# divisions (zero-guarded with CASE so no NaN/inf crosses engines);
+# the argmax orders by the SAME F1 expression text both sides. Scale:
+# the 9-row threshold table broadcasts against one scored-corpus scan
+# — one grouped aggregate, never a per-threshold rescan.
+_F1_EXPR = (
+    "CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0"
+    " ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END"
+)
+
+
+@_q(
+    "q_f1_threshold",
+    f"""
+    WITH {_QC_SCORED_SQL}, avgc AS (
+        SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        FROM documents
+    ), lab AS (
+        SELECT s.doc_id, s.logit,
+               CASE WHEN CAST(d.n_chars AS DOUBLE) > avgc.mean_chars
+                    THEN 1 ELSE 0 END AS y
+        FROM scored s
+        JOIN documents d ON s.doc_id = d.doc_id
+        CROSS JOIN avgc
+    ), ranked AS (
+        SELECT logit, doc_id, y,
+               CAST(row_number() OVER (ORDER BY logit, doc_id) AS BIGINT)
+                   AS rn
+        FROM lab
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+    th AS (
+        SELECT CAST(g.k AS BIGINT) AS k, r.logit AS thr
+        FROM range(1, 10) g(k) CROSS JOIN nn
+        JOIN ranked r ON r.rn = (g.k * nn.n) // 10
+    ), agg AS (
+        SELECT th.k, th.thr,
+               CAST(COUNT(CASE WHEN l.y = 1 AND l.logit > th.thr THEN 1 END)
+                    AS BIGINT) AS tp,
+               CAST(COUNT(CASE WHEN l.y = 0 AND l.logit > th.thr THEN 1 END)
+                    AS BIGINT) AS fp,
+               CAST(COUNT(CASE WHEN l.y = 1 AND l.logit <= th.thr THEN 1 END)
+                    AS BIGINT) AS fn
+        FROM lab l CROSS JOIN th
+        GROUP BY 1, 2
+    )
+    SELECT k, thr, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+           {_F1_EXPR} AS f1,
+           CAST(row_number() OVER (ORDER BY {_F1_EXPR} DESC, k)
+                AS BIGINT) AS f1_rank
+    FROM agg
+    """,
+)
+def q_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    avgc = docs.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "mean_chars"
+        )
+    )
+    lab = (
+        scored.join(docs, "doc_id")
+        .crossJoin(F.broadcast(avgc))
+        .select(
+            "doc_id",
+            "logit",
+            F.when(F.col("n_chars").cast("double") > F.col("mean_chars"), 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    ranked = lab.select(
+        "logit",
+        "y",
+        F.row_number()
+        .over(Window.orderBy("logit", "doc_id"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    nn = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    kg = spark.range(1, 10).select(F.col("id").cast("bigint").alias("k"))
+    th = (
+        kg.crossJoin(F.broadcast(nn))
+        .join(
+            ranked,
+            F.expr("(k * n) DIV 10") == F.col("rn"),
+        )
+        .select("k", F.col("logit").alias("thr"))
+    )
+    agg = (
+        lab.crossJoin(F.broadcast(th))
+        .groupBy("k", "thr")
+        .agg(
+            F.count(F.when((F.col("y") == 1) & (F.col("logit") > F.col("thr")), 1))
+            .cast("bigint")
+            .alias("tp"),
+            F.count(F.when((F.col("y") == 0) & (F.col("logit") > F.col("thr")), 1))
+            .cast("bigint")
+            .alias("fp"),
+            F.count(
+                F.when((F.col("y") == 1) & (F.col("logit") <= F.col("thr")), 1)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return agg.selectExpr(
+        "k",
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "CASE WHEN tp + fp = 0 THEN 0.0"
+        " ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec",
+        "CASE WHEN tp + fn = 0 THEN 0.0"
+        " ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec",
+        f"{_F1_EXPR} AS f1",
+    ).withColumn(
+        "f1_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.expr(_F1_EXPR)), "k"))
+        .cast("bigint"),
+    )

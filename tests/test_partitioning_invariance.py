@@ -86,6 +86,8 @@ SWEEP = [
     "q_markov_attribution", # integer chain solve on collected counts
     "q_ppr",                # decimal-routed mass sums, seed teleport
     "q_hits",               # decimal-routed vector/norm sums per step
+    "q_kcenter_select",     # quantized integer distances, argmax picks
+    "q_f1_threshold",       # exact counts, zero-guarded shared F1 text
 ]
 
 
