@@ -298,6 +298,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_rate_limit",
     "q_kcenter_select",
     "q_f1_threshold",
+    "q_symspell_pairs",
+    "q_trimmed_mean",
+    "q_ab_power",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -5665,3 +5665,216 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(re_q AS DOUBLE) / 1000000000.0").alias("removal_effect"),
         (F.col("re_q").cast("double") / tot).alias("attribution_share"),
     )
+
+
+# --- SymSpell deletion-neighborhood fuzzy pairs (round 4) --------------------
+# Edit-distance-1 candidate generation WITHOUT an all-pairs levenshtein:
+# two strings within one edit share a member of their deletion
+# neighborhoods (Garbe's SymSpell, public), so generating the ≤len
+# single-deletion variants per name and hash-joining on the variant
+# bounds candidates by Σ|group|², the same df-cap arithmetic as the
+# shingle dedup family — then ONE levenshtein verify per candidate.
+# Run over supplier names (digit-substitution neighbors). Output is the
+# deterministic (s1, s2) pair list with the verified distance, capped
+# at 200 via TakeOrdered. Scale: variants are a projection explode (no
+# shuffle), the candidate join keys on the variant hash, and verify
+# touches only candidates — never |names|² comparisons.
+@_q(
+    "q_symspell_pairs",
+    """
+    WITH v AS (
+        SELECT s_name AS name,
+               substr(s_name, 1, i.i - 1) || substr(s_name, i.i + 1)
+                   AS variant
+        FROM supplier, UNNEST(generate_series(1, len(s_name))) AS i(i)
+        UNION ALL
+        SELECT s_name, s_name FROM supplier
+    ), cand AS (
+        SELECT DISTINCT a.name AS s1, b.name AS s2
+        FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name
+    ), ver AS (
+        SELECT s1, s2, CAST(levenshtein(s1, s2) AS BIGINT) AS lev
+        FROM cand
+    ), hit AS (
+        SELECT s1, s2, lev FROM ver WHERE lev <= 1
+    )
+    SELECT s1, s2, lev,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_pairs_total,
+           CAST(row_number() OVER (ORDER BY s1, s2) AS BIGINT) AS rank
+    FROM hit
+    QUALIFY rank <= 200
+    """,
+)
+def q_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    dels = sup.select(
+        "name",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(name)),"
+                " i -> concat(substr(name, 1, i - 1), substr(name, i + 1)))"
+            )
+        ).alias("variant"),
+    )
+    v = dels.unionAll(sup.select("name", F.col("name").alias("variant")))
+    a = v.select(F.col("name").alias("s1"), "variant")
+    b = v.select(F.col("name").alias("s2"), "variant")
+    cand = (
+        a.join(b, "variant")
+        .where(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    hit = cand.select(
+        "s1", "s2", F.levenshtein("s1", "s2").cast("bigint").alias("lev")
+    ).where(F.col("lev") <= 1)
+    # hit is the bounded verified pair set; count it once via a 1-row
+    # aggregate joined back (never a per-row subquery at scale)
+    hit = hit.persist()
+    n_total = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_total")
+    )
+    top = (
+        hit.crossJoin(F.broadcast(n_total))
+        .orderBy("s1", "s2")
+        .limit(200)
+    )
+    return top.select(
+        "s1",
+        "s2",
+        "lev",
+        "n_pairs_total",
+        F.row_number()
+        .over(Window.orderBy("s1", "s2"))
+        .cast("bigint")
+        .alias("rank"),
+    )
+
+
+# --- 10% trimmed mean (round 4) ----------------------------------------------
+# The robust-location companion to q_winsorize (which CLAMPS the tails):
+# trimming DROPS the bottom and top deciles and averages the middle —
+# rank-based, so the cut is element selection under the (value, event_id)
+# total order (never interpolation), and the kept-middle mean routes
+# through DECIMAL(38,6) (order-free exact sum, one final division).
+@_q(
+    "q_trimmed_mean",
+    """
+    WITH r AS (
+        SELECT value,
+               CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM events
+    ), kept AS (
+        SELECT value, n FROM r
+        WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(value) AS DOUBLE) AS lo_cut,
+           CAST(MAX(value) AS DOUBLE) AS hi_cut,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS trimmed_mean
+    FROM kept
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    r = ev.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    kept = r.where(
+        (F.col("rn") > F.expr("n DIV 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n DIV 10"))
+    )
+    return kept.agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.min("value").cast("double").alias("lo_cut"),
+        F.max("value").cast("double").alias("hi_cut"),
+        (
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )
+
+
+# --- two-proportion power analysis (round 4) ---------------------------------
+# The planning companion to q_abtest: given the OBSERVED treatment/
+# control purchase rates (odd/even user_id arms), how many users per
+# arm does a two-sided α=0.05, power=0.8 z-test need to detect that
+# difference? Textbook closed form with the z constants as shared
+# double literals (z_{α/2}=1.9599639845400545, z_β=0.8416212335729143 —
+# transcendental inputs enter as literals, the q_ndcg policy); the
+# formula is ONE fixed-order expression over four exact integer
+# counts, evaluated verbatim by both engines. One combinable aggregate.
+# Arms are compared on the EVENT-level purchase share (the per-user
+# any-purchase rate saturates at 1.0 on this fixture); the p1 = p2
+# degenerate case (zero detectable effect → infinite n) is guarded by
+# the exact integer cross-product test c1·n2 = c2·n1 and reported as
+# the documented sentinel 0.
+_ABP_FORMULA = (
+    "ceil(pow(1.9599639845400545 * sqrt(2.0 * ((CAST(c1 AS DOUBLE) / n1"
+    " + CAST(c2 AS DOUBLE) / n2) / 2.0) * (1.0 - (CAST(c1 AS DOUBLE) / n1"
+    " + CAST(c2 AS DOUBLE) / n2) / 2.0))"
+    " + 0.8416212335729143 * sqrt(CAST(c1 AS DOUBLE) / n1"
+    " * (1.0 - CAST(c1 AS DOUBLE) / n1) + CAST(c2 AS DOUBLE) / n2"
+    " * (1.0 - CAST(c2 AS DOUBLE) / n2)), 2)"
+    " / pow(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2, 2))"
+)
+
+
+@_q(
+    "q_ab_power",
+    f"""
+    WITH s AS (
+        SELECT CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+                   AS n1,
+               CAST(COUNT(CASE WHEN user_id % 2 = 1
+                               AND event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS c1,
+               CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+                   AS n2,
+               CAST(COUNT(CASE WHEN user_id % 2 = 0
+                               AND event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS c2
+        FROM events
+    )
+    SELECT n1, c1, n2, c2,
+           CAST(c1 AS DOUBLE) / n1 AS p1,
+           CAST(c2 AS DOUBLE) / n2 AS p2,
+           CASE WHEN c1 * n2 = c2 * n1 THEN CAST(0 AS BIGINT)
+                ELSE CAST({_ABP_FORMULA} AS BIGINT) END
+               AS n_required_per_arm
+    FROM s
+    """,
+)
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    arm1 = F.col("user_id") % 2 == 1
+    arm0 = F.col("user_id") % 2 == 0
+    is_p = F.col("event_type") == "purchase"
+    s = ev.agg(
+        F.count(F.when(arm1, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(arm1 & is_p, 1)).cast("bigint").alias("c1"),
+        F.count(F.when(arm0, 1)).cast("bigint").alias("n2"),
+        F.count(F.when(arm0 & is_p, 1)).cast("bigint").alias("c2"),
+    )
+    return s.selectExpr(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        "CAST(c1 AS DOUBLE) / n1 AS p1",
+        "CAST(c2 AS DOUBLE) / n2 AS p2",
+        "CASE WHEN c1 * n2 = c2 * n1 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST({_ABP_FORMULA} AS BIGINT) END AS n_required_per_arm",
+    )

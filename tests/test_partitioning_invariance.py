@@ -88,6 +88,8 @@ SWEEP = [
     "q_hits",               # decimal-routed vector/norm sums per step
     "q_kcenter_select",     # quantized integer distances, argmax picks
     "q_f1_threshold",       # exact counts, zero-guarded shared F1 text
+    "q_trimmed_mean",       # element-selection cuts + decimal mean
+    "q_ab_power",           # shared literal-z formula on exact counts
 ]
 
 
