@@ -301,6 +301,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_symspell_pairs",
     "q_trimmed_mean",
     "q_ab_power",
+    "q_quantile_sketch_audit",
+    "q_linkage_em",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

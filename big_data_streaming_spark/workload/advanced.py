@@ -1620,3 +1620,203 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "authority",
         )
     )
+
+
+# --- Fellegi-Sunter EM linkage-weight estimation (round 4) ------------------
+# The probabilistic-record-linkage theory layer over the blocked-ER
+# machinery: estimate per-field match/non-match agreement rates
+# (m_i, u_i) and the match proportion p by EM over comparison-pattern
+# COUNTS (Fellegi & Sunter 1969; Winkler's EM formulation — public).
+# Comparison vectors on nation-blocked customer pairs: segment
+# equality, 1000-unit balance-band equality, name-suffix equality.
+# The distributed job is the blocked self-join + 8-pattern aggregate
+# (bounded by Σ|block|², the blocking contract); EM then runs 10
+# FIXED steps of exact integer fixed-point arithmetic (1e9 scale,
+# floor division, GREATEST guards) on the ≤8 collected pattern rows —
+# bit-identical in Python and the oracle's unrolled MATERIALIZED CTE
+# chain (HUGEINT only in intermediates, never in output). The fixture
+# has no true duplicates; the latent mixture EM finds is whatever the
+# pattern table supports — the operator under test is the pattern
+# aggregation + the exact EM mechanics.
+_EM_S = 10**9
+_EM_STEPS = 10
+_EM_FIELDS = ("segment", "balance_band", "name_suffix")
+
+_EM_PAT_SQL = """
+    pat AS MATERIALIZED (
+        SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS g1,
+               CASE WHEN floor(CAST(a.c_acctbal AS DOUBLE) / 1000.0)
+                         = floor(CAST(b.c_acctbal AS DOUBLE) / 1000.0)
+                    THEN 1 ELSE 0 END AS g2,
+               CASE WHEN right(a.c_name, 2) = right(b.c_name, 2)
+                    THEN 1 ELSE 0 END AS g3,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        GROUP BY 1, 2, 3
+    )
+"""
+
+
+def _em_step_sql(k: int) -> str:
+    S = _EM_S
+    prev = f"em{k - 1}"
+    t = [
+        f"(CASE WHEN g{i} = 1 THEN e.m{i} ELSE {S} - e.m{i} END)"
+        for i in (1, 2, 3)
+    ]
+    s = [
+        f"(CASE WHEN g{i} = 1 THEN e.u{i} ELSE {S} - e.u{i} END)"
+        for i in (1, 2, 3)
+    ]
+    mm = f"(((({t[0]} * {t[1]}) // {S}) * {t[2]}) // {S})"
+    uu = f"(((({s[0]} * {s[1]}) // {S}) * {s[2]}) // {S})"
+    upd_m = ", ".join(
+        f"CAST(CAST(SUM(CASE WHEN g{i} = 1 THEN n * gq ELSE 0 END)"
+        f" AS HUGEINT) * {S} // GREATEST(SUM(n * gq), 1) AS BIGINT) AS m{i}"
+        for i in (1, 2, 3)
+    )
+    upd_u = ", ".join(
+        f"CAST(CAST(SUM(CASE WHEN g{i} = 1 THEN n * ({S} - gq) ELSE 0 END)"
+        f" AS HUGEINT) * {S} // GREATEST(SUM(n * ({S} - gq)), 1)"
+        f" AS BIGINT) AS u{i}"
+        for i in (1, 2, 3)
+    )
+    return f"""
+    em{k} AS MATERIALIZED (
+        SELECT CAST(SUM(n * gq) // GREATEST(SUM(n), 1) AS BIGINT) AS p,
+               {upd_m},
+               {upd_u}
+        FROM (
+            SELECT g1, g2, g3, n,
+                   (w * {S}) // GREATEST(w + v, 1) AS gq
+            FROM (
+                SELECT pat.g1, pat.g2, pat.g3, pat.n,
+                       (e.p * {mm}) // {S} AS w,
+                       (({S} - e.p) * {uu}) // {S} AS v
+                FROM pat CROSS JOIN {prev} e
+            )
+        )
+    )"""
+
+
+def _linkage_em_oracle() -> str:
+    S = _EM_S
+    init = (
+        f"em0 AS (SELECT CAST({S // 10} AS BIGINT) AS p,"
+        + ", ".join(
+            f"CAST({9 * S // 10} AS BIGINT) AS m{i}" for i in (1, 2, 3)
+        )
+        + ", "
+        + ", ".join(f"CAST({S // 10} AS BIGINT) AS u{i}" for i in (1, 2, 3))
+        + ")"
+    )
+    steps = ",\n".join(_em_step_sql(k) for k in range(1, _EM_STEPS + 1))
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS field, p AS p_q, m{i} AS m_q, u{i} AS u_q"
+        f" FROM em{_EM_STEPS}"
+        for i, name in enumerate(_EM_FIELDS, start=1)
+    )
+    return f"""
+    WITH {_EM_PAT_SQL}, {init},
+    {steps}
+    SELECT field, p_q, m_q, u_q,
+           CAST(p_q AS DOUBLE) / {S}.0 AS p,
+           CAST(m_q AS DOUBLE) / {S}.0 AS m,
+           CAST(u_q AS DOUBLE) / {S}.0 AS u,
+           CASE WHEN u_q = 0 THEN 0.0
+                ELSE CAST(m_q AS DOUBLE) / u_q END AS agreement_weight
+    FROM ({rows})
+    """
+
+
+@_q("q_linkage_em", _linkage_em_oracle())
+def q_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal", "c_name"
+    )
+    a = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ka"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000.0).alias("bal_a"),
+        F.expr("right(c_name, 2)").alias("sfx_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("kb"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000.0).alias("bal_b"),
+        F.expr("right(c_name, 2)").alias("sfx_b"),
+    )
+    pat = (
+        a.join(b, "nk")
+        .where(F.col("ka") < F.col("kb"))
+        .select(
+            F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0).alias("g1"),
+            F.when(F.col("bal_a") == F.col("bal_b"), 1).otherwise(0).alias("g2"),
+            F.when(F.col("sfx_a") == F.col("sfx_b"), 1).otherwise(0).alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rows = [
+        (r["g1"], r["g2"], r["g3"], r["n"]) for r in pat.collect()
+    ]  # ≤8 bounded scalars
+
+    S = _EM_S
+    p = S // 10
+    m = [9 * S // 10] * 3
+    u = [S // 10] * 3
+    for _ in range(_EM_STEPS):
+        sp = sn = 0
+        sm_num = [0, 0, 0]
+        su_num = [0, 0, 0]
+        su_den = 0
+        for g1, g2, g3, n in rows:
+            g = (g1, g2, g3)
+            tt = [m[i] if g[i] == 1 else S - m[i] for i in range(3)]
+            ss = [u[i] if g[i] == 1 else S - u[i] for i in range(3)]
+            mm = (((tt[0] * tt[1]) // S) * tt[2]) // S
+            uu = (((ss[0] * ss[1]) // S) * ss[2]) // S
+            w = (p * mm) // S
+            v = ((S - p) * uu) // S
+            gq = (w * S) // max(w + v, 1)
+            sp += n * gq
+            sn += n
+            su_den += n * (S - gq)
+            for i in range(3):
+                if g[i] == 1:
+                    sm_num[i] += n * gq
+                    su_num[i] += n * (S - gq)
+        p = sp // max(sn, 1)
+        m = [(sm_num[i] * S) // max(sp, 1) for i in range(3)]
+        u = [(su_num[i] * S) // max(su_den, 1) for i in range(3)]
+
+    out_rows = [
+        (name, p, m[i], u[i]) for i, name in enumerate(_EM_FIELDS)
+    ]
+    schema = StructType(
+        [
+            StructField("field", StringType()),
+            StructField("p_q", LongType()),
+            StructField("m_q", LongType()),
+            StructField("u_q", LongType()),
+        ]
+    )
+    res = spark.createDataFrame(out_rows, schema)
+    return res.selectExpr(
+        "field",
+        "p_q",
+        "m_q",
+        "u_q",
+        f"CAST(p_q AS DOUBLE) / {S}.0 AS p",
+        f"CAST(m_q AS DOUBLE) / {S}.0 AS m",
+        f"CAST(u_q AS DOUBLE) / {S}.0 AS u",
+        "CASE WHEN u_q = 0 THEN 0.0"
+        " ELSE CAST(m_q AS DOUBLE) / u_q END AS agreement_weight",
+    )

@@ -1656,3 +1656,111 @@ def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .applyInPandas(lambda _, pdf: replay(pdf), schema)
     )
+
+
+# --- approx-percentile rank-error audit (round 4) ---------------------------
+# The quantile member of the audited-approximation ladder (HLL ladder,
+# CMS, Bloom FPR, MinHash estimator): Spark's percentile_approx
+# (Greenwald-Khanna style, rank error ≤ n/accuracy) is asked for the
+# p50/p90/p99 of events.value at accuracy 10000, and the audit checks
+# the RANK of the returned element against the guaranteed window
+# [(q−ε)n − 1, (q+ε)n + 1] (ε = 1/accuracy, ±1 for the endpoint-
+# rounding slack of the published bound). The approx value itself is
+# engine-specific and never emitted; the driver-checked columns are the
+# exact element-selection quantile (never interpolation — house rule)
+# and the boolean bound verdicts, which the oracle states as the truth
+# the sketch must satisfy. A violated bound surfaces as a hash
+# mismatch. Scale: the sketch is one mergeable aggregate; the audit
+# adds two combinable conditional counts per level.
+_QA_LEVELS = (0.5, 0.9, 0.99)
+_QA_ACC = 10_000
+
+
+@_q(
+    "q_quantile_sketch_audit",
+    f"""
+    WITH r AS (
+        SELECT value,
+               CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM events
+    ), lv AS (
+        SELECT CAST(l.q AS DOUBLE) AS level FROM (VALUES (0.5), (0.9),
+            (0.99)) l(q)
+    )
+    SELECT lv.level,
+           CAST(MAX(r.n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN r.rn = CAST(floor(lv.level * (r.n - 1))
+                                          AS BIGINT) + 1
+                         THEN r.value END) AS DOUBLE) AS exact_value,
+           TRUE AS within_bound
+    FROM r CROSS JOIN lv
+    GROUP BY lv.level
+    """,
+)
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    approx = ev.agg(
+        F.percentile_approx(
+            "value", list(_QA_LEVELS), _QA_ACC
+        ).alias("ap")
+    ).select(
+        F.posexplode("ap").alias("idx", "approx_value")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in _QA_LEVELS]),
+            (F.col("idx") + 1).cast("int"),
+        ).alias("level"),
+        "approx_value",
+    )
+    r = ev.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    exact = (
+        r.crossJoin(F.broadcast(approx))
+        .groupBy("level")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.floor(F.col("level") * (F.col("n") - 1)).cast(
+                        "bigint"
+                    )
+                    + 1,
+                    F.col("value"),
+                )
+            )
+            .cast("double")
+            .alias("exact_value"),
+            # rank window of the sketch's answer: [min_rank, max_rank]
+            # must intersect [(q−ε)n − 1, (q+ε)n + 1]
+            (F.count(F.when(F.col("value") < F.col("approx_value"), 1)) + 1)
+            .cast("double")
+            .alias("min_rank"),
+            F.count(F.when(F.col("value") <= F.col("approx_value"), 1))
+            .cast("double")
+            .alias("max_rank"),
+        )
+    )
+    eps = 1.0 / _QA_ACC
+    return exact.select(
+        "level",
+        "n",
+        "exact_value",
+        (
+            (F.col("min_rank") <= (F.col("level") + eps) * F.col("n") + 1)
+            & (F.col("max_rank") >= (F.col("level") - eps) * F.col("n") - 1)
+        ).alias("within_bound"),
+    )

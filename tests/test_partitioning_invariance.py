@@ -90,6 +90,8 @@ SWEEP = [
     "q_f1_threshold",       # exact counts, zero-guarded shared F1 text
     "q_trimmed_mean",       # element-selection cuts + decimal mean
     "q_ab_power",           # shared literal-z formula on exact counts
+    "q_quantile_sketch_audit",  # bound booleans must hold at ANY split
+    "q_linkage_em",         # integer EM on collected pattern counts
 ]
 
 
