@@ -303,6 +303,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_ab_power",
     "q_quantile_sketch_audit",
     "q_linkage_em",
+    "q_conformal_interval",
+    "q_km_survival",
+    "q_lift_curve",
+    "q_propensity_strata",
+    "q_sax_symbols",
+    "q_cvm_test",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -5878,3 +5878,515 @@ def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN c1 * n2 = c2 * n1 THEN CAST(0 AS BIGINT)"
         f" ELSE CAST({_ABP_FORMULA} AS BIGINT) END AS n_required_per_arm",
     )
+
+
+# --- split-conformal prediction interval (round 4) ---------------------------
+# Distribution-free uncertainty for the per-type mean predictor: train
+# on the user_id%3=0 slice (decimal-routed exact type means), take the
+# ⌈(n+1)·0.9⌉-th smallest absolute residual on the %3=1 calibration
+# slice (ELEMENT SELECTION under the (residual, event_id) total order —
+# never interpolation), and audit empirical coverage on the %3=2 test
+# slice — the split-conformal guarantee says coverage ≳ 90%. Every
+# count is exact; the residual ordering compares identical IEEE
+# doubles; coverage is one division. Scale: one train aggregate
+# (broadcast μ table), one calibration rank window, one test scan.
+@_q(
+    "q_conformal_interval",
+    """
+    WITH mu AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS mu
+        FROM events WHERE user_id % 3 = 0
+        GROUP BY event_type
+    ), cal AS (
+        SELECT abs(e.value - mu.mu) AS r, e.event_id
+        FROM events e JOIN mu ON e.event_type = mu.event_type
+        WHERE e.user_id % 3 = 1
+    ), rk AS (
+        SELECT r,
+               CAST(row_number() OVER (ORDER BY r, event_id) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM cal
+    ), qh AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_cal,
+               CAST(MAX(CASE WHEN rn = least(
+                        CAST(ceil((n + 1) * 0.9) AS BIGINT), n)
+                    THEN r END) AS DOUBLE) AS qhat
+        FROM rk
+    ), test AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(COUNT(CASE WHEN abs(e.value - mu.mu) <= qh.qhat
+                          THEN 1 END) AS BIGINT) AS n_covered
+        FROM events e JOIN mu ON e.event_type = mu.event_type
+        CROSS JOIN qh
+        WHERE e.user_id % 3 = 2
+    )
+    SELECT qh.n_cal, qh.qhat, test.n_test, test.n_covered,
+           CAST(test.n_covered AS DOUBLE) / test.n_test AS coverage
+    FROM qh CROSS JOIN test
+    """,
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    mu = (
+        ev.where(F.col("user_id") % 3 == 0)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+    )
+    cal = (
+        ev.where(F.col("user_id") % 3 == 1)
+        .join(F.broadcast(mu), "event_type")
+        .select(F.abs(F.col("value") - F.col("mu")).alias("r"), "event_id")
+    )
+    rk = cal.select(
+        "r",
+        F.row_number()
+        .over(Window.orderBy("r", "event_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    pick = F.least(
+        F.ceil((F.col("n") + 1) * 0.9).cast("bigint"), F.col("n")
+    )
+    qh = rk.agg(
+        F.max("n").cast("bigint").alias("n_cal"),
+        F.max(F.when(F.col("rn") == pick, F.col("r")))
+        .cast("double")
+        .alias("qhat"),
+    )
+    test = (
+        ev.where(F.col("user_id") % 3 == 2)
+        .join(F.broadcast(mu), "event_type")
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) <= F.col("qhat"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return qh.crossJoin(test).select(
+        "n_cal",
+        "qhat",
+        "n_test",
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_test")).alias(
+            "coverage"
+        ),
+    )
+
+
+# --- Kaplan-Meier time-to-purchase survival (round 4) ------------------------
+# The survival curve every conversion analysis eventually needs: per
+# user, days from first event to first purchase (censored at the last
+# observed day when no purchase happens); S(t) = Π_{s≤t} (1 − d_s/n_s)
+# over the daily risk table. Exactness: the product recursion runs in
+# a 1e12 integer fixed-point domain — s_q(t) = s_q(t−1)·(n_t−d_t) //
+# n_t, floor division of nonnegative ints, bit-identical in Python and
+# the oracle's recursive CTE. The distributed job is the per-user
+# journey aggregate + the ≤31-row daily risk table (reverse cumulative
+# at-risk counts); the driver finishes on those bounded rows (Holt/PCA
+# precedent). Scale: two hash aggregates and one tiny window.
+_KM_S = 10**12
+
+
+@_q(
+    "q_km_survival",
+    f"""
+    WITH RECURSIVE j AS MATERIALIZED (
+        SELECT user_id,
+               CAST(MIN(floor(epoch(ts) / 86400)) AS BIGINT) AS d0,
+               CAST(MIN(CASE WHEN event_type = 'purchase'
+                             THEN floor(epoch(ts) / 86400) END) AS BIGINT)
+                   AS dp,
+               CAST(MAX(floor(epoch(ts) / 86400)) AS BIGINT) AS dl
+        FROM events GROUP BY user_id
+    ), obs AS MATERIALIZED (
+        SELECT user_id,
+               CASE WHEN dp IS NULL THEN dl - d0 ELSE dp - d0 END AS tt,
+               CASE WHEN dp IS NULL THEN 0 ELSE 1 END AS ev
+        FROM j
+    ), mx AS (SELECT CAST(MAX(tt) AS BIGINT) AS m FROM obs),
+    days AS MATERIALIZED (
+        SELECT CAST(g.d AS BIGINT) AS day FROM mx,
+               UNNEST(generate_series(0, mx.m)) AS g(d)
+    ), counts AS MATERIALIZED (
+        SELECT days.day,
+               CAST(COALESCE(SUM(CASE WHEN obs.tt = days.day
+                                      AND obs.ev = 1 THEN 1 END), 0)
+                    AS BIGINT) AS d_events,
+               CAST(COALESCE(SUM(CASE WHEN obs.tt = days.day
+                                      AND obs.ev = 0 THEN 1 END), 0)
+                    AS BIGINT) AS c_censored
+        FROM days LEFT JOIN obs ON obs.tt = days.day
+        GROUP BY days.day
+    ), risk AS MATERIALIZED (
+        SELECT day, d_events, c_censored,
+               CAST(SUM(d_events + c_censored) OVER (
+                    ORDER BY day DESC) AS BIGINT) AS n_risk
+        FROM counts
+    ), r AS (
+        SELECT day, d_events, c_censored, n_risk,
+               (({_KM_S} * (n_risk - d_events)) // n_risk) AS s_q
+        FROM risk WHERE day = 0
+        UNION ALL
+        SELECT k.day, k.d_events, k.c_censored, k.n_risk,
+               CASE WHEN k.n_risk = 0 THEN r.s_q
+                    ELSE (r.s_q * (k.n_risk - k.d_events)) // k.n_risk END
+        FROM r JOIN risk k ON k.day = r.day + 1
+    )
+    SELECT day, n_risk, d_events, c_censored, s_q,
+           CAST(s_q AS DOUBLE) / {_KM_S}.0 AS survival
+    FROM r
+    """,
+)
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    j = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("dp"),
+        F.max(day).alias("dl"),
+    )
+    obs = j.select(
+        F.when(F.col("dp").isNull(), F.col("dl") - F.col("d0"))
+        .otherwise(F.col("dp") - F.col("d0"))
+        .alias("tt"),
+        F.when(F.col("dp").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    counts = (
+        obs.groupBy("tt")
+        .agg(
+            F.sum(F.when(F.col("ev") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("d_events"),
+            F.sum(F.when(F.col("ev") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_censored"),
+        )
+        .collect()
+    )  # ≤31 bounded rows (daily risk table)
+    by_day = {int(r["tt"]): (r["d_events"], r["c_censored"]) for r in counts}
+    max_d = max(by_day) if by_day else 0
+    rows = []
+    # reverse cumulative at-risk, then the integer product recursion
+    n_risk = {}
+    acc = 0
+    for d in range(max_d, -1, -1):
+        de, ce = by_day.get(d, (0, 0))
+        acc += de + ce
+        n_risk[d] = acc
+    s_q = None
+    for d in range(0, max_d + 1):
+        de, ce = by_day.get(d, (0, 0))
+        nr = n_risk[d]
+        if s_q is None:
+            s_q = (_KM_S * (nr - de)) // nr
+        elif nr == 0:
+            pass
+        else:
+            s_q = (s_q * (nr - de)) // nr
+        rows.append((d, nr, de, ce, s_q))
+    schema = StructType(
+        [
+            StructField("day", LongType()),
+            StructField("n_risk", LongType()),
+            StructField("d_events", LongType()),
+            StructField("c_censored", LongType()),
+            StructField("s_q", LongType()),
+        ]
+    )
+    out = spark.createDataFrame(rows, schema)
+    return out.select(
+        "day",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        "s_q",
+        (F.col("s_q").cast("double") / F.lit(float(_KM_S))).alias("survival"),
+    )
+
+
+# --- stratified ATE (propensity-score stratification, round 4) ---------------
+# The observational companion to q_diff_in_diff: average treatment
+# effect of the synthetic odd-user treatment on event value, adjusted
+# by stratifying on event_type (the blocking confounder) — Cochran's
+# subclassification estimator ATE = Σ_s (n_s/N)(ȳ₁ₛ − ȳ₀ₛ). Cell
+# means are decimal-routed exact doubles; each stratum term
+# (weight × difference) is ONE double product floor-quantized at 1e-9,
+# so the cross-stratum sum is order-free; the finish is one division.
+# Strata missing an arm are excluded on an exact integer predicate
+# (both engines identically). One 2×strata-cell hash aggregate.
+@_q(
+    "q_propensity_strata",
+    """
+    WITH cell AS (
+        SELECT event_type,
+               CAST(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+                   AS treated,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM events GROUP BY 1, 2
+    ), strata AS (
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS n_s,
+               MAX(CASE WHEN treated = 1 THEN m END) AS m1,
+               MAX(CASE WHEN treated = 0 THEN m END) AS m0,
+               CAST(COUNT(*) AS BIGINT) AS n_arms
+        FROM cell GROUP BY event_type
+    ), ok AS (
+        SELECT event_type, n_s, m1, m0 FROM strata WHERE n_arms = 2
+    ), tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM ok)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(MAX(tot.nn) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(1000000000.0 * (CAST(n_s AS DOUBLE)
+                    * (m1 - m0)) + 0.5) AS BIGINT)) AS BIGINT) AS ate_num_q,
+           CAST(SUM(CAST(floor(1000000000.0 * (CAST(n_s AS DOUBLE)
+                    * (m1 - m0)) + 0.5) AS BIGINT)) AS DOUBLE)
+             / MAX(tot.nn) / 1000000000.0 AS ate
+    FROM ok CROSS JOIN tot
+    """,
+)
+def q_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 1, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("treated"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("m"),
+    )
+    strata = cell.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_s"),
+        F.max(F.when(F.col("treated") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("treated") == 0, F.col("m"))).alias("m0"),
+        F.count(F.lit(1)).cast("bigint").alias("n_arms"),
+    )
+    ok = strata.where(F.col("n_arms") == 2).select(
+        "event_type", "n_s", "m1", "m0"
+    )
+    tot = ok.agg(F.sum("n_s").cast("bigint").alias("nn"))
+    term = F.floor(
+        F.lit(1000000000.0)
+        * (F.col("n_s").cast("double") * (F.col("m1") - F.col("m0")))
+        + F.lit(0.5)
+    ).cast("bigint")
+    return ok.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.max("nn").cast("bigint").alias("n_events"),
+        F.sum(term).cast("bigint").alias("ate_num_q"),
+        (
+            F.sum(term).cast("double") / F.max("nn") / F.lit(1000000000.0)
+        ).alias("ate"),
+    )
+
+
+# --- SAX symbolic series representation (round 4) ----------------------------
+# Symbolic Aggregate approXimation (Lin/Keogh, public) of the hourly
+# click series: PAA into 6-hour frames (frame statistic = the exact
+# INTEGER frame sum — no mean division needed for ordering), alphabet
+# cuts at the frame-sum quartiles by ELEMENT SELECTION (rn·k ≤ n
+# integer arithmetic, the dcap pattern — never float percentiles), and
+# a 4-letter symbol per frame plus the 2-gram motif with the next
+# frame — the discretization that makes motif mining and cheap
+# similarity possible on huge series. Everything is integer compares;
+# no float enters until never. Scale: the series aggregate is the only
+# row-grain work; framing/ranking run on O(|frames|) rows.
+@_q(
+    "q_sax_symbols",
+    """
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1
+    ), base AS (SELECT CAST(MIN(hr) AS BIGINT) AS h0 FROM hourly),
+    fr AS (
+        SELECT CAST((hr - base.h0) // 6 AS BIGINT) AS frame,
+               CAST(SUM(c) AS BIGINT) AS s
+        FROM hourly CROSS JOIN base
+        GROUP BY 1
+    ), rk AS (
+        SELECT frame, s,
+               CAST(row_number() OVER (ORDER BY s, frame) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM fr
+    ), cuts AS (
+        SELECT CAST(MAX(CASE WHEN rn * 4 <= n THEN s END) AS BIGINT) AS q1,
+               CAST(MAX(CASE WHEN rn * 2 <= n THEN s END) AS BIGINT) AS q2,
+               CAST(MAX(CASE WHEN rn * 4 <= 3 * n THEN s END) AS BIGINT)
+                   AS q3
+        FROM rk
+    ), sym AS (
+        SELECT fr.frame, fr.s,
+               CASE WHEN fr.s <= cuts.q1 THEN 'a'
+                    WHEN fr.s <= cuts.q2 THEN 'b'
+                    WHEN fr.s <= cuts.q3 THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM fr CROSS JOIN cuts
+    )
+    SELECT frame, s AS frame_sum, symbol,
+           symbol || COALESCE(lead(symbol) OVER (ORDER BY frame), '_')
+               AS motif
+    FROM sym
+    """,
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    base = hourly.agg(F.min("hr").cast("bigint").alias("h0"))
+    fr = (
+        hourly.crossJoin(F.broadcast(base))
+        .groupBy(
+            F.expr("CAST((hr - h0) DIV 6 AS BIGINT)").alias("frame")
+        )
+        .agg(F.sum("c").cast("bigint").alias("s"))
+    )
+    rk = fr.select(
+        "frame",
+        "s",
+        F.row_number().over(Window.orderBy("s", "frame")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    cuts = rk.agg(
+        F.max(F.when(F.col("rn") * 4 <= F.col("n"), F.col("s")))
+        .cast("bigint")
+        .alias("q1"),
+        F.max(F.when(F.col("rn") * 2 <= F.col("n"), F.col("s")))
+        .cast("bigint")
+        .alias("q2"),
+        F.max(F.when(F.col("rn") * 4 <= 3 * F.col("n"), F.col("s")))
+        .cast("bigint")
+        .alias("q3"),
+    )
+    sym = fr.crossJoin(F.broadcast(cuts)).select(
+        "frame",
+        "s",
+        F.when(F.col("s") <= F.col("q1"), "a")
+        .when(F.col("s") <= F.col("q2"), "b")
+        .when(F.col("s") <= F.col("q3"), "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
+    return sym.select(
+        "frame",
+        F.col("s").alias("frame_sum"),
+        "symbol",
+        F.concat(
+            F.col("symbol"),
+            F.coalesce(
+                F.lead("symbol").over(Window.orderBy("frame")), F.lit("_")
+            ),
+        ).alias("motif"),
+    )
+
+
+# --- two-sample Cramér–von Mises test (round 4) ------------------------------
+# The integrated-difference companion to q_ks_drift (sup-difference)
+# and q_mannwhitney (rank-sum): Anderson's two-sample CvM statistic
+# T = U/(nmN) − (4mn−1)/(6N), U = n·Σ(rᵢ−i)² + m·Σ(sⱼ−j)², where rᵢ
+# are the pooled ranks of sample 1 and i its within-sample ranks —
+# ALL exact integers under the pinned (value, event_id) total order,
+# so U is an order-free integer and the finish is one fixed-order
+# shared-text double expression. Scale: two rank windows over the
+# pooled relation + one combinable aggregate.
+_CVM_FIN = (
+    "CAST(u AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2))"
+    " - (4.0 * CAST(n1 AS DOUBLE) * n2 - 1.0) / (6.0 * (n1 + n2))"
+)
+
+
+@_q(
+    "q_cvm_test",
+    f"""
+    WITH pooled AS (
+        SELECT event_type, value, event_id,
+               CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS pr,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT)
+                   AS sr
+        FROM events WHERE event_type IN ('click', 'view')
+    ), s AS (
+        SELECT
+            CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+                AS n1,
+            CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+                AS n2,
+            CAST(SUM(CASE WHEN event_type = 'click'
+                          THEN (pr - sr) * (pr - sr) END) AS BIGINT) AS d1,
+            CAST(SUM(CASE WHEN event_type = 'view'
+                          THEN (pr - sr) * (pr - sr) END) AS BIGINT) AS d2
+        FROM pooled
+    ), u AS (
+        SELECT n1, n2, CAST(n1 * d1 + n2 * d2 AS BIGINT) AS u FROM s
+    )
+    SELECT n1, n2, u, {_CVM_FIN} AS cvm_t
+    FROM u
+    """,
+)
+def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    pooled = ev.select(
+        "event_type",
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .cast("bigint")
+        .alias("pr"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        )
+        .cast("bigint")
+        .alias("sr"),
+    )
+    d = (F.col("pr") - F.col("sr")) * (F.col("pr") - F.col("sr"))
+    s = pooled.agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("n1"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("event_type") == "click", d))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("event_type") == "view", d))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    u = s.select(
+        "n1",
+        "n2",
+        (F.col("n1") * F.col("d1") + F.col("n2") * F.col("d2"))
+        .cast("bigint")
+        .alias("u"),
+    )
+    return u.selectExpr("n1", "n2", "u", f"{_CVM_FIN} AS cvm_t")

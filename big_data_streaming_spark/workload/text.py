@@ -3722,3 +3722,108 @@ def q_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc(F.expr(_F1_EXPR)), "k"))
         .cast("bigint"),
     )
+
+
+# --- lift / cumulative-gains curve (round 4) --------------------------------
+# The targeting read-out between q_calibration (reliability) and
+# q_f1_threshold (operating point): rank the corpus by classifier
+# score, cut into deciles under the (logit DESC, doc_id) TOTAL order,
+# and report per-decile positives plus cumulative capture rate and
+# lift vs the base rate. All counts exact integers; gain and lift are
+# fixed-order division chains on identical IEEE inputs. Scale: one
+# NTILE window over the scored scan + one grouped aggregate; the
+# cumulative pass runs on 10 rows.
+@_q(
+    "q_lift_curve",
+    f"""
+    WITH {_QC_SCORED_SQL}, avgc AS (
+        SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        FROM documents
+    ), lab AS (
+        SELECT s.doc_id, s.logit,
+               CASE WHEN CAST(d.n_chars AS DOUBLE) > avgc.mean_chars
+                    THEN 1 ELSE 0 END AS y
+        FROM scored s
+        JOIN documents d ON s.doc_id = d.doc_id
+        CROSS JOIN avgc
+    ), bkt AS (
+        SELECT y,
+               CAST(NTILE(10) OVER (ORDER BY logit DESC, doc_id) AS BIGINT)
+                   AS decile
+        FROM lab
+    ), agg AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM bkt GROUP BY decile
+    ), cum AS (
+        SELECT decile, n, n_pos,
+               CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+               CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+               CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+               CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+        FROM agg
+    )
+    SELECT decile, n, n_pos, cum_n, cum_pos,
+           CAST(cum_pos AS DOUBLE) / tot_pos AS gain,
+           (CAST(cum_pos AS DOUBLE) / cum_n)
+             / (CAST(tot_pos AS DOUBLE) / tot_n) AS lift
+    FROM cum
+    """,
+)
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    avgc = docs.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "mean_chars"
+        )
+    )
+    lab = (
+        scored.join(docs, "doc_id")
+        .crossJoin(F.broadcast(avgc))
+        .select(
+            "doc_id",
+            "logit",
+            F.when(F.col("n_chars").cast("double") > F.col("mean_chars"), 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    bkt = lab.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("logit"), "doc_id"))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    agg = bkt.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = agg.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(wt).cast("bigint").alias("tot_n"),
+        F.sum("n_pos").over(wt).cast("bigint").alias("tot_pos"),
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        (F.col("cum_pos").cast("double") / F.col("tot_pos")).alias("gain"),
+        (
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("tot_pos").cast("double") / F.col("tot_n"))
+        ).alias("lift"),
+    )

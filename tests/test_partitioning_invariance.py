@@ -92,6 +92,11 @@ SWEEP = [
     "q_ab_power",           # shared literal-z formula on exact counts
     "q_quantile_sketch_audit",  # bound booleans must hold at ANY split
     "q_linkage_em",         # integer EM on collected pattern counts
+    "q_conformal_interval", # element-selected residual quantile
+    "q_km_survival",        # integer product recursion on risk table
+    "q_lift_curve",         # exact counts, fixed-order division chain
+    "q_propensity_strata",  # quantized stratum terms, order-free sum
+    "q_cvm_test",           # integer rank sums, shared-text finish
 ]
 
 
