@@ -309,6 +309,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_propensity_strata",
     "q_sax_symbols",
     "q_cvm_test",
+    "q_kruskal_wallis",
+    "q_anova_f",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -6390,3 +6390,192 @@ def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u"),
     )
     return u.selectExpr("n1", "n2", "u", f"{_CVM_FIN} AS cvm_t")
+
+
+# --- Kruskal-Wallis H test (round 4) -----------------------------------------
+# The k-sample generalization of q_mannwhitney: does value's
+# distribution differ across ALL event types at once? Same doubled-rank
+# trick (average tie ranks are half-integers, so 2*rank is a pure
+# BIGINT built from the distinct-value cumulative counts); per-group
+# rank sums are exact integer aggregates, and the per-group term
+# R2_g^2/n_g enters the cross-group sum as an exact floor-divided
+# BIGINT (same floor-quantized-terms precedent as AP@10), so the sum is
+# order-free. H and the tie-corrected H/C finish as shared-text IEEE
+# expressions over those integers; C uses the exact tie sum
+# T = sum(t^3 - t) off the same distinct-value relation. Plan: ranks
+# live on O(|distinct|) rows; the only row-grain work is the
+# (type, value) aggregate — one shuffle, map-side combinable.
+_KW_H = (
+    "(3.0 * CAST(s AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))"
+    " - 3.0 * CAST(n + 1 AS DOUBLE))"
+)
+_KW_C = (
+    "(1.0 - CAST(tie_sum AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_kruskal_wallis",
+    f"""
+    WITH vc AS (
+        SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY value
+    ), v2 AS (
+        SELECT value, cnt,
+               CAST(2 * (SUM(cnt) OVER (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - cnt) + cnt + 1 AS BIGINT) AS r2
+        FROM vc
+    ), gv AS (
+        SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS gcnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), per AS (
+        SELECT event_type,
+               CAST(SUM(gcnt) AS BIGINT) AS n1,
+               CAST(SUM(gcnt * r2) AS BIGINT) AS r2s
+        FROM gv JOIN v2 USING (value) GROUP BY event_type
+    ), terms AS (
+        SELECT n1, (r2s * r2s) // n1 AS q FROM per
+    ), ties AS (
+        SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+        FROM vc
+    ), agg AS (
+        SELECT CAST(SUM(n1) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(q) AS BIGINT) AS s
+        FROM terms
+    )
+    SELECT n, n_groups, tie_sum,
+           {_KW_H} AS h,
+           ({_KW_H} / {_KW_C}) AS h_corrected
+    FROM agg CROSS JOIN ties
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vc = e.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    v2 = vc.select(
+        "value",
+        "cnt",
+        (2 * (F.sum("cnt").over(wcum) - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    gv = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gcnt")
+    )
+    per = gv.join(v2.select("value", "r2"), "value").groupBy(
+        "event_type"
+    ).agg(
+        F.sum("gcnt").cast("bigint").alias("n1"),
+        F.sum(F.col("gcnt") * F.col("r2")).cast("bigint").alias("r2s"),
+    )
+    terms = per.selectExpr("n1", "(r2s * r2s) DIV n1 AS q")
+    ties = vc.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("tie_sum")
+    )
+    agg = terms.agg(
+        F.sum("n1").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("q").cast("bigint").alias("s"),
+    )
+    return agg.crossJoin(F.broadcast(ties)).selectExpr(
+        "n",
+        "n_groups",
+        "tie_sum",
+        f"{_KW_H} AS h",
+        f"({_KW_H} / {_KW_C}) AS h_corrected",
+    )
+
+
+# --- one-way ANOVA F test (round 4) ------------------------------------------
+# The parametric companion to q_kruskal_wallis on the same question
+# (value by event_type), via the classic sufficient-statistic identity
+# SSB = sum_g S_g^2/n_g - S^2/N, SSW = sum y^2 - sum_g S_g^2/n_g.
+# Exactness: value is money-like (2 decimals), so cents
+# c = floor(value*100 + 0.5) is an exact BIGINT and every sufficient
+# statistic (S_g, sum c^2, counts) is an exact integer aggregate; the
+# per-group S_g^2/n_g terms are floor-divided BIGINTs (order-free
+# cross-group sum), making SSB/SSW exact integers in the cents^2
+# domain. The F statistic is one shared-text expression over those
+# integers (the 10^4 cents^2 scale cancels in F); SSB/SSW are also
+# reported in value units^2 via a single fixed-order division. Plan:
+# one map-side-combinable aggregate per group + an O(k) finish.
+_AOV_F = (
+    "((CAST(ssb_sc AS DOUBLE) / CAST(n_groups - 1 AS DOUBLE))"
+    " / (CAST(ssw_sc AS DOUBLE) / CAST(n - n_groups AS DOUBLE)))"
+)
+_AOV_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+@_q(
+    "q_anova_f",
+    f"""
+    WITH c AS (
+        SELECT event_type, {_AOV_CENTS} AS c
+        FROM events WHERE value IS NOT NULL
+    ), per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS qq1
+        FROM c GROUP BY event_type
+    ), terms AS (
+        SELECT n1, s1, qq1, (s1 * s1) // n1 AS b FROM per
+    ), agg AS (
+        SELECT CAST(SUM(n1) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(s1) AS BIGINT) AS s,
+               CAST(SUM(qq1) AS BIGINT) AS qq,
+               CAST(SUM(b) AS BIGINT) AS bsum
+        FROM terms
+    ), sc AS (
+        SELECT n, n_groups,
+               CAST(bsum - (s * s) // n AS BIGINT) AS ssb_sc,
+               CAST(qq - bsum AS BIGINT) AS ssw_sc
+        FROM agg
+    )
+    SELECT n, n_groups,
+           CAST(ssb_sc AS DOUBLE) / 10000.0 AS ssb,
+           CAST(ssw_sc AS DOUBLE) / 10000.0 AS ssw,
+           {_AOV_F} AS f_stat
+    FROM sc
+    """,
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.selectExpr("event_type", f"{_AOV_CENTS} AS c")
+    per = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq1"),
+    )
+    terms = per.selectExpr("n1", "s1", "qq1", "(s1 * s1) DIV n1 AS b")
+    agg = terms.agg(
+        F.sum("n1").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("s1").cast("bigint").alias("s"),
+        F.sum("qq1").cast("bigint").alias("qq"),
+        F.sum("b").cast("bigint").alias("bsum"),
+    )
+    sc = agg.selectExpr(
+        "n",
+        "n_groups",
+        "CAST(bsum - (s * s) DIV n AS BIGINT) AS ssb_sc",
+        "CAST(qq - bsum AS BIGINT) AS ssw_sc",
+    )
+    return sc.selectExpr(
+        "n",
+        "n_groups",
+        "CAST(ssb_sc AS DOUBLE) / 10000.0 AS ssb",
+        "CAST(ssw_sc AS DOUBLE) / 10000.0 AS ssw",
+        f"{_AOV_F} AS f_stat",
+    )

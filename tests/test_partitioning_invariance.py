@@ -97,6 +97,8 @@ SWEEP = [
     "q_lift_curve",         # exact counts, fixed-order division chain
     "q_propensity_strata",  # quantized stratum terms, order-free sum
     "q_cvm_test",           # integer rank sums, shared-text finish
+    "q_kruskal_wallis",     # floor-divided integer terms, order-free
+    "q_anova_f",            # exact cents sufficient statistics
 ]
 
 
