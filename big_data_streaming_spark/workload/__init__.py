@@ -311,6 +311,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_cvm_test",
     "q_kruskal_wallis",
     "q_anova_f",
+    "q_mcnemar",
+    "q_cochran_q",
+    "q_hhi",
+    "q_fano",
+    "q_durbin_watson",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

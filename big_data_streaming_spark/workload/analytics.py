@@ -6579,3 +6579,337 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(ssw_sc AS DOUBLE) / 10000.0 AS ssw",
         f"{_AOV_F} AS f_stat",
     )
+
+
+# --- McNemar paired-proportions test (round 4) --------------------------------
+# The paired companion to q_abtest: among the same users, is "ever
+# clicked" more prevalent than "ever purchased"? Only the discordant
+# cells carry information; the continuity-corrected statistic
+# (|b-c|-1)^2/(b+c) is exact integers plus ONE division. Plan: one
+# per-user boolean aggregate (map-side combinable on user_id) + an O(1)
+# cell count — no joins, no windows.
+_MCN = (
+    "(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)"
+    " / CAST(n10 + n01 AS DOUBLE))"
+)
+
+
+@_q(
+    "q_mcnemar",
+    f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM per
+    )
+    SELECT n_users, n11, n10, n01, n00,
+           CASE WHEN n10 + n01 = 0 THEN NULL ELSE {_MCN} END AS mcnemar_chi2
+    FROM cells
+    """,
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    cells = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    return cells.selectExpr(
+        "n_users",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        f"CASE WHEN n10 + n01 = 0 THEN NULL ELSE {_MCN} END AS mcnemar_chi2",
+    )
+
+
+# --- Cochran's Q test (round 4) ------------------------------------------------
+# The k-treatment generalization of q_mcnemar: do per-user success rates
+# differ across click / view / purchase exposure? Binary per (user,
+# treatment); Q = (k-1)(k*sum(C_j^2) - T^2) / (k*T - sum(R_i^2)) — every
+# sufficient statistic is an exact integer, the finish is one division.
+# Plan: one per-user aggregate producing the three booleans + row total,
+# an O(1) global fold; column totals come off the same per-user relation
+# (k fixed literals, no second scan of events).
+_CQ = (
+    "(CAST((k - 1) * (k * sum_cj2 - t_total * t_total) AS DOUBLE)"
+    " / CAST(k * t_total - sum_ri2 AS DOUBLE))"
+)
+
+
+@_q(
+    "q_cochran_q",
+    f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x1,
+               CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x2,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x3
+        FROM events GROUP BY user_id
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(3 AS BIGINT) AS k,
+               CAST(SUM(x1) AS BIGINT) AS c1,
+               CAST(SUM(x2) AS BIGINT) AS c2,
+               CAST(SUM(x3) AS BIGINT) AS c3,
+               CAST(SUM(x1 + x2 + x3) AS BIGINT) AS t_total,
+               CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sum_ri2
+        FROM per
+    ), fin AS (
+        SELECT n_users, k, t_total, sum_ri2,
+               CAST(c1 * c1 + c2 * c2 + c3 * c3 AS BIGINT) AS sum_cj2
+        FROM agg
+    )
+    SELECT n_users, k, t_total, sum_cj2, sum_ri2,
+           CASE WHEN k * t_total - sum_ri2 = 0 THEN NULL ELSE {_CQ} END
+               AS cochran_q
+    FROM fin
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x2"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x3"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.lit(3).cast("bigint").alias("k"),
+        F.sum("x1").cast("bigint").alias("c1"),
+        F.sum("x2").cast("bigint").alias("c2"),
+        F.sum("x3").cast("bigint").alias("c3"),
+        F.sum(F.col("x1") + F.col("x2") + F.col("x3"))
+        .cast("bigint")
+        .alias("t_total"),
+        F.sum(
+            (F.col("x1") + F.col("x2") + F.col("x3"))
+            * (F.col("x1") + F.col("x2") + F.col("x3"))
+        )
+        .cast("bigint")
+        .alias("sum_ri2"),
+    )
+    fin = agg.selectExpr(
+        "n_users",
+        "k",
+        "t_total",
+        "sum_ri2",
+        "CAST(c1 * c1 + c2 * c2 + c3 * c3 AS BIGINT) AS sum_cj2",
+    )
+    return fin.selectExpr(
+        "n_users",
+        "k",
+        "t_total",
+        "sum_cj2",
+        "sum_ri2",
+        f"CASE WHEN k * t_total - sum_ri2 = 0 THEN NULL ELSE {_CQ} END"
+        " AS cochran_q",
+    )
+
+
+# --- Herfindahl-Hirschman concentration index (round 4) ------------------------
+# Traffic-concentration audit: per event type, how concentrated is the
+# activity across users? HHI = sum(c_u^2)/N^2 on exact integer counts;
+# its reciprocal is the "effective number of users" (the diversity
+# number the q_simpson_diversity family reports for tokens). Plan: one
+# (type, user) count aggregate + one per-type fold, both map-side
+# combinable; output O(|types|).
+_HHI = "(CAST(sum_sq AS DOUBLE) / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)))"
+_HHI_EFF = "((CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) / CAST(sum_sq AS DOUBLE))"
+
+
+@_q(
+    "q_hhi",
+    f"""
+    WITH cu AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        FROM cu GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_users, sum_sq,
+           {_HHI} AS hhi, {_HHI_EFF} AS effective_users
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    cu = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = cu.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_events",
+        "n_users",
+        "sum_sq",
+        f"{_HHI} AS hhi",
+        f"{_HHI_EFF} AS effective_users",
+    ).orderBy("event_type")
+
+
+# --- Fano factor / burstiness of hourly arrivals (round 4) ---------------------
+# Arrival-process audit per event type: dispersion index of the hourly
+# arrival counts (Fano = sample variance / mean; 1 = Poisson-like,
+# >1 = bursty) and the Goh-Barabasi burstiness B = (sd-mean)/(sd+mean).
+# Buckets are the OBSERVED active hours (documented: zero-hours excluded,
+# identical on both sides). Exact integers n, S, Q feed fixed-order
+# expressions; sqrt is IEEE-correctly-rounded so B is shared-text safe.
+# Plan: one (type, hour) count + one per-type fold — two map-side
+# combinable aggregates, no windows.
+_FANO = (
+    "(CAST(n_hours * qq - s * s AS DOUBLE)"
+    " / (CAST(n_hours - 1 AS DOUBLE) * CAST(s AS DOUBLE)))"
+)
+_FANO_SD = (
+    "sqrt(CAST(n_hours * qq - s * s AS DOUBLE)"
+    " / (CAST(n_hours AS DOUBLE) * CAST(n_hours - 1 AS DOUBLE)))"
+)
+_FANO_MEAN = "(CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE))"
+_FANO_B = (
+    f"(({_FANO_SD} - {_FANO_MEAN}) / ({_FANO_SD} + {_FANO_MEAN}))"
+)
+
+
+@_q(
+    "q_fano",
+    f"""
+    WITH hb AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS qq
+        FROM hb GROUP BY event_type
+    )
+    SELECT event_type, n_hours, s AS n_events,
+           {_FANO} AS fano, {_FANO_B} AS burstiness
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hb = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    agg = hb.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_hours",
+        "s AS n_events",
+        f"{_FANO} AS fano",
+        f"{_FANO_B} AS burstiness",
+    ).orderBy("event_type")
+
+
+# --- Durbin-Watson autocorrelation statistic (round 4) -------------------------
+# Serial-correlation audit on the daily arrival series per event type:
+# DW = sum((x_t - x_(t-1))^2) / sum((x_t - xbar)^2), computed via the
+# n-multiplied identity DW = n * sum(diff^2) / (n * sum(x^2) - S^2) so
+# every term is an exact BIGINT and the finish is one division (2 = no
+# autocorrelation, <2 positive, >2 negative). Plan: one (type, day)
+# count, one lag window per type (tiny relation), one fold.
+_DW = (
+    "(CAST(n_days AS DOUBLE) * CAST(num_diff2 AS DOUBLE)"
+    " / CAST(n_days * qq - s * s AS DOUBLE))"
+)
+
+
+@_q(
+    "q_durbin_watson",
+    f"""
+    WITH db AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), lagd AS (
+        SELECT event_type, c,
+               LAG(c) OVER (PARTITION BY event_type ORDER BY d) AS pc
+        FROM db
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS qq,
+               CAST(SUM(CASE WHEN pc IS NULL THEN 0
+                             ELSE (c - pc) * (c - pc) END) AS BIGINT)
+                   AS num_diff2
+        FROM lagd GROUP BY event_type
+    )
+    SELECT event_type, n_days, s AS n_events, num_diff2, {_DW} AS dw
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagd = db.select(
+        "event_type", "c", F.lag("c").over(w).alias("pc")
+    )
+    agg = lagd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq"),
+        F.sum(
+            F.when(F.col("pc").isNull(), 0).otherwise(
+                (F.col("c") - F.col("pc")) * (F.col("c") - F.col("pc"))
+            )
+        )
+        .cast("bigint")
+        .alias("num_diff2"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_days",
+        "s AS n_events",
+        "num_diff2",
+        f"{_DW} AS dw",
+    ).orderBy("event_type")

@@ -99,6 +99,11 @@ SWEEP = [
     "q_cvm_test",           # integer rank sums, shared-text finish
     "q_kruskal_wallis",     # floor-divided integer terms, order-free
     "q_anova_f",            # exact cents sufficient statistics
+    "q_mcnemar",            # integer cells, one division
+    "q_cochran_q",          # integer sufficient stats, one division
+    "q_hhi",                # integer sum-of-squares, fixed-order ratio
+    "q_fano",               # integer moments, shared sqrt finish
+    "q_durbin_watson",      # integer lag diffs, one division
 ]
 
 
