@@ -316,6 +316,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_hhi",
     "q_fano",
     "q_durbin_watson",
+    "q_runs_test",
+    "q_kendall_tau",
+    "q_mann_kendall",
+    "q_friedman",
+    "q_levene_bf",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

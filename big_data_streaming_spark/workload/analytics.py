@@ -6913,3 +6913,510 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_diff2",
         f"{_DW} AS dw",
     ).orderBy("event_type")
+
+
+# --- Wald-Wolfowitz runs test (round 4) ----------------------------------------
+# Randomness audit on the daily arrival series: are above-median and
+# below-median days randomly interleaved, or do they clump (regime
+# shifts, ramps)? Median = the SELECTED lower-middle daily count under
+# the pinned (count, day) total order (element selection, never
+# interpolation); days equal to the median are excluded (standard).
+# Runs/n1/n2 are exact integers off one lag pass; z is the textbook
+# normal approximation as shared IEEE text. Plan: everything after the
+# (day) count aggregate runs on an O(|days|) relation.
+_RT_MU = (
+    "(1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
+    " / CAST(n_above + n_below AS DOUBLE))"
+)
+_RT_SIG = (
+    "sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
+    " * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
+    " - CAST(n_above + n_below AS DOUBLE))"
+    " / (CAST(n_above + n_below AS DOUBLE)"
+    " * CAST(n_above + n_below AS DOUBLE)"
+    " * CAST(n_above + n_below - 1 AS DOUBLE)))"
+)
+_RT_Z = f"((CAST(runs AS DOUBLE) - {_RT_MU}) / {_RT_SIG})"
+
+
+@_q(
+    "q_runs_test",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), med AS (
+        SELECT c AS med FROM (
+            SELECT c, row_number() OVER (ORDER BY c, d) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM db
+        ) WHERE rn = (n + 1) // 2
+    ), signed AS (
+        SELECT d, CASE WHEN c > med THEN 1 ELSE 0 END AS s
+        FROM db CROSS JOIN med WHERE c <> med
+    ), lagd AS (
+        SELECT s, LAG(s) OVER (ORDER BY d) AS ps FROM signed
+    ), agg AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS n_above,
+               CAST(SUM(1 - s) AS BIGINT) AS n_below,
+               CAST(1 + SUM(CASE WHEN ps IS NOT NULL AND s <> ps
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM lagd
+    )
+    SELECT (SELECT CAST(med AS DOUBLE) FROM med) AS median_count,
+           n_above, n_below, runs, {_RT_Z} AS z
+    FROM agg
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    r = db.select(
+        "d",
+        "c",
+        F.row_number().over(Window.orderBy("c", "d")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = r.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("c").alias("med")
+    )
+    signed = (
+        db.crossJoin(F.broadcast(med))
+        .where(F.col("c") != F.col("med"))
+        .select(
+            "d", F.when(F.col("c") > F.col("med"), 1).otherwise(0).alias("s")
+        )
+    )
+    lagd = signed.select(
+        "s", F.lag("s").over(Window.orderBy("d")).alias("ps")
+    )
+    agg = lagd.agg(
+        F.sum("s").cast("bigint").alias("n_above"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n_below"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    return agg.crossJoin(
+        F.broadcast(med.select(F.col("med").cast("double").alias("median_count")))
+    ).selectExpr(
+        "median_count", "n_above", "n_below", "runs", f"{_RT_Z} AS z"
+    )
+
+
+# --- Kendall tau-b rank correlation (round 4) ----------------------------------
+# Do hours that attract clicks also attract views? Tau-b over the 24
+# hour-of-day (click count, view count) pairs — the rank-correlation
+# companion to q_spearman, with explicit tie handling. Concordant /
+# discordant / tie counts are exact integers from the pair join on the
+# O(24) aggregate (at any corpus size the pair stage is constant);
+# tau-b's sqrt denominator is shared IEEE text.
+_KT_TAU = (
+    "(CAST(concordant - discordant AS DOUBLE)"
+    " / sqrt(CAST(n_pairs - ties_x AS DOUBLE)"
+    " * CAST(n_pairs - ties_y AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_kendall_tau",
+    f"""
+    WITH hb AS (
+        SELECT EXTRACT(hour FROM ts) AS hod,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM hb a JOIN hb b ON a.hod < b.hod
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN (x1 - x2) * (y1 - y2) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(SUM(CASE WHEN (x1 - x2) * (y1 - y2) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               CAST(SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ties_x,
+               CAST(SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ties_y
+        FROM pairs
+    )
+    SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+           {_KT_TAU} AS tau_b
+    FROM agg
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hb = e.groupBy(F.hour("ts").alias("hod")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = hb.alias("a")
+    b = hb.alias("b")
+    pairs = a.join(b, F.col("a.hod") < F.col("b.hod")).select(
+        F.col("a.x").alias("x1"),
+        F.col("a.y").alias("y1"),
+        F.col("b.x").alias("x2"),
+        F.col("b.y").alias("y2"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when((F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2")) > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(
+            F.when((F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2")) < 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum(F.when(F.col("x1") == F.col("x2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_x"),
+        F.sum(F.when(F.col("y1") == F.col("y2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_y"),
+    )
+    return agg.selectExpr(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        f"{_KT_TAU} AS tau_b",
+    )
+
+
+# --- Mann-Kendall trend test (round 4) -----------------------------------------
+# Monotone-trend audit on the daily arrival series — the hypothesis-test
+# companion to q_theilsen (which estimates the slope, this tests it).
+# S = sum of pairwise signs and the tie-corrected variance numerator are
+# exact integers off the O(|days|) aggregate's pair join; the
+# continuity-corrected z is one shared CASE expression.
+_MK_Z = (
+    "(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+    " / sqrt(CAST(var_num AS DOUBLE) / 18.0)"
+    " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+    " / sqrt(CAST(var_num AS DOUBLE) / 18.0)"
+    " ELSE 0.0 END)"
+)
+
+
+@_q(
+    "q_mann_kendall",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM db
+    ), s AS (
+        SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM db a JOIN db b ON a.d < b.d
+    ), ties AS (
+        SELECT CAST(COALESCE(SUM(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc FROM db GROUP BY c)
+        WHERE tc > 1
+    ), fin AS (
+        SELECT n_days, s_stat,
+               CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                    AS BIGINT) AS var_num
+        FROM n CROSS JOIN s CROSS JOIN ties
+    )
+    SELECT n_days, s_stat, var_num, {_MK_Z} AS z FROM fin
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = db.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    a = db.alias("a")
+    b = db.alias("b")
+    s = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        db.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+        .where(F.col("tc") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    fin = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "n_days",
+            "s_stat",
+            "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+            " AS BIGINT) AS var_num",
+        )
+    )
+    return fin.selectExpr("n_days", "s_stat", "var_num", f"{_MK_Z} AS z")
+
+
+# --- Friedman test (round 4) -----------------------------------------------------
+# The blocked-design rank test: within each DAY (block), rank the five
+# event types by arrival count; does any type consistently out-rank the
+# others across days? Complete blocks come from the explicit
+# days × types grid (absent cells = 0, identical on both sides).
+# Doubled average tie ranks (the q_kruskal_wallis trick, here per
+# block) keep every rank a BIGINT; per-type doubled rank sums and their
+# squares are exact integers, and the chi-square (+ tie correction) is
+# shared IEEE text. Plan: grid and ranks live on O(|days|·k) rows.
+_FR_CHI2 = (
+    "(12.0 * (CAST(sum_r2sq AS DOUBLE) / 4.0)"
+    " / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)"
+    " * CAST(k + 1 AS DOUBLE))"
+    " - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
+)
+_FR_C = (
+    "(1.0 - CAST(tie_sum AS DOUBLE)"
+    " / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)"
+    " * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)))"
+)
+
+
+@_q(
+    "q_friedman",
+    f"""
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), obs AS (
+        SELECT date_trunc('day', ts) AS d, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT days.d, types.event_type, COALESCE(obs.c, 0) AS c
+        FROM days CROSS JOIN types
+        LEFT JOIN obs ON obs.d = days.d AND obs.event_type = types.event_type
+    ), vc AS (
+        SELECT d, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM grid GROUP BY 1, 2
+    ), v2 AS (
+        SELECT d, c,
+               CAST(2 * (SUM(cnt) OVER (PARTITION BY d ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - cnt) + cnt + 1 AS BIGINT) AS r2
+        FROM vc
+    ), ranked AS (
+        SELECT g.event_type, v.r2
+        FROM grid g JOIN v2 v ON g.d = v.d AND g.c = v.c
+    ), per AS (
+        SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2sum
+        FROM ranked GROUP BY event_type
+    ), ties AS (
+        SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+        FROM vc
+    ), meta AS (
+        SELECT CAST((SELECT COUNT(*) FROM days) AS BIGINT) AS n_blocks,
+               CAST((SELECT COUNT(*) FROM types) AS BIGINT) AS k
+    ), agg AS (
+        SELECT CAST(SUM(r2sum * r2sum) AS BIGINT) AS sum_r2sq FROM per
+    )
+    SELECT n_blocks, k, tie_sum,
+           {_FR_CHI2} AS chi2,
+           CASE WHEN {_FR_C} = 0.0 THEN NULL
+                ELSE ({_FR_CHI2} / {_FR_C}) END AS chi2_corrected
+    FROM meta CROSS JOIN agg CROSS JOIN ties
+    """,
+)
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    days = e.select(F.date_trunc("day", F.col("ts")).alias("d")).distinct()
+    types = e.select("event_type").distinct()
+    obs = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(obs, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    vc = grid.groupBy("d", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("d")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v2 = vc.select(
+        "d",
+        "c",
+        (2 * (F.sum("cnt").over(wcum) - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    ranked = grid.join(v2, ["d", "c"]).select("event_type", "r2")
+    per = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("r2sum")
+    )
+    ties = vc.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_sum")
+    )
+    meta = days.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks")).crossJoin(
+        F.broadcast(types.agg(F.count(F.lit(1)).cast("bigint").alias("k")))
+    )
+    agg = per.agg(
+        F.sum(F.col("r2sum") * F.col("r2sum")).cast("bigint").alias("sum_r2sq")
+    )
+    return (
+        meta.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "n_blocks",
+            "k",
+            "tie_sum",
+            f"{_FR_CHI2} AS chi2",
+            f"CASE WHEN {_FR_C} = 0.0 THEN NULL"
+            f" ELSE ({_FR_CHI2} / {_FR_C}) END AS chi2_corrected",
+        )
+    )
+
+
+# --- Brown-Forsythe (Levene) variance-homogeneity test (round 4) ----------------
+# The assumption-check companion to q_anova_f: are value spreads equal
+# across event types? Brown-Forsythe = one-way ANOVA on absolute
+# deviations from the GROUP MEDIAN (median = selected lower-middle cents
+# element per type — element selection, never interpolation, so the
+# deviations are exact BIGINTs in the cents domain). The W statistic
+# reuses q_anova_f's exact integer sufficient-statistic identity.
+# Plan: one rank window per type on the (type, cents) relation + two
+# combinable aggregates; the median relation is O(k) and broadcast.
+_BF_W = (
+    "((CAST(ssb_sc AS DOUBLE) / CAST(n_groups - 1 AS DOUBLE))"
+    " / (CAST(ssw_sc AS DOUBLE) / CAST(n - n_groups AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_levene_bf",
+    f"""
+    WITH c AS (
+        SELECT event_type, {_AOV_CENTS} AS c,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ), med AS (
+        SELECT event_type, c AS med FROM r WHERE rn = (n + 1) // 2
+    ), z AS (
+        SELECT c.event_type, CAST(abs(c.c - med.med) AS BIGINT) AS z
+        FROM c JOIN med ON c.event_type = med.event_type
+    ), per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(z) AS BIGINT) AS s1,
+               CAST(SUM(z * z) AS BIGINT) AS qq1
+        FROM z GROUP BY event_type
+    ), terms AS (
+        SELECT n1, s1, qq1, (s1 * s1) // n1 AS b FROM per
+    ), agg AS (
+        SELECT CAST(SUM(n1) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(s1) AS BIGINT) AS s,
+               CAST(SUM(qq1) AS BIGINT) AS qq,
+               CAST(SUM(b) AS BIGINT) AS bsum
+        FROM terms
+    ), sc AS (
+        SELECT n, n_groups,
+               CAST(bsum - (s * s) // n AS BIGINT) AS ssb_sc,
+               CAST(qq - bsum AS BIGINT) AS ssw_sc
+        FROM agg
+    )
+    SELECT n, n_groups, ssb_sc, ssw_sc, {_BF_W} AS w_stat FROM sc
+    """,
+)
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.selectExpr(
+        "event_type",
+        f"{_AOV_CENTS} AS c",
+        "CAST(event_id AS BIGINT) AS event_id",
+    )
+    wr = Window.partitionBy("event_type").orderBy("c", "event_id")
+    r = c.select(
+        "event_type",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    med = r.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("c").alias("med")
+    )
+    z = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("c") - F.col("med")).cast("bigint").alias("z"),
+    )
+    per = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("z").cast("bigint").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("qq1"),
+    )
+    terms = per.selectExpr("n1", "s1", "qq1", "(s1 * s1) DIV n1 AS b")
+    agg = terms.agg(
+        F.sum("n1").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("s1").cast("bigint").alias("s"),
+        F.sum("qq1").cast("bigint").alias("qq"),
+        F.sum("b").cast("bigint").alias("bsum"),
+    )
+    sc = agg.selectExpr(
+        "n",
+        "n_groups",
+        "CAST(bsum - (s * s) DIV n AS BIGINT) AS ssb_sc",
+        "CAST(qq - bsum AS BIGINT) AS ssw_sc",
+    )
+    return sc.selectExpr(
+        "n", "n_groups", "ssb_sc", "ssw_sc", f"{_BF_W} AS w_stat"
+    )

@@ -104,6 +104,11 @@ SWEEP = [
     "q_hhi",                # integer sum-of-squares, fixed-order ratio
     "q_fano",               # integer moments, shared sqrt finish
     "q_durbin_watson",      # integer lag diffs, one division
+    "q_runs_test",          # element-selected median, shared-z text
+    "q_kendall_tau",        # integer concordance, shared-sqrt tau-b
+    "q_mann_kendall",       # integer S + tie variance, shared CASE z
+    "q_friedman",           # doubled block ranks, shared chi2 text
+    "q_levene_bf",          # element-selected medians, integer W parts
 ]
 
 
