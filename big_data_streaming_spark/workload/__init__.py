@@ -321,6 +321,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_mann_kendall",
     "q_friedman",
     "q_levene_bf",
+    "q_hapax",
+    "q_brier",
+    "q_ccf",
+    "q_jackknife",
+    "q_perm_test",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -7420,3 +7420,333 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.selectExpr(
         "n", "n_groups", "ssb_sc", "ssw_sc", f"{_BF_W} AS w_stat"
     )
+
+
+# --- cross-correlation function at lags 0..3 (round 4) --------------------------
+# Lead-lag discovery between the click and purchase hourly series (the
+# multi-lag generalization of q_lag_corr's single shift): Pearson r at
+# each displacement, computed over hour-index-aligned pairs via the
+# n-multiplied integer identity so every sufficient statistic is an
+# exact BIGINT and r is one shared expression (sqrt is IEEE-exact).
+# Hour alignment uses the integer hour index floor(epoch/3600) — exact
+# on hour-truncated timestamps in both engines. Buckets are observed
+# event-hours (documented, identical on both sides). Plan: one hourly
+# aggregate off the raw scan; the lag join and folds run on the
+# O(|hours|) relation, constant per added lag.
+_CCF_R = (
+    "(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))"
+)
+
+
+@_q(
+    "q_ccf",
+    f"""
+    WITH hb AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600
+                   AS hidx,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), lags AS (
+        SELECT unnest([0, 1, 2, 3]) AS lag
+    ), p AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN hb a ON TRUE
+        JOIN hb b ON b.hidx = a.hidx + l.lag
+    ), agg AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM p GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n, {_CCF_R} AS r
+    FROM agg ORDER BY lag
+    """,
+)
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hb = e.groupBy(
+        F.expr(
+            "CAST(floor(unix_timestamp(date_trunc('hour', ts))) AS BIGINT)"
+            " DIV 3600"
+        ).alias("hidx")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    lags = spark.createDataFrame([(i,) for i in range(4)], "lag bigint")
+    a = hb.alias("a")
+    b = hb.alias("b")
+    p = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("b.hidx") == F.col("a.hidx") + F.col("lag"))
+        .select("lag", F.col("a.x").alias("x"), F.col("b.y").alias("y"))
+    )
+    agg = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return agg.selectExpr(
+        "CAST(lag AS BIGINT) AS lag", "n", f"{_CCF_R} AS r"
+    ).orderBy("lag")
+
+
+# --- jackknife variance of the CTR ratio estimator (round 4) --------------------
+# Delete-one-day jackknife for clicks/views — the classic variance
+# recipe for a RATIO of totals, where the naive per-day CTR average is
+# biased. Each leave-one-out ratio is ONE division of exact integers
+# (identical IEEE result both sides), then quantized at 1e-6 so the
+# replicate moments are exact integers and the n-multiplied variance
+# identity applies (same precedent as q_poisson_bootstrap's replicate
+# path). se and bias are shared-text finishes. Plan: one daily
+# aggregate, one broadcast totals join, one combinable fold — the
+# replicate count equals |days|, never a data blow-up.
+_JK_THETA = "(CAST(c_tot AS DOUBLE) / CAST(v_tot AS DOUBLE))"
+_JK_MEAN = "((CAST(qsum AS DOUBLE) / CAST(n_days AS DOUBLE)) / 1000000.0)"
+_JK_SE = (
+    "((sqrt(CAST(n_days - 1 AS DOUBLE) * CAST(a_sc AS DOUBLE))"
+    " / CAST(n_days AS DOUBLE)) / 1000000.0)"
+)
+_JK_BIAS = f"(CAST(n_days - 1 AS DOUBLE) * ({_JK_MEAN} - {_JK_THETA}))"
+
+
+@_q(
+    "q_jackknife",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS c_tot,
+               CAST(SUM(v) AS BIGINT) AS v_tot
+        FROM db
+    ), loo AS (
+        SELECT CAST(floor((CAST(c_tot - c AS DOUBLE)
+                           / CAST(v_tot - v AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS q
+        FROM db CROSS JOIN tot
+        WHERE v_tot - v > 0
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(q) AS BIGINT) AS qsum,
+               CAST(SUM(q * q) AS BIGINT) AS qq
+        FROM loo
+    ), fin AS (
+        SELECT n_days, qsum,
+               CAST(n_days * qq - qsum * qsum AS BIGINT) AS a_sc,
+               c_tot, v_tot
+        FROM agg CROSS JOIN tot
+    )
+    SELECT n_days, c_tot, v_tot,
+           {_JK_THETA} AS theta,
+           {_JK_MEAN} AS theta_jk_mean,
+           {_JK_SE} AS se_jack,
+           {_JK_BIAS} AS bias_jack
+    FROM fin
+    """,
+)
+def q_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+    )
+    tot = db.agg(
+        F.sum("c").cast("bigint").alias("c_tot"),
+        F.sum("v").cast("bigint").alias("v_tot"),
+    )
+    loo = (
+        db.crossJoin(F.broadcast(tot))
+        .where(F.col("v_tot") - F.col("v") > 0)
+        .selectExpr(
+            "CAST(floor((CAST(c_tot - c AS DOUBLE)"
+            " / CAST(v_tot - v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q"
+        )
+    )
+    agg = loo.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("q").cast("bigint").alias("qsum"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+    )
+    fin = agg.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_days",
+        "qsum",
+        "CAST(n_days * qq - qsum * qsum AS BIGINT) AS a_sc",
+        "c_tot",
+        "v_tot",
+    )
+    return fin.selectExpr(
+        "n_days",
+        "c_tot",
+        "v_tot",
+        f"{_JK_THETA} AS theta",
+        f"{_JK_MEAN} AS theta_jk_mean",
+        f"{_JK_SE} AS se_jack",
+        f"{_JK_BIAS} AS bias_jack",
+    )
+
+
+# --- hash-permutation test for a mean difference (round 4) ----------------------
+# The exact-resampling sibling of q_poisson_bootstrap: is the observed
+# click-vs-view mean value gap explainable by chance? 32 deterministic
+# label permutations (md5(event_id:rep) parity — the established
+# cross-engine uniform), each replicate's arm means exact via the cents
+# domain, each diff the SAME fixed-order expression text as the observed
+# one, so the >= comparison is between identically-computed doubles.
+# p = (1 + #extreme) / (1 + B), the standard add-one estimator. Plan:
+# the replicate expansion is a 32-way row multiply of the two-type
+# subset feeding ONE combinable aggregate — no shuffle grows with B
+# beyond the map-side expansion; at 100 TB you'd push the conditional
+# sums into one pass exactly as written.
+_PT_B = 32
+_PT_DIFF = (
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+)
+_PT_DIFF_R = (
+    "(CAST(s1r AS DOUBLE) / CAST(n1r AS DOUBLE)"
+    " - CAST(s0r AS DOUBLE) / CAST(n0r AS DOUBLE))"
+)
+
+
+@_q(
+    "q_perm_test",
+    f"""
+    WITH base AS (
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               {_AOV_CENTS} AS c,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ), obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(is_click) AS BIGINT) AS n1,
+               CAST(SUM(is_click * c) AS BIGINT) AS s1,
+               CAST(SUM(1 - is_click) AS BIGINT) AS n0,
+               CAST(SUM((1 - is_click) * c) AS BIGINT) AS s0
+        FROM base
+    ), reps AS (
+        SELECT b.c, r.b AS rep,
+               CAST(CAST('0x' || substr(md5(CAST(b.event_id AS VARCHAR)
+                         || ':' || CAST(r.b AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 2 AS BIGINT) AS arm
+        FROM base b, range(0, {_PT_B}) r(b)
+    ), per AS (
+        SELECT rep,
+               CAST(SUM(arm) AS BIGINT) AS n1r,
+               CAST(SUM(arm * c) AS BIGINT) AS s1r,
+               CAST(SUM(1 - arm) AS BIGINT) AS n0r,
+               CAST(SUM((1 - arm) * c) AS BIGINT) AS s0r
+        FROM reps GROUP BY rep
+    ), extreme AS (
+        SELECT CAST(SUM(CASE WHEN abs({_PT_DIFF_R} / 100.0)
+                                  >= abs({_PT_DIFF} / 100.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        FROM per CROSS JOIN obs
+    )
+    SELECT n_events, ({_PT_DIFF} / 100.0) AS obs_diff,
+           CAST({_PT_B} AS BIGINT) AS n_perms, n_extreme,
+           (CAST(1 + n_extreme AS DOUBLE) / CAST(1 + {_PT_B} AS DOUBLE))
+               AS p_value
+    FROM obs CROSS JOIN extreme
+    """,
+)
+def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    base = e.where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "view")
+    ).selectExpr(
+        "CAST(event_id AS BIGINT) AS event_id",
+        f"{_AOV_CENTS} AS c",
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click",
+    )
+    obs = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("is_click").cast("bigint").alias("n1"),
+        F.sum(F.col("is_click") * F.col("c")).cast("bigint").alias("s1"),
+        F.sum(1 - F.col("is_click")).cast("bigint").alias("n0"),
+        F.sum((1 - F.col("is_click")) * F.col("c"))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    reps = base.select(
+        "c",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PT_B - 1))).alias("rep"),
+    ).select(
+        "c",
+        "rep",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_id").cast("string"),
+                            F.col("rep").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+        .cast("bigint")
+        .alias("arm"),
+    )
+    per = reps.groupBy("rep").agg(
+        F.sum("arm").cast("bigint").alias("n1r"),
+        F.sum(F.col("arm") * F.col("c")).cast("bigint").alias("s1r"),
+        F.sum(1 - F.col("arm")).cast("bigint").alias("n0r"),
+        F.sum((1 - F.col("arm")) * F.col("c")).cast("bigint").alias("s0r"),
+    )
+    extreme = per.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(
+                F.expr(
+                    f"abs({_PT_DIFF_R} / 100.0) >= abs({_PT_DIFF} / 100.0)"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme")
+    )
+    return obs.crossJoin(F.broadcast(extreme)).selectExpr(
+        "n_events",
+        f"({_PT_DIFF} / 100.0) AS obs_diff",
+        f"CAST({_PT_B} AS BIGINT) AS n_perms",
+        "n_extreme",
+        f"(CAST(1 + n_extreme AS DOUBLE) / CAST(1 + {_PT_B} AS DOUBLE))"
+        " AS p_value",
+    )

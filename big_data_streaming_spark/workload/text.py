@@ -3827,3 +3827,171 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tot_pos").cast("double") / F.col("tot_n"))
         ).alias("lift"),
     )
+
+
+# --- vocabulary spectrum: hapax legomena / TTR / Guiraud (round 4) -------------
+# The lexical-richness card next to q_vocab_coverage's rank curve:
+# vocabulary size, token count, hapax (freq=1) and dis (freq=2)
+# legomena, type-token ratio, hapax share, and Guiraud's R = V/sqrt(N)
+# (the length-robust richness index — sqrt is IEEE-correctly-rounded so
+# the one-liner is shared-text safe). Every count is an exact integer
+# off ONE token-frequency aggregate (map-side combinable; the frequency
+# relation is the same one q_vocab_coverage/q_zipf_audit build). Plan:
+# explode → two combinable aggregates; no windows, no joins.
+_HPX_TTR = "(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+_HPX_SHARE = "(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE))"
+_HPX_GUIRAUD = "(CAST(vocab AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)))"
+
+
+@_q(
+    "q_hapax",
+    f"""
+    WITH f AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax,
+               CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dis
+        FROM f
+    )
+    SELECT vocab, n_tokens, hapax, dis,
+           {_HPX_TTR} AS ttr, {_HPX_SHARE} AS hapax_share,
+           {_HPX_GUIRAUD} AS guiraud_r
+    FROM agg
+    """,
+)
+def q_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    agg = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dis"),
+    )
+    return agg.selectExpr(
+        "vocab",
+        "n_tokens",
+        "hapax",
+        "dis",
+        f"{_HPX_TTR} AS ttr",
+        f"{_HPX_SHARE} AS hapax_share",
+        f"{_HPX_GUIRAUD} AS guiraud_r",
+    )
+
+
+# --- Brier score + skill vs climatology (round 4) ------------------------------
+# Scoring-rule audit for the shared quality classifier, completing the
+# eval pack (q_auc ranks, q_calibration bins, this SCORES). Probabilities
+# never pass through a sigmoid (transcendental): the forecast is the
+# rank-based empirical-CDF score p_i = (2r_i - 1) / (2n) under the
+# pinned (logit, doc_id) total order. Then 4n^3 * Brier =
+# sum((2r - 1 - 2n*y)^2) is an EXACT BIGINT, and the skill score vs the
+# base-rate forecast reduces to BSS = 1 - bs_sc / (4n * P * (n - P)) —
+# integers in, two fixed-order divisions out. Plan: one rank window
+# (range-partitioned sort at scale) + one combinable fold.
+_BR_BRIER = (
+    "(CAST(bs_sc AS DOUBLE)"
+    " / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+_BR_BSS = (
+    "(1.0 - CAST(bs_sc AS DOUBLE)"
+    " / (4.0 * CAST(n AS DOUBLE) * CAST(n_pos AS DOUBLE)"
+    " * CAST(n - n_pos AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_brier",
+    f"""
+    WITH {_QC_SCORED_SQL}, avgc AS (
+        SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        FROM documents
+    ), lab AS (
+        SELECT s.doc_id, s.logit,
+               CASE WHEN CAST(d.n_chars AS DOUBLE) > avgc.mean_chars
+                    THEN 1 ELSE 0 END AS y
+        FROM scored s
+        JOIN documents d ON s.doc_id = d.doc_id
+        CROSS JOIN avgc
+    ), rk AS (
+        SELECT y,
+               CAST(row_number() OVER (ORDER BY logit, doc_id) AS BIGINT)
+                   AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM lab
+    ), agg AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM((2 * r - 1 - 2 * n * y) * (2 * r - 1 - 2 * n * y))
+                    AS BIGINT) AS bs_sc
+        FROM rk
+    )
+    SELECT n, n_pos, bs_sc, {_BR_BRIER} AS brier,
+           CASE WHEN n_pos = 0 OR n_pos = n THEN NULL
+                ELSE {_BR_BSS} END AS brier_skill
+    FROM agg
+    """,
+)
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    avgc = docs.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "mean_chars"
+        )
+    )
+    lab = (
+        scored.join(docs, "doc_id")
+        .crossJoin(F.broadcast(avgc))
+        .select(
+            "doc_id",
+            "logit",
+            F.when(
+                F.col("n_chars").cast("double") > F.col("mean_chars"), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    rk = lab.select(
+        "y",
+        F.row_number()
+        .over(Window.orderBy("logit", "doc_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    agg = rk.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(
+            (2 * F.col("r") - 1 - 2 * F.col("n") * F.col("y"))
+            * (2 * F.col("r") - 1 - 2 * F.col("n") * F.col("y"))
+        )
+        .cast("bigint")
+        .alias("bs_sc"),
+    )
+    return agg.selectExpr(
+        "n",
+        "n_pos",
+        "bs_sc",
+        f"{_BR_BRIER} AS brier",
+        f"CASE WHEN n_pos = 0 OR n_pos = n THEN NULL"
+        f" ELSE {_BR_BSS} END AS brier_skill",
+    )

@@ -109,6 +109,11 @@ SWEEP = [
     "q_mann_kendall",       # integer S + tie variance, shared CASE z
     "q_friedman",           # doubled block ranks, shared chi2 text
     "q_levene_bf",          # element-selected medians, integer W parts
+    "q_hapax",              # integer spectrum counts, shared sqrt
+    "q_brier",              # exact integer 4n^3-scaled Brier
+    "q_ccf",                # integer lag moments, shared-sqrt r
+    "q_jackknife",          # quantized replicates, integer variance
+    "q_perm_test",          # md5 permutations, exact cents means
 ]
 
 
