@@ -326,6 +326,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_ccf",
     "q_jackknife",
     "q_perm_test",
+    "q_silhouette",
+    "q_medoid",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

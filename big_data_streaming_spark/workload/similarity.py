@@ -1846,3 +1846,222 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("radius_q").cast("double")) / F.lit(float(_KC_SCALE))
         ).alias("radius"),
     )
+
+
+# --- simplified silhouette by label (round 4) ------------------------------
+# Clustering-quality audit over the labeled embedding space: the
+# SIMPLIFIED silhouette (distance to centroids, the O(n·k) form that
+# survives 100 TB — classic all-pairs silhouette is O(n²) and is
+# exactly what this variant exists to avoid), on squared Euclidean
+# distance (documented; monotone in the Euclidean form per centroid).
+# Exactness: dims quantized at 1e-6 so centroid sums are exact BIGINTs;
+# the centroid mean and per-dim squared deviation are shared-text IEEE
+# expressions; per-(vector, centroid) distances are 1e-12-quantized
+# integer sums over dims (order-free); the per-label mean silhouette is
+# a 1e-9-quantized integer mean. Plan: one posexplode scan → a 640-row
+# broadcast centroid relation → one combinable (vec, label) fold; no
+# vector ever meets another vector.
+_SIL_M = "(CAST(sq AS DOUBLE) / CAST(cn AS DOUBLE) / 1000000.0)"
+_SIL_TERM = (
+    "CAST(floor((x - m) * (x - m) * 1000000000000.0 + 0.5) AS BIGINT)"
+)
+_SIL_S = (
+    "(CASE WHEN greatest(a_q, b_q) = 0 THEN 0.0"
+    " ELSE CAST(b_q - a_q AS DOUBLE) / CAST(greatest(a_q, b_q) AS DOUBLE)"
+    " END)"
+)
+_SIL_MEAN = "(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0)"
+
+
+@_q(
+    "q_silhouette",
+    f"""
+    WITH x AS (
+        SELECT vec_id, label, CAST(t.i AS INTEGER) AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), q AS (
+        SELECT vec_id, label, dim, x,
+               CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS xq
+        FROM x
+    ), cent AS (
+        SELECT label AS cent_label, dim,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(xq) AS BIGINT) AS sq
+        FROM q GROUP BY 1, 2
+    ), cm AS (
+        SELECT cent_label, dim, {_SIL_M} AS m FROM cent
+    ), terms AS (
+        SELECT q.vec_id, q.label, cm.cent_label, {_SIL_TERM} AS term
+        FROM q JOIN cm ON q.dim = cm.dim
+    ), d2 AS (
+        SELECT vec_id, label, cent_label,
+               CAST(SUM(term) AS BIGINT) AS d2q
+        FROM terms GROUP BY 1, 2, 3
+    ), ab AS (
+        SELECT vec_id, label,
+               CAST(MAX(CASE WHEN cent_label = label THEN d2q END)
+                    AS BIGINT) AS a_q,
+               CAST(MIN(CASE WHEN cent_label <> label THEN d2q END)
+                    AS BIGINT) AS b_q
+        FROM d2 GROUP BY 1, 2
+    ), s AS (
+        SELECT label,
+               CAST(floor({_SIL_S} * 1000000000.0 + 0.5) AS BIGINT) AS sq_i
+        FROM ab
+    ), agg AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sq_i) AS BIGINT) AS ssq
+        FROM s GROUP BY label
+    )
+    SELECT label, n, {_SIL_MEAN} AS mean_silhouette
+    FROM agg ORDER BY label
+    """,
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "f")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("f").cast("double").alias("x"),
+    )
+    q = x.withColumn(
+        "xq", F.expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)")
+    )
+    cent = q.groupBy(
+        F.col("label").alias("cent_label"), F.col("dim")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cn"),
+        F.sum("xq").cast("bigint").alias("sq"),
+    )
+    cm = cent.selectExpr("cent_label", "dim", f"{_SIL_M} AS m")
+    terms = q.join(F.broadcast(cm), "dim").selectExpr(
+        "vec_id", "label", "cent_label", f"{_SIL_TERM} AS term"
+    )
+    d2 = terms.groupBy("vec_id", "label", "cent_label").agg(
+        F.sum("term").cast("bigint").alias("d2q")
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("cent_label") == F.col("label"), F.col("d2q"))
+        )
+        .cast("bigint")
+        .alias("a_q"),
+        F.min(
+            F.when(F.col("cent_label") != F.col("label"), F.col("d2q"))
+        )
+        .cast("bigint")
+        .alias("b_q"),
+    )
+    s = ab.selectExpr(
+        "label",
+        f"CAST(floor({_SIL_S} * 1000000000.0 + 0.5) AS BIGINT) AS sq_i",
+    )
+    agg = s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sq_i").cast("bigint").alias("ssq"),
+    )
+    return agg.selectExpr(
+        "label", "n", f"{_SIL_MEAN} AS mean_silhouette"
+    ).orderBy("label")
+
+
+# --- per-label medoid selection (round 4) ----------------------------------
+# The representative-example picker (dataset cards, few-shot exemplar
+# mining): within each label, the vector minimizing the summed squared
+# distance to its peers. Distances use the polarization identity
+# d²(i,j) = <i,i> + <j,j> - 2<i,j> on the engines' identical left-fold
+# dot products, then 1e-9 quantization makes the per-candidate sum an
+# order-free exact integer; argmin breaks ties by vec_id. Plan: the
+# pair join is WITHIN-label only (bounded by cluster size, the same
+# policy as q_entity_resolution's blocked verify — never a global
+# all-pairs); self-dots are computed once per row on the scan.
+_MED_D2 = "(dda + ddb - 2.0 * dot)"
+_MED_MEAN = "(CAST(s AS DOUBLE) / CAST(n_others AS DOUBLE) / 1000000000.0)"
+
+
+@_q(
+    "q_medoid",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                   AS dd
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.label, a.vec_id,
+               a.dd AS dda, b.dd AS ddb,
+               list_dot_product(a.v, b.v) AS dot
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), per AS (
+        SELECT label, vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_others,
+               CAST(SUM(CAST(floor({_MED_D2} * 1000000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM pairs GROUP BY 1, 2
+    ), rk AS (
+        SELECT label, vec_id, n_others, s,
+               row_number() OVER (PARTITION BY label ORDER BY s, vec_id)
+                   AS rn
+        FROM per
+    )
+    SELECT label, vec_id AS medoid_id,
+           CAST(n_others + 1 AS BIGINT) AS cluster_size,
+           {_MED_MEAN} AS mean_d2
+    FROM rk WHERE rn = 1 ORDER BY label
+    """,
+)
+def q_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.functions.similarity import dot
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        dot(F.col("embedding"), F.col("embedding")).alias("dd"),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.dd").alias("dda"),
+        F.col("b.dd").alias("ddb"),
+        dot(F.col("a.v"), F.col("b.v")).alias("dot"),
+    )
+    per = pairs.groupBy("label", "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_others"),
+        F.sum(
+            F.expr(f"CAST(floor({_MED_D2} * 1000000000.0 + 0.5) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    rk = per.select(
+        "label",
+        "vec_id",
+        "n_others",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("label").orderBy("s", "vec_id"))
+        .alias("rn"),
+    )
+    return (
+        rk.where(F.col("rn") == 1)
+        .selectExpr(
+            "label",
+            "vec_id AS medoid_id",
+            "CAST(n_others + 1 AS BIGINT) AS cluster_size",
+            f"{_MED_MEAN} AS mean_d2",
+        )
+        .orderBy("label")
+    )

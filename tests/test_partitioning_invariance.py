@@ -114,6 +114,8 @@ SWEEP = [
     "q_ccf",                # integer lag moments, shared-sqrt r
     "q_jackknife",          # quantized replicates, integer variance
     "q_perm_test",          # md5 permutations, exact cents means
+    "q_silhouette",         # quantized centroid distances, order-free
+    "q_medoid",             # quantized pair distances, order-free
 ]
 
 
