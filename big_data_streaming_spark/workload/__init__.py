@@ -328,6 +328,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_perm_test",
     "q_silhouette",
     "q_medoid",
+    "q_mad_outliers",
+    "q_evt_gumbel",
+    "q_smd_balance",
+    "q_isotonic",
+    "q_gini_gain",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -7750,3 +7750,285 @@ def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CAST(1 + n_extreme AS DOUBLE) / CAST(1 + {_PT_B} AS DOUBLE))"
         " AS p_value",
     )
+
+
+# --- MAD robust z-score outliers (round 4) ---------------------------------------
+# The robust companion to the rolling z-score detector: median absolute
+# deviation per event type (both medians ELEMENT-SELECTED lower-middles
+# in the exact cents domain, never interpolated), then the top 20
+# events by modified z = 0.6745 * (c - med) / mad under a pinned
+# (deviation, event_id) total order. MAD tolerates up to 50% outliers
+# where mean/stddev break down. Plan: two rank windows per type on the
+# cents relation (range-partitioned sorts at scale; or swap in
+# approx_percentile, documented trade) + one broadcast O(k) stats join;
+# the top-k is TakeOrdered.
+_MAD_Z = (
+    "(0.6745 * CAST(c - med AS DOUBLE) / CAST(mad AS DOUBLE))"
+)
+
+
+@_q(
+    "q_mad_outliers",
+    f"""
+    WITH c AS (
+        SELECT event_type, {_AOV_CENTS} AS c,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events WHERE value IS NOT NULL
+    ), r1 AS (
+        SELECT event_type, c, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ), med AS (
+        SELECT event_type, c AS med FROM r1 WHERE rn = (n + 1) // 2
+    ), ad AS (
+        SELECT c.event_type, c.c, c.event_id, med.med,
+               CAST(abs(c.c - med.med) AS BIGINT) AS absdev
+        FROM c JOIN med ON c.event_type = med.event_type
+    ), r2 AS (
+        SELECT event_type, absdev,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY absdev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ad
+    ), mad AS (
+        SELECT event_type, absdev AS mad FROM r2 WHERE rn = (n + 1) // 2
+    ), z AS (
+        SELECT ad.event_type, ad.event_id, ad.c, ad.med, mad.mad,
+               {_MAD_Z} AS z
+        FROM ad JOIN mad ON ad.event_type = mad.event_type
+        WHERE mad.mad > 0
+    ), rk AS (
+        SELECT event_type, event_id,
+               CAST(c AS DOUBLE) / 100.0 AS value, z,
+               row_number() OVER (ORDER BY abs(z) DESC, event_id) AS rn
+        FROM z
+    )
+    SELECT event_type, event_id, value, z,
+           CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 20
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.selectExpr(
+        "event_type",
+        f"{_AOV_CENTS} AS c",
+        "CAST(event_id AS BIGINT) AS event_id",
+    )
+    wt = Window.partitionBy("event_type")
+    r1 = c.select(
+        "event_type",
+        "c",
+        "event_id",
+        F.row_number().over(wt.orderBy("c", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = r1.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("c").alias("med")
+    )
+    ad = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "c",
+        "event_id",
+        "med",
+        F.abs(F.col("c") - F.col("med")).cast("bigint").alias("absdev"),
+    )
+    r2 = ad.select(
+        "event_type",
+        "absdev",
+        F.row_number().over(wt.orderBy("absdev", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mad = r2.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("absdev").alias("mad")
+    )
+    z = (
+        ad.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .selectExpr("event_type", "event_id", "c", "mad", "med", f"{_MAD_Z} AS z")
+    )
+    rk = z.select(
+        "event_type",
+        "event_id",
+        (F.col("c").cast("double") / 100.0).alias("value"),
+        "z",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("z")).desc(), "event_id"))
+        .alias("rn"),
+    )
+    return rk.where(F.col("rn") <= 20).selectExpr(
+        "event_type", "event_id", "value", "z", "CAST(rn AS INTEGER) AS rank"
+    )
+
+
+# --- Gumbel extreme-value fit on daily maxima (round 4) --------------------------
+# Capacity-planning tail estimate: fit a Gumbel distribution to the
+# daily block maxima of value by the method of moments and report the
+# 95%/99% return levels ("the daily max exceeded once per 20/100
+# days"). Block maxima are exact cents integers; the moment fit uses
+# sqrt(6)/pi, Euler's gamma, and -ln(-ln p) as SHARED double literals
+# (transcendental inputs enter as literals — the q_ndcg policy); the
+# rest is fixed-order IEEE arithmetic over exact integer moments.
+# Plan: one (day) max aggregate + one O(|days|) fold.
+_EVT_MEAN = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)"
+_EVT_SD = (
+    "(sqrt(CAST(n * qq - s * s AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0)"
+)
+_EVT_BETA = f"({_EVT_SD} * 0.779696801233676)"
+_EVT_MU = f"({_EVT_MEAN} - 0.5772156649015329 * {_EVT_BETA})"
+_EVT_R95 = f"({_EVT_MU} + {_EVT_BETA} * 2.9701952490421637)"
+_EVT_R99 = f"({_EVT_MU} + {_EVT_BETA} * 4.600149226776579)"
+
+
+@_q(
+    "q_evt_gumbel",
+    f"""
+    WITH dm AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(MAX({_AOV_CENTS}) AS BIGINT) AS m
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS s,
+               CAST(SUM(m * m) AS BIGINT) AS qq
+        FROM dm
+    )
+    SELECT n, {_EVT_MEAN} AS mean_max, {_EVT_SD} AS sd_max,
+           {_EVT_MU} AS gumbel_mu, {_EVT_BETA} AS gumbel_beta,
+           {_EVT_R95} AS return_level_95, {_EVT_R99} AS return_level_99
+    FROM agg
+    """,
+)
+def q_evt_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dm = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.expr(f"CAST(MAX({_AOV_CENTS}) AS BIGINT)").alias("m")
+    )
+    agg = dm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("qq"),
+    )
+    return agg.selectExpr(
+        "n",
+        f"{_EVT_MEAN} AS mean_max",
+        f"{_EVT_SD} AS sd_max",
+        f"{_EVT_MU} AS gumbel_mu",
+        f"{_EVT_BETA} AS gumbel_beta",
+        f"{_EVT_R95} AS return_level_95",
+        f"{_EVT_R99} AS return_level_99",
+    )
+
+
+# --- standardized mean difference covariate balance (round 4) --------------------
+# The balance table every observational study prints before trusting an
+# effect estimate (companion to q_propensity_strata): for each
+# covariate, SMD = (mean_t - mean_c) / sqrt((var_t + var_c) / 2)
+# between the odd/even user_id arms (the q_ab_power arm convention).
+# |SMD| < 0.1 is the customary balance bar. Covariates enter a LONG
+# (covariate, arm) relation so ONE combinable aggregate computes every
+# exact integer moment; the SMD is shared IEEE text. Plan: one scan,
+# one map-side-combinable aggregate, O(covariates) output.
+_SMD_MEAN_T = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+_SMD_MEAN_C = "(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+_SMD_VAR_T = (
+    "(CAST(n1 * q1 - s1 * s1 AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))"
+)
+_SMD_VAR_C = (
+    "(CAST(n0 * q0 - s0 * s0 AS DOUBLE)"
+    " / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)))"
+)
+_SMD = (
+    f"(({_SMD_MEAN_T} - {_SMD_MEAN_C})"
+    f" / sqrt(({_SMD_VAR_T} + {_SMD_VAR_C}) / 2.0))"
+)
+
+
+@_q(
+    "q_smd_balance",
+    f"""
+    WITH base AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               {_AOV_CENTS} AS v_cents,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+               CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow
+        FROM events WHERE value IS NOT NULL
+    ), long AS (
+        SELECT arm, 'value_cents' AS covariate, v_cents AS x FROM base
+        UNION ALL
+        SELECT arm, 'hour_of_day' AS covariate, hod AS x FROM base
+        UNION ALL
+        SELECT arm, 'day_of_week' AS covariate, dow AS x FROM base
+    ), m AS (
+        SELECT covariate,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+                   AS s1,
+               CAST(SUM(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT)
+                   AS q1,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+                   AS s0,
+               CAST(SUM(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT)
+                   AS q0
+        FROM long GROUP BY covariate
+    )
+    SELECT covariate, n1, n0,
+           {_SMD_MEAN_T} AS mean_t, {_SMD_MEAN_C} AS mean_c,
+           {_SMD} AS smd
+    FROM m ORDER BY covariate
+    """,
+)
+def q_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = e.selectExpr(
+        "CAST(user_id % 2 AS BIGINT) AS arm",
+        f"{_AOV_CENTS} AS v_cents",
+        "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod",
+        # Spark's dayofweek is 1-based (Sunday=1); DuckDB's dow is
+        # 0-based (Sunday=0) — subtract 1 so both sides agree.
+        "CAST(dayofweek(ts) - 1 AS BIGINT) AS dow",
+    )
+    long = (
+        base.selectExpr("arm", "'value_cents' AS covariate", "v_cents AS x")
+        .unionAll(
+            base.selectExpr("arm", "'hour_of_day' AS covariate", "hod AS x")
+        )
+        .unionAll(
+            base.selectExpr("arm", "'day_of_week' AS covariate", "dow AS x")
+        )
+    )
+    m = long.groupBy("covariate").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("q0"),
+    )
+    return m.selectExpr(
+        "covariate",
+        "n1",
+        "n0",
+        f"{_SMD_MEAN_T} AS mean_t",
+        f"{_SMD_MEAN_C} AS mean_c",
+        f"{_SMD} AS smd",
+    ).orderBy("covariate")

@@ -3995,3 +3995,273 @@ def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN n_pos = 0 OR n_pos = n THEN NULL"
         f" ELSE {_BR_BSS} END AS brier_skill",
     )
+
+
+# --- isotonic calibration via the minimax identity (round 4) -------------------
+# The monotone recalibration step after q_calibration's reliability
+# table: the isotonic (PAVA) fit over the 10 score deciles, computed in
+# ONE declarative pass through the minimax identity
+# iso(i) = max_{j<=i} min_{k>=i} rate(j..k) — mathematically equal to
+# pool-adjacent-violators but expressible as interval enumeration over
+# the O(B) bucket relation (B=10 → 55 intervals), no sequential loop,
+# no driver round-trips. Interval rates are single divisions of exact
+# integer cumulative sums; min/max over identically-computed doubles
+# are engine-consistent. Plan: everything after the NTILE window runs
+# on O(B²) rows regardless of corpus size.
+_ISO_P = "(CAST(ipos AS DOUBLE) / CAST(inn AS DOUBLE))"
+
+
+@_q(
+    "q_isotonic",
+    f"""
+    WITH {_QC_SCORED_SQL}, avgc AS (
+        SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        FROM documents
+    ), lab AS (
+        SELECT s.doc_id, s.logit,
+               CASE WHEN CAST(d.n_chars AS DOUBLE) > avgc.mean_chars
+                    THEN 1 ELSE 0 END AS y
+        FROM scored s
+        JOIN documents d ON s.doc_id = d.doc_id
+        CROSS JOIN avgc
+    ), bkt AS (
+        SELECT y, NTILE(10) OVER (ORDER BY logit, doc_id) AS bucket
+        FROM lab
+    ), ba AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM bkt GROUP BY bucket
+    ), cum AS (
+        SELECT bucket, n, pos,
+               CAST(SUM(n) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn,
+               CAST(SUM(pos) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cpos
+        FROM ba
+    ), iv AS (
+        SELECT a.bucket AS j, b.bucket AS k,
+               CAST(b.cpos - a.cpos + a.pos AS BIGINT) AS ipos,
+               CAST(b.cn - a.cn + a.n AS BIGINT) AS inn
+        FROM cum a JOIN cum b ON a.bucket <= b.bucket
+    ), perj AS (
+        SELECT ba.bucket, iv.j, MIN({_ISO_P}) AS minp
+        FROM ba JOIN iv ON iv.j <= ba.bucket AND iv.k >= ba.bucket
+        GROUP BY ba.bucket, iv.j
+    ), fit AS (
+        SELECT bucket, MAX(minp) AS iso_rate FROM perj GROUP BY bucket
+    )
+    SELECT CAST(ba.bucket AS INTEGER) AS bucket, ba.n, ba.pos,
+           CAST(ba.pos AS DOUBLE) / CAST(ba.n AS DOUBLE) AS obs_rate,
+           fit.iso_rate
+    FROM ba JOIN fit ON ba.bucket = fit.bucket
+    ORDER BY bucket
+    """,
+)
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    avgc = docs.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "mean_chars"
+        )
+    )
+    lab = (
+        scored.join(docs, "doc_id")
+        .crossJoin(F.broadcast(avgc))
+        .select(
+            "doc_id",
+            "logit",
+            F.when(
+                F.col("n_chars").cast("double") > F.col("mean_chars"), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    bkt = lab.select(
+        "y", F.ntile(10).over(Window.orderBy("logit", "doc_id")).alias("bucket")
+    )
+    ba = bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ba.select(
+        "bucket",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).cast("bigint").alias("cn"),
+        F.sum("pos").over(wcum).cast("bigint").alias("cpos"),
+    )
+    a = cum.alias("a")
+    b = cum.alias("b")
+    iv = a.join(b, F.col("a.bucket") <= F.col("b.bucket")).select(
+        F.col("a.bucket").alias("j"),
+        F.col("b.bucket").alias("k"),
+        (F.col("b.cpos") - F.col("a.cpos") + F.col("a.pos"))
+        .cast("bigint")
+        .alias("ipos"),
+        (F.col("b.cn") - F.col("a.cn") + F.col("a.n"))
+        .cast("bigint")
+        .alias("inn"),
+    )
+    perj = (
+        ba.select("bucket")
+        .join(
+            iv,
+            (F.col("j") <= F.col("bucket")) & (F.col("k") >= F.col("bucket")),
+        )
+        .groupBy("bucket", "j")
+        .agg(F.min(F.expr(_ISO_P)).alias("minp"))
+    )
+    fit = perj.groupBy("bucket").agg(F.max("minp").alias("iso_rate"))
+    return (
+        ba.join(fit, "bucket")
+        .selectExpr(
+            "CAST(bucket AS INTEGER) AS bucket",
+            "n",
+            "pos",
+            "CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate",
+            "iso_rate",
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- Gini-impurity information gain feature ranking (round 4) ------------------
+# The decision-tree split criterion as a feature-selection audit: which
+# document feature (source, length decile, digit presence) best
+# separates the language label? Gini gain avoids entropy's logarithm
+# (module exactness policy): parent impurity (n² - Σc²)/n² and each
+# child term (n_b² - Σc_b²)/(n·n_b) are rationals of exact integers;
+# per-child terms are 1e-12-quantized so the cross-child sum is
+# order-free. Plan: one long-format (feature, value, label) relation →
+# two combinable aggregates; output O(|features|).
+_GG_PARENT = (
+    "(CAST(n * n - sc2 AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+_GG_TERM = (
+    "CAST(floor((CAST(nb * nb - sc2b AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(nb AS DOUBLE)))"
+    " * 1000000000000.0 + 0.5) AS BIGINT)"
+)
+_GG_CHILD = "(CAST(tsum AS DOUBLE) / 1000000000000.0)"
+
+
+@_q(
+    "q_gini_gain",
+    f"""
+    WITH dl AS (
+        SELECT doc_id, lang, source, text, n_chars,
+               NTILE(10) OVER (ORDER BY n_chars, doc_id) AS len_decile
+        FROM documents
+    ), long AS (
+        SELECT 'source' AS feature, source AS fval, lang FROM dl
+        UNION ALL
+        SELECT 'len_decile' AS feature, CAST(len_decile AS VARCHAR) AS fval,
+               lang
+        FROM dl
+        UNION ALL
+        SELECT 'has_digits' AS feature,
+               CASE WHEN regexp_matches(text, '[0-9]') THEN 'y' ELSE 'n' END
+                   AS fval,
+               lang
+        FROM dl
+    ), parent AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS sc2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM dl GROUP BY lang)
+    ), cells AS (
+        SELECT feature, fval, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM long GROUP BY 1, 2, 3
+    ), byval AS (
+        SELECT feature, fval,
+               CAST(SUM(c) AS BIGINT) AS nb,
+               CAST(SUM(c * c) AS BIGINT) AS sc2b
+        FROM cells GROUP BY 1, 2
+    ), terms AS (
+        SELECT feature, fval, nb, sc2b, {_GG_TERM} AS term
+        FROM byval CROSS JOIN parent
+    ), perf AS (
+        SELECT feature,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(term) AS BIGINT) AS tsum
+        FROM terms GROUP BY feature
+    )
+    SELECT feature, n_values,
+           {_GG_PARENT} AS gini_parent,
+           {_GG_CHILD} AS gini_children,
+           ({_GG_PARENT} - {_GG_CHILD}) AS gain
+    FROM perf CROSS JOIN parent
+    ORDER BY gain DESC, feature
+    """,
+)
+def q_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "n_chars",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias(
+            "len_decile"
+        ),
+    )
+    long = (
+        dl.selectExpr("'source' AS feature", "source AS fval", "lang")
+        .unionAll(
+            dl.selectExpr(
+                "'len_decile' AS feature",
+                "CAST(len_decile AS STRING) AS fval",
+                "lang",
+            )
+        )
+        .unionAll(
+            dl.selectExpr(
+                "'has_digits' AS feature",
+                "CASE WHEN text RLIKE '[0-9]' THEN 'y' ELSE 'n' END AS fval",
+                "lang",
+            )
+        )
+    )
+    parent = (
+        dl.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+        )
+    )
+    cells = long.groupBy("feature", "fval", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    byval = cells.groupBy("feature", "fval").agg(
+        F.sum("c").cast("bigint").alias("nb"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2b"),
+    )
+    terms = byval.crossJoin(F.broadcast(parent)).selectExpr(
+        "feature", "fval", "nb", "sc2b", f"{_GG_TERM} AS term"
+    )
+    perf = terms.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum("term").cast("bigint").alias("tsum"),
+    )
+    return (
+        perf.crossJoin(F.broadcast(parent))
+        .selectExpr(
+            "feature",
+            "n_values",
+            f"{_GG_PARENT} AS gini_parent",
+            f"{_GG_CHILD} AS gini_children",
+            f"({_GG_PARENT} - {_GG_CHILD}) AS gain",
+        )
+        .orderBy(F.desc("gain"), "feature")
+    )

@@ -116,6 +116,11 @@ SWEEP = [
     "q_perm_test",          # md5 permutations, exact cents means
     "q_silhouette",         # quantized centroid distances, order-free
     "q_medoid",             # quantized pair distances, order-free
+    "q_mad_outliers",       # element-selected median/MAD, pinned order
+    "q_evt_gumbel",         # integer moments, shared literals
+    "q_smd_balance",        # integer arm moments, shared-text SMD
+    "q_isotonic",           # integer cumsums, minimax over intervals
+    "q_gini_gain",          # integer impurities, quantized child sums
 ]
 
 
