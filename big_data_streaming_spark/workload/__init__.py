@@ -333,6 +333,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_smd_balance",
     "q_isotonic",
     "q_gini_gain",
+    "q_peak_detect",
+    "q_qini",
+    "q_bland_altman",
+    "q_recency_score",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

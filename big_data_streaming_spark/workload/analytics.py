@@ -8032,3 +8032,334 @@ def q_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_SMD_MEAN_C} AS mean_c",
         f"{_SMD} AS smd",
     ).orderBy("covariate")
+
+
+# --- local-maxima peak detection with salience (round 4) -------------------------
+# Monitoring primitive on the hourly arrival series: hours strictly
+# above BOTH adjacent observed hours (adjacency = integer hour index
+# ±1, so gaps in coverage cannot fake a neighbor), ranked by salience
+# = height above the taller neighbor. All integers; top-20 under a
+# pinned (salience, hidx) order. Plan: the self-joins are equi-joins on
+# hidx±1 over the O(|hours|) aggregate — at 100 TB this is three
+# broadcastable relations off one combinable count.
+@_q(
+    "q_peak_detect",
+    """
+    WITH hb AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600
+                   AS hidx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), peaks AS (
+        SELECT a.hidx, a.c, l.c AS left_c, r.c AS right_c,
+               CAST(a.c - greatest(l.c, r.c) AS BIGINT) AS salience
+        FROM hb a
+        JOIN hb l ON l.hidx = a.hidx - 1
+        JOIN hb r ON r.hidx = a.hidx + 1
+        WHERE a.c > l.c AND a.c > r.c
+    ), rk AS (
+        SELECT hidx, c, left_c, right_c, salience,
+               row_number() OVER (ORDER BY salience DESC, hidx) AS rn
+        FROM peaks
+    )
+    SELECT hidx, c, left_c, right_c, salience, CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 20
+    """,
+)
+def q_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hb = e.groupBy(
+        F.expr(
+            "CAST(floor(unix_timestamp(date_trunc('hour', ts))) AS BIGINT)"
+            " DIV 3600"
+        ).alias("hidx")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = hb.alias("a")
+    left = hb.alias("l")
+    right = hb.alias("r")
+    peaks = (
+        a.join(left, F.col("l.hidx") == F.col("a.hidx") - 1)
+        .join(right, F.col("r.hidx") == F.col("a.hidx") + 1)
+        .where(
+            (F.col("a.c") > F.col("l.c")) & (F.col("a.c") > F.col("r.c"))
+        )
+        .select(
+            F.col("a.hidx").alias("hidx"),
+            F.col("a.c").alias("c"),
+            F.col("l.c").alias("left_c"),
+            F.col("r.c").alias("right_c"),
+            (F.col("a.c") - F.greatest(F.col("l.c"), F.col("r.c")))
+            .cast("bigint")
+            .alias("salience"),
+        )
+    )
+    rk = peaks.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("salience"), "hidx"))
+        .alias("rn"),
+    )
+    return rk.where(F.col("rn") <= 20).selectExpr(
+        "hidx", "c", "left_c", "right_c", "salience",
+        "CAST(rn AS INTEGER) AS rank",
+    )
+
+
+# --- Qini uplift curve (round 4) ---------------------------------------------------
+# The uplift-model evaluation companion to q_lift_curve: rank users by
+# a targeting score (their click volume), split into deciles, and trace
+# the cumulative incremental purchases of the treated (odd user_id) arm
+# over the control arm scaled to its size:
+# qini(k) = cum_pos_t - cum_pos_c * (cum_n_t / cum_n_c). Every cumsum
+# is an exact integer; the scaling is a fixed-order two-op expression.
+# Plan: one per-user aggregate, one NTILE (global sort), one decile
+# fold + cumulative window on 10 rows.
+_QINI = (
+    "(CAST(cpos_t AS DOUBLE) - CAST(cpos_c AS DOUBLE)"
+    " * (CAST(cn_t AS DOUBLE) / CAST(cn_c AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_qini",
+    f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS treated,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), dec AS (
+        SELECT treated, y,
+               NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM per
+    ), agg AS (
+        SELECT decile,
+               CAST(SUM(treated) AS BIGINT) AS n_t,
+               CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+               CAST(SUM(treated * y) AS BIGINT) AS pos_t,
+               CAST(SUM((1 - treated) * y) AS BIGINT) AS pos_c
+        FROM dec GROUP BY decile
+    ), cum AS (
+        SELECT decile, n_t, n_c, pos_t, pos_c,
+               CAST(SUM(n_t) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn_t,
+               CAST(SUM(n_c) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn_c,
+               CAST(SUM(pos_t) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cpos_t,
+               CAST(SUM(pos_c) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cpos_c
+        FROM agg
+    )
+    SELECT CAST(decile AS INTEGER) AS decile, cn_t, cn_c, cpos_t, cpos_c,
+           {_QINI} AS qini
+    FROM cum ORDER BY decile
+    """,
+)
+def q_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.max(F.expr("CAST(user_id % 2 AS BIGINT)")).alias("treated"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    dec = per.select(
+        "treated",
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), "user_id"))
+        .alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+        F.sum(F.col("treated") * F.col("y")).cast("bigint").alias("pos_t"),
+        F.sum((1 - F.col("treated")) * F.col("y"))
+        .cast("bigint")
+        .alias("pos_c"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        "decile",
+        F.sum("n_t").over(wcum).cast("bigint").alias("cn_t"),
+        F.sum("n_c").over(wcum).cast("bigint").alias("cn_c"),
+        F.sum("pos_t").over(wcum).cast("bigint").alias("cpos_t"),
+        F.sum("pos_c").over(wcum).cast("bigint").alias("cpos_c"),
+    )
+    return cum.selectExpr(
+        "CAST(decile AS INTEGER) AS decile",
+        "cn_t",
+        "cn_c",
+        "cpos_t",
+        "cpos_c",
+        f"{_QINI} AS qini",
+    ).orderBy("decile")
+
+
+# --- Bland-Altman agreement analysis (round 4) ------------------------------------
+# Method-agreement audit between the click and view hourly series (do
+# two tracking paths count the same traffic?): per-hour differences are
+# exact integers; mean difference, its sd, and the 95% limits of
+# agreement (1.96 as a shared literal) are fixed-order expressions over
+# integer moments; the outside-LoA count compares each integer diff
+# against the identically-computed double bounds. Plan: one hourly
+# aggregate + two combinable folds.
+_BA_MEAN = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+_BA_SD = (
+    "sqrt(CAST(n * qq - s * s AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+)
+_BA_LO = f"({_BA_MEAN} - 1.96 * {_BA_SD})"
+_BA_HI = f"({_BA_MEAN} + 1.96 * {_BA_SD})"
+
+
+@_q(
+    "q_bland_altman",
+    f"""
+    WITH hb AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT)
+                 - CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d
+        FROM events GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS s,
+               CAST(SUM(d * d) AS BIGINT) AS qq
+        FROM hb
+    ), fin AS (
+        SELECT n, s, qq, {_BA_LO} AS loa_lo, {_BA_HI} AS loa_hi FROM agg
+    )
+    SELECT fin.n, {_BA_MEAN} AS mean_diff, {_BA_SD} AS sd_diff,
+           loa_lo, loa_hi,
+           (SELECT CAST(SUM(CASE WHEN CAST(d AS DOUBLE) < loa_lo
+                                   OR CAST(d AS DOUBLE) > loa_hi
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM hb) AS n_outside
+    FROM fin
+    """,
+)
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hb = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            - F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+        ).alias("d")
+    )
+    agg = hb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("qq"),
+    )
+    fin = agg.selectExpr(
+        "n", "s", "qq", f"{_BA_LO} AS loa_lo", f"{_BA_HI} AS loa_hi"
+    )
+    outside = (
+        hb.crossJoin(F.broadcast(fin.select("loa_lo", "loa_hi")))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("d").cast("double") < F.col("loa_lo"))
+                    | (F.col("d").cast("double") > F.col("loa_hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outside")
+        )
+    )
+    return fin.crossJoin(F.broadcast(outside)).selectExpr(
+        "n",
+        f"{_BA_MEAN} AS mean_diff",
+        f"{_BA_SD} AS sd_diff",
+        "loa_lo",
+        "loa_hi",
+        "n_outside",
+    )
+
+
+# --- dyadic recency-weighted engagement score (round 4) ----------------------------
+# Freshness-aware user scoring with an exactly-representable decay: the
+# weight halves per day of age (2^(29-age) in integer space — dyadic,
+# so the score is an exact BIGINT sum; exponential-decay exp(-λt) would
+# be transcendental and order-sensitive). Age is measured in whole days
+# back from the corpus' last event day. Top 10 users by (score,
+# user_id). Plan: one broadcast max-day scalar, one combinable per-user
+# aggregate, TakeOrdered.
+_RS_NORM = "(CAST(score AS DOUBLE) / 536870912.0)"
+
+
+@_q(
+    "q_recency_score",
+    f"""
+    WITH mx AS (
+        SELECT CAST(floor(epoch(date_trunc('day', MAX(ts)))) AS BIGINT)
+                   // 86400 AS max_day
+        FROM events
+    ), w AS (
+        SELECT user_id,
+               (CAST(1 AS BIGINT) << CAST(29 - (max_day
+                    - CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                      // 86400) AS INTEGER)) AS wt
+        FROM events CROSS JOIN mx
+    ), per AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(wt) AS BIGINT) AS score
+        FROM w GROUP BY user_id
+    ), rk AS (
+        SELECT user_id, n_events, score,
+               row_number() OVER (ORDER BY score DESC, user_id) AS rn
+        FROM per
+    )
+    SELECT user_id, n_events, score, {_RS_NORM} AS score_norm,
+           CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 10
+    """,
+)
+def q_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    mx = e.agg(
+        F.expr(
+            "CAST(floor(unix_timestamp(date_trunc('day', MAX(ts))))"
+            " AS BIGINT) DIV 86400"
+        ).alias("max_day")
+    )
+    w = e.crossJoin(F.broadcast(mx)).selectExpr(
+        "user_id",
+        "shiftleft(CAST(1 AS BIGINT), CAST(29 - (max_day"
+        " - CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
+        " DIV 86400) AS INT)) AS wt",
+    )
+    per = w.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("wt").cast("bigint").alias("score"),
+    )
+    rk = per.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "user_id"))
+        .alias("rn"),
+    )
+    return rk.where(F.col("rn") <= 10).selectExpr(
+        "user_id",
+        "n_events",
+        "score",
+        f"{_RS_NORM} AS score_norm",
+        "CAST(rn AS INTEGER) AS rank",
+    )

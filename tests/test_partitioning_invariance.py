@@ -121,6 +121,9 @@ SWEEP = [
     "q_smd_balance",        # integer arm moments, shared-text SMD
     "q_isotonic",           # integer cumsums, minimax over intervals
     "q_gini_gain",          # integer impurities, quantized child sums
+    "q_qini",               # integer cumsums, fixed-order scaling
+    "q_bland_altman",       # integer moments, shared literal LoA
+    "q_recency_score",      # dyadic integer weights
 ]
 
 
