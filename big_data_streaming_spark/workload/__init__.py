@@ -337,6 +337,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_qini",
     "q_bland_altman",
     "q_recency_score",
+    "q_cuped",
+    "q_srm",
+    "q_collocations",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

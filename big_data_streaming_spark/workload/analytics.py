@@ -8363,3 +8363,194 @@ def q_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_RS_NORM} AS score_norm",
         "CAST(rn AS INTEGER) AS rank",
     )
+
+
+# --- CUPED variance-reduced experiment readout (round 4) -------------------------
+# The industry-standard pre-period adjustment: user-level pre/post
+# spend (first vs second half of the observation window by integer day
+# index), arms by odd/even user_id. theta = cov(X,Y)/var(X) over ALL
+# users (the pooled CUPED convention), adjusted effect
+# (ybar_t - ybar_c) - theta * (xbar_t - xbar_c), and the variance
+# reduction rho² — every sufficient statistic (per-user cents sums,
+# cross-products) is an exact BIGINT; theta/effects/rho² are fixed-
+# order expressions, with rho²'s squaring done in the double domain to
+# stay overflow-safe. Plan: one per-user combinable aggregate, one O(1)
+# fold; no joins beyond a broadcast bounds scalar.
+_CUPED_THETA = (
+    "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))"
+)
+_CUPED_NAIVE = (
+    "(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+)
+_CUPED_XGAP = (
+    "(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+)
+_CUPED_ADJ = f"({_CUPED_NAIVE} - {_CUPED_THETA} * {_CUPED_XGAP})"
+_CUPED_RHO2 = (
+    "((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))"
+    " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_cuped",
+    f"""
+    WITH bounds AS (
+        SELECT (CAST(floor(epoch(date_trunc('day', MIN(ts)))) AS BIGINT)
+                    // 86400
+                + CAST(floor(epoch(date_trunc('day', MAX(ts)))) AS BIGINT)
+                    // 86400 + 1) // 2 AS split_day
+        FROM events
+    ), per AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(SUM(CASE WHEN CAST(floor(epoch(date_trunc('day', ts)))
+                                       AS BIGINT) // 86400 < split_day
+                             AND value IS NOT NULL
+                             THEN {_AOV_CENTS} ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN CAST(floor(epoch(date_trunc('day', ts)))
+                                       AS BIGINT) // 86400 >= split_day
+                             AND value IS NOT NULL
+                             THEN {_AOV_CENTS} ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN bounds GROUP BY user_id
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(arm) AS BIGINT) AS n1,
+               CAST(SUM(arm * x) AS BIGINT) AS sx1,
+               CAST(SUM(arm * y) AS BIGINT) AS sy1,
+               CAST(SUM(1 - arm) AS BIGINT) AS n0,
+               CAST(SUM((1 - arm) * x) AS BIGINT) AS sx0,
+               CAST(SUM((1 - arm) * y) AS BIGINT) AS sy0
+        FROM per
+    )
+    SELECT n, n1, n0,
+           ({_CUPED_THETA}) AS theta,
+           ({_CUPED_NAIVE} / 100.0) AS diff_naive,
+           ({_CUPED_ADJ} / 100.0) AS diff_cuped,
+           {_CUPED_RHO2} AS var_reduction
+    FROM agg
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.expr(
+            "(CAST(floor(unix_timestamp(date_trunc('day', MIN(ts))))"
+            " AS BIGINT) DIV 86400"
+            " + CAST(floor(unix_timestamp(date_trunc('day', MAX(ts))))"
+            " AS BIGINT) DIV 86400 + 1) DIV 2"
+        ).alias("split_day")
+    )
+    day_idx = (
+        "CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
+        " DIV 86400"
+    )
+    per = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.expr("CAST(user_id % 2 AS BIGINT)")).alias("arm"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN {day_idx} < split_day AND value IS NOT NULL"
+                    f" THEN {_AOV_CENTS} ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN {day_idx} >= split_day AND value IS NOT NULL"
+                    f" THEN {_AOV_CENTS} ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum("arm").cast("bigint").alias("n1"),
+        F.sum(F.col("arm") * F.col("x")).cast("bigint").alias("sx1"),
+        F.sum(F.col("arm") * F.col("y")).cast("bigint").alias("sy1"),
+        F.sum(1 - F.col("arm")).cast("bigint").alias("n0"),
+        F.sum((1 - F.col("arm")) * F.col("x")).cast("bigint").alias("sx0"),
+        F.sum((1 - F.col("arm")) * F.col("y")).cast("bigint").alias("sy0"),
+    )
+    return agg.selectExpr(
+        "n",
+        "n1",
+        "n0",
+        f"({_CUPED_THETA}) AS theta",
+        f"({_CUPED_NAIVE} / 100.0) AS diff_naive",
+        f"({_CUPED_ADJ} / 100.0) AS diff_cuped",
+        f"{_CUPED_RHO2} AS var_reduction",
+    )
+
+
+# --- sample-ratio-mismatch guardrail (round 4) -------------------------------------
+# The first sanity check of any experiment readout (and the reason
+# q_abtest/q_cuped arms can be trusted): is the odd/even user_id split
+# actually 50/50, overall and within each event type's active users?
+# Chi-square GOF against expected halves reduces to (o1-o0)²/n — exact
+# integers, one division. Plan: user-grain distinct aggregate per type
+# + one global row; all combinable.
+_SRM_CHI2 = (
+    "(CAST((n_treat - n_control) * (n_treat - n_control) AS DOUBLE)"
+    " / CAST(n_treat + n_control AS DOUBLE))"
+)
+
+
+@_q(
+    "q_srm",
+    f"""
+    WITH ut AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), per AS (
+        SELECT event_type,
+               CAST(SUM(user_id % 2) AS BIGINT) AS n_treat,
+               CAST(SUM(1 - user_id % 2) AS BIGINT) AS n_control
+        FROM ut GROUP BY event_type
+        UNION ALL
+        SELECT '_all_' AS event_type,
+               CAST(SUM(user_id % 2) AS BIGINT) AS n_treat,
+               CAST(SUM(1 - user_id % 2) AS BIGINT) AS n_control
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT event_type, n_treat, n_control, {_SRM_CHI2} AS srm_chi2
+    FROM per ORDER BY event_type
+    """,
+)
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    ut = e.select("event_type", "user_id").distinct()
+    per_type = ut.groupBy("event_type").agg(
+        F.sum(F.expr("user_id % 2")).cast("bigint").alias("n_treat"),
+        F.sum(F.expr("1 - user_id % 2")).cast("bigint").alias("n_control"),
+    )
+    overall = (
+        e.select("user_id")
+        .distinct()
+        .agg(
+            F.sum(F.expr("user_id % 2")).cast("bigint").alias("n_treat"),
+            F.sum(F.expr("1 - user_id % 2")).cast("bigint").alias("n_control"),
+        )
+        .selectExpr("'_all_' AS event_type", "n_treat", "n_control")
+    )
+    per = per_type.unionAll(overall)
+    return per.selectExpr(
+        "event_type", "n_treat", "n_control", f"{_SRM_CHI2} AS srm_chi2"
+    ).orderBy("event_type")

@@ -4265,3 +4265,101 @@ def q_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("gain"), "feature")
     )
+
+
+# --- bigram collocation mining by lift (round 4) --------------------------------
+# Log-free collocation strength (PMI's exp-domain twin): for adjacent
+# token pairs, lift = N * c(a,b) / (left(a) * right(b)) — a pure ratio
+# of exact integer counts, where left/right are the bigram-corpus
+# marginals. Bigrams are built IN-ROW with the q_lm_novelty array
+# transform (no self-join); candidates are df-floored (c >= 5) before
+# ranking; top 20 under a pinned (lift, a, b) order. Plan: one explode
+# + three combinable aggregates; the marginal joins hit aggregated
+# relations only.
+_COL_LIFT = (
+    "(CAST(nb AS DOUBLE) * CAST(c AS DOUBLE)"
+    " / (CAST(la AS DOUBLE) * CAST(rb AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_collocations",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                 AS bigram
+        FROM tok
+    ), ab AS (
+        SELECT split_part(bigram, ' ', 1) AS a,
+               split_part(bigram, ' ', 2) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2
+    ), lm AS (
+        SELECT a, CAST(SUM(c) AS BIGINT) AS la FROM ab GROUP BY a
+    ), rm AS (
+        SELECT b, CAST(SUM(c) AS BIGINT) AS rb FROM ab GROUP BY b
+    ), nb AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS nb FROM ab
+    ), scored AS (
+        SELECT ab.a, ab.b, ab.c, lm.la, rm.rb, nb.nb,
+               {_COL_LIFT} AS lift
+        FROM ab JOIN lm USING (a) JOIN rm USING (b) CROSS JOIN nb
+        WHERE ab.c >= 5
+    ), rk AS (
+        SELECT a, b, c, lift,
+               row_number() OVER (ORDER BY lift DESC, a, b) AS rn
+        FROM scored
+    )
+    SELECT a, b, c, lift, CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 20
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = d.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    ab = bg.select(
+        F.expr("split_part(bigram, ' ', 1)").alias("a"),
+        F.expr("split_part(bigram, ' ', 2)").alias("b"),
+    ).groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lm = ab.groupBy("a").agg(F.sum("c").cast("bigint").alias("la"))
+    rm = ab.groupBy("b").agg(F.sum("c").cast("bigint").alias("rb"))
+    nb = ab.agg(F.sum("c").cast("bigint").alias("nb"))
+    scored = (
+        ab.where(F.col("c") >= 5)
+        .join(lm, "a")
+        .join(rm, "b")
+        .crossJoin(F.broadcast(nb))
+        .selectExpr("a", "b", "c", "la", "rb", "nb", f"{_COL_LIFT} AS lift")
+    )
+    rk = scored.select(
+        "a",
+        "b",
+        "c",
+        "lift",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lift"), "a", "b"))
+        .alias("rn"),
+    )
+    return rk.where(F.col("rn") <= 20).selectExpr(
+        "a", "b", "c", "lift", "CAST(rn AS INTEGER) AS rank"
+    )

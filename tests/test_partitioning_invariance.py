@@ -124,6 +124,9 @@ SWEEP = [
     "q_qini",               # integer cumsums, fixed-order scaling
     "q_bland_altman",       # integer moments, shared literal LoA
     "q_recency_score",      # dyadic integer weights
+    "q_cuped",              # integer pre/post moments, fixed finish
+    "q_srm",                # integer GOF identity
+    "q_collocations",       # integer lift ratio, pinned order
 ]
 
 
