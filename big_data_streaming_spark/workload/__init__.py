@@ -340,6 +340,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_cuped",
     "q_srm",
     "q_collocations",
+    "q_markov_stationary",
+    "q_morisita",
+    "q_yule_q",
+    "q_lag_features",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

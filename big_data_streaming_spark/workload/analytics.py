@@ -8554,3 +8554,253 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.selectExpr(
         "event_type", "n_treat", "n_control", f"{_SRM_CHI2} AS srm_chi2"
     ).orderBy("event_type")
+
+
+# --- stationary distribution of the event-type Markov chain (round 4) -------------
+# Where does the user journey settle? The long-run occupancy of the
+# add-one-smoothed event-type transition chain (smoothing guarantees
+# irreducibility, so the stationary distribution exists and is unique),
+# via 25 power-iteration steps in a 1e9 integer fixed-point domain —
+# bit-identical floor recursion on both sides, BIGINT-safe throughout
+# (pi <= 1e9, fp <= 1e9 → products <= 1e18). The distributed stage is
+# the transition-count aggregate; the iteration runs on <= k² = 25
+# collected scalars (the documented bounded-scalars rule, same as
+# q_markov_attribution / q_linkage_em). Oracle: 25 unrolled MATERIALIZED
+# steps.
+_MST_K = 25
+_MST_S = 1_000_000_000
+
+
+def _mst_oracle() -> str:
+    steps = []
+    prev = "p0"
+    for n in range(1, _MST_K + 1):
+        steps.append(
+            f"p{n} AS MATERIALIZED (\n"
+            f"        SELECT P.j AS i,\n"
+            f"               CAST(SUM({prev}.pi * P.fp) // {_MST_S}\n"
+            f"                    AS BIGINT) AS pi\n"
+            f"        FROM {prev} JOIN P ON P.i = {prev}.i GROUP BY P.j\n"
+            f"    )"
+        )
+        prev = f"p{n}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS i,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS j
+        FROM events
+    ), tc AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE j IS NOT NULL GROUP BY 1, 2
+    ), states AS (
+        SELECT DISTINCT event_type AS s FROM events
+    ), grid AS (
+        SELECT a.s AS i, b.s AS j FROM states a CROSS JOIN states b
+    ), sm AS (
+        SELECT g.i, g.j, CAST(COALESCE(tc.c, 0) + 1 AS BIGINT) AS c
+        FROM grid g LEFT JOIN tc ON tc.i = g.i AND tc.j = g.j
+    ), rowtot AS (
+        SELECT i, CAST(SUM(c) AS BIGINT) AS tot FROM sm GROUP BY i
+    ), P AS MATERIALIZED (
+        SELECT sm.i, sm.j,
+               CAST((sm.c * {_MST_S}) // rowtot.tot AS BIGINT) AS fp
+        FROM sm JOIN rowtot ON sm.i = rowtot.i
+    ), kk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states
+    ), p0 AS MATERIALIZED (
+        SELECT s AS i, CAST({_MST_S} // k AS BIGINT) AS pi
+        FROM states CROSS JOIN kk
+    ),
+    {chain}
+    SELECT i AS event_type, pi AS pi_fp,
+           CAST(pi AS DOUBLE) / {_MST_S}.0 AS stationary_p
+    FROM p{_MST_K} ORDER BY event_type
+    """
+
+
+@_q("q_markov_stationary", _mst_oracle())
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev = t(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("i"),
+        F.lead("event_type").over(wl).alias("j"),
+    )
+    tc = (
+        seq.where(F.col("j").isNotNull())
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    counts = {(r["i"], r["j"]): r["c"] for r in tc.collect()}  # <= k² scalars
+    states = sorted(
+        {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    )
+    k = len(states)
+    sm = {(i, j): counts.get((i, j), 0) + 1 for i in states for j in states}
+    tot = {i: sum(sm[(i, j)] for j in states) for i in states}
+    fp = {(i, j): (sm[(i, j)] * _MST_S) // tot[i] for i in states for j in states}
+    pi = {i: _MST_S // k for i in states}
+    for _ in range(_MST_K):
+        pi = {
+            j: sum(pi[i] * fp[(i, j)] for i in states) // _MST_S
+            for j in states
+        }
+    schema = StructType(
+        [StructField("event_type", StringType()), StructField("pi_fp", LongType())]
+    )
+    out = spark.createDataFrame(
+        [(s, int(pi[s])) for s in states], schema
+    )
+    return out.selectExpr(
+        "event_type",
+        "pi_fp",
+        f"CAST(pi_fp AS DOUBLE) / {_MST_S}.0 AS stationary_p",
+    ).orderBy("event_type")
+
+
+# --- Morisita-Horn hourly-profile overlap (round 4) --------------------------------
+# Distribution-overlap index between every pair of event types' hourly
+# arrival profiles — the similarity-side complement to the Hellinger/TV
+# drift family (those measure distance, this measures community
+# overlap; Morisita-Horn is the abundance-aware index ecologists use).
+# Cross-multiplied into the all-integer identity
+# CmH = 2·Σxy·Nx·Ny / (Σx²·Ny² + Σy²·Nx²) so the output is ONE division
+# of exact BIGINTs. Plan: one (type, hour) aggregate; the pair join
+# runs on the O(|types|·|hours|) relation keyed by hour.
+_MH = (
+    "(2.0 * CAST(sxy AS DOUBLE) * CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)"
+    " / (CAST(sxx AS DOUBLE) * CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE)"
+    " + CAST(syy AS DOUBLE) * CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_morisita",
+    f"""
+    WITH hb AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM hb GROUP BY event_type
+    ), xy AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+        FROM hb a JOIN hb b ON a.hr = b.hr AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ), fin AS (
+        SELECT xy.ta, xy.tb, xy.sxy,
+               x.n AS nx, x.ss AS sxx, y.n AS ny, y.ss AS syy
+        FROM xy
+        JOIN tot x ON x.event_type = xy.ta
+        JOIN tot y ON y.event_type = xy.tb
+    )
+    SELECT ta, tb, sxy, {_MH} AS morisita_horn
+    FROM fin ORDER BY ta, tb
+    """,
+)
+def q_morisita(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hb = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = hb.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    a = hb.alias("a")
+    b = hb.alias("b")
+    xy = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("sxy"))
+    )
+    x = tot.selectExpr("event_type AS ta", "n AS nx", "ss AS sxx")
+    y = tot.selectExpr("event_type AS tb", "n AS ny", "ss AS syy")
+    fin = xy.join(F.broadcast(x), "ta").join(F.broadcast(y), "tb")
+    return fin.selectExpr(
+        "ta", "tb", "sxy", f"{_MH} AS morisita_horn"
+    ).orderBy("ta", "tb")
+
+
+# --- Yule's Q association between user traits (round 4) -----------------------------
+# Association strength between two per-user binary traits (ever-error
+# vs ever-purchase): Yule's Q = (n11·n00 − n10·n01)/(n11·n00 + n10·n01)
+# and the raw odds ratio — exact integer cells, fixed-order divisions,
+# degenerate margins NULL-guarded. The 2×2-association sibling of
+# q_mcnemar (which tests marginal CHANGE, not association). Plan: one
+# per-user boolean aggregate + an O(1) fold.
+_YQ = (
+    "(CAST(n11 * n00 - n10 * n01 AS DOUBLE)"
+    " / CAST(n11 * n00 + n10 * n01 AS DOUBLE))"
+)
+_YQ_OR = (
+    "(CAST(n11 * n00 AS DOUBLE) / CAST(n10 * n01 AS DOUBLE))"
+)
+
+
+@_q(
+    "q_yule_q",
+    f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM per
+    )
+    SELECT n_users, n11, n10, n01, n00,
+           CASE WHEN n11 * n00 + n10 * n01 = 0 THEN NULL ELSE {_YQ} END
+               AS yule_q,
+           CASE WHEN n10 * n01 = 0 THEN NULL ELSE {_YQ_OR} END AS odds_ratio
+    FROM cells
+    """,
+)
+def q_yule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    cells = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    return cells.selectExpr(
+        "n_users",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        f"CASE WHEN n11 * n00 + n10 * n01 = 0 THEN NULL ELSE {_YQ} END"
+        " AS yule_q",
+        f"CASE WHEN n10 * n01 = 0 THEN NULL ELSE {_YQ_OR} END AS odds_ratio",
+    )

@@ -1782,3 +1782,81 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 50)
         .select("doc_id", "lang", "n_bigrams", "imp_q", "importance", "rank")
     )
+
+
+# --- per-event lag-feature materialization (round 4) -----------------------
+# The feature-engineering pass a training pipeline runs before model
+# fitting: for every event, its per-user sequence index, the previous
+# value, the gap to the previous event in whole seconds, and the
+# trailing-3 value mean. Exactness: values route through the cents
+# domain so the rolling sum is an exact integer and the mean is one
+# fixed-order division; gaps are floor(epoch) second differences
+# (exact BIGINTs — the documented cross-engine gap idiom). Output is
+# the full feature table under the (user_id, ts, event_id) total
+# order. Plan: ONE hash exchange on user_id; every window reuses that
+# partitioning (sequence, lag, rolling frame all share it), so the
+# whole feature set costs one shuffle at any scale.
+_LF_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+_LF_ROLL = "(CAST(roll3_sum AS DOUBLE) / (CAST(roll3_n AS DOUBLE) * 100.0))"
+
+
+@_q(
+    "q_lag_features",
+    f"""
+    WITH c AS (
+        SELECT CAST(event_id AS BIGINT) AS event_id, user_id, ts,
+               CASE WHEN value IS NULL THEN NULL ELSE {_LF_CENTS} END AS c,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), w AS (
+        SELECT event_id, user_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                   AS seq,
+               LAG(c) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS lag_c,
+               sec - LAG(sec) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS gap_seconds,
+               CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                   AS roll3_sum,
+               CAST(COUNT(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                   AS roll3_n
+        FROM c
+    )
+    SELECT event_id, user_id, seq,
+           CAST(lag_c AS DOUBLE) / 100.0 AS lag_value,
+           gap_seconds,
+           CASE WHEN roll3_n = 0 THEN NULL ELSE {_LF_ROLL} END AS roll3_mean
+    FROM w
+    """,
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    c = e.selectExpr(
+        "CAST(event_id AS BIGINT) AS event_id",
+        "user_id",
+        "ts",
+        f"CASE WHEN value IS NULL THEN NULL ELSE {_LF_CENTS} END AS c",
+        "CAST(floor(unix_timestamp(ts)) AS BIGINT) AS sec",
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(-3, -1)
+    w = c.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(wo).cast("bigint").alias("seq"),
+        F.lag("c").over(wo).alias("lag_c"),
+        (F.col("sec") - F.lag("sec").over(wo)).alias("gap_seconds"),
+        F.sum("c").over(wf).cast("bigint").alias("roll3_sum"),
+        F.count("c").over(wf).cast("bigint").alias("roll3_n"),
+    )
+    return w.selectExpr(
+        "event_id",
+        "user_id",
+        "seq",
+        "CAST(lag_c AS DOUBLE) / 100.0 AS lag_value",
+        "gap_seconds",
+        f"CASE WHEN roll3_n = 0 THEN NULL ELSE {_LF_ROLL} END AS roll3_mean",
+    )

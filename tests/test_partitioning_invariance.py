@@ -127,6 +127,10 @@ SWEEP = [
     "q_cuped",              # integer pre/post moments, fixed finish
     "q_srm",                # integer GOF identity
     "q_collocations",       # integer lift ratio, pinned order
+    "q_markov_stationary",  # integer fixed-point power iteration
+    "q_morisita",           # all-integer cross-multiplied identity
+    "q_yule_q",             # integer cells, fixed divisions
+    "q_lag_features",       # cents rolling mean, epoch gaps
 ]
 
 
