@@ -604,3 +604,14 @@ def test_salted_join_keys_include_salt(spark, sf_small):
         assert "CartesianProduct" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_lag_features_single_exchange(spark, sf_small):
+    """q_lag_features advertises "all windows share ONE user_id
+    exchange" (SCALE.md): the physical plan must contain exactly one
+    Exchange, and it must be the hashpartitioning(user_id) one the
+    sequence/lag/rolling windows reuse."""
+    df = QUERIES["q_lag_features"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
