@@ -344,6 +344,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_morisita",
     "q_yule_q",
     "q_lag_features",
+    "q_watermark_advisor",
+    "q_merge_audit",
+    "q_funnel_time",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -8804,3 +8804,141 @@ def q_yule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS yule_q",
         f"CASE WHEN n10 * n01 = 0 THEN NULL ELSE {_YQ_OR} END AS odds_ratio",
     )
+
+
+# --- funnel time-to-convert quartiles (round 4) --------------------------------------
+# How long do the view → click → purchase funnel hops take? Per user:
+# first view, first click AT OR AFTER it, first purchase at or after
+# that click (the ordered-funnel contract of q_funnel, here timed).
+# Gaps are exact floor(epoch) second differences; per-stage p25/p50/p75
+# are ELEMENT-SELECTED under the pinned (gap, user_id) order. Plan:
+# three conditional-min aggregates chained by broadcastable user-keyed
+# joins (all reuse the user_id hash), one rank window per stage on the
+# O(|completers|) gap relation.
+@_q(
+    "q_funnel_time",
+    """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), v AS (
+        SELECT user_id, CAST(MIN(sec) AS BIGINT) AS t1
+        FROM e WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, CAST(MIN(e.sec) AS BIGINT) AS t2
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.sec >= v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, CAST(MIN(e.sec) AS BIGINT) AS t3
+        FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.sec >= c.t2
+        GROUP BY e.user_id
+    ), gaps AS (
+        SELECT 'view_to_click' AS stage, v.user_id,
+               CAST(c.t2 - v.t1 AS BIGINT) AS gap
+        FROM v JOIN c ON v.user_id = c.user_id
+        UNION ALL
+        SELECT 'click_to_purchase' AS stage, c.user_id,
+               CAST(p.t3 - c.t2 AS BIGINT) AS gap
+        FROM c JOIN p ON c.user_id = p.user_id
+    ), rk AS (
+        SELECT stage, gap,
+               CAST(row_number() OVER (PARTITION BY stage
+                                       ORDER BY gap, user_id) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY stage) AS BIGINT) AS n
+        FROM gaps
+    )
+    SELECT stage, CAST(MAX(n) AS BIGINT) AS n_completers,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN gap END)
+                AS BIGINT) AS p25,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN gap END)
+                AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN gap END)
+                AS BIGINT) AS p75
+    FROM rk GROUP BY stage ORDER BY stage
+    """,
+)
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_type",
+        "CAST(floor(unix_timestamp(ts)) AS BIGINT) AS sec",
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").cast("bigint").alias("t1"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("sec") >= F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("sec").cast("bigint").alias("t2"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("sec") >= F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("sec").cast("bigint").alias("t3"))
+    )
+    gaps = (
+        v.join(c, "user_id")
+        .selectExpr(
+            "'view_to_click' AS stage",
+            "user_id",
+            "CAST(t2 - t1 AS BIGINT) AS gap",
+        )
+        .unionAll(
+            c.join(p, "user_id").selectExpr(
+                "'click_to_purchase' AS stage",
+                "user_id",
+                "CAST(t3 - t2 AS BIGINT) AS gap",
+            )
+        )
+    )
+    ws = Window.partitionBy("stage")
+    rk = gaps.select(
+        "stage",
+        "gap",
+        F.row_number()
+        .over(ws.orderBy("gap", "user_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("n"),
+    )
+    return (
+        rk.groupBy("stage")
+        .agg(
+            F.max("n").cast("bigint").alias("n_completers"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) * 25 DIV 100 + 1"),
+                    F.col("gap"),
+                )
+            )
+            .cast("bigint")
+            .alias("p25"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) * 50 DIV 100 + 1"),
+                    F.col("gap"),
+                )
+            )
+            .cast("bigint")
+            .alias("p50"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) * 75 DIV 100 + 1"),
+                    F.col("gap"),
+                )
+            )
+            .cast("bigint")
+            .alias("p75"),
+        )
+        .orderBy("stage")
+    )

@@ -1764,3 +1764,217 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("max_rank") >= (F.col("level") - eps) * F.col("n") - 1)
         ).alias("within_bound"),
     )
+
+
+# --- watermark-delay advisor from out-of-order arrival (round 4) ------------
+# The batch audit that picks a streaming watermark: replay events in
+# INGEST order (event_id — the documented arrival sequence), track the
+# running max event time, and measure each event's lateness behind the
+# frontier. For candidate delays {10, 30, 60} min, report how much data
+# a watermark of that delay would drop, plus element-selected p50/p90/
+# p99 lateness (never interpolated). Every quantity is an exact integer
+# (floor(epoch) seconds). Plan: ONE global running-max window over the
+# arrival order (range-partitioned sort at 100 TB — arrival segments
+# are naturally time-ordered so the sort is near-free) + one rank
+# window on the O(n) lateness relation + an O(1) fold per candidate.
+@_q(
+    "q_watermark_advisor",
+    """
+    WITH e AS (
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), run AS (
+        SELECT event_id, sec,
+               CAST(MAX(sec) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS frontier
+        FROM e
+    ), late AS (
+        SELECT event_id, CAST(frontier - sec AS BIGINT) AS lateness
+        FROM run
+    ), rk AS (
+        SELECT lateness,
+               CAST(row_number() OVER (ORDER BY lateness, event_id)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM late
+    ), qs AS (
+        SELECT CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1
+                             THEN lateness END) AS BIGINT) AS p50,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1
+                             THEN lateness END) AS BIGINT) AS p90,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 99 // 100 + 1
+                             THEN lateness END) AS BIGINT) AS p99
+        FROM rk
+    ), cand AS (
+        SELECT unnest([600, 1800, 3600]) AS delay_s
+    ), dropped AS (
+        SELECT cand.delay_s,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN lateness > cand.delay_s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped
+        FROM late CROSS JOIN cand GROUP BY cand.delay_s
+    )
+    SELECT CAST(delay_s AS BIGINT) AS delay_s, n_total, n_dropped,
+           CAST(n_dropped AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS dropped_share,
+           p50, p90, p99
+    FROM dropped CROSS JOIN qs ORDER BY delay_s
+    """,
+)
+def q_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").selectExpr(
+        "CAST(event_id AS BIGINT) AS event_id",
+        "CAST(floor(unix_timestamp(ts)) AS BIGINT) AS sec",
+    )
+    warr = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    late = e.select(
+        "event_id",
+        (F.max("sec").over(warr) - F.col("sec"))
+        .cast("bigint")
+        .alias("lateness"),
+    )
+    rk = late.select(
+        "lateness",
+        F.row_number()
+        .over(Window.orderBy("lateness", "event_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    qs = rk.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 50 DIV 100 + 1"),
+                   F.col("lateness"))
+        ).cast("bigint").alias("p50"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 90 DIV 100 + 1"),
+                   F.col("lateness"))
+        ).cast("bigint").alias("p90"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 99 DIV 100 + 1"),
+                   F.col("lateness"))
+        ).cast("bigint").alias("p99"),
+    )
+    cand = spark.createDataFrame([(600,), (1800,), (3600,)], "delay_s bigint")
+    dropped = (
+        late.crossJoin(F.broadcast(cand))
+        .groupBy("delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(
+                F.when(F.col("lateness") > F.col("delay_s"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+    return (
+        dropped.crossJoin(F.broadcast(qs))
+        .selectExpr(
+            "CAST(delay_s AS BIGINT) AS delay_s",
+            "n_total",
+            "n_dropped",
+            "CAST(n_dropped AS DOUBLE) / CAST(n_total AS DOUBLE)"
+            " AS dropped_share",
+            "p50",
+            "p90",
+            "p99",
+        )
+        .orderBy("delay_s")
+    )
+
+
+# --- partial-aggregate mergeability audit (round 4) --------------------------
+# The algebraic property every distributed aggregate relies on, checked
+# AS a query: split the stream into 4 hash shards, compute per-shard
+# partial states (n, sum, sum-of-squares, min, max in the exact cents
+# domain), MERGE the states, and compare against the direct global
+# aggregate. All-integer equality flags (1/0) — any engine or exactness
+# regression that breaks state mergeability turns a flag to 0 and fails
+# the value gate. Plan: two combinable aggregates over one scan each;
+# the merge itself is an O(shards) fold.
+_WMA_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+@_q(
+    "q_merge_audit",
+    f"""
+    WITH c AS (
+        SELECT CAST(event_id AS BIGINT) % 4 AS shard, {_WMA_CENTS} AS c
+        FROM events WHERE value IS NOT NULL
+    ), per AS (
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS qq,
+               CAST(MIN(c) AS BIGINT) AS lo,
+               CAST(MAX(c) AS BIGINT) AS hi
+        FROM c GROUP BY shard
+    ), merged AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS s,
+               CAST(SUM(qq) AS BIGINT) AS qq,
+               CAST(MIN(lo) AS BIGINT) AS lo,
+               CAST(MAX(hi) AS BIGINT) AS hi
+        FROM per
+    ), direct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS qq,
+               CAST(MIN(c) AS BIGINT) AS lo,
+               CAST(MAX(c) AS BIGINT) AS hi
+        FROM c
+    )
+    SELECT m.n_shards, m.n, d.n AS n_direct,
+           CAST(CASE WHEN m.n = d.n THEN 1 ELSE 0 END AS INTEGER) AS n_eq,
+           CAST(CASE WHEN m.s = d.s THEN 1 ELSE 0 END AS INTEGER) AS sum_eq,
+           CAST(CASE WHEN m.qq = d.qq THEN 1 ELSE 0 END AS INTEGER) AS sq_eq,
+           CAST(CASE WHEN m.lo = d.lo THEN 1 ELSE 0 END AS INTEGER) AS min_eq,
+           CAST(CASE WHEN m.hi = d.hi THEN 1 ELSE 0 END AS INTEGER) AS max_eq,
+           CAST(m.s AS DOUBLE) / (CAST(m.n AS DOUBLE) * 100.0) AS merged_mean
+    FROM merged m CROSS JOIN direct d
+    """,
+)
+def q_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.selectExpr(
+        "CAST(event_id AS BIGINT) % 4 AS shard", f"{_WMA_CENTS} AS c"
+    )
+    per = c.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq"),
+        F.min("c").cast("bigint").alias("lo"),
+        F.max("c").cast("bigint").alias("hi"),
+    )
+    merged = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        F.sum("qq").cast("bigint").alias("qq"),
+        F.min("lo").cast("bigint").alias("lo"),
+        F.max("hi").cast("bigint").alias("hi"),
+    )
+    direct = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("c").cast("bigint").alias("s_d"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq_d"),
+        F.min("c").cast("bigint").alias("lo_d"),
+        F.max("c").cast("bigint").alias("hi_d"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).selectExpr(
+        "n_shards",
+        "n",
+        "n_d AS n_direct",
+        "CAST(CASE WHEN n = n_d THEN 1 ELSE 0 END AS INTEGER) AS n_eq",
+        "CAST(CASE WHEN s = s_d THEN 1 ELSE 0 END AS INTEGER) AS sum_eq",
+        "CAST(CASE WHEN qq = qq_d THEN 1 ELSE 0 END AS INTEGER) AS sq_eq",
+        "CAST(CASE WHEN lo = lo_d THEN 1 ELSE 0 END AS INTEGER) AS min_eq",
+        "CAST(CASE WHEN hi = hi_d THEN 1 ELSE 0 END AS INTEGER) AS max_eq",
+        "CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS merged_mean",
+    )

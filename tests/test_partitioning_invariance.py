@@ -131,6 +131,9 @@ SWEEP = [
     "q_morisita",           # all-integer cross-multiplied identity
     "q_yule_q",             # integer cells, fixed divisions
     "q_lag_features",       # cents rolling mean, epoch gaps
+    "q_watermark_advisor",  # integer lateness, element quantiles
+    "q_merge_audit",        # integer state flags
+    "q_funnel_time",        # integer gaps, element quartiles
 ]
 
 
