@@ -347,6 +347,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_watermark_advisor",
     "q_merge_audit",
     "q_funnel_time",
+    "q_rolling_corr",
+    "q_hod_anova",
+    "q_iqr_outliers",
+    "q_missingness",
+    "q_rbo",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -8942,3 +8942,319 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# --- 7-day rolling Pearson correlation (round 4) -------------------------------------
+# The windowed companion to q_ccf: does the click/purchase coupling
+# drift over the month? Pearson r over each trailing 7-day frame of the
+# daily count series, via the n-multiplied integer identity — window
+# sums of integers are exact, r is one shared expression per day, and
+# zero-variance frames are NULL-guarded. Only full frames emit (n=7).
+# Plan: one daily aggregate; the five window sums share one ORDER BY d
+# sort on the O(|days|) relation.
+_RC_R = (
+    "(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))"
+)
+
+
+@_q(
+    "q_rolling_corr",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT d,
+               CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+               CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+               CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER fr AS BIGINT) AS syy
+        FROM db
+        WINDOW fr AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL ELSE {_RC_R} END AS r
+    FROM w WHERE n = 7 ORDER BY d
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    fr = Window.orderBy("d").rowsBetween(-6, 0)
+    w = db.select(
+        "d",
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("n"),
+        F.sum("x").over(fr).cast("bigint").alias("sx"),
+        F.sum("y").over(fr).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).cast("bigint").alias("syy"),
+    )
+    return (
+        w.where(F.col("n") == 7)
+        .selectExpr(
+            "d",
+            f"CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0"
+            f" THEN NULL ELSE {_RC_R} END AS r",
+        )
+        .orderBy("d")
+    )
+
+
+# --- hour-of-day seasonality significance (round 4) ----------------------------------
+# Is the diurnal profile statistically real? One-way ANOVA of the
+# per-(date, hour-of-day) arrival counts grouped by hour-of-day — the
+# significance test behind q_seasonality's profile estimate, reusing
+# q_anova_f's exact integer sufficient-statistic identity directly on
+# counts (integers already — no quantization needed). Plan: one
+# (date, hod) count + one combinable per-hod fold + O(1) finish.
+@_q(
+    "q_hod_anova",
+    f"""
+    WITH b AS (
+        SELECT date_trunc('day', ts) AS d, EXTRACT(hour FROM ts) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), per AS (
+        SELECT hod,
+               CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS qq1
+        FROM b GROUP BY hod
+    ), terms AS (
+        SELECT n1, s1, qq1, (s1 * s1) // n1 AS bb FROM per
+    ), agg AS (
+        SELECT CAST(SUM(n1) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(s1) AS BIGINT) AS s,
+               CAST(SUM(qq1) AS BIGINT) AS qq,
+               CAST(SUM(bb) AS BIGINT) AS bsum
+        FROM terms
+    ), sc AS (
+        SELECT n, n_groups,
+               CAST(bsum - (s * s) // n AS BIGINT) AS ssb_sc,
+               CAST(qq - bsum AS BIGINT) AS ssw_sc
+        FROM agg
+    )
+    SELECT n, n_groups, ssb_sc, ssw_sc, {_AOV_F} AS f_stat FROM sc
+    """,
+)
+def q_hod_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per = b.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq1"),
+    )
+    terms = per.selectExpr("n1", "s1", "qq1", "(s1 * s1) DIV n1 AS bb")
+    agg = terms.agg(
+        F.sum("n1").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("s1").cast("bigint").alias("s"),
+        F.sum("qq1").cast("bigint").alias("qq"),
+        F.sum("bb").cast("bigint").alias("bsum"),
+    )
+    sc = agg.selectExpr(
+        "n",
+        "n_groups",
+        "CAST(bsum - (s * s) DIV n AS BIGINT) AS ssb_sc",
+        "CAST(qq - bsum AS BIGINT) AS ssw_sc",
+    )
+    return sc.selectExpr(
+        "n", "n_groups", "ssb_sc", "ssw_sc", f"{_AOV_F} AS f_stat"
+    )
+
+
+# --- Tukey IQR fence outliers (round 4) ------------------------------------------------
+# The boxplot rule next to q_mad_outliers' modified z: per event type,
+# element-selected Q1/Q3 in the cents domain, and the 1.5·IQR fences
+# kept EXACT by working in doubled cents (lo2 = 2·q1 − 3·iqr,
+# hi2 = 2·q3 + 3·iqr, compare 2c against them — no 1.5 float ever
+# materializes). Output per type: quartiles, fence-breaking counts,
+# outlier share. Plan: one rank window per type + a broadcast O(k)
+# quartile join + one combinable fold.
+@_q(
+    "q_iqr_outliers",
+    f"""
+    WITH c AS (
+        SELECT event_type, {_AOV_CENTS} AS c,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type, c,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY c, event_id) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM c
+    ), qs AS (
+        SELECT event_type,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN c END)
+                    AS BIGINT) AS q1,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN c END)
+                    AS BIGINT) AS q3
+        FROM r GROUP BY event_type
+    ), fen AS (
+        SELECT event_type, q1, q3,
+               CAST(2 * q1 - 3 * (q3 - q1) AS BIGINT) AS lo2,
+               CAST(2 * q3 + 3 * (q3 - q1) AS BIGINT) AS hi2
+        FROM qs
+    ), agg AS (
+        SELECT c.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN 2 * c.c < fen.lo2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN 2 * c.c > fen.hi2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high,
+               CAST(MAX(fen.q1) AS BIGINT) AS q1,
+               CAST(MAX(fen.q3) AS BIGINT) AS q3
+        FROM c JOIN fen ON c.event_type = fen.event_type
+        GROUP BY c.event_type
+    )
+    SELECT event_type, n,
+           CAST(q1 AS DOUBLE) / 100.0 AS q1_value,
+           CAST(q3 AS DOUBLE) / 100.0 AS q3_value,
+           n_low, n_high,
+           CAST(n_low + n_high AS DOUBLE) / CAST(n AS DOUBLE)
+               AS outlier_share
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.selectExpr(
+        "event_type",
+        f"{_AOV_CENTS} AS c",
+        "CAST(event_id AS BIGINT) AS event_id",
+    )
+    wt = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(wt.orderBy("c", "event_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+    )
+    qs = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 25 DIV 100 + 1"), F.col("c"))
+        )
+        .cast("bigint")
+        .alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 75 DIV 100 + 1"), F.col("c"))
+        )
+        .cast("bigint")
+        .alias("q3"),
+    )
+    fen = qs.selectExpr(
+        "event_type",
+        "q1",
+        "q3",
+        "CAST(2 * q1 - 3 * (q3 - q1) AS BIGINT) AS lo2",
+        "CAST(2 * q3 + 3 * (q3 - q1) AS BIGINT) AS hi2",
+    )
+    agg = (
+        c.join(F.broadcast(fen), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(2 * F.col("c") < F.col("lo2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(2 * F.col("c") > F.col("hi2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+            F.max("q1").cast("bigint").alias("q1"),
+            F.max("q3").cast("bigint").alias("q3"),
+        )
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n",
+        "CAST(q1 AS DOUBLE) / 100.0 AS q1_value",
+        "CAST(q3 AS DOUBLE) / 100.0 AS q3_value",
+        "n_low",
+        "n_high",
+        "CAST(n_low + n_high AS DOUBLE) / CAST(n AS DOUBLE)"
+        " AS outlier_share",
+    ).orderBy("event_type")
+
+
+# --- missingness pattern audit (round 4) ------------------------------------------------
+# Column-completeness card per event type: null rates for value and
+# props plus the 2×2 co-missingness cells (are the two columns' gaps
+# correlated — one broken producer, or independent noise?). Exact
+# integer counts, fixed-order shares. Plan: one combinable aggregate.
+@_q(
+    "q_missingness",
+    """
+    WITH per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS value_nulls,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS props_nulls,
+               CAST(SUM(CASE WHEN value IS NULL AND props IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS both_null
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, value_nulls, props_nulls, both_null,
+           CAST(value_nulls AS DOUBLE) / CAST(n AS DOUBLE)
+               AS value_null_share,
+           CAST(props_nulls AS DOUBLE) / CAST(n AS DOUBLE)
+               AS props_null_share
+    FROM per ORDER BY event_type
+    """,
+)
+def q_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("value_nulls"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("props_nulls"),
+        F.sum(
+            F.when(F.col("value").isNull() & F.col("props").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_null"),
+    )
+    return per.selectExpr(
+        "event_type",
+        "n",
+        "value_nulls",
+        "props_nulls",
+        "both_null",
+        "CAST(value_nulls AS DOUBLE) / CAST(n AS DOUBLE)"
+        " AS value_null_share",
+        "CAST(props_nulls AS DOUBLE) / CAST(n AS DOUBLE)"
+        " AS props_null_share",
+    ).orderBy("event_type")

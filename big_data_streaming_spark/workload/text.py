@@ -4363,3 +4363,130 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.where(F.col("rn") <= 20).selectExpr(
         "a", "b", "c", "lift", "CAST(rn AS INTEGER) AS rank"
     )
+
+
+# --- rank-biased overlap between source vocabularies (round 4) -----------------
+# Search-eval's top-weighted rank similarity, here comparing the top-20
+# token rankings of the alphabetically first and last sources. With
+# persistence p = 1/2 the weights are DYADIC, so each depth's term
+# (1-p)·p^(d-1)·overlap@d/d = overlap_d / (d·2^d) quantizes exactly as
+# the integer (overlap_d · 10^15) // (d · 2^d) — an order-free sum, one
+# closing division. Truncated RBO@20 (documented; the tail beyond K
+# carries weight 2^-K < 1e-6). Plan: two per-source frequency
+# aggregates, rank windows on the O(|vocab|) relations, a K×K-bounded
+# join, and a 20-row depth fold.
+_RBO_K = 20
+
+
+@_q(
+    "q_rbo",
+    f"""
+    WITH srcs AS (
+        SELECT MIN(source) AS sa, MAX(source) AS sb FROM documents
+    ), fa AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents JOIN srcs ON documents.source = srcs.sa)
+        GROUP BY token
+    ), fb AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents JOIN srcs ON documents.source = srcs.sb)
+        GROUP BY token
+    ), ra AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY freq DESC, token)
+                    AS BIGINT) AS r
+        FROM fa QUALIFY r <= {_RBO_K}
+    ), rb AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY freq DESC, token)
+                    AS BIGINT) AS r
+        FROM fb QUALIFY r <= {_RBO_K}
+    ), common AS (
+        SELECT CAST(greatest(ra.r, rb.r) AS BIGINT) AS mind
+        FROM ra JOIN rb USING (token)
+    ), depths AS (
+        SELECT CAST(t.i AS BIGINT) AS d
+        FROM UNNEST(range(1, {_RBO_K} + 1)) AS t(i)
+    ), ov AS (
+        SELECT d.d,
+               CAST((SELECT COUNT(*) FROM common WHERE mind <= d.d)
+                    AS BIGINT) AS x
+        FROM depths d
+    ), terms AS (
+        SELECT CAST((x * 1000000000000000) // (d * (CAST(1 AS BIGINT) << CAST(d AS INTEGER)))
+                    AS BIGINT) AS tq,
+               CASE WHEN d = {_RBO_K} THEN x ELSE NULL END AS xk
+        FROM ov
+    )
+    SELECT (SELECT sa FROM srcs) AS source_a,
+           (SELECT sb FROM srcs) AS source_b,
+           CAST({_RBO_K} AS BIGINT) AS k,
+           CAST(MAX(xk) AS BIGINT) AS overlap_at_k,
+           CAST(SUM(tq) AS DOUBLE) / 1000000000000000.0 AS rbo
+    FROM terms
+    """,
+)
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    srcs = d.agg(F.min("source").alias("sa"), F.max("source").alias("sb"))
+
+    def _top(side: str):
+        f = (
+            d.join(F.broadcast(srcs), F.col("source") == F.col(side))
+            .select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        )
+        r = f.select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), "token"))
+            .cast("bigint")
+            .alias("r"),
+        )
+        return r.where(F.col("r") <= _RBO_K)
+
+    ra = _top("sa")
+    rb = _top("sb").selectExpr("token", "r AS r_b")
+    common = ra.join(rb, "token").select(
+        F.greatest(F.col("r"), F.col("r_b")).cast("bigint").alias("mind")
+    )
+    depths = spark.createDataFrame([(i,) for i in range(1, _RBO_K + 1)], "d bigint")
+    # left join so an empty intersection still yields x=0 at every depth
+    # (a bare cross join would drop all depth rows).
+    ov = (
+        depths.join(common, F.lit(True), "left")
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("mind").isNotNull() & (F.col("mind") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    terms = ov.selectExpr(
+        "CAST((x * 1000000000000000) DIV (d * shiftleft(CAST(1 AS BIGINT),"
+        " CAST(d AS INT))) AS BIGINT) AS tq",
+        f"CASE WHEN d = {_RBO_K} THEN x ELSE NULL END AS xk",
+    )
+    agg = terms.agg(
+        F.max("xk").cast("bigint").alias("overlap_at_k"),
+        (F.sum("tq").cast("double") / F.lit(1_000_000_000_000_000.0)).alias(
+            "rbo"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(srcs)).selectExpr(
+        "sa AS source_a",
+        "sb AS source_b",
+        f"CAST({_RBO_K} AS BIGINT) AS k",
+        "overlap_at_k",
+        "rbo",
+    )

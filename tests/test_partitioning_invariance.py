@@ -134,6 +134,11 @@ SWEEP = [
     "q_watermark_advisor",  # integer lateness, element quantiles
     "q_merge_audit",        # integer state flags
     "q_funnel_time",        # integer gaps, element quartiles
+    "q_rolling_corr",       # integer frame moments, shared-sqrt r
+    "q_hod_anova",          # integer count identity
+    "q_iqr_outliers",       # doubled-cents exact fences
+    "q_missingness",        # integer null cells
+    "q_rbo",                # dyadic depth terms, order-free
 ]
 
 
