@@ -352,6 +352,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_iqr_outliers",
     "q_missingness",
     "q_rbo",
+    "q_energy_test",
+    "q_jonckheere",
+    "q_logrank",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -9258,3 +9258,428 @@ def q_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(props_nulls AS DOUBLE) / CAST(n AS DOUBLE)"
         " AS props_null_share",
     ).orderBy("event_type")
+
+
+# --- energy-distance two-sample test (round 4) ---------------------------------------
+# Szekely's energy statistic between the click and view value samples —
+# sensitive to ANY distributional difference (location, scale, shape),
+# completing the two-sample ladder (z → MW ranks → KS/CvM shapes →
+# energy). The O(n²) pairwise |x−y| sums collapse to EXACT integers via
+# the sorted identity Σ_{i<j}|z_i−z_j| = Σ_k (2k−|S|−1)·z_(k) — one
+# rank window per sample plus one pooled, so the whole test is three
+# sorts and integer folds, never a pair join. Cross-group sum
+# A = T(pooled) − T(x) − T(y). The statistic is fixed-order text over
+# the integer T's. Plan: rank windows on the cents relation
+# (range-partitioned sorts at scale) + combinable folds.
+_EN_E = (
+    "((2.0 * CAST(a AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    " - 2.0 * CAST(tx AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))"
+    " - 2.0 * CAST(ty AS DOUBLE) / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    " / 100.0)"
+)
+_EN_STAT = (
+    f"((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    f" / CAST(n1 + n2 AS DOUBLE)) * {_EN_E})"
+)
+
+
+@_q(
+    "q_energy_test",
+    f"""
+    WITH c AS (
+        SELECT event_type, {_AOV_CENTS} AS c,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ), rall AS (
+        SELECT c,
+               CAST(row_number() OVER (ORDER BY c, event_id) AS BIGINT) AS k,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM c
+    ), tall AS (
+        SELECT CAST(SUM((2 * k - n - 1) * c) AS BIGINT) AS t_all FROM rall
+    ), rg AS (
+        SELECT event_type, c,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY c, event_id) AS BIGINT) AS k,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM c
+    ), tg AS (
+        SELECT event_type,
+               CAST(SUM((2 * k - n - 1) * c) AS BIGINT) AS t_g,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM rg GROUP BY event_type
+    ), fin AS (
+        SELECT
+            CAST(MAX(CASE WHEN event_type = 'click' THEN t_g END)
+                 AS BIGINT) AS tx,
+            CAST(MAX(CASE WHEN event_type = 'click' THEN n END)
+                 AS BIGINT) AS n1,
+            CAST(MAX(CASE WHEN event_type = 'view' THEN t_g END)
+                 AS BIGINT) AS ty,
+            CAST(MAX(CASE WHEN event_type = 'view' THEN n END)
+                 AS BIGINT) AS n2
+        FROM tg
+    ), wa AS (
+        SELECT fin.*, CAST(tall.t_all - fin.tx - fin.ty AS BIGINT) AS a
+        FROM fin CROSS JOIN tall
+    )
+    SELECT n1, n2, a AS cross_sum_cents,
+           {_EN_E} AS energy_distance,
+           {_EN_STAT} AS energy_stat
+    FROM wa
+    """,
+)
+def q_energy_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "view")
+    )
+    c = e.selectExpr(
+        "event_type",
+        f"{_AOV_CENTS} AS c",
+        "CAST(event_id AS BIGINT) AS event_id",
+    )
+    rall = c.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "event_id"))
+        .cast("bigint")
+        .alias("k"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    tall = rall.agg(
+        F.sum((2 * F.col("k") - F.col("n") - 1) * F.col("c"))
+        .cast("bigint")
+        .alias("t_all")
+    )
+    wt = Window.partitionBy("event_type")
+    rg = c.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(wt.orderBy("c", "event_id"))
+        .cast("bigint")
+        .alias("k"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+    )
+    tg = rg.groupBy("event_type").agg(
+        F.sum((2 * F.col("k") - F.col("n") - 1) * F.col("c"))
+        .cast("bigint")
+        .alias("t_g"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    fin = tg.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("t_g")))
+        .cast("bigint")
+        .alias("tx"),
+        F.max(F.when(F.col("event_type") == "click", F.col("n")))
+        .cast("bigint")
+        .alias("n1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("t_g")))
+        .cast("bigint")
+        .alias("ty"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n")))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    wa = fin.crossJoin(F.broadcast(tall)).selectExpr(
+        "tx", "n1", "ty", "n2", "CAST(t_all - tx - ty AS BIGINT) AS a"
+    )
+    return wa.selectExpr(
+        "n1",
+        "n2",
+        "a AS cross_sum_cents",
+        f"{_EN_E} AS energy_distance",
+        f"{_EN_STAT} AS energy_stat",
+    )
+
+
+# --- Jonckheere-Terpstra ordered-trend test (round 4) ---------------------------------
+# Does value rise across the ORDERED day parts (night 0-7 < afternoon
+# 8-15 < evening 16-23)? JT = Σ_{g<h} U_gh over ordered group pairs —
+# the ordered-alternative upgrade of Kruskal-Wallis. Each pairwise U
+# reuses the doubled-tie-rank machinery on the POOLED pair relation
+# (so 2·JT is an exact BIGINT); the no-ties normal approximation is
+# shared text (documented simplification, identical both sides). Plan:
+# a 3-pair literal expansion of the scan (bounded), one cumulative
+# window per pair on the O(|distinct values|) relation, combinable
+# folds.
+_JT_Z = (
+    "((CAST(jt2 AS DOUBLE) / 2.0 - CAST(mu2 AS DOUBLE) / 2.0)"
+    " / sqrt(CAST(var_num AS DOUBLE) / 72.0))"
+)
+
+
+@_q(
+    "q_jonckheere",
+    f"""
+    WITH base AS (
+        SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) // 8 AS g,
+               {_AOV_CENTS} AS c
+        FROM events WHERE value IS NOT NULL
+    ), pairs AS (
+        SELECT * FROM (VALUES (1, 0, 1), (2, 0, 2), (3, 1, 2))
+            AS t(pid, lo, hi)
+    ), longp AS (
+        SELECT p.pid, CASE WHEN b.g = p.hi THEN 1 ELSE 0 END AS is_high, b.c
+        FROM base b JOIN pairs p ON b.g = p.lo OR b.g = p.hi
+    ), vc AS (
+        SELECT pid, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM longp GROUP BY 1, 2
+    ), v2 AS (
+        SELECT pid, c,
+               CAST(2 * (SUM(cnt) OVER (PARTITION BY pid ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - cnt) + cnt + 1 AS BIGINT) AS r2
+        FROM vc
+    ), hv AS (
+        SELECT pid, c, CAST(COUNT(*) AS BIGINT) AS hcnt
+        FROM longp WHERE is_high = 1 GROUP BY 1, 2
+    ), per AS (
+        SELECT hv.pid,
+               CAST(SUM(hv.hcnt) AS BIGINT) AS nh,
+               CAST(SUM(hv.hcnt * v2.r2) AS BIGINT) AS r2h
+        FROM hv JOIN v2 ON hv.pid = v2.pid AND hv.c = v2.c
+        GROUP BY hv.pid
+    ), u2 AS (
+        SELECT CAST(SUM(r2h - nh * (nh + 1)) AS BIGINT) AS jt2 FROM per
+    ), gsz AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM base GROUP BY g
+    ), mv AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(ng * ng * (2 * ng + 3)) AS BIGINT) AS inner_term
+        FROM gsz
+    ), mu AS (
+        SELECT CAST(SUM(a.ng * b.ng) AS BIGINT) AS mu2
+        FROM gsz a JOIN gsz b ON a.g < b.g
+    ), fin AS (
+        SELECT u2.jt2, mu.mu2,
+               CAST(mv.n * mv.n * (2 * mv.n + 3) - mv.inner_term AS BIGINT)
+                   AS var_num,
+               mv.n
+        FROM u2 CROSS JOIN mu CROSS JOIN mv
+    )
+    SELECT n, jt2, mu2, var_num, {_JT_Z} AS z FROM fin
+    """,
+)
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = e.selectExpr(
+        "CAST(EXTRACT(hour FROM ts) AS BIGINT) DIV 8 AS g",
+        f"{_AOV_CENTS} AS c",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 0, 2 - 1), (2, 0, 2), (3, 1, 2)], "pid int, lo bigint, hi bigint"
+    )
+    longp = base.join(
+        F.broadcast(pairs),
+        (F.col("g") == F.col("lo")) | (F.col("g") == F.col("hi")),
+    ).select(
+        "pid",
+        F.when(F.col("g") == F.col("hi"), 1).otherwise(0).alias("is_high"),
+        "c",
+    )
+    vc = longp.groupBy("pid", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("pid")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v2 = vc.select(
+        "pid",
+        "c",
+        (2 * (F.sum("cnt").over(wcum) - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    hv = (
+        longp.where(F.col("is_high") == 1)
+        .groupBy("pid", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hcnt"))
+    )
+    per = hv.join(v2, ["pid", "c"]).groupBy("pid").agg(
+        F.sum("hcnt").cast("bigint").alias("nh"),
+        F.sum(F.col("hcnt") * F.col("r2")).cast("bigint").alias("r2h"),
+    )
+    u2 = per.agg(
+        F.sum(F.col("r2h") - F.col("nh") * (F.col("nh") + 1))
+        .cast("bigint")
+        .alias("jt2")
+    )
+    gsz = base.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+    mv = gsz.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(F.col("ng") * F.col("ng") * (2 * F.col("ng") + 3))
+        .cast("bigint")
+        .alias("inner_term"),
+    )
+    a = gsz.alias("a")
+    b = gsz.alias("b")
+    mu = a.join(b, F.col("a.g") < F.col("b.g")).agg(
+        F.sum(F.col("a.ng") * F.col("b.ng")).cast("bigint").alias("mu2")
+    )
+    fin = (
+        u2.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(mv))
+        .selectExpr(
+            "jt2",
+            "mu2",
+            "CAST(n * n * (2 * n + 3) - inner_term AS BIGINT) AS var_num",
+            "n",
+        )
+    )
+    return fin.selectExpr("n", "jt2", "mu2", "var_num", f"{_JT_Z} AS z")
+
+
+# --- log-rank test between arms (round 4) ----------------------------------------------
+# The hypothesis test behind q_km_survival's curve: do the odd/even
+# user_id arms convert (first purchase) at the same rate? Per-user
+# time-to-event with censoring exactly as KM defines it; at each
+# distinct EVENT day t the observed arm-1 events O1 accumulate exactly,
+# while the expected count d_t·n1_t/n_t and hypergeometric variance
+# term are 1e-12-quantized from identically-computed doubles so their
+# sums are order-free integers. chi² = (O1−E1)²/V as shared text.
+# Plan: one per-user journey aggregate; the risk table is O(|event
+# days|) (≤31 rows) built from a bounded cross join; everything after
+# is tiny.
+_LR_E1 = "(CAST(e1_q AS DOUBLE) / 1000000000000.0)"
+_LR_V = "(CAST(v_q AS DOUBLE) / 1000000000000.0)"
+_LR_CHI2 = (
+    f"(((CAST(o1 AS DOUBLE) - {_LR_E1}) * (CAST(o1 AS DOUBLE) - {_LR_E1}))"
+    f" / {_LR_V})"
+)
+_LR_ETERM = (
+    "CAST(floor(CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " * 1000000000000.0 + 0.5) AS BIGINT)"
+)
+_LR_VTERM = (
+    "CAST(floor(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+    " * 1000000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@_q(
+    "q_logrank",
+    f"""
+    WITH j AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(MIN(floor(epoch(ts) / 86400)) AS BIGINT) AS d0,
+               CAST(MIN(CASE WHEN event_type = 'purchase'
+                             THEN floor(epoch(ts) / 86400) END) AS BIGINT)
+                   AS dp,
+               CAST(MAX(floor(epoch(ts) / 86400)) AS BIGINT) AS dl
+        FROM events GROUP BY user_id
+    ), obs AS (
+        SELECT arm,
+               CASE WHEN dp IS NULL THEN dl - d0 ELSE dp - d0 END AS tt,
+               CASE WHEN dp IS NULL THEN 0 ELSE 1 END AS ev
+        FROM j
+    ), et AS (
+        SELECT DISTINCT tt AS day FROM obs WHERE ev = 1
+    ), risk AS (
+        SELECT et.day,
+               CAST(SUM(CASE WHEN obs.tt >= et.day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN obs.tt >= et.day AND obs.arm = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN obs.tt = et.day AND obs.ev = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN obs.tt = et.day AND obs.ev = 1
+                             AND obs.arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d1
+        FROM et CROSS JOIN obs GROUP BY et.day
+    ), agg AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+               CAST(SUM({_LR_ETERM}) AS BIGINT) AS e1_q,
+               CAST(SUM(CASE WHEN n > 1 THEN {_LR_VTERM} ELSE 0 END)
+                    AS BIGINT) AS v_q,
+               CAST(COUNT(*) AS BIGINT) AS n_event_days
+        FROM risk
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM j
+    )
+    SELECT n_users, n_event_days, o1, {_LR_E1} AS e1,
+           {_LR_V} AS var_lr,
+           CASE WHEN v_q = 0 THEN NULL ELSE {_LR_CHI2} END AS logrank_chi2
+    FROM agg CROSS JOIN nn
+    """,
+)
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    j = e.groupBy("user_id").agg(
+        F.max(F.expr("CAST(user_id % 2 AS BIGINT)")).alias("arm"),
+        F.expr("CAST(MIN(floor(unix_timestamp(ts) / 86400)) AS BIGINT)")
+        .alias("d0"),
+        F.expr(
+            "CAST(MIN(CASE WHEN event_type = 'purchase'"
+            " THEN floor(unix_timestamp(ts) / 86400) END) AS BIGINT)"
+        ).alias("dp"),
+        F.expr("CAST(MAX(floor(unix_timestamp(ts) / 86400)) AS BIGINT)")
+        .alias("dl"),
+    )
+    obs = j.selectExpr(
+        "arm",
+        "CASE WHEN dp IS NULL THEN dl - d0 ELSE dp - d0 END AS tt",
+        "CASE WHEN dp IS NULL THEN 0 ELSE 1 END AS ev",
+    )
+    et = obs.where(F.col("ev") == 1).select(
+        F.col("tt").alias("day")
+    ).distinct()
+    risk = (
+        F.broadcast(et)
+        .crossJoin(obs)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("tt") >= F.col("day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("tt") >= F.col("day")) & (F.col("arm") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(
+                F.when(
+                    (F.col("tt") == F.col("day")) & (F.col("ev") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.sum(
+                F.when(
+                    (F.col("tt") == F.col("day"))
+                    & (F.col("ev") == 1)
+                    & (F.col("arm") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d1"),
+        )
+    )
+    agg = risk.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(F.expr(_LR_ETERM)).cast("bigint").alias("e1_q"),
+        F.sum(
+            F.expr(f"CASE WHEN n > 1 THEN {_LR_VTERM} ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("v_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_event_days"),
+    )
+    nn = j.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    return agg.crossJoin(F.broadcast(nn)).selectExpr(
+        "n_users",
+        "n_event_days",
+        "o1",
+        f"{_LR_E1} AS e1",
+        f"{_LR_V} AS var_lr",
+        f"CASE WHEN v_q = 0 THEN NULL ELSE {_LR_CHI2} END AS logrank_chi2",
+    )

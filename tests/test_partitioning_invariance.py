@@ -139,6 +139,9 @@ SWEEP = [
     "q_iqr_outliers",       # doubled-cents exact fences
     "q_missingness",        # integer null cells
     "q_rbo",                # dyadic depth terms, order-free
+    "q_energy_test",        # sorted-identity integer T sums
+    "q_jonckheere",         # doubled pooled-pair ranks
+    "q_logrank",            # quantized risk-table terms
 ]
 
 
