@@ -355,6 +355,15 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_energy_test",
     "q_jonckheere",
     "q_logrank",
+    "q_partial_corr",
+    "q_granger_lite",
+    "q_variance_ratio",
+    "q_pacf",
+    "q_rfm_migration",
+    "q_abc_analysis",
+    "q_cohort_revenue",
+    "q_ship_delay",
+    "q_stream_srm",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

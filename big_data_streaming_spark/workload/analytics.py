@@ -6397,10 +6397,11 @@ def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distribution differ across ALL event types at once? Same doubled-rank
 # trick (average tie ranks are half-integers, so 2*rank is a pure
 # BIGINT built from the distinct-value cumulative counts); per-group
-# rank sums are exact integer aggregates, and the per-group term
-# R2_g^2/n_g enters the cross-group sum as an exact floor-divided
-# BIGINT (same floor-quantized-terms precedent as AP@10), so the sum is
-# order-free. H and the tie-corrected H/C finish as shared-text IEEE
+# rank sums are exact integer aggregates; the per-group term R2_g^2/n_g
+# enters the cross-group sum as a floor-quantized BIGINT computed in
+# the shared double domain (r2s^2 overflows int64 at sf0.1; the double
+# product is correctly rounded identically on both engines, so the
+# floored term is still deterministic), keeping the sum order-free. H and the tie-corrected H/C finish as shared-text IEEE
 # expressions over those integers; C uses the exact tie sum
 # T = sum(t^3 - t) off the same distinct-value relation. Plan: ranks
 # live on O(|distinct|) rows; the only row-grain work is the
@@ -6438,7 +6439,10 @@ _KW_C = (
                CAST(SUM(gcnt * r2) AS BIGINT) AS r2s
         FROM gv JOIN v2 USING (value) GROUP BY event_type
     ), terms AS (
-        SELECT n1, (r2s * r2s) // n1 AS q FROM per
+        SELECT n1,
+               CAST(floor(CAST(r2s AS DOUBLE) * CAST(r2s AS DOUBLE)
+                          / CAST(n1 AS DOUBLE)) AS BIGINT) AS q
+        FROM per
     ), ties AS (
         SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
         FROM vc
@@ -6474,7 +6478,11 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gcnt").cast("bigint").alias("n1"),
         F.sum(F.col("gcnt") * F.col("r2")).cast("bigint").alias("r2s"),
     )
-    terms = per.selectExpr("n1", "(r2s * r2s) DIV n1 AS q")
+    terms = per.selectExpr(
+        "n1",
+        "CAST(floor(CAST(r2s AS DOUBLE) * CAST(r2s AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) AS BIGINT) AS q",
+    )
     ties = vc.agg(
         F.sum(
             F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
@@ -6503,9 +6511,10 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactness: value is money-like (2 decimals), so cents
 # c = floor(value*100 + 0.5) is an exact BIGINT and every sufficient
 # statistic (S_g, sum c^2, counts) is an exact integer aggregate; the
-# per-group S_g^2/n_g terms are floor-divided BIGINTs (order-free
-# cross-group sum), making SSB/SSW exact integers in the cents^2
-# domain. The F statistic is one shared-text expression over those
+# per-group S_g^2/n_g terms are floor-quantized BIGINTs via the shared
+# double domain (S_g^2 overflows int64 at sf0.1; both engines round the
+# double product identically), keeping the cross-group sum order-free
+# and SSB/SSW deterministic integers in the cents^2 domain. The F statistic is one shared-text expression over those
 # integers (the 10^4 cents^2 scale cancels in F); SSB/SSW are also
 # reported in value units^2 via a single fixed-order division. Plan:
 # one map-side-combinable aggregate per group + an O(k) finish.
@@ -6529,7 +6538,10 @@ _AOV_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
                CAST(SUM(c * c) AS BIGINT) AS qq1
         FROM c GROUP BY event_type
     ), terms AS (
-        SELECT n1, s1, qq1, (s1 * s1) // n1 AS b FROM per
+        SELECT n1, s1, qq1,
+               CAST(floor(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(n1 AS DOUBLE)) AS BIGINT) AS b
+        FROM per
     ), agg AS (
         SELECT CAST(SUM(n1) AS BIGINT) AS n,
                CAST(COUNT(*) AS BIGINT) AS n_groups,
@@ -6539,7 +6551,9 @@ _AOV_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
         FROM terms
     ), sc AS (
         SELECT n, n_groups,
-               CAST(bsum - (s * s) // n AS BIGINT) AS ssb_sc,
+               CAST(bsum - CAST(floor(CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                    AS BIGINT) AS ssb_sc,
                CAST(qq - bsum AS BIGINT) AS ssw_sc
         FROM agg
     )
@@ -6558,7 +6572,13 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("s1"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq1"),
     )
-    terms = per.selectExpr("n1", "s1", "qq1", "(s1 * s1) DIV n1 AS b")
+    terms = per.selectExpr(
+        "n1",
+        "s1",
+        "qq1",
+        "CAST(floor(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) AS BIGINT) AS b",
+    )
     agg = terms.agg(
         F.sum("n1").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
@@ -6569,7 +6589,8 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = agg.selectExpr(
         "n",
         "n_groups",
-        "CAST(bsum - (s * s) DIV n AS BIGINT) AS ssb_sc",
+        "CAST(bsum - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) AS BIGINT) AS BIGINT) AS ssb_sc",
         "CAST(qq - bsum AS BIGINT) AS ssw_sc",
     )
     return sc.selectExpr(
@@ -7358,7 +7379,10 @@ _BF_W = (
                CAST(SUM(z * z) AS BIGINT) AS qq1
         FROM z GROUP BY event_type
     ), terms AS (
-        SELECT n1, s1, qq1, (s1 * s1) // n1 AS b FROM per
+        SELECT n1, s1, qq1,
+               CAST(floor(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(n1 AS DOUBLE)) AS BIGINT) AS b
+        FROM per
     ), agg AS (
         SELECT CAST(SUM(n1) AS BIGINT) AS n,
                CAST(COUNT(*) AS BIGINT) AS n_groups,
@@ -7368,7 +7392,9 @@ _BF_W = (
         FROM terms
     ), sc AS (
         SELECT n, n_groups,
-               CAST(bsum - (s * s) // n AS BIGINT) AS ssb_sc,
+               CAST(bsum - CAST(floor(CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                    AS BIGINT) AS ssb_sc,
                CAST(qq - bsum AS BIGINT) AS ssw_sc
         FROM agg
     )
@@ -7403,7 +7429,13 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("z").cast("bigint").alias("s1"),
         F.sum(F.col("z") * F.col("z")).cast("bigint").alias("qq1"),
     )
-    terms = per.selectExpr("n1", "s1", "qq1", "(s1 * s1) DIV n1 AS b")
+    terms = per.selectExpr(
+        "n1",
+        "s1",
+        "qq1",
+        "CAST(floor(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) AS BIGINT) AS b",
+    )
     agg = terms.agg(
         F.sum("n1").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
@@ -7414,7 +7446,8 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = agg.selectExpr(
         "n",
         "n_groups",
-        "CAST(bsum - (s * s) DIV n AS BIGINT) AS ssb_sc",
+        "CAST(bsum - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) AS BIGINT) AS BIGINT) AS ssb_sc",
         "CAST(qq - bsum AS BIGINT) AS ssw_sc",
     )
     return sc.selectExpr(
@@ -8373,11 +8406,15 @@ def q_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ybar_t - ybar_c) - theta * (xbar_t - xbar_c), and the variance
 # reduction rho² — every sufficient statistic (per-user cents sums,
 # cross-products) is an exact BIGINT; theta/effects/rho² are fixed-
-# order expressions, with rho²'s squaring done in the double domain to
-# stay overflow-safe. Plan: one per-user combinable aggregate, one O(1)
+# order SHARED-TEXT double expressions over them (the n·Sxy products
+# overflow int64 at sf0.1, so all moment algebra runs in the double
+# domain — identical IEEE results on both engines). Plan: one per-user combinable aggregate, one O(1)
 # fold; no joins beyond a broadcast bounds scalar.
 _CUPED_THETA = (
-    "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))"
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
 )
 _CUPED_NAIVE = (
     "(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
@@ -8388,10 +8425,20 @@ _CUPED_XGAP = (
     " - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
 )
 _CUPED_ADJ = f"({_CUPED_NAIVE} - {_CUPED_THETA} * {_CUPED_XGAP})"
+_CUPED_COVN = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_CUPED_VXN = (
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_CUPED_VYN = (
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
 _CUPED_RHO2 = (
-    "((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))"
-    " / (CAST(n * sxx - sx * sx AS DOUBLE)"
-    " * CAST(n * syy - sy * sy AS DOUBLE)))"
+    f"(({_CUPED_COVN} * {_CUPED_COVN}) / ({_CUPED_VXN} * {_CUPED_VYN}))"
 )
 
 
@@ -9048,7 +9095,9 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM terms
     ), sc AS (
         SELECT n, n_groups,
-               CAST(bsum - (s * s) // n AS BIGINT) AS ssb_sc,
+               CAST(bsum - CAST(floor(CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                    AS BIGINT) AS ssb_sc,
                CAST(qq - bsum AS BIGINT) AS ssw_sc
         FROM agg
     )
@@ -9077,7 +9126,8 @@ def q_hod_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = agg.selectExpr(
         "n",
         "n_groups",
-        "CAST(bsum - (s * s) DIV n AS BIGINT) AS ssb_sc",
+        "CAST(bsum - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) AS BIGINT) AS BIGINT) AS ssb_sc",
         "CAST(qq - bsum AS BIGINT) AS ssw_sc",
     )
     return sc.selectExpr(
@@ -9682,4 +9732,524 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_LR_E1} AS e1",
         f"{_LR_V} AS var_lr",
         f"CASE WHEN v_q = 0 THEN NULL ELSE {_LR_CHI2} END AS logrank_chi2",
+    )
+
+
+# --- partial correlation controlling for exposure (round 4) ----------------------------
+# Does the daily click↔purchase coupling survive after controlling for
+# view volume (the common-cause confounder)? First-order partial
+# correlation r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)(1−r_yz²)),
+# with each pairwise r computed by the n-multiplied integer identity —
+# integer moments in, one shared-text expression out. Plan: one daily
+# aggregate carrying all nine sufficient statistics + an O(1) fold.
+_PC_RXY = (
+    "(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))"
+)
+_PC_RXZ = (
+    "(CAST(n * sxz - sx * sz AS DOUBLE)"
+    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    " * sqrt(CAST(n * szz - sz * sz AS DOUBLE))))"
+)
+_PC_RYZ = (
+    "(CAST(n * syz - sy * sz AS DOUBLE)"
+    " / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))"
+    " * sqrt(CAST(n * szz - sz * sz AS DOUBLE))))"
+)
+_PC_PARTIAL = (
+    f"(({_PC_RXY} - {_PC_RXZ} * {_PC_RYZ})"
+    f" / sqrt((1.0 - {_PC_RXZ} * {_PC_RXZ})"
+    f" * (1.0 - {_PC_RYZ} * {_PC_RYZ})))"
+)
+
+
+@_q(
+    "q_partial_corr",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS z
+        FROM events GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * z) AS BIGINT) AS sxz,
+               CAST(SUM(y * z) AS BIGINT) AS syz
+        FROM db
+    )
+    SELECT n, {_PC_RXY} AS r_xy, {_PC_RXZ} AS r_xz, {_PC_RYZ} AS r_yz,
+           {_PC_PARTIAL} AS partial_r
+    FROM agg
+    """,
+)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("z"),
+    )
+    agg = db.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("bigint").alias("syz"),
+    )
+    return agg.selectExpr(
+        "n",
+        f"{_PC_RXY} AS r_xy",
+        f"{_PC_RXZ} AS r_xz",
+        f"{_PC_RYZ} AS r_yz",
+        f"{_PC_PARTIAL} AS partial_r",
+    )
+
+
+# --- Granger-style lead screen (round 4) -------------------------------------------------
+# Does yesterday's click volume improve the prediction of today's
+# purchases beyond yesterday's purchases alone? The F comparison of the
+# restricted (y ~ y_lag) vs unrestricted (y ~ y_lag + x_lag) OLS fits.
+# The centered moments are exact n-multiplied BIGINTs; both residual
+# sums are SHARED-TEXT double polynomials over them (D = S11·S22 −
+# S12², the 2×2 normal-equation determinant — closed form, no matrix
+# inversion; the triple-moment products overflow int64 at sf0.01, so
+# the polynomial runs in the fixed-order double domain), and F is one
+# fixed-order expression. Plan: one daily aggregate, one lag
+# window on the O(|days|) relation, one fold.
+_GR_SSER = (
+    "(CAST(cyy AS DOUBLE) - CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE)"
+    " / CAST(c11 AS DOUBLE))"
+)
+_GR_D = (
+    "(CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)"
+    " - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE))"
+)
+_GR_SSEU = (
+    f"(CAST(cyy AS DOUBLE)"
+    f" - (CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE) * CAST(c22 AS DOUBLE)"
+    f" - 2.0 * CAST(cy1 AS DOUBLE) * CAST(cy2 AS DOUBLE)"
+    f" * CAST(c12 AS DOUBLE)"
+    f" + CAST(cy2 AS DOUBLE) * CAST(cy2 AS DOUBLE) * CAST(c11 AS DOUBLE))"
+    f" / {_GR_D})"
+)
+_GR_F = (
+    f"((({_GR_SSER} - {_GR_SSEU}) * CAST(n - 3 AS DOUBLE)) / {_GR_SSEU})"
+)
+
+
+@_q(
+    "q_granger_lite",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), lagd AS (
+        SELECT y,
+               LAG(y) OVER (ORDER BY d) AS y1,
+               LAG(x) OVER (ORDER BY d) AS x1
+        FROM db
+    ), o AS (
+        SELECT y, y1, x1 FROM lagd WHERE y1 IS NOT NULL
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(y1) AS BIGINT) AS s1,
+               CAST(SUM(x1) AS BIGINT) AS s2,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(y1 * y1) AS BIGINT) AS s11,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s22,
+               CAST(SUM(y1 * x1) AS BIGINT) AS s12,
+               CAST(SUM(y * y1) AS BIGINT) AS sy1,
+               CAST(SUM(y * x1) AS BIGINT) AS sy2
+        FROM o
+    ), cm AS (
+        SELECT n,
+               CAST(n * syy - sy * sy AS BIGINT) AS cyy,
+               CAST(n * s11 - s1 * s1 AS BIGINT) AS c11,
+               CAST(n * s22 - s2 * s2 AS BIGINT) AS c22,
+               CAST(n * s12 - s1 * s2 AS BIGINT) AS c12,
+               CAST(n * sy1 - sy * s1 AS BIGINT) AS cy1,
+               CAST(n * sy2 - sy * s2 AS BIGINT) AS cy2
+        FROM m
+    )
+    SELECT n AS n_obs, {_GR_SSER} AS sse_r, {_GR_SSEU} AS sse_u,
+           CASE WHEN {_GR_SSEU} <= 0.0 THEN NULL ELSE {_GR_F} END
+               AS f_granger
+    FROM cm
+    """,
+)
+def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("d")
+    lagd = db.select(
+        "y",
+        F.lag("y").over(w).alias("y1"),
+        F.lag("x").over(w).alias("x1"),
+    )
+    o = lagd.where(F.col("y1").isNotNull())
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("y1").cast("bigint").alias("s1"),
+        F.sum("x1").cast("bigint").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("y1") * F.col("y1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s22"),
+        F.sum(F.col("y1") * F.col("x1")).cast("bigint").alias("s12"),
+        F.sum(F.col("y") * F.col("y1")).cast("bigint").alias("sy1"),
+        F.sum(F.col("y") * F.col("x1")).cast("bigint").alias("sy2"),
+    )
+    cm = m.selectExpr(
+        "n",
+        "CAST(n * syy - sy * sy AS BIGINT) AS cyy",
+        "CAST(n * s11 - s1 * s1 AS BIGINT) AS c11",
+        "CAST(n * s22 - s2 * s2 AS BIGINT) AS c22",
+        "CAST(n * s12 - s1 * s2 AS BIGINT) AS c12",
+        "CAST(n * sy1 - sy * s1 AS BIGINT) AS cy1",
+        "CAST(n * sy2 - sy * s2 AS BIGINT) AS cy2",
+    )
+    return cm.selectExpr(
+        "n AS n_obs",
+        f"{_GR_SSER} AS sse_r",
+        f"{_GR_SSEU} AS sse_u",
+        f"CASE WHEN {_GR_SSEU} <= 0.0 THEN NULL ELSE {_GR_F} END"
+        " AS f_granger",
+    )
+
+
+# --- variance-ratio random-walk test (round 4) --------------------------------------------
+# Is the daily arrival series a random walk in aggregate? Lo-MacKinlay
+# style VR(5): the variance of non-overlapping 5-day block sums over 5×
+# the daily variance, cross-multiplied into ONE division of exact
+# integer products (both sample variances enter as n-multiplied integer
+# identities). Only complete blocks count. Plan: two count aggregates
+# (day, then block) + an O(1) fold.
+_VR = (
+    "((CAST(nb * qb - sb * sb AS DOUBLE)"
+    " * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))"
+    " / (5.0 * CAST(n * q - s * s AS DOUBLE)"
+    " * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_variance_ratio",
+    f"""
+    WITH db AS (
+        SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+                   AS didx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), mn AS (
+        SELECT CAST(MIN(didx) AS BIGINT) AS d0 FROM db
+    ), daily AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM db
+    ), blocks AS (
+        SELECT (didx - d0) // 5 AS blk,
+               CAST(SUM(c) AS BIGINT) AS bc,
+               CAST(COUNT(*) AS BIGINT) AS ndays
+        FROM db CROSS JOIN mn GROUP BY 1
+    ), bstat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(bc) AS BIGINT) AS sb,
+               CAST(SUM(bc * bc) AS BIGINT) AS qb
+        FROM blocks WHERE ndays = 5
+    )
+    SELECT daily.n AS n_days, bstat.nb AS n_blocks,
+           CAST(5 AS BIGINT) AS k, {_VR} AS variance_ratio
+    FROM daily CROSS JOIN bstat
+    """,
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(
+        F.expr(
+            "CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
+            " DIV 86400"
+        ).alias("didx")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    mn = db.agg(F.min("didx").cast("bigint").alias("d0"))
+    daily = db.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    blocks = (
+        db.crossJoin(F.broadcast(mn))
+        .groupBy(F.expr("(didx - d0) DIV 5").alias("blk"))
+        .agg(
+            F.sum("c").cast("bigint").alias("bc"),
+            F.count(F.lit(1)).cast("bigint").alias("ndays"),
+        )
+    )
+    bstat = blocks.where(F.col("ndays") == 5).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("bc").cast("bigint").alias("sb"),
+        F.sum(F.col("bc") * F.col("bc")).cast("bigint").alias("qb"),
+    )
+    return daily.crossJoin(F.broadcast(bstat)).selectExpr(
+        "n AS n_days",
+        "nb AS n_blocks",
+        "CAST(5 AS BIGINT) AS k",
+        f"{_VR} AS variance_ratio",
+    )
+
+
+# --- partial autocorrelation, lags 1-3 (round 4) ------------------------------------------
+# The AR-order diagnostic next to q_acf: PACF via the Durbin-Levinson
+# recursion UNROLLED to closed form for three lags (phi11 = r1;
+# phi22 = (r2−r1²)/(1−r1²); phi33 from the order-2 coefficients) — no
+# loop, one shared-text expression tree over the lag moments. Each
+# centered lag product C_k = Σ(n·x_t−S)(n·x_{t+k}−S) is an exact
+# BIGINT (n-multiplied centering); r_k = C_k/C_0 one division each.
+# Plan: one daily aggregate, three LEAD windows sharing one day sort,
+# one fold.
+_PA_R1 = "(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE))"
+_PA_R2 = "(CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE))"
+_PA_R3 = "(CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE))"
+_PA_P22 = (
+    f"(({_PA_R2} - {_PA_R1} * {_PA_R1})"
+    f" / (1.0 - {_PA_R1} * {_PA_R1}))"
+)
+_PA_P21 = f"({_PA_R1} * (1.0 - {_PA_P22}))"
+_PA_P33 = (
+    f"(({_PA_R3} - {_PA_P21} * {_PA_R2} - {_PA_P22} * {_PA_R1})"
+    f" / (1.0 - {_PA_P21} * {_PA_R1} - {_PA_P22} * {_PA_R2}))"
+)
+
+
+@_q(
+    "q_pacf",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM db
+    ), ld AS (
+        SELECT x,
+               LEAD(x, 1) OVER (ORDER BY d) AS x1,
+               LEAD(x, 2) OVER (ORDER BY d) AS x2,
+               LEAD(x, 3) OVER (ORDER BY d) AS x3
+        FROM db
+    ), cs AS (
+        SELECT CAST(SUM((n * x - s) * (n * x - s)) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN x1 IS NULL THEN 0
+                             ELSE (n * x - s) * (n * x1 - s) END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN x2 IS NULL THEN 0
+                             ELSE (n * x - s) * (n * x2 - s) END)
+                    AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN x3 IS NULL THEN 0
+                             ELSE (n * x - s) * (n * x3 - s) END)
+                    AS BIGINT) AS c3,
+               CAST(MAX(n) AS BIGINT) AS n_days
+        FROM ld CROSS JOIN tot
+    )
+    SELECT n_days, {_PA_R1} AS r1, {_PA_R2} AS r2, {_PA_R3} AS r3,
+           {_PA_R1} AS pacf1, {_PA_P22} AS pacf2, {_PA_P33} AS pacf3
+    FROM cs
+    """,
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = db.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w = Window.orderBy("d")
+    ld = db.select(
+        "x",
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+        F.lead("x", 3).over(w).alias("x3"),
+    )
+    cs = ld.crossJoin(F.broadcast(tot)).agg(
+        F.sum((F.col("n") * F.col("x") - F.col("s"))
+              * (F.col("n") * F.col("x") - F.col("s")))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(
+            F.when(F.col("x1").isNull(), 0).otherwise(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x1") - F.col("s"))
+            )
+        )
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(
+            F.when(F.col("x2").isNull(), 0).otherwise(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x2") - F.col("s"))
+            )
+        )
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(
+            F.when(F.col("x3").isNull(), 0).otherwise(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x3") - F.col("s"))
+            )
+        )
+        .cast("bigint")
+        .alias("c3"),
+        F.max("n").cast("bigint").alias("n_days"),
+    )
+    return cs.selectExpr(
+        "n_days",
+        f"{_PA_R1} AS r1",
+        f"{_PA_R2} AS r2",
+        f"{_PA_R3} AS r3",
+        f"{_PA_R1} AS pacf1",
+        f"{_PA_P22} AS pacf2",
+        f"{_PA_P33} AS pacf3",
+    )
+
+
+# --- RFM segment migration matrix (round 4) ------------------------------------------------
+# Customer-base dynamics: per user, purchase-intensity segment in each
+# half of the window (none / light = 1 / heavy >= 2 purchases) and the
+# first-half → second-half transition matrix with row shares. All
+# exact integer counts; the half split reuses q_cuped's integer
+# day-index midpoint. Plan: one per-user conditional aggregate + one
+# (seg, seg) count; O(9) output.
+@_q(
+    "q_rfm_migration",
+    """
+    WITH bounds AS (
+        SELECT (CAST(floor(epoch(date_trunc('day', MIN(ts)))) AS BIGINT)
+                    // 86400
+                + CAST(floor(epoch(date_trunc('day', MAX(ts)))) AS BIGINT)
+                    // 86400 + 1) // 2 AS split_day
+        FROM events
+    ), per AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             AND CAST(floor(epoch(date_trunc('day', ts)))
+                                      AS BIGINT) // 86400 < split_day
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             AND CAST(floor(epoch(date_trunc('day', ts)))
+                                      AS BIGINT) // 86400 >= split_day
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p2
+        FROM events CROSS JOIN bounds GROUP BY user_id
+    ), seg AS (
+        SELECT CASE WHEN p1 = 0 THEN 'none' WHEN p1 = 1 THEN 'light'
+                    ELSE 'heavy' END AS seg_h1,
+               CASE WHEN p2 = 0 THEN 'none' WHEN p2 = 1 THEN 'light'
+                    ELSE 'heavy' END AS seg_h2
+        FROM per
+    ), mat AS (
+        SELECT seg_h1, seg_h2, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM seg GROUP BY 1, 2
+    ), rt AS (
+        SELECT seg_h1, CAST(SUM(n_users) AS BIGINT) AS row_total
+        FROM mat GROUP BY seg_h1
+    )
+    SELECT m.seg_h1, m.seg_h2, m.n_users,
+           CAST(m.n_users AS DOUBLE) / CAST(rt.row_total AS DOUBLE)
+               AS row_share
+    FROM mat m JOIN rt ON m.seg_h1 = rt.seg_h1
+    ORDER BY m.seg_h1, m.seg_h2
+    """,
+)
+def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.expr(
+            "(CAST(floor(unix_timestamp(date_trunc('day', MIN(ts))))"
+            " AS BIGINT) DIV 86400"
+            " + CAST(floor(unix_timestamp(date_trunc('day', MAX(ts))))"
+            " AS BIGINT) DIV 86400 + 1) DIV 2"
+        ).alias("split_day")
+    )
+    day_idx = (
+        "CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
+        " DIV 86400"
+    )
+    per = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN event_type = 'purchase'"
+                    f" AND {day_idx} < split_day THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("p1"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN event_type = 'purchase'"
+                    f" AND {day_idx} >= split_day THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("p2"),
+        )
+    )
+    seg = per.selectExpr(
+        "CASE WHEN p1 = 0 THEN 'none' WHEN p1 = 1 THEN 'light'"
+        " ELSE 'heavy' END AS seg_h1",
+        "CASE WHEN p2 = 0 THEN 'none' WHEN p2 = 1 THEN 'light'"
+        " ELSE 'heavy' END AS seg_h2",
+    )
+    mat = seg.groupBy("seg_h1", "seg_h2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rt = mat.groupBy("seg_h1").agg(
+        F.sum("n_users").cast("bigint").alias("row_total")
+    )
+    return (
+        mat.join(F.broadcast(rt), "seg_h1")
+        .selectExpr(
+            "seg_h1",
+            "seg_h2",
+            "n_users",
+            "CAST(n_users AS DOUBLE) / CAST(row_total AS DOUBLE)"
+            " AS row_share",
+        )
+        .orderBy("seg_h1", "seg_h2")
     )

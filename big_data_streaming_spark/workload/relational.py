@@ -2234,3 +2234,238 @@ def q_selfjoin_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_uniform"),
         (F.col("exact_pairs").cast("double") / est).alias("skew_ratio"),
     )
+
+
+# --- ABC / Pareto inventory classification (round 4) -----------------------
+# The classic 80/15/5 revenue classification over parts: per-part
+# discounted revenue in EXACT integer micro-units (extendedprice has 2
+# decimals and discount 2, so price·(1−disc) has <= 4 — the 1e6
+# quantization is exact), a revenue-descending cumulative window, and
+# class cuts by INTEGER cross-multiplication (cum·5 <= total·4 for A,
+# cum·20 <= total·19 for B) so no 0.8/0.95 float ever participates in
+# the boundary decision. Plan: one combinable per-part aggregate → one
+# global sort window (range partition at scale) → O(3) output. At
+# sf >= 1 the ×19 products approach int64 — the documented swap is
+# DECIMAL(38,0) cum sums, same plan shape.
+_ABC_MICROS = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@_q(
+    "q_abc_analysis",
+    f"""
+    WITH rev AS (
+        SELECT l_partkey, CAST(SUM({_ABC_MICROS}) AS BIGINT) AS m
+        FROM lineitem GROUP BY l_partkey
+    ), cum AS (
+        SELECT l_partkey, m,
+               CAST(SUM(m) OVER (ORDER BY m DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS c,
+               CAST(SUM(m) OVER () AS BIGINT) AS tot
+        FROM rev
+    ), cls AS (
+        SELECT CASE WHEN c * 5 <= tot * 4 THEN 'A'
+                    WHEN c * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               m, tot
+        FROM cum
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(m) AS DOUBLE) / 1000000.0 AS revenue,
+           CAST(SUM(m) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+               AS revenue_share
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.expr(_ABC_MICROS)).cast("bigint").alias("m")
+    )
+    wc = Window.orderBy(F.desc("m"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.select(
+        "l_partkey",
+        "m",
+        F.sum("m").over(wc).cast("bigint").alias("c"),
+        F.sum("m").over(Window.partitionBy()).cast("bigint").alias("tot"),
+    )
+    cls = cum.selectExpr(
+        "CASE WHEN c * 5 <= tot * 4 THEN 'A'"
+        " WHEN c * 20 <= tot * 19 THEN 'B'"
+        " ELSE 'C' END AS abc_class",
+        "m",
+        "tot",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            (F.sum("m").cast("double") / 1000000.0).alias("revenue"),
+            (F.sum("m").cast("double") / F.max("tot").cast("double")).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# --- customer cohort revenue triangle (round 4) -----------------------------
+# The classic cohort retention/revenue triangle on the SCALED orders
+# table: customers grouped by first-order month, revenue traced by
+# months-since-acquisition. Month indices are exact integers
+# (year·12+month); revenue routes through DECIMAL(38,6) (the money
+# policy). Plan: one per-customer min aggregate (combinable), one
+# broadcastable cohort join back (at 100 TB: both sides hash on
+# o_custkey — one co-partitioned exchange pair), one (cohort, age)
+# aggregate.
+@_q(
+    "q_cohort_revenue",
+    f"""
+    WITH om AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx,
+               o_totalprice
+        FROM orders
+    ), first AS (
+        SELECT o_custkey, CAST(MIN(midx) AS BIGINT) AS cohort
+        FROM om GROUP BY o_custkey
+    )
+    SELECT f.cohort AS cohort_month,
+           CAST(om.midx - f.cohort AS BIGINT) AS months_since,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT om.o_custkey) AS BIGINT) AS n_customers,
+           {oracle_dec_sum('om.o_totalprice', 'revenue')}
+    FROM om JOIN first f ON om.o_custkey = f.o_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    om = o.selectExpr(
+        "o_custkey",
+        "CAST(EXTRACT(year FROM o_orderdate) * 12"
+        " + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx",
+        "o_totalprice",
+    )
+    first = om.groupBy("o_custkey").agg(
+        F.min("midx").cast("bigint").alias("cohort")
+    )
+    return (
+        om.join(first, "o_custkey")
+        .groupBy(
+            F.col("cohort").alias("cohort_month"),
+            (F.col("midx") - F.col("cohort")).cast("bigint").alias(
+                "months_since"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+# --- shipping-delay quantiles by priority (round 4) -------------------------
+# Fulfilment SLA audit on the scaled orders⋈lineitem join: whole-day
+# order-to-ship delays (exact floor(epoch/86400) differences), with
+# p50/p90/p99 ELEMENT-SELECTED per priority under the pinned (delay,
+# orderkey, linenumber) total order. Plan: the fact join hashes on
+# l_orderkey/o_orderkey (the natural co-partitioning; bucketed tables
+# make it exchange-free), then one rank window per priority.
+@_q(
+    "q_ship_delay",
+    """
+    WITH d AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(floor(epoch(l.l_shipdate) / 86400)
+                    - floor(epoch(o.o_orderdate) / 86400) AS BIGINT)
+                   AS delay_days,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), rk AS (
+        SELECT priority, delay_days,
+               CAST(row_number() OVER (PARTITION BY priority
+                    ORDER BY delay_days, l_orderkey, l_linenumber)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+        FROM d
+    )
+    SELECT priority, CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1
+                         THEN delay_days END) AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1
+                         THEN delay_days END) AS BIGINT) AS p90,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 99 // 100 + 1
+                         THEN delay_days END) AS BIGINT) AS p99
+    FROM rk GROUP BY priority ORDER BY priority
+    """,
+)
+def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
+        "o_orderpriority AS priority",
+        "CAST(floor(unix_timestamp(l_shipdate) / 86400)"
+        " - floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)"
+        " AS delay_days",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wp = Window.partitionBy("priority")
+    rk = d.select(
+        "priority",
+        "delay_days",
+        F.row_number()
+        .over(wp.orderBy("delay_days", "l_orderkey", "l_linenumber"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    return (
+        rk.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) * 50 DIV 100 + 1"),
+                    F.col("delay_days"),
+                )
+            )
+            .cast("bigint")
+            .alias("p50"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) * 90 DIV 100 + 1"),
+                    F.col("delay_days"),
+                )
+            )
+            .cast("bigint")
+            .alias("p90"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) * 99 DIV 100 + 1"),
+                    F.col("delay_days"),
+                )
+            )
+            .cast("bigint")
+            .alias("p99"),
+        )
+        .orderBy("priority")
+    )

@@ -1678,3 +1678,107 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         ).alias("p90_value"),
     )
+
+
+# --- streaming sample-ratio-mismatch monitor (round 4) ----------------------
+# The per-micro-batch twin of q_srm: as each batch of the 4-file
+# AvailableNow drain lands, count treated/control EVENTS (odd/even
+# user_id) and flag sample-ratio mismatch with the exact integer GOF
+# identity (o1-o0)²/n — the guardrail a live experiment pipeline runs
+# on every trigger, plus a batch_key=-1 whole-stream row. foreachBatch
+# collects TWO scalars per batch (bounded-scalars rule); the oracle
+# replays the same contiguous event_id slicing the stager produces
+# (the q_stream_drift batch-identity contract).
+_SSRM_CHI2 = (
+    "(CAST((n_treat - n_control) * (n_treat - n_control) AS DOUBLE)"
+    " / CAST(n_treat + n_control AS DOUBLE))"
+)
+
+
+def _ssrm_oracle() -> str:
+    return f"""
+    WITH r AS (
+        SELECT user_id, event_id,
+               row_number() OVER (ORDER BY event_id) - 1 AS rn
+        FROM events
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events
+    ), p AS (
+        SELECT user_id, event_id, rn // ((nn.total + 3) // 4) AS part
+        FROM r, nn
+    ), c AS (
+        SELECT part,
+               CAST(MIN(event_id) AS BIGINT) AS batch_key,
+               CAST(SUM(user_id % 2) AS BIGINT) AS n_treat,
+               CAST(SUM(1 - user_id % 2) AS BIGINT) AS n_control
+        FROM p GROUP BY part
+    ), allr AS (
+        SELECT CAST(-1 AS BIGINT) AS batch_key,
+               CAST(SUM(n_treat) AS BIGINT) AS n_treat,
+               CAST(SUM(n_control) AS BIGINT) AS n_control
+        FROM c
+    ), u AS (
+        SELECT batch_key, n_treat, n_control FROM c
+        UNION ALL
+        SELECT batch_key, n_treat, n_control FROM allr
+    )
+    SELECT batch_key, n_treat, n_control, {_SSRM_CHI2} AS srm_chi2
+    FROM u ORDER BY batch_key
+    """
+
+
+@_q("q_stream_srm", _ssrm_oracle())
+def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    profiles: list[tuple[int, int, int]] = []
+
+    def profile(bdf: DataFrame, batch_id: int) -> None:
+        row = bdf.agg(
+            F.min("event_id").cast("bigint").alias("batch_key"),
+            F.sum(F.expr("user_id % 2")).cast("bigint").alias("n_treat"),
+            F.sum(F.expr("1 - user_id % 2"))
+            .cast("bigint")
+            .alias("n_control"),
+        ).collect()[0]
+        if row.batch_key is None:
+            return
+        profiles.append((row.batch_key, row.n_treat, row.n_control))
+
+    q = (
+        sdf.writeStream.foreachBatch(profile)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(),
+                f"bdss_ssrm_ckpt_{uuid.uuid4().hex[:8]}",
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per = spark.createDataFrame(
+        profiles, "batch_key: bigint, n_treat: bigint, n_control: bigint"
+    )
+    allr = per.agg(
+        F.lit(-1).cast("bigint").alias("batch_key"),
+        F.sum("n_treat").cast("bigint").alias("n_treat"),
+        F.sum("n_control").cast("bigint").alias("n_control"),
+    )
+    u = per.unionAll(allr)
+    return u.selectExpr(
+        "batch_key", "n_treat", "n_control", f"{_SSRM_CHI2} AS srm_chi2"
+    ).orderBy("batch_key")

@@ -142,6 +142,14 @@ SWEEP = [
     "q_energy_test",        # sorted-identity integer T sums
     "q_jonckheere",         # doubled pooled-pair ranks
     "q_logrank",            # quantized risk-table terms
+    "q_partial_corr",       # integer moments, shared formula
+    "q_granger_lite",       # shared-text double polynomials
+    "q_variance_ratio",     # integer block moments
+    "q_pacf",               # integer lag products, unrolled DL
+    "q_rfm_migration",      # integer transition counts
+    "q_abc_analysis",       # exact micro cumsums, integer cuts
+    "q_cohort_revenue",     # decimal-routed revenue
+    "q_ship_delay",         # element-selected delay quantiles
 ]
 
 
