@@ -364,6 +364,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_cohort_revenue",
     "q_ship_delay",
     "q_stream_srm",
+    "q_neyman",
+    "q_mde_curve",
+    "q_growth_accounting",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

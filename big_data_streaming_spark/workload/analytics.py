@@ -10253,3 +10253,178 @@ def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_h1", "seg_h2")
     )
+
+
+# --- Neyman optimal sampling allocation (round 4) ------------------------------------------
+# Survey-sampling design advisor: for a 1000-row sampling budget over
+# the event-type strata, the variance-minimizing allocation
+# n_h ∝ N_h·S_h. Per-stratum sd comes from exact integer cents
+# moments (shared sqrt text); the weights N_h·S_h are 1e-6-quantized
+# BIGINTs so the cross-strata normalizer is an order-free integer sum;
+# each allocation is one fixed division. Plan: one combinable moment
+# aggregate + an O(k) fold.
+_NY_SD = (
+    "sqrt(CAST(n1 * qq - s * s AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))"
+)
+_NY_W = (
+    f"CAST(floor(CAST(n1 AS DOUBLE) * {_NY_SD} * 1000000.0 + 0.5)"
+    f" AS BIGINT)"
+)
+_NY_ALLOC = "(1000.0 * CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE))"
+
+
+@_q(
+    "q_neyman",
+    f"""
+    WITH c AS (
+        SELECT event_type, {_AOV_CENTS} AS c
+        FROM events WHERE value IS NOT NULL
+    ), per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS qq
+        FROM c GROUP BY event_type
+    ), w AS (
+        SELECT event_type, n1, {_NY_SD} AS sd, {_NY_W} AS w FROM per
+    ), tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM w
+    )
+    SELECT event_type, n1 AS n_pop, (sd / 100.0) AS sd_value, w.w,
+           {_NY_ALLOC} AS alloc
+    FROM w CROSS JOIN tot ORDER BY event_type
+    """,
+)
+def q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.selectExpr("event_type", f"{_AOV_CENTS} AS c")
+    per = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq"),
+    )
+    w = per.selectExpr(
+        "event_type", "n1", f"{_NY_SD} AS sd", f"{_NY_W} AS w"
+    )
+    tot = w.agg(F.sum("w").cast("bigint").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "event_type",
+            "n1 AS n_pop",
+            "(sd / 100.0) AS sd_value",
+            "w",
+            f"{_NY_ALLOC} AS alloc",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- minimum-detectable-effect curve (round 4) ----------------------------------------------
+# Experiment planning from the other direction of q_ab_power: given
+# the observed control purchase rate and candidate per-arm sizes
+# {1k, 10k, 100k}, the smallest absolute/relative lift a two-sided
+# α=0.05, 80%-power test can detect: MDE = (z_{α/2}+z_β)·sqrt(2p(1−p)/n).
+# z constants enter as shared literals; p is one division of exact
+# integer counts. Plan: one combinable aggregate + a 3-row broadcast
+# grid.
+_MDE_P = "(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+_MDE = (
+    f"(2.8015852181129688"
+    f" * sqrt(2.0 * {_MDE_P} * (1.0 - {_MDE_P}) / CAST(n_arm AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_mde_curve",
+    f"""
+    WITH ctl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos
+        FROM events WHERE user_id % 2 = 0
+    ), grid AS (
+        SELECT unnest([1000, 10000, 100000]) AS n_arm
+    )
+    SELECT CAST(n_arm AS BIGINT) AS n_arm, n, n_pos,
+           {_MDE_P} AS p_control,
+           {_MDE} AS mde_abs,
+           ({_MDE} / {_MDE_P}) AS mde_rel
+    FROM ctl CROSS JOIN grid ORDER BY n_arm
+    """,
+)
+def q_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.expr("user_id % 2 = 0"))
+    ctl = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    grid = spark.createDataFrame(
+        [(1000,), (10000,), (100000,)], "n_arm bigint"
+    )
+    return (
+        ctl.crossJoin(F.broadcast(grid))
+        .selectExpr(
+            "CAST(n_arm AS BIGINT) AS n_arm",
+            "n",
+            "n_pos",
+            f"{_MDE_P} AS p_control",
+            f"{_MDE} AS mde_abs",
+            f"({_MDE} / {_MDE_P}) AS mde_rel",
+        )
+        .orderBy("n_arm")
+    )
+
+
+# --- DAU growth accounting (round 4) ---------------------------------------------------------
+# The product-health decomposition: per day, active users split into
+# new (first-ever-seen that day) and returning — the base series every
+# growth model consumes. Exact integer counts off a (day, user)
+# distinct relation and a per-user first-day aggregate. Plan: two
+# combinable aggregates + one broadcastable first-day join (user-keyed
+# hash reuse at 100 TB).
+@_q(
+    "q_growth_accounting",
+    """
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), fd AS (
+        SELECT user_id, MIN(d) AS first_day FROM du GROUP BY user_id
+    )
+    SELECT du.d,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN du.d = fd.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN du.d <> fd.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM du JOIN fd ON du.user_id = fd.user_id
+    GROUP BY du.d ORDER BY du.d
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    fd = du.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    return (
+        du.join(fd, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dau"),
+            F.sum(
+                F.when(F.col("d") == F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("d") != F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("d")
+    )

@@ -150,6 +150,8 @@ SWEEP = [
     "q_abc_analysis",       # exact micro cumsums, integer cuts
     "q_cohort_revenue",     # decimal-routed revenue
     "q_ship_delay",         # element-selected delay quantiles
+    "q_neyman",             # quantized weights, fixed allocations
+    "q_mde_curve",          # shared literal z constants
 ]
 
 
