@@ -367,6 +367,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_neyman",
     "q_mde_curve",
     "q_growth_accounting",
+    "q_hash_uniformity",
+    "q_daily_bands",
+    "q_boot_diff",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

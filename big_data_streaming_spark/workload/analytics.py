@@ -10428,3 +10428,278 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --- md5-bridge uniformity audit (round 4) -----------------------------------------------
+# The engine primitive many queries lean on (Poisson bootstrap,
+# permutation test, k-fold, priority sampling) is "md5 prefix is a
+# uniform integer" — this query AUDITS it: bucket every event_id's
+# 8-hex md5 prefix into 16 bins and test uniformity with the
+# chi-square GOF in its all-integer form chi2 = (B·Σo² − n²)/n. Also
+# reports the max/min bucket spread. Plan: one combinable bucket count
+# + an O(16) fold.
+_HU_CHI2 = (
+    "(CAST(16 * sq - n * n AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+
+
+@_q(
+    "q_hash_uniformity",
+    f"""
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 16 AS b
+        FROM events
+    ), c AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS o FROM h GROUP BY b
+    ), agg AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(o * o) AS BIGINT) AS sq,
+               CAST(MIN(o) AS BIGINT) AS min_bucket,
+               CAST(MAX(o) AS BIGINT) AS max_bucket
+        FROM c
+    )
+    SELECT n, n_buckets, min_bucket, max_bucket, {_HU_CHI2} AS chi2
+    FROM agg
+    """,
+)
+def q_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    h = e.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 16
+        ).alias("b")
+    )
+    c = h.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    agg = c.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.col("o") * F.col("o")).cast("bigint").alias("sq"),
+        F.min("o").cast("bigint").alias("min_bucket"),
+        F.max("o").cast("bigint").alias("max_bucket"),
+    )
+    return agg.selectExpr(
+        "n", "n_buckets", "min_bucket", "max_bucket", f"{_HU_CHI2} AS chi2"
+    )
+
+
+# --- daily quantile ribbon (round 4) ------------------------------------------------------
+# The monitoring band every value dashboard draws: per day,
+# element-selected p10/p50/p90 of value under the pinned (cents,
+# event_id) order — a day-partitioned rank window, never
+# interpolation. Plan: one rank window partitioned by day (each
+# partition independent — embarrassingly parallel at 100 TB) + one
+# per-day fold.
+@_q(
+    "q_daily_bands",
+    f"""
+    WITH c AS (
+        SELECT date_trunc('day', ts) AS d, {_AOV_CENTS} AS c,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events WHERE value IS NOT NULL
+    ), rk AS (
+        SELECT d, c,
+               CAST(row_number() OVER (PARTITION BY d
+                    ORDER BY c, event_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY d) AS BIGINT) AS n
+        FROM c
+    )
+    SELECT d, CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 10 // 100 + 1 THEN c END)
+                AS DOUBLE) / 100.0 AS p10,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN c END)
+                AS DOUBLE) / 100.0 AS p50,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN c END)
+                AS DOUBLE) / 100.0 AS p90
+    FROM rk GROUP BY d ORDER BY d
+    """,
+)
+def q_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.selectExpr(
+        "date_trunc('day', ts) AS d",
+        f"{_AOV_CENTS} AS c",
+        "CAST(event_id AS BIGINT) AS event_id",
+    )
+    wd = Window.partitionBy("d")
+    rk = c.select(
+        "d",
+        "c",
+        F.row_number()
+        .over(wd.orderBy("c", "event_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(wd).cast("bigint").alias("n"),
+    )
+    return (
+        rk.groupBy("d")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n - 1) * 10 DIV 100 + 1"),
+                        F.col("c"),
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("p10"),
+            (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n - 1) * 50 DIV 100 + 1"),
+                        F.col("c"),
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("p50"),
+            (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n - 1) * 90 DIV 100 + 1"),
+                        F.col("c"),
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("p90"),
+        )
+        .orderBy("d")
+    )
+
+
+# --- Poisson-bootstrap CI for a mean CONTRAST (round 4) -------------------------------------
+# The interval companion to q_perm_test's p-value: 32 hash-weighted
+# replicates of the click-minus-view mean gap (each arm's weighted
+# mean exact via decimal routing and the q_poisson_bootstrap weight
+# construction), with the 2.5%/97.5% band ELEMENT-SELECTED from the
+# ranked replicate diffs. Every replicate diff is an identically-
+# computed double; ranks are pinned by (diff, rep). Plan: one 32-way
+# map-side expansion into a combinable (rep, arm) aggregate + a 32-row
+# rank window.
+_BD_B = 32
+
+
+@_q(
+    "q_boot_diff",
+    f"""
+    WITH base AS (
+        SELECT CAST(event_id AS BIGINT) AS event_id, value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ), g AS (
+        SELECT is_click, value, r.b AS rep,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+                                       CAST(r.b AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS h
+        FROM base, range(0, {_BD_B}) r(b)
+    ), w AS (
+        SELECT is_click, value, rep,
+               CASE WHEN h < 1579032135 THEN 0
+                    WHEN h < 3158064270 THEN 1
+                    WHEN h < 3947580337 THEN 2
+                    ELSE 3 END AS wt
+        FROM g
+    ), per AS (
+        SELECT rep,
+               CAST(SUM(is_click * wt * CAST(value AS DECIMAL(38,6)))
+                    AS DOUBLE)
+                 / CAST(SUM(is_click * wt) AS BIGINT)
+                 - CAST(SUM((1 - is_click) * wt * CAST(value AS DECIMAL(38,6)))
+                        AS DOUBLE)
+                 / CAST(SUM((1 - is_click) * wt) AS BIGINT) AS diff
+        FROM w GROUP BY rep
+    ), rk AS (
+        SELECT diff, row_number() OVER (ORDER BY diff, rep) AS rn
+        FROM per
+    )
+    SELECT CAST({_BD_B} AS BIGINT) AS n_reps,
+           MAX(CASE WHEN rn = 1 THEN diff END) AS boot_min,
+           MAX(CASE WHEN rn = 2 THEN diff END) AS boot_lo,
+           MAX(CASE WHEN rn = {_BD_B} - 1 THEN diff END) AS boot_hi,
+           MAX(CASE WHEN rn = {_BD_B} THEN diff END) AS boot_max
+    FROM rk
+    """,
+)
+def q_boot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    base = e.where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "view")
+    ).selectExpr(
+        "CAST(event_id AS BIGINT) AS event_id",
+        "value",
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click",
+    )
+    g = base.select(
+        "is_click",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BD_B - 1))).alias("rep"),
+        "event_id",
+    ).select(
+        "is_click",
+        "value",
+        "rep",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = g.selectExpr(
+        "is_click",
+        "value",
+        "rep",
+        "CASE WHEN h < 1579032135 THEN 0"
+        " WHEN h < 3158064270 THEN 1"
+        " WHEN h < 3947580337 THEN 2"
+        " ELSE 3 END AS wt",
+    )
+    per = w.groupBy("rep").agg(
+        (
+            F.sum(
+                F.col("is_click")
+                * F.col("wt")
+                * F.col("value").cast("decimal(38,6)")
+            ).cast("double")
+            / F.sum(F.col("is_click") * F.col("wt")).cast("bigint")
+            - F.sum(
+                (1 - F.col("is_click"))
+                * F.col("wt")
+                * F.col("value").cast("decimal(38,6)")
+            ).cast("double")
+            / F.sum((1 - F.col("is_click")) * F.col("wt")).cast("bigint")
+        ).alias("diff")
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = per.select(
+        "diff", F.row_number().over(W.orderBy("diff", "rep")).alias("rn")
+    )
+    return rk.agg(
+        F.lit(_BD_B).cast("bigint").alias("n_reps"),
+        F.max(F.when(F.col("rn") == 1, F.col("diff"))).alias("boot_min"),
+        F.max(F.when(F.col("rn") == 2, F.col("diff"))).alias("boot_lo"),
+        F.max(F.when(F.col("rn") == _BD_B - 1, F.col("diff"))).alias(
+            "boot_hi"
+        ),
+        F.max(F.when(F.col("rn") == _BD_B, F.col("diff"))).alias("boot_max"),
+    )

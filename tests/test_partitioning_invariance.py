@@ -152,6 +152,9 @@ SWEEP = [
     "q_ship_delay",         # element-selected delay quantiles
     "q_neyman",             # quantized weights, fixed allocations
     "q_mde_curve",          # shared literal z constants
+    "q_hash_uniformity",    # integer GOF identity
+    "q_daily_bands",        # element-selected per-day quantiles
+    "q_boot_diff",          # decimal replicate means, pinned ranks
 ]
 
 
