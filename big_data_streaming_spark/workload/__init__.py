@@ -370,6 +370,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_hash_uniformity",
     "q_daily_bands",
     "q_boot_diff",
+    "q_jl_audit",
+    "q_token_burst",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -2065,3 +2065,137 @@ def q_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- Johnson-Lindenstrauss projection distortion audit (round 4) ------------
+# Before trusting an 8-dim random projection for coarse ANN routing,
+# measure what it does to pairwise geometry: for a bounded pair panel
+# (vec_id < 40), compare the projected squared distance (scaled by
+# 1/k) against the true one. The SAME 8 fixed Gaussian hyperplanes
+# (fixed_hyperplanes seed=42) enter BOTH engines as full-precision
+# literals; projections and true distances are the engines' identical
+# left-fold dots; the distortion ratios are identically-computed
+# doubles, summarized by a 1e-9-quantized mean |ratio−1| and an
+# element-selected median; the reported median/max ratios round to
+# 9 dp (the q_sim_topk last-ulp absolution — the fold can differ by
+# one ulp between engines on adversarial values). Plan: projections are per-row folds on the
+# scan; the pair stage is the bounded 40-vector panel (the documented
+# audit-panel policy), never the corpus.
+_JL_K = 8
+_JL_PANEL = 40
+
+
+def _jl_planes() -> list[list[float]]:
+    from big_data_streaming_spark.functions.similarity import (
+        fixed_hyperplanes,
+    )
+
+    return fixed_hyperplanes(64, n=_JL_K, seed=42)
+
+
+def _jl_proj_sql() -> str:
+    cols = []
+    for j, hp in enumerate(_jl_planes()):
+        lit = "[" + ", ".join(repr(float(v)) for v in hp) + "]::DOUBLE[]"
+        cols.append(
+            f"list_dot_product(embedding::DOUBLE[], {lit}) AS p{j}"
+        )
+    return ",\n               ".join(cols)
+
+
+_JL_DPROJ = "(" + " + ".join(
+    f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(_JL_K)
+) + ")"
+_JL_RATIO = f"({_JL_DPROJ} / ({_JL_K}.0 * (a.dd + b.dd - 2.0 * dot)))"
+
+
+def _jl_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                   AS dd,
+               {_jl_proj_sql()}
+        FROM embeddings WHERE vec_id < {_JL_PANEL}
+    ), pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               {_JL_RATIO.replace('dot', 'list_dot_product(a.vec, b.vec)')}
+                   AS ratio
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE (a.dd + b.dd
+               - 2.0 * list_dot_product(a.vec, b.vec)) > 0.0
+    ), q AS (
+        SELECT ratio,
+               CAST(floor(abs(ratio - 1.0) * 1000000000.0 + 0.5) AS BIGINT)
+                   AS devq,
+               row_number() OVER (ORDER BY ratio, ia, ib) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pairs
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(SUM(devq) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE)
+               * 1000000000.0) AS mean_abs_distortion,
+           round(MAX(CASE WHEN rn = (n + 1) // 2 THEN ratio END), 9)
+               AS median_ratio,
+           round(MAX(ratio), 9) AS max_ratio
+    FROM q
+    """
+
+
+@_q("q_jl_audit", _jl_oracle())
+def q_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.functions.similarity import dot
+
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < _JL_PANEL)
+    planes = _jl_planes()
+    projs = [
+        dot(
+            F.col("embedding"),
+            F.array(*[F.lit(float(x)) for x in hp]),
+        ).alias(f"p{j}")
+        for j, hp in enumerate(planes)
+    ]
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("vec"),
+        dot(F.col("embedding"), F.col("embedding")).alias("dd"),
+        *projs,
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("dot", dot(F.col("a.vec"), F.col("b.vec")))
+        .where((F.col("a.dd") + F.col("b.dd") - 2.0 * F.col("dot")) > 0.0)
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            F.expr(_JL_RATIO).alias("ratio"),
+        )
+    )
+    q = pairs.select(
+        "ratio",
+        F.expr(
+            "CAST(floor(abs(ratio - 1.0) * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("devq"),
+        F.row_number().over(Window.orderBy("ratio", "ia", "ib")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return q.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        (
+            F.sum("devq").cast("double")
+            / (F.max("n").cast("double") * 1000000000.0)
+        ).alias("mean_abs_distortion"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("ratio")
+                )
+            ),
+            9,
+        ).alias("median_ratio"),
+        F.round(F.max("ratio"), 9).alias("max_ratio"),
+    )

@@ -4490,3 +4490,85 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overlap_at_k",
         "rbo",
     )
+
+
+# --- token burst detection between corpus halves (round 4) ---------------------
+# Which vocabulary is RISING? Split the corpus by doc_id median into
+# v1/v2, score every token by the add-one-smoothed frequency ratio
+# (c2+1)/(c1+1) with a min-total-count floor, and rank the top 15
+# risers under a pinned (ratio, token) order. All counts exact
+# integers; the ratio is one division of identically-computed values.
+# Plan: one token-frequency aggregate per half off one explode (the
+# half flag rides the row), marginal joins on aggregated relations.
+_TB_RATIO = "(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + 1 AS DOUBLE))"
+
+
+@_q(
+    "q_token_burst",
+    f"""
+    WITH med AS (
+        SELECT CAST(MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2
+                    AS BIGINT) AS split_id
+        FROM documents
+    ), tok AS (
+        SELECT CASE WHEN doc_id <= split_id THEN 1 ELSE 2 END AS half,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents CROSS JOIN med
+    ), f AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+        FROM tok GROUP BY token
+    ), s AS (
+        SELECT token, c1, c2, {_TB_RATIO} AS ratio
+        FROM f WHERE c1 + c2 >= 10
+    ), rk AS (
+        SELECT token, c1, c2, ratio,
+               row_number() OVER (ORDER BY ratio DESC, token) AS rn
+        FROM s
+    )
+    SELECT token, c1, c2, ratio, CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 15
+    """,
+)
+def q_token_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    med = d.agg(
+        F.expr(
+            "CAST(MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) DIV 2"
+            " AS BIGINT)"
+        ).alias("split_id")
+    )
+    tok = (
+        d.crossJoin(F.broadcast(med))
+        .select(
+            F.when(F.col("doc_id") <= F.col("split_id"), 1)
+            .otherwise(2)
+            .alias("half"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+    )
+    f = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    s = f.where(F.col("c1") + F.col("c2") >= 10).selectExpr(
+        "token", "c1", "c2", f"{_TB_RATIO} AS ratio"
+    )
+    rk = s.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ratio"), "token"))
+        .alias("rn"),
+    )
+    return rk.where(F.col("rn") <= 15).selectExpr(
+        "token", "c1", "c2", "ratio", "CAST(rn AS INTEGER) AS rank"
+    )

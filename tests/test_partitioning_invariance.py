@@ -155,6 +155,8 @@ SWEEP = [
     "q_hash_uniformity",    # integer GOF identity
     "q_daily_bands",        # element-selected per-day quantiles
     "q_boot_diff",          # decimal replicate means, pinned ranks
+    "q_jl_audit",           # shared literal planes, 9dp absolution
+    "q_token_burst",        # integer counts, one division
 ]
 
 
