@@ -372,6 +372,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_boot_diff",
     "q_jl_audit",
     "q_token_burst",
+    "q_scan_stat",
+    "q_record_days",
+    "q_ljung_box",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

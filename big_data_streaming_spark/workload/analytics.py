@@ -10703,3 +10703,237 @@ def q_boot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.when(F.col("rn") == _BD_B, F.col("diff"))).alias("boot_max"),
     )
+
+
+# --- 6-hour scan statistic (round 4) -------------------------------------------------------
+# Cluster-burst detection: the maximum event count in ANY 6-hour
+# sliding window per type, via an integer RANGE frame over the hour
+# index (RANGE, not ROWS — coverage gaps must not shrink the window).
+# The argmax window is pinned by (count DESC, hidx). Plan: one hourly
+# aggregate + one range-frame window per type + TakeOrdered.
+@_q(
+    "q_scan_stat",
+    """
+    WITH hb AS (
+        SELECT event_type,
+               CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600
+                   AS hidx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT event_type, hidx,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY hidx
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS c6
+        FROM hb
+    ), rk AS (
+        SELECT event_type, hidx, c6,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c6 DESC, hidx) AS rn
+        FROM w
+    )
+    SELECT event_type, hidx AS window_end_hidx, c6 AS max_6h_count
+    FROM rk WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def q_scan_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hb = e.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(floor(unix_timestamp(date_trunc('hour', ts))) AS BIGINT)"
+            " DIV 3600"
+        ).alias("hidx"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rangeBetween(-5, 0)
+    )
+    w = hb.select(
+        "event_type",
+        "hidx",
+        F.sum("c").over(wr).cast("bigint").alias("c6"),
+    )
+    rk = w.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(F.desc("c6"), "hidx")
+        )
+        .alias("rn"),
+    )
+    return (
+        rk.where(F.col("rn") == 1)
+        .selectExpr(
+            "event_type", "hidx AS window_end_hidx", "c6 AS max_6h_count"
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- record-breaking days vs the iid expectation (round 4) -----------------------------------
+# Trend detection without any distributional assumption: in an
+# exchangeable series the expected number of running record highs is
+# the harmonic number H_n. Observed records come off one running-max
+# window (strict >); H_n is computed EXACTLY as the integer sum
+# Σ floor(1e15/k) over the day ranks (integer division — no float
+# reciprocals), one closing division. Plan: one daily aggregate + one
+# day-ordered window + a fold.
+@_q(
+    "q_record_days",
+    """
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT d, c,
+               MAX(c) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k
+        FROM db
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN prev_max IS NULL OR c > prev_max
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+               CAST(SUM(1000000000000000 // k) AS BIGINT) AS hq
+        FROM w
+    )
+    SELECT n_days, n_records,
+           CAST(hq AS DOUBLE) / 1000000000000000.0 AS expected_records,
+           CAST(n_records AS DOUBLE)
+               - CAST(hq AS DOUBLE) / 1000000000000000.0 AS excess_records
+    FROM agg
+    """,
+)
+def q_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wo = Window.orderBy("d")
+    w = db.select(
+        "d",
+        "c",
+        F.max("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)).alias(
+            "prev_max"
+        ),
+        F.row_number().over(wo).cast("bigint").alias("k"),
+    )
+    agg = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("c") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_records"),
+        F.sum(F.expr("1000000000000000 DIV k")).cast("bigint").alias("hq"),
+    )
+    return agg.selectExpr(
+        "n_days",
+        "n_records",
+        "CAST(hq AS DOUBLE) / 1000000000000000.0 AS expected_records",
+        "CAST(n_records AS DOUBLE)"
+        " - CAST(hq AS DOUBLE) / 1000000000000000.0 AS excess_records",
+    )
+
+
+# --- Ljung-Box portmanteau test, lags 1-5 (round 4) -------------------------------------------
+# Is the daily series white noise overall? Q = n(n+2)·Σ r_k²/(n−k)
+# over five lags — the joint companion to q_pacf/q_durbin_watson. The
+# centered lag products C_k reuse q_pacf's n-multiplied BIGINT
+# identity (extended to k=5); Q is ONE shared-text expression over the
+# six integers, so there is no float summation to order. Plan: one
+# daily aggregate, five LEADs on one sort, one fold.
+_LB_TERM = lambda k: (  # noqa: E731 - tiny local text builder
+    f"(CAST(c{k} AS DOUBLE) * CAST(c{k} AS DOUBLE)"
+    f" / (CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE))"
+    f" / CAST(n_days - {k} AS DOUBLE))"
+)
+_LB_Q = (
+    "(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) * ("
+    + " + ".join(_LB_TERM(k) for k in range(1, 6))
+    + "))"
+)
+
+
+@_q(
+    "q_ljung_box",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM db
+    ), ld AS (
+        SELECT x,
+               LEAD(x, 1) OVER (ORDER BY d) AS x1,
+               LEAD(x, 2) OVER (ORDER BY d) AS x2,
+               LEAD(x, 3) OVER (ORDER BY d) AS x3,
+               LEAD(x, 4) OVER (ORDER BY d) AS x4,
+               LEAD(x, 5) OVER (ORDER BY d) AS x5
+        FROM db
+    ), cs AS (
+        SELECT CAST(SUM((n * x - s) * (n * x - s)) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN x1 IS NULL THEN 0
+                             ELSE (n * x - s) * (n * x1 - s) END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN x2 IS NULL THEN 0
+                             ELSE (n * x - s) * (n * x2 - s) END)
+                    AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN x3 IS NULL THEN 0
+                             ELSE (n * x - s) * (n * x3 - s) END)
+                    AS BIGINT) AS c3,
+               CAST(SUM(CASE WHEN x4 IS NULL THEN 0
+                             ELSE (n * x - s) * (n * x4 - s) END)
+                    AS BIGINT) AS c4,
+               CAST(SUM(CASE WHEN x5 IS NULL THEN 0
+                             ELSE (n * x - s) * (n * x5 - s) END)
+                    AS BIGINT) AS c5,
+               CAST(MAX(n) AS BIGINT) AS n_days
+        FROM ld CROSS JOIN tot
+    )
+    SELECT n_days, {_LB_Q} AS q_stat FROM cs
+    """,
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = db.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w = Window.orderBy("d")
+    ld = db.select(
+        "x",
+        *[F.lead("x", k).over(w).alias(f"x{k}") for k in range(1, 6)],
+    )
+    aggs = [
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("s"))
+            * (F.col("n") * F.col("x") - F.col("s"))
+        )
+        .cast("bigint")
+        .alias("c0")
+    ]
+    for k in range(1, 6):
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"x{k}").isNull(), 0).otherwise(
+                    (F.col("n") * F.col("x") - F.col("s"))
+                    * (F.col("n") * F.col(f"x{k}") - F.col("s"))
+                )
+            )
+            .cast("bigint")
+            .alias(f"c{k}")
+        )
+    aggs.append(F.max("n").cast("bigint").alias("n_days"))
+    cs = ld.crossJoin(F.broadcast(tot)).agg(*aggs)
+    return cs.selectExpr("n_days", f"{_LB_Q} AS q_stat")

@@ -157,6 +157,8 @@ SWEEP = [
     "q_boot_diff",          # decimal replicate means, pinned ranks
     "q_jl_audit",           # shared literal planes, 9dp absolution
     "q_token_burst",        # integer counts, one division
+    "q_record_days",        # integer harmonic sum
+    "q_ljung_box",          # integer lag products, one expression
 ]
 
 
