@@ -375,6 +375,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_scan_stat",
     "q_record_days",
     "q_ljung_box",
+    "q_keyness",
+    "q_source_jaccard",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -4572,3 +4572,177 @@ def q_token_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.where(F.col("rn") <= 15).selectExpr(
         "token", "c1", "c2", "ratio", "CAST(rn AS INTEGER) AS rank"
     )
+
+
+# --- chi-square keyness: distinctive tokens per language (round 4) --------------
+# Corpus-linguistics keyness without logs (log-likelihood G² is
+# transcendental; Pearson chi² carries the same ranking): for every
+# (token, lang) 2×2 table, chi² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)),
+# computed in the shared-text double domain over exact integer cells
+# ((ad−bc)² overflows int64 at corpus scale), candidates floored at
+# a >= 5, top 10 per language under a pinned (chi², token) order.
+# Plan: one token-frequency aggregate per (token, lang) + broadcast
+# marginals; ranking on the floored candidate relation.
+_KY_CHI2 = (
+    "(CAST(nn AS DOUBLE)"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+    "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+    "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+    "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_keyness",
+    f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tl AS (
+        SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS a
+        FROM tok GROUP BY 1, 2
+    ), tw AS (
+        SELECT token, CAST(SUM(a) AS BIGINT) AS cw FROM tl GROUP BY token
+    ), lg AS (
+        SELECT lang, CAST(SUM(a) AS BIGINT) AS nl FROM tl GROUP BY lang
+    ), nn AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS nn FROM tl
+    ), cells AS (
+        SELECT tl.token, tl.lang, tl.a,
+               CAST(tw.cw - tl.a AS BIGINT) AS b,
+               CAST(lg.nl - tl.a AS BIGINT) AS c,
+               CAST(nn.nn - lg.nl - (tw.cw - tl.a) AS BIGINT) AS d,
+               nn.nn
+        FROM tl
+        JOIN tw ON tl.token = tw.token
+        JOIN lg ON tl.lang = lg.lang
+        CROSS JOIN nn
+        WHERE tl.a >= 5
+    ), scored AS (
+        SELECT token, lang, a, {_KY_CHI2} AS chi2 FROM cells
+    ), rk AS (
+        SELECT lang, token, a, chi2,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY chi2 DESC, token) AS rn
+        FROM scored
+    )
+    SELECT lang, token, a AS count_in_lang, chi2, CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 10 ORDER BY lang, rank
+    """,
+)
+def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    tl = tok.groupBy("token", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    tw = tl.groupBy("token").agg(F.sum("a").cast("bigint").alias("cw"))
+    lg = tl.groupBy("lang").agg(F.sum("a").cast("bigint").alias("nl"))
+    nn = tl.agg(F.sum("a").cast("bigint").alias("nn"))
+    cells = (
+        tl.where(F.col("a") >= 5)
+        .join(tw, "token")
+        .join(F.broadcast(lg), "lang")
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "token",
+            "lang",
+            "a",
+            "CAST(cw - a AS BIGINT) AS b",
+            "CAST(nl - a AS BIGINT) AS c",
+            "CAST(nn - nl - (cw - a) AS BIGINT) AS d",
+            "nn",
+        )
+    )
+    scored = cells.selectExpr("token", "lang", "a", f"{_KY_CHI2} AS chi2")
+    rk = scored.select(
+        "lang",
+        "token",
+        "a",
+        "chi2",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.desc("chi2"), "token"))
+        .alias("rn"),
+    )
+    return (
+        rk.where(F.col("rn") <= 10)
+        .selectExpr(
+            "lang",
+            "token",
+            "a AS count_in_lang",
+            "chi2",
+            "CAST(rn AS INTEGER) AS rank",
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+# --- pairwise source vocabulary Jaccard (round 4) --------------------------------
+# Corpus-composition overlap matrix: for every source pair, the
+# Jaccard similarity of their TOKEN TYPE sets (|∩| / |∪| on exact
+# integer set sizes). The intersection comes from a token-keyed join
+# of the aggregated (source, token) distinct relation — never a
+# doc-level pair join. Plan: one distinct aggregate, one token-keyed
+# equi-join producing the O(pairs) counts, broadcast sizes.
+@_q(
+    "q_source_jaccard",
+    """
+    WITH st AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), sz AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY source
+    ), inter AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.sa, i.sb, za.n AS vocab_a, zb.n AS vocab_b, i.inter,
+           CAST(i.inter AS DOUBLE)
+               / CAST(za.n + zb.n - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.source = i.sa
+    JOIN sz zb ON zb.source = i.sb
+    ORDER BY sa, sb
+    """,
+)
+def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    st = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = st.alias("a")
+    b = st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    za = sz.selectExpr("source AS sa", "n AS vocab_a")
+    zb = sz.selectExpr("source AS sb", "n AS vocab_b")
+    return (
+        inter.join(F.broadcast(za), "sa")
+        .join(F.broadcast(zb), "sb")
+        .selectExpr(
+            "sa",
+            "sb",
+            "vocab_a",
+            "vocab_b",
+            "inter",
+            "CAST(inter AS DOUBLE)"
+            " / CAST(vocab_a + vocab_b - inter AS DOUBLE) AS jaccard",
+        )
+        .orderBy("sa", "sb")
+    )

@@ -159,6 +159,8 @@ SWEEP = [
     "q_token_burst",        # integer counts, one division
     "q_record_days",        # integer harmonic sum
     "q_ljung_box",          # integer lag products, one expression
+    "q_keyness",            # shared double chi2 on integer cells
+    "q_source_jaccard",     # integer set sizes, one division
 ]
 
 
