@@ -377,6 +377,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_ljung_box",
     "q_keyness",
     "q_source_jaccard",
+    "q_holt_winters",
+    "q_jarque_bera",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

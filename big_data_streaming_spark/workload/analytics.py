@@ -10937,3 +10937,199 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs.append(F.max("n").cast("bigint").alias("n_days"))
     cs = ld.crossJoin(F.broadcast(tot)).agg(*aggs)
     return cs.selectExpr("n_days", f"{_LB_Q} AS q_stat")
+
+
+# --- Holt-Winters additive smoothing, 7-day season (round 4) ----------------------------------
+# The seasonal extension of q_holt: level + trend + a rotating 7-slot
+# additive seasonal state over the daily TOTAL series. Dyadic constants
+# (α = γ = 1/2, β = 1/4) keep every update an exact floor of a
+# power-of-two division in the 2^20 fixed-point domain — bit-identical
+# in Python and the oracle's recursive CTE (which carries the seasonal
+# ring as seven rotating columns). Initialization: level = first-week
+# mean (exact integer floor-division by 7 — non-multiples sit ≥ 1/7
+# away from integers, so floor(a/7.0) = a//7), trend = 0, seasonal_i =
+# x_i·S − level. The distributed stage is the daily aggregate; the
+# ≤31-step recursion finishes on collected scalars (the q_holt rule).
+_HW_S = 1 << 20
+
+
+def _hw_oracle() -> str:
+    S = _HW_S
+    init_s = ",\n               ".join(
+        f"CAST(MAX(CASE WHEN t = {i} THEN x END) * {S}"
+        f" - (CAST(SUM(x) AS BIGINT) * {S}) // 7 AS BIGINT) AS s{i}"
+        for i in range(1, 8)
+    )
+    new_l = f"CAST(floor((s.x * {S} - r.s1 + r.lq + r.bq) / 2.0) AS BIGINT)"
+    new_b = (
+        f"CAST(floor(({new_l} - r.lq + 3 * r.bq) / 4.0) AS BIGINT)"
+    )
+    new_s = f"CAST(floor((s.x * {S} - {new_l} + r.s1) / 2.0) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), seq AS MATERIALIZED (
+        SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ), init AS MATERIALIZED (
+        SELECT CAST((CAST(SUM(x) AS BIGINT) * {S}) // 7 AS BIGINT) AS lq,
+               {init_s}
+        FROM seq WHERE t <= 7
+    ), r AS (
+        SELECT a.t, a.day, a.x, i.lq, CAST(0 AS BIGINT) AS bq,
+               i.s1, i.s2, i.s3, i.s4, i.s5, i.s6, i.s7
+        FROM (SELECT t, day, x FROM seq WHERE t = 7) a CROSS JOIN init i
+        UNION ALL
+        SELECT s.t, s.day, s.x,
+               {new_l},
+               {new_b},
+               r.s2, r.s3, r.s4, r.s5, r.s6, r.s7,
+               {new_s}
+        FROM r JOIN seq s ON s.t = r.t + 1
+    )
+    SELECT t, day, x,
+           CAST(lq AS DOUBLE) / {S}.0 AS level,
+           CAST(bq AS DOUBLE) / {S}.0 AS trend,
+           CAST(lq + bq + s1 AS DOUBLE) / {S}.0 AS forecast_next
+    FROM r
+    """
+
+
+@_q("q_holt_winters", _hw_oracle())
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .orderBy("day")
+    )
+    series = [(r["day"], r["x"]) for r in daily.collect()]  # ≤31 scalars
+    S = _HW_S
+    rows = []
+    if len(series) >= 8:
+        week = series[:7]
+        lq = (sum(x for _, x in week) * S) // 7
+        ring = [x * S - lq for _, x in week]
+        bq = 0
+        d7, x7 = series[6]
+        rows.append((7, d7, x7, lq, bq, ring[0]))
+        for i in range(7, len(series)):
+            day, x = series[i]
+            s_old = ring[0]
+            new_l = (x * S - s_old + lq + bq) // 2
+            bq = (new_l - lq + 3 * bq) // 4
+            s_new = (x * S - new_l + s_old) // 2
+            ring = ring[1:] + [s_new]
+            lq = new_l
+            rows.append((i + 1, day, x, lq, bq, ring[0]))
+    schema = StructType(
+        [
+            StructField("t", LongType()),
+            StructField("day", LongType()),
+            StructField("x", LongType()),
+            StructField("lq", LongType()),
+            StructField("bq", LongType()),
+            StructField("s1", LongType()),
+        ]
+    )
+    out = spark.createDataFrame(rows, schema)
+    return out.selectExpr(
+        "t",
+        "day",
+        "x",
+        f"CAST(lq AS DOUBLE) / {S}.0 AS level",
+        f"CAST(bq AS DOUBLE) / {S}.0 AS trend",
+        f"CAST(lq + bq + s1 AS DOUBLE) / {S}.0 AS forecast_next",
+    )
+
+
+# --- Jarque-Bera normality test (round 4) -----------------------------------------------------
+# Are the daily totals Gaussian? JB = n/6·(skew² + kurt_excess²/4)
+# from the n-multiplied central moments: m2/m3 terms are exact BIGINTs
+# ((n·x−S)³ ≤ ~1e15·days), while the fourth-power terms would overflow
+# int64, so each row's u⁴ is computed in the shared double domain and
+# floor-quantized back to a BIGINT at a 2^-20 relative scale — both
+# engines round the double identically, keeping the sum order-free.
+# Skewness/kurtosis/JB are fixed-order shared text. Plan: one daily
+# aggregate + one fold.
+_JB_SKEW = (
+    "(CAST(m3 AS DOUBLE) / CAST(n_days AS DOUBLE)"
+    " / ((CAST(m2 AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    " * sqrt(CAST(m2 AS DOUBLE) / CAST(n_days AS DOUBLE))))"
+)
+_JB_KURT = (
+    "((CAST(m4q AS DOUBLE) * 1048576.0 / CAST(n_days AS DOUBLE))"
+    " / (CAST(m2 AS DOUBLE) / CAST(n_days AS DOUBLE)"
+    " * (CAST(m2 AS DOUBLE) / CAST(n_days AS DOUBLE))) - 3.0)"
+)
+_JB = (
+    f"(CAST(n_days AS DOUBLE) / 6.0 * ({_JB_SKEW} * {_JB_SKEW}"
+    f" + {_JB_KURT} * {_JB_KURT} / 4.0))"
+)
+
+
+@_q(
+    "q_jarque_bera",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM db
+    ), u AS (
+        SELECT CAST(n * x - s AS BIGINT) AS un, n FROM db CROSS JOIN tot
+    ), cs AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+               CAST(SUM(un * un) AS BIGINT) AS m2,
+               CAST(SUM(un * un * un) AS BIGINT) AS m3,
+               CAST(SUM(CAST(floor(CAST(un AS DOUBLE) * CAST(un AS DOUBLE)
+                    * CAST(un AS DOUBLE) * CAST(un AS DOUBLE)
+                    / 1048576.0) AS BIGINT)) AS BIGINT) AS m4q
+        FROM u
+    )
+    SELECT n_days, {_JB_SKEW} AS skewness, {_JB_KURT} AS excess_kurtosis,
+           {_JB} AS jarque_bera
+    FROM cs
+    """,
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = db.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    u = db.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(n * x - s AS BIGINT) AS un", "n"
+    )
+    cs = u.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(F.col("un") * F.col("un")).cast("bigint").alias("m2"),
+        F.sum(F.col("un") * F.col("un") * F.col("un"))
+        .cast("bigint")
+        .alias("m3"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(un AS DOUBLE) * CAST(un AS DOUBLE)"
+                " * CAST(un AS DOUBLE) * CAST(un AS DOUBLE)"
+                " / 1048576.0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("m4q"),
+    )
+    return cs.selectExpr(
+        "n_days",
+        f"{_JB_SKEW} AS skewness",
+        f"{_JB_KURT} AS excess_kurtosis",
+        f"{_JB} AS jarque_bera",
+    )

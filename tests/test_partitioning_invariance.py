@@ -161,6 +161,8 @@ SWEEP = [
     "q_ljung_box",          # integer lag products, one expression
     "q_keyness",            # shared double chi2 on integer cells
     "q_source_jaccard",     # integer set sizes, one division
+    "q_holt_winters",       # dyadic fixed-point ring recursion
+    "q_jarque_bera",        # quantized fourth-power moments
 ]
 
 
