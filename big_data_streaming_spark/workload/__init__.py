@@ -85,7 +85,8 @@ _MODULES = (
 # q_try_arith), (2) analytics continuation (q_interval_merge …
 # q_zipf_audit), (3) round-3 additions (q_bollinger … q_monotonic_audit),
 # (4) anything added in round 4 (queued below the window, marked
-# "round-4 additions").
+# "round-4 additions" — the closing wave runs q_kruskal_wallis …
+# q_jarque_bera; every key there is gate-green at sf0.001/0.01/0.1).
 _CHECK_FIRST: tuple[str, ...] = (
     # ============ round-4 driver window (positions 0-49) =================
     # (0) the r3 red row — oracle retyped, re-checked this round
@@ -379,6 +380,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_source_jaccard",
     "q_holt_winters",
     "q_jarque_bera",
+    "q_page_hinkley",
+    "q_sen_slope",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

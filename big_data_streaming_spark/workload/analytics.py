@@ -11133,3 +11133,178 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_JB_KURT} AS excess_kurtosis",
         f"{_JB} AS jarque_bera",
     )
+
+
+# --- Page-Hinkley drift detector (round 4) ------------------------------------------------
+# The sequential mean-shift detector, replayed in batch over the daily
+# series: PH_t = Σ_{i<=t} (x_i − m_i − δ) against its running minimum,
+# where m_i is the running mean S_i/i. Each term quantizes to a BIGINT
+# at 1e-9 BEFORE the cumulative sum (window aggregation may
+# re-associate doubles — DuckDB's segment tree vs Spark's running
+# fold — so only integer cumsums are safe), δ = 0.5 events. Output:
+# the per-day detector trace with the alert flag at λ = 50. Plan: one
+# daily aggregate + two cumulative windows sharing one day sort.
+_PH_DELTA_Q = 500_000_000  # 0.5 events at the 1e-9 scale
+_PH_LAMBDA_Q = 50_000_000_000  # λ = 50 events
+
+
+@_q(
+    "q_page_hinkley",
+    f"""
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT d, x,
+               CAST(SUM(x) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        FROM db
+    ), term AS (
+        SELECT d, x,
+               CAST(floor((CAST(x AS DOUBLE)
+                           - CAST(s AS DOUBLE) / CAST(i AS DOUBLE))
+                          * 1000000000.0 + 0.5) AS BIGINT)
+                   - {_PH_DELTA_Q} AS tq
+        FROM cum
+    ), ph AS (
+        SELECT d, x,
+               CAST(SUM(tq) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_q
+        FROM term
+    ), mins AS (
+        SELECT d, x, cum_q,
+               CAST(MIN(cum_q) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS min_q
+        FROM ph
+    )
+    SELECT d, x,
+           CAST(cum_q AS DOUBLE) / 1000000000.0 AS ph_cum,
+           CAST(cum_q - min_q AS DOUBLE) / 1000000000.0 AS ph_stat,
+           CAST(CASE WHEN cum_q - min_q > {_PH_LAMBDA_Q} THEN 1 ELSE 0 END
+                AS INTEGER) AS alert
+    FROM mins ORDER BY d
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wo = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = db.select(
+        "d",
+        "x",
+        F.sum("x").over(wo).cast("bigint").alias("s"),
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+    )
+    term = cum.selectExpr(
+        "d",
+        "x",
+        "CAST(floor((CAST(x AS DOUBLE)"
+        " - CAST(s AS DOUBLE) / CAST(i AS DOUBLE))"
+        f" * 1000000000.0 + 0.5) AS BIGINT) - {_PH_DELTA_Q} AS tq",
+    )
+    ph = term.select(
+        "d", "x", F.sum("tq").over(wo).cast("bigint").alias("cum_q")
+    )
+    mins = ph.select(
+        "d",
+        "x",
+        "cum_q",
+        F.min("cum_q").over(wo).cast("bigint").alias("min_q"),
+    )
+    return mins.selectExpr(
+        "d",
+        "x",
+        "CAST(cum_q AS DOUBLE) / 1000000000.0 AS ph_cum",
+        "CAST(cum_q - min_q AS DOUBLE) / 1000000000.0 AS ph_stat",
+        f"CAST(CASE WHEN cum_q - min_q > {_PH_LAMBDA_Q} THEN 1 ELSE 0 END"
+        " AS INTEGER) AS alert",
+    ).orderBy("d")
+
+
+# --- global Sen slope (round 4) ---------------------------------------------------------------
+# The estimator paired with q_mann_kendall's test (and the global
+# sibling of q_theilsen's per-user slopes): the median of all pairwise
+# daily-count slopes. Slopes are identically-computed doubles; the
+# median is ELEMENT-SELECTED under the pinned (slope, i, j) order.
+# Pairs come from the O(|days|) relation — constant at any corpus
+# size. Output includes the element-selected quartile band.
+@_q(
+    "q_sen_slope",
+    """
+    WITH db AS (
+        SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), ix AS (
+        SELECT c, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        FROM db
+    ), slopes AS (
+        SELECT a.i AS ia, b.i AS ib,
+               CAST(b.c - a.c AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)
+                   AS slope
+        FROM ix a JOIN ix b ON a.i < b.i
+    ), rk AS (
+        SELECT slope,
+               CAST(row_number() OVER (ORDER BY slope, ia, ib) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN slope END)
+               AS slope_p25,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END) AS sen_slope,
+           MAX(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN slope END)
+               AS slope_p75
+    FROM rk
+    """,
+)
+def q_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ix = db.select(
+        "c", F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i")
+    )
+    a = ix.alias("a")
+    b = ix.alias("b")
+    slopes = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        F.col("a.i").alias("ia"),
+        F.col("b.i").alias("ib"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.i") - F.col("a.i")).cast("double")
+        ).alias("slope"),
+    )
+    rk = slopes.select(
+        "slope",
+        F.row_number()
+        .over(Window.orderBy("slope", "ia", "ib"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return rk.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n - 1) * 25 DIV 100 + 1"),
+                F.col("slope"),
+            )
+        ).alias("slope_p25"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("slope"))
+        ).alias("sen_slope"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n - 1) * 75 DIV 100 + 1"),
+                F.col("slope"),
+            )
+        ).alias("slope_p75"),
+    )

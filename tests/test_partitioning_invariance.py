@@ -163,6 +163,8 @@ SWEEP = [
     "q_source_jaccard",     # integer set sizes, one division
     "q_holt_winters",       # dyadic fixed-point ring recursion
     "q_jarque_bera",        # quantized fourth-power moments
+    "q_page_hinkley",       # pre-quantized cumulative trace
+    "q_sen_slope",          # element-selected pairwise slopes
 ]
 
 
