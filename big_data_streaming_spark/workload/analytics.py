@@ -8346,9 +8346,13 @@ _RS_NORM = "(CAST(score AS DOUBLE) / 536870912.0)"
         FROM events
     ), w AS (
         SELECT user_id,
-               (CAST(1 AS BIGINT) << CAST(29 - (max_day
-                    - CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
-                      // 86400) AS INTEGER)) AS wt
+               CASE WHEN max_day
+                         - CAST(floor(epoch(date_trunc('day', ts)))
+                                AS BIGINT) // 86400 BETWEEN 0 AND 29
+                    THEN (CAST(1 AS BIGINT) << CAST(29 - (max_day
+                         - CAST(floor(epoch(date_trunc('day', ts)))
+                                AS BIGINT) // 86400) AS INTEGER))
+                    ELSE CAST(0 AS BIGINT) END AS wt
         FROM events CROSS JOIN mx
     ), per AS (
         SELECT user_id,
@@ -8373,11 +8377,17 @@ def q_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) DIV 86400"
         ).alias("max_day")
     )
+    # Clamp: events older than 29 days (a longer future window) get
+    # weight 0 instead of an undefined negative shift.
+    day_age = (
+        "max_day - CAST(floor(unix_timestamp(date_trunc('day', ts)))"
+        " AS BIGINT) DIV 86400"
+    )
     w = e.crossJoin(F.broadcast(mx)).selectExpr(
         "user_id",
-        "shiftleft(CAST(1 AS BIGINT), CAST(29 - (max_day"
-        " - CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
-        " DIV 86400) AS INT)) AS wt",
+        f"CASE WHEN {day_age} BETWEEN 0 AND 29"
+        f" THEN shiftleft(CAST(1 AS BIGINT), CAST(29 - ({day_age}) AS INT))"
+        f" ELSE CAST(0 AS BIGINT) END AS wt",
     )
     per = w.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
