@@ -615,3 +615,26 @@ def test_lag_features_single_exchange(spark, sf_small):
     plan = formatted_plan(df)
     assert shuffle_count(df) == 1, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_abc_analysis_no_cartesian_single_sort(spark, sf_small):
+    """q_abc_analysis is one combinable per-part aggregate feeding one
+    global revenue-descending window — the plan must stay free of
+    nested-loop/cartesian joins (the class-cut compare is in-row)."""
+    df = QUERIES["q_abc_analysis"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ship_delay_equi_join(spark, sf_small):
+    """q_ship_delay's orders⋈lineitem must be a hash/broadcast EQUI
+    join on the orderkey — a nested-loop here would be quadratic in
+    the fact table."""
+    df = QUERIES["q_ship_delay"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
