@@ -382,6 +382,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_jarque_bera",
     "q_page_hinkley",
     "q_sen_slope",
+    "q_capture_recapture",
+    "q_chao1",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -11318,3 +11318,104 @@ def q_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("slope_p75"),
     )
+
+
+# --- Chapman capture-recapture estimate (round 4) -----------------------------------------------
+# Coverage estimation by mark-recapture: treat the two window halves as
+# capture occasions; the Chapman estimator N̂ = (n1+1)(n2+1)/(m+1) − 1
+# (bias-corrected Lincoln-Petersen) estimates the total active
+# population the log never fully saw, with Seber's variance as shared
+# text over the exact integer capture counts. The data-engineering use:
+# estimating true entity counts behind incomplete event capture. Plan:
+# one per-user half-presence aggregate + an O(1) fold.
+_CR_NHAT = (
+    "(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)"
+    " / CAST(m + 1 AS DOUBLE) - 1.0)"
+)
+_CR_VAR = (
+    "(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)"
+    " * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)"
+    " / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)"
+    " * CAST(m + 2 AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_capture_recapture",
+    f"""
+    WITH bounds AS (
+        SELECT (CAST(floor(epoch(date_trunc('day', MIN(ts)))) AS BIGINT)
+                    // 86400
+                + CAST(floor(epoch(date_trunc('day', MAX(ts)))) AS BIGINT)
+                    // 86400 + 1) // 2 AS split_day
+        FROM events
+    ), per AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN CAST(floor(epoch(date_trunc('day', ts)))
+                                       AS BIGINT) // 86400 < split_day
+                             THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+               CAST(MAX(CASE WHEN CAST(floor(epoch(date_trunc('day', ts)))
+                                       AS BIGINT) // 86400 >= split_day
+                             THEN 1 ELSE 0 END) AS BIGINT) AS h2
+        FROM events CROSS JOIN bounds GROUP BY user_id
+    ), agg AS (
+        SELECT CAST(SUM(h1) AS BIGINT) AS n1,
+               CAST(SUM(h2) AS BIGINT) AS n2,
+               CAST(SUM(h1 * h2) AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM per
+    )
+    SELECT n1, n2, m, observed,
+           {_CR_NHAT} AS n_hat,
+           sqrt({_CR_VAR}) AS se_hat
+    FROM agg
+    """,
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.expr(
+            "(CAST(floor(unix_timestamp(date_trunc('day', MIN(ts))))"
+            " AS BIGINT) DIV 86400"
+            " + CAST(floor(unix_timestamp(date_trunc('day', MAX(ts))))"
+            " AS BIGINT) DIV 86400 + 1) DIV 2"
+        ).alias("split_day")
+    )
+    day_idx = (
+        "CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
+        " DIV 86400"
+    )
+    per = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(
+                    f"CASE WHEN {day_idx} < split_day THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("h1"),
+            F.max(
+                F.expr(
+                    f"CASE WHEN {day_idx} >= split_day THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("h2"),
+        )
+    )
+    agg = per.agg(
+        F.sum("h1").cast("bigint").alias("n1"),
+        F.sum("h2").cast("bigint").alias("n2"),
+        F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("observed"),
+    )
+    return agg.selectExpr(
+        "n1",
+        "n2",
+        "m",
+        "observed",
+        f"{_CR_NHAT} AS n_hat",
+        f"sqrt({_CR_VAR}) AS se_hat",
+    )

@@ -4746,3 +4746,66 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sa", "sb")
     )
+
+
+# --- Chao1 vocabulary richness + Good-Turing missing mass (round 4) -------------
+# How much vocabulary has the corpus NOT shown yet? Chao1's lower
+# bound V + N1²/(2·N2) on total richness and the Good-Turing unseen
+# probability mass N1/N — the coverage numbers a corpus card should
+# carry next to q_hapax's spectrum. Both are single divisions of exact
+# integer spectrum counts (no logs, no iteration). Plan: the same one
+# token-frequency aggregate as q_hapax + an O(1) fold.
+_C1_CHAO = (
+    "(CAST(vocab AS DOUBLE) + CAST(n1 * n1 AS DOUBLE)"
+    " / (2.0 * CAST(n2 AS DOUBLE)))"
+)
+_C1_GT = "(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+
+
+@_q(
+    "q_chao1",
+    f"""
+    WITH f AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM f
+    )
+    SELECT vocab, n_tokens, n1, n2,
+           CASE WHEN n2 = 0 THEN NULL ELSE {_C1_CHAO} END AS chao1_richness,
+           {_C1_GT} AS unseen_mass
+    FROM agg
+    """,
+)
+def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    agg = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    return agg.selectExpr(
+        "vocab",
+        "n_tokens",
+        "n1",
+        "n2",
+        f"CASE WHEN n2 = 0 THEN NULL ELSE {_C1_CHAO} END AS chao1_richness",
+        f"{_C1_GT} AS unseen_mass",
+    )

@@ -165,6 +165,8 @@ SWEEP = [
     "q_jarque_bera",        # quantized fourth-power moments
     "q_page_hinkley",       # pre-quantized cumulative trace
     "q_sen_slope",          # element-selected pairwise slopes
+    "q_capture_recapture",  # integer capture counts, shared text
+    "q_chao1",              # integer spectrum, one division
 ]
 
 
