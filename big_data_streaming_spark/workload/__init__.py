@@ -384,6 +384,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_sen_slope",
     "q_capture_recapture",
     "q_chao1",
+    "q_simpsons_check",
+    "q_churn_baseline",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

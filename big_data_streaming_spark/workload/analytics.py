@@ -11419,3 +11419,222 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_CR_NHAT} AS n_hat",
         f"sqrt({_CR_VAR}) AS se_hat",
     )
+
+
+# --- Simpson's paradox detector (round 4) --------------------------------------------------------
+# The aggregation trap, audited: does the odd/even-arm purchase-rate
+# difference hold its SIGN inside every event-type stratum, or does
+# the pooled number reverse somewhere (confounding by type mix)? All
+# comparisons are integer cross-products (p1 > p2 ⟺ c1·n2 > c2·n1 —
+# no rate division enters a decision), rates reported as fixed
+# divisions. Output: one row per stratum plus the '_pooled_' row, each
+# with its direction and a reversal flag vs pooled. Plan: one
+# combinable (type, arm) aggregate + a broadcast pooled row.
+@_q(
+    "q_simpsons_check",
+    """
+    WITH per AS (
+        SELECT COALESCE(hr_bucket, '_pooled_') AS stratum,
+               n1, c1, n0, c0
+        FROM (
+            SELECT CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 'am'
+                        ELSE 'pm' END AS hr_bucket,
+                   CAST(SUM(user_id % 2) AS BIGINT) AS n1,
+                   CAST(SUM((user_id % 2) * (CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS c1,
+                   CAST(SUM(1 - user_id % 2) AS BIGINT) AS n0,
+                   CAST(SUM((1 - user_id % 2)
+                            * (CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)) AS BIGINT) AS c0
+            FROM events
+            GROUP BY GROUPING SETS ((CASE WHEN EXTRACT(hour FROM ts) < 12
+                                          THEN 'am' ELSE 'pm' END), ())
+        )
+    ), pooled AS (
+        SELECT CAST(SIGN(c1 * n0 - c0 * n1) AS BIGINT) AS pooled_dir
+        FROM per WHERE stratum = '_pooled_'
+    )
+    SELECT p.stratum, p.n1, p.c1, p.n0, p.c0,
+           CAST(p.c1 AS DOUBLE) / CAST(p.n1 AS DOUBLE) AS rate_treat,
+           CAST(p.c0 AS DOUBLE) / CAST(p.n0 AS DOUBLE) AS rate_control,
+           CAST(SIGN(p.c1 * p.n0 - p.c0 * p.n1) AS BIGINT) AS direction,
+           CAST(CASE WHEN SIGN(p.c1 * p.n0 - p.c0 * p.n1)
+                          * pooled.pooled_dir < 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS reversal
+    FROM per p CROSS JOIN pooled
+    ORDER BY p.stratum
+    """,
+)
+def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    base = e.selectExpr(
+        "CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 'am' ELSE 'pm' END"
+        " AS hr_bucket",
+        "CAST(user_id % 2 AS BIGINT) AS arm",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+    )
+    strata = base.groupBy("hr_bucket").agg(
+        F.sum("arm").cast("bigint").alias("n1"),
+        F.sum(F.col("arm") * F.col("y")).cast("bigint").alias("c1"),
+        F.sum(1 - F.col("arm")).cast("bigint").alias("n0"),
+        F.sum((1 - F.col("arm")) * F.col("y")).cast("bigint").alias("c0"),
+    ).selectExpr("hr_bucket AS stratum", "n1", "c1", "n0", "c0")
+    pooled_row = base.agg(
+        F.sum("arm").cast("bigint").alias("n1"),
+        F.sum(F.col("arm") * F.col("y")).cast("bigint").alias("c1"),
+        F.sum(1 - F.col("arm")).cast("bigint").alias("n0"),
+        F.sum((1 - F.col("arm")) * F.col("y")).cast("bigint").alias("c0"),
+    ).selectExpr("'_pooled_' AS stratum", "n1", "c1", "n0", "c0")
+    per = strata.unionAll(pooled_row)
+    pooled = pooled_row.selectExpr(
+        "CAST(SIGN(c1 * n0 - c0 * n1) AS BIGINT) AS pooled_dir"
+    )
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .selectExpr(
+            "stratum",
+            "n1",
+            "c1",
+            "n0",
+            "c0",
+            "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_treat",
+            "CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate_control",
+            "CAST(SIGN(c1 * n0 - c0 * n1) AS BIGINT) AS direction",
+            "CAST(CASE WHEN SIGN(c1 * n0 - c0 * n1) * pooled_dir < 0"
+            " THEN 1 ELSE 0 END AS INTEGER) AS reversal",
+        )
+        .orderBy("stratum")
+    )
+
+
+# --- churn-baseline classifier evaluation (round 4) ----------------------------------------------
+# The baseline every churn model must beat: predict second-half
+# inactivity from first-half activity volume at the element-selected
+# median threshold, and report the exact confusion matrix with
+# accuracy / precision / recall / F1 as fixed divisions. Plan: one
+# per-user half aggregate, one rank window for the threshold
+# (broadcast scalar), one combinable confusion fold.
+@_q(
+    "q_churn_baseline",
+    """
+    WITH bounds AS (
+        SELECT (CAST(floor(epoch(date_trunc('day', MIN(ts)))) AS BIGINT)
+                    // 86400
+                + CAST(floor(epoch(date_trunc('day', MAX(ts)))) AS BIGINT)
+                    // 86400 + 1) // 2 AS split_day
+        FROM events
+    ), per AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN CAST(floor(epoch(date_trunc('day', ts)))
+                                       AS BIGINT) // 86400 < split_day
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+               CAST(SUM(CASE WHEN CAST(floor(epoch(date_trunc('day', ts)))
+                                       AS BIGINT) // 86400 >= split_day
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a2
+        FROM events CROSS JOIN bounds GROUP BY user_id
+    ), thr AS (
+        SELECT a1 AS med FROM (
+            SELECT a1, row_number() OVER (ORDER BY a1, user_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM per
+        ) WHERE rn = (n + 1) // 2
+    ), scored AS (
+        SELECT CASE WHEN a1 < med THEN 1 ELSE 0 END AS pred_churn,
+               CASE WHEN a2 = 0 THEN 1 ELSE 0 END AS churned
+        FROM per CROSS JOIN thr
+    ), cm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(pred_churn * churned) AS BIGINT) AS tp,
+               CAST(SUM(pred_churn * (1 - churned)) AS BIGINT) AS fp,
+               CAST(SUM((1 - pred_churn) * churned) AS BIGINT) AS fn,
+               CAST(SUM((1 - pred_churn) * (1 - churned)) AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT n_users, tp, fp, fn, tn,
+           CAST(tp + tn AS DOUBLE) / CAST(n_users AS DOUBLE) AS accuracy,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+               AS precision_,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+               AS recall_,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE CAST(2 * tp AS DOUBLE)
+                     / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+    FROM cm
+    """,
+)
+def q_churn_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.expr(
+            "(CAST(floor(unix_timestamp(date_trunc('day', MIN(ts))))"
+            " AS BIGINT) DIV 86400"
+            " + CAST(floor(unix_timestamp(date_trunc('day', MAX(ts))))"
+            " AS BIGINT) DIV 86400 + 1) DIV 2"
+        ).alias("split_day")
+    )
+    day_idx = (
+        "CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
+        " DIV 86400"
+    )
+    per = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN {day_idx} < split_day THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("a1"),
+            F.sum(
+                F.expr(f"CASE WHEN {day_idx} >= split_day THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("a2"),
+        )
+    )
+    r = per.select(
+        "a1",
+        "a2",
+        F.row_number().over(Window.orderBy("a1", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    thr = r.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("a1").alias("med")
+    )
+    scored = per.crossJoin(F.broadcast(thr)).selectExpr(
+        "CASE WHEN a1 < med THEN 1 ELSE 0 END AS pred_churn",
+        "CASE WHEN a2 = 0 THEN 1 ELSE 0 END AS churned",
+    )
+    cm = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("pred_churn") * F.col("churned"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.col("pred_churn") * (1 - F.col("churned")))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("pred_churn")) * F.col("churned"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("pred_churn")) * (1 - F.col("churned")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return cm.selectExpr(
+        "n_users",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "CAST(tp + tn AS DOUBLE) / CAST(n_users AS DOUBLE) AS accuracy",
+        "CASE WHEN tp + fp = 0 THEN NULL"
+        " ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END"
+        " AS precision_",
+        "CASE WHEN tp + fn = 0 THEN NULL"
+        " ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall_",
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
+        " ELSE CAST(2 * tp AS DOUBLE)"
+        " / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1",
+    )

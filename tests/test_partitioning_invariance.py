@@ -167,6 +167,8 @@ SWEEP = [
     "q_sen_slope",          # element-selected pairwise slopes
     "q_capture_recapture",  # integer capture counts, shared text
     "q_chao1",              # integer spectrum, one division
+    "q_simpsons_check",     # integer cross-product directions
+    "q_churn_baseline",     # element-selected threshold, exact CM
 ]
 
 
