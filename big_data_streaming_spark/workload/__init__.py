@@ -386,6 +386,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_chao1",
     "q_simpsons_check",
     "q_churn_baseline",
+    "q_bloom_advisor",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -1978,3 +1978,77 @@ def q_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN hi = hi_d THEN 1 ELSE 0 END AS INTEGER) AS max_eq",
         "CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS merged_mean",
     )
+
+
+# --- Bloom-filter sizing advisor (round 4) -----------------------------------
+# The design calculation behind the engine's Bloom membership filter:
+# for the corpus' ACTUAL distinct user/event key counts and target
+# false-positive rates {1%, 0.1%}, the optimal bits m = n·(−ln p/ln²2)
+# and hash count k = (m/n)·ln 2. The transcendental factors are
+# per-target SHARED LITERALS (9.585.../14.377... bits per key — the
+# q_ndcg constant policy); the distinct counts are exact. Output one
+# row per (key column, target). Plan: two distinct-count aggregates +
+# a 4-row broadcast grid.
+@_q(
+    "q_bloom_advisor",
+    """
+    WITH keys AS (
+        SELECT 'user_id' AS key_col,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+        FROM events
+        UNION ALL
+        SELECT 'event_id' AS key_col,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys
+        FROM events
+    ), grid AS (
+        -- explicit DOUBLE casts: DuckDB infers DECIMAL for bare
+        -- decimal literals in VALUES, which would route the sizing
+        -- arithmetic through decimal instead of IEEE doubles.
+        SELECT CAST(fpr AS DOUBLE) AS fpr,
+               CAST(bits_per_key AS DOUBLE) AS bits_per_key,
+               CAST(k_factor AS DOUBLE) AS k_factor
+        FROM (VALUES
+            ('0.01', '9.585058377367439', '6.643856189774724'),
+            ('0.001', '14.37758756605116', '9.965784284662087'))
+            AS t(fpr, bits_per_key, k_factor)
+    )
+    SELECT key_col, n_keys, fpr,
+           CAST(ceil(CAST(n_keys AS DOUBLE) * bits_per_key) AS BIGINT)
+               AS bits,
+           (CAST(n_keys AS DOUBLE) * bits_per_key) / 8388608.0 AS mib,
+           CAST(ceil(k_factor) AS BIGINT) AS k_hashes
+    FROM keys CROSS JOIN grid
+    ORDER BY key_col, fpr
+    """,
+)
+def q_bloom_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    keys = (
+        e.agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_keys")
+        ).selectExpr("'user_id' AS key_col", "n_keys")
+    ).unionAll(
+        e.agg(
+            F.countDistinct("event_id").cast("bigint").alias("n_keys")
+        ).selectExpr("'event_id' AS key_col", "n_keys")
+    )
+    grid = spark.createDataFrame(
+        [
+            (0.01, 9.585058377367439, 6.643856189774724),
+            (0.001, 14.37758756605116, 9.965784284662087),
+        ],
+        "fpr double, bits_per_key double, k_factor double",
+    )
+    return (
+        keys.crossJoin(F.broadcast(grid))
+        .selectExpr(
+            "key_col",
+            "n_keys",
+            "fpr",
+            "CAST(ceil(CAST(n_keys AS DOUBLE) * bits_per_key) AS BIGINT)"
+            " AS bits",
+            "(CAST(n_keys AS DOUBLE) * bits_per_key) / 8388608.0 AS mib",
+            "CAST(ceil(k_factor) AS BIGINT) AS k_hashes",
+        )
+        .orderBy("key_col", "fpr")
+    )

@@ -169,6 +169,7 @@ SWEEP = [
     "q_chao1",              # integer spectrum, one division
     "q_simpsons_check",     # integer cross-product directions
     "q_churn_baseline",     # element-selected threshold, exact CM
+    "q_bloom_advisor",      # shared literal factors, exact counts
 ]
 
 
