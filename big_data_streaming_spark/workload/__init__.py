@@ -387,6 +387,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_simpsons_check",
     "q_churn_baseline",
     "q_bloom_advisor",
+    "q_order_seasonality",
+    "q_reorder_gap",
+    "q_yoy_growth",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

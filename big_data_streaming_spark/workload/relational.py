@@ -2469,3 +2469,184 @@ def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- month-of-year order seasonality (round 4) ------------------------------
+# Calendar seasonality on the scaled orders table: per month-of-year,
+# order volume and decimal-routed revenue across the multi-year span,
+# with each month's share of the total. Exact integers + the money
+# policy; one combinable aggregate. The seasonal-index output is the
+# input a demand planner feeds back into allocation.
+@_q(
+    "q_order_seasonality",
+    f"""
+    WITH m AS (
+        SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS moy,
+               o_totalprice
+        FROM orders
+    ), agg AS (
+        SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {oracle_dec_sum('o_totalprice', 'revenue')}
+        FROM m GROUP BY moy
+    ), tot AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM agg
+    )
+    SELECT moy, n_orders, revenue,
+           CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS order_share
+    FROM agg CROSS JOIN tot ORDER BY moy
+    """,
+)
+def q_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    m = o.selectExpr(
+        "CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS moy",
+        "o_totalprice",
+    )
+    agg = m.groupBy("moy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dec_sum("o_totalprice", "revenue"),
+    )
+    tot = agg.agg(F.sum("n_orders").cast("bigint").alias("n_total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "moy",
+            "n_orders",
+            "revenue",
+            "CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE)"
+            " AS order_share",
+        )
+        .orderBy("moy")
+    )
+
+
+# --- customer reorder-gap quantiles (round 4) --------------------------------
+# Repeat-purchase latency on the scaled orders table: whole-day gaps
+# between a customer's consecutive orders (one LAG window on the
+# o_custkey hash), with element-selected p25/p50/p75/p90 under the
+# pinned (gap, custkey, orderkey) order. The retention metric behind
+# reorder-reminder timing. Plan: one user-keyed window + one global
+# rank window on the O(|gaps|) relation.
+@_q(
+    "q_reorder_gap",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day
+        FROM orders
+    ), g AS (
+        SELECT o_custkey, o_orderkey,
+               day - LAG(day) OVER (PARTITION BY o_custkey
+                                    ORDER BY day, o_orderkey) AS gap
+        FROM o
+    ), gg AS (
+        SELECT o_custkey, o_orderkey, CAST(gap AS BIGINT) AS gap
+        FROM g WHERE gap IS NOT NULL
+    ), rk AS (
+        SELECT gap,
+               CAST(row_number() OVER (ORDER BY gap, o_custkey, o_orderkey)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM gg
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN gap END)
+                AS BIGINT) AS p25,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN gap END)
+                AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN gap END)
+                AS BIGINT) AS p75,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN gap END)
+                AS BIGINT) AS p90
+    FROM rk
+    """,
+)
+def q_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT) AS day",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("day") - F.lag("day").over(w)).alias("gap"),
+    )
+    gg = g.where(F.col("gap").isNotNull()).selectExpr(
+        "o_custkey", "o_orderkey", "CAST(gap AS BIGINT) AS gap"
+    )
+    rk = gg.select(
+        "gap",
+        F.row_number()
+        .over(Window.orderBy("gap", "o_custkey", "o_orderkey"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return rk.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(n - 1) * {p} DIV 100 + 1"),
+                    F.col("gap"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+            for p, name in ((25, "p25"), (50, "p50"), (75, "p75"), (90, "p90"))
+        ],
+    )
+
+
+# --- year-over-year revenue growth (round 4) ----------------------------------
+# The growth ledger on the scaled lineitem table: discounted revenue
+# per ship year (decimal-routed exact sums) and the YoY growth ratio
+# as one fixed-order division of the exact yearly totals via a
+# self-join on year-1. Plan: one combinable yearly aggregate + a tiny
+# year-keyed join.
+@_q(
+    "q_yoy_growth",
+    f"""
+    WITH y AS (
+        SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY 1
+    )
+    SELECT a.yr, a.revenue,
+           b.revenue AS prev_revenue,
+           CASE WHEN b.revenue IS NULL THEN NULL
+                ELSE (a.revenue - b.revenue) / b.revenue END AS yoy_growth
+    FROM y a LEFT JOIN y b ON b.yr = a.yr - 1
+    ORDER BY a.yr
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    y = li.groupBy(
+        F.expr("CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)").alias("yr")
+    ).agg(
+        F.sum(
+            F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    a = y.alias("a")
+    b = y.selectExpr("yr AS prev_yr", "revenue AS prev_revenue")
+    return (
+        a.join(F.broadcast(b), F.col("a.yr") - 1 == F.col("prev_yr"), "left")
+        .selectExpr(
+            "yr",
+            "revenue",
+            "prev_revenue",
+            "CASE WHEN prev_revenue IS NULL THEN NULL"
+            " ELSE (revenue - prev_revenue) / prev_revenue END AS yoy_growth",
+        )
+        .orderBy("yr")
+    )

@@ -170,6 +170,9 @@ SWEEP = [
     "q_simpsons_check",     # integer cross-product directions
     "q_churn_baseline",     # element-selected threshold, exact CM
     "q_bloom_advisor",      # shared literal factors, exact counts
+    "q_order_seasonality",  # decimal revenue, exact shares
+    "q_reorder_gap",        # element-selected gap quantiles
+    "q_yoy_growth",         # decimal yearly sums, fixed division
 ]
 
 
