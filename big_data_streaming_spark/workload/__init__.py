@@ -390,6 +390,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_order_seasonality",
     "q_reorder_gap",
     "q_yoy_growth",
+    "q_return_rates",
+    "q_price_dispersion",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -2650,3 +2650,183 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# --- return rates by brand (round 4) -----------------------------------------
+# Product-quality triage on the scaled fact: share of returned lines
+# (l_returnflag = 'R') per part brand, ranked worst-first with a
+# minimum-volume floor. Exact integer counts; the part dimension
+# BROADCASTS into the fact scan (the star-join policy). Output pinned
+# by (return_share, brand) via integer cross-product ordering — the
+# rank is decided on c·n' vs c'·n, never on a float.
+@_q(
+    "q_return_rates",
+    """
+    WITH j AS (
+        SELECT p.p_brand,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), agg AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(ret) AS BIGINT) AS n_returned
+        FROM j GROUP BY p_brand
+    ), flo AS (
+        SELECT * FROM agg WHERE n_lines >= 20
+    ), rk AS (
+        SELECT a.p_brand, a.n_lines, a.n_returned,
+               CAST(1 + COUNT(*) FILTER (
+                   WHERE b.n_returned * a.n_lines > a.n_returned * b.n_lines
+                      OR (b.n_returned * a.n_lines = a.n_returned * b.n_lines
+                          AND b.p_brand < a.p_brand)) AS BIGINT) AS rnk
+        FROM flo a CROSS JOIN flo b
+        GROUP BY a.p_brand, a.n_lines, a.n_returned
+    )
+    SELECT p_brand, n_lines, n_returned,
+           CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS return_share,
+           CAST(rnk AS INTEGER) AS rank
+    FROM rk WHERE rnk <= 10 ORDER BY rank
+    """,
+)
+def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).selectExpr(
+        "p_brand",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret",
+    )
+    agg = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("ret").cast("bigint").alias("n_returned"),
+    )
+    flo = agg.where(F.col("n_lines") >= 20)
+    # Integer cross-product rank (no float ordering): a CROSS join on
+    # the tiny brand relation mirrors the oracle exactly.
+    a = flo.alias("a")
+    b = flo.alias("b")
+    rk = (
+        a.join(b, F.lit(True))
+        .groupBy(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.n_lines").alias("n_lines"),
+            F.col("a.n_returned").alias("n_returned"),
+        )
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (
+                            F.col("b.n_returned") * F.col("a.n_lines")
+                            > F.col("a.n_returned") * F.col("b.n_lines")
+                        )
+                        | (
+                            (
+                                F.col("b.n_returned") * F.col("a.n_lines")
+                                == F.col("a.n_returned") * F.col("b.n_lines")
+                            )
+                            & (F.col("b.p_brand") < F.col("a.p_brand"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rnk")
+        )
+    )
+    return (
+        rk.where(F.col("rnk") <= 10)
+        .selectExpr(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            "CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)"
+            " AS return_share",
+            "CAST(rnk AS INTEGER) AS rank",
+        )
+        .orderBy("rank")
+    )
+
+
+# --- unit-price dispersion by part type (round 4) -----------------------------
+# Pricing-consistency audit: coefficient of variation of the per-line
+# unit price (extendedprice/quantity, an identically-computed double
+# quantized to exact CENTS — CV is scale-invariant, and cents keep
+# the squared sums int64-safe at any sf) within each part type; high CV =
+# inconsistent pricing. Integer moments → shared sqrt CV. The part
+# dim broadcasts; one combinable aggregate per type. Top 10 most
+# dispersed with a volume floor, pinned by (cv, type).
+# the n·qq / s² products overflow int64 at scale, so the variance
+# identity runs in the shared double domain (identical IEEE both
+# engines).
+_PD_CV = (
+    "(sqrt((CAST(n AS DOUBLE) * CAST(qq AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    " / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_price_dispersion",
+    f"""
+    WITH j AS (
+        SELECT p.p_type,
+               CAST(floor(l.l_extendedprice / l.l_quantity * 100.0
+                          + 0.5) AS BIGINT) AS up
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0
+    ), agg AS (
+        SELECT p_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(up) AS BIGINT) AS s,
+               CAST(SUM(up * up) AS BIGINT) AS qq
+        FROM j GROUP BY p_type
+    ), flo AS (
+        SELECT p_type, n, s, qq, {_PD_CV} AS cv
+        FROM agg WHERE n >= 20
+    ), rk AS (
+        SELECT p_type, n, cv,
+               row_number() OVER (ORDER BY cv DESC, p_type) AS rn
+        FROM flo
+    )
+    SELECT p_type, n, cv, CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 10 ORDER BY rank
+    """,
+)
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = (
+        li.where(F.col("l_quantity") > 0)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .selectExpr(
+            "p_type",
+            "CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5)"
+            " AS BIGINT) AS up",
+        )
+    )
+    agg = j.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("up").cast("bigint").alias("s"),
+        F.sum(F.col("up") * F.col("up")).cast("bigint").alias("qq"),
+    )
+    flo = agg.where(F.col("n") >= 20).selectExpr(
+        "p_type", "n", "s", "qq", f"{_PD_CV} AS cv"
+    )
+    rk = flo.select(
+        "p_type",
+        "n",
+        "cv",
+        F.row_number().over(Window.orderBy(F.desc("cv"), "p_type")).alias("rn"),
+    )
+    return rk.where(F.col("rn") <= 10).selectExpr(
+        "p_type", "n", "cv", "CAST(rn AS INTEGER) AS rank"
+    ).orderBy("rank")

@@ -173,6 +173,8 @@ SWEEP = [
     "q_order_seasonality",  # decimal revenue, exact shares
     "q_reorder_gap",        # element-selected gap quantiles
     "q_yoy_growth",         # decimal yearly sums, fixed division
+    "q_return_rates",       # integer cross-product ranking
+    "q_price_dispersion",   # cents moments, shared-double CV
 ]
 
 
