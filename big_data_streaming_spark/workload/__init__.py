@@ -392,6 +392,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_yoy_growth",
     "q_return_rates",
     "q_price_dispersion",
+    "q_supplier_scorecard",
+    "q_discount_corr",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

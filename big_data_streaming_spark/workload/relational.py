@@ -2830,3 +2830,128 @@ def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.where(F.col("rn") <= 10).selectExpr(
         "p_type", "n", "cv", "CAST(rn AS INTEGER) AS rank"
     ).orderBy("rank")
+
+
+# --- supplier scorecard (round 4) ----------------------------------------------
+# The reporting-mart roll-up a procurement team reads: per supplier,
+# line volume, decimal-exact revenue, return share, and mean discount
+# (decimal-routed), top 10 by revenue with the supplier name joined
+# from the broadcast dimension. Ordering ties break on s_suppkey.
+# Plan: one combinable fact aggregate + a broadcast dim join +
+# TakeOrdered.
+@_q(
+    "q_supplier_scorecard",
+    f"""
+    WITH agg AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {oracle_dec_sum('l_extendedprice * (1 - l_discount)',
+                               'revenue')},
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned,
+               {oracle_dec_avg('l_discount', 'avg_discount')}
+        FROM lineitem GROUP BY l_suppkey
+    ), rk AS (
+        SELECT a.*, s.s_name,
+               row_number() OVER (ORDER BY a.revenue DESC, a.l_suppkey)
+                   AS rn
+        FROM agg a JOIN supplier s ON a.l_suppkey = s.s_suppkey
+    )
+    SELECT l_suppkey, s_name, n_lines, revenue,
+           CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS return_share,
+           avg_discount, CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 10 ORDER BY rank
+    """,
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    agg = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "revenue",
+        ),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+        dec_avg("l_discount", "avg_discount"),
+    )
+    rk = agg.join(
+        F.broadcast(sup), agg.l_suppkey == sup.s_suppkey
+    ).select(
+        "l_suppkey",
+        "s_name",
+        "n_lines",
+        "revenue",
+        "n_returned",
+        "avg_discount",
+        F.row_number()
+        .over(Window.orderBy(F.desc("revenue"), "l_suppkey"))
+        .alias("rn"),
+    )
+    return rk.where(F.col("rn") <= 10).selectExpr(
+        "l_suppkey",
+        "s_name",
+        "n_lines",
+        "revenue",
+        "CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)"
+        " AS return_share",
+        "avg_discount",
+        "CAST(rn AS INTEGER) AS rank",
+    ).orderBy("rank")
+
+
+# --- discount-quantity correlation (round 4) -------------------------------------
+# Does discounting actually move volume? Pearson r between the
+# discount (exact integer percent points) and line quantity (exact
+# integer) over the whole fact, via the n-multiplied integer identity
+# with the variance products CAST per-factor to double (int64-safe at
+# any sf). One combinable aggregate.
+_DQ_R = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+
+
+@_q(
+    "q_discount_corr",
+    f"""
+    WITH b AS (
+        SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM b
+    )
+    SELECT n, sx, sy, {_DQ_R} AS r FROM agg
+    """,
+)
+def q_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    b = li.selectExpr(
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x",
+        "CAST(l_quantity AS BIGINT) AS y",
+    )
+    agg = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return agg.selectExpr("n", "sx", "sy", f"{_DQ_R} AS r")

@@ -175,6 +175,8 @@ SWEEP = [
     "q_yoy_growth",         # decimal yearly sums, fixed division
     "q_return_rates",       # integer cross-product ranking
     "q_price_dispersion",   # cents moments, shared-double CV
+    "q_supplier_scorecard", # decimal roll-up, pinned top-10
+    "q_discount_corr",      # integer moments, shared-double r
 ]
 
 
