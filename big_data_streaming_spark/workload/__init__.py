@@ -394,6 +394,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_price_dispersion",
     "q_supplier_scorecard",
     "q_discount_corr",
+    "q_priority_drift",
+    "q_mau_retention",
+    "q_balance_segments",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -2955,3 +2955,243 @@ def q_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
     return agg.selectExpr("n", "sx", "sy", f"{_DQ_R} AS r")
+
+
+# --- order-priority mix drift by year (round 4) --------------------------------
+# Process drift on the scaled orders table: total-variation distance
+# between each year's order-priority mix and the pooled mix — the
+# |pa−pb| identity from the Hellinger/TV family, cross-multiplied to
+# exact integers: TV = Σ|ca·n − cb·na| / (2·na·n). Plan: one
+# (year, priority) count + broadcast pooled margins; O(years) output.
+_POD_TV = (
+    "(CAST(num AS DOUBLE) / (2.0 * CAST(na AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_priority_drift",
+    f"""
+    WITH yp AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS ca
+        FROM orders GROUP BY 1, 2
+    ), ytot AS (
+        SELECT yr, CAST(SUM(ca) AS BIGINT) AS na FROM yp GROUP BY yr
+    ), pooled AS (
+        SELECT pri, CAST(SUM(ca) AS BIGINT) AS cb FROM yp GROUP BY pri
+    ), ptot AS (
+        SELECT CAST(SUM(cb) AS BIGINT) AS n FROM pooled
+    ), grid AS (
+        SELECT ytot.yr, pooled.pri, COALESCE(yp.ca, 0) AS ca,
+               ytot.na, pooled.cb, ptot.n
+        FROM ytot CROSS JOIN pooled CROSS JOIN ptot
+        LEFT JOIN yp ON yp.yr = ytot.yr AND yp.pri = pooled.pri
+    ), agg AS (
+        SELECT yr, CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(abs(ca * n - cb * na)) AS BIGINT) AS num
+        FROM grid GROUP BY yr
+    )
+    SELECT yr, na AS n_orders, {_POD_TV} AS tv_distance
+    FROM agg ORDER BY yr
+    """,
+)
+def q_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    yp = o.groupBy(
+        F.expr("CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    ytot = yp.groupBy("yr").agg(F.sum("ca").cast("bigint").alias("na"))
+    pooled = yp.groupBy("pri").agg(F.sum("ca").cast("bigint").alias("cb"))
+    ptot = pooled.agg(F.sum("cb").cast("bigint").alias("n"))
+    grid = (
+        ytot.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(ptot))
+        .join(yp, ["yr", "pri"], "left")
+        .select(
+            "yr",
+            "pri",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            "na",
+            "cb",
+            "n",
+        )
+    )
+    agg = grid.groupBy("yr").agg(
+        F.max("na").cast("bigint").alias("na"),
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("ca") * F.col("n") - F.col("cb") * F.col("na")))
+        .cast("bigint")
+        .alias("num"),
+    )
+    return agg.selectExpr(
+        "yr", "na AS n_orders", f"{_POD_TV} AS tv_distance"
+    ).orderBy("yr")
+
+
+# --- month-over-month customer retention (round 4) --------------------------------
+# The MAU retention curve on the scaled orders table: per month,
+# active customers and the share also active the PREVIOUS month —
+# exact integer counts from a month-keyed self-join of the distinct
+# (month, customer) relation. Plan: one distinct aggregate; the
+# retention join hashes on o_custkey; O(months) output.
+@_q(
+    "q_mau_retention",
+    """
+    WITH mc AS (
+        SELECT DISTINCT
+               CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx,
+               o_custkey
+        FROM orders
+    ), act AS (
+        SELECT midx, CAST(COUNT(*) AS BIGINT) AS mau FROM mc GROUP BY midx
+    ), ret AS (
+        SELECT a.midx, CAST(COUNT(*) AS BIGINT) AS retained
+        FROM mc a JOIN mc b
+          ON a.o_custkey = b.o_custkey AND b.midx = a.midx - 1
+        GROUP BY a.midx
+    )
+    SELECT act.midx, act.mau,
+           CAST(COALESCE(ret.retained, 0) AS BIGINT) AS retained,
+           CAST(COALESCE(ret.retained, 0) AS DOUBLE)
+               / CAST(act.mau AS DOUBLE) AS retention_rate
+    FROM act LEFT JOIN ret ON act.midx = ret.midx
+    ORDER BY act.midx
+    """,
+)
+def q_mau_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    mc = o.selectExpr(
+        "CAST(EXTRACT(year FROM o_orderdate) * 12"
+        " + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx",
+        "o_custkey",
+    ).distinct()
+    act = mc.groupBy("midx").agg(F.count(F.lit(1)).cast("bigint").alias("mau"))
+    a = mc.alias("a")
+    b = mc.alias("b")
+    ret = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.midx") == F.col("a.midx") - 1),
+        )
+        .groupBy(F.col("a.midx").alias("midx"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained"))
+    )
+    return (
+        act.join(ret, "midx", "left")
+        .selectExpr(
+            "midx",
+            "mau",
+            "CAST(COALESCE(retained, 0) AS BIGINT) AS retained",
+            "CAST(COALESCE(retained, 0) AS DOUBLE) / CAST(mau AS DOUBLE)"
+            " AS retention_rate",
+        )
+        .orderBy("midx")
+    )
+
+
+# --- account-balance × segment independence (round 4) -------------------------------
+# Is account balance independent of market segment? Chi-square of
+# independence over balance quartiles (element-selected cuts in the
+# exact cents domain) × mktsegment on the scaled customer dim,
+# reusing the shared-double chi² cell identity (expected counts are
+# rationals). Plan: one rank window for the cuts + one (bucket,
+# segment) count + broadcast margins.
+_BS_CHI2_TERM = (
+    "CAST(floor((CAST(c AS DOUBLE)"
+    " - CAST(rb AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(c AS DOUBLE)"
+    " - CAST(rb AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(rb AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@_q(
+    "q_balance_segments",
+    f"""
+    WITH c AS (
+        SELECT c_mktsegment AS seg,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+               c_custkey
+        FROM customer
+    ), r AS (
+        SELECT seg, bal,
+               CAST(row_number() OVER (ORDER BY bal, c_custkey) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM c
+    ), bucketed AS (
+        SELECT seg,
+               CAST((rn - 1) * 4 // n AS BIGINT) AS qb
+        FROM r
+    ), cells AS (
+        SELECT qb, seg, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bucketed GROUP BY 1, 2
+    ), rm AS (
+        SELECT qb, CAST(SUM(c) AS BIGINT) AS rb FROM cells GROUP BY qb
+    ), cm AS (
+        SELECT seg, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY seg
+    ), nn AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), terms AS (
+        SELECT {_BS_CHI2_TERM} AS tq
+        FROM cells
+        JOIN rm ON cells.qb = rm.qb
+        JOIN cm ON cells.seg = cm.seg
+        CROSS JOIN nn
+    )
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_customers,
+           CAST((SELECT COUNT(*) FROM rm) AS BIGINT) AS n_buckets,
+           CAST((SELECT COUNT(*) FROM cm) AS BIGINT) AS n_segments,
+           CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS chi2
+    FROM terms
+    """,
+)
+def q_balance_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = t(spark, sf_dir, "customer").selectExpr(
+        "c_mktsegment AS seg",
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal",
+        "c_custkey",
+    )
+    r = cust.select(
+        "seg",
+        "bal",
+        F.row_number()
+        .over(Window.orderBy("bal", "c_custkey"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    bucketed = r.selectExpr("seg", "CAST((rn - 1) * 4 DIV n AS BIGINT) AS qb")
+    cells = bucketed.groupBy("qb", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rm = cells.groupBy("qb").agg(F.sum("c").cast("bigint").alias("rb"))
+    cm = cells.groupBy("seg").agg(F.sum("c").cast("bigint").alias("cb"))
+    nn = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rm), "qb")
+        .join(F.broadcast(cm), "seg")
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(f"{_BS_CHI2_TERM} AS tq")
+    )
+    meta = (
+        rm.agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+        .crossJoin(
+            F.broadcast(
+                cm.agg(F.count(F.lit(1)).cast("bigint").alias("n_segments"))
+            )
+        )
+        .crossJoin(F.broadcast(nn.selectExpr("n AS n_customers")))
+    )
+    agg = terms.agg(
+        (F.sum("tq").cast("double") / 1000000000.0).alias("chi2")
+    )
+    return meta.crossJoin(F.broadcast(agg)).selectExpr(
+        "n_customers", "n_buckets", "n_segments", "chi2"
+    )

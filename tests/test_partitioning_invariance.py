@@ -177,6 +177,9 @@ SWEEP = [
     "q_price_dispersion",   # cents moments, shared-double CV
     "q_supplier_scorecard", # decimal roll-up, pinned top-10
     "q_discount_corr",      # integer moments, shared-double r
+    "q_priority_drift",     # all-integer TV terms
+    "q_mau_retention",      # integer retention counts
+    "q_balance_segments",   # quantized chi2 terms, order-free
 ]
 
 
