@@ -397,6 +397,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_priority_drift",
     "q_mau_retention",
     "q_balance_segments",
+    "q_cross_source_dups",
+    "q_stream_frontier",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

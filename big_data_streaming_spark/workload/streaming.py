@@ -1782,3 +1782,112 @@ def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.selectExpr(
         "batch_key", "n_treat", "n_control", f"{_SSRM_CHI2} AS srm_chi2"
     ).orderBy("batch_key")
+
+
+# --- streaming event-time frontier trace (round 4) ----------------------------
+# The live counterpart of q_watermark_advisor: as each micro-batch of
+# the 4-file drain lands, record its size and min/max event time in
+# exact epoch seconds; the running frontier (cumulative max across
+# batches in arrival order) and each batch's regression behind it are
+# computed in the batch finish over the ≤4 collected rows. The trace a
+# streaming operator would emit to size its watermark online.
+@_q(
+    "q_stream_frontier",
+    """
+    WITH r AS (
+        SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               row_number() OVER (ORDER BY event_id) - 1 AS rn
+        FROM events
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events
+    ), p AS (
+        SELECT event_id, sec, rn // ((nn.total + 3) // 4) AS part
+        FROM r, nn
+    ), b AS (
+        SELECT part,
+               CAST(MIN(event_id) AS BIGINT) AS batch_key,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(sec) AS BIGINT) AS min_sec,
+               CAST(MAX(sec) AS BIGINT) AS max_sec
+        FROM p GROUP BY part
+    ), f AS (
+        SELECT batch_key, n, min_sec, max_sec,
+               CAST(MAX(max_sec) OVER (ORDER BY batch_key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS frontier_sec
+        FROM b
+    )
+    SELECT batch_key, n, min_sec, max_sec, frontier_sec,
+           CAST(frontier_sec - max_sec AS BIGINT) AS behind_frontier_sec
+    FROM f ORDER BY batch_key
+    """,
+)
+def q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    rows: list[tuple[int, int, int, int]] = []
+
+    def profile(bdf: DataFrame, batch_id: int) -> None:
+        r = bdf.agg(
+            F.min("event_id").cast("bigint").alias("batch_key"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("CAST(MIN(floor(unix_timestamp(ts))) AS BIGINT)").alias(
+                "min_sec"
+            ),
+            F.expr("CAST(MAX(floor(unix_timestamp(ts))) AS BIGINT)").alias(
+                "max_sec"
+            ),
+        ).collect()[0]
+        if r.batch_key is None:
+            return
+        rows.append((r.batch_key, r.n, r.min_sec, r.max_sec))
+
+    q = (
+        sdf.writeStream.foreachBatch(profile)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(),
+                f"bdss_frontier_ckpt_{uuid.uuid4().hex[:8]}",
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per = spark.createDataFrame(
+        rows, "batch_key: bigint, n: bigint, min_sec: bigint, max_sec: bigint"
+    )
+    f = per.select(
+        "*",
+        F.max("max_sec")
+        .over(
+            Window.orderBy("batch_key").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("frontier_sec"),
+    )
+    return f.selectExpr(
+        "batch_key",
+        "n",
+        "min_sec",
+        "max_sec",
+        "frontier_sec",
+        "CAST(frontier_sec - max_sec AS BIGINT) AS behind_frontier_sec",
+    ).orderBy("batch_key")

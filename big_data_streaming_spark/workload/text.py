@@ -4809,3 +4809,74 @@ def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN n2 = 0 THEN NULL ELSE {_C1_CHAO} END AS chao1_richness",
         f"{_C1_GT} AS unseen_mass",
     )
+
+
+# --- cross-source duplicate contamination (round 4) ------------------------------
+# Dedup governance: of the exact-duplicate fingerprint groups (the
+# q_dedup_exact md5 contract), how many span MORE THAN ONE source —
+# i.e. how much duplication is cross-source contamination (mirrored
+# scrapes) vs within-source noise? Exact integer counts; output one
+# row. Plan: one fingerprint aggregate carrying count + distinct
+# sources, one fold.
+@_q(
+    "q_cross_source_dups",
+    """
+    WITH fp AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fp,
+               source
+        FROM documents
+    ), grp AS (
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM fp GROUP BY fp
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_groups,
+               CAST(SUM(CASE WHEN n_docs > 1 AND n_sources > 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cross_source_groups,
+               CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END)
+                    AS BIGINT) AS dup_docs
+        FROM grp
+    )
+    SELECT n_groups, dup_groups, cross_source_groups, dup_docs,
+           CASE WHEN dup_groups = 0 THEN NULL
+                ELSE CAST(cross_source_groups AS DOUBLE)
+                     / CAST(dup_groups AS DOUBLE) END AS cross_source_share
+    FROM agg
+    """,
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = d.select(F.md5(norm).alias("fp"), "source")
+    grp = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_groups"),
+        F.sum(
+            F.when((F.col("n_docs") > 1) & (F.col("n_sources") > 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cross_source_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_docs"),
+    )
+    return agg.selectExpr(
+        "n_groups",
+        "dup_groups",
+        "cross_source_groups",
+        "dup_docs",
+        "CASE WHEN dup_groups = 0 THEN NULL"
+        " ELSE CAST(cross_source_groups AS DOUBLE)"
+        " / CAST(dup_groups AS DOUBLE) END AS cross_source_share",
+    )

@@ -180,6 +180,7 @@ SWEEP = [
     "q_priority_drift",     # all-integer TV terms
     "q_mau_retention",      # integer retention counts
     "q_balance_segments",   # quantized chi2 terms, order-free
+    "q_cross_source_dups",  # integer fingerprint-group counts
 ]
 
 
