@@ -399,6 +399,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_balance_segments",
     "q_cross_source_dups",
     "q_stream_frontier",
+    "q_dead_stock",
+    "q_type_rollup",
+    "q_daypart_interaction",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

@@ -11638,3 +11638,84 @@ def q_churn_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(2 * tp AS DOUBLE)"
         " / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1",
     )
+
+
+# --- daypart × weekpart purchase interaction (round 4) ------------------------------------------
+# Does the am/pm purchase lift differ between weekdays and weekends?
+# The 2×2×outcome interaction read as two odds ratios plus their
+# ratio (the odds-ratio interaction), all fixed divisions of exact
+# integer cells with zero-guards. Plan: one combinable aggregate over
+# the scan; O(1) output.
+_DPI_OR = (
+    "(CAST(p1 AS DOUBLE) * CAST(n0 - p0 AS DOUBLE)"
+    " / (CAST(p0 AS DOUBLE) * CAST(n1 - p1 AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_daypart_interaction",
+    f"""
+    WITH b AS (
+        SELECT CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END AS am,
+               -- DuckDB dayofweek is 0-based (Sunday=0, Saturday=6);
+               -- the Spark side uses its 1-based (Sunday=1, Saturday=7).
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wkend,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), cells AS (
+        SELECT wkend,
+               CAST(SUM(am) AS BIGINT) AS n1,
+               CAST(SUM(am * y) AS BIGINT) AS p1,
+               CAST(SUM(1 - am) AS BIGINT) AS n0,
+               CAST(SUM((1 - am) * y) AS BIGINT) AS p0
+        FROM b GROUP BY wkend
+    ), ors AS (
+        SELECT wkend, n1, p1, n0, p0,
+               CASE WHEN p0 = 0 OR n1 = p1 THEN NULL ELSE {_DPI_OR} END
+                   AS am_odds_ratio
+        FROM cells
+    )
+    SELECT a.n1 AS wkend_am_n, a.p1 AS wkend_am_purchases,
+           a.am_odds_ratio AS weekend_or,
+           b.am_odds_ratio AS weekday_or,
+           CASE WHEN b.am_odds_ratio IS NULL OR a.am_odds_ratio IS NULL
+                     OR b.am_odds_ratio = 0.0 THEN NULL
+                ELSE a.am_odds_ratio / b.am_odds_ratio END
+               AS interaction_ratio
+    FROM (SELECT * FROM ors WHERE wkend = 1) a
+    CROSS JOIN (SELECT * FROM ors WHERE wkend = 0) b
+    """,
+)
+def q_daypart_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    b = e.selectExpr(
+        "CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END AS am",
+        "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END AS wkend",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+    )
+    cells = b.groupBy("wkend").agg(
+        F.sum("am").cast("bigint").alias("n1"),
+        F.sum(F.col("am") * F.col("y")).cast("bigint").alias("p1"),
+        F.sum(1 - F.col("am")).cast("bigint").alias("n0"),
+        F.sum((1 - F.col("am")) * F.col("y")).cast("bigint").alias("p0"),
+    )
+    ors = cells.selectExpr(
+        "wkend",
+        "n1",
+        "p1",
+        "n0",
+        "p0",
+        f"CASE WHEN p0 = 0 OR n1 = p1 THEN NULL ELSE {_DPI_OR} END"
+        " AS am_odds_ratio",
+    )
+    a = ors.where(F.col("wkend") == 1).alias("a")
+    bb = ors.where(F.col("wkend") == 0).alias("b")
+    return a.crossJoin(F.broadcast(bb)).selectExpr(
+        "a.n1 AS wkend_am_n",
+        "a.p1 AS wkend_am_purchases",
+        "a.am_odds_ratio AS weekend_or",
+        "b.am_odds_ratio AS weekday_or",
+        "CASE WHEN b.am_odds_ratio IS NULL OR a.am_odds_ratio IS NULL"
+        " OR b.am_odds_ratio = 0.0 THEN NULL"
+        " ELSE a.am_odds_ratio / b.am_odds_ratio END AS interaction_ratio",
+    )

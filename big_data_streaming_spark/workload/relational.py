@@ -3195,3 +3195,133 @@ def q_balance_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.crossJoin(F.broadcast(agg)).selectExpr(
         "n_customers", "n_buckets", "n_segments", "chi2"
     )
+
+
+# --- dead-stock audit (round 4) -----------------------------------------------
+# Referential coverage the other way around: parts that NEVER appear
+# in the fact table (anti join on the part key) — candidates for
+# delisting, plus the worst offenders by retail price. The anti join
+# broadcasts the DISTINCT fact keys when small or flips to a shuffled
+# left-anti at scale — either way never a cartesian. Top 10 dead parts
+# by (retail price DESC, partkey).
+@_q(
+    "q_dead_stock",
+    """
+    WITH sold AS (
+        SELECT DISTINCT l_partkey FROM lineitem
+    ), dead AS (
+        SELECT p.p_partkey, p.p_brand, p.p_retailprice
+        FROM part p LEFT JOIN sold s ON p.p_partkey = s.l_partkey
+        WHERE s.l_partkey IS NULL
+    ), tot AS (
+        SELECT CAST((SELECT COUNT(*) FROM part) AS BIGINT) AS n_parts,
+               CAST(COUNT(*) AS BIGINT) AS n_dead
+        FROM dead
+    ), rk AS (
+        SELECT p_partkey, p_brand, p_retailprice,
+               row_number() OVER (ORDER BY p_retailprice DESC, p_partkey)
+                   AS rn
+        FROM dead
+    )
+    SELECT tot.n_parts, tot.n_dead,
+           CAST(tot.n_dead AS DOUBLE) / CAST(tot.n_parts AS DOUBLE)
+               AS dead_share,
+           rk.p_partkey, rk.p_brand, rk.p_retailprice,
+           CAST(rk.rn AS INTEGER) AS rank
+    FROM rk CROSS JOIN tot WHERE rk.rn <= 10 ORDER BY rank
+    """,
+)
+def q_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    sold = t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    dead = p.join(sold, p.p_partkey == sold.l_partkey, "left_anti")
+    n_parts = t(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    tot = dead.agg(F.count(F.lit(1)).cast("bigint").alias("n_dead")).crossJoin(
+        F.broadcast(n_parts)
+    )
+    rk = dead.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.row_number()
+        .over(Window.orderBy(F.desc("p_retailprice"), "p_partkey"))
+        .alias("rn"),
+    )
+    return (
+        rk.where(F.col("rn") <= 10)
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_parts",
+            "n_dead",
+            "CAST(n_dead AS DOUBLE) / CAST(n_parts AS DOUBLE) AS dead_share",
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            "CAST(rn AS INTEGER) AS rank",
+        )
+        .orderBy("rank")
+    )
+
+
+# --- part-type hierarchy rollup (round 4) ---------------------------------------
+# The multi-word p_type ("STANDARD ANODIZED BRASS") is an implicit
+# 3-level hierarchy; roll revenue up to its FIRST word (the finish
+# class) — string-derived dimension extraction at scan time, then the
+# decimal-exact revenue rollup with shares. Plan: broadcast dim join +
+# one combinable aggregate; O(|classes|) output.
+@_q(
+    "q_type_rollup",
+    f"""
+    WITH j AS (
+        SELECT split_part(p.p_type, ' ', 1) AS type_class,
+               l.l_extendedprice, l.l_discount
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), agg AS (
+        SELECT type_class,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {oracle_dec_sum('l_extendedprice * (1 - l_discount)',
+                               'revenue')}
+        FROM j GROUP BY type_class
+    ), tot AS (
+        SELECT CAST(SUM(n_lines) AS BIGINT) AS n_total FROM agg
+    )
+    SELECT type_class, n_lines, revenue,
+           CAST(n_lines AS DOUBLE) / CAST(n_total AS DOUBLE) AS line_share
+    FROM agg CROSS JOIN tot ORDER BY type_class
+    """,
+)
+def q_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).selectExpr(
+        "split_part(p_type, ' ', 1) AS type_class",
+        "l_extendedprice",
+        "l_discount",
+    )
+    agg = j.groupBy("type_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "revenue",
+        ),
+    )
+    tot = agg.agg(F.sum("n_lines").cast("bigint").alias("n_total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "type_class",
+            "n_lines",
+            "revenue",
+            "CAST(n_lines AS DOUBLE) / CAST(n_total AS DOUBLE)"
+            " AS line_share",
+        )
+        .orderBy("type_class")
+    )

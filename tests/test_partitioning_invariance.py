@@ -181,6 +181,9 @@ SWEEP = [
     "q_mau_retention",      # integer retention counts
     "q_balance_segments",   # quantized chi2 terms, order-free
     "q_cross_source_dups",  # integer fingerprint-group counts
+    "q_dead_stock",         # anti-join counts, pinned order
+    "q_type_rollup",        # decimal rollup, exact shares
+    "q_daypart_interaction",  # integer cells, fixed odds ratios
 ]
 
 
