@@ -402,6 +402,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_dead_stock",
     "q_type_rollup",
     "q_daypart_interaction",
+    "q_temporal_integrity",
+    "q_monthly_swing",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",

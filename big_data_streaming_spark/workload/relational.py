@@ -3325,3 +3325,138 @@ def q_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_class")
     )
+
+
+# --- temporal integrity audit (round 4) ------------------------------------------
+# The impossible-record check a warehouse runs after every load: lines
+# shipped BEFORE their order was placed (or suspiciously long after —
+# > 180 days). Exact day-difference integers off the orderkey join;
+# violation counts plus the worst early-ship offenders pinned by
+# (gap, orderkey, linenumber). Plan: the co-partitioned fact join +
+# one combinable fold + TakeOrdered.
+@_q(
+    "q_temporal_integrity",
+    """
+    WITH j AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(floor(epoch(l.l_shipdate) / 86400)
+                    - floor(epoch(o.o_orderdate) / 86400) AS BIGINT)
+                   AS gap_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN gap_days < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ship_before_order,
+               CAST(SUM(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over_180d,
+               CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+               CAST(MAX(gap_days) AS BIGINT) AS max_gap
+        FROM j
+    )
+    SELECT n_lines, n_ship_before_order, n_over_180d, min_gap, max_gap,
+           CAST(n_ship_before_order + n_over_180d AS DOUBLE)
+               / CAST(n_lines AS DOUBLE) AS violation_share
+    FROM agg
+    """,
+)
+def q_temporal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
+        "CAST(floor(unix_timestamp(l_shipdate) / 86400)"
+        " - floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)"
+        " AS gap_days",
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("gap_days") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ship_before_order"),
+        F.sum(F.when(F.col("gap_days") > 180, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_180d"),
+        F.min("gap_days").cast("bigint").alias("min_gap"),
+        F.max("gap_days").cast("bigint").alias("max_gap"),
+    )
+    return agg.selectExpr(
+        "n_lines",
+        "n_ship_before_order",
+        "n_over_180d",
+        "min_gap",
+        "max_gap",
+        "CAST(n_ship_before_order + n_over_180d AS DOUBLE)"
+        " / CAST(n_lines AS DOUBLE) AS violation_share",
+    )
+
+
+# --- largest month-over-month revenue swings (round 4) --------------------------------
+# Anomaly triage on the monthly revenue ledger: the five biggest
+# absolute MoM swings (decimal-exact monthly revenue, LAG over the
+# integer month index, only ADJACENT months compared). Ordering pins
+# by (|swing|, month) — both identically computed. Plan: one
+# combinable monthly aggregate + a tiny month window + TakeOrdered.
+@_q(
+    "q_monthly_swing",
+    f"""
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx,
+               {oracle_dec_sum('o_totalprice', 'revenue')}
+        FROM orders GROUP BY 1
+    ), lagd AS (
+        SELECT midx, revenue,
+               LAG(midx) OVER (ORDER BY midx) AS pmidx,
+               LAG(revenue) OVER (ORDER BY midx) AS prev
+        FROM m
+    ), sw AS (
+        SELECT midx, revenue, prev,
+               revenue - prev AS swing
+        FROM lagd WHERE pmidx = midx - 1
+    ), rk AS (
+        SELECT midx, revenue, prev, swing,
+               row_number() OVER (ORDER BY abs(swing) DESC, midx) AS rn
+        FROM sw
+    )
+    SELECT midx, revenue, prev AS prev_revenue, swing,
+           CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 5 ORDER BY rank
+    """,
+)
+def q_monthly_swing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.expr(
+            "CAST(EXTRACT(year FROM o_orderdate) * 12"
+            " + EXTRACT(month FROM o_orderdate) AS BIGINT)"
+        ).alias("midx")
+    ).agg(dec_sum("o_totalprice", "revenue"))
+    w = Window.orderBy("midx")
+    lagd = m.select(
+        "midx",
+        "revenue",
+        F.lag("midx").over(w).alias("pmidx"),
+        F.lag("revenue").over(w).alias("prev"),
+    )
+    sw = lagd.where(F.col("pmidx") == F.col("midx") - 1).select(
+        "midx",
+        "revenue",
+        "prev",
+        (F.col("revenue") - F.col("prev")).alias("swing"),
+    )
+    rk = sw.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("swing")).desc(), "midx"))
+        .alias("rn"),
+    )
+    return rk.where(F.col("rn") <= 5).selectExpr(
+        "midx",
+        "revenue",
+        "prev AS prev_revenue",
+        "swing",
+        "CAST(rn AS INTEGER) AS rank",
+    ).orderBy("rank")

@@ -184,6 +184,8 @@ SWEEP = [
     "q_dead_stock",         # anti-join counts, pinned order
     "q_type_rollup",        # decimal rollup, exact shares
     "q_daypart_interaction",  # integer cells, fixed odds ratios
+    "q_temporal_integrity",   # integer day gaps, one division
+    "q_monthly_swing",        # decimal ledger, pinned swings
 ]
 
 
