@@ -67,86 +67,26 @@ _MODULES = (
 # completion operators (q_ohlc_bars … q_kanonymity), (4) the first three
 # TPC-H completion queries to fill the window to exactly 50.
 #
-# ROUND-4 ROTATION (executed per the TODO + VERDICT.md r3 task 3):
-# CORRECTNESS_r03 came back 49 green + 1 red (q_agg_boolean — oracle
-# HUGEINT typing, fixed with CAST ... AS BIGINT). All 49 greens moved to
-# the tail; q_agg_boolean STAYS in the window so CORRECTNESS_r04
-# confirms the fix. The rest of the window promotes, in the TODO's
-# priority order: (1) the remaining TPC-H completion pack, (2) the
-# finale-era keys after q_kanonymity, (3) the round-2 just-past-window
-# block (3 of its 4 rows-only keys — the window carries at most 3
-# rows-only slots per the contract test; q_dedup_simhash defers one
-# round, its value-checked twin q_simhash_audit is already green), (4)
-# completion operators to fill to exactly 50.
+# ROUND-5 ROTATION (executed per the TODO + VERDICT.md r4 task 1):
+# CORRECTNESS_r04 came back 47 green + 3 rows-only, 0 red. All 50 r4
+# window keys move to the tail ("driver-checked in round 4" block). The
+# new window promotes, in the TODO's priority order: (1) q_dedup_simhash
+# (the last rows-only key with no driver row; its value-checked twin
+# q_simhash_audit is green r3) + the remaining completion ops (q_funnel
+# … q_try_arith), (2) the analytics continuation (q_interval_merge …
+# q_doc_jaccard — 41 of the 42; q_zipf_audit is position 50, first in
+# line for round 6). One rows-only slot used (q_dedup_simhash); the
+# contract test allows <=3.
 #
-# ROUND-5 ROTATION TODO: once CORRECTNESS_r04 lands, move its green keys
+# ROUND-6 ROTATION TODO: once CORRECTNESS_r05 lands, move its green keys
 # to the tail and promote the next unchecked block — priority order:
-# (1) q_dedup_simhash + remaining completion ops (q_funnel …
-# q_try_arith), (2) analytics continuation (q_interval_merge …
-# q_zipf_audit), (3) round-3 additions (q_bollinger … q_monotonic_audit),
-# (4) anything added in round 4 (queued below the window, marked
-# "round-4 additions" — the closing wave runs q_kruskal_wallis …
-# q_jarque_bera; every key there is gate-green at sf0.001/0.01/0.1).
+# (1) q_zipf_audit, (2) round-3 additions (q_bollinger …
+# q_monotonic_audit), (3) round-4 additions (q_winnow_fingerprint …
+# q_monthly_swing), (4) round-5 additions queued below. Every queued key
+# is gate-green at sf0.001/0.01/0.1.
 _CHECK_FIRST: tuple[str, ...] = (
-    # ============ round-4 driver window (positions 0-49) =================
-    # (0) the r3 red row — oracle retyped, re-checked this round
-    "q_agg_boolean",
-    # (1) TPC-H completion pack — full-oracle, pytest-green
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # (2) finale-era keys — never driver-checked
-    "q_modularity",
-    "q_graph_evolution",
-    "q_frame_sample",
-    "q_stream_cdc",
-    "q_negative_sampling",
-    "q_ohlc_daily",
-    "q_vwap",
-    "q_seasonality",
-    "q_drawdown",
-    "q_cohort_ltv",
-    "q_rfm",
-    "q_top_n_other",
-    "q_url_normalize",
-    "q_explode_outer",
-    "q_seasonal_anomaly",
-    "q_kanon_generalize",
-    # (3) round-2 just-past-window block (incl. the 3 rows-only slots)
-    "q_dedup_near_pairs",
-    "q_minhash_signature",
-    "q_embed_neardup",
-    "q_scalar_map",
-    "q_doc_chunks",
-    "q_embed_normalize",
-    "q_multimodal_audio",
-    "q_gap_fill",
-    "q_format_roundtrip",
-    "q_sketch_cms",
-    "q_salted_agg",
-    "q_zorder_layout",
-    # (4) completion operators — fill the window to exactly 50
-    "q_line_dedup",
-    "q_kmeans",
-    "q_join_full",
-    "q_join_cross",
-    "q_join_nullsafe",
-    "q_scd2_build",
-    # ============ round-5 rotation candidates (positions 50+) ============
-    # Deferred rows-only key (twin q_simhash_audit green r3) + remaining
-    # completion operators — first in line for the round-5 window.
+    # ============ round-5 driver window (positions 0-49) =================
+    # (1) deferred rows-only key + remaining completion operators
     "q_dedup_simhash",
     "q_funnel",
     "q_triangles",
@@ -156,7 +96,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_retention",
     "q_snapshot_diff",
     "q_try_arith",
-    # -- analytics module (round-2 continuation; round-3 rotation) --------
+    # (2) analytics continuation (round-2/3-era, never driver-checked)
     "q_interval_merge",
     "q_transitions",
     "q_paths",
@@ -198,9 +138,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_multimodal_resize",
     "q_char_ngrams",
     "q_doc_jaccard",
+    # ============ round-6 rotation candidates (positions 50+) ============
     "q_zipf_audit",
     # Round-3 additions — full-oracle, green under the in-repo gate at
-    # sf0.001+sf0.01; queued for the round-5/6 windows.
+    # sf0.001+sf0.01; queued for the round-6 window.
     "q_bollinger",
     "q_rsi",
     "q_refint_audit",
@@ -236,7 +177,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_salted_join",
     "q_monotonic_audit",
     # Round-4 additions — full-oracle, green under the in-repo gate at
-    # sf0.001+sf0.01; round-5 rotation priority (4).
+    # sf0.001+sf0.01+sf0.1; queued for the round-6/7 windows.
     "q_winnow_fingerprint",
     "q_mix_temperature",
     "q_percentile_cont",
@@ -404,6 +345,58 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_daypart_interaction",
     "q_temporal_integrity",
     "q_monthly_swing",
+    # -- driver-checked in round 4 (CORRECTNESS_r04: 47 green + 3
+    # rows-only, 0 red) — rotated to the tail ------------------------------
+    "q_agg_boolean",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_modularity",
+    "q_graph_evolution",
+    "q_frame_sample",
+    "q_stream_cdc",
+    "q_negative_sampling",
+    "q_ohlc_daily",
+    "q_vwap",
+    "q_seasonality",
+    "q_drawdown",
+    "q_cohort_ltv",
+    "q_rfm",
+    "q_top_n_other",
+    "q_url_normalize",
+    "q_explode_outer",
+    "q_seasonal_anomaly",
+    "q_kanon_generalize",
+    "q_dedup_near_pairs",
+    "q_minhash_signature",
+    "q_embed_neardup",
+    "q_scalar_map",
+    "q_doc_chunks",
+    "q_embed_normalize",
+    "q_multimodal_audio",
+    "q_gap_fill",
+    "q_format_roundtrip",
+    "q_sketch_cms",
+    "q_salted_agg",
+    "q_zorder_layout",
+    "q_line_dedup",
+    "q_kmeans",
+    "q_join_full",
+    "q_join_cross",
+    "q_join_nullsafe",
+    "q_scd2_build",
     # -- driver-green in round 3 (CORRECTNESS_r03) — rotated to the tail --
     "q_entity_resolution",
     "q_multi_distinct",
