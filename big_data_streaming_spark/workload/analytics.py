@@ -3667,10 +3667,19 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared two-op expression text below; the median is SELECTED (lower
 # middle via row_number = (m+1) div 2), never averaged, so the output
 # is a value both engines computed identically. Plan: the pair build is
-# a per-user self-join — quadratic in per-key density, fine for bounded
-# per-user activity (~70 events/user here); at 100 TB cap per-key input
-# first with deterministic sampling (the q_mix_domains hash-mod filter
-# per user) — the estimator is explicitly sample-robust.
+# a per-user self-join — quadratic in per-key density — so the input is
+# FIRST capped to _TS_CAP events per user with a deterministic
+# hash-ranked sample (row_number over a Knuth-mix of the timestamp,
+# mirrored bit-exactly in the oracle). The cap bounds the join at
+# _TS_CAP²/2 pairs per key no matter how hot a user_id gets at 100 TB;
+# the Theil–Sen estimator is explicitly sample-robust. 128 exceeds the
+# fixture's per-user max (99 at sf0.1), so gated results are the exact
+# full-data answer while the guard stays in the plan. The hash key is
+# pure BIGINT ((tus % 1000003) · 2654435761 < 2^52 — no overflow, no
+# engine-specific hash), tie-broken by tus itself, so the kept set is
+# identical in both engines.
+_TS_CAP = 128
+_TS_CAP_KEY = "((tus % 1000003) * 2654435761) % 4294967296"
 _TS_SLOPE = "((dv * 3600000000.0) / CAST(dt AS DOUBLE))"
 
 
@@ -3680,9 +3689,18 @@ _TS_SLOPE = "((dv * 3600000000.0) / CAST(dt AS DOUBLE))"
     WITH e AS (
         SELECT user_id, epoch_us(ts) AS tus, value AS v
         FROM events WHERE value IS NOT NULL
+    ), c AS (
+        SELECT user_id, tus, v FROM (
+            SELECT user_id, tus, v,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY {_TS_CAP_KEY}, tus
+                   ) AS srn
+            FROM e
+        ) WHERE srn <= {_TS_CAP}
     ), p AS (
         SELECT a.user_id, b.v - a.v AS dv, b.tus - a.tus AS dt
-        FROM e a JOIN e b ON a.user_id = b.user_id AND a.tus < b.tus
+        FROM c a JOIN c b ON a.user_id = b.user_id AND a.tus < b.tus
     ), s AS (
         SELECT user_id, {_TS_SLOPE} AS slope FROM p
     ), r AS (
@@ -3700,6 +3718,12 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
         .select("user_id", F.unix_micros("ts").alias("tus"), F.col("value").alias("v"))
+    )
+    wcap = Window.partitionBy("user_id").orderBy(F.expr(_TS_CAP_KEY), F.col("tus"))
+    e = (
+        e.withColumn("srn", F.row_number().over(wcap))
+        .where(F.col("srn") <= _TS_CAP)
+        .drop("srn")
     )
     a, b = e.alias("a"), e.alias("b")
     p = a.join(
