@@ -1881,11 +1881,16 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample_frames (functions/multimodal.py) expands one media row into
 # frame-index rows JVM-side — explode BEFORE decode so Arrow batches
 # stay bounded. This query drives it through the driver gate with a
-# first-principles oracle: n_frames = floor(payload_bytes / (64 * 10))
+# first-principles oracle: n_frames = floor(payload_bytes / (64 * 2))
 # (floor stated EXPLICITLY — Spark's double→int cast truncates while
 # DuckDB's rounds, so the truncation must live in shared semantics, not
 # in a cast), frame_no = frame_idx * every_n. Value-checks the index
 # arithmetic the same way q_multimodal_resize pins its kernel.
+# every_n = 2 (not the kernel's default 10) because the fixture's
+# payloads top out at 577 bytes: a 640-byte stride sampled ZERO frames
+# from every document and the gate compared two empty sets (the
+# q_dead_stock vacuity class, VERDICT.md r4); at 128 bytes most
+# documents yield 1-4 frames at every scale.
 @_q(
     "q_frame_sample",
     """
@@ -1893,12 +1898,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                's3://corpus/' || lang || '/' || CAST(doc_id AS VARCHAR)
                    || '.txt' AS uri,
-               CAST(floor(CAST(length(text) AS DOUBLE) / 640) AS INTEGER)
+               CAST(floor(CAST(length(text) AS DOUBLE) / 128) AS INTEGER)
                    AS n_frames
         FROM documents
     )
     SELECT doc_id, uri, CAST(g.i AS INTEGER) AS frame_idx,
-           CAST(g.i * 10 AS INTEGER) AS frame_no
+           CAST(g.i * 2 AS INTEGER) AS frame_no
     FROM m, UNNEST(generate_series(0, n_frames - 1)) AS g(i)
     WHERE n_frames > 0
     """,
@@ -1910,7 +1915,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
-    return sample_frames(with_media_struct(docs), every_n=10)
+    return sample_frames(with_media_struct(docs), every_n=2)
 
 
 # --- URL normalization + canonical-URL dedup (web-crawl shape) -------------
@@ -2613,27 +2618,33 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- cross-source duplication overlap (round 4) ---------------------------
-# Which sources duplicate each other? Pairwise count of IDENTICAL texts
-# appearing in both sources, plus the overlap coefficient
-# n_shared / min(n_a, n_b) — the dataset-governance view that decides
-# which source to drop before training (q_dataset_card's corpus-level
-# dup_fraction cannot localize it). Exact integer counts off one
-# DISTINCT (source, text) relation; one final division. At 100 TB join
-# on a text fingerprint instead of raw text (q_text_fingerprint) —
-# same shape, narrow key; texts with huge cross-source df are the hot
-# keys and AQE splits them.
+# --- cross-source duplication overlap (round 4; de-vacuated round 5) ------
+# Which sources duplicate each other? Pairwise count of shared content
+# fingerprints (the leading 32 characters — the cheap prefix
+# fingerprint every crawl pipeline joins on instead of raw text),
+# plus the overlap coefficient n_shared / min(n_a, n_b) — the
+# dataset-governance view that decides which source to drop before
+# training (q_dataset_card's corpus-level dup_fraction cannot localize
+# it). Round 4 keyed on FULL text equality, but the fixture has zero
+# exact cross-source texts below sf0.1, so the gate compared two empty
+# sets (VERDICT.md r4's q_dead_stock vacuity class); prefix
+# fingerprints overlap at every scale. Exact integer counts off one
+# DISTINCT (source, fingerprint) relation; one final division. At
+# 100 TB this IS the scale shape already — narrow fingerprint key, and
+# fingerprints with huge cross-source df are the hot keys AQE splits.
 @_q(
     "q_source_overlap",
     """
-    WITH st AS (SELECT DISTINCT source, text FROM documents),
+    WITH st AS (
+        SELECT DISTINCT source, substr(text, 1, 32) AS fp FROM documents
+    ),
     sc AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_texts
         FROM st GROUP BY source
     ), pair AS (
         SELECT a.source AS source_a, b.source AS source_b,
                CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM st a JOIN st b ON a.text = b.text AND a.source < b.source
+        FROM st a JOIN st b ON a.fp = b.fp AND a.source < b.source
         GROUP BY 1, 2
     )
     SELECT p.source_a, p.source_b, ca.n_texts AS n_a, cb.n_texts AS n_b,
@@ -2647,7 +2658,11 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = t(spark, sf_dir, "documents").select("source", "text").distinct()
+    st = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.substring("text", 1, 32).alias("fp"))
+        .distinct()
+    )
     sc = st.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_texts")
     )
@@ -2655,7 +2670,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         a.join(
             b,
-            (F.col("a.text") == F.col("b.text"))
+            (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.source") < F.col("b.source")),
         )
         .groupBy(

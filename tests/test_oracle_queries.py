@@ -22,6 +22,38 @@ def test_oracle_match(spark, name):
     spark_pdf = sdf.toPandas()
     oracle_pdf = run_oracle(ORACLES[name], SF_DIR)
     compare(name, spark_pdf, oracle_pdf)
+    # Vacuity guard (VERDICT.md r4 "What's wrong" #2): two engines
+    # agreeing on an EMPTY result proves nothing about the query's
+    # arithmetic — a value bug in any computed column is invisible
+    # forever. Every oracled query must produce rows at the gate scale.
+    assert len(oracle_pdf) >= 1, f"{name}: oracle returned 0 rows at {SF_DIR}"
+
+
+def test_oracle_results_non_empty():
+    """Registry-wide vacuity lint (VERDICT.md r4 task 3): every oracled
+    query must return >=1 row, swept DuckDB-side only so all 450+
+    oracles are covered in seconds regardless of which keys the Spark
+    gate runs. Caught on introduction: q_dead_stock, q_tpch_q7,
+    q_tpch_q22, q_frame_sample, q_source_overlap — all green-but-empty
+    before their round-5 redefinitions."""
+    import duckdb
+
+    from big_data_streaming_spark.schemas import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    try:
+        con.execute("SET TimeZone='UTC'")
+        for t in TESTDATA_TABLES:
+            path = os.path.join(SF_DIR, f"{t}.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        empty = []
+        for name in sorted(ORACLES):
+            n = con.execute(f"SELECT COUNT(*) FROM ({ORACLES[name]})").fetchone()[0]
+            if n == 0:
+                empty.append(name)
+        assert not empty, f"vacuous oracled queries (0 rows at {SF_DIR}): {empty}"
+    finally:
+        con.close()
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
