@@ -484,6 +484,13 @@ def dhash_raster(
                 w, h = int(w), int(h)
                 if w <= 1 or h <= 0 or len(payload) != w * h:
                     continue
+                # The hash packs (w-1)*h bits into ONE 64-bit word;
+                # shifting uint64 by >=64 is undefined in numpy and
+                # would silently wrap to garbage. Oversized rasters are
+                # dropped like corrupt ones — the documented contract
+                # is the 9x8 dHash raster (64 bits exactly).
+                if (w - 1) * h > 64:
+                    continue
                 raster = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
                 bits = (raster[:, :-1] < raster[:, 1:]).ravel()
                 k = np.arange(bits.size, dtype=np.uint64)

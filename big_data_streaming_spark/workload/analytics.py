@@ -3720,10 +3720,15 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.unix_micros("ts").alias("tus"), F.col("value").alias("v"))
     )
     wcap = Window.partitionBy("user_id").orderBy(F.expr(_TS_CAP_KEY), F.col("tus"))
+    # persist: the capped relation feeds BOTH sides of the self-join;
+    # unpersisted, each side re-pays the scan + cap window (the
+    # q_triangles shared-edge-relation discipline). The capped frame is
+    # <=_TS_CAP rows/user — far smaller than the input it replaces.
     e = (
         e.withColumn("srn", F.row_number().over(wcap))
         .where(F.col("srn") <= _TS_CAP)
         .drop("srn")
+        .persist()
     )
     a, b = e.alias("a"), e.alias("b")
     p = a.join(

@@ -32,10 +32,24 @@ def load(path: str) -> dict[str, float]:
             text = doc["tail"]
     except json.JSONDecodeError:
         pass
-    for line in reversed(text.splitlines()):
+    # bench.py prints TWO lines since round 4 (full per-query detail,
+    # then a compact <500-char headline carrying only the 8 slowest
+    # queries). When the captured text holds both, the regression
+    # compare must use the DETAIL line — otherwise the diff silently
+    # shrinks to the shared slowest keys. Pick the candidate line with
+    # the LARGEST queries map, not the last one.
+    best: dict[str, float] | None = None
+    for line in text.splitlines():
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            return json.loads(line)["queries"]
+            try:
+                q = json.loads(line)["queries"]
+            except (json.JSONDecodeError, KeyError):
+                continue
+            if best is None or len(q) > len(best):
+                best = q
+    if best is not None:
+        return best
     raise SystemExit(f"no bench JSON with a 'queries' map found in {path}")
 
 

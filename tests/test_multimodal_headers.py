@@ -142,3 +142,26 @@ def test_resize_raster_nearest_neighbor_exact(spark):
 
     up = resize_raster(df, 8, 8).collect()
     assert len(up[0]["payload"]) == 64  # upsampling works too
+
+
+def test_dhash_drops_rasters_over_64_bits(spark):
+    """dhash_raster packs (w-1)*h bits into one uint64; a raster wider
+    than that contract would shift numpy uint64 by >=64 — undefined
+    behavior that silently wraps. Oversized rasters must be DROPPED
+    like corrupt ones, and the 9x8 contract raster must still hash."""
+    from big_data_streaming_spark.functions.multimodal import dhash_raster
+
+    rows = [
+        (1, 9, 8, bytearray(bytes(range(72)))),        # contract 9x8 → 64 bits
+        (2, 17, 8, bytearray(bytes(128))),             # (17-1)*8 = 128 bits → drop
+        (3, 65, 1, bytearray(bytes(range(65)))),       # boundary: exactly 64 → keep
+        (4, 66, 1, bytearray(bytes(66))),              # 65 bits → drop
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, width int, height int, payload binary"
+    )
+    got = {r["doc_id"]: (r["dhash_hi"], r["dhash_lo"]) for r in dhash_raster(df).collect()}
+    assert set(got) == {1, 3}
+    # the monotone gradient row hashes to all-ones in the low 63... each
+    # adjacent pair increases, so every bit is set: (w-1)*h = 64 ones
+    assert got[3] == (0xFFFFFFFF, 0xFFFFFFFF)
