@@ -22,6 +22,7 @@ from big_data_streaming_spark.workload import (
     advanced as _advanced,
     analytics as _analytics,
     events as _events,
+    geo as _geo,
     pipeline as _pipeline,
     relational as _relational,
     similarity as _similarity,
@@ -40,6 +41,7 @@ _MODULES = (
     _tpch,
     _advanced,
     _analytics,
+    _geo,
 )
 
 # Registry order is part of the driver contract: the driver's correctness
@@ -345,6 +347,17 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_daypart_interaction",
     "q_temporal_integrity",
     "q_monthly_swing",
+    # Round-5 additions — full-oracle, gate-green at sf0.001/0.01/0.1;
+    # queued behind the round-3/4 blocks above for the round-7+ windows.
+    "q_geo_grid",
+    "q_geo_knn",
+    "q_eoq_advisor",
+    "q_kelly",
+    "q_shapley",
+    "q_pk_discovery",
+    "q_broadcast_advisor",
+    "q_value_patterns",
+    "q_doc_selfrep",
     # -- driver-checked in round 4 (CORRECTNESS_r04: 47 green + 3
     # rows-only, 0 red) — rotated to the tail ------------------------------
     "q_agg_boolean",

@@ -11748,3 +11748,206 @@ def q_daypart_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         " OR b.am_odds_ratio = 0.0 THEN NULL"
         " ELSE a.am_odds_ratio / b.am_odds_ratio END AS interaction_ratio",
     )
+
+
+# ===================== round-5 additions ====================================
+
+
+# --- EOQ (economic order quantity) advisor per brand (round 5) -------------
+# The classical inventory-planning output: per brand, annual demand D
+# (total units sold), a fixed ordering cost S = 100, holding cost
+# H = 0.2 x the brand's average retail price, and
+# EOQ = sqrt(2 D S / H) with the implied orders-per-year D / EOQ.
+# Exactness: D is a decimal-routed sum cast once to double; H is the
+# decimal-avg of a dim column; sqrt is correctly-rounded IEEE (safe
+# cross-engine, unlike pow); each division appears once in shared text.
+# Plan: one fact aggregate keyed by partkey -> broadcast dim join ->
+# O(|brands|) rows; map-side combinable all the way.
+@_q(
+    "q_eoq_advisor",
+    f"""
+    WITH demand AS (
+        SELECT p.p_brand,
+               {oracle_dec_sum('l.l_quantity', 'annual_demand')}
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ), price AS (
+        SELECT p_brand, {oracle_dec_avg('p_retailprice', 'avg_price')}
+        FROM part GROUP BY p_brand
+    )
+    SELECT d.p_brand, d.annual_demand, pr.avg_price,
+           sqrt((2.0 * d.annual_demand * 100.0) / (0.2 * pr.avg_price))
+               AS eoq_units,
+           d.annual_demand
+               / sqrt((2.0 * d.annual_demand * 100.0) / (0.2 * pr.avg_price))
+               AS orders_per_year
+    FROM demand d JOIN price pr ON pr.p_brand = d.p_brand
+    """,
+)
+def q_eoq_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    parts = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    demand = (
+        li.join(F.broadcast(parts.select("p_partkey", "p_brand")), li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand")
+        .agg(dec_sum("l_quantity", "annual_demand"))
+    )
+    price = parts.groupBy("p_brand").agg(dec_avg("p_retailprice", "avg_price"))
+    eoq = "sqrt((2.0 * annual_demand * 100.0) / (0.2 * avg_price))"
+    return (
+        demand.join(F.broadcast(price), "p_brand")
+        .selectExpr(
+            "p_brand",
+            "annual_demand",
+            "avg_price",
+            f"{eoq} AS eoq_units",
+            f"annual_demand / {eoq} AS orders_per_year",
+        )
+    )
+
+
+# --- Kelly criterion per event type (round 5) -------------------------------
+# Position sizing from the event stream: per type, order values by
+# (ts, event_id), take consecutive diffs, and compute the Kelly
+# fraction f = p - (1 - p) / b from the win rate p and the win/loss
+# payoff ratio b. Exactness: each diff is ONE IEEE subtraction, then
+# quantized to integer micro-units (floor(diff * 1e6)) BEFORE any sum —
+# the floor-quantized shared-term discipline — so the win/loss sums are
+# exact BIGINTs in both engines; p, b and f are a fixed shared-text
+# chain of divisions on deterministic operands. Zero diffs count as
+# neither win nor loss. Plan: one lag window per type partition + one
+# combinable aggregate; O(|types|) output.
+_KELLY_Q = "CAST(floor(dv * 1000000.0) AS BIGINT)"
+
+
+@_q(
+    "q_kelly",
+    f"""
+    WITH s AS (
+        SELECT event_type,
+               value - lag(value) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS dv
+        FROM events WHERE value IS NOT NULL
+    ), q AS (
+        SELECT event_type, {_KELLY_Q} AS qdv FROM s WHERE dv IS NOT NULL
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_moves,
+               CAST(SUM(CASE WHEN qdv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+               CAST(SUM(CASE WHEN qdv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+               CAST(SUM(CASE WHEN qdv > 0 THEN qdv ELSE 0 END) AS BIGINT) AS win_us,
+               CAST(SUM(CASE WHEN qdv < 0 THEN -qdv ELSE 0 END) AS BIGINT) AS loss_us
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type, n_moves, wins, losses,
+           CAST(wins AS DOUBLE) / CAST(wins + losses AS DOUBLE) AS win_rate,
+           (CAST(win_us AS DOUBLE) / wins) / (CAST(loss_us AS DOUBLE) / losses)
+               AS payoff_ratio,
+           CAST(wins AS DOUBLE) / CAST(wins + losses AS DOUBLE)
+             - (1.0 - CAST(wins AS DOUBLE) / CAST(wins + losses AS DOUBLE))
+               / ((CAST(win_us AS DOUBLE) / wins)
+                  / (CAST(loss_us AS DOUBLE) / losses))
+               AS kelly_fraction
+    FROM agg
+    """,
+)
+def q_kelly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value") - F.lag("value").over(w)).alias("dv"),
+        )
+        .where(F.col("dv").isNotNull())
+        .selectExpr("event_type", f"{_KELLY_Q} AS qdv")
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.sum(F.when(F.col("qdv") > 0, 1).otherwise(0)).cast("bigint").alias("wins"),
+        F.sum(F.when(F.col("qdv") < 0, 1).otherwise(0)).cast("bigint").alias("losses"),
+        F.sum(F.when(F.col("qdv") > 0, F.col("qdv")).otherwise(0))
+        .cast("bigint")
+        .alias("win_us"),
+        F.sum(F.when(F.col("qdv") < 0, -F.col("qdv")).otherwise(0))
+        .cast("bigint")
+        .alias("loss_us"),
+    )
+    p = "CAST(wins AS DOUBLE) / CAST(wins + losses AS DOUBLE)"
+    b = "(CAST(win_us AS DOUBLE) / wins) / (CAST(loss_us AS DOUBLE) / losses)"
+    return agg.selectExpr(
+        "event_type",
+        "n_moves",
+        "wins",
+        "losses",
+        f"{p} AS win_rate",
+        f"{b} AS payoff_ratio",
+        f"{p} - (1.0 - {p}) / ({b}) AS kelly_fraction",
+    )
+
+
+# --- exact Shapley channel attribution (round 5) ----------------------------
+# Game-theoretic attribution done EXACTLY, no sampling: channels are the
+# non-purchase event types, a converted user is one with >= 1 purchase,
+# and the coalition value v(S) = number of converted users whose touched
+# channel set is a subset of S. That v decomposes into unanimity games
+# (one per observed pattern P, scaled by its user count c_P), and the
+# Shapley value of a unanimity game splits 1 equally among P's members —
+# so credit(i) = SUM over patterns P containing i of c_P / |P|, with NO
+# 2^k enumeration. Exactness: |P| <= 4 here, so each user contributes
+# the exact integer 12 / |P| (lcm(1..4) = 12) and the final credit is
+# one division by 12.0 — pure integer arithmetic until the last op.
+# (Contrast q_attribution_multi's positional heuristics: this is the
+# axiomatic credit.) Plan: one distinct (user, channel) relation, one
+# per-user count window, one channel aggregate — two key shuffles,
+# O(|channels|) output; converting users with zero channel touches carry
+# the empty pattern and credit nobody (documented).
+@_q(
+    "q_shapley",
+    """
+    WITH conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT DISTINCT e.user_id, e.event_type AS channel
+        FROM events e JOIN conv USING (user_id)
+        WHERE e.event_type <> 'purchase'
+    ), sized AS (
+        SELECT user_id, channel,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS psize
+        FROM touch
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(12 // psize) AS BIGINT) AS credit_x12,
+           CAST(SUM(12 // psize) AS DOUBLE) / 12.0 AS shapley_credit
+    FROM sized GROUP BY channel
+    """,
+)
+def q_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    conv = (
+        e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    touch = (
+        e.where(F.col("event_type") != "purchase")
+        .join(conv, "user_id", "left_semi")
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    sized = touch.select(
+        "channel",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .cast("bigint")
+        .alias("psize"),
+    )
+    return (
+        sized.selectExpr("channel", "12 div psize AS w12")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("w12").cast("bigint").alias("credit_x12"),
+            (F.sum("w12").cast("double") / 12.0).alias("shapley_credit"),
+        )
+    )

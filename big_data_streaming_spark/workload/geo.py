@@ -1,0 +1,214 @@
+"""Geospatial operators: grid aggregation and grid-bucketed nearest
+neighbor.
+
+The fixture carries no coordinates, so both queries synthesize them
+DETERMINISTICALLY from the customer key with the same pure-BIGINT Knuth
+mixing hash the sampling queries use (``pipeline._mix_hash``) — both
+engines derive bit-identical integer micro-degree positions, so every
+downstream number is exact integer arithmetic (no haversine: libm trig
+is not cross-engine safe; the squared equirectangular distance in
+micro-degrees is, and it preserves the nearest-neighbor ORDER at city
+scale, which is what the operator ranks on).
+
+Scale notes are per query; the family design point is the standard one
+for planetary point data: bucket by grid cell first, so joins touch the
+3x3 cell neighborhood instead of all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_streaming_spark.workload.common import (
+    dec_avg,
+    dec_sum,
+    oracle_dec_avg,
+    oracle_dec_sum,
+    t,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Synthetic position: two independent Knuth mixes of the key, folded to
+# integer micro-degrees. lat in [-90e6, 90e6], lon in [-180e6, 180e6].
+# All operands positive before the final shift, so %-semantics agree
+# across engines; c_custkey * 2654435761 < 2^63 for any fixture key.
+_LAT_US = "(((c_custkey * 2654435761) % 4294967296) % 180000001 - 90000000)"
+_LON_US = "((((c_custkey + 7) * 2654435761) % 4294967296) % 360000001 - 180000000)"
+
+# 10-degree grid cells: lat cell 0..18, lon cell 0..36. The shifted
+# numerators are non-negative, so floor-div and trunc-div agree and
+# Spark's `div` matches DuckDB's `//` exactly.
+_CELL_SIZE_US = 10_000_000
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "c_acctbal",
+        f"CAST({_LAT_US} AS BIGINT) AS lat_us",
+        f"CAST({_LON_US} AS BIGINT) AS lon_us",
+    ).selectExpr(
+        "c_custkey",
+        "c_acctbal",
+        "lat_us",
+        "lon_us",
+        f"(lat_us + 90000000) div {_CELL_SIZE_US} AS cell_lat",
+        f"(lon_us + 180000000) div {_CELL_SIZE_US} AS cell_lon",
+    )
+
+
+_POINTS_SQL = f"""
+        SELECT c_custkey, c_acctbal, lat_us, lon_us,
+               (lat_us + 90000000) // {_CELL_SIZE_US} AS cell_lat,
+               (lon_us + 180000000) // {_CELL_SIZE_US} AS cell_lon
+        FROM (SELECT c_custkey, c_acctbal,
+                     CAST({_LAT_US} AS BIGINT) AS lat_us,
+                     CAST({_LON_US} AS BIGINT) AS lon_us
+              FROM customer)
+"""
+
+
+# --- grid-cell density + balance aggregation (round 5) --------------------
+# The workhorse of planetary-scale point analytics: bucket points into
+# fixed grid cells and aggregate per cell (density maps, supply/demand
+# heatmaps, H3/S2-style rollups — this is the square-grid analog). One
+# projection (the position derivation runs in codegen) + ONE hash
+# aggregate, map-side combinable; output is O(|cells|) regardless of
+# input size. At 100 TB this is a single shuffle on a small key — the
+# exact shape a 1000-executor cluster wants.
+@_q(
+    "q_geo_grid",
+    f"""
+    WITH pts AS ({_POINTS_SQL})
+    SELECT cell_lat, cell_lon,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {oracle_dec_sum('c_acctbal', 'total_balance')},
+           {oracle_dec_avg('c_acctbal', 'avg_balance')}
+    FROM pts
+    GROUP BY cell_lat, cell_lon
+    """,
+)
+def q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _points(spark, sf_dir)
+        .groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dec_sum("c_acctbal", "total_balance"),
+            dec_avg("c_acctbal", "avg_balance"),
+        )
+    )
+
+
+# --- grid-bucketed nearest neighbor (round 5) ------------------------------
+# For every probe customer (key % 20 == 0), the nearest OTHER customer
+# by squared equirectangular distance, searched ONLY within the probe's
+# 3x3 cell neighborhood — the canonical spatial-join shape: candidates
+# are bounded by local density, never |points|² (an all-pairs distance
+# join at 100 TB is the spatial q_theilsen blowup). Probes explode to
+# their 9 neighbor cells (a 9-row broadcast offset grid), join candidates
+# on the cell key, rank by (d², candidate key) and keep rn=1. d² is pure
+# BIGINT: |Δlat| <= 180e6 and |Δlon| <= 360e6, so the squared sum tops
+# out near 1.6e17 — well inside int64. Probes whose neighborhood is
+# empty drop out (documented: "nearest within one cell radius"); the
+# fixture's density keeps the result non-empty at every scale. At scale
+# the candidate join shuffles on the cell key and AQE splits dense
+# cities; the window ranks within probe partitions only.
+@_q(
+    "q_geo_knn",
+    f"""
+    WITH pts AS ({_POINTS_SQL}),
+    probes AS (SELECT * FROM pts WHERE c_custkey % 20 = 0),
+    offs AS (
+        SELECT a.dlat, b.dlon
+        FROM (VALUES (-1), (0), (1)) a(dlat),
+             (VALUES (-1), (0), (1)) b(dlon)
+    ),
+    cand AS (
+        SELECT p.c_custkey AS probe_key,
+               c.c_custkey AS cand_key,
+               (p.lat_us - c.lat_us) * (p.lat_us - c.lat_us)
+                 + (p.lon_us - c.lon_us) * (p.lon_us - c.lon_us) AS d2
+        FROM probes p
+        JOIN offs o ON TRUE
+        JOIN pts c
+          ON c.cell_lat = p.cell_lat + o.dlat
+         AND c.cell_lon = p.cell_lon + o.dlon
+         AND c.c_custkey <> p.c_custkey
+    ),
+    rk AS (
+        SELECT probe_key, cand_key, d2,
+               row_number() OVER (PARTITION BY probe_key
+                                  ORDER BY d2, cand_key) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY probe_key) AS BIGINT)
+                   AS n_candidates
+        FROM cand
+    )
+    SELECT probe_key, cand_key AS neighbor_key,
+           CAST(d2 AS BIGINT) AS d2_us, n_candidates
+    FROM rk WHERE rn = 1
+    """,
+)
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    probes = pts.where(F.col("c_custkey") % 20 == 0)
+    offs = spark.createDataFrame(
+        [(dlat, dlon) for dlat in (-1, 0, 1) for dlon in (-1, 0, 1)],
+        "dlat long, dlon long",
+    )
+    p = probes.crossJoin(F.broadcast(offs)).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.col("lat_us").alias("p_lat"),
+        F.col("lon_us").alias("p_lon"),
+        (F.col("cell_lat") + F.col("dlat")).alias("j_lat"),
+        (F.col("cell_lon") + F.col("dlon")).alias("j_lon"),
+    )
+    c = pts.select(
+        F.col("c_custkey").alias("cand_key"),
+        F.col("lat_us").alias("c_lat"),
+        F.col("lon_us").alias("c_lon"),
+        F.col("cell_lat").alias("j_lat"),
+        F.col("cell_lon").alias("j_lon"),
+    )
+    cand = (
+        p.join(c, ["j_lat", "j_lon"])
+        .where(F.col("cand_key") != F.col("probe_key"))
+        .select(
+            "probe_key",
+            "cand_key",
+            (
+                (F.col("p_lat") - F.col("c_lat")) * (F.col("p_lat") - F.col("c_lat"))
+                + (F.col("p_lon") - F.col("c_lon"))
+                * (F.col("p_lon") - F.col("c_lon"))
+            ).alias("d2"),
+        )
+    )
+    wp = Window.partitionBy("probe_key")
+    rk = cand.select(
+        "probe_key",
+        "cand_key",
+        "d2",
+        F.row_number().over(wp.orderBy("d2", "cand_key")).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_candidates"),
+    )
+    return rk.where(F.col("rn") == 1).select(
+        "probe_key",
+        F.col("cand_key").alias("neighbor_key"),
+        F.col("d2").cast("bigint").alias("d2_us"),
+        "n_candidates",
+    )

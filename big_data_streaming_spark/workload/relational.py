@@ -3477,3 +3477,178 @@ def q_monthly_swing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "swing",
         "CAST(rn AS INTEGER) AS rank",
     ).orderBy("rank")
+
+
+# ===================== round-5 additions ====================================
+
+
+# --- primary-key candidate discovery (round 5) ------------------------------
+# Schema-inference audit: for every column of the orders table, how many
+# rows, non-nulls and distinct values — and whether the column is a
+# primary-key candidate (distinct == rows, no nulls). The discovery
+# loop every catalog/profiler runs on unfamiliar data. Exact integer
+# counts; the union of six single-column aggregates keeps each distinct
+# map-side combinable (one wide multi-distinct aggregate would expand
+# the row 6x through a single shuffle instead). O(|columns|) output.
+_PK_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@_q(
+    "q_pk_discovery",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           COUNT(DISTINCT {c}) = COUNT(*) AS is_key_candidate
+    FROM orders
+    """
+        for c in _PK_COLS
+    ),
+)
+def q_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    parts = []
+    for c in _PK_COLS:
+        parts.append(
+            o.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count(c).cast("bigint").alias("n_nonnull"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_nonnull",
+                "n_distinct",
+                (F.col("n_distinct") == F.col("n_rows")).alias("is_key_candidate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- broadcast-join advisor (round 5) ---------------------------------------
+# The planning audit behind every join strategy choice: estimate each
+# dimension table's in-memory size from exact aggregates (8 bytes per
+# numeric/date column + actual string byte lengths + 16 bytes per-string
+# object overhead) and compare to the 10 MiB autoBroadcastJoinThreshold.
+# All-integer arithmetic (length sums are exact in both engines), a
+# union of O(1)-output per-table aggregates — the advisor itself costs
+# one scan per dim. This mirrors what Spark's own statistics would
+# decide, but as a queryable, engine-independent relation.
+_BA_TABLES = {
+    # table -> (numeric/date column count, string columns)
+    "region": (1, ("r_name",)),
+    "nation": (2, ("n_name",)),
+    "supplier": (3, ("s_name",)),
+    "customer": (3, ("c_name", "c_mktsegment")),
+    "part": (3, ("p_name", "p_brand", "p_type")),
+}
+_BA_THRESHOLD = 10 * 1024 * 1024
+
+
+def _ba_oracle_one(name: str, n_num: int, strs: tuple) -> str:
+    str_bytes = " + ".join(
+        f"CAST(SUM(length({c})) AS BIGINT) + 16 * COUNT(*)" for c in strs
+    )
+    return f"""
+    SELECT '{name}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST({8 * n_num} * COUNT(*) + {str_bytes} AS BIGINT) AS est_bytes,
+           ({8 * n_num} * COUNT(*) + {str_bytes}) <= {_BA_THRESHOLD}
+               AS broadcastable
+    FROM {name}
+    """
+
+
+@_q(
+    "q_broadcast_advisor",
+    "\nUNION ALL\n".join(
+        _ba_oracle_one(name, n_num, strs)
+        for name, (n_num, strs) in _BA_TABLES.items()
+    ),
+)
+def q_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for name, (n_num, strs) in _BA_TABLES.items():
+        tbl = t(spark, sf_dir, name)
+        str_bytes = " + ".join(
+            f"CAST(SUM(length({c})) AS BIGINT) + 16 * COUNT(*)" for c in strs
+        )
+        outs.append(
+            tbl.selectExpr(
+                f"'{name}' AS table_name",
+                "CAST(COUNT(*) AS BIGINT) AS n_rows",
+                f"CAST({8 * n_num} * COUNT(*) + {str_bytes} AS BIGINT) AS est_bytes",
+                f"({8 * n_num} * COUNT(*) + {str_bytes}) <= {_BA_THRESHOLD}"
+                " AS broadcastable",
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- value-pattern profiling (round 5) --------------------------------------
+# The data-profiler staple: collapse every value to its character-class
+# signature (uppercase runs -> 'A', lowercase runs -> 'a', digit runs ->
+# '9') and histogram the signatures — instantly shows format mixtures
+# ("Customer#000000001" -> "Aa#9") and outlier formats worth a quality
+# rule. Swept over three columns of different shape. regexp_replace is
+# per-row codegen in Spark (global replace by default) and needs the
+# explicit 'g' flag in DuckDB; the patterns use no engine-specific
+# syntax. Exact counts; MIN(example) is deterministic. At scale: pure
+# map + one small-key hash aggregate per column.
+_VP_COLS = (("customer", "c_name"), ("part", "p_brand"), ("part", "p_type"))
+
+
+def _vp_sig_sql(col: str, g: bool) -> str:
+    flag = ", 'g'" if g else ""
+    inner = f"regexp_replace({col}, '[A-Z]+', 'A'{flag})"
+    inner = f"regexp_replace({inner}, '[a-z]+', 'a'{flag})"
+    return f"regexp_replace({inner}, '[0-9]+', '9'{flag})"
+
+
+@_q(
+    "q_value_patterns",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{col}' AS column_name, {_vp_sig_sql(col, True)} AS signature,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           MIN({col}) AS example
+    FROM {tbl} GROUP BY 2
+    """
+        for tbl, col in _VP_COLS
+    ),
+)
+def q_value_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, col in _VP_COLS:
+        outs.append(
+            t(spark, sf_dir, tbl)
+            .selectExpr(
+                f"'{col}' AS column_name",
+                f"{_vp_sig_sql(col, False)} AS signature",
+                f"{col} AS example_src",
+            )
+            .groupBy("column_name", "signature")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                F.min("example_src").alias("example"),
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out

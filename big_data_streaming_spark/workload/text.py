@@ -4895,3 +4895,67 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(cross_source_groups AS DOUBLE)"
         " / CAST(dup_groups AS DOUBLE) END AS cross_source_share",
     )
+
+
+# ===================== round-5 additions ====================================
+
+
+# --- within-document shingle self-repetition (round 5) ----------------------
+# The document-internal half of the dedup story: corpus-level dedup
+# (q_line_dedup, q_winnow_*) finds text repeated ACROSS documents, but a
+# looping generator repeats itself WITHIN one document — the Gopher-era
+# "duplicate n-gram fraction" filter. Per doc: total 3-token shingles,
+# distinct shingles, and the duplicate fraction 1 - distinct/total.
+# Exact integer counts, one shared-text division. Plan: one explode
+# (shingles derived JVM-side via zip_with over sliced token arrays — no
+# Python) + one (doc, shingle) hash aggregate + one doc rollup; at
+# 100 TB all three are map-side combinable on doc-local keys, zero
+# cross-doc traffic.
+@_q(
+    "q_doc_selfrep",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS r(i)
+        WHERE len(tk) >= 3
+    ), per AS (
+        SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY doc_id, shingle
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS dup_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_doc_selfrep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, size(tk) - 2),"
+                    " zip_with(slice(tk, 2, size(tk) - 2),"
+                    "          slice(tk, 3, size(tk) - 2),"
+                    "          (b, c) -> b || ' ' || c),"
+                    " (a, bc) -> a || ' ' || bc)"
+                )
+            ).alias("shingle"),
+        )
+    )
+    per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_shingles"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_dup"),
+        (
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")
+        ).alias("dup_frac"),
+    )

@@ -186,6 +186,11 @@ SWEEP = [
     "q_daypart_interaction",  # integer cells, fixed odds ratios
     "q_temporal_integrity",   # integer day gaps, one division
     "q_monthly_swing",        # decimal ledger, pinned swings
+    "q_geo_grid",           # decimal balance rollup per cell
+    "q_eoq_advisor",        # decimal demand + sqrt-only chain
+    "q_kelly",              # pre-quantized integer micro diffs
+    "q_shapley",            # integer x12 weights, one division
+    "q_doc_selfrep",        # integer shingle counts, one division
 ]
 
 
