@@ -358,6 +358,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_broadcast_advisor",
     "q_value_patterns",
     "q_doc_selfrep",
+    "q_wasserstein_drift",
+    "q_burstiness",
+    "q_quantile_normalize",
+    "q_sorted_neighborhood",
     # -- driver-checked in round 4 (CORRECTNESS_r04: 47 green + 3
     # rows-only, 0 red) — rotated to the tail ------------------------------
     "q_agg_boolean",

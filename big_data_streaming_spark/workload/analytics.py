@@ -11951,3 +11951,160 @@ def q_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w12").cast("double") / 12.0).alias("shapley_credit"),
         )
     )
+
+
+# --- Wasserstein-1 (earth mover's) drift, exact (round 5) -------------------
+# The drift metric the KS statistic (q_ks_drift) underweights: W1 is
+# the area between the two CDFs, so it sees HOW FAR mass moved, not
+# just the single worst gap. Weekday-vs-weekend value distributions per
+# event type, computed EXACTLY on the discrete support: values quantize
+# to integer micro-units, per-(type, value) counts n1/n2 are integers,
+# the running CDF difference is the integer cum1*N2 - cum2*N1 (cleared
+# of divisions), and W1 = SUM |cumdiff| * gap / (N1 * N2 * 1e6) — one
+# final division. Overflow audit at sf0.1: cumdiff <= N1*N2 ~ 1e8,
+# SUM(|cumdiff|*gap) <= N1*N2*range_us ~ 3e16 — inside int64. Plan: one
+# (type, value) aggregate + one ordered window per type + one rollup;
+# all map-side combinable, support-sized intermediates.
+@_q(
+    "q_wasserstein_drift",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS qv,
+               CASE WHEN EXTRACT(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END
+                   AS is_weekend
+        FROM events WHERE value IS NOT NULL
+    ), sup AS (
+        SELECT event_type, qv,
+               CAST(SUM(1 - is_weekend) AS BIGINT) AS n1,
+               CAST(SUM(is_weekend) AS BIGINT) AS n2
+        FROM g GROUP BY event_type, qv
+    ), cum AS (
+        SELECT event_type, qv, n1, n2,
+               SUM(n1) OVER w AS cum1,
+               SUM(n2) OVER w AS cum2,
+               SUM(n1) OVER (PARTITION BY event_type) AS t1,
+               SUM(n2) OVER (PARTITION BY event_type) AS t2,
+               lead(qv) OVER w - qv AS gap
+        FROM sup
+        WINDOW w AS (PARTITION BY event_type ORDER BY qv)
+    )
+    SELECT event_type,
+           CAST(MAX(t1) AS BIGINT) AS n_weekday,
+           CAST(MAX(t2) AS BIGINT) AS n_weekend,
+           CAST(SUM(CASE WHEN gap IS NULL THEN 0
+                         ELSE abs(cum1 * t2 - cum2 * t1) * gap END) AS DOUBLE)
+             / (CAST(MAX(t1) AS DOUBLE) * CAST(MAX(t2) AS DOUBLE) * 1000000.0)
+               AS w1_distance
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            "CAST(floor(value * 1000000.0) AS BIGINT) AS qv",
+            # Spark dayofweek is 1-based Sunday=1; DuckDB dow is 0-based
+            "CASE WHEN dayofweek(ts) - 1 IN (0, 6) THEN 1 ELSE 0 END"
+            " AS is_weekend",
+        )
+    )
+    sup = g.groupBy("event_type", "qv").agg(
+        F.sum(F.lit(1) - F.col("is_weekend")).cast("bigint").alias("n1"),
+        F.sum("is_weekend").cast("bigint").alias("n2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("qv")
+    wt = Window.partitionBy("event_type")
+    cum = sup.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.sum("n1").over(w).alias("cum1"),
+        F.sum("n2").over(w).alias("cum2"),
+        F.sum("n1").over(wt).alias("t1"),
+        F.sum("n2").over(wt).alias("t2"),
+        (F.lead("qv").over(w) - F.col("qv")).alias("gap"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("t1").cast("bigint").alias("n_weekday"),
+        F.max("t2").cast("bigint").alias("n_weekend"),
+        (
+            F.sum(
+                F.when(F.col("gap").isNull(), F.lit(0)).otherwise(
+                    F.abs(F.col("cum1") * F.col("t2") - F.col("cum2") * F.col("t1"))
+                    * F.col("gap")
+                )
+            ).cast("double")
+            / (
+                F.max("t1").cast("double")
+                * F.max("t2").cast("double")
+                * F.lit(1000000.0)
+            )
+        ).alias("w1_distance"),
+    )
+
+
+# --- inter-event burstiness per user (round 5) ------------------------------
+# Goh-Barabási burstiness B = (sigma - mu) / (sigma + mu) of the
+# inter-event gaps: B -> -1 for a metronome, 0 for Poisson, +1 for
+# extreme bursts — the behavioral fingerprint bot-detection and
+# engagement models key on. Exactness: gaps are exact integer seconds
+# (floor(epoch) before subtraction); per-user Sum and Sum-of-squares
+# are BIGINTs (gaps sum to the user's span <= ~2e7 s, so s1^2 and
+# n*s2 stay far inside int64); mu, sigma and B are one shared-text
+# chain (sqrt is IEEE-exact). Plan: one lag window + one combinable
+# aggregate per user partition; O(|users|) output.
+_BURST_MU = "CAST(s1 AS DOUBLE) / n"
+_BURST_SIG = "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n"
+
+
+@_q(
+    "q_burstiness",
+    f"""
+    WITH g AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        FROM events
+    ), agg AS (
+        SELECT user_id,
+               CAST(COUNT(gap_s) AS BIGINT) AS n,
+               CAST(SUM(gap_s) AS BIGINT) AS s1,
+               CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+        FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n AS n_gaps,
+           {_BURST_MU} AS mean_gap_s,
+           ({_BURST_SIG} - {_BURST_MU}) / ({_BURST_SIG} + {_BURST_MU})
+               AS burstiness
+    FROM agg WHERE n >= 2
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        # unix_micros div 1e6 == DuckDB floor(epoch(ts)) for non-negative
+        # epochs — pure integer floor-division, no double round-trip
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+    )
+    g = es.select(
+        "user_id", (F.col("es") - F.lag("es").over(w)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    agg = g.groupBy("user_id").agg(
+        F.count("gap_s").cast("bigint").alias("n"),
+        F.sum("gap_s").cast("bigint").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+    )
+    return agg.where(F.col("n") >= 2).selectExpr(
+        "user_id",
+        "n AS n_gaps",
+        f"{_BURST_MU} AS mean_gap_s",
+        f"({_BURST_SIG} - {_BURST_MU}) / ({_BURST_SIG} + {_BURST_MU})"
+        " AS burstiness",
+    )

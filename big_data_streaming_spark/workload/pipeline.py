@@ -1860,3 +1860,81 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_seconds",
         f"CASE WHEN roll3_n = 0 THEN NULL ELSE {_LF_ROLL} END AS roll3_mean",
     )
+
+
+# ===================== round-5 additions ====================================
+
+
+# --- quantile normalization across sources (round 5) -------------------------
+# The bioinformatics/feature-prep classic: force every source's n_chars
+# distribution onto the GLOBAL distribution by rank — rank each doc
+# within its source, then map that rank to the global value at the
+# equivalent quantile position. All selection, no interpolation of
+# values: global_pos = (r - 1) * (N - 1) // (m - 1) + 1 (pure integer),
+# and the normalized value is the ELEMENT of the global sorted order at
+# that position — both engines select the same exact integer. Sources
+# with a single doc map to the global minimum (pos 1), stated in shared
+# semantics. Plan: two rank windows + one equi-join on the global
+# position. The global row_number window is the documented toy-scale
+# shape; at 100 TB swap in the q_train_order range-partitioned ranking
+# (identical output, no single-partition sort).
+@_q(
+    "q_quantile_normalize",
+    """
+    WITH src AS (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS m
+        FROM documents
+    ), gref AS (
+        SELECT n_chars AS g_chars,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS gpos,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT s.doc_id, s.source, s.n_chars, s.r AS src_rank,
+           g.g_chars AS normalized_chars
+    FROM src s
+    JOIN gref g
+      ON g.gpos = CASE WHEN s.m = 1 THEN 1
+                       ELSE (s.r - 1) * (g.n - 1) // (s.m - 1) + 1 END
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).cast("bigint").alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    wg = Window.orderBy("n_chars", "doc_id")
+    glob = d.select(
+        F.col("n_chars").alias("g_chars"),
+        F.row_number().over(wg).cast("bigint").alias("gpos"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    joined = src.join(
+        glob,
+        F.col("gpos")
+        == F.expr(
+            "CASE WHEN m = 1 THEN 1 ELSE (r - 1) * (n - 1) div (m - 1) + 1 END"
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("r").alias("src_rank"),
+        F.col("g_chars").alias("normalized_chars"),
+    )

@@ -3652,3 +3652,101 @@ def q_value_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in outs[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- sorted-neighborhood entity-resolution blocking (round 5) ----------------
+# The second classic blocking strategy next to key-equality blocking
+# (q_blocking_eval): sort records by a fuzzy key and compare each record
+# only to its w nearest neighbors in sort order — candidate volume is
+# EXACTLY n*w instead of the n²/|blocks| a bad blocking key degrades to.
+# Window w = 2 here; the comparison applies two cheap agreement rules
+# (same nation, account balance within 100.00 — cents-exact integers)
+# and scores each pair. Exactness: ranks, rank-distance joins and cents
+# differences are all integers. Plan: one global sort rank (toy-scale
+# shape; at 100 TB swap the q_train_order range-partitioned ranking —
+# sorted-neighborhood is inherently a global-order method and that IS
+# its distributed form), then two equi-joins on rank+1 / rank+2 — no
+# theta join, no cartesian.
+@_q(
+    "q_sorted_neighborhood",
+    """
+    WITH r AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c,
+               CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT)
+                   AS rk
+        FROM customer
+    ), pairs AS (
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.rk AS rk_a, b.rk - a.rk AS rank_gap,
+               CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END
+                   AS same_nation,
+               CASE WHEN abs(a.bal_c - b.bal_c) <= 10000 THEN 1 ELSE 0 END
+                   AS bal_close
+        FROM r a JOIN r b ON b.rk = a.rk + 1
+        UNION ALL
+        SELECT a.c_custkey, b.c_custkey, a.rk, b.rk - a.rk,
+               CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END,
+               CASE WHEN abs(a.bal_c - b.bal_c) <= 10000 THEN 1 ELSE 0 END
+        FROM r a JOIN r b ON b.rk = a.rk + 2
+    )
+    SELECT key_a, key_b, CAST(rank_gap AS BIGINT) AS rank_gap,
+           CAST(same_nation AS BIGINT) AS same_nation,
+           CAST(bal_close AS BIGINT) AS bal_close,
+           CAST(same_nation + bal_close AS BIGINT) AS match_score
+    FROM pairs WHERE same_nation + bal_close >= 1
+    """,
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    r = t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c",
+    )
+    r = r.select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_c",
+        F.row_number()
+        .over(Window.orderBy("c_name", "c_custkey"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    outs = []
+    for gap in (1, 2):
+        a = r.select(
+            F.col("c_custkey").alias("key_a"),
+            F.col("c_nationkey").alias("nat_a"),
+            F.col("bal_c").alias("bal_a"),
+            F.col("rk").alias("rk_a"),
+        )
+        b = r.select(
+            F.col("c_custkey").alias("key_b"),
+            F.col("c_nationkey").alias("nat_b"),
+            F.col("bal_c").alias("bal_b"),
+            (F.col("rk") - gap).alias("rk_a"),
+        )
+        outs.append(
+            a.join(b, "rk_a").select(
+                "key_a",
+                "key_b",
+                F.lit(gap).cast("bigint").alias("rank_gap"),
+                F.when(F.col("nat_a") == F.col("nat_b"), 1)
+                .otherwise(0)
+                .cast("bigint")
+                .alias("same_nation"),
+                F.when(
+                    F.abs(F.col("bal_a") - F.col("bal_b")) <= 10000, 1
+                )
+                .otherwise(0)
+                .cast("bigint")
+                .alias("bal_close"),
+            )
+        )
+    pairs = outs[0].unionByName(outs[1])
+    return pairs.withColumn(
+        "match_score", (F.col("same_nation") + F.col("bal_close")).cast("bigint")
+    ).where(F.col("match_score") >= 1)

@@ -191,6 +191,8 @@ SWEEP = [
     "q_kelly",              # pre-quantized integer micro diffs
     "q_shapley",            # integer x12 weights, one division
     "q_doc_selfrep",        # integer shingle counts, one division
+    "q_wasserstein_drift",  # integer CDF cross-products, one division
+    "q_burstiness",         # integer gap moments, shared sqrt chain
 ]
 
 
