@@ -142,6 +142,14 @@ HEADLINE = (
     "q_theilsen",
     "q_mannwhitney",
     "q_percentile_cont",
+    # round 5: representatives of the new operator families (geo joins,
+    # game-theoretic attribution, exact-EMD drift, within-doc dedup,
+    # rank-mapped normalization)
+    "q_geo_knn",
+    "q_shapley",
+    "q_wasserstein_drift",
+    "q_doc_selfrep",
+    "q_quantile_normalize",
 )
 
 

@@ -12108,3 +12108,503 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_BURST_SIG} - {_BURST_MU}) / ({_BURST_SIG} + {_BURST_MU})"
         " AS burstiness",
     )
+
+
+# --- t-closeness audit (round 5) --------------------------------------------
+# Completes the anonymization trio: k-anonymity (q_kanonymity) bounds
+# group SIZE, l-diversity (q_anon_ldiversity) bounds distinct sensitive
+# values, t-closeness bounds the DISTANCE between each group's
+# sensitive-attribute distribution and the global one — a group can be
+# large and diverse yet still leak (90% one lang where the corpus is
+# 20%). Same quasi-identifier lattice ((source, n_chars // 64)),
+# sensitive attribute = lang, distance = total variation, threshold
+# t = 0.35. Exactness: TV on categorical support is all-integer until
+# one division — |n_gl * N - N_l * n_g| accumulates as exact BIGINTs
+# (bounded by N² ~ 2.5e7 at sf0.1) and halves/normalizes once. Plan:
+# one (group, lang) aggregate + broadcast global lang margins + one
+# group rollup — combinable throughout, output O(|groups|).
+_TCLOSE_T = 0.35
+
+
+@_q(
+    "q_tcloseness",
+    f"""
+    WITH cell AS (
+        SELECT source, CAST(n_chars // 64 AS BIGINT) AS len_bucket, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_gl
+        FROM documents GROUP BY 1, 2, 3
+    ), marg AS (
+        SELECT lang, CAST(SUM(n_gl) AS BIGINT) AS n_l,
+               CAST(SUM(SUM(n_gl)) OVER () AS BIGINT) AS n_total
+        FROM cell GROUP BY lang
+    ), grp AS (
+        SELECT source, len_bucket, CAST(SUM(n_gl) AS BIGINT) AS n_g
+        FROM cell GROUP BY 1, 2
+    ), terms AS (
+        SELECT g.source, g.len_bucket, g.n_g, m.n_total,
+               abs(COALESCE(c.n_gl, 0) * m.n_total - m.n_l * g.n_g) AS term
+        FROM grp g
+        CROSS JOIN marg m
+        LEFT JOIN cell c ON c.source = g.source
+                        AND c.len_bucket = g.len_bucket
+                        AND c.lang = m.lang
+    )
+    SELECT source, len_bucket,
+           CAST(MAX(n_g) AS BIGINT) AS group_size,
+           CAST(SUM(term) AS DOUBLE)
+             / (2.0 * CAST(MAX(n_g) AS DOUBLE) * CAST(MAX(n_total) AS DOUBLE))
+               AS tv_distance,
+           (CAST(SUM(term) AS DOUBLE)
+             / (2.0 * CAST(MAX(n_g) AS DOUBLE) * CAST(MAX(n_total) AS DOUBLE)))
+               <= {_TCLOSE_T} AS t_close
+    FROM terms GROUP BY source, len_bucket
+    """,
+)
+def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.floor(F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+        "lang",
+    )
+    cell = d.groupBy("source", "len_bucket", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gl")
+    )
+    marg = (
+        cell.groupBy("lang")
+        .agg(F.sum("n_gl").cast("bigint").alias("n_l"))
+        .crossJoin(
+            F.broadcast(
+                cell.agg(F.sum("n_gl").cast("bigint").alias("n_total"))
+            )
+        )
+    )
+    grp = cell.groupBy("source", "len_bucket").agg(
+        F.sum("n_gl").cast("bigint").alias("n_g")
+    )
+    terms = (
+        grp.crossJoin(F.broadcast(marg))
+        .join(cell, ["source", "len_bucket", "lang"], "left")
+        .select(
+            "source",
+            "len_bucket",
+            "n_g",
+            "n_total",
+            F.abs(
+                F.coalesce(F.col("n_gl"), F.lit(0)) * F.col("n_total")
+                - F.col("n_l") * F.col("n_g")
+            ).alias("term"),
+        )
+    )
+    tv = (
+        "CAST(SUM(term) AS DOUBLE)"
+        " / (2.0 * CAST(MAX(n_g) AS DOUBLE) * CAST(MAX(n_total) AS DOUBLE))"
+    )
+    return terms.groupBy("source", "len_bucket").agg(
+        F.max("n_g").cast("bigint").alias("group_size"),
+        F.expr(f"{tv}").alias("tv_distance"),
+        F.expr(f"({tv}) <= {_TCLOSE_T}").alias("t_close"),
+    )
+
+
+# --- Tukey median polish on the daypart x type grid (round 5) ---------------
+# The robust two-way decomposition: cell = row_effect + col_effect +
+# residual, fitted by alternately sweeping out row and column MEDIANS
+# (2 full sweeps here) — the EDA classic that survives outliers where
+# a two-way ANOVA mean fit does not (no overall term; effects are
+# absolute, documented). Exactness: every median is ELEMENT-SELECTED
+# (rn = (m+1)//2 with full deterministic tie-breaks), so each number is
+# a value both engines computed identically; the polish arithmetic is
+# a fixed chain of IEEE subtractions on those selected values. The
+# oracle unrolls both sweeps as MATERIALIZED CTEs (the repo's iterative
+# oracle discipline). Plan: the only big-data step is the per-cell
+# median (one rank window over events); both sweeps then operate on the
+# 20-cell grid — tiny windows, zero further scans. At 100 TB swap the
+# per-cell rank selection for the same selection over pre-aggregated
+# (cell, quantized-value) counts.
+def _mp_rowmed(src: str, val: str, part: str, other: str, out: str) -> str:
+    return f"""(
+    SELECT {part}, {val} AS {out} FROM (
+        SELECT {part}, {val},
+               row_number() OVER (PARTITION BY {part}
+                                  ORDER BY {val}, {other}) AS rn,
+               COUNT(*) OVER (PARTITION BY {part}) AS m
+        FROM {src}) WHERE rn = (m + 1) // 2
+)"""
+
+
+@_q(
+    "q_median_polish",
+    f"""
+    WITH base AS (
+        SELECT CAST(EXTRACT(hour FROM ts) // 6 AS BIGINT) AS daypart,
+               event_type, value, event_id
+        FROM events WHERE value IS NOT NULL
+    ), cellr AS (
+        SELECT daypart, event_type, value,
+               row_number() OVER (PARTITION BY daypart, event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY daypart, event_type) AS m
+        FROM base
+    ), cell AS MATERIALIZED (
+        SELECT daypart, event_type, value AS med
+        FROM cellr WHERE rn = (m + 1) // 2
+    ), s1r AS MATERIALIZED {_mp_rowmed('cell', 'med', 'daypart', 'event_type', 'rm')},
+    p1 AS MATERIALIZED (
+        SELECT c.daypart, c.event_type, c.med,
+               c.med - r.rm AS resid, r.rm AS row_eff
+        FROM cell c JOIN s1r r USING (daypart)
+    ), s1c AS MATERIALIZED {_mp_rowmed('p1', 'resid', 'event_type', 'daypart', 'cm')},
+    p2 AS MATERIALIZED (
+        SELECT p.daypart, p.event_type, p.med,
+               p.resid - c.cm AS resid, p.row_eff, c.cm AS col_eff
+        FROM p1 p JOIN s1c c USING (event_type)
+    ), s2r AS MATERIALIZED {_mp_rowmed('p2', 'resid', 'daypart', 'event_type', 'rm')},
+    p3 AS MATERIALIZED (
+        SELECT p.daypart, p.event_type, p.med,
+               p.resid - r.rm AS resid, p.row_eff + r.rm AS row_eff, p.col_eff
+        FROM p2 p JOIN s2r r USING (daypart)
+    ), s2c AS MATERIALIZED {_mp_rowmed('p3', 'resid', 'event_type', 'daypart', 'cm')}
+    SELECT p.daypart, p.event_type, p.med AS cell_median,
+           p.row_eff AS row_effect, p.col_eff + c.cm AS col_effect,
+           p.resid - c.cm AS residual
+    FROM p3 p JOIN s2c c USING (event_type)
+    """,
+)
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "CAST(hour(ts) div 6 AS BIGINT) AS daypart",
+            "event_type",
+            "value",
+            "event_id",
+        )
+    )
+    wc = Window.partitionBy("daypart", "event_type")
+    cell = (
+        base.select(
+            "daypart",
+            "event_type",
+            "value",
+            F.row_number().over(wc.orderBy("value", "event_id")).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("m"),
+        )
+        .where(F.col("rn") == F.expr("(m + 1) div 2"))
+        .select("daypart", "event_type", F.col("value").alias("med"))
+    )
+
+    def rowmed(df: DataFrame, val: str, part: str, other: str, out: str) -> DataFrame:
+        w = Window.partitionBy(part)
+        return (
+            df.select(
+                part,
+                val,
+                F.row_number().over(w.orderBy(val, other)).alias("rn"),
+                F.count(F.lit(1)).over(w).alias("m"),
+            )
+            .where(F.col("rn") == F.expr("(m + 1) div 2"))
+            .select(part, F.col(val).alias(out))
+        )
+
+    s1r = rowmed(cell, "med", "daypart", "event_type", "rm")
+    p1 = cell.join(F.broadcast(s1r), "daypart").select(
+        "daypart",
+        "event_type",
+        "med",
+        (F.col("med") - F.col("rm")).alias("resid"),
+        F.col("rm").alias("row_eff"),
+    )
+    s1c = rowmed(p1, "resid", "event_type", "daypart", "cm")
+    p2 = p1.join(F.broadcast(s1c), "event_type").select(
+        "daypart",
+        "event_type",
+        "med",
+        (F.col("resid") - F.col("cm")).alias("resid"),
+        "row_eff",
+        F.col("cm").alias("col_eff"),
+    )
+    s2r = rowmed(p2, "resid", "daypart", "event_type", "rm")
+    p3 = p2.join(F.broadcast(s2r), "daypart").select(
+        "daypart",
+        "event_type",
+        "med",
+        (F.col("resid") - F.col("rm")).alias("resid"),
+        (F.col("row_eff") + F.col("rm")).alias("row_eff"),
+        "col_eff",
+    )
+    s2c = rowmed(p3, "resid", "event_type", "daypart", "cm")
+    return p3.join(F.broadcast(s2c), "event_type").select(
+        "daypart",
+        "event_type",
+        F.col("med").alias("cell_median"),
+        F.col("row_eff").alias("row_effect"),
+        (F.col("col_eff") + F.col("cm")).alias("col_effect"),
+        (F.col("resid") - F.col("cm")).alias("residual"),
+    )
+
+
+# --- I-MR control chart on daily means (round 5) -----------------------------
+# The Shewhart individuals / moving-range chart — SPC's workhorse when
+# subgroup sizes vary (so X-bar/R constants don't apply): chart the
+# DAILY mean value per event type, estimate short-term variation from
+# the moving range of consecutive daily means, and flag days outside
+# X-dbar +/- 2.66 * MR-bar (the d2=1.128 individuals constant, a shared
+# literal). Exactness: daily means are decimal-routed; each moving
+# range is ONE IEEE |subtraction| quantized to integer micro-units
+# before averaging (order-free sums); center line = decimal-sum of
+# daily means... itself a mean of deterministic doubles, so it is also
+# quantized per-day before the fold. Plan: one daily aggregate, one lag
+# window per type, two tiny rollups joined back broadcast — O(days)
+# rows throughout. CUSUM/EWMA/Page-Hinkley (already shipped) watch the
+# same series sequentially; the I-MR chart is the retrospective view.
+_IMR_Q = 1000000.0
+
+
+@_q(
+    "q_control_chart",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(value) AS day_mean
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), mr AS (
+        SELECT event_type, d, day_mean,
+               abs(day_mean - lag(day_mean) OVER w) AS mrange,
+               CAST(floor(day_mean * {_IMR_Q}) AS BIGINT) AS qmean,
+               CAST(floor(abs(day_mean - lag(day_mean) OVER w) * {_IMR_Q})
+                    AS BIGINT) AS qmr
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), lim AS (
+        SELECT event_type,
+               CAST(SUM(qmean) AS DOUBLE) / COUNT(*) / {_IMR_Q} AS center,
+               CAST(SUM(qmr) AS DOUBLE) / COUNT(qmr) / {_IMR_Q} AS mr_bar
+        FROM mr GROUP BY event_type
+    )
+    SELECT m.event_type, m.d AS day, m.day_mean,
+           l.center, l.center + 2.66 * l.mr_bar AS ucl,
+           l.center - 2.66 * l.mr_bar AS lcl,
+           m.day_mean > l.center + 2.66 * l.mr_bar
+             OR m.day_mean < l.center - 2.66 * l.mr_bar AS out_of_control
+    FROM mr m JOIN lim l ON l.event_type = m.event_type
+    """,
+)
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value")
+            ).alias("day_mean")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    mr = daily.select(
+        "event_type",
+        "d",
+        "day_mean",
+        F.expr(f"CAST(floor(day_mean * {_IMR_Q}) AS BIGINT)").alias("qmean"),
+        (F.col("day_mean") - F.lag("day_mean").over(w)).alias("_diff"),
+    ).selectExpr(
+        "event_type",
+        "d",
+        "day_mean",
+        "qmean",
+        f"CAST(floor(abs(_diff) * {_IMR_Q}) AS BIGINT) AS qmr",
+    )
+    lim = mr.groupBy("event_type").agg(
+        (F.sum("qmean").cast("double") / F.count(F.lit(1)) / F.lit(_IMR_Q)).alias(
+            "center"
+        ),
+        (F.sum("qmr").cast("double") / F.count("qmr") / F.lit(_IMR_Q)).alias(
+            "mr_bar"
+        ),
+    )
+    return mr.join(F.broadcast(lim), "event_type").selectExpr(
+        "event_type",
+        "d AS day",
+        "day_mean",
+        "center",
+        "center + 2.66 * mr_bar AS ucl",
+        "center - 2.66 * mr_bar AS lcl",
+        "day_mean > center + 2.66 * mr_bar"
+        " OR day_mean < center - 2.66 * mr_bar AS out_of_control",
+    )
+
+
+# --- process capability of order-to-ship delay (round 5) ---------------------
+# Cp / Cpk against spec limits [0, 120] days: does the fulfilment
+# process FIT the promised window, and is it centered? (q_ship_delay
+# reports the quantiles; capability indexes are the contractual view a
+# supplier scorecard cites.) Exactness: delays are exact integer days,
+# so n, Sum d, Sum d^2 are BIGINTs (day gaps < 2000, squared * 600k
+# rows ~ 2.4e9 — trivially safe); mu and sigma = sqrt((n*s2 - s1^2)) / n
+# are one shared-text chain; Cp and Cpk each add one literal-scaled
+# division. Plan: ONE combinable aggregate over the co-partitioned
+# fact join; O(|priorities|) output.
+_PC_MU = "CAST(s1 AS DOUBLE) / n"
+_PC_SIG = "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n"
+
+
+@_q(
+    "q_process_capability",
+    f"""
+    WITH d AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(floor(epoch(l.l_shipdate) / 86400)
+                    - floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS delay
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), agg AS (
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(delay) AS BIGINT) AS s1,
+               CAST(SUM(delay * delay) AS BIGINT) AS s2
+        FROM d GROUP BY priority
+    )
+    SELECT priority, n,
+           {_PC_MU} AS mean_delay,
+           {_PC_SIG} AS sigma_delay,
+           120.0 / (6.0 * {_PC_SIG}) AS cp,
+           (CASE WHEN 120.0 - {_PC_MU} < {_PC_MU} - 0.0
+                 THEN 120.0 - {_PC_MU} ELSE {_PC_MU} - 0.0 END)
+             / (3.0 * {_PC_SIG}) AS cpk
+    FROM agg
+    """,
+)
+def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
+        "o_orderpriority AS priority",
+        "unix_micros(l_shipdate) div 86400000000"
+        " - unix_micros(o_orderdate) div 86400000000 AS delay",
+    )
+    agg = d.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("delay").cast("bigint").alias("s1"),
+        F.sum(F.col("delay") * F.col("delay")).cast("bigint").alias("s2"),
+    )
+    return agg.selectExpr(
+        "priority",
+        "n",
+        f"{_PC_MU} AS mean_delay",
+        f"{_PC_SIG} AS sigma_delay",
+        f"120.0 / (6.0 * {_PC_SIG}) AS cp",
+        f"(CASE WHEN 120.0 - {_PC_MU} < {_PC_MU} - 0.0"
+        f" THEN 120.0 - {_PC_MU} ELSE {_PC_MU} - 0.0 END)"
+        f" / (3.0 * {_PC_SIG}) AS cpk",
+    )
+
+
+# --- periodicity detection by balanced folding (round 5) ---------------------
+# Which candidate period best explains the daily revenue series? Fold
+# the series modulo p for p in {3, 7, 14} and score each period by the
+# between-group share of total variance — the folded one-way ANOVA R².
+# Exactness: daily revenue is an exact integer cents sum; the series is
+# TRUNCATED to floor(D/p)*p days so every fold group holds exactly
+# m = D//p days, which clears every denominator: with N = m*p,
+# SSB*N*m = p*Sum(s_g^2) - S^2 and SST*N = N*Sum(x^2) - S^2, so
+# R² = m*(p*Sum(s_g²) - S²) / (m*(N*Sum(x²) - S²))... the m cancels —
+# R² = (p*Sum(s_g²) - S²) / (N*Sum(x²) - S²), ALL-INTEGER until one
+# division. Cents (not micro) keep p*Sum(s_g²) under ~2e18 at sf0.1.
+# Plan: one daily aggregate (combinable), then three O(D)-row folds —
+# a single scan feeds everything. The best period is flagged with a
+# deterministic (R² desc, p asc) rank.
+@_q(
+    "q_period_detect",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS dayn,
+               CAST(SUM(CAST(floor(o_totalprice / 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY dayn) - 1 AS i,
+               COUNT(*) OVER () AS d
+        FROM daily
+    ), folded AS (
+        SELECT p.p, i % p.p AS fold, cents
+        FROM idx, (VALUES (3), (7), (14)) p(p)
+        WHERE i < (d // p.p) * p.p
+    ), grp AS (
+        SELECT p, fold, CAST(SUM(cents) AS BIGINT) AS s_g
+        FROM folded GROUP BY p, fold
+    ), tot AS (
+        SELECT p,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS sq
+        FROM folded GROUP BY p
+    ), scored AS (
+        SELECT t.p, t.n AS n_days_used,
+               CAST(t.p * g.ssg - t.s * t.s AS DOUBLE)
+                 / CAST(t.n * t.sq - t.s * t.s AS DOUBLE) AS r2_between
+        FROM tot t JOIN (
+            SELECT p, CAST(SUM(s_g * s_g) AS BIGINT) AS ssg FROM grp GROUP BY p
+        ) g ON g.p = t.p
+    )
+    SELECT CAST(p AS BIGINT) AS period, n_days_used, r2_between,
+           row_number() OVER (ORDER BY r2_between DESC, p) = 1 AS is_best
+    FROM scored
+    """,
+)
+def q_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            "unix_micros(o_orderdate) div 86400000000 AS dayn",
+            "CAST(floor(o_totalprice / 100.0) AS BIGINT) AS cents_row",
+        )
+        .groupBy("dayn")
+        .agg(F.sum("cents_row").cast("bigint").alias("cents"))
+    )
+    idx = daily.select(
+        "cents",
+        (F.row_number().over(Window.orderBy("dayn")) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("d"),
+    )
+    periods = F.broadcast(
+        idx.sparkSession.createDataFrame([(3,), (7,), (14,)], "p int")
+    )
+    folded = (
+        idx.crossJoin(periods)
+        .where(F.col("i") < F.expr("(d div p) * p"))
+        .select("p", F.expr("i % p").alias("fold"), "cents")
+    )
+    grp = folded.groupBy("p", "fold").agg(
+        F.sum("cents").cast("bigint").alias("s_g")
+    )
+    tot = folded.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("sq"),
+    )
+    ssg = grp.groupBy("p").agg(
+        F.sum(F.col("s_g") * F.col("s_g")).cast("bigint").alias("ssg")
+    )
+    scored = tot.join(F.broadcast(ssg), "p").selectExpr(
+        "p",
+        "n AS n_days_used",
+        "CAST(p * ssg - s * s AS DOUBLE)"
+        " / CAST(n * sq - s * s AS DOUBLE) AS r2_between",
+    )
+    return scored.select(
+        F.col("p").cast("bigint").alias("period"),
+        "n_days_used",
+        "r2_between",
+        (
+            F.row_number().over(Window.orderBy(F.desc("r2_between"), "p")) == 1
+        ).alias("is_best"),
+    )

@@ -3750,3 +3750,260 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn(
         "match_score", (F.col("same_nation") + F.col("bal_close")).cast("bigint")
     ).where(F.col("match_score") >= 1)
+
+
+# --- dictionary-encoding advisor (round 5) -----------------------------------
+# Completes the physical-layout advisor family (q_rle_advisor,
+# q_zonemap_advisor, q_partition_planner, q_bloom_advisor): for each
+# candidate string column, compare raw string bytes against a
+# dictionary encoding (distinct-value bytes + per-row integer codes
+# sized by cardinality: 1 byte <= 256 NDV, 2 <= 65536, else 4) and
+# recommend. All-integer arithmetic: length sums and NDV are exact in
+# both engines. One combinable aggregate per column, O(|columns|) rows.
+_DICT_COLS = (
+    ("customer", "c_mktsegment"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+)
+
+
+def _dict_one_sql(tbl: str, col: str) -> str:
+    return f"""
+    SELECT '{tbl}.{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+           CAST(SUM(length({col})) AS BIGINT) AS raw_bytes,
+           CAST((SELECT SUM(length(v)) FROM
+                     (SELECT DISTINCT {col} AS v FROM {tbl}))
+                + COUNT(*) * (CASE WHEN COUNT(DISTINCT {col}) <= 256 THEN 1
+                                   WHEN COUNT(DISTINCT {col}) <= 65536 THEN 2
+                                   ELSE 4 END) AS BIGINT) AS dict_bytes,
+           ((SELECT SUM(length(v)) FROM
+                 (SELECT DISTINCT {col} AS v FROM {tbl}))
+            + COUNT(*) * (CASE WHEN COUNT(DISTINCT {col}) <= 256 THEN 1
+                               WHEN COUNT(DISTINCT {col}) <= 65536 THEN 2
+                               ELSE 4 END)) < SUM(length({col}))
+               AS dict_wins
+    FROM {tbl}
+    """
+
+
+@_q(
+    "q_dict_advisor",
+    "\nUNION ALL\n".join(_dict_one_sql(tbl, col) for tbl, col in _DICT_COLS),
+)
+def q_dict_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, col in _DICT_COLS:
+        base = t(spark, sf_dir, tbl).select(F.col(col).alias("v"))
+        dict_side = base.distinct().agg(
+            F.sum(F.length("v")).cast("bigint").alias("dict_str_bytes")
+        )
+        outs.append(
+            base.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("v").cast("bigint").alias("ndv"),
+                F.sum(F.length("v")).cast("bigint").alias("raw_bytes"),
+            )
+            .crossJoin(F.broadcast(dict_side))
+            .selectExpr(
+                f"'{tbl}.{col}' AS column_name",
+                "n_rows",
+                "ndv",
+                "raw_bytes",
+                "CAST(dict_str_bytes + n_rows * (CASE WHEN ndv <= 256 THEN 1"
+                " WHEN ndv <= 65536 THEN 2 ELSE 4 END) AS BIGINT) AS dict_bytes",
+                "(dict_str_bytes + n_rows * (CASE WHEN ndv <= 256 THEN 1"
+                " WHEN ndv <= 65536 THEN 2 ELSE 4 END)) < raw_bytes"
+                " AS dict_wins",
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- join-size estimator audit (round 5) --------------------------------------
+# The number every cost-based optimizer bets on: |A join B on k| under
+# the independence/containment assumption, n_a * n_b / max(ndv_a,
+# ndv_b), audited against the EXACT join size sum_k c_a(k) * c_b(k) —
+# computed WITHOUT materializing the join (two per-key count aggregates
+# joined on the key, then one product-sum; the q_selfjoin_estimator
+# discipline applied across tables). Two join edges of opposite
+# character: supplier-customer on nationkey (many-to-many, estimate
+# good) and orders-lineitem on orderkey (FK, exact = |lineitem|).
+# All-integer until the final error ratio.
+_JSE_EDGES = (
+    ("supplier", "s_nationkey", "customer", "c_nationkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+)
+
+
+def _jse_one_sql(ta: str, ka: str, tb: str, kb: str) -> str:
+    return f"""
+    SELECT '{ta}*{tb}' AS join_edge,
+           CAST(sa.n AS BIGINT) AS left_rows, CAST(sa.d AS BIGINT) AS left_ndv,
+           CAST(sb.n AS BIGINT) AS right_rows, CAST(sb.d AS BIGINT) AS right_ndv,
+           CAST(sa.n * sb.n // (CASE WHEN sa.d > sb.d THEN sa.d ELSE sb.d END)
+                AS BIGINT) AS est_rows,
+           CAST(x.exact AS BIGINT) AS exact_rows,
+           CAST(sa.n * sb.n // (CASE WHEN sa.d > sb.d THEN sa.d ELSE sb.d END)
+                AS DOUBLE) / CAST(x.exact AS DOUBLE) AS est_over_exact
+    FROM (SELECT COUNT(*) AS n, COUNT(DISTINCT {ka}) AS d FROM {ta}) sa
+    CROSS JOIN (SELECT COUNT(*) AS n, COUNT(DISTINCT {kb}) AS d FROM {tb}) sb
+    CROSS JOIN (
+        SELECT SUM(a.c * b.c) AS exact FROM
+            (SELECT {ka} AS k, COUNT(*) AS c FROM {ta} GROUP BY 1) a
+            JOIN (SELECT {kb} AS k, COUNT(*) AS c FROM {tb} GROUP BY 1) b
+              USING (k)
+    ) x
+    """
+
+
+@_q(
+    "q_joinsize_estimator",
+    "\nUNION ALL\n".join(_jse_one_sql(*e) for e in _JSE_EDGES),
+)
+def q_joinsize_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for ta, ka, tb, kb in _JSE_EDGES:
+        a = t(spark, sf_dir, ta).select(F.col(ka).alias("k"))
+        b = t(spark, sf_dir, tb).select(F.col(kb).alias("k"))
+        sa = a.agg(
+            F.count(F.lit(1)).alias("n_a"), F.countDistinct("k").alias("d_a")
+        )
+        sb = b.agg(
+            F.count(F.lit(1)).alias("n_b"), F.countDistinct("k").alias("d_b")
+        )
+        exact = (
+            a.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c_a"))
+            .join(b.groupBy("k").agg(F.count(F.lit(1)).alias("c_b")), "k")
+            .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("exact"))
+        )
+        outs.append(
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(exact))
+            .selectExpr(
+                f"'{ta}*{tb}' AS join_edge",
+                "CAST(n_a AS BIGINT) AS left_rows",
+                "CAST(d_a AS BIGINT) AS left_ndv",
+                "CAST(n_b AS BIGINT) AS right_rows",
+                "CAST(d_b AS BIGINT) AS right_ndv",
+                "CAST(n_a * n_b div (CASE WHEN d_a > d_b THEN d_a ELSE d_b END)"
+                " AS BIGINT) AS est_rows",
+                "CAST(exact AS BIGINT) AS exact_rows",
+                "CAST(n_a * n_b div (CASE WHEN d_a > d_b THEN d_a ELSE d_b END)"
+                " AS DOUBLE) / CAST(exact AS DOUBLE) AS est_over_exact",
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- join-skew advisor (round 5) ----------------------------------------------
+# The pre-flight check before any big join: per join edge, how much of
+# the join OUTPUT the hottest key produces (c_a(k) * c_b(k), computed
+# from two per-key count aggregates — the join itself is never
+# materialized, the q_joinsize_estimator discipline), and the salt
+# factor that would level it (ceil(top_rows * n_keys / total_rows),
+# integer ceiling). All-integer; the hottest key is tie-broken by key
+# value so both engines pick the same row. Salting is recommended when
+# the top key exceeds 4x the mean key's output. Complements
+# q_salted_join (the fix) and q_skew_audit (single-table skew) with the
+# join-output view the optimizer actually cares about.
+_JSK_EDGES = (
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer", "c_nationkey", "supplier", "s_nationkey"),
+)
+
+
+def _jsk_one_sql(ta: str, ka: str, tb: str, kb: str) -> str:
+    return f"""
+    SELECT '{ta}*{tb}' AS join_edge,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(total AS BIGINT) AS join_rows,
+           CAST(top_key AS BIGINT) AS top_key,
+           CAST(top_rows AS BIGINT) AS top_rows,
+           CAST(top_rows AS DOUBLE) / CAST(total AS DOUBLE) AS top_share,
+           CAST((top_rows * n_keys + total - 1) // total AS BIGINT)
+               AS salt_factor,
+           top_rows * n_keys > 4 * total AS salt_recommended
+    FROM (
+        SELECT COUNT(*) AS n_keys, SUM(rows_k) AS total,
+               MAX(CASE WHEN rn = 1 THEN k END) AS top_key,
+               MAX(CASE WHEN rn = 1 THEN rows_k END) AS top_rows
+        FROM (
+            SELECT k, rows_k,
+                   row_number() OVER (ORDER BY rows_k DESC, k) AS rn
+            FROM (
+                SELECT a.k, a.c * b.c AS rows_k FROM
+                    (SELECT {ka} AS k, COUNT(*) AS c FROM {ta} GROUP BY 1) a
+                    JOIN (SELECT {kb} AS k, COUNT(*) AS c FROM {tb} GROUP BY 1) b
+                      USING (k)
+            )
+        )
+    )
+    """
+
+
+@_q(
+    "q_join_skew_advisor",
+    "\nUNION ALL\n".join(_jsk_one_sql(*e) for e in _JSK_EDGES),
+)
+def q_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    outs = []
+    for ta, ka, tb, kb in _JSK_EDGES:
+        a = (
+            t(spark, sf_dir, ta)
+            .select(F.col(ka).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c_a"))
+        )
+        b = (
+            t(spark, sf_dir, tb)
+            .select(F.col(kb).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c_b"))
+        )
+        perk = a.join(b, "k").select(
+            "k", (F.col("c_a") * F.col("c_b")).alias("rows_k")
+        )
+        ranked = perk.select(
+            "k",
+            "rows_k",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rows_k"), "k"))
+            .alias("rn"),
+        )
+        outs.append(
+            ranked.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("rows_k").alias("total"),
+                F.max(F.when(F.col("rn") == 1, F.col("k"))).alias("top_key"),
+                F.max(F.when(F.col("rn") == 1, F.col("rows_k"))).alias(
+                    "top_rows"
+                ),
+            ).selectExpr(
+                f"'{ta}*{tb}' AS join_edge",
+                "CAST(n_keys AS BIGINT) AS n_keys",
+                "CAST(total AS BIGINT) AS join_rows",
+                "CAST(top_key AS BIGINT) AS top_key",
+                "CAST(top_rows AS BIGINT) AS top_rows",
+                "CAST(top_rows AS DOUBLE) / CAST(total AS DOUBLE) AS top_share",
+                "CAST((top_rows * n_keys + total - 1) div total AS BIGINT)"
+                " AS salt_factor",
+                "top_rows * n_keys > 4 * total AS salt_recommended",
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out

@@ -4959,3 +4959,92 @@ def q_doc_selfrep(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")
         ).alias("dup_frac"),
     )
+
+
+# --- dedup-induced source-mix bias audit (round 5) ---------------------------
+# Dedup is not free: keep-first dedup preferentially deletes from
+# whichever sources duplicate others, silently shifting the training
+# mixture. This audit reports, per source, the corpus share BEFORE and
+# AFTER keep-first dedup on the 32-char prefix fingerprint (the
+# q_source_overlap blocking key — the fixture carries real cross-source
+# prefix collisions at every scale), plus the mixture's total-variation
+# shift as the headline number. Exactness: keep-first = (min doc_id per
+# fingerprint) — a deterministic integer choice; shares are exact
+# integer ratios; the TV term |n_after * N_before - n_before * N_after|
+# accumulates as exact BIGINTs (<= N² ~ 2.5e7 at sf0.1) over a window,
+# normalized once. Plan: one fingerprint groupBy (the exact-dedup
+# shuffle) + two per-source counts + an O(|sources|) window — nothing
+# touches raw text twice.
+@_q(
+    "q_dedup_bias",
+    """
+    WITH fp AS (
+        SELECT doc_id, source, substr(text, 1, 32) AS f FROM documents
+    ), kept AS (
+        SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f
+    ), before AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM fp
+        GROUP BY source
+    ), after AS (
+        SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_after
+        FROM fp p JOIN kept k ON k.keep_id = p.doc_id
+        GROUP BY p.source
+    ), j AS (
+        SELECT b.source, b.n_before, COALESCE(a.n_after, 0) AS n_after,
+               CAST(SUM(b.n_before) OVER () AS BIGINT) AS tb,
+               CAST(SUM(COALESCE(a.n_after, 0)) OVER () AS BIGINT) AS ta
+        FROM before b LEFT JOIN after a ON a.source = b.source
+    )
+    SELECT source, n_before, CAST(n_after AS BIGINT) AS n_after,
+           CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE) AS share_before,
+           CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE) AS share_after,
+           CAST(SUM(abs(n_after * tb - n_before * ta)) OVER () AS DOUBLE)
+             / (2.0 * CAST(tb AS DOUBLE) * CAST(ta AS DOUBLE)) AS mixture_tv
+    FROM j
+    """,
+)
+def q_dedup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    fp = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 32).alias("f")
+    )
+    kept = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    before = fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    after = (
+        fp.join(kept, fp.doc_id == kept.keep_id, "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    )
+    wall = Window.partitionBy()
+    j = (
+        before.join(after, "source", "left")
+        .na.fill({"n_after": 0})
+        .select(
+            "source",
+            "n_before",
+            "n_after",
+            F.sum("n_before").over(wall).cast("bigint").alias("tb"),
+            F.sum("n_after").over(wall).cast("bigint").alias("ta"),
+        )
+    )
+    j = j.withColumn(
+        "term", F.abs(F.col("n_after") * F.col("tb") - F.col("n_before") * F.col("ta"))
+    )
+    return j.select(
+        "source",
+        "n_before",
+        F.col("n_after").cast("bigint").alias("n_after"),
+        (F.col("n_before").cast("double") / F.col("tb").cast("double")).alias(
+            "share_before"
+        ),
+        (F.col("n_after").cast("double") / F.col("ta").cast("double")).alias(
+            "share_after"
+        ),
+        (
+            F.sum("term").over(wall).cast("double")
+            / (F.lit(2.0) * F.col("tb").cast("double") * F.col("ta").cast("double"))
+        ).alias("mixture_tv"),
+    )

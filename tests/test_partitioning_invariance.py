@@ -193,6 +193,12 @@ SWEEP = [
     "q_doc_selfrep",        # integer shingle counts, one division
     "q_wasserstein_drift",  # integer CDF cross-products, one division
     "q_burstiness",         # integer gap moments, shared sqrt chain
+    "q_tcloseness",         # integer TV cross-products, one division
+    "q_median_polish",      # element-selected medians, fixed chain
+    "q_control_chart",      # quantized daily means + moving ranges
+    "q_process_capability", # integer day moments, shared sqrt chain
+    "q_dedup_bias",         # integer share cross-products
+    "q_period_detect",      # cleared-denominator integer fold R2
 ]
 
 
