@@ -638,3 +638,47 @@ def test_ship_delay_equi_join(spark, sf_small):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_geo_knn_no_cartesian_and_bounded_shuffles(spark, sf_small):
+    """The grid-bucketed kNN must join candidates on the CELL key — a
+    hash join after the 9-row offset broadcast, never a cartesian or a
+    theta join over all point pairs."""
+    df = QUERIES["q_geo_knn"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert uses_broadcast_join(df), plan  # the offset grid broadcasts
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_shapley_two_key_shuffles(spark, sf_small):
+    """The unanimity-game closed form needs only the distinct
+    (user, channel) relation, one per-user window, one channel
+    aggregate — if the plan grows a pattern-mask join or a 2^k grid,
+    the closed form has been lost."""
+    df = QUERIES["q_shapley"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_theilsen_cap_feeds_join_from_cache(spark, sf_small):
+    """The per-user cap relation feeds BOTH self-join sides; the persist
+    must make the second side an InMemoryTableScan, not a re-derivation
+    (scan + window twice). Regression pin for the round-5 fix."""
+    df = QUERIES["q_theilsen"](spark, sf_small)
+    plan = formatted_plan(df)
+    # both self-join sides must read the cache (the cached relation's
+    # own build plan is rendered inline, so "Scan parquet" still appears
+    # in the text — the load-bearing fact is two InMemoryTableScans)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_wasserstein_support_sized_intermediates(spark, sf_small):
+    """W1 must aggregate to the (type, value) support BEFORE any window
+    — a plan that windows over raw events instead of the support
+    relation loses the support-sized-intermediates guarantee."""
+    df = QUERIES["q_wasserstein_drift"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 3, plan
