@@ -12608,3 +12608,253 @@ def q_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("r2_between"), "p")) == 1
         ).alias("is_best"),
     )
+
+
+# --- knee/elbow point of the revenue concentration curve (round 5) -----------
+# "How many customers matter?" — the knee of the cumulative-revenue
+# curve, found with the Kneedle chord rule: rank customers by revenue
+# descending, plot cumulative cents against rank, and pick the point
+# with the MAXIMUM distance from the chord joining the curve's
+# endpoints. Exactness: distance ordering uses the integer cross
+# product |(yn-y1)(x-x1) - (xn-x1)(y-y1)| (no sqrt needed — the chord
+# norm is constant along the curve), cumulative cents are exact
+# BIGINTs, ties break on the smaller rank. Bound: y <= total cents
+# ~ 3.8e12 and x <= 15e3 at sf0.1 -> cross terms < 6e16, inside int64.
+# Plan: one revenue aggregate + one global rank window (range-partition
+# swap at scale, as q_train_order) + an O(n) window max — no joins.
+@_q(
+    "q_knee_point",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), curve AS (
+        SELECT CAST(row_number() OVER (ORDER BY cents DESC, o_custkey)
+                    AS BIGINT) AS x,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS y
+        FROM rev
+    ), ends AS (
+        SELECT CAST(MAX(x) AS BIGINT) AS xn, CAST(MAX(y) AS BIGINT) AS yn
+        FROM curve
+    ), d AS (
+        SELECT c.x, c.y, e.xn, e.yn,
+               abs((e.yn - 1) * (c.x - 1) - (e.xn - 1) * (c.y - 1)) AS cross_d
+        FROM curve c CROSS JOIN ends e
+    ), best AS (
+        SELECT x, y, xn, yn, cross_d,
+               row_number() OVER (ORDER BY cross_d DESC, x) AS rn
+        FROM d
+    )
+    SELECT xn AS n_customers, x AS knee_rank,
+           CAST(x AS DOUBLE) / CAST(xn AS DOUBLE) AS knee_rank_share,
+           CAST(y AS DOUBLE) / CAST(yn AS DOUBLE) AS knee_revenue_share,
+           CAST(cross_d AS BIGINT) AS knee_cross_product
+    FROM best WHERE rn = 1
+    """,
+)
+def q_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents_row",
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents_row").cast("bigint").alias("cents"))
+    )
+    wr = Window.orderBy(F.desc("cents"), "o_custkey")
+    curve = rev.select(
+        F.row_number().over(wr).cast("bigint").alias("x"),
+        F.sum("cents")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("y"),
+    )
+    ends = curve.agg(
+        F.max("x").cast("bigint").alias("xn"),
+        F.max("y").cast("bigint").alias("yn"),
+    )
+    d = curve.crossJoin(F.broadcast(ends)).select(
+        "x",
+        "y",
+        "xn",
+        "yn",
+        F.abs(
+            (F.col("yn") - 1) * (F.col("x") - 1)
+            - (F.col("xn") - 1) * (F.col("y") - 1)
+        ).alias("cross_d"),
+    )
+    best = d.select(
+        "*", F.row_number().over(Window.orderBy(F.desc("cross_d"), "x")).alias("rn")
+    )
+    return best.where(F.col("rn") == 1).selectExpr(
+        "xn AS n_customers",
+        "x AS knee_rank",
+        "CAST(x AS DOUBLE) / CAST(xn AS DOUBLE) AS knee_rank_share",
+        "CAST(y AS DOUBLE) / CAST(yn AS DOUBLE) AS knee_revenue_share",
+        "CAST(cross_d AS BIGINT) AS knee_cross_product",
+    )
+
+
+# --- Markov next-event baseline accuracy (round 5) ---------------------------
+# The modesty check every sequence model must beat: predict each user's
+# next event type as the corpus-wide argmax transition from the current
+# type (tie-broken lexicographically), and score in-sample accuracy per
+# current type. q_transitions publishes the matrix; this turns it into
+# the named baseline metric. All-integer counts, one division; the
+# transition matrix is O(types²) and broadcasts. One lag window + two
+# small aggregates.
+@_q(
+    "q_markov_eval",
+    """
+    WITH pairs AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), tc AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), pred AS (
+        SELECT cur, nxt AS predicted_next FROM (
+            SELECT cur, nxt,
+                   row_number() OVER (PARTITION BY cur
+                                      ORDER BY c DESC, nxt) AS rn
+            FROM tc
+        ) WHERE rn = 1
+    )
+    SELECT p.cur AS event_type, pr.predicted_next,
+           CAST(SUM(c) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p.nxt = pr.predicted_next THEN c ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN p.nxt = pr.predicted_next THEN c ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS accuracy
+    FROM tc p JOIN pred pr ON pr.cur = p.cur
+    GROUP BY p.cur, pr.predicted_next
+    """,
+)
+def q_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+    )
+    tc = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pred = (
+        tc.select(
+            "cur",
+            "nxt",
+            F.row_number()
+            .over(Window.partitionBy("cur").orderBy(F.desc("c"), "nxt"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    hit = F.when(F.col("nxt") == F.col("predicted_next"), F.col("c")).otherwise(0)
+    return (
+        tc.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"), "predicted_next")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_pairs"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            (F.sum(hit).cast("double") / F.sum("c").cast("double")).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+# --- queueing capacity advisor (round 5) --------------------------------------
+# Back-of-envelope capacity planning from observed arrivals: per event
+# type, the hourly arrival rate lambda over the data span, then for the
+# minimal server count m = ceil(lambda / s) and one spare (s = 50
+# events/hour/server, a shared literal), the M/M/1-style utilization
+# rho = lambda / (m*s), queue length Lq = rho^2 / (1 - rho) and wait
+# Wq = Lq / lambda. Exactness: lambda is one exact integer ratio
+# (n_events and span hours are BIGINTs); ceil is the integer identity
+# (n + d - 1) // d on cleared denominators; rho/Lq/Wq are one fixed
+# shared-text division chain. Plan: one aggregate per type + a 2-row
+# broadcast margin grid; O(types * 2) output.
+_QA_S = 50  # events per hour per server
+
+
+@_q(
+    "q_queueing_advisor",
+    f"""
+    WITH span AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(floor(epoch(MAX(ts)) / 3600)
+                    - floor(epoch(MIN(ts)) / 3600) + 1 AS BIGINT) AS hours
+        FROM events GROUP BY event_type
+    ), m0 AS (
+        SELECT event_type, n, hours,
+               (n + {_QA_S} * hours - 1) // ({_QA_S} * hours) AS m_min
+        FROM span
+    ), grid AS (
+        SELECT s.*, g.extra FROM m0 s, (VALUES (0), (1)) g(extra)
+    )
+    SELECT event_type, n AS n_events, hours,
+           CAST(n AS DOUBLE) / CAST(hours AS DOUBLE) AS lambda_per_hour,
+           CAST(m_min + extra AS BIGINT) AS servers,
+           CAST(n AS DOUBLE)
+             / (CAST((m_min + extra) * {_QA_S} AS DOUBLE)
+                * CAST(hours AS DOUBLE)) AS utilization,
+           (CAST(n AS DOUBLE)
+             / (CAST((m_min + extra) * {_QA_S} AS DOUBLE)
+                * CAST(hours AS DOUBLE)))
+           * (CAST(n AS DOUBLE)
+             / (CAST((m_min + extra) * {_QA_S} AS DOUBLE)
+                * CAST(hours AS DOUBLE)))
+           / (1.0 - CAST(n AS DOUBLE)
+             / (CAST((m_min + extra) * {_QA_S} AS DOUBLE)
+                * CAST(hours AS DOUBLE))) AS queue_length_lq
+    FROM grid
+    """,
+)
+def q_queueing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    span = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.expr("unix_micros(MAX(ts)) div 3600000000")
+            - F.expr("unix_micros(MIN(ts)) div 3600000000")
+            + 1
+        )
+        .cast("bigint")
+        .alias("hours"),
+    )
+    m0 = span.selectExpr(
+        "event_type",
+        "n",
+        "hours",
+        f"(n + {_QA_S} * hours - 1) div ({_QA_S} * hours) AS m_min",
+    )
+    grid = m0.crossJoin(
+        F.broadcast(
+            span.sparkSession.createDataFrame([(0,), (1,)], "extra int")
+        )
+    )
+    rho = (
+        f"CAST(n AS DOUBLE) / (CAST((m_min + extra) * {_QA_S} AS DOUBLE)"
+        " * CAST(hours AS DOUBLE))"
+    )
+    return grid.selectExpr(
+        "event_type",
+        "n AS n_events",
+        "hours",
+        "CAST(n AS DOUBLE) / CAST(hours AS DOUBLE) AS lambda_per_hour",
+        "CAST(m_min + extra AS BIGINT) AS servers",
+        f"{rho} AS utilization",
+        f"({rho}) * ({rho}) / (1.0 - {rho}) AS queue_length_lq",
+    )

@@ -1891,3 +1891,141 @@ def q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frontier_sec",
         "CAST(frontier_sec - max_sec AS BIGINT) AS behind_frontier_sec",
     ).orderBy("batch_key")
+
+
+# --- streaming per-batch I-MR control chart (round 5) -------------------------
+# The live twin of q_control_chart: as each micro-batch of the 4-file
+# AvailableNow drain lands, foreachBatch collects THREE bounded scalars
+# (batch key, row count, quantized value sum); the batch finish then
+# charts the per-batch means with Shewhart I-MR limits (moving ranges
+# of consecutive batch means, 2.66 literal) over the <=4 collected
+# rows. This is the guardrail that catches a poisoned or truncated
+# micro-batch the moment it arrives. Exactness: the per-batch sum is an
+# exact BIGINT of floor(value * 1e6); the mean, quantized re-folds,
+# limits and flags are one shared-text chain mirrored in the oracle,
+# which replays the stager's contiguous event_id slicing (the
+# q_stream_drift batch-identity contract).
+_SIMR_MEAN = "CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0"
+
+
+def _simr_oracle() -> str:
+    return f"""
+    WITH r AS (
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY event_id) - 1 AS rn
+        FROM events
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events
+    ), p AS (
+        SELECT event_id, value, rn // ((nn.total + 3) // 4) AS part
+        FROM r, nn
+    ), b AS (
+        SELECT part,
+               CAST(MIN(event_id) AS BIGINT) AS batch_key,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS qsum
+        FROM p GROUP BY part
+    ), m AS (
+        SELECT batch_key, n, {_SIMR_MEAN} AS batch_mean,
+               CAST(floor(({_SIMR_MEAN}) * 1000000.0) AS BIGINT) AS qmean,
+               CAST(floor(abs({_SIMR_MEAN}
+                    - lag({_SIMR_MEAN}) OVER (ORDER BY batch_key))
+                    * 1000000.0) AS BIGINT) AS qmr
+        FROM b
+    ), lim AS (
+        SELECT CAST(SUM(qmean) AS DOUBLE) / COUNT(*) / 1000000.0 AS center,
+               CAST(SUM(qmr) AS DOUBLE) / COUNT(qmr) / 1000000.0 AS mr_bar
+        FROM m
+    )
+    SELECT m.batch_key, m.n AS n_events, m.batch_mean,
+           l.center, l.center + 2.66 * l.mr_bar AS ucl,
+           l.center - 2.66 * l.mr_bar AS lcl,
+           m.batch_mean > l.center + 2.66 * l.mr_bar
+             OR m.batch_mean < l.center - 2.66 * l.mr_bar AS out_of_control
+    FROM m CROSS JOIN lim l ORDER BY m.batch_key
+    """
+
+
+@_q("q_stream_imr", _simr_oracle())
+def q_stream_imr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    profiles: list[tuple[int, int, int]] = []
+
+    def profile(bdf: DataFrame, batch_id: int) -> None:
+        row = bdf.agg(
+            F.min("event_id").cast("bigint").alias("batch_key"),
+            F.count("value").cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("qsum"),
+        ).collect()[0]
+        if row.batch_key is None:
+            return
+        profiles.append((row.batch_key, row.n, row.qsum))
+
+    q = (
+        sdf.writeStream.foreachBatch(profile)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(),
+                f"bdss_simr_ckpt_{uuid.uuid4().hex[:8]}",
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per = spark.createDataFrame(
+        profiles, "batch_key: bigint, n: bigint, qsum: bigint"
+    )
+    wb = Window.orderBy("batch_key")
+    m = per.selectExpr(
+        "batch_key",
+        "n",
+        "qsum",
+        f"{_SIMR_MEAN} AS batch_mean",
+        f"CAST(floor(({_SIMR_MEAN}) * 1000000.0) AS BIGINT) AS qmean",
+    ).withColumn(
+        "qmr",
+        F.expr("CAST(floor(abs(batch_mean - lag(batch_mean) OVER "
+               "(ORDER BY batch_key)) * 1000000.0) AS BIGINT)"),
+    )
+    lim = m.agg(
+        (F.sum("qmean").cast("double") / F.count(F.lit(1)) / 1000000.0).alias(
+            "center"
+        ),
+        (F.sum("qmr").cast("double") / F.count("qmr") / 1000000.0).alias(
+            "mr_bar"
+        ),
+    )
+    return (
+        m.crossJoin(F.broadcast(lim))
+        .selectExpr(
+            "batch_key",
+            "n AS n_events",
+            "batch_mean",
+            "center",
+            "center + 2.66 * mr_bar AS ucl",
+            "center - 2.66 * mr_bar AS lcl",
+            "batch_mean > center + 2.66 * mr_bar"
+            " OR batch_mean < center - 2.66 * mr_bar AS out_of_control",
+        )
+        .orderBy("batch_key")
+    )

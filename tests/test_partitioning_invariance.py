@@ -199,6 +199,9 @@ SWEEP = [
     "q_process_capability", # integer day moments, shared sqrt chain
     "q_dedup_bias",         # integer share cross-products
     "q_period_detect",      # cleared-denominator integer fold R2
+    "q_knee_point",         # integer cross-product argmax
+    "q_markov_eval",        # integer transition counts, one division
+    "q_queueing_advisor",   # integer rates, shared division chain
 ]
 
 
