@@ -12858,3 +12858,187 @@ def q_queueing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{rho} AS utilization",
         f"({rho}) * ({rho}) / (1.0 - {rho}) AS queue_length_lq",
     )
+
+
+# --- historical VaR / Expected Shortfall (round 5) ----------------------------
+# The risk pair behind every trading-desk report: per event type, the
+# 95% historical Value-at-Risk (the 5th-percentile return, ELEMENT-
+# SELECTED so it is a value both engines computed identically) and the
+# Expected Shortfall (mean of the tail AT OR BELOW the VaR element).
+# Returns are consecutive-value diffs quantized to integer micro-units
+# before ANY aggregation (the q_kelly discipline), so the tail mean is
+# an exact integer ratio. Plan: one lag window per type + one rank
+# window over the per-type return set + one combinable tail aggregate.
+@_q(
+    "q_var_es",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(floor((value - lag(value) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id)) * 1000000.0) AS BIGINT) AS q
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type, q,
+               row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM s WHERE q IS NOT NULL
+    ), var AS (
+        SELECT event_type, n, q AS var_q, rn AS var_rank
+        FROM r WHERE rn = (n - 1) * 5 // 100 + 1
+    )
+    SELECT r.event_type, MAX(v.n) AS n_returns,
+           CAST(MAX(v.var_q) AS DOUBLE) / 1000000.0 AS var95,
+           CAST(SUM(CASE WHEN r.rn <= v.var_rank THEN r.q ELSE 0 END)
+                AS DOUBLE)
+             / CAST(MAX(v.var_rank) AS DOUBLE) / 1000000.0 AS es95
+    FROM r JOIN var v ON v.event_type = r.event_type
+    GROUP BY r.event_type
+    """,
+)
+def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value") - F.lag("value").over(w)).alias("dv"),
+        )
+        .where(F.col("dv").isNotNull())
+        .selectExpr(
+            "event_type",
+            "CAST(floor(dv * 1000000.0) AS BIGINT) AS q",
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    r = s.select(
+        "event_type",
+        "q",
+        F.row_number().over(wt.orderBy("q")).alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+    )
+    var = r.where(F.col("rn") == F.expr("(n - 1) * 5 div 100 + 1")).select(
+        "event_type",
+        F.col("n").alias("v_n"),
+        F.col("q").alias("var_q"),
+        F.col("rn").alias("var_rank"),
+    )
+    return (
+        r.join(F.broadcast(var), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("v_n").alias("n_returns"),
+            (F.max("var_q").cast("double") / 1000000.0).alias("var95"),
+            (
+                F.sum(
+                    F.when(F.col("rn") <= F.col("var_rank"), F.col("q")).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.max("var_rank").cast("double")
+                / 1000000.0
+            ).alias("es95"),
+        )
+    )
+
+
+# --- VaR backtest (Kupiec-style breach count, round 5) ------------------------
+# Does yesterday's VaR hold up tomorrow? Split each type's return
+# series in half chronologically, estimate VaR95 on the FIRST half
+# (element-selected), count breaches in the SECOND half, and compare to
+# the expected 5% with the exact binomial z = (x - n*p) / sqrt(n*p*(1-p))
+# — the Kupiec POF test's normal approximation, kept log-free (shared
+# literal p = 0.05, one sqrt). All counts integer; the split point is
+# the integer half of the ordered series. One lag window + one rank
+# window + two combinable aggregates.
+_VBT_Z = (
+    "(CAST(breaches AS DOUBLE) - CAST(n2 AS DOUBLE) * 0.05)"
+    " / sqrt(CAST(n2 AS DOUBLE) * 0.05 * 0.95)"
+)
+
+
+@_q(
+    "q_var_backtest",
+    f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(floor((value - lag(value) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id)) * 1000000.0) AS BIGINT) AS q,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS seq,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM events WHERE value IS NOT NULL
+    ), t1 AS (
+        SELECT event_type, q,
+               row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n1
+        FROM s WHERE q IS NOT NULL AND seq <= total // 2
+    ), var1 AS (
+        SELECT event_type, n1, q AS var_q
+        FROM t1 WHERE rn = (n1 - 1) * 5 // 100 + 1
+    ), t2 AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n2,
+               v.var_q,
+               CAST(SUM(CASE WHEN s.q <= v.var_q THEN 1 ELSE 0 END)
+                    AS BIGINT) AS breaches
+        FROM s JOIN var1 v USING (event_type)
+        WHERE s.q IS NOT NULL AND s.seq > s.total // 2
+        GROUP BY event_type, v.var_q
+    )
+    SELECT event_type, n2 AS n_test_returns,
+           CAST(var_q AS DOUBLE) / 1000000.0 AS var95_train,
+           breaches,
+           CAST(breaches AS DOUBLE) / CAST(n2 AS DOUBLE) AS breach_rate,
+           {_VBT_Z} AS kupiec_z
+    FROM t2
+    """,
+)
+def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wt = Window.partitionBy("event_type")
+    s = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value") - F.lag("value").over(w)).alias("dv"),
+            F.row_number().over(w).alias("seq"),
+            F.count(F.lit(1)).over(wt).cast("bigint").alias("total"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(floor(dv * 1000000.0) AS BIGINT) AS q",
+            "seq",
+            "total",
+        )
+    )
+    t1 = s.where(
+        F.col("q").isNotNull() & (F.col("seq") <= F.expr("total div 2"))
+    ).select(
+        "event_type",
+        "q",
+        F.row_number().over(wt.orderBy("q")).alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n1"),
+    )
+    var1 = t1.where(F.col("rn") == F.expr("(n1 - 1) * 5 div 100 + 1")).select(
+        "event_type", F.col("q").alias("var_q")
+    )
+    t2 = (
+        s.where(F.col("q").isNotNull() & (F.col("seq") > F.expr("total div 2")))
+        .join(F.broadcast(var1), "event_type")
+        .groupBy("event_type", "var_q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n2"),
+            F.sum(F.when(F.col("q") <= F.col("var_q"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("breaches"),
+        )
+    )
+    return t2.selectExpr(
+        "event_type",
+        "n2 AS n_test_returns",
+        "CAST(var_q AS DOUBLE) / 1000000.0 AS var95_train",
+        "breaches",
+        "CAST(breaches AS DOUBLE) / CAST(n2 AS DOUBLE) AS breach_rate",
+        f"{_VBT_Z} AS kupiec_z",
+    )

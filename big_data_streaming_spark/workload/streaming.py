@@ -2029,3 +2029,68 @@ def q_stream_imr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_key")
     )
+
+
+# --- streaming state-size advisor (round 5) ------------------------------------
+# Before starting a watermarked window aggregation, estimate the state
+# store footprint it will carry: for each candidate watermark delay
+# (1 h / 6 h / 24 h), the number of LIVE state keys is the count of
+# distinct (hour-window, event_type) groups whose window end falls
+# inside the trailing horizon at the stream frontier (max event time),
+# and the byte estimate is keys * (8B window + avg type bytes + 48B agg
+# buffer, shared literals). The advisor the checkpoint-size page of
+# every streaming runbook asks for — computed batch-side from exact
+# distinct counts, mirrored in the oracle. One distinct aggregate +
+# 1-row frontier broadcast + a 3-row candidate grid.
+_SSA_HORIZONS = (1, 6, 24)
+
+
+@_q(
+    "q_state_size_advisor",
+    f"""
+    WITH wins AS (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               event_type
+        FROM events
+    ), fr AS (
+        SELECT CAST(MAX(hr) AS BIGINT) AS max_hr FROM wins
+    ), grid AS (
+        SELECT h.h FROM (VALUES (1), (6), (24)) h(h)
+    )
+    SELECT CAST(g.h AS BIGINT) AS watermark_hours,
+           CAST(COUNT(*) AS BIGINT) AS live_keys,
+           CAST(COUNT(*) * (8 + 8 + 48) AS BIGINT) AS est_state_bytes,
+           COUNT(*) * (8 + 8 + 48) <= 67108864 AS fits_64mb
+    FROM wins w CROSS JOIN fr CROSS JOIN grid g
+    WHERE w.hr > fr.max_hr - g.h
+    GROUP BY g.h
+    """,
+)
+def q_state_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.workload.common import t as _t
+
+    wins = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "unix_micros(ts) div 3600000000 AS hr",
+            "event_type",
+        )
+        .distinct()
+    )
+    fr = wins.agg(F.max("hr").cast("bigint").alias("max_hr"))
+    grid = F.broadcast(
+        spark.createDataFrame([(h,) for h in _SSA_HORIZONS], "h int")
+    )
+    return (
+        wins.crossJoin(F.broadcast(fr))
+        .crossJoin(grid)
+        .where(F.col("hr") > F.col("max_hr") - F.col("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("live_keys"))
+        .selectExpr(
+            "CAST(h AS BIGINT) AS watermark_hours",
+            "live_keys",
+            "CAST(live_keys * (8 + 8 + 48) AS BIGINT) AS est_state_bytes",
+            "live_keys * (8 + 8 + 48) <= 67108864 AS fits_64mb",
+        )
+    )

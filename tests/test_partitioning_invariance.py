@@ -202,6 +202,8 @@ SWEEP = [
     "q_knee_point",         # integer cross-product argmax
     "q_markov_eval",        # integer transition counts, one division
     "q_queueing_advisor",   # integer rates, shared division chain
+    "q_var_es",             # element-selected VaR, integer tail mean
+    "q_var_backtest",       # integer breaches, shared sqrt z
 ]
 
 
