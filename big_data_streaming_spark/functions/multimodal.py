@@ -502,3 +502,43 @@ def dhash_raster(
 
     narrow = df.select("doc_id", width_col, height_col, payload_col)
     return narrow.mapInPandas(run, DHASH_SCHEMA)
+
+
+BYTE_HISTOGRAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bin", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def byte_histogram(df: DataFrame, *, payload_col: str = "media.payload", n_bins: int = 16) -> DataFrame:
+    """Arrow-batched payload byte histogram: bin = byte_value // (256 //
+    n_bins). The luminance-histogram shape of image triage (dark/blank/
+    over-exposed detection) run on the raw payload bytes — one
+    vectorized np.bincount per row, no codec required. Only (doc_id,
+    payload) cross the Arrow boundary; zero-count bins are not emitted.
+    At 100 TB: mapInPandas over a narrow projection, O(bytes) per row,
+    output O(n_bins) per row."""
+    import numpy as np
+    import pandas as pd
+
+    width = 256 // n_bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "bin": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr // width, minlength=n_bins)
+                for b in np.nonzero(counts)[0]:
+                    out["doc_id"].append(doc_id)
+                    out["bin"].append(int(b))
+                    out["n_bytes"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    narrow = df.select("doc_id", F.col(payload_col).alias("payload"))
+    return narrow.mapInPandas(run, BYTE_HISTOGRAM_SCHEMA)

@@ -4007,3 +4007,102 @@ def q_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in outs[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- global clustering coefficient (round 5) -----------------------------------
+# The one-number summary of graph cohesion: C = 3 * triangles / wedges,
+# where wedges = sum over nodes of deg*(deg-1)/2. Reuses q_triangles'
+# exact machinery (distinct co-order supplier edges, the adaptive
+# strong-tie cut, the oriented three-leg triangle join) and adds the
+# degree aggregate — all integers until the single final division.
+# Plan notes inherited from q_triangles (persist the shared edge
+# relation; the tie cut bounds the wedge explosion).
+@_q(
+    "q_clustering_coeff",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    ew AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+           FROM os a JOIN os b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2),
+    e AS (SELECT u, v FROM ew
+          WHERE w > (SELECT 1.5 * (CAST(SUM(w) AS DOUBLE) / COUNT(*)) FROM ew)),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY node
+    ),
+    wedges AS (
+        SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    ),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           tri.n_triangles, wedges.n_wedges,
+           CAST(3 * tri.n_triangles AS DOUBLE)
+             / CAST(wedges.n_wedges AS DOUBLE) AS clustering_coeff
+    FROM tri CROSS JOIN wedges
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct().persist()
+    a, b = os_.alias("a"), os_.alias("b")
+    ew = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    cut = ew.agg(
+        (F.lit(1.5) * (F.sum("w").cast("double") / F.count(F.lit(1)))).alias(
+            "thr"
+        )
+    )
+    e = (
+        ew.crossJoin(F.broadcast(cut))
+        .where(F.col("w") > F.col("thr"))
+        .select("u", "v")
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        nodes.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            "CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)"
+            " AS clustering_coeff",
+        )
+    )

@@ -5048,3 +5048,143 @@ def q_dedup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.col("tb").cast("double") * F.col("ta").cast("double"))
         ).alias("mixture_tv"),
     )
+
+
+# --- payload byte histogram via the Arrow kernel (round 5) --------------------
+# Drives functions/multimodal.byte_histogram through the driver gate
+# with a first-principles oracle: the payload is the document's ASCII
+# text bytes (with_media_struct), so bin = ord(char) // 16 and the
+# oracle histograms codepoints with generate_series — bit-identical to
+# the kernel's np.bincount for ASCII corpora (the fixture is verified
+# all-ASCII; non-ASCII payloads would differ byte-vs-codepoint and
+# belong to the rows-only decode family). Value-checks the Arrow
+# batch plumbing the same way q_multimodal_resize pins its kernel.
+@_q(
+    "q_payload_histogram",
+    """
+    WITH ch AS (
+        SELECT doc_id, ord(substr(text, g.i, 1)) // 16 AS bin
+        FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+    )
+    SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes
+    FROM ch GROUP BY doc_id, bin
+    """,
+)
+def q_payload_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.multimodal import (
+        byte_histogram,
+        with_media_struct,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return byte_histogram(with_media_struct(docs))
+
+
+# --- Snorkel-style weak labeling (round 5) -------------------------------------
+# Programmatic supervision: three deterministic labeling functions vote
+# on whether a document is "high quality" (1) or not (0), abstaining
+# (NULL) outside their competence: LF1 length (n_chars >= 200 -> 1,
+# < 80 -> 0, else abstain), LF2 lexical diversity (distinct-token ratio
+# >= 0.55 -> 1, <= 0.35 -> 0), LF3 repetition (top-token share <= 0.08
+# -> 1, >= 0.2 -> 0). The weak label is the majority of non-abstaining
+# votes (ties -> NULL), the standard label-model baseline. Output per
+# doc: the three votes, vote counts, and the majority label — all
+# integer comparisons on exact counts; thresholds are shared literals.
+# Plan: one token aggregate per doc (combinable) + per-row CASE chains;
+# zero joins beyond the doc-local rollup.
+@_q(
+    "q_weak_labels",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+    ), feat AS (
+        SELECT d.doc_id, d.n_chars,
+               CAST(SUM(tc.c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(tc.c) AS BIGINT) AS top_count
+        FROM documents d JOIN tc ON tc.doc_id = d.doc_id
+        GROUP BY d.doc_id, d.n_chars
+    ), votes AS (
+        SELECT doc_id,
+               CASE WHEN n_chars >= 200 THEN 1
+                    WHEN n_chars < 80 THEN 0 END AS lf_length,
+               CASE WHEN n_distinct * 100 >= 55 * n_tokens THEN 1
+                    WHEN n_distinct * 100 <= 35 * n_tokens THEN 0
+               END AS lf_diversity,
+               CASE WHEN top_count * 100 <= 8 * n_tokens THEN 1
+                    WHEN top_count * 100 >= 20 * n_tokens THEN 0
+               END AS lf_repetition
+        FROM feat
+    )
+    SELECT doc_id, lf_length, lf_diversity, lf_repetition,
+           CAST(COALESCE(lf_length, 0) + COALESCE(lf_diversity, 0)
+                + COALESCE(lf_repetition, 0) AS BIGINT) AS n_pos,
+           CAST((CASE WHEN lf_length IS NULL THEN 0 ELSE 1 END)
+                + (CASE WHEN lf_diversity IS NULL THEN 0 ELSE 1 END)
+                + (CASE WHEN lf_repetition IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_votes,
+           CASE WHEN 2 * (COALESCE(lf_length, 0) + COALESCE(lf_diversity, 0)
+                          + COALESCE(lf_repetition, 0))
+                     > (CASE WHEN lf_length IS NULL THEN 0 ELSE 1 END)
+                       + (CASE WHEN lf_diversity IS NULL THEN 0 ELSE 1 END)
+                       + (CASE WHEN lf_repetition IS NULL THEN 0 ELSE 1 END)
+                THEN 1
+                WHEN 2 * (COALESCE(lf_length, 0) + COALESCE(lf_diversity, 0)
+                          + COALESCE(lf_repetition, 0))
+                     < (CASE WHEN lf_length IS NULL THEN 0 ELSE 1 END)
+                       + (CASE WHEN lf_diversity IS NULL THEN 0 ELSE 1 END)
+                       + (CASE WHEN lf_repetition IS NULL THEN 0 ELSE 1 END)
+                THEN 0
+           END AS weak_label
+    FROM votes
+    """,
+)
+def q_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    feat = (
+        d.select("doc_id", "n_chars")
+        .join(tc, "doc_id")
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("top_count"),
+        )
+    )
+    votes = feat.selectExpr(
+        "doc_id",
+        "CASE WHEN n_chars >= 200 THEN 1 WHEN n_chars < 80 THEN 0 END"
+        " AS lf_length",
+        "CASE WHEN n_distinct * 100 >= 55 * n_tokens THEN 1"
+        " WHEN n_distinct * 100 <= 35 * n_tokens THEN 0 END AS lf_diversity",
+        "CASE WHEN top_count * 100 <= 8 * n_tokens THEN 1"
+        " WHEN top_count * 100 >= 20 * n_tokens THEN 0 END AS lf_repetition",
+    )
+    npos = (
+        "COALESCE(lf_length, 0) + COALESCE(lf_diversity, 0)"
+        " + COALESCE(lf_repetition, 0)"
+    )
+    nv = (
+        "(CASE WHEN lf_length IS NULL THEN 0 ELSE 1 END)"
+        " + (CASE WHEN lf_diversity IS NULL THEN 0 ELSE 1 END)"
+        " + (CASE WHEN lf_repetition IS NULL THEN 0 ELSE 1 END)"
+    )
+    return votes.selectExpr(
+        "doc_id",
+        "lf_length",
+        "lf_diversity",
+        "lf_repetition",
+        f"CAST({npos} AS BIGINT) AS n_pos",
+        f"CAST({nv} AS BIGINT) AS n_votes",
+        f"CASE WHEN 2 * ({npos}) > {nv} THEN 1"
+        f" WHEN 2 * ({npos}) < {nv} THEN 0 END AS weak_label",
+    )
