@@ -13042,3 +13042,748 @@ def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(breaches AS DOUBLE) / CAST(n2 AS DOUBLE) AS breach_rate",
         f"{_VBT_Z} AS kupiec_z",
     )
+
+
+# --- two-way fixed effects (within) estimator (round 5) -----------------------
+# The workhorse of panel econometrics: on the (event_type x day) panel,
+# regress the daily mean value on daily activity with BOTH type and day
+# effects swept out (the within transformation), so the slope reads
+# "when a type is unusually busy for that day, is its value unusually
+# high?" — q_diff_in_diff's 2x2 generalized to the full panel.
+# Exactness: cell stats quantize to integer micro-units first, so the
+# four means are exact integer ratios; each demeaned residual is a
+# fixed chain of IEEE subtractions; the cross products x~*y~ and x~^2
+# quantize AGAIN before the final sums (order-free BIGINTs) and the
+# slope is one division. Unbalanced cells are used as observed
+# (unweighted cell means — the standard unweighted TWFE). Plan: one
+# daily-cell aggregate + two margin aggregates (broadcast) + one
+# combinable quantized-product sum.
+@_q(
+    "q_twfe",
+    """
+    WITH cell AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(COUNT(value) AS BIGINT) AS x_n,
+               CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS y_us
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), c2 AS (
+        SELECT event_type, d,
+               CAST(x_n AS DOUBLE) AS x,
+               CAST(y_us AS DOUBLE) / CAST(x_n AS DOUBLE) / 1000000.0 AS y
+        FROM cell
+    ), mi AS (
+        SELECT event_type,
+               CAST(SUM(CAST(floor(x) AS BIGINT)) AS DOUBLE) / COUNT(*) AS xi,
+               CAST(SUM(CAST(floor(y * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS yi
+        FROM c2 GROUP BY event_type
+    ), mt AS (
+        SELECT d,
+               CAST(SUM(CAST(floor(x) AS BIGINT)) AS DOUBLE) / COUNT(*) AS xt,
+               CAST(SUM(CAST(floor(y * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS yt
+        FROM c2 GROUP BY d
+    ), mg AS (
+        SELECT CAST(SUM(CAST(floor(x) AS BIGINT)) AS DOUBLE) / COUNT(*) AS xg,
+               CAST(SUM(CAST(floor(y * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS yg
+        FROM c2
+    ), resid AS (
+        SELECT c.x - i.xi - t.xt + g.xg AS xr,
+               c.y - i.yi - t.yt + g.yg AS yr
+        FROM c2 c
+        JOIN mi i ON i.event_type = c.event_type
+        JOIN mt t ON t.d = c.d
+        CROSS JOIN mg g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(floor(xr * yr * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sxy_q,
+           CAST(SUM(CAST(floor(xr * xr * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sxx_q,
+           CAST(SUM(CAST(floor(xr * yr * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(floor(xr * xr * 1000000.0) AS BIGINT)) AS DOUBLE)
+               AS beta_within
+    FROM resid
+    """,
+)
+def q_twfe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.count("value").cast("bigint").alias("x_n"),
+            F.sum(F.expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("y_us"),
+        )
+    )
+    c2 = cell.selectExpr(
+        "event_type",
+        "d",
+        "CAST(x_n AS DOUBLE) AS x",
+        "CAST(y_us AS DOUBLE) / CAST(x_n AS DOUBLE) / 1000000.0 AS y",
+    )
+    def margins(df, keys):
+        agg = df.groupBy(*keys) if keys else df.groupBy()
+        return agg.agg(
+            (
+                F.sum(F.expr("CAST(floor(x) AS BIGINT)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mx"),
+            (
+                F.sum(F.expr("CAST(floor(y * 1000000.0) AS BIGINT)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / 1000000.0
+            ).alias("my"),
+        )
+
+    mi = margins(c2, ["event_type"]).withColumnsRenamed({"mx": "xi", "my": "yi"})
+    mt = margins(c2, ["d"]).withColumnsRenamed({"mx": "xt", "my": "yt"})
+    mg = margins(c2, []).withColumnsRenamed({"mx": "xg", "my": "yg"})
+    resid = (
+        c2.join(F.broadcast(mi), "event_type")
+        .join(F.broadcast(mt), "d")
+        .crossJoin(F.broadcast(mg))
+        .selectExpr("x - xi - xt + xg AS xr", "y - yi - yt + yg AS yr")
+    )
+    return resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.expr("CAST(floor(xr * yr * 1000000.0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sxy_q"),
+        F.sum(F.expr("CAST(floor(xr * xr * 1000000.0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sxx_q"),
+    ).selectExpr(
+        "n_cells",
+        "sxy_q",
+        "sxx_q",
+        "CAST(sxy_q AS DOUBLE) / CAST(sxx_q AS DOUBLE) AS beta_within",
+    )
+
+
+# --- group-sequential A/B monitoring (O'Brien-Fleming, round 5) ----------------
+# Peeking done right: the experiment's event stream is split into five
+# equal looks (by global event order); at each look the cumulative
+# treated-vs-control conversion gap gets a two-proportion z, compared
+# against the O'Brien-Fleming spending boundary 2.04 * sqrt(5 / k) —
+# wide early, nominal late — so repeated peeking keeps its type-I
+# budget. Treatment = odd user_id (the q_srm convention), conversion =
+# purchase events. Exactness: all counts are integers off one global
+# rank (range-partition swap at scale); the z and the boundary are one
+# shared sqrt chain; crossing flags are boolean comparisons of those
+# deterministic doubles. Plan: one rank window + one (look, arm)
+# aggregate + an O(5) cumulative window.
+_GS_Z = (
+    "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+    " / sqrt((CAST(s1 + s0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))"
+    " * (1.0 - CAST(s1 + s0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))"
+    " * (1.0 / n1 + 1.0 / n0))"
+)
+
+
+@_q(
+    "q_group_sequential",
+    f"""
+    WITH r AS (
+        SELECT user_id % 2 AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+               row_number() OVER (ORDER BY event_id) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS total
+        FROM events
+    ), looks AS (
+        SELECT arm, conv, (rn * 5 - 1) // total + 1 AS look FROM r
+    ), per AS (
+        SELECT look,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+               CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c0
+        FROM looks GROUP BY look
+    ), cum AS (
+        SELECT look,
+               CAST(SUM(d1) OVER w AS BIGINT) AS n1,
+               CAST(SUM(d0) OVER w AS BIGINT) AS n0,
+               CAST(SUM(c1) OVER w AS BIGINT) AS s1,
+               CAST(SUM(c0) OVER w AS BIGINT) AS s0
+        FROM per
+        WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(look AS BIGINT) AS look, n1, n0, s1, s0,
+           round({_GS_Z}, 9) AS z,
+           2.04 * sqrt(5.0 / look) AS obf_boundary,
+           abs(round({_GS_Z}, 9)) > 2.04 * sqrt(5.0 / look) AS crossed
+    FROM cum ORDER BY look
+    """,
+)
+def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "events").select(
+        F.expr("user_id % 2").alias("arm"),
+        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END").alias(
+            "conv"
+        ),
+        F.row_number().over(Window.orderBy("event_id")).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("total"),
+    )
+    looks = r.selectExpr("arm", "conv", "(rn * 5 - 1) div total + 1 AS look")
+    per = looks.groupBy("look").agg(
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("d0"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN conv ELSE 0 END"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN conv ELSE 0 END"))
+        .cast("bigint")
+        .alias("c0"),
+    )
+    w = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "look",
+        F.sum("d1").over(w).cast("bigint").alias("n1"),
+        F.sum("d0").over(w).cast("bigint").alias("n0"),
+        F.sum("c1").over(w).cast("bigint").alias("s1"),
+        F.sum("c0").over(w).cast("bigint").alias("s0"),
+    )
+    return cum.selectExpr(
+        "CAST(look AS BIGINT) AS look",
+        "n1",
+        "n0",
+        "s1",
+        "s0",
+        # round(.,9) absolves the 1-ulp FMA-contraction divergence seen
+        # in the multi-factor variance product (q_sim_topk precedent)
+        f"round({_GS_Z}, 9) AS z",
+        "2.04 * sqrt(5.0 / look) AS obf_boundary",
+        f"abs(round({_GS_Z}, 9)) > 2.04 * sqrt(5.0 / look) AS crossed",
+    ).orderBy("look")
+
+
+# --- arc price elasticity across discount bands (round 5) ----------------------
+# The pricing team's follow-up to q_discount_corr's correlation: the
+# ARC elasticity (midpoint formula) between adjacent discount bands —
+# (dQ / Q-bar) / (dP / P-bar) with P = 1 - discount — which stays
+# log-free and unit-free. Bands are integer percent floors of the
+# discount; per-band mean quantity and mean price are exact integer /
+# decimal ratios; the elasticity is one fixed shared-text chain over
+# LAG values. One combinable band aggregate + an O(bands) window.
+_PE_Q = "(CAST(sq AS DOUBLE) / n)"
+_PE_P = "(CAST(sp_c AS DOUBLE) / n / 100.0)"
+
+
+@_q(
+    "q_price_elasticity",
+    f"""
+    WITH b AS (
+        SELECT CAST(floor(l_discount * 100.0) AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+               CAST(SUM(CAST(floor((1.0 - l_discount) * 100.0) AS BIGINT))
+                    AS BIGINT) AS sp_c
+        FROM lineitem GROUP BY 1
+    ), m AS (
+        SELECT band, n, {_PE_Q} AS q_mean, {_PE_P} AS p_mean,
+               lag({_PE_Q}) OVER (ORDER BY band) AS q_prev,
+               lag({_PE_P}) OVER (ORDER BY band) AS p_prev
+        FROM b
+    )
+    SELECT band, n AS n_lines, q_mean, p_mean,
+           ((q_mean - q_prev) / ((q_mean + q_prev) / 2.0))
+             / ((p_mean - p_prev) / ((p_mean + p_prev) / 2.0))
+               AS arc_elasticity
+    FROM m WHERE q_prev IS NOT NULL ORDER BY band
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(floor(l_discount * 100.0) AS BIGINT) AS band",
+            "CAST(floor(l_quantity) AS BIGINT) AS qv",
+            "CAST(floor((1.0 - l_discount) * 100.0) AS BIGINT) AS pv",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("qv").cast("bigint").alias("sq"),
+            F.sum("pv").cast("bigint").alias("sp_c"),
+        )
+    )
+    w = Window.orderBy("band")
+    m = b.selectExpr(
+        "band", "n", f"{_PE_Q} AS q_mean", f"{_PE_P} AS p_mean"
+    ).select(
+        "band",
+        "n",
+        "q_mean",
+        "p_mean",
+        F.lag("q_mean").over(w).alias("q_prev"),
+        F.lag("p_mean").over(w).alias("p_prev"),
+    )
+    return (
+        m.where(F.col("q_prev").isNotNull())
+        .selectExpr(
+            "band",
+            "n AS n_lines",
+            "q_mean",
+            "p_mean",
+            "((q_mean - q_prev) / ((q_mean + q_prev) / 2.0))"
+            " / ((p_mean - p_prev) / ((p_mean + p_prev) / 2.0))"
+            " AS arc_elasticity",
+        )
+        .orderBy("band")
+    )
+
+
+# --- anomaly-detector consensus (round 5) --------------------------------------
+# One detector flags noise; three agreeing flag an incident. Per
+# (type, day), the daily event count is scored by three shipped
+# methods — z-score vs the type's mean/sd, IQR fence, and MAD fence —
+# and the consensus requires >= 2 votes. Exactness: counts are
+# integers, so mean/sd come from exact integer moments (shared sqrt
+# chain); the IQR and MAD cut points are ELEMENT-SELECTED (lower-mid
+# quantile convention), and every fence comparison is a deterministic
+# double comparison. Plan: one daily aggregate + per-type rank windows
+# for the quartiles/medians + one broadcast join back; O(type*days)
+# rows.
+@_q(
+    "q_anomaly_consensus",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), mo AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    ), rk AS (
+        SELECT event_type, d, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY c, d)
+                   AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM daily
+    ), quart AS (
+        SELECT event_type,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN c END)
+                    AS BIGINT) AS q1,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN c END)
+                    AS BIGINT) AS med,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN c END)
+                    AS BIGINT) AS q3
+        FROM rk GROUP BY event_type
+    ), madr AS (
+        SELECT q.event_type, abs(d2.c - q.med) AS adev,
+               row_number() OVER (PARTITION BY q.event_type
+                                  ORDER BY abs(d2.c - q.med), d2.d) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY q.event_type) AS BIGINT) AS n
+        FROM daily d2 JOIN quart q ON q.event_type = d2.event_type
+    ), mad AS (
+        SELECT event_type,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN adev END)
+                    AS BIGINT) AS mad
+        FROM madr GROUP BY event_type
+    ), scored AS (
+        SELECT dd.event_type, dd.d, dd.c,
+               CASE WHEN abs(CAST(dd.c AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+                    > 3.0 * (sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE))
+                             / m.n)
+                    THEN 1 ELSE 0 END AS v_z,
+               CASE WHEN CAST(dd.c AS DOUBLE)
+                         > CAST(q.q3 AS DOUBLE)
+                           + 1.5 * CAST(q.q3 - q.q1 AS DOUBLE)
+                      OR CAST(dd.c AS DOUBLE)
+                         < CAST(q.q1 AS DOUBLE)
+                           - 1.5 * CAST(q.q3 - q.q1 AS DOUBLE)
+                    THEN 1 ELSE 0 END AS v_iqr,
+               CASE WHEN CAST(abs(dd.c - q.med) AS DOUBLE)
+                         > 3.0 * 1.4826 * CAST(ma.mad AS DOUBLE)
+                    THEN 1 ELSE 0 END AS v_mad
+        FROM daily dd
+        JOIN mo m ON m.event_type = dd.event_type
+        JOIN quart q ON q.event_type = dd.event_type
+        JOIN mad ma ON ma.event_type = dd.event_type
+    )
+    SELECT event_type, d AS day, c AS n_events,
+           CAST(v_z AS BIGINT) AS vote_z,
+           CAST(v_iqr AS BIGINT) AS vote_iqr,
+           CAST(v_mad AS BIGINT) AS vote_mad,
+           v_z + v_iqr + v_mad >= 2 AS consensus_anomaly
+    FROM scored
+    """,
+)
+def q_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    mo = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    wt = Window.partitionBy("event_type")
+    rk = daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.row_number().over(wt.orderBy("c", "d")).alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+    )
+    quart = rk.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 25 div 100 + 1"), F.col("c"))
+        )
+        .cast("bigint")
+        .alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 50 div 100 + 1"), F.col("c"))
+        )
+        .cast("bigint")
+        .alias("med"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 75 div 100 + 1"), F.col("c"))
+        )
+        .cast("bigint")
+        .alias("q3"),
+    )
+    madr = daily.join(F.broadcast(quart), "event_type").select(
+        "event_type",
+        "d",
+        F.abs(F.col("c") - F.col("med")).alias("adev"),
+    )
+    madrk = madr.select(
+        "event_type",
+        "adev",
+        F.row_number().over(wt.orderBy("adev", "d")).alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+    )
+    mad = madrk.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n - 1) * 50 div 100 + 1"), F.col("adev")
+            )
+        )
+        .cast("bigint")
+        .alias("mad")
+    )
+    scored = (
+        daily.join(F.broadcast(mo), "event_type")
+        .join(F.broadcast(quart), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .selectExpr(
+            "event_type",
+            "d",
+            "c",
+            "CASE WHEN abs(CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)"
+            " > 3.0 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n)"
+            " THEN 1 ELSE 0 END AS v_z",
+            "CASE WHEN CAST(c AS DOUBLE) > CAST(q3 AS DOUBLE)"
+            " + 1.5 * CAST(q3 - q1 AS DOUBLE)"
+            " OR CAST(c AS DOUBLE) < CAST(q1 AS DOUBLE)"
+            " - 1.5 * CAST(q3 - q1 AS DOUBLE) THEN 1 ELSE 0 END AS v_iqr",
+            "CASE WHEN CAST(abs(c - med) AS DOUBLE)"
+            " > 3.0 * 1.4826 * CAST(mad AS DOUBLE) THEN 1 ELSE 0 END AS v_mad",
+        )
+    )
+    return scored.selectExpr(
+        "event_type",
+        "d AS day",
+        "c AS n_events",
+        "CAST(v_z AS BIGINT) AS vote_z",
+        "CAST(v_iqr AS BIGINT) AS vote_iqr",
+        "CAST(v_mad AS BIGINT) AS vote_mad",
+        "v_z + v_iqr + v_mad >= 2 AS consensus_anomaly",
+    )
+
+
+# --- SLO error-budget burndown (round 5) ---------------------------------------
+# The SRE view of the error stream: against a 5% error-rate SLO over
+# the data window, each day consumes budget equal to its error count
+# minus its allowance (5% of its traffic, in integer 20ths to stay
+# exact: burn_20 = 20 * errors - traffic). The cumulative burn, the
+# budget remaining, and the day the budget first went negative fall
+# out of one cumulative window over exact integers. One daily
+# aggregate + an O(days) window.
+@_q(
+    "q_error_budget",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(COUNT(*) AS BIGINT) AS traffic,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errors
+        FROM events GROUP BY 1
+    ), burn AS (
+        SELECT d, traffic, errors,
+               CAST(20 * errors - traffic AS BIGINT) AS burn_20,
+               CAST(SUM(20 * errors - traffic) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_burn_20
+        FROM daily
+    )
+    SELECT d AS day, traffic, errors,
+           CAST(errors AS DOUBLE) / CAST(traffic AS DOUBLE) AS error_rate,
+           burn_20, cum_burn_20,
+           cum_burn_20 > 0 AS budget_exhausted
+    FROM burn
+    """,
+)
+def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("traffic"),
+            F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("errors"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    burn = daily.select(
+        "d",
+        "traffic",
+        "errors",
+        (F.lit(20) * F.col("errors") - F.col("traffic"))
+        .cast("bigint")
+        .alias("burn_20"),
+        F.sum(F.lit(20) * F.col("errors") - F.col("traffic"))
+        .over(w)
+        .cast("bigint")
+        .alias("cum_burn_20"),
+    )
+    return burn.selectExpr(
+        "d AS day",
+        "traffic",
+        "errors",
+        "CAST(errors AS DOUBLE) / CAST(traffic AS DOUBLE) AS error_rate",
+        "burn_20",
+        "cum_burn_20",
+        "cum_burn_20 > 0 AS budget_exhausted",
+    )
+
+
+# --- CAPM-style market beta per event type (round 5) ---------------------------
+# Each type's sensitivity to the market: regress the type's daily mean
+# value on the ALL-TYPES daily mean (the "market"), beta = cov / var.
+# Exactness: daily means quantize to integer micro-units (exact integer
+# sums / counts, floored once), the centered products quantize again
+# before summation, and beta/alpha are fixed division chains —
+# the q_twfe discipline applied to the two-series case. Plan: one daily
+# aggregate per (type, day) + one daily market aggregate (broadcast) +
+# one combinable product sum per type; O(types) output.
+@_q(
+    "q_market_beta",
+    """
+    WITH cell AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS s_us,
+               CAST(COUNT(value) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), mkt AS (
+        SELECT d,
+               CAST(SUM(s_us) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                 / 1000000.0 AS m
+        FROM cell GROUP BY d
+    ), pair AS (
+        SELECT c.event_type,
+               CAST(c.s_us AS DOUBLE) / CAST(c.n AS DOUBLE) / 1000000.0 AS y,
+               k.m AS x
+        FROM cell c JOIN mkt k ON k.d = c.d
+    ), mu AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CAST(floor(y * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS ybar,
+               CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS xbar
+        FROM pair GROUP BY event_type
+    )
+    SELECT p.event_type, MAX(m.nd) AS n_days,
+           CAST(SUM(CAST(floor((p.x - m.xbar) * (p.y - m.ybar) * 1000000.0)
+                AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(floor((p.x - m.xbar) * (p.x - m.xbar)
+                * 1000000.0) AS BIGINT)) AS DOUBLE) AS beta,
+           MAX(m.ybar)
+             - CAST(SUM(CAST(floor((p.x - m.xbar) * (p.y - m.ybar)
+                  * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / CAST(SUM(CAST(floor((p.x - m.xbar) * (p.x - m.xbar)
+                  * 1000000.0) AS BIGINT)) AS DOUBLE) * MAX(m.xbar) AS alpha
+    FROM pair p JOIN mu m ON m.event_type = p.event_type
+    GROUP BY p.event_type
+    """,
+)
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("s_us"),
+            F.count("value").cast("bigint").alias("n"),
+        )
+    )
+    mkt = cell.groupBy("d").agg(
+        (
+            F.sum("s_us").cast("double") / F.sum("n").cast("double") / 1000000.0
+        ).alias("m")
+    )
+    pair = cell.join(F.broadcast(mkt), "d").selectExpr(
+        "event_type",
+        "CAST(s_us AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS y",
+        "m AS x",
+    )
+    mu = pair.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        (
+            F.sum(F.expr("CAST(floor(y * 1000000.0) AS BIGINT)")).cast("double")
+            / F.count(F.lit(1))
+            / 1000000.0
+        ).alias("ybar"),
+        (
+            F.sum(F.expr("CAST(floor(x * 1000000.0) AS BIGINT)")).cast("double")
+            / F.count(F.lit(1))
+            / 1000000.0
+        ).alias("xbar"),
+    )
+    joined = pair.join(F.broadcast(mu), "event_type")
+    sxy = "SUM(CAST(floor((x - xbar) * (y - ybar) * 1000000.0) AS BIGINT))"
+    sxx = "SUM(CAST(floor((x - xbar) * (x - xbar) * 1000000.0) AS BIGINT))"
+    return joined.groupBy("event_type").agg(
+        F.expr("MAX(nd)").alias("n_days"),
+        F.expr(f"CAST({sxy} AS DOUBLE) / CAST({sxx} AS DOUBLE)").alias("beta"),
+        F.expr(
+            f"MAX(ybar) - CAST({sxy} AS DOUBLE) / CAST({sxx} AS DOUBLE)"
+            " * MAX(xbar)"
+        ).alias("alpha"),
+    )
+
+
+# --- seasonal-strength index (Wang-Hyndman F_s, round 5) -----------------------
+# One number for "how seasonal is this series": F_s = max(0,
+# 1 - Var(remainder) / Var(detrended)) on the daily revenue series with
+# a weekly (dow) seasonal component. Exactness: revenue quantizes to
+# hundreds-units per order (the q_period_detect bound); the centered
+# 7-day moving average clears its /7 by scoring det7 = 7*x - sum7
+# (pure BIGINT, full windows only); the dow means are deterministic
+# doubles whose residuals re-quantize to integers before the variance
+# identities n*Sum(x²) - S² — so the ratio is one division of
+# integer-derived doubles. Plan: one daily aggregate + one 7-row
+# window + one dow aggregate (broadcast) + one combinable moment
+# fold; O(1) output.
+@_q(
+    "q_seasonal_strength",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS dayn,
+               CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+               CAST(SUM(CAST(floor(o_totalprice / 100.0) AS BIGINT))
+                    AS BIGINT) AS h
+        FROM orders GROUP BY 1, 2
+    ), det AS (
+        SELECT dayn, dow,
+               CAST(7 * h - SUM(h) OVER (ORDER BY dayn
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+                   AS det7,
+               COUNT(*) OVER (ORDER BY dayn
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        FROM daily
+    ), full7 AS (
+        SELECT dayn, dow, det7 FROM det WHERE wn = 7
+    ), dm AS (
+        SELECT dow, CAST(SUM(det7) AS DOUBLE) / COUNT(*) AS dmean
+        FROM full7 GROUP BY dow
+    ), rem AS (
+        SELECT f.det7,
+               CAST(floor(CAST(f.det7 AS DOUBLE) - d.dmean) AS BIGINT) AS qrem
+        FROM full7 f JOIN dm d ON d.dow = f.dow
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_used,
+           CASE WHEN 1.0
+                     - CAST(COUNT(*) * SUM(qrem * qrem)
+                            - SUM(qrem) * SUM(qrem) AS DOUBLE)
+                       / CAST(COUNT(*) * SUM(det7 * det7)
+                              - SUM(det7) * SUM(det7) AS DOUBLE) < 0.0
+                THEN 0.0
+                ELSE 1.0
+                     - CAST(COUNT(*) * SUM(qrem * qrem)
+                            - SUM(qrem) * SUM(qrem) AS DOUBLE)
+                       / CAST(COUNT(*) * SUM(det7 * det7)
+                              - SUM(det7) * SUM(det7) AS DOUBLE)
+           END AS f_seasonal,
+           (1.0 - CAST(COUNT(*) * SUM(qrem * qrem)
+                       - SUM(qrem) * SUM(qrem) AS DOUBLE)
+                  / CAST(COUNT(*) * SUM(det7 * det7)
+                         - SUM(det7) * SUM(det7) AS DOUBLE)) >= 0.3
+               AS strongly_seasonal
+    FROM rem
+    """,
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            "unix_micros(o_orderdate) div 86400000000 AS dayn",
+            # Spark dayofweek is 1-based Sunday=1; DuckDB dow is 0-based
+            "CAST(dayofweek(o_orderdate) - 1 AS BIGINT) AS dow",
+            "CAST(floor(o_totalprice / 100.0) AS BIGINT) AS hrow",
+        )
+        .groupBy("dayn", "dow")
+        .agg(F.sum("hrow").cast("bigint").alias("h"))
+    )
+    w7 = Window.orderBy("dayn").rowsBetween(-3, 3)
+    det = daily.select(
+        "dayn",
+        "dow",
+        (F.lit(7) * F.col("h") - F.sum("h").over(w7)).cast("bigint").alias(
+            "det7"
+        ),
+        F.count(F.lit(1)).over(w7).alias("wn"),
+    )
+    full7 = det.where(F.col("wn") == 7).select("dayn", "dow", "det7")
+    dm = full7.groupBy("dow").agg(
+        (F.sum("det7").cast("double") / F.count(F.lit(1))).alias("dmean")
+    )
+    rem = full7.join(F.broadcast(dm), "dow").selectExpr(
+        "det7",
+        "CAST(floor(CAST(det7 AS DOUBLE) - dmean) AS BIGINT) AS qrem",
+    )
+    ratio = (
+        "CAST(COUNT(*) * SUM(qrem * qrem) - SUM(qrem) * SUM(qrem) AS DOUBLE)"
+        " / CAST(COUNT(*) * SUM(det7 * det7) - SUM(det7) * SUM(det7)"
+        " AS DOUBLE)"
+    )
+    return rem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_used"),
+        F.expr(
+            f"CASE WHEN 1.0 - {ratio} < 0.0 THEN 0.0 ELSE 1.0 - {ratio} END"
+        ).alias("f_seasonal"),
+        F.expr(f"(1.0 - {ratio}) >= 0.3").alias("strongly_seasonal"),
+    )

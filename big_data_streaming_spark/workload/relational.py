@@ -4106,3 +4106,221 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS clustering_coeff",
         )
     )
+
+
+# --- materialized-view (rollup) advisor (round 5) -------------------------------
+# Which pre-aggregations pay for themselves? For each candidate rollup
+# node over events, the grouped cardinality and the reduction ratio
+# raw_rows / groups; recommend materializing when the rollup shrinks
+# the relation at least 20x (shared integer threshold: raw >= 20 *
+# groups). Exact distinct-group counts per node, one scan each
+# (combinable); O(|nodes|) output. The batch sibling of
+# q_state_size_advisor — same question, storage instead of state.
+_MV_NODES = (
+    ("type", "event_type"),
+    ("day", "CAST(date_trunc('day', ts) AS TIMESTAMP)"),
+    ("type_day", "event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)"),
+    ("type_hour", "event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)"),
+    ("user_day", "user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)"),
+)
+
+
+def _mv_one_sql(name: str, keys: str) -> str:
+    return f"""
+    SELECT '{name}' AS rollup_node,
+           CAST(MAX(raw) AS BIGINT) AS raw_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(raw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS reduction_ratio,
+           MAX(raw) >= 20 * COUNT(*) AS materialize
+    FROM (
+        SELECT {keys}, COUNT(*) AS c,
+               SUM(COUNT(*)) OVER () AS raw
+        FROM events GROUP BY {keys}
+    )
+    """
+
+
+@_q(
+    "q_mv_advisor",
+    "\nUNION ALL\n".join(_mv_one_sql(n, k) for n, k in _MV_NODES),
+)
+def q_mv_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    outs = []
+    spark_keys = {
+        "type": ["event_type"],
+        "day": [F.date_trunc("day", F.col("ts")).alias("d")],
+        "type_day": ["event_type", F.date_trunc("day", F.col("ts")).alias("d")],
+        "type_hour": [
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        ],
+        "user_day": ["user_id", F.date_trunc("day", F.col("ts")).alias("d")],
+    }
+    for name, keys in spark_keys.items():
+        grouped = e.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+        grouped = grouped.withColumn(
+            "raw", F.sum("c").over(Window.partitionBy())
+        )
+        outs.append(
+            grouped.agg(
+                F.max("raw").cast("bigint").alias("raw_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            ).selectExpr(
+                f"'{name}' AS rollup_node",
+                "raw_rows",
+                "n_groups",
+                "CAST(raw_rows AS DOUBLE) / CAST(n_groups AS DOUBLE)"
+                " AS reduction_ratio",
+                "raw_rows >= 20 * n_groups AS materialize",
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    # column order: rollup_node first (selectExpr already ordered)
+    return out.select(
+        "rollup_node", "raw_rows", "n_groups", "reduction_ratio", "materialize"
+    )
+
+
+# --- data-freshness audit (round 5) ---------------------------------------------
+# The ingestion-health check dq_audit doesn't cover: per time-bearing
+# table, the frontier (max event time), row count, and how many days
+# the table lags the GLOBAL frontier across all three — the first thing
+# an on-call engineer looks at when a pipeline stalls. Exact integer
+# day arithmetic off 1-row per-table aggregates; the global frontier is
+# a broadcast of three scalars. O(tables) output.
+_FA_TABLES = (("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate"))
+
+
+@_q(
+    "q_freshness_audit",
+    f"""
+    WITH per AS (
+{chr(10).join(f'''        SELECT '{tbl}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MAX(floor(epoch({col}) / 86400)) AS BIGINT) AS max_day
+        FROM {tbl}{' UNION ALL' if i < 2 else ''}''' for i, (tbl, col) in enumerate(_FA_TABLES))}
+    ), fr AS (
+        SELECT CAST(MAX(max_day) AS BIGINT) AS frontier_day FROM per
+    )
+    SELECT p.table_name, p.n_rows, p.max_day, f.frontier_day,
+           CAST(f.frontier_day - p.max_day AS BIGINT) AS staleness_days,
+           f.frontier_day - p.max_day <= 30 AS fresh_within_30d
+    FROM per p CROSS JOIN fr f
+    """,
+)
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pers = []
+    for tbl, col in _FA_TABLES:
+        pers.append(
+            t(spark, sf_dir, tbl).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.expr(f"MAX(unix_micros({col}) div 86400000000)")
+                .cast("bigint")
+                .alias("max_day"),
+            ).selectExpr(f"'{tbl}' AS table_name", "n_rows", "max_day")
+        )
+    per = pers[0]
+    for p in pers[1:]:
+        per = per.unionByName(p)
+    fr = per.agg(F.max("max_day").cast("bigint").alias("frontier_day"))
+    return per.crossJoin(F.broadcast(fr)).selectExpr(
+        "table_name",
+        "n_rows",
+        "max_day",
+        "frontier_day",
+        "CAST(frontier_day - max_day AS BIGINT) AS staleness_days",
+        "frontier_day - max_day <= 30 AS fresh_within_30d",
+    )
+
+
+# --- Pareto concentration thresholds (round 5) -----------------------------------
+# The named 80/20 numbers: the smallest count of top customers whose
+# cumulative revenue reaches 50% / 80% / 90% / 99% of the total —
+# q_knee_point finds the geometric knee, this reports the thresholds
+# management actually quotes. Exactness: the crossing test clears the
+# division (100 * cum_cents >= pct * total_cents, all BIGINTs — cum
+# <= 3.8e12 cents * 100 < int64); the smallest crossing rank is a MIN
+# over a boolean-filtered integer. One revenue aggregate + one global
+# rank window (range-partition swap at scale) + a 4-row grid.
+@_q(
+    "q_pareto_thresholds",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), curve AS (
+        SELECT CAST(row_number() OVER (ORDER BY cents DESC, o_custkey)
+                    AS BIGINT) AS rk,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM rev
+    )
+    SELECT CAST(g.pct AS BIGINT) AS revenue_pct,
+           CAST(MIN(CASE WHEN 100 * cum >= g.pct * total THEN rk END)
+                AS BIGINT) AS n_top_customers,
+           CAST(MIN(CASE WHEN 100 * cum >= g.pct * total THEN rk END)
+                AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS customer_share
+    FROM curve, (VALUES (50), (80), (90), (99)) g(pct)
+    GROUP BY g.pct
+    """,
+)
+def q_pareto_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents_row",
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents_row").cast("bigint").alias("cents"))
+    )
+    wr = Window.orderBy(F.desc("cents"), "o_custkey")
+    wall = Window.partitionBy()
+    curve = rev.select(
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+        F.sum("cents")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("cents").over(wall).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    grid = F.broadcast(
+        curve.sparkSession.createDataFrame(
+            [(50,), (80,), (90,), (99,)], "pct int"
+        )
+    )
+    return (
+        curve.crossJoin(grid)
+        .groupBy("pct")
+        .agg(
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cum") >= F.col("pct") * F.col("total"),
+                    F.col("rk"),
+                )
+            )
+            .cast("bigint")
+            .alias("n_top_customers"),
+            F.max("n").alias("_n"),
+        )
+        .selectExpr(
+            "CAST(pct AS BIGINT) AS revenue_pct",
+            "n_top_customers",
+            "CAST(n_top_customers AS DOUBLE) / CAST(_n AS DOUBLE)"
+            " AS customer_share",
+        )
+    )

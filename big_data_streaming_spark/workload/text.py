@@ -5188,3 +5188,88 @@ def q_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN 2 * ({npos}) > {nv} THEN 1"
         f" WHEN 2 * ({npos}) < {nv} THEN 0 END AS weak_label",
     )
+
+
+# --- Heaps vocabulary-growth curve (round 5) -----------------------------------
+# How fast does vocabulary grow with corpus size? The empirical Heaps
+# curve: at each decile of the token stream (global token order = doc
+# order then position), the number of DISTINCT tokens seen so far — the
+# curve that sizes tokenizers and predicts OOV decay. Exactness: every
+# point is an exact integer count of tokens whose FIRST occurrence
+# position falls inside the prefix (min-position per token, compared to
+# the decile cutoff with integer ceil division). Plan: one explode +
+# one min-position aggregate per token (combinable) + a 10-row
+# broadcast cutoff grid; the global position is a rank window
+# (range-partition swap at scale, q_train_order).
+@_q(
+    "q_heaps_curve",
+    """
+    WITH tok AS (
+        SELECT doc_id, tk[i] AS token,
+               CAST(i AS BIGINT) AS pos_in_doc
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             UNNEST(generate_series(1, len(tk))) AS g(i)
+    ), positioned AS (
+        SELECT token,
+               row_number() OVER (ORDER BY doc_id, pos_in_doc) AS gpos,
+               CAST(COUNT(*) OVER () AS BIGINT) AS total
+        FROM tok
+    ), firsts AS (
+        SELECT token, CAST(MIN(gpos) AS BIGINT) AS first_pos,
+               CAST(MAX(total) AS BIGINT) AS total
+        FROM positioned GROUP BY token
+    )
+    SELECT CAST(d.dec AS BIGINT) AS decile,
+           CAST((MAX(f.total) * d.dec + 9) // 10 AS BIGINT) AS n_tokens_seen,
+           CAST(SUM(CASE WHEN f.first_pos <= (f.total * d.dec + 9) // 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size
+    FROM firsts f,
+         (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) d(dec)
+    GROUP BY d.dec
+    """,
+)
+def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "token"))
+        .select("doc_id", "token", (F.col("p") + 1).alias("pos_in_doc"))
+    )
+    positioned = tok.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy("doc_id", "pos_in_doc"))
+        .alias("gpos"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("total"),
+    )
+    firsts = positioned.groupBy("token").agg(
+        F.min("gpos").cast("bigint").alias("first_pos"),
+        F.max("total").cast("bigint").alias("total"),
+    )
+    grid = F.broadcast(
+        firsts.sparkSession.createDataFrame([(i,) for i in range(1, 11)], "dec int")
+    )
+    return (
+        firsts.crossJoin(grid)
+        .groupBy("dec")
+        .agg(
+            F.expr("CAST((MAX(total) * dec + 9) div 10 AS BIGINT)").alias(
+                "n_tokens_seen"
+            ),
+            F.sum(
+                F.expr(
+                    "CASE WHEN first_pos <= (total * dec + 9) div 10"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("vocab_size"),
+        )
+        .selectExpr(
+            "CAST(dec AS BIGINT) AS decile", "n_tokens_seen", "vocab_size"
+        )
+    )

@@ -204,6 +204,15 @@ SWEEP = [
     "q_queueing_advisor",   # integer rates, shared division chain
     "q_var_es",             # element-selected VaR, integer tail mean
     "q_var_backtest",       # integer breaches, shared sqrt z
+    "q_twfe",               # twice-quantized cross products
+    "q_group_sequential",   # rounded z, literal OBF boundary
+    "q_price_elasticity",   # integer band means, fixed arc chain
+    "q_anomaly_consensus",  # element-selected fences, integer votes
+    "q_market_beta",        # twice-quantized moments
+    "q_seasonal_strength",  # /7-cleared detrend, re-quantized resid
+    "q_mv_advisor",         # integer cardinalities, one division
+    "q_error_budget",       # integer budget burn
+    "q_pareto_thresholds",  # division-cleared crossing ranks
 ]
 
 
