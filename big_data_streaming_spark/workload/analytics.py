@@ -12292,6 +12292,10 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") == F.expr("(m + 1) div 2"))
         .select("daypart", "event_type", F.col("value").alias("med"))
+        # persist: the 20-row grid feeds every sweep's lineage; without
+        # it each s/p frame re-derives the events rank window (the
+        # q_theilsen shared-relation discipline).
+        .persist()
     )
 
     def rowmed(df: DataFrame, val: str, part: str, other: str, out: str) -> DataFrame:
@@ -12315,6 +12319,7 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("med") - F.col("rm")).alias("resid"),
         F.col("rm").alias("row_eff"),
     )
+    p1 = p1.persist()
     s1c = rowmed(p1, "resid", "event_type", "daypart", "cm")
     p2 = p1.join(F.broadcast(s1c), "event_type").select(
         "daypart",
@@ -12324,6 +12329,7 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_eff",
         F.col("cm").alias("col_eff"),
     )
+    p2 = p2.persist()
     s2r = rowmed(p2, "resid", "daypart", "event_type", "rm")
     p3 = p2.join(F.broadcast(s2r), "daypart").select(
         "daypart",
@@ -12333,6 +12339,7 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("row_eff") + F.col("rm")).alias("row_eff"),
         "col_eff",
     )
+    p3 = p3.persist()
     s2c = rowmed(p3, "resid", "event_type", "daypart", "cm")
     return p3.join(F.broadcast(s2c), "event_type").select(
         "daypart",
