@@ -13794,3 +13794,139 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_seasonal"),
         F.expr(f"(1.0 - {ratio}) >= 0.3").alias("strongly_seasonal"),
     )
+
+
+# --- aggregate day-N retention curve (round 5) ---------------------------------
+# The headline growth curve q_retention's cohort matrix rolls up to:
+# across ALL cohorts, what fraction of users are active again exactly
+# N days after their first day, for N in {1, 3, 7, 14}. Numerators and
+# denominators are exact distinct-user counts (a cohort only counts
+# toward N if the data window could still observe it: first day + N <=
+# global max day). One min-aggregate per user + one distinct user-day
+# relation + a 4-row broadcast grid.
+@_q(
+    "q_retention_curve",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        FROM events
+    ), firsts AS (
+        SELECT user_id, CAST(MIN(d) AS BIGINT) AS d0 FROM ud GROUP BY user_id
+    ), maxd AS (
+        SELECT CAST(MAX(d) AS BIGINT) AS dmax FROM ud
+    ), grid AS (SELECT n FROM (VALUES (1), (3), (7), (14)) g(n)),
+    eligible AS (
+        SELECT f.user_id, f.d0, g.n
+        FROM firsts f CROSS JOIN grid g CROSS JOIN maxd m
+        WHERE f.d0 + g.n <= m.dmax
+    )
+    SELECT CAST(e.n AS BIGINT) AS day_n,
+           CAST(COUNT(*) AS BIGINT) AS n_eligible,
+           CAST(SUM(CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention_rate
+    FROM eligible e
+    LEFT JOIN ud u ON u.user_id = e.user_id AND u.d = e.d0 + e.n
+    GROUP BY e.n
+    """,
+)
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        t(spark, sf_dir, "events")
+        .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS d")
+        .distinct()
+    )
+    firsts = ud.groupBy("user_id").agg(F.min("d").cast("bigint").alias("d0"))
+    maxd = ud.agg(F.max("d").cast("bigint").alias("dmax"))
+    grid = F.broadcast(
+        ud.sparkSession.createDataFrame([(1,), (3,), (7,), (14,)], "n int")
+    )
+    eligible = (
+        firsts.crossJoin(grid)
+        .crossJoin(F.broadcast(maxd))
+        .where(F.col("d0") + F.col("n") <= F.col("dmax"))
+    )
+    ret = ud.selectExpr("user_id", "d AS d_ret")
+    joined = eligible.join(
+        ret,
+        (eligible.user_id == ret.user_id)
+        & (F.col("d_ret") == F.col("d0") + F.col("n")),
+        "left",
+    )
+    return joined.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eligible"),
+        F.sum(F.when(F.col("d_ret").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS day_n",
+        "n_eligible",
+        "n_retained",
+        "CAST(n_retained AS DOUBLE) / CAST(n_eligible AS DOUBLE)"
+        " AS retention_rate",
+    )
+
+
+# --- DAU/MAU stickiness (round 5) -----------------------------------------------
+# The engagement ratio boards track: per day, DAU and the trailing-28-
+# day MAU, stickiness = DAU / MAU. Exact distinct-user counts; the MAU
+# is a bounded 28-day range join against the distinct user-day relation
+# (at 100 TB: 28x the user-day relation, the standard bounded-window
+# expansion — never user x day cartesian). Output one row per day with
+# a full trailing window.
+@_q(
+    "q_stickiness",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM ud
+    ), bounds AS (
+        SELECT CAST(MIN(d) AS BIGINT) AS dmin FROM ud
+    ), dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ), mau AS (
+        SELECT dy.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+        FROM days dy JOIN ud u ON u.d BETWEEN dy.d - 27 AND dy.d
+        GROUP BY dy.d
+    )
+    SELECT d.d AS day_n, d.dau, m.mau,
+           CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+    FROM dau d JOIN mau m ON m.d = d.d CROSS JOIN bounds b
+    WHERE d.d >= b.dmin + 27
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        t(spark, sf_dir, "events")
+        .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS d")
+        .distinct()
+        .persist()
+    )
+    days = ud.select("d").distinct()
+    bounds = ud.agg(F.min("d").cast("bigint").alias("dmin"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    u = ud.selectExpr("user_id", "d AS ud_d")
+    mau = (
+        days.join(
+            u,
+            (F.col("ud_d") >= F.col("d") - 27) & (F.col("ud_d") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, "d")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("d") >= F.col("dmin") + 27)
+        .selectExpr(
+            "d AS day_n",
+            "dau",
+            "mau",
+            "CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness",
+        )
+    )

@@ -213,6 +213,8 @@ SWEEP = [
     "q_mv_advisor",         # integer cardinalities, one division
     "q_error_budget",       # integer budget burn
     "q_pareto_thresholds",  # division-cleared crossing ranks
+    "q_retention_curve",    # exact distinct counts, one division
+    "q_stickiness",         # bounded range-join distinct counts
 ]
 
 
