@@ -13930,3 +13930,129 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness",
         )
     )
+
+
+# --- day-over-day audience overlap (round 5) ------------------------------------
+# Audience stability as a time series: for each consecutive day pair,
+# the Jaccard of the two days' active-user sets — the retention pulse
+# churn dashboards plot between the cohort refreshes. Exact integer set
+# algebra off ONE distinct user-day relation: the intersection is a
+# self-join on (user, d+1), union = |A| + |B| - |A∩B|. O(days) output.
+@_q(
+    "q_dau_overlap",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        FROM events
+    ), dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM ud GROUP BY d
+    ), inter AS (
+        SELECT a.d AS d, CAST(COUNT(*) AS BIGINT) AS both
+        FROM ud a JOIN ud b ON b.user_id = a.user_id AND b.d = a.d + 1
+        GROUP BY a.d
+    )
+    SELECT c.d AS day_n, c.n AS dau_today, nx.n AS dau_next,
+           CAST(COALESCE(i.both, 0) AS BIGINT) AS n_both,
+           CAST(COALESCE(i.both, 0) AS DOUBLE)
+             / CAST(c.n + nx.n - COALESCE(i.both, 0) AS DOUBLE) AS jaccard
+    FROM dau c
+    JOIN dau nx ON nx.d = c.d + 1
+    LEFT JOIN inter i ON i.d = c.d
+    """,
+)
+def q_dau_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        t(spark, sf_dir, "events")
+        .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS d")
+        .distinct()
+        .persist()
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = ud.alias("a"), ud.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.d") == F.col("a.d") + 1),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("both"))
+    )
+    nx = dau.selectExpr("d - 1 AS d", "n AS n_next")
+    return (
+        dau.join(nx, "d")
+        .join(inter, "d", "left")
+        .na.fill({"both": 0})
+        .selectExpr(
+            "d AS day_n",
+            "n AS dau_today",
+            "n_next AS dau_next",
+            "CAST(both AS BIGINT) AS n_both",
+            "CAST(both AS DOUBLE) / CAST(n + n_next - both AS DOUBLE)"
+            " AS jaccard",
+        )
+    )
+
+
+# --- chi-square cell residuals (round 5) -----------------------------------------
+# q_chi2 reports the statistic; the DIAGNOSTIC is the standardized
+# Pearson residual per cell, (O - E) / sqrt(E), which says WHICH
+# (event_type, daypart) combinations drive the dependence and in which
+# direction. Exactness: O and the margins are exact integers; E =
+# row*col/N is one fixed division; the residual adds one subtraction,
+# one sqrt, one division — a shared-text chain. One cell aggregate +
+# broadcast margins; O(cells) output.
+_CR_E = "(CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / CAST(n AS DOUBLE))"
+
+
+@_q(
+    "q_crosstab_residuals",
+    f"""
+    WITH cell AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) // 6 AS BIGINT)
+                   AS daypart,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), rms AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS rm FROM cell GROUP BY 1
+    ), cms AS (
+        SELECT daypart, CAST(SUM(o) AS BIGINT) AS cm FROM cell GROUP BY 1
+    ), nn AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell
+    )
+    SELECT c.event_type, c.daypart, c.o AS observed,
+           {_CR_E} AS expected,
+           (CAST(c.o AS DOUBLE) - {_CR_E}) / sqrt({_CR_E}) AS std_residual,
+           abs((CAST(c.o AS DOUBLE) - {_CR_E}) / sqrt({_CR_E})) > 2.0
+               AS significant_cell
+    FROM cell c
+    JOIN rms r ON r.event_type = c.event_type
+    JOIN cms m ON m.daypart = c.daypart
+    CROSS JOIN nn
+    """,
+)
+def q_crosstab_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        t(spark, sf_dir, "events")
+        .selectExpr("event_type", "CAST(hour(ts) div 6 AS BIGINT) AS daypart")
+        .groupBy("event_type", "daypart")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rms = cell.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rm"))
+    cms = cell.groupBy("daypart").agg(F.sum("o").cast("bigint").alias("cm"))
+    nn = cell.agg(F.sum("o").cast("bigint").alias("n"))
+    return (
+        cell.join(F.broadcast(rms), "event_type")
+        .join(F.broadcast(cms), "daypart")
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "event_type",
+            "daypart",
+            "o AS observed",
+            f"{_CR_E} AS expected",
+            f"(CAST(o AS DOUBLE) - {_CR_E}) / sqrt({_CR_E}) AS std_residual",
+            f"abs((CAST(o AS DOUBLE) - {_CR_E}) / sqrt({_CR_E})) > 2.0"
+            " AS significant_cell",
+        )
+    )

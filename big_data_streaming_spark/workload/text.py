@@ -5273,3 +5273,42 @@ def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(dec AS BIGINT) AS decile", "n_tokens_seen", "vocab_size"
         )
     )
+
+
+# --- duplicate-cluster size distribution (round 5) ------------------------------
+# The governance histogram behind every dedup decision: group documents
+# by content fingerprint (32-char prefix, the q_dedup_bias key), then
+# histogram the CLUSTER SIZES — how much of the corpus sits in
+# singletons vs pair-dups vs mega-clusters, and what deleting
+# keep-first would remove at each size. Exact integer counts off two
+# combinable aggregates (fingerprint groupBy -> size groupBy);
+# O(|distinct sizes|) output.
+@_q(
+    "q_dup_size_dist",
+    """
+    WITH fp AS (
+        SELECT substr(text, 1, 32) AS f, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM documents GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM fp GROUP BY sz
+    """,
+)
+def q_dup_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = (
+        t(spark, sf_dir, "documents")
+        .select(F.substring("text", 1, 32).alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    return fp.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    ).selectExpr(
+        "CAST(sz AS BIGINT) AS cluster_size",
+        "n_clusters",
+        "CAST(sz * n_clusters AS BIGINT) AS n_docs",
+        "CAST((sz - 1) * n_clusters AS BIGINT) AS n_removable",
+    )

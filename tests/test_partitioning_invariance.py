@@ -215,6 +215,8 @@ SWEEP = [
     "q_pareto_thresholds",  # division-cleared crossing ranks
     "q_retention_curve",    # exact distinct counts, one division
     "q_stickiness",         # bounded range-join distinct counts
+    "q_dau_overlap",        # integer set algebra, one division
+    "q_crosstab_residuals", # integer cells, shared sqrt chain
 ]
 
 
