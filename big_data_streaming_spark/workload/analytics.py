@@ -14056,3 +14056,60 @@ def q_crosstab_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS significant_cell",
         )
     )
+
+
+# --- daily new-vs-returning split (round 5) --------------------------------------
+# q_growth_accounting's monthly ledger at the day grain: each day's
+# active users split into NEW (this is their first day) and RETURNING,
+# with the new-user share — the top chart of every growth dashboard.
+# Exact distinct counts off one user-day relation + one min-aggregate;
+# O(days) output.
+@_q(
+    "q_new_vs_returning",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        FROM events
+    ), firsts AS (
+        SELECT user_id, CAST(MIN(d) AS BIGINT) AS d0 FROM ud GROUP BY user_id
+    )
+    SELECT u.d AS day_n,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN f.d0 = u.d THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CASE WHEN f.d0 < u.d THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users,
+           CAST(SUM(CASE WHEN f.d0 = u.d THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS new_share
+    FROM ud u JOIN firsts f ON f.user_id = u.user_id
+    GROUP BY u.d
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        t(spark, sf_dir, "events")
+        .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS d")
+        .distinct()
+    )
+    firsts = ud.groupBy("user_id").agg(F.min("d").cast("bigint").alias("d0"))
+    return (
+        ud.join(firsts, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dau"),
+            F.sum(F.when(F.col("d0") == F.col("d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d0") < F.col("d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .selectExpr(
+            "d AS day_n",
+            "dau",
+            "new_users",
+            "returning_users",
+            "CAST(new_users AS DOUBLE) / CAST(dau AS DOUBLE) AS new_share",
+        )
+    )

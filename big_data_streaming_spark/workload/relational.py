@@ -4324,3 +4324,55 @@ def q_pareto_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS customer_share",
         )
     )
+
+
+# --- basket-size distribution (round 5) -------------------------------------------
+# The retail staple q_covisit assumes: how many lines does an order
+# carry? Histogram of per-order line counts with shares and the
+# cumulative share (ordered by size), all exact integers until the two
+# share divisions. Two combinable aggregates + one O(sizes) window.
+@_q(
+    "q_basket_size_dist",
+    """
+    WITH per AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM lineitem GROUP BY l_orderkey
+    ), hist AS (
+        SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_orders FROM per GROUP BY sz
+    )
+    SELECT CAST(sz AS BIGINT) AS basket_size, n_orders,
+           CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER () AS DOUBLE) AS share,
+           CAST(SUM(n_orders) OVER (ORDER BY sz
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(n_orders) OVER () AS DOUBLE) AS cum_share
+    FROM hist
+    """,
+)
+def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    per = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    hist = per.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("sz").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        F.col("sz").cast("bigint").alias("basket_size"),
+        "n_orders",
+        (
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(wall).cast("double")
+        ).alias("share"),
+        (
+            F.sum("n_orders").over(wcum).cast("double")
+            / F.sum("n_orders").over(wall).cast("double")
+        ).alias("cum_share"),
+    )

@@ -217,6 +217,8 @@ SWEEP = [
     "q_stickiness",         # bounded range-join distinct counts
     "q_dau_overlap",        # integer set algebra, one division
     "q_crosstab_residuals", # integer cells, shared sqrt chain
+    "q_new_vs_returning",   # exact distinct splits, one division
+    "q_basket_size_dist",   # integer histogram, ordered cum window
 ]
 
 
