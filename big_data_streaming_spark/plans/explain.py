@@ -56,6 +56,38 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of Window operators with NO partition spec — each one
+    collapses its whole input into a single task ("Moving all data to a
+    single partition"). Over an aggregate-sized relation that is fine;
+    over a fact-sized one it is the 100 TB scale-killer that
+    ``plans.rank.global_rank`` exists to avoid. Tests pin the count so a
+    refactor cannot silently reintroduce a global sort.
+
+    Detection: in the detail section each Window node prints its
+    ``windowspecdefinition(part..., order ASC/DESC ..., frame)``; an
+    unpartitioned spec's FIRST argument is already an ordering column
+    (carries ``ASC NULLS``/``DESC NULLS``) or, for an order-less frame
+    (``partitionBy()``), the frame itself.
+    """
+    plan = formatted_plan(df)
+    count = 0
+    for block in re.split(r"^\(\d+\) ", plan, flags=re.MULTILINE):
+        if not block.startswith("Window"):
+            continue
+        specs = re.findall(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?)", block)
+        for spec in specs:
+            first = spec.split(",", 1)[0].strip()
+            if (
+                " ASC NULLS" in first
+                or " DESC NULLS" in first
+                or first.startswith("specifiedwindowframe")
+            ):
+                count += 1
+                break  # one hit per Window node
+    return count
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchange operators in the physical plan — the metric to
     minimize; every unit is a full repartition of the data. Counts the

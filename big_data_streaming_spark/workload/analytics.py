@@ -13183,10 +13183,11 @@ def q_twfe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wide early, nominal late — so repeated peeking keeps its type-I
 # budget. Treatment = odd user_id (the q_srm convention), conversion =
 # purchase events. Exactness: all counts are integers off one global
-# rank (range-partition swap at scale); the z and the boundary are one
-# shared sqrt chain; crossing flags are boolean comparisons of those
-# deterministic doubles. Plan: one rank window + one (look, arm)
-# aggregate + an O(5) cumulative window.
+# rank (the range-partitioned ranker, plans/rank.py); the z and the
+# boundary are one shared sqrt chain; crossing flags are boolean
+# comparisons of those deterministic doubles. Plan: range rank (per-
+# range parallel + O(ranges) offsets) + one (look, arm) aggregate + an
+# O(5) cumulative window.
 _GS_Z = (
     "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
     " / sqrt((CAST(s1 + s0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))"
@@ -13233,16 +13234,22 @@ _GS_Z = (
     """,
 )
 def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = t(spark, sf_dir, "events").select(
-        F.expr("user_id % 2").alias("arm"),
-        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END").alias(
-            "conv"
+    from big_data_streaming_spark.plans.rank import global_rank
+
+    # Global event order + total via the range-partitioned ranker — the
+    # full events relation never collapses into one sort task (plan pin:
+    # tests/test_plans.py::test_group_sequential_no_global_sort).
+    r = global_rank(
+        t(spark, sf_dir, "events").select(
+            F.expr("user_id % 2").alias("arm"),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("conv"),
+            "event_id",
         ),
-        F.row_number().over(Window.orderBy("event_id")).alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("total"),
+        ["event_id"],
+        rank_col="rn",
+        total_col="total",
     )
     looks = r.selectExpr("arm", "conv", "(rn * 5 - 1) div total + 1 AS look")
     per = looks.groupBy("look").agg(

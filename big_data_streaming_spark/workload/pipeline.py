@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from big_data_streaming_spark.plans.rank import global_rank
 from big_data_streaming_spark.workload.common import t
 
 QUERIES = {}
@@ -316,31 +317,16 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The mixing hash is uniform on [0, _MIX_MOD), so the range split is
     # pure arithmetic — no sampling pass, no spark_partition_id, ONE
     # full-data exchange (the per-range ranking window's hash partition).
+    # This shape is factored into plans/rank.py (round-6, VERDICT r5
+    # task 2) and reused by every corpus-sized global rank in the repo.
     rng = F.floor((F.col("shuffle_key") * _ORDER_RANGES) / F.lit(_MIX_MOD))
-    ranged = keyed.withColumn("_rng", rng.cast("int"))
-    w = Window.partitionBy("_rng").orderBy("shuffle_key", "doc_id")
-    ranked = ranged.withColumn("_intra", F.row_number().over(w))
-    # per-range sizes → exclusive prefix offsets; range ids are ordered by
-    # key range, so offset(r) = rows in ranges < r. O(_ORDER_RANGES) rows.
-    sizes = ranked.groupBy("_rng").agg(F.max("_intra").alias("_n"))
-    offsets = sizes.select(
-        "_rng",
-        (
-            F.sum("_n").over(
-                Window.orderBy("_rng").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            )
-        ).alias("_offset"),
-    ).fillna(0, subset=["_offset"])
-    return (
-        ranked.join(F.broadcast(offsets), "_rng")
-        .select(
-            (F.col("_offset") + F.col("_intra")).cast("bigint").alias("train_pos"),
-            "doc_id",
-            "shuffle_key",
-        )
-    )
+    return global_rank(
+        keyed,
+        ["shuffle_key", "doc_id"],
+        rank_col="train_pos",
+        num_ranges=_ORDER_RANGES,
+        range_id=rng,
+    ).select("train_pos", "doc_id", "shuffle_key")
 
 
 # --- north star: sequence packing ------------------------------------------
@@ -1915,15 +1901,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m"),
     )
-    wg = Window.orderBy("n_chars", "doc_id")
-    glob = d.select(
-        F.col("n_chars").alias("g_chars"),
-        F.row_number().over(wg).cast("bigint").alias("gpos"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
-    )
+    # Global reference distribution via the range-partitioned ranker
+    # (plans/rank.py) — all documents never collapse into one sort task
+    # (plan pin: tests/test_plans.py::test_quantile_normalize_no_global_sort).
+    glob = global_rank(
+        d, ["n_chars", "doc_id"], rank_col="gpos", total_col="n"
+    ).select(F.col("n_chars").alias("g_chars"), "gpos", "n")
     joined = src.join(
         glob,
         F.col("gpos")

@@ -5199,8 +5199,9 @@ def q_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # position falls inside the prefix (min-position per token, compared to
 # the decile cutoff with integer ceil division). Plan: one explode +
 # one min-position aggregate per token (combinable) + a 10-row
-# broadcast cutoff grid; the global position is a rank window
-# (range-partition swap at scale, q_train_order).
+# broadcast cutoff grid; the global position rides the range-partitioned
+# ranker (plans/rank.py, q_train_order's shape) — per-range parallel
+# rank + O(ranges) broadcast offsets, never a single-partition window.
 @_q(
     "q_heaps_curve",
     """
@@ -5229,23 +5230,20 @@ def q_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from big_data_streaming_spark.plans.rank import global_rank
 
     tok = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "token"))
         .select("doc_id", "token", (F.col("p") + 1).alias("pos_in_doc"))
     )
-    positioned = tok.select(
-        "token",
-        F.row_number()
-        .over(Window.orderBy("doc_id", "pos_in_doc"))
-        .alias("gpos"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("total"),
-    )
+    # Global token position + corpus size via the range-partitioned
+    # ranker — the token stream (the repo's largest relation) never
+    # passes through a single-partition window (plan pin:
+    # tests/test_plans.py::test_heaps_curve_no_global_sort).
+    positioned = global_rank(
+        tok, ["doc_id", "pos_in_doc"], rank_col="gpos", total_col="total"
+    ).select("token", "gpos", "total")
     firsts = positioned.groupBy("token").agg(
         F.min("gpos").cast("bigint").alias("first_pos"),
         F.max("total").cast("bigint").alias("total"),
