@@ -1,32 +1,46 @@
-"""Distributed global ranking — ``row_number() OVER (ORDER BY ...)``
-without the single-partition collapse.
+"""Distributed global ordering — ``row_number()/ntile()/SUM() OVER
+(ORDER BY ...)`` without the single-partition collapse.
 
-An unpartitioned rank window moves EVERY row to one task (Spark's own
+An unpartitioned window moves EVERY row to one task (Spark's own
 ``WindowExec`` warns "Moving all data to a single partition"); over a
 corpus-sized relation at 100 TB that plan is not slow, it is impossible.
 This module factors the shape proven oracle-bit-identical by
-``q_train_order`` (workload/pipeline.py) into a reusable helper:
+``q_train_order`` (workload/pipeline.py) into reusable helpers:
 
 1. range-partition the input on the order key (contiguous key ranges per
    partition — ``repartitionByRange``, or a caller-supplied arithmetic
    range id when the key is uniform and the exchange can be saved),
-2. rank within each range in parallel (a PARTITIONED window),
-3. add per-range exclusive prefix offsets (an O(ranges) aggregate,
-   broadcast back).
+2. rank / run the cumulative aggregate within each range in parallel
+   (a PARTITIONED window),
+3. combine with per-range offsets (an O(ranges) aggregate, broadcast
+   back): rank adds the count of earlier ranges, a cumulative sum adds
+   their sum, a cumulative max takes ``greatest`` with their max.
 
 The result depends only on the TOTAL order of ``order_cols`` — not on
 where Spark's sampled range boundaries land — so it is bit-identical
-run-to-run and equal to the oracle's global ``row_number()`` PROVIDED
+run-to-run and equal to the oracle's global window PROVIDED
 ``order_cols`` is a total order (include a unique tiebreaker; every
 caller in this repo orders by a key suffix like ``doc_id``/``event_id``).
 Ties never straddle ranges: range partitioning splits on key values, so
 equal keys land in one range.
 
-The only unpartitioned window left in the plan is the offsets prefix-sum
-over the O(ranges) size relation — aggregate-sized by construction
-(``tests/test_plans.py`` pins exactly one such window in the swapped
-operators' plans; ``tests/test_window_lint.py`` enforces the discipline
-source-wide).
+CONSISTENCY-CRITICAL (round-6 finding): with sampled boundaries the
+offsets branch and the output branch both consume the ranked relation;
+without materialization they are two independent lineage evaluations,
+and column pruning gives them different child plans, defeating exchange
+reuse — each range exchange then SAMPLES ITS OWN BOUNDARIES
+(``RangePartitioner`` seeds by RDD id), so the branches can disagree on
+range assignment (observed at sf0.01: 132 duplicate ranks). The sampled
+path therefore persists the ranked relation — which also halves the
+fact scans; a cache-evicted partition recomputes against the
+already-fixed shuffle boundaries, so recovery stays consistent. The
+arithmetic ``range_id`` path derives the range from VALUES and needs
+none of this.
+
+The only unpartitioned window left in any caller's plan is the offsets
+pass over the O(ranges) size relation — aggregate-sized by construction
+(``tests/test_plans.py`` pins the counts; ``tests/test_window_lint.py``
+enforces the discipline source-wide).
 
 Reference parity: the reference engine has no distributed ranker — its
 per-batch frames are single-node (streaming-shorttime.py) — this is the
@@ -45,32 +59,41 @@ from pyspark.sql.window import Window
 DEFAULT_RANGES = 8
 
 
-def global_rank(
+def _cols(order_cols: list[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def global_order(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list[str | Column],
     *,
-    rank_col: str = "gpos",
+    rank_col: str | None = None,
     total_col: str | None = None,
+    cum_sums: dict[str, str] | None = None,
+    cum_maxes: dict[str, str] | None = None,
     num_ranges: int = DEFAULT_RANGES,
     range_id: Column | None = None,
 ) -> DataFrame:
-    """Append ``rank_col`` = global row_number() over ``order_cols``.
+    """Append global-order window columns computed distributedly.
 
-    ``order_cols`` must form a TOTAL order (unique tiebreaker last) —
-    that is what makes the result independent of range-boundary
-    placement. ``total_col``, when given, is additionally populated with
-    the total row count (derived from the already-computed per-range
-    sizes — NOT a second pass and NOT an unpartitioned count window).
-    ``range_id``, when given, must be a monotone function of the order
-    key mapping to ``[0, num_ranges)`` — the arithmetic split used by
-    ``q_train_order`` for its uniform mixing hash; it saves the
-    ``repartitionByRange`` exchange. Without it the helper range-
-    partitions and reads ``spark_partition_id()`` (range partitions are
-    contiguous and ordered, and the projection sits directly above the
-    range exchange, so the id IS the range index; AQE-coalesced ranges
-    merge adjacent ids and stay contiguous).
+    * ``rank_col``: global ``row_number() OVER (ORDER BY order_cols)``.
+    * ``total_col``: total row count (from the per-range sizes — never
+      an unpartitioned count window).
+    * ``cum_sums``: ``{out_col: src_col}`` — inclusive running
+      ``SUM(src_col)`` in global order.
+    * ``cum_maxes``: ``{out_col: src_col}`` — inclusive running
+      ``MAX(src_col)`` in global order.
+    * ``range_id``: monotone map of the order key to ``[0, num_ranges)``
+      (arithmetic split — saves the sampling exchange AND the persist).
+
+    ``order_cols`` entries may be column names or Column expressions
+    (e.g. ``F.desc("freq")``) — they are passed identically to
+    ``repartitionByRange`` and the per-range window, so descending
+    orders range-partition correctly.
     """
-    cols = [F.col(c) for c in order_cols]
+    cum_sums = cum_sums or {}
+    cum_maxes = cum_maxes or {}
+    cols = _cols(order_cols)
     sampled = range_id is None
     if sampled:
         ranged = df.repartitionByRange(num_ranges, *cols).withColumn(
@@ -79,53 +102,119 @@ def global_rank(
     else:
         ranged = df.withColumn("_rng", range_id.cast("int"))
     w = Window.partitionBy("_rng").orderBy(*cols)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = ranged.withColumn("_intra", F.row_number().over(w))
+    for out, src in cum_sums.items():
+        ranked = ranked.withColumn(f"_run_{out}", F.sum(src).over(wrun))
+    for out, src in cum_maxes.items():
+        ranked = ranked.withColumn(f"_run_{out}", F.max(src).over(wrun))
     if sampled:
-        # CONSISTENCY-CRITICAL: the offsets branch and the join branch
-        # both consume `ranked`. Without materialization they are two
-        # independent lineage evaluations, and column pruning gives them
-        # different child plans, defeating exchange reuse — each range
-        # exchange then SAMPLES ITS OWN BOUNDARIES (RangePartitioner
-        # seeds by RDD id), so the branches can disagree on range
-        # assignment (observed at sf0.01: 132 duplicate ranks). Persist
-        # pins ONE evaluation — which also halves the fact scans; a
-        # cache-evicted partition recomputes against the already-fixed
-        # shuffle boundaries, so recovery stays consistent. The
-        # arithmetic range_id path derives _rng from VALUES and needs
-        # none of this.
+        # see module docstring: pin ONE evaluation of the sampled range
+        # assignment for both the offsets branch and the output branch
         ranked = ranked.persist()
-    sizes = ranked.groupBy("_rng").agg(F.max("_intra").alias("_n"))
-    # bounded: offsets window ranks the O(num_ranges) size relation —
-    # the one intentionally-unpartitioned window in this shape.
-    offsets = sizes.select(
-        "_rng",
-        F.coalesce(
-            F.sum("_n").over(
-                Window.orderBy("_rng").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("_offset"),
-        *(
-            # same (empty) partition + same _rng order as the offset
-            # window, so both expressions share ONE Window node
-            [
-                F.sum("_n")
-                .over(
-                    Window.orderBy("_rng").rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                )
-                .alias("_total")
-            ]
-            if total_col
-            else []
-        ),
+    sizes = ranked.groupBy("_rng").agg(
+        F.max("_intra").alias("_n"),
+        *[F.sum(src).alias(f"_t_{out}") for out, src in cum_sums.items()],
+        *[F.max(src).alias(f"_t_{out}") for out, src in cum_maxes.items()],
     )
-    out = ranked.join(F.broadcast(offsets), "_rng").withColumn(
-        rank_col, (F.col("_offset") + F.col("_intra")).cast("bigint")
+    # bounded: the offsets pass windows the O(num_ranges) size relation —
+    # the one intentionally-unpartitioned window in this shape. All
+    # expressions share one (empty-partition, _rng-ordered) Window node.
+    wprev = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("_rng").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    off_exprs = [F.coalesce(F.sum("_n").over(wprev), F.lit(0)).alias("_offset")]
     if total_col:
-        out = out.withColumn(total_col, F.col("_total").cast("bigint"))
-    return out.drop("_rng", "_intra", "_offset", "_total")
+        off_exprs.append(F.sum("_n").over(wall).alias("_total"))
+    for out in cum_sums:
+        off_exprs.append(
+            F.coalesce(F.sum(f"_t_{out}").over(wprev), F.lit(0)).alias(
+                f"_off_{out}"
+            )
+        )
+    for out in cum_maxes:
+        off_exprs.append(F.max(f"_t_{out}").over(wprev).alias(f"_off_{out}"))
+    offsets = sizes.select("_rng", *off_exprs)
+    out_df = ranked.join(F.broadcast(offsets), "_rng")
+    drop = ["_rng", "_intra"]
+    if rank_col:
+        out_df = out_df.withColumn(
+            rank_col, (F.col("_offset") + F.col("_intra")).cast("bigint")
+        )
+    drop.append("_offset")
+    if total_col:
+        out_df = out_df.withColumn(total_col, F.col("_total").cast("bigint"))
+        drop.append("_total")
+    for out in cum_sums:
+        out_df = out_df.withColumn(
+            out, F.col(f"_off_{out}") + F.col(f"_run_{out}")
+        )
+        drop += [f"_off_{out}", f"_run_{out}"]
+    for out in cum_maxes:
+        out_df = out_df.withColumn(
+            out,
+            F.greatest(
+                F.col(f"_run_{out}"),
+                F.coalesce(F.col(f"_off_{out}"), F.col(f"_run_{out}")),
+            ),
+        )
+        drop += [f"_off_{out}", f"_run_{out}"]
+    return out_df.drop(*drop)
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    *,
+    rank_col: str = "gpos",
+    total_col: str | None = None,
+    num_ranges: int = DEFAULT_RANGES,
+    range_id: Column | None = None,
+) -> DataFrame:
+    """Append ``rank_col`` = global row_number() over ``order_cols``."""
+    return global_order(
+        df,
+        order_cols,
+        rank_col=rank_col,
+        total_col=total_col,
+        num_ranges=num_ranges,
+        range_id=range_id,
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    n_buckets: int,
+    *,
+    bucket_col: str = "bucket",
+    num_ranges: int = DEFAULT_RANGES,
+) -> DataFrame:
+    """Append ``bucket_col`` = ``ntile(n_buckets) OVER (ORDER BY ...)``
+    computed from the distributed global rank via ntile's exact
+    arithmetic: with n rows and k buckets, q = n div k and r = n mod k,
+    the first r buckets hold q+1 rows — so bucket(g) is
+    ``(g-1) div (q+1) + 1`` inside the first ``r*(q+1)`` rows and
+    ``r + (g - r*(q+1) - 1) div q + 1`` after. Bit-identical to SQL
+    ntile for any total order (asserted in tests/test_rank.py)."""
+    ranked = global_order(
+        df,
+        order_cols,
+        rank_col="_gr",
+        total_col="_tot",
+        num_ranges=num_ranges,
+    )
+    k = int(n_buckets)
+    bucket = F.expr(
+        f"""CASE
+            WHEN (_tot % {k}) * ((_tot DIV {k}) + 1) >= _gr
+            THEN (_gr - 1) DIV ((_tot DIV {k}) + 1) + 1
+            ELSE (_tot % {k})
+                 + (_gr - (_tot % {k}) * ((_tot DIV {k}) + 1) - 1)
+                   DIV (_tot DIV {k}) + 1
+        END"""
+    )
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop(
+        "_gr", "_tot"
+    )

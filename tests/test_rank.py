@@ -12,7 +12,7 @@ from big_data_streaming_spark.plans.explain import (
     formatted_plan,
     unpartitioned_window_count,
 )
-from big_data_streaming_spark.plans.rank import global_rank
+from big_data_streaming_spark.plans.rank import global_ntile, global_order, global_rank
 
 
 def test_global_rank_matches_row_number(spark):
@@ -61,3 +61,48 @@ def test_global_rank_only_bounded_window_unpartitioned(spark):
     df = spark.range(1_000).select(F.col("id").alias("k"))
     out = global_rank(df, ["k"], rank_col="r", total_col="n")
     assert unpartitioned_window_count(out) == 1, formatted_plan(out)
+
+
+def test_global_ntile_matches_builtin(spark):
+    """global_ntile must be bit-identical to F.ntile over a single
+    partition, including the uneven-bucket edge (n % k != 0) and the
+    n < k edge."""
+    from pyspark.sql.window import Window
+
+    for n, k in [(10_007, 10), (9, 4), (3, 10), (1000, 7)]:
+        df = spark.range(n).select(
+            (F.col("id") * 2654435761 % 1_000_003).alias("v"), "id"
+        )
+        got = global_ntile(df, ["v", "id"], k, bucket_col="b").toPandas()
+        # bounded: comparison baseline over the test relation only
+        want = df.select(
+            "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("b")
+        ).toPandas()
+        m = got.merge(want, on="id", suffixes=("_g", "_w"))
+        assert (m["b_g"] == m["b_w"]).all(), (n, k)
+
+
+def test_global_cum_sum_and_max(spark):
+    """Running SUM/MAX in global order must equal the single-partition
+    window results."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(8_000).select(
+        (F.col("id") * 48271 % 100_000).alias("v"),
+        "id",
+        (F.col("id") % 1000).alias("x"),
+    )
+    got = global_order(
+        df,
+        ["v", "id"],
+        cum_sums={"cs": "x"},
+        cum_maxes={"cm": "x"},
+    ).toPandas()
+    # bounded: comparison baseline over the test relation only
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "id", F.sum("x").over(w).alias("cs"), F.max("x").over(w).alias("cm")
+    ).toPandas()
+    m = got.merge(want, on="id", suffixes=("_g", "_w"))
+    assert (m["cs_g"] == m["cs_w"]).all()
+    assert (m["cm_g"] == m["cm_w"]).all()
