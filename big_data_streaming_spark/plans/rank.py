@@ -71,6 +71,7 @@ def global_order(
     total_col: str | None = None,
     cum_sums: dict[str, str] | None = None,
     cum_maxes: dict[str, str] | None = None,
+    sum_totals: dict[str, str] | None = None,
     num_ranges: int = DEFAULT_RANGES,
     range_id: Column | None = None,
 ) -> DataFrame:
@@ -83,6 +84,9 @@ def global_order(
       ``SUM(src_col)`` in global order.
     * ``cum_maxes``: ``{out_col: src_col}`` — inclusive running
       ``MAX(src_col)`` in global order.
+    * ``sum_totals``: ``{out_col: src_col}`` — the overall
+      ``SUM(src_col)`` (from the per-range partials — never an
+      unpartitioned sum window over the input).
     * ``range_id``: monotone map of the order key to ``[0, num_ranges)``
       (arithmetic split — saves the sampling exchange AND the persist).
 
@@ -93,6 +97,7 @@ def global_order(
     """
     cum_sums = cum_sums or {}
     cum_maxes = cum_maxes or {}
+    sum_totals = sum_totals or {}
     cols = _cols(order_cols)
     sampled = range_id is None
     if sampled:
@@ -116,6 +121,7 @@ def global_order(
         F.max("_intra").alias("_n"),
         *[F.sum(src).alias(f"_t_{out}") for out, src in cum_sums.items()],
         *[F.max(src).alias(f"_t_{out}") for out, src in cum_maxes.items()],
+        *[F.sum(src).alias(f"_st_{out}") for out, src in sum_totals.items()],
     )
     # bounded: the offsets pass windows the O(num_ranges) size relation —
     # the one intentionally-unpartitioned window in this shape. All
@@ -135,6 +141,8 @@ def global_order(
         )
     for out in cum_maxes:
         off_exprs.append(F.max(f"_t_{out}").over(wprev).alias(f"_off_{out}"))
+    for out in sum_totals:
+        off_exprs.append(F.sum(f"_st_{out}").over(wall).alias(f"_tot_{out}"))
     offsets = sizes.select("_rng", *off_exprs)
     out_df = ranked.join(F.broadcast(offsets), "_rng")
     drop = ["_rng", "_intra"]
@@ -160,6 +168,9 @@ def global_order(
             ),
         )
         drop += [f"_off_{out}", f"_run_{out}"]
+    for out in sum_totals:
+        out_df = out_df.withColumn(out, F.col(f"_tot_{out}"))
+        drop.append(f"_tot_{out}")
     return out_df.drop(*drop)
 
 

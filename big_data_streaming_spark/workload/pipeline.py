@@ -575,28 +575,21 @@ def q_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
-    # Stage 4: reproducible training order — the distributed zipWithIndex
-    # shape from q_train_order (arithmetic range split, per-range rank,
-    # broadcast offsets).
+    # Stage 4: reproducible training order — the distributed
+    # zipWithIndex shape, factored into plans/rank.py (arithmetic range
+    # split: no sampling, no persist).
     keyed = sel.withColumn("shuffle_key", _mix_hash(F.col("doc_id")))
     rng = F.floor((F.col("shuffle_key") * _ORDER_RANGES) / F.lit(_MIX_MOD))
-    ranged = keyed.withColumn("_rng", rng.cast("int"))
-    w = Window.partitionBy("_rng").orderBy("shuffle_key", "doc_id")
-    # ranked feeds the per-range sizes AND the final offset join
-    ranked = ranged.withColumn("_intra", F.row_number().over(w)).persist()
-    sizes = ranked.groupBy("_rng").agg(F.max("_intra").alias("_n"))
-    offsets = sizes.select(
-        "_rng",
-        F.sum("_n")
-        .over(
-            Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
-        )
-        .alias("_offset"),
-    ).fillna(0, subset=["_offset"])
     return (
-        ranked.join(F.broadcast(offsets), "_rng")
+        global_rank(
+            keyed,
+            ["shuffle_key", "doc_id"],
+            rank_col="train_pos",
+            num_ranges=_ORDER_RANGES,
+            range_id=rng,
+        )
         .select(
-            (F.col("_offset") + F.col("_intra")).cast("bigint").alias("train_pos"),
+            "train_pos",
             "doc_id",
             "source",
         )
@@ -1537,7 +1530,12 @@ def q_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("n_chars").cast("double") / u).alias("priority"),
     )
-    r = p.select(
+    # top-(K+1) selection: sort+limit plans as TakeOrderedAndProject
+    # (no global sort); the rank window then runs over the bounded
+    # (K+1)-row relation only.
+    topk = p.orderBy(F.desc("priority"), "doc_id").limit(_PS_K + 1)
+    # bounded: rank over the K+1-row top-k relation
+    r = topk.select(
         "*",
         F.row_number()
         .over(Window.orderBy(F.desc("priority"), "doc_id"))
@@ -1757,15 +1755,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     imp = F.col("imp_q").cast("double") / F.col("n_bigrams") / F.lit(1000000.0)
+    # top-50 selection: sort+limit plans as TakeOrderedAndProject (no
+    # global sort); the rank window then runs over the bounded 50-row
+    # relation only.
+    top50 = scored.withColumn("importance", imp).orderBy(
+        F.desc("importance"), "doc_id"
+    ).limit(50)
+    # bounded: rank over the 50-row top-k relation
     return (
-        scored.withColumn("importance", imp)
-        .withColumn(
+        top50.withColumn(
             "rank",
             F.row_number()
             .over(Window.orderBy(F.desc("importance"), "doc_id"))
             .cast("bigint"),
         )
-        .where(F.col("rank") <= 50)
         .select("doc_id", "lang", "n_bigrams", "imp_q", "importance", "rank")
     )
 

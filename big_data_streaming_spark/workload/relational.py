@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_streaming_spark.plans.rank import global_order, global_rank
 from big_data_streaming_spark.workload.common import (
     dec_avg,
     dec_sum,
@@ -2288,14 +2289,19 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.expr(_ABC_MICROS)).cast("bigint").alias("m")
     )
-    wc = Window.orderBy(F.desc("m"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = rev.select(
+    # per-part aggregate is dimension-sized (corpus-shaped at 100 TB):
+    # cumulative share + total via the range-partitioned global_order
+    # (plans/rank.py) — never a single-partition sum window
+    cum = global_order(
+        rev,
+        [F.desc("m"), "l_partkey"],
+        cum_sums={"c": "m"},
+        sum_totals={"tot": "m"},
+    ).select(
         "l_partkey",
         "m",
-        F.sum("m").over(wc).cast("bigint").alias("c"),
-        F.sum("m").over(Window.partitionBy()).cast("bigint").alias("tot"),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("tot").cast("bigint").alias("tot"),
     )
     cls = cum.selectExpr(
         "CASE WHEN c * 5 <= tot * 4 THEN 'A'"
@@ -2579,14 +2585,11 @@ def q_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gg = g.where(F.col("gap").isNotNull()).selectExpr(
         "o_custkey", "o_orderkey", "CAST(gap AS BIGINT) AS gap"
     )
-    rk = gg.select(
-        "gap",
-        F.row_number()
-        .over(Window.orderBy("gap", "o_custkey", "o_orderkey"))
-        .cast("bigint")
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    # per-order gaps are fact-sized: rank + total via the range-
+    # partitioned ranker (plans/rank.py) — never a single-partition sort
+    rk = global_rank(
+        gg, ["gap", "o_custkey", "o_orderkey"], rank_col="rn", total_col="n"
+    ).select("gap", "rn", "n")
     return rk.groupBy().agg(
         F.max("n").cast("bigint").alias("n_gaps"),
         *[
@@ -2880,7 +2883,7 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_returned"),
         dec_avg("l_discount", "avg_discount"),
     )
-    rk = agg.join(
+    scored = agg.join(
         F.broadcast(sup), agg.l_suppkey == sup.s_suppkey
     ).select(
         "l_suppkey",
@@ -2889,11 +2892,19 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_returned",
         "avg_discount",
+    )
+    # top-10 selection: sort+limit plans as TakeOrderedAndProject (no
+    # global sort); the rank window then runs over the bounded 10-row
+    # relation only.
+    top10 = scored.orderBy(F.desc("revenue"), "l_suppkey").limit(10)
+    # bounded: rank over the 10-row top-k relation
+    rk = top10.select(
+        "*",
         F.row_number()
         .over(Window.orderBy(F.desc("revenue"), "l_suppkey"))
         .alias("rn"),
     )
-    return rk.where(F.col("rn") <= 10).selectExpr(
+    return rk.selectExpr(
         "l_suppkey",
         "s_name",
         "n_lines",
@@ -3158,15 +3169,11 @@ def q_balance_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal",
         "c_custkey",
     )
-    r = cust.select(
-        "seg",
-        "bal",
-        F.row_number()
-        .over(Window.orderBy("bal", "c_custkey"))
-        .cast("bigint")
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    # customers are dimension-sized (corpus-shaped at 100 TB): rank +
+    # total via the range-partitioned ranker (plans/rank.py)
+    r = global_rank(
+        cust, ["bal", "c_custkey"], rank_col="rn", total_col="n"
+    ).select("seg", "rn", "n")
     bucketed = r.selectExpr("seg", "CAST((rn - 1) * 4 DIV n AS BIGINT) AS qb")
     cells = bucketed.groupBy("qb", "seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -3262,17 +3269,21 @@ def q_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = dead.agg(F.count(F.lit(1)).cast("bigint").alias("n_dead")).crossJoin(
         F.broadcast(n_parts)
     )
-    rk = dead.select(
-        "p_partkey",
-        "p_brand",
-        "p_retailprice",
+    # top-10 selection: sort+limit plans as TakeOrderedAndProject (no
+    # global sort); the rank window then runs over the bounded 10-row
+    # relation only.
+    top10 = dead.select("p_partkey", "p_brand", "p_retailprice").orderBy(
+        F.desc("p_retailprice"), "p_partkey"
+    ).limit(10)
+    # bounded: rank over the 10-row top-k relation
+    rk = top10.select(
+        "*",
         F.row_number()
         .over(Window.orderBy(F.desc("p_retailprice"), "p_partkey"))
         .alias("rn"),
     )
     return (
-        rk.where(F.col("rn") <= 10)
-        .crossJoin(F.broadcast(tot))
+        rk.crossJoin(F.broadcast(tot))
         .selectExpr(
             "n_parts",
             "n_dead",
@@ -3706,14 +3717,11 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c",
     )
-    r = r.select(
-        "c_custkey",
-        "c_nationkey",
-        "bal_c",
-        F.row_number()
-        .over(Window.orderBy("c_name", "c_custkey"))
-        .cast("bigint")
-        .alias("rk"),
+    # customers are dimension-sized (corpus-shaped at 100 TB): the
+    # neighborhood order rides the range-partitioned ranker
+    # (plans/rank.py) — never a single-partition sort
+    r = global_rank(r, ["c_name", "c_custkey"], rank_col="rk").select(
+        "c_custkey", "c_nationkey", "bal_c", "rk"
     )
     outs = []
     for gap in (1, 2):
@@ -3976,22 +3984,17 @@ def q_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         perk = a.join(b, "k").select(
             "k", (F.col("c_a") * F.col("c_b")).alias("rows_k")
         )
-        ranked = perk.select(
-            "k",
-            "rows_k",
-            F.row_number()
-            .over(Window.orderBy(F.desc("rows_k"), "k"))
-            .alias("rn"),
+        totals = perk.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("rows_k").alias("total"),
+        )
+        # top-1 key: sort+limit plans as TakeOrderedAndProject (no
+        # global sort over the key support)
+        top1 = perk.orderBy(F.desc("rows_k"), "k").limit(1).select(
+            F.col("k").alias("top_key"), F.col("rows_k").alias("top_rows")
         )
         outs.append(
-            ranked.agg(
-                F.count(F.lit(1)).alias("n_keys"),
-                F.sum("rows_k").alias("total"),
-                F.max(F.when(F.col("rn") == 1, F.col("k"))).alias("top_key"),
-                F.max(F.when(F.col("rn") == 1, F.col("rows_k"))).alias(
-                    "top_rows"
-                ),
-            ).selectExpr(
+            totals.crossJoin(F.broadcast(top1)).selectExpr(
                 f"'{ta}*{tb}' AS join_edge",
                 "CAST(n_keys AS BIGINT) AS n_keys",
                 "CAST(total AS BIGINT) AS join_rows",
@@ -4287,16 +4290,21 @@ def q_pareto_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("cents_row").cast("bigint").alias("cents"))
     )
-    wr = Window.orderBy(F.desc("cents"), "o_custkey")
-    wall = Window.partitionBy()
-    curve = rev.select(
-        F.row_number().over(wr).cast("bigint").alias("rk"),
-        F.sum("cents")
-        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("cum"),
-        F.sum("cents").over(wall).cast("bigint").alias("total"),
-        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    # per-customer revenue is dimension-sized (corpus-shaped at
+    # 100 TB): rank, running revenue, and totals via the range-
+    # partitioned global_order (plans/rank.py)
+    curve = global_order(
+        rev,
+        [F.desc("cents"), "o_custkey"],
+        rank_col="rk",
+        total_col="n",
+        cum_sums={"cum": "cents"},
+        sum_totals={"total": "cents"},
+    ).select(
+        "rk",
+        F.col("cum").cast("bigint").alias("cum"),
+        F.col("total").cast("bigint").alias("total"),
+        "n",
     )
     grid = F.broadcast(
         curve.sparkSession.createDataFrame(

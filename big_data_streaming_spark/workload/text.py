@@ -25,6 +25,7 @@ from big_data_streaming_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from big_data_streaming_spark.plans.rank import global_ntile, global_rank
 from big_data_streaming_spark.workload.common import t
 
 QUERIES = {}
@@ -2226,10 +2227,11 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).alias("y"),
         )
     )
-    w = Window.orderBy("logit", "doc_id")
-    bkt = lab.select(
-        "logit", "y", F.ntile(_CAL_BUCKETS).over(w).alias("bucket")
-    )
+    # documents are corpus-sized: bucket via the range-partitioned
+    # ntile (plans/rank.py) — never a single-partition sort
+    bkt = global_ntile(
+        lab, ["logit", "doc_id"], _CAL_BUCKETS, bucket_col="bucket"
+    ).select("logit", "y", "bucket")
     agg = bkt.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("logit").alias("lo_logit"),
@@ -3420,11 +3422,11 @@ def q_lsh_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db",
         )
     )
-    rk = jac.select(
-        "s",
-        F.row_number().over(Window.orderBy("s", "da", "db")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
-    )
+    # candidate pairs are corpus-shaped: rank + total via the range-
+    # partitioned ranker (plans/rank.py) — never a single-partition sort
+    rk = global_rank(
+        jac, ["s", "da", "db"], rank_col="rn", total_col="n"
+    ).select("s", "rn", "n")
     q = spark.range(1, 4).select(F.col("id").cast("int").alias("quartile"))
     probes = F.broadcast(q).join(
         rk,
@@ -3685,13 +3687,10 @@ def q_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    ranked = lab.select(
-        "logit",
-        "y",
-        F.row_number()
-        .over(Window.orderBy("logit", "doc_id"))
-        .cast("bigint")
-        .alias("rn"),
+    # documents are corpus-sized: rank via the range-partitioned
+    # ranker (plans/rank.py) — never a single-partition sort
+    ranked = global_rank(lab, ["logit", "doc_id"], rank_col="rn").select(
+        "logit", "y", "rn"
     )
     nn = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     kg = spark.range(1, 10).select(F.col("id").cast("bigint").alias("k"))
@@ -3806,13 +3805,11 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    bkt = lab.select(
-        "y",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("logit"), "doc_id"))
-        .cast("bigint")
-        .alias("decile"),
-    )
+    # documents are corpus-sized: decile via the range-partitioned
+    # ntile (plans/rank.py) — never a single-partition sort
+    bkt = global_ntile(
+        lab, [F.desc("logit"), "doc_id"], 10, bucket_col="decile"
+    ).select("y", F.col("decile").cast("bigint").alias("decile"))
     agg = bkt.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),
@@ -3984,14 +3981,11 @@ def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    rk = lab.select(
-        "y",
-        F.row_number()
-        .over(Window.orderBy("logit", "doc_id"))
-        .cast("bigint")
-        .alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    # documents are corpus-sized: rank + total via the range-
+    # partitioned ranker (plans/rank.py) — never a single-partition sort
+    rk = global_rank(
+        lab, ["logit", "doc_id"], rank_col="r", total_col="n"
+    ).select("y", "r", "n")
     agg = rk.agg(
         F.max("n").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),
@@ -4097,9 +4091,11 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    bkt = lab.select(
-        "y", F.ntile(10).over(Window.orderBy("logit", "doc_id")).alias("bucket")
-    )
+    # documents are corpus-sized: bucket via the range-partitioned
+    # ntile (plans/rank.py) — never a single-partition sort
+    bkt = global_ntile(
+        lab, ["logit", "doc_id"], 10, bucket_col="bucket"
+    ).select("y", "bucket")
     ba = bkt.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),
@@ -4220,15 +4216,13 @@ def q_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents")
-    dl = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        "n_chars",
-        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias(
-            "len_decile"
-        ),
+    # documents are corpus-sized: decile via the range-partitioned
+    # ntile (plans/rank.py) — never a single-partition sort
+    dl = global_ntile(
+        d.select("doc_id", "lang", "source", "text", "n_chars"),
+        ["n_chars", "doc_id"],
+        10,
+        bucket_col="len_decile",
     )
     long = (
         dl.selectExpr("'source' AS feature", "source AS fval", "lang")
