@@ -205,15 +205,25 @@ def main() -> None:
         "queries_cold": cold,
         "sf": sf_val,
     }
+    detail["date"] = time.strftime("%Y-%m-%d")
     print(json.dumps(detail))
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: the stdout detail line still has it
+    # Persist the full per-query map: BENCH_DETAIL.json (latest), plus a
+    # per-round snapshot BENCH_DETAIL_r{N}.json when SPARK_GRAFT_ROUND is
+    # set — the compact stdout line keeps only the 8 slowest, so cross-
+    # round per-query diffs need these files (VERDICT r5 task 6).
+    names = ["BENCH_DETAIL.json"]
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd:
+        names.append(f"BENCH_DETAIL_r{int(rnd):02d}.json")
+    for fname in names:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
+                "w",
+            ) as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: the stdout detail line still has it
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     result = {
         "metric": "headline_queries_total_sec",

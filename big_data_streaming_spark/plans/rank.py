@@ -71,6 +71,7 @@ def global_order(
     total_col: str | None = None,
     cum_sums: dict[str, str] | None = None,
     cum_maxes: dict[str, str] | None = None,
+    cum_maxes_excl: dict[str, str] | None = None,
     sum_totals: dict[str, str] | None = None,
     num_ranges: int = DEFAULT_RANGES,
     range_id: Column | None = None,
@@ -84,6 +85,10 @@ def global_order(
       ``SUM(src_col)`` in global order.
     * ``cum_maxes``: ``{out_col: src_col}`` — inclusive running
       ``MAX(src_col)`` in global order.
+    * ``cum_maxes_excl``: ``{out_col: src_col}`` — running
+      ``MAX(src_col)`` over STRICTLY PRECEDING rows (NULL for the
+      global first row), the ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+      PRECEDING`` frame.
     * ``sum_totals``: ``{out_col: src_col}`` — the overall
       ``SUM(src_col)`` (from the per-range partials — never an
       unpartitioned sum window over the input).
@@ -97,6 +102,7 @@ def global_order(
     """
     cum_sums = cum_sums or {}
     cum_maxes = cum_maxes or {}
+    cum_maxes_excl = cum_maxes_excl or {}
     sum_totals = sum_totals or {}
     cols = _cols(order_cols)
     sampled = range_id is None
@@ -113,6 +119,11 @@ def global_order(
         ranked = ranked.withColumn(f"_run_{out}", F.sum(src).over(wrun))
     for out, src in cum_maxes.items():
         ranked = ranked.withColumn(f"_run_{out}", F.max(src).over(wrun))
+    for out, src in cum_maxes_excl.items():
+        ranked = ranked.withColumn(
+            f"_run_{out}",
+            F.max(src).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
     if sampled:
         # see module docstring: pin ONE evaluation of the sampled range
         # assignment for both the offsets branch and the output branch
@@ -121,6 +132,10 @@ def global_order(
         F.max("_intra").alias("_n"),
         *[F.sum(src).alias(f"_t_{out}") for out, src in cum_sums.items()],
         *[F.max(src).alias(f"_t_{out}") for out, src in cum_maxes.items()],
+        *[
+            F.max(src).alias(f"_t_{out}")
+            for out, src in cum_maxes_excl.items()
+        ],
         *[F.sum(src).alias(f"_st_{out}") for out, src in sum_totals.items()],
     )
     # bounded: the offsets pass windows the O(num_ranges) size relation —
@@ -139,7 +154,7 @@ def global_order(
                 f"_off_{out}"
             )
         )
-    for out in cum_maxes:
+    for out in list(cum_maxes) + list(cum_maxes_excl):
         off_exprs.append(F.max(f"_t_{out}").over(wprev).alias(f"_off_{out}"))
     for out in sum_totals:
         off_exprs.append(F.sum(f"_st_{out}").over(wall).alias(f"_tot_{out}"))
@@ -159,11 +174,13 @@ def global_order(
             out, F.col(f"_off_{out}") + F.col(f"_run_{out}")
         )
         drop += [f"_off_{out}", f"_run_{out}"]
-    for out in cum_maxes:
+    for out in list(cum_maxes) + list(cum_maxes_excl):
+        # null-safe greatest: both NULL -> NULL (global first row of an
+        # exclusive frame), one NULL -> the other
         out_df = out_df.withColumn(
             out,
             F.greatest(
-                F.col(f"_run_{out}"),
+                F.coalesce(F.col(f"_run_{out}"), F.col(f"_off_{out}")),
                 F.coalesce(F.col(f"_off_{out}"), F.col(f"_run_{out}")),
             ),
         )

@@ -49,19 +49,19 @@ def z_value(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
     """Add a ``_z`` column: rank-quantize each key to [0, 2^bits) then
     Morton-interleave. Rank quantization (ntile) makes the curve
     uniform under any value distribution."""
+    from big_data_streaming_spark.plans.rank import global_ntile
+
     buckets = 1 << bits
     out = df
     qcols = []
     for c in cols:
         q = f"_q_{c}"
-        out = out.withColumn(
-            q, F.ntile(buckets).over(Window.orderBy(c)) - 1
+        # range-partitioned ntile (plans/rank.py): no single-reducer
+        # sort, layout jobs scale to the full corpus
+        out = global_ntile(out, [c], buckets, bucket_col=q).withColumn(
+            q, F.col(q) - 1
         )
         qcols.append(q)
-    # NOTE: ntile over an unpartitioned window is a single-reducer sort —
-    # fine for layout jobs up to the low billions of rows; at full 100 TB
-    # substitute approx percentile boundaries (approxQuantile) per column
-    # and a bucket lookup, which needs no global window at all.
     out = out.withColumn("_z", interleave_bits([F.col(q) for q in qcols], bits))
     return out.drop(*qcols)
 

@@ -46,6 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from big_data_streaming_spark.plans.rank import (
+    global_ntile,
+    global_order,
+    global_rank,
+)
 from big_data_streaming_spark.workload.common import (
     DEC,
     dec_avg,
@@ -274,6 +279,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # bounded: leading-digit support — ≤9 rows
     total = F.sum("n").over(Window.partitionBy())
     return counted.withColumn(
         "observed_p", F.col("n").cast("double") / total.cast("double")
@@ -311,10 +317,14 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", F.col("p_retailprice").alias("price"))
         .agg(dec_sum("l_quantity", "qty"))
     )
-    w = Window.orderBy("price", F.desc("qty"), "p_partkey").rowsBetween(
-        Window.unboundedPreceding, -1
+    # per-part aggregate is dimension-sized (corpus-shaped at 100 TB):
+    # the dominance prefix-max rides the range-partitioned global_order
+    # (plans/rank.py) — never a single-partition window
+    m = global_order(
+        pq,
+        ["price", F.desc("qty"), "p_partkey"],
+        cum_maxes_excl={"pm": "qty"},
     )
-    m = pq.withColumn("pm", F.max("qty").over(w))
     return m.where(F.col("pm").isNull() | (F.col("qty") > F.col("pm"))).select(
         "p_partkey", "price", "qty"
     )
@@ -335,10 +345,14 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = t(spark, sf_dir, "orders").select(
-        "o_totalprice", F.ntile(10).over(w).alias("bin")
-    )
+    # orders are fact-sized: bin via the range-partitioned ntile
+    # (plans/rank.py) — never a single-partition sort
+    b = global_ntile(
+        t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+        bucket_col="bin",
+    ).select("o_totalprice", "bin")
     return b.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("o_totalprice").alias("lo"),
@@ -970,13 +984,20 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("id")
-    s = (
+    # the id set is fact-sized: LEAD in global order = range-
+    # partitioned rank (plans/rank.py) + an rn+1 equi self-join (the
+    # helper persists the ranked relation, so both join sides read one
+    # cached evaluation)
+    ids = (
         t(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 97 != 0)
         .select(F.col("o_orderkey").alias("id"))
-        .withColumn("next_id", F.lead("id").over(w))
     )
+    rr = global_rank(ids, ["id"], rank_col="_rn")
+    nxt = rr.select(
+        F.col("id").alias("next_id"), (F.col("_rn") - 1).alias("_rn")
+    )
+    s = rr.join(nxt, "_rn", "left")
     return s.where((F.col("next_id") - F.col("id")) > 1).select(
         (F.col("id") + 1).alias("gap_start"),
         (F.col("next_id") - F.col("id") - 1).alias("gap_len"),
@@ -1777,6 +1798,7 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     c = c.withColumn(
+        # bounded: quasi-identifier combo aggregate — k-combo support, not the fact table
         "total", F.sum("n").over(Window.partitionBy()).cast("bigint")
     )
     return c.where(F.col("n") < _KANON_K).select(
@@ -2208,23 +2230,31 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    wr = Window.orderBy("recency_days", "user_id")
-    wf = Window.orderBy(F.desc("frequency"), "user_id")
-    wm = Window.orderBy(F.desc("monetary"), "user_id")
-    r, fq, mq = (
-        F.ntile(4).over(wr).cast("int"),
-        F.ntile(4).over(wf).cast("int"),
-        F.ntile(4).over(wm).cast("int"),
+    # per-user aggregate is corpus-shaped at 100 TB: each quartile
+    # rides the range-partitioned ntile (plans/rank.py) — never a
+    # single-partition sort
+    q3 = global_ntile(
+        m, ["recency_days", "user_id"], 4, bucket_col="r_quartile"
     )
-    return m.select(
+    q3 = global_ntile(
+        q3, [F.desc("frequency"), "user_id"], 4, bucket_col="f_quartile"
+    )
+    q3 = global_ntile(
+        q3, [F.desc("monetary"), "user_id"], 4, bucket_col="m_quartile"
+    )
+    return q3.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        r.alias("r_quartile"),
-        fq.alias("f_quartile"),
-        mq.alias("m_quartile"),
-        (r * 100 + fq * 10 + mq).alias("rfm_code"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+        (
+            F.col("r_quartile") * 100
+            + F.col("f_quartile") * 10
+            + F.col("m_quartile")
+        ).alias("rfm_code"),
     )
 
 
@@ -2448,6 +2478,7 @@ def q_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
     )
+    # bounded: nation × balance-bucket release grid — O(25 × buckets) rows
     w_all = Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -3630,10 +3661,11 @@ _MW_Z = (
 def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     vc = e.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    v2 = vc.select(
+    # the value support is near-fact-sized (DOUBLE values): the running
+    # rank-sum rides the range-partitioned global_order (plans/rank.py)
+    v2 = global_order(vc, ["value"], cum_sums={"_cs": "cnt"}).select(
         "value",
-        (2 * (F.sum("cnt").over(wcum) - F.col("cnt")) + F.col("cnt") + 1)
+        (2 * (F.col("_cs") - F.col("cnt")) + F.col("cnt") + 1)
         .cast("bigint")
         .alias("r2"),
     )
@@ -3864,10 +3896,10 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
     )
-    ranked = rev.select(
-        "o_custkey",
-        "r",
-        F.ntile(10).over(Window.orderBy("r", "o_custkey")).alias("decile"),
+    # per-customer revenue is dimension-sized (corpus-shaped at
+    # 100 TB): decile via the range-partitioned ntile (plans/rank.py)
+    ranked = global_ntile(
+        rev, ["r", "o_custkey"], 10, bucket_col="decile"
     )
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -4027,16 +4059,22 @@ def q_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("first_k"),
         F.max("k").alias("last_k"),
     )
-    worder = Window.orderBy("l_orderkey")
-    bchg = per_order.select(
+    # the per-order relation is fact-shaped: LAG in global order =
+    # range-partitioned rank (plans/rank.py) + an rn-1 equi self-join
+    # (the helper persists the ranked relation, so both join sides read
+    # one cached evaluation)
+    po = global_rank(per_order, ["l_orderkey"], rank_col="_rn")
+    prev = po.select(
+        (F.col("_rn") + 1).alias("_rn"),
+        F.col("last_k").alias("_prev_last_k"),
+    )
+    bchg = po.join(prev, "_rn", "left").select(
         "n",
         *[F.col(f"wc_{c}") for c in _RLE_COLS],
         *[
             F.when(
-                F.lag(F.col("last_k")[c]).over(worder).isNotNull()
-                & ~F.lag(F.col("last_k")[c])
-                .over(worder)
-                .eqNullSafe(F.col("first_k")[c]),
+                F.col("_prev_last_k")[c].isNotNull()
+                & ~F.col("_prev_last_k")[c].eqNullSafe(F.col("first_k")[c]),
                 1,
             )
             .otherwise(0)
@@ -4238,13 +4276,12 @@ _ZM_THRESHOLDS = (100, 250, 400)
 )
 def q_zonemap_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_id", "value")
-    ranked = ev.select(
-        "value",
-        F.row_number().over(Window.orderBy("event_id")).alias("rn_nat"),
-        F.row_number()
-        .over(Window.orderBy("value", "event_id"))
-        .alias("rn_val"),
-    )
+    # events are fact-sized: both layout ranks ride the range-
+    # partitioned ranker (plans/rank.py) — never a single-partition sort
+    ranked = global_rank(ev, ["event_id"], rank_col="rn_nat")
+    ranked = global_rank(
+        ranked, ["value", "event_id"], rank_col="rn_val"
+    ).select("value", "rn_nat", "rn_val")
     def blocks(rn: str, layout: str):
         return (
             ranked.groupBy(
@@ -4529,13 +4566,10 @@ def q_session_gap_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("gap_s").isNotNull())
     )
-    r = gaps.select(
-        "gap_s",
-        F.row_number().over(Window.orderBy("gap_s")).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))
-        ).alias("n"),
-    )
+    # per-event gaps are fact-sized: rank + total via the range-
+    # partitioned ranker (plans/rank.py); ties in gap_s stay inside one
+    # range, and every rank's gap_s VALUE is order-deterministic
+    r = global_rank(gaps, ["gap_s"], rank_col="rn", total_col="n")
     d = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
     return (
         F.broadcast(d)
@@ -5235,6 +5269,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = g.select(
         "hr",
         F.row_number()
+        # bounded: per-hour click/view series — O(hours) rows (both ranks)
         .over(Window.orderBy("c_click", "hr"))
         .cast("bigint")
         .alias("r1"),
@@ -5317,13 +5352,10 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
     deg = ps.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    rk = deg.select(
-        "d",
-        F.row_number().over(Window.orderBy("d", "p")).cast("bigint").alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
+    # part degrees are dimension-sized (corpus-shaped at 100 TB): rank
+    # + total via the range-partitioned ranker (plans/rank.py)
+    rk = global_rank(deg, ["d", "p"], rank_col="rn", total_col="n").select(
+        "d", "rn", "n"
     )
     cap = rk.where(F.col("rn") * 10 <= F.col("n")).agg(
         F.max("d").cast("bigint").alias("dcap")
@@ -5371,6 +5403,7 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("deg1") + F.col("deg2") - F.col("common_parts"))
         ).alias("jaccard"),
         F.row_number()
+        # bounded: rank over the 100-row top-k relation (post-limit)
         .over(Window.orderBy(F.desc("ra_q"), "s1", "s2"))
         .cast("bigint")
         .alias("rank"),
@@ -5681,6 +5714,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     req = spark.createDataFrame(rows, schema).withColumn(
         "re_q", F.expr(_MKV_FINAL)
     )
+    # bounded: channel-transition aggregate — O(|channels|²) rows
     tot = F.sum("re_q").over(Window.partitionBy()).cast("bigint")
     return req.select(
         "channel",
@@ -5774,6 +5808,7 @@ def q_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lev",
         "n_pairs_total",
         F.row_number()
+        # bounded: rank over the 200-row verified-pair sample (post-limit)
         .over(Window.orderBy("s1", "s2"))
         .cast("bigint")
         .alias("rank"),
@@ -5810,17 +5845,14 @@ def q_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    r = ev.select(
-        "value",
-        F.row_number()
-        .over(Window.orderBy("value", "event_id"))
-        .cast("bigint")
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
-    )
+    # events are fact-sized: rank + total via the range-partitioned
+    # ranker (plans/rank.py) — never a single-partition sort
+    r = global_rank(
+        ev.select("value", "event_id"),
+        ["value", "event_id"],
+        rank_col="rn",
+        total_col="n",
+    ).select("value", "rn", "n")
     kept = r.where(
         (F.col("rn") > F.expr("n DIV 10"))
         & (F.col("rn") <= F.col("n") - F.expr("n DIV 10"))
@@ -5974,17 +6006,11 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mu), "event_type")
         .select(F.abs(F.col("value") - F.col("mu")).alias("r"), "event_id")
     )
-    rk = cal.select(
-        "r",
-        F.row_number()
-        .over(Window.orderBy("r", "event_id"))
-        .cast("bigint")
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
-    )
+    # calibration residuals are fact-sized: rank + total via the
+    # range-partitioned ranker (plans/rank.py)
+    rk = global_rank(
+        cal, ["r", "event_id"], rank_col="rn", total_col="n"
+    ).select("r", "rn", "n")
     pick = F.least(
         F.ceil((F.col("n") + 1) * 0.9).cast("bigint"), F.col("n")
     )
@@ -6299,6 +6325,7 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = fr.select(
         "frame",
         "s",
+        # bounded: PAA frame series — O(frames) rows (fixed day grid)
         F.row_number().over(Window.orderBy("s", "frame")).cast("bigint").alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
     )
@@ -6329,6 +6356,7 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("symbol"),
             F.coalesce(
+                # bounded: symbol-per-frame relation — O(frames) rows
                 F.lead("symbol").over(Window.orderBy("frame")), F.lit("_")
             ),
         ).alias("motif"),
@@ -6383,18 +6411,18 @@ def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "view")
     )
-    pooled = ev.select(
-        "event_type",
+    # events are fact-sized: the pooled rank rides the range-
+    # partitioned ranker (plans/rank.py); the per-group rank keeps its
+    # partitioned window
+    pooled = global_rank(
+        ev.select("event_type", "value", "event_id"),
+        ["value", "event_id"],
+        rank_col="pr",
+    ).withColumn(
+        "sr",
         F.row_number()
-        .over(Window.orderBy("value", "event_id"))
-        .cast("bigint")
-        .alias("pr"),
-        F.row_number()
-        .over(
-            Window.partitionBy("event_type").orderBy("value", "event_id")
-        )
-        .cast("bigint")
-        .alias("sr"),
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .cast("bigint"),
     )
     d = (F.col("pr") - F.col("sr")) * (F.col("pr") - F.col("sr"))
     s = pooled.agg(
@@ -6490,11 +6518,12 @@ _KW_C = (
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     vc = e.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    v2 = vc.select(
+    # the value support is near-fact-sized (DOUBLE values): the running
+    # rank-sum rides the range-partitioned global_order (plans/rank.py)
+    v2 = global_order(vc, ["value"], cum_sums={"_cs": "cnt"}).select(
         "value",
         "cnt",
-        (2 * (F.sum("cnt").over(wcum) - F.col("cnt")) + F.col("cnt") + 1)
+        (2 * (F.col("_cs") - F.col("cnt")) + F.col("cnt") + 1)
         .cast("bigint")
         .alias("r2"),
     )
@@ -7026,6 +7055,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = db.select(
         "d",
         "c",
+        # bounded: per-day sign series — O(days) rows
         F.row_number().over(Window.orderBy("c", "d")).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
@@ -7040,6 +7070,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lagd = signed.select(
+        # bounded: per-day sign series — O(days) rows
         "s", F.lag("s").over(Window.orderBy("d")).alias("ps")
     )
     agg = lagd.agg(
@@ -7911,16 +7942,23 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("mad") > 0)
         .selectExpr("event_type", "event_id", "c", "mad", "med", f"{_MAD_Z} AS z")
     )
-    rk = z.select(
+    # top-20 selection: sort+limit plans as TakeOrderedAndProject (no
+    # global sort); the rank window then runs over the bounded 20-row
+    # relation only.
+    top20 = z.select(
         "event_type",
         "event_id",
         (F.col("c").cast("double") / 100.0).alias("value"),
         "z",
+    ).orderBy(F.abs(F.col("z")).desc(), "event_id").limit(20)
+    # bounded: rank over the 20-row top-k relation
+    rk = top20.select(
+        "*",
         F.row_number()
         .over(Window.orderBy(F.abs(F.col("z")).desc(), "event_id"))
         .alias("rn"),
     )
-    return rk.where(F.col("rn") <= 20).selectExpr(
+    return rk.selectExpr(
         "event_type", "event_id", "value", "z", "CAST(rn AS INTEGER) AS rank"
     )
 
@@ -8158,6 +8196,7 @@ def q_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = peaks.select(
         "*",
         F.row_number()
+        # bounded: hourly peak candidates — O(hours) rows
         .over(Window.orderBy(F.desc("salience"), "hidx"))
         .alias("rn"),
     )
@@ -8236,13 +8275,11 @@ def q_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
-    dec = per.select(
-        "treated",
-        "y",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), "user_id"))
-        .alias("decile"),
-    )
+    # per-user scores are corpus-shaped at 100 TB: decile via the
+    # range-partitioned ntile (plans/rank.py)
+    dec = global_ntile(
+        per, [F.desc("score"), "user_id"], 10, bucket_col="decile"
+    ).select("treated", "y", "decile")
     agg = dec.groupBy("decile").agg(
         F.sum("treated").cast("bigint").alias("n_t"),
         F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
@@ -8422,13 +8459,18 @@ def q_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("wt").cast("bigint").alias("score"),
     )
-    rk = per.select(
+    # top-10 selection: sort+limit plans as TakeOrderedAndProject (no
+    # global sort); the rank window then runs over the bounded 10-row
+    # relation only.
+    top10 = per.orderBy(F.desc("score"), "user_id").limit(10)
+    # bounded: rank over the 10-row top-k relation
+    rk = top10.select(
         "*",
         F.row_number()
         .over(Window.orderBy(F.desc("score"), "user_id"))
         .alias("rn"),
     )
-    return rk.where(F.col("rn") <= 10).selectExpr(
+    return rk.selectExpr(
         "user_id",
         "n_events",
         "score",
@@ -9082,6 +9124,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
+    # bounded: daily series — O(days) rows
     fr = Window.orderBy("d").rowsBetween(-6, 0)
     w = db.select(
         "d",
@@ -9428,14 +9471,12 @@ def q_energy_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_AOV_CENTS} AS c",
         "CAST(event_id AS BIGINT) AS event_id",
     )
-    rall = c.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy("c", "event_id"))
-        .cast("bigint")
-        .alias("k"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    # events are fact-sized: the pooled rank + total ride the range-
+    # partitioned ranker (plans/rank.py)
+    rall = global_rank(
+        c.select("c", "event_id"), ["c", "event_id"], rank_col="k",
+        total_col="n",
+    ).select("c", "k", "n")
     tall = rall.agg(
         F.sum((2 * F.col("k") - F.col("n") - 1) * F.col("c"))
         .cast("bigint")
@@ -9953,6 +9994,7 @@ def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
+    # bounded: daily series — O(days) rows
     w = Window.orderBy("d")
     lagd = db.select(
         "y",
@@ -10137,6 +10179,7 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),
     )
+    # bounded: daily series — O(days) rows
     w = Window.orderBy("d")
     ld = db.select(
         "x",
@@ -10851,6 +10894,7 @@ def q_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # bounded: daily series — O(days) rows
     wo = Window.orderBy("d")
     w = db.select(
         "d",
@@ -10949,6 +10993,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),
     )
+    # bounded: daily series — O(days) rows
     w = Window.orderBy("d")
     ld = db.select(
         "x",
@@ -11309,6 +11354,7 @@ def q_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     ix = db.select(
+        # bounded: daily series — O(days) rows
         "c", F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i")
     )
     a = ix.alias("a")
@@ -11324,6 +11370,7 @@ def q_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = slopes.select(
         "slope",
         F.row_number()
+        # bounded: day-pair slopes — O(days²) rows
         .over(Window.orderBy("slope", "ia", "ib"))
         .cast("bigint")
         .alias("rn"),
@@ -11623,11 +11670,10 @@ def q_churn_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("a2"),
         )
     )
-    r = per.select(
-        "a1",
-        "a2",
-        F.row_number().over(Window.orderBy("a1", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # per-user activity is corpus-shaped at 100 TB: median rank via
+    # the range-partitioned ranker (plans/rank.py)
+    r = global_rank(
+        per, ["a1", "user_id"], rank_col="rn", total_col="n"
     )
     thr = r.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
         F.col("a1").alias("med")
@@ -12579,6 +12625,7 @@ def q_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = daily.select(
         "cents",
+        # bounded: daily series — O(days) rows
         (F.row_number().over(Window.orderBy("dayn")) - 1).alias("i"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("d"),
     )
@@ -12612,6 +12659,7 @@ def q_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days_used",
         "r2_between",
         (
+            # bounded: candidate-period scores — O(1) rows
             F.row_number().over(Window.orderBy(F.desc("r2_between"), "p")) == 1
         ).alias("is_best"),
     )
@@ -12673,14 +12721,15 @@ def q_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("cents_row").cast("bigint").alias("cents"))
     )
-    wr = Window.orderBy(F.desc("cents"), "o_custkey")
-    curve = rev.select(
-        F.row_number().over(wr).cast("bigint").alias("x"),
-        F.sum("cents")
-        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("y"),
-    )
+    # per-customer revenue is dimension-sized (corpus-shaped at
+    # 100 TB): rank + running revenue via the range-partitioned
+    # global_order (plans/rank.py)
+    curve = global_order(
+        rev,
+        [F.desc("cents"), "o_custkey"],
+        rank_col="x",
+        cum_sums={"y": "cents"},
+    ).select("x", F.col("y").cast("bigint").alias("y"))
     ends = curve.agg(
         F.max("x").cast("bigint").alias("xn"),
         F.max("y").cast("bigint").alias("yn"),
@@ -12695,10 +12744,10 @@ def q_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("xn") - 1) * (F.col("y") - 1)
         ).alias("cross_d"),
     )
-    best = d.select(
-        "*", F.row_number().over(Window.orderBy(F.desc("cross_d"), "x")).alias("rn")
-    )
-    return best.where(F.col("rn") == 1).selectExpr(
+    # argmax selection: sort+limit plans as TakeOrderedAndProject (no
+    # global sort over the curve)
+    best = d.orderBy(F.desc("cross_d"), "x").limit(1)
+    return best.selectExpr(
         "xn AS n_customers",
         "x AS knee_rank",
         "CAST(x AS DOUBLE) / CAST(xn AS DOUBLE) AS knee_rank_share",
@@ -13234,8 +13283,6 @@ _GS_Z = (
     """,
 )
 def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_streaming_spark.plans.rank import global_rank
-
     # Global event order + total via the range-partitioned ranker — the
     # full events relation never collapses into one sort task (plan pin:
     # tests/test_plans.py::test_group_sequential_no_global_sort).
@@ -13266,6 +13313,7 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c0"),
     )
+    # bounded: cumulative looks — 5 rows
     w = Window.orderBy("look").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -13340,6 +13388,7 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pv").cast("bigint").alias("sp_c"),
         )
     )
+    # bounded: price bands — O(bands) rows
     w = Window.orderBy("band")
     m = b.selectExpr(
         "band", "n", f"{_PE_Q} AS q_mean", f"{_PE_P} AS p_mean"
@@ -13574,6 +13623,7 @@ def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("errors"),
         )
     )
+    # bounded: daily series — O(days) rows
     w = Window.orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -13772,6 +13822,7 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dayn", "dow")
         .agg(F.sum("hrow").cast("bigint").alias("h"))
     )
+    # bounded: daily series — O(days) rows
     w7 = Window.orderBy("dayn").rowsBetween(-3, 3)
     det = daily.select(
         "dayn",

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_streaming_spark.schemas import EVENT_PROPS_SCHEMA
+from big_data_streaming_spark.plans.rank import global_order, global_rank
 from big_data_streaming_spark.workload.common import dec_sum, oracle_dec_sum, t
 
 QUERIES = {}
@@ -470,8 +471,9 @@ def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum("value", "day_total"))
         .select(F.col("w.start").alias("day"), "day_total")
     )
-    # Unpartitioned window is safe HERE: it runs over the post-aggregation
-    # daily rollup — O(days) rows at any corpus size, not the fact table.
+    # bounded: unpartitioned window is safe HERE — it runs over the
+    # post-aggregation daily rollup, O(days) rows at any corpus size,
+    # not the fact table.
     w = Window.orderBy("day")
     return daily.select(
         "day",
@@ -1716,17 +1718,14 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("level"),
         "approx_value",
     )
-    r = ev.select(
-        "value",
-        F.row_number()
-        .over(Window.orderBy("value", "event_id"))
-        .cast("bigint")
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
-    )
+    # events are fact-sized: the exact-quantile rank + total ride the
+    # range-partitioned ranker (plans/rank.py)
+    r = global_rank(
+        ev.select("value", "event_id"),
+        ["value", "event_id"],
+        rank_col="rn",
+        total_col="n",
+    ).select("value", "rn", "n")
     exact = (
         r.crossJoin(F.broadcast(approx))
         .groupBy("level")
@@ -1828,23 +1827,18 @@ def q_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(event_id AS BIGINT) AS event_id",
         "CAST(floor(unix_timestamp(ts)) AS BIGINT) AS sec",
     )
-    warr = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    late = e.select(
+    # events are fact-sized: the arrival-order watermark (running max
+    # of sec) and the lateness rank both ride the range-partitioned
+    # global_order (plans/rank.py)
+    late = global_order(
+        e, ["event_id"], cum_maxes={"_wm": "sec"}
+    ).select(
         "event_id",
-        (F.max("sec").over(warr) - F.col("sec"))
-        .cast("bigint")
-        .alias("lateness"),
+        (F.col("_wm") - F.col("sec")).cast("bigint").alias("lateness"),
     )
-    rk = late.select(
-        "lateness",
-        F.row_number()
-        .over(Window.orderBy("lateness", "event_id"))
-        .cast("bigint")
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    rk = global_rank(
+        late, ["lateness", "event_id"], rank_col="rn", total_col="n"
+    ).select("lateness", "rn", "n")
     qs = rk.agg(
         F.max(
             F.when(F.col("rn") == F.expr("(n - 1) * 50 DIV 100 + 1"),

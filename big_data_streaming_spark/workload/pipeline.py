@@ -922,6 +922,7 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ev").cast("bigint").alias("n_events"),
     )
     g = e.agg(F.countDistinct("user_id").cast("bigint").alias("total_users"))
+    # bounded: per-split aggregate — 3 rows
     w = Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -2828,6 +2828,7 @@ def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type",
         "n",
         "cv",
+        # bounded: per-p_type aggregate — O(|types|) rows
         F.row_number().over(Window.orderBy(F.desc("cv"), "p_type")).alias("rn"),
     )
     return rk.where(F.col("rn") <= 10).selectExpr(
@@ -3462,6 +3463,7 @@ def q_monthly_swing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + EXTRACT(month FROM o_orderdate) AS BIGINT)"
         ).alias("midx")
     ).agg(dec_sum("o_totalprice", "revenue"))
+    # bounded: monthly series — O(months) rows
     w = Window.orderBy("midx")
     lagd = m.select(
         "midx",
@@ -3478,6 +3480,7 @@ def q_monthly_swing(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = sw.select(
         "*",
         F.row_number()
+        # bounded: rank over the O(months) swing series
         .over(Window.orderBy(F.abs(F.col("swing")).desc(), "midx"))
         .alias("rn"),
     )
@@ -4166,6 +4169,7 @@ def q_mv_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, keys in spark_keys.items():
         grouped = e.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
         grouped = grouped.withColumn(
+            # bounded: grouping-combo aggregate — candidate MV support
             "raw", F.sum("c").over(Window.partitionBy())
         )
         outs.append(
@@ -4368,6 +4372,7 @@ def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = per.groupBy("sz").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
+    # bounded: basket-size support — O(max lines per order) rows
     wall = Window.partitionBy()
     wcum = Window.orderBy("sz").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -23,6 +23,7 @@ from big_data_streaming_spark.functions.similarity import (
     hyperplane_lsh_neardup,
     ivf_topk,
 )
+from big_data_streaming_spark.plans.rank import global_rank
 from big_data_streaming_spark.workload.common import t
 
 QUERIES = {}
@@ -2177,12 +2178,15 @@ def q_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = pairs.select(
         "ratio",
+        "ia",
+        "ib",
         F.expr(
             "CAST(floor(abs(ratio - 1.0) * 1000000000.0 + 0.5) AS BIGINT)"
         ).alias("devq"),
-        F.row_number().over(Window.orderBy("ratio", "ia", "ib")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
+    # the audited pair set is corpus-shaped: median rank + total via
+    # the range-partitioned ranker (plans/rank.py)
+    q = global_rank(q, ["ratio", "ia", "ib"], rank_col="rn", total_col="n")
     return q.agg(
         F.max("n").cast("bigint").alias("n_pairs"),
         (

@@ -1876,6 +1876,7 @@ def q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.max("max_sec")
         .over(
+            # bounded: per-micro-batch frontier — O(batches) rows
             Window.orderBy("batch_key").rowsBetween(
                 Window.unboundedPreceding, 0
             )
@@ -1995,6 +1996,7 @@ def q_stream_imr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = spark.createDataFrame(
         profiles, "batch_key: bigint, n: bigint, qsum: bigint"
     )
+    # bounded: per-micro-batch profile — O(batches) rows
     wb = Window.orderBy("batch_key")
     m = per.selectExpr(
         "batch_key",

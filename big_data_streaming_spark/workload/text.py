@@ -1584,6 +1584,7 @@ def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = f.withColumn(
         "rnk",
+        # bounded: token vocabulary — Heaps-sublinear aggregate, not the token stream
         F.row_number().over(Window.orderBy(F.desc("freq"), "token")).cast("bigint"),
     )
     return r.where(F.col("rnk") <= 20).select(
@@ -1852,6 +1853,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = f.select(
         "freq",
         F.row_number()
+        # bounded: token vocabulary — Heaps-sublinear aggregate, not the token stream
         .over(Window.orderBy(F.desc("freq"), "token"))
         .cast("bigint")
         .alias("rnk"),
@@ -2934,6 +2936,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         exact.withColumn(
             "rn",
+            # bounded: bigram vocabulary — aggregate-sized, not the token stream
             F.row_number().over(Window.orderBy(F.desc("cnt"), "bigram")),
         )
         .where(F.col("rn") <= _MG_TOPN)
@@ -3733,6 +3736,7 @@ def q_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "f1_rank",
         F.row_number()
+        # bounded: threshold grid — 9 rows
         .over(Window.orderBy(F.desc(F.expr(_F1_EXPR)), "k"))
         .cast("bigint"),
     )
@@ -3814,6 +3818,7 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),
     )
+    # bounded: decile aggregate — 10 rows
     wc = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -4366,6 +4371,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "lift",
         F.row_number()
+        # bounded: bigram vocabulary — aggregate-sized, not the token stream
         .over(Window.orderBy(F.desc("lift"), "a", "b"))
         .alias("rn"),
     )
@@ -4453,6 +4459,7 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = f.select(
             "token",
             F.row_number()
+            # bounded: token vocabulary — Heaps-sublinear aggregate, not the token stream
             .over(Window.orderBy(F.desc("freq"), "token"))
             .cast("bigint")
             .alias("r"),
@@ -4575,6 +4582,7 @@ def q_token_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = s.select(
         "*",
         F.row_number()
+        # bounded: per-token ratio relation — vocabulary-sized aggregate
         .over(Window.orderBy(F.desc("ratio"), "token"))
         .alias("rn"),
     )
@@ -5012,6 +5020,7 @@ def q_dedup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
     )
+    # bounded: per-source aggregate — O(|sources|) rows
     wall = Window.partitionBy()
     j = (
         before.join(after, "source", "left")
