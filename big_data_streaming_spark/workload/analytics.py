@@ -14171,3 +14171,470 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(new_users AS DOUBLE) / CAST(dau AS DOUBLE) AS new_share",
         )
     )
+
+
+# --- time-constrained window funnel (round 6) --------------------------------
+# ClickHouse-windowFunnel semantics, EXISTENCE form: a user reaches step
+# 2 if ANY click falls within 3600 s strictly after ANY view, and step 3
+# if a purchase falls within 3600 s strictly after such a QUALIFIED
+# click (contrast q_funnel, which chains the EARLIEST anchors greedily
+# and can miss a valid later chain). Step predicates are per-user range
+# semi-joins on exact integer seconds; at 100 TB each is one shuffle on
+# user_id with per-user-bounded probe sets. All outputs are distinct-
+# user counts — exact integers.
+@_q(
+    "q_window_funnel",
+    """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events
+    ), v AS (SELECT user_id, s FROM e WHERE event_type = 'view'),
+    c AS (SELECT user_id, s FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, s FROM e WHERE event_type = 'purchase'),
+    qc AS (
+        SELECT DISTINCT c.user_id, c.s FROM c JOIN v
+          ON c.user_id = v.user_id AND c.s > v.s AND c.s <= v.s + 3600
+    ), s3 AS (
+        SELECT DISTINCT p.user_id FROM p JOIN qc
+          ON p.user_id = qc.user_id AND p.s > qc.s AND p.s <= qc.s + 3600
+    )
+    SELECT CAST(1 AS BIGINT) AS funnel_step,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM qc
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+    )
+    v = e.where(F.col("event_type") == "view").select("user_id", "s")
+    c = e.where(F.col("event_type") == "click").select("user_id", "s")
+    p = e.where(F.col("event_type") == "purchase").select("user_id", "s")
+    va = v.alias("v")
+    qc = (
+        c.alias("c")
+        .join(
+            va,
+            (F.col("c.user_id") == F.col("v.user_id"))
+            & (F.col("c.s") > F.col("v.s"))
+            & (F.col("c.s") <= F.col("v.s") + 3600),
+            "leftsemi",
+        )
+        .distinct()
+    )
+    s3 = (
+        p.alias("p")
+        .join(
+            qc.alias("q"),
+            (F.col("p.user_id") == F.col("q.user_id"))
+            & (F.col("p.s") > F.col("q.s"))
+            & (F.col("p.s") <= F.col("q.s") + 3600),
+            "leftsemi",
+        )
+        .select("user_id")
+        .distinct()
+    )
+    one = lambda df, step: df.agg(  # noqa: E731
+        F.lit(step).cast("bigint").alias("funnel_step"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    ).select("funnel_step", "n_users")
+    return one(v, 1).unionAll(one(qc, 2)).unionAll(one(s3, 3))
+
+
+# --- ordered-sequence match with exclusion (round 6) -------------------------
+# sequenceMatch('(?1)(?!3)(?2)'): does the user have a view followed by
+# a click with NO purchase strictly between? Exact reformulation that
+# needs no pair enumeration: a click matches iff the latest view/
+# purchase event before it (per-user (ts, event_id) order) is a view —
+# one PARTITIONED cumulative-max window per user, no global window, no
+# state object. Counts are distinct-user integers; share is one fixed
+# division.
+@_q(
+    "q_sequence_match",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), m AS (
+        SELECT user_id, event_type,
+               MAX(CASE WHEN event_type = 'view' THEN pos END) OVER w
+                   AS lastv,
+               MAX(CASE WHEN event_type = 'purchase' THEN pos END) OVER w
+                   AS lastp
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), per AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' AND lastv IS NOT NULL
+                         AND (lastp IS NULL OR lastv > lastp)
+                        THEN 1 ELSE 0 END) AS matched
+        FROM m GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(matched) AS BIGINT) AS n_matched,
+           CAST(SUM(matched) AS DOUBLE) / COUNT(*) AS match_share
+    FROM per
+    """,
+)
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = e.withColumn("pos", F.row_number().over(wu))
+    wprev = Window.partitionBy("user_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    m = pos.select(
+        "user_id",
+        "event_type",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("pos"))
+        ).over(wprev).alias("lastv"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("pos"))
+        ).over(wprev).alias("lastp"),
+    )
+    per = m.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("lastv").isNotNull()
+                & (F.col("lastp").isNull() | (F.col("lastv") > F.col("lastp"))),
+                1,
+            ).otherwise(0)
+        ).alias("matched")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("matched").cast("bigint").alias("n_matched"),
+        (F.sum("matched").cast("double") / F.count(F.lit(1))).alias(
+            "match_share"
+        ),
+    )
+
+
+# --- Mood's median test (round 6) --------------------------------------------
+# Nonparametric k-sample location test: split every value at the GLOBAL
+# lower median (selected, never interpolated — via the range-partitioned
+# ranker, plans/rank.py) and compare each event_type's above/below split
+# against its expected share. All counts are exact integers; the
+# expected count and standardized residual are one shared-text IEEE
+# expression per output row (no cross-row double sum).
+_MOOD_RES = (
+    "((CAST(n_above AS DOUBLE) - CAST(n_g * tot_above AS DOUBLE) / tot)"
+    " / sqrt(CAST(n_g * tot_above AS DOUBLE) / tot"
+    " * (1.0 - CAST(tot_above AS DOUBLE) / tot)))"
+)
+
+
+@_q(
+    "q_mood_median",
+    f"""
+    WITH v AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE value IS NOT NULL
+    ), r AS (
+        SELECT value,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM v
+    ), med AS (
+        SELECT value AS med FROM r WHERE rn = (n + 1) // 2
+    ), cls AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN value > med THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+               CAST(SUM(CASE WHEN value < med THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below,
+               CAST(SUM(CASE WHEN value = med THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tie,
+               CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM v CROSS JOIN med GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n_above) AS BIGINT) AS tot_above,
+               CAST(SUM(n_g) AS BIGINT) AS tot
+        FROM cls
+    )
+    SELECT event_type, n_g, n_above, n_below, n_tie,
+           {_MOOD_RES} AS residual
+    FROM cls CROSS JOIN tot
+    """,
+)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.plans.rank import global_rank
+
+    v = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    r = global_rank(
+        v.select("value", "event_id"),
+        ["value", "event_id"],
+        rank_col="rn",
+        total_col="n",
+    )
+    med = r.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("value").alias("med")
+    )
+    cls = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.sum(F.when(F.col("value") < F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(F.col("value") == F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tie"),
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        )
+    )
+    tot = cls.agg(
+        F.sum("n_above").cast("bigint").alias("tot_above"),
+        F.sum("n_g").cast("bigint").alias("tot"),
+    )
+    return cls.crossJoin(F.broadcast(tot)).selectExpr(
+        "event_type",
+        "n_g",
+        "n_above",
+        "n_below",
+        "n_tie",
+        f"{_MOOD_RES} AS residual",
+    )
+
+
+# --- MASE + tracking signal of the seasonal-naive forecast (round 6) ---------
+# Forecast-accuracy floor every model must beat, on the daily click
+# series: seasonal-naive (lag-7) absolute errors scaled by the in-sample
+# naive (lag-1) MAE, plus the cumulative-bias tracking signal. Sums of
+# absolute integer errors stay BIGINT; mase = sae7*n1 / (sae1*n7) and
+# ts = se7*n7 / sae7 are each ONE division over exact integer products.
+# Plan: one day aggregate (bounded O(days)) + two lag self-joins.
+@_q(
+    "q_mase",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), e1 AS (
+        SELECT a.x - b.x AS e FROM daily a JOIN daily b ON a.day = b.day + 1
+    ), e7 AS (
+        SELECT a.x - b.x AS e FROM daily a JOIN daily b ON a.day = b.day + 7
+    ), s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n1,
+               (SELECT CAST(SUM(ABS(e)) AS BIGINT) FROM e1) AS sae1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e7) AS n7,
+               (SELECT CAST(SUM(ABS(e)) AS BIGINT) FROM e7) AS sae7,
+               (SELECT CAST(SUM(e) AS BIGINT) FROM e7) AS se7
+    )
+    SELECT n1, sae1, n7, sae7, se7,
+           CAST(sae7 * n1 AS DOUBLE) / CAST(sae1 * n7 AS DOUBLE) AS mase,
+           CAST(se7 * n7 AS DOUBLE) / CAST(sae7 AS DOUBLE)
+               AS tracking_signal
+    FROM s
+    """,
+)
+def q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+
+    def errs(lag: int) -> DataFrame:
+        return a.join(
+            b, F.col("a.day") == F.col("b.day") + lag
+        ).select((F.col("a.x") - F.col("b.x")).alias("e"))
+
+    s1 = errs(1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum(F.abs(F.col("e"))).cast("bigint").alias("sae1"),
+    )
+    s7 = errs(7).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n7"),
+        F.sum(F.abs(F.col("e"))).cast("bigint").alias("sae7"),
+        F.sum("e").cast("bigint").alias("se7"),
+    )
+    return s1.crossJoin(s7).selectExpr(
+        "n1",
+        "sae1",
+        "n7",
+        "sae7",
+        "se7",
+        "CAST(sae7 * n1 AS DOUBLE) / CAST(sae1 * n7 AS DOUBLE) AS mase",
+        "CAST(se7 * n7 AS DOUBLE) / CAST(sae7 AS DOUBLE) AS tracking_signal",
+    )
+
+
+# --- Cox-Stuart trend sign test (round 6) ------------------------------------
+# The assumption-free trend check: pair day i with day i + n/2 and count
+# sign flips — a significant surplus of '+' means upward trend. Pairs
+# come from one integer-index self-join over the O(days) daily series
+# (bounded relation); the output is pure integer counts.
+@_q(
+    "q_cox_stuart",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ), pairs AS (
+        SELECT a.x AS xa, b.x AS xb
+        FROM idx a JOIN idx b ON b.i = a.i + a.n // 2
+        WHERE a.i <= a.n // 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN xb > xa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+           CAST(SUM(CASE WHEN xb < xa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minus,
+           CAST(SUM(CASE WHEN xb > xa THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN xb < xa THEN 1 ELSE 0 END) AS BIGINT)
+               AS trend_sign
+    FROM pairs
+    """,
+)
+def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    # bounded: daily series — O(days) rows
+    idx = daily.select(
+        "x",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(
+        b, F.col("b.i") == F.col("a.i") + F.expr("a.n DIV 2")
+    ).where(F.expr("a.i <= a.n DIV 2")).select(
+        F.col("a.x").alias("xa"), F.col("b.x").alias("xb")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("xb") > F.col("xa"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_plus"),
+        F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_minus"),
+        (
+            F.sum(F.when(F.col("xb") > F.col("xa"), 1).otherwise(0))
+            - F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("trend_sign"),
+    )
+
+
+# --- Grubbs outlier test on the daily series (round 6) -----------------------
+# Single-outlier test: G = max|x - mean| / sd over daily click counts.
+# The deviation is kept EXACT until the last op: |x*n - S| is a BIGINT
+# (so the argmax day is integer-selected, tie-broken by earliest day via
+# an integer equality join + MIN), and G = M / (n * sd) with sd from the
+# exact (n, S, Q) sufficient statistics — one shared-text IEEE chain.
+_GRUBBS_G = (
+    "(CAST(m AS DOUBLE) / (CAST(n AS DOUBLE)"
+    " * sqrt(CAST(n * q - s * s AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))))"
+)
+
+
+@_q(
+    "q_grubbs",
+    f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q
+        FROM daily
+    ), dev AS (
+        SELECT day, x, ABS(x * n - s) AS d FROM daily CROSS JOIN s
+    ), mx AS (
+        SELECT CAST(MAX(d) AS BIGINT) AS m FROM dev
+    )
+    SELECT s.n AS n_days,
+           (SELECT CAST(MIN(day) AS BIGINT) FROM dev, mx WHERE d = m)
+               AS suspect_day,
+           (SELECT CAST(MIN(x) AS BIGINT) FROM dev, mx WHERE d = m)
+               AS suspect_count,
+           {_GRUBBS_G} AS g_stat
+    FROM s CROSS JOIN mx
+    """,
+)
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    dev = daily.crossJoin(F.broadcast(s)).select(
+        "day", "x", F.abs(F.col("x") * F.col("n") - F.col("s")).alias("d")
+    )
+    mx = dev.agg(F.max("d").cast("bigint").alias("m"))
+    pick = (
+        dev.join(F.broadcast(mx), F.col("d") == F.col("m"))
+        .agg(
+            F.min("day").cast("bigint").alias("suspect_day"),
+            F.min("x").cast("bigint").alias("suspect_count"),
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(pick))
+        .selectExpr(
+            "n AS n_days",
+            "suspect_day",
+            "suspect_count",
+            f"{_GRUBBS_G} AS g_stat",
+        )
+    )

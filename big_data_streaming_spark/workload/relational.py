@@ -4389,3 +4389,79 @@ def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_orders").over(wall).cast("double")
         ).alias("cum_share"),
     )
+
+
+# --- frequent 3-itemsets from order baskets (round 6) ------------------------
+# The Apriori step above q_assoc_rules' pairs: distinct parts per order
+# form a basket (≤7 items on this schema), triples come from a double
+# per-basket self-join with p1 < p2 < p3 — the candidate count per
+# basket is C(|basket|, 3) ≤ 35, so the expansion is per-basket-bounded
+# at any corpus size (never |parts|³). Support counts are exact
+# integers; the top-20 selection is sort+limit (TakeOrderedAndProject),
+# with the rank confined to the bounded 20-row result.
+@_q(
+    "q_basket_triples",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), triples AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        JOIN items c ON b.l_orderkey = c.l_orderkey
+                    AND b.l_partkey < c.l_partkey
+    ), sup AS (
+        SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS support
+        FROM triples GROUP BY 1, 2, 3
+    ), top AS (
+        SELECT * FROM sup ORDER BY support DESC, p1, p2, p3 LIMIT 20
+    )
+    SELECT p1, p2, p3, support,
+           CAST(ROW_NUMBER() OVER (ORDER BY support DESC, p1, p2, p3)
+                AS BIGINT) AS rank
+    FROM top
+    """,
+)
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("b.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+            F.col("c.l_partkey").alias("p3"),
+        )
+    )
+    sup = triples.groupBy("p1", "p2", "p3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+    # top-20 selection: sort+limit plans as TakeOrderedAndProject
+    top = sup.orderBy(F.desc("support"), "p1", "p2", "p3").limit(20)
+    # bounded: rank over the 20-row top-k relation
+    return top.select(
+        "p1",
+        "p2",
+        "p3",
+        "support",
+        F.row_number()
+        .over(Window.orderBy(F.desc("support"), "p1", "p2", "p3"))
+        .cast("bigint")
+        .alias("rank"),
+    )

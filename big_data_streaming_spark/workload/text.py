@@ -5313,3 +5313,51 @@ def q_dup_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sz * n_clusters AS BIGINT) AS n_docs",
         "CAST((sz - 1) * n_clusters AS BIGINT) AS n_removable",
     )
+
+
+# --- Yule's K vocabulary-richness characteristic (round 6) -------------------
+# The repetitiveness constant text-quality pipelines use beside Heaps'
+# law (q_heaps_curve) and hapax share (q_hapax): K = 10^4 * (Σ m²V(m) −
+# N) / N² over the whitespace-token frequency spectrum, where V(m) is
+# the number of vocabulary items occurring exactly m times. Σ m²V(m) is
+# just the sum of squared token frequencies — ONE combinable bigint
+# aggregate over the (token → freq) relation; K is one shared-text
+# division. Plan: explode → token count (map-side combinable) → 1-row
+# fold; nothing corpus-sized is sorted or windowed.
+@_q(
+    "q_yule_k",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), f AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c * c) AS BIGINT) AS sum_m2,
+           10000.0 * (CAST(SUM(c * c) AS DOUBLE) - CAST(SUM(c) AS DOUBLE))
+               / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+               AS yule_k
+    FROM f
+    """,
+)
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return f.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_m2"),
+        (
+            F.lit(10000.0)
+            * (
+                F.sum(F.col("c") * F.col("c")).cast("double")
+                - F.sum("c").cast("double")
+            )
+            / (F.sum("c").cast("double") * F.sum("c").cast("double"))
+        ).alias("yule_k"),
+    )
