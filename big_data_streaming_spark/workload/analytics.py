@@ -14638,3 +14638,206 @@ def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_GRUBBS_G} AS g_stat",
         )
     )
+
+
+# --- Ansari-Bradley scale test (round 6) -------------------------------------
+# Rank-based dispersion comparison of click vs view values: pooled
+# ranks under the (value, event_id) total order fold inward as
+# min(rank, n+1-rank) — small scores at the extremes, large in the
+# middle — and each group's score sum is compared to its null
+# expectation. The pooled rank rides the range-partitioned ranker
+# (plans/rank.py); scores and sums are exact BIGINTs; the expectation
+# is one shared-text CASE (even/odd n). (Textbook midrank tie handling
+# is replaced by the deterministic total order — documented deviation,
+# identical in both engines.)
+_AB_EXP = (
+    "(CASE WHEN n % 2 = 0"
+    " THEN CAST(n_g AS DOUBLE) * (n + 2) / 4.0"
+    " ELSE CAST(n_g AS DOUBLE) * (n + 1) * (n + 1) / (4.0 * n) END)"
+)
+
+
+@_q(
+    "q_ansari_bradley",
+    f"""
+    WITH v AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ), r AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM v
+    ), s AS (
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(LEAST(rn, n + 1 - rn)) AS BIGINT) AS ab_sum
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_g, ab_sum,
+           {_AB_EXP} AS expected_sum,
+           CAST(ab_sum AS DOUBLE) - {_AB_EXP} AS deviation
+    FROM s
+    """,
+)
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select("event_type", "value", "event_id")
+    )
+    r = global_rank(
+        v, ["value", "event_id"], rank_col="rn", total_col="n"
+    ).select("event_type", "rn", "n")
+    s = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.least(F.col("rn"), F.col("n") + 1 - F.col("rn")))
+        .cast("bigint")
+        .alias("ab_sum"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "n_g",
+        "ab_sum",
+        f"{_AB_EXP} AS expected_sum",
+        f"CAST(ab_sum AS DOUBLE) - {_AB_EXP} AS deviation",
+    )
+
+
+# --- Page's L trend test over week blocks (round 6) --------------------------
+# Ordered-alternatives test: within each COMPLETE week (all 7 days
+# present), rank the daily click counts 1..7 (ties broken by day of
+# week — deterministic total order); Page's L = Σ_dow (dow+1) · R_dow
+# where R_dow is the rank sum across weeks. Every rank window is
+# PARTITIONED by week; the output is pure integers.
+@_q(
+    "q_page_trend",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), wk AS (
+        SELECT day // 7 AS week, day % 7 AS dow, x FROM daily
+    ), full_weeks AS (
+        SELECT week FROM wk GROUP BY week HAVING COUNT(*) = 7
+    ), ranked AS (
+        SELECT w.week, w.dow,
+               ROW_NUMBER() OVER (PARTITION BY w.week
+                                  ORDER BY w.x, w.dow) AS r
+        FROM wk w JOIN full_weeks USING (week)
+    ), sums AS (
+        SELECT dow, CAST(SUM(r) AS BIGINT) AS rank_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks
+        FROM ranked GROUP BY dow
+    )
+    SELECT CAST(MAX(n_weeks) AS BIGINT) AS n_weeks,
+           CAST(SUM((dow + 1) * rank_sum) AS BIGINT) AS page_l
+    FROM sums
+    """,
+)
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    wk = daily.selectExpr("day DIV 7 AS week", "day % 7 AS dow", "x")
+    full_weeks = wk.groupBy("week").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 7
+    ).select("week")
+    ranked = wk.join(full_weeks, "week").select(
+        "week",
+        "dow",
+        F.row_number()
+        .over(Window.partitionBy("week").orderBy("x", "dow"))
+        .alias("r"),
+    )
+    sums = ranked.groupBy("dow").agg(
+        F.sum("r").cast("bigint").alias("rank_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+    )
+    return sums.agg(
+        F.max("n_weeks").cast("bigint").alias("n_weeks"),
+        F.sum((F.col("dow") + 1) * F.col("rank_sum"))
+        .cast("bigint")
+        .alias("page_l"),
+    )
+
+
+# --- Hodges-Lehmann location estimator (round 6) -----------------------------
+# The robust pseudo-median of the daily click series: the median of all
+# Walsh averages (x_i + x_j)/2, i <= j. Pair sums stay BIGINT; the
+# median SUM is SELECTED under the (s, i, j) total order (lower middle)
+# and the single division by 2 happens last — so the estimate is exact.
+# Pairs come from an O(days²) self-join — bounded at any corpus size.
+@_q(
+    "q_hodges_lehmann",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), pairs AS (
+        SELECT a.x + b.x AS s, a.day AS i, b.day AS j
+        FROM daily a JOIN daily b ON a.day <= b.day
+    ), r AS (
+        SELECT s,
+               ROW_NUMBER() OVER (ORDER BY s, i, j) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM pairs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN s END) AS DOUBLE) / 2.0
+               AS hl_estimate
+    FROM r
+    """,
+)
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day") <= F.col("b.day")).select(
+        (F.col("a.x") + F.col("b.x")).alias("s"),
+        F.col("a.day").alias("i"),
+        F.col("b.day").alias("j"),
+    )
+    # bounded: Walsh-average pairs of the daily series — O(days²) rows
+    r = pairs.select(
+        "s",
+        F.row_number().over(Window.orderBy("s", "i", "j")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        r.agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            (
+                F.max(
+                    F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("s"))
+                ).cast("double")
+                / 2.0
+            ).alias("hl_estimate"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select("n_days", "n_pairs", "hl_estimate")
+    )

@@ -212,3 +212,146 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").cast("bigint").alias("d2_us"),
         "n_candidates",
     )
+
+
+# --- grid-cell hotspot detection (round 6) ----------------------------------
+# The Getis-Ord-flavoured local density scan on the 10° grid: a cell is
+# a hotspot candidate when it holds >= 5 points; its 3×3-neighborhood
+# mass is compared against the global mean cell count. The neighborhood
+# sum is a 9-row broadcast offset grid joined on the CELL key (never a
+# point-level join); all counts are exact integers and both ratios are
+# single fixed divisions. Output is O(|hot cells|). At 100 TB: one cell
+# aggregate + one cell-key join — the q_geo_knn candidate discipline
+# applied to density analytics.
+@_q(
+    "q_geo_hotspots",
+    f"""
+    WITH pts AS ({_POINTS_SQL}),
+    cells AS (
+        SELECT cell_lat, cell_lon, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2
+    ), g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n) AS BIGINT) AS n_points
+        FROM cells
+    ), offs AS (
+        SELECT dx.x AS dx, dy.x AS dy
+        FROM (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(x)
+    ), neigh AS (
+        SELECT a.cell_lat, a.cell_lon, a.n,
+               CAST(SUM(b.n) AS BIGINT) AS neigh_n
+        FROM cells a
+        JOIN offs ON TRUE
+        JOIN cells b ON b.cell_lat = a.cell_lat + offs.dx
+                    AND b.cell_lon = a.cell_lon + offs.dy
+        GROUP BY 1, 2, 3
+    )
+    SELECT neigh.cell_lat, neigh.cell_lon, neigh.n, neigh.neigh_n,
+           CAST(neigh.n * g.n_cells AS DOUBLE) / CAST(g.n_points AS DOUBLE)
+               AS density_ratio,
+           CAST(neigh.neigh_n * g.n_cells AS DOUBLE)
+               / CAST(9 * g.n_points AS DOUBLE) AS neigh_density_ratio
+    FROM neigh CROSS JOIN g
+    WHERE neigh.n >= 5
+    """,
+)
+def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _points(spark, sf_dir)
+        .groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    g = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_points"),
+    )
+    offs = F.broadcast(
+        cells.sparkSession.createDataFrame(
+            [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+            "dx long, dy long",
+        )
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    neigh = (
+        a.crossJoin(offs)
+        .join(
+            b,
+            (F.col("b.cell_lat") == F.col("a.cell_lat") + F.col("dx"))
+            & (F.col("b.cell_lon") == F.col("a.cell_lon") + F.col("dy")),
+        )
+        .groupBy("a.cell_lat", "a.cell_lon", "a.n")
+        .agg(F.sum("b.n").cast("bigint").alias("neigh_n"))
+    )
+    return (
+        neigh.where(F.col("n") >= 5)
+        .crossJoin(F.broadcast(g))
+        .selectExpr(
+            "cell_lat",
+            "cell_lon",
+            "n",
+            "neigh_n",
+            "CAST(n * n_cells AS DOUBLE) / CAST(n_points AS DOUBLE)"
+            " AS density_ratio",
+            "CAST(neigh_n * n_cells AS DOUBLE)"
+            " / CAST(9 * n_points AS DOUBLE) AS neigh_density_ratio",
+        )
+    )
+
+
+# --- multi-resolution zoom-pyramid rollup (round 6) --------------------------
+# The tile-pyramid shape every map backend precomputes: the same point
+# set aggregated at 10°, 30° and 90° cells in one pass. Coarser cells
+# are pure integer floor-divisions of the micro-degree position, so the
+# three resolutions are one union of three map-side-combinable
+# aggregates (at scale: grouping-sets style, one scan). Balance rolls
+# up in exact cents.
+@_q(
+    "q_geo_multires",
+    f"""
+    WITH pts AS ({_POINTS_SQL})
+    SELECT CAST(10 AS BIGINT) AS res_deg,
+           (lat_us + 90000000) // 10000000 AS cell_lat,
+           (lon_us + 180000000) // 10000000 AS cell_lon,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM pts GROUP BY 2, 3
+    UNION ALL
+    SELECT CAST(30 AS BIGINT),
+           (lat_us + 90000000) // 30000000,
+           (lon_us + 180000000) // 30000000,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+    FROM pts GROUP BY 2, 3
+    UNION ALL
+    SELECT CAST(90 AS BIGINT),
+           (lat_us + 90000000) // 90000000,
+           (lon_us + 180000000) // 90000000,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+    FROM pts GROUP BY 2, 3
+    """,
+)
+def q_geo_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    out = None
+    for res in (10, 30, 90):
+        us = res * 1_000_000
+        part = pts.groupBy(
+            F.expr(f"(lat_us + 90000000) div {us}").alias("cell_lat"),
+            F.expr(f"(lon_us + 180000000) div {us}").alias("cell_lon"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("balance_cents"),
+        ).select(
+            F.lit(res).cast("bigint").alias("res_deg"),
+            "cell_lat",
+            "cell_lon",
+            "n_customers",
+            "balance_cents",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

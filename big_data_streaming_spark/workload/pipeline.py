@@ -1925,3 +1925,60 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("src_rank"),
         F.col("g_chars").alias("normalized_chars"),
     )
+
+
+# --- context-length packing plan (round 6) -----------------------------------
+# The capacity planner ahead of q_pack_sequences: for each candidate
+# context length L, how many training sequences does naive per-document
+# chunking need, and how much padding does it waste? ceil-division keeps
+# everything integer (ceil(a/b) = (a+b-1) div b for positive ints);
+# utilization is one fixed division. Plan: one per-doc token count ×
+# broadcast 4-row L grid → one (L) aggregate; the text never moves.
+@_q(
+    "q_context_plan",
+    """
+    WITH toks AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        FROM documents
+    ), grid AS (
+        SELECT CAST(g.x AS BIGINT) AS ctx_len
+        FROM (VALUES (64), (128), (256), (512)) g(x)
+    )
+    SELECT ctx_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM((nt + ctx_len - 1) // ctx_len) AS BIGINT) AS n_chunks,
+           CAST(SUM((nt + ctx_len - 1) // ctx_len) * ctx_len
+                - SUM(nt) AS BIGINT) AS padding_tokens,
+           CAST(SUM(nt) AS DOUBLE)
+               / CAST(SUM((nt + ctx_len - 1) // ctx_len) * ctx_len AS DOUBLE)
+               AS utilization
+    FROM toks CROSS JOIN grid GROUP BY ctx_len
+    """,
+)
+def q_context_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("bigint").alias("nt")
+    )
+    grid = F.broadcast(
+        toks.sparkSession.createDataFrame(
+            [(64,), (128,), (256,), (512,)], "ctx_len long"
+        )
+    )
+    chunks = F.expr("(nt + ctx_len - 1) DIV ctx_len")
+    return (
+        toks.crossJoin(grid)
+        .groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.sum(chunks).cast("bigint").alias("n_chunks"),
+            (F.sum(chunks) * F.first("ctx_len") - F.sum("nt"))
+            .cast("bigint")
+            .alias("padding_tokens"),
+            (
+                F.sum("nt").cast("double")
+                / (F.sum(chunks) * F.first("ctx_len")).cast("double")
+            ).alias("utilization"),
+        )
+    )

@@ -2203,3 +2203,93 @@ def q_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_ratio"),
         F.round(F.max("ratio"), 9).alias("max_ratio"),
     )
+
+
+# --- per-label centroid outliers, exact integer L1 (round 6) -----------------
+# The embedding-quality scan a training pipeline runs on labeled
+# clusters: which vectors sit farthest from their label centroid?
+# Exactness at the float boundary: dims quantize to integer micro-units
+# (floor(x·1e6 + 0.5), the q_embed_dimstats idiom), the centroid is
+# held as the RATIONAL (S_dim, n) pair, and the scaled L1 distance
+# Σ_dim |q·n − S_dim| is a pure BIGINT (≤ 64 · 2q·n ≈ 1.7e11 at sf1 —
+# far inside int64; the L2 square would overflow, which is why this is
+# the L1 audit). Top-3 per label via a PARTITIONED rank. Plan: explode
+# to (label, dim) partials (64·|labels| rows), broadcast back, one
+# vector-level aggregate.
+@_q(
+    "q_embed_outliers",
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ), d AS (
+        SELECT vec_id, label, unnest(qv) AS v,
+               generate_subscripts(qv, 1) AS i
+        FROM q
+    ), s AS (
+        SELECT label, i, CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY 1, 2
+    ), dist AS (
+        SELECT d.vec_id, d.label,
+               CAST(SUM(ABS(d.v * s.n - s.sv)) AS BIGINT) AS l1q,
+               CAST(MAX(s.n) AS BIGINT) AS n
+        FROM d JOIN s ON d.label = s.label AND d.i = s.i
+        GROUP BY 1, 2
+    )
+    SELECT label, vec_id, l1q,
+           CAST(l1q AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+               AS l1_distance,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY l1q DESC, vec_id) AS rk
+        FROM dist
+    ) WHERE rk <= 3
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    d = q.select(
+        "vec_id", "label", F.posexplode("qv").alias("i0", "v")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "v")
+    s = d.groupBy("label", "i").agg(
+        F.sum("v").cast("bigint").alias("sv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dist = (
+        d.join(F.broadcast(s), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.abs(F.col("v") * F.col("n") - F.col("sv")))
+            .cast("bigint")
+            .alias("l1q"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    rk = dist.select(
+        "label",
+        "vec_id",
+        "l1q",
+        (F.col("l1q").cast("double") / (F.col("n").cast("double") * 1e6)).alias(
+            "l1_distance"
+        ),
+        F.row_number()
+        .over(Window.partitionBy("label").orderBy(F.desc("l1q"), "vec_id"))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return rk.where(F.col("rank") <= 3)

@@ -5361,3 +5361,177 @@ def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c").cast("double") * F.sum("c").cast("double"))
         ).alias("yule_k"),
     )
+
+
+# --- character-class profile per source (round 6) ----------------------------
+# The encoding/noise audit a corpus intake runs first: per source, how
+# many characters are letters / digits / spaces / other. Counts come
+# from LENGTH differences after class-targeted regexp_replace removal —
+# exact integers in both engines (DuckDB needs the 'g' flag for global
+# replace; Spark is global by default). Ratios are single fixed
+# divisions. Plan: per-row map work + one source aggregate — fully
+# combinable, nothing corpus-sized shuffled.
+@_q(
+    "q_char_class_profile",
+    """
+    WITH per AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS total,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS BIGINT) AS letters,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS BIGINT) AS digits,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[ ]', '', 'g'))
+                    AS BIGINT) AS spaces
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(total) AS BIGINT) AS n_chars,
+           CAST(SUM(letters) AS BIGINT) AS n_letters,
+           CAST(SUM(digits) AS BIGINT) AS n_digits,
+           CAST(SUM(spaces) AS BIGINT) AS n_spaces,
+           CAST(SUM(total - letters - digits - spaces) AS BIGINT) AS n_other,
+           CAST(SUM(letters) AS DOUBLE) / CAST(SUM(total) AS DOUBLE)
+               AS letter_share
+    FROM per GROUP BY source
+    """,
+)
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = lambda pat: (  # noqa: E731
+        F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+    ).cast("bigint")
+    per = t(spark, sf_dir, "documents").select(
+        "source",
+        F.length("text").cast("bigint").alias("total"),
+        n("[A-Za-z]").alias("letters"),
+        n("[0-9]").alias("digits"),
+        n("[ ]").alias("spaces"),
+    )
+    return per.groupBy("source").agg(
+        F.sum("total").cast("bigint").alias("n_chars"),
+        F.sum("letters").cast("bigint").alias("n_letters"),
+        F.sum("digits").cast("bigint").alias("n_digits"),
+        F.sum("spaces").cast("bigint").alias("n_spaces"),
+        F.sum(
+            F.col("total") - F.col("letters") - F.col("digits")
+            - F.col("spaces")
+        )
+        .cast("bigint")
+        .alias("n_other"),
+        (F.sum("letters").cast("double") / F.sum("total").cast("double")).alias(
+            "letter_share"
+        ),
+    )
+
+
+# --- tokenizer fertility per language (round 6) ------------------------------
+# The capacity metric behind context-length budgeting: characters per
+# whitespace token and tokens per 100 characters, per language. All
+# sufficient statistics are exact integers; each ratio is one fixed
+# division. Plan: one per-row token count + one lang aggregate.
+@_q(
+    "q_tokenizer_fertility",
+    """
+    WITH per AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS chars_per_token,
+           100.0 * CAST(SUM(n_tokens) AS DOUBLE)
+               / CAST(SUM(n_chars) AS DOUBLE) AS tokens_per_100_chars
+    FROM per GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        (
+            F.sum("n_chars").cast("double") / F.sum("n_tokens").cast("double")
+        ).alias("chars_per_token"),
+        (
+            F.lit(100.0)
+            * F.sum("n_tokens").cast("double")
+            / F.sum("n_chars").cast("double")
+        ).alias("tokens_per_100_chars"),
+    )
+
+
+# --- Fleiss' kappa over three quality raters (round 6) -----------------------
+# Inter-rater agreement of three deterministic binary quality heuristics
+# (length > 400 chars, contains a period, > 60 whitespace tokens) — the
+# audit a labeling pipeline runs before trusting majority votes. With
+# n = 3 raters and 2 categories, every sufficient statistic is an exact
+# integer: per doc, c = yes-votes ∈ {0..3}; Σ[c(c−1) + (3−c)(2−c)] and
+# Σc are BIGINTs; kappa = (P̄ − Pe)/(1 − Pe) is ONE shared-text chain
+# over them. Plan: per-row flags + one global aggregate.
+_FK_PBAR = "(CAST(sp AS DOUBLE) / (6.0 * n_docs))"
+_FK_PY = "(CAST(sc AS DOUBLE) / (3.0 * n_docs))"
+_FK_PE = f"({_FK_PY} * {_FK_PY} + (1.0 - {_FK_PY}) * (1.0 - {_FK_PY}))"
+_FK_KAPPA = f"(({_FK_PBAR} - {_FK_PE}) / (1.0 - {_FK_PE}))"
+
+
+@_q(
+    "q_fleiss_kappa",
+    f"""
+    WITH votes AS (
+        SELECT (CASE WHEN length(text) > 400 THEN 1 ELSE 0 END
+              + CASE WHEN text LIKE '%.%' THEN 1 ELSE 0 END
+              + CASE WHEN len(string_split(text, ' ')) > 60
+                     THEN 1 ELSE 0 END) AS c
+        FROM documents
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(c * (c - 1) + (3 - c) * (2 - c)) AS BIGINT) AS sp
+        FROM votes
+    )
+    SELECT n_docs, sc, sp,
+           {_FK_PBAR} AS p_bar,
+           {_FK_PE} AS p_expected,
+           {_FK_KAPPA} AS fleiss_kappa
+    FROM s
+    """,
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    votes = t(spark, sf_dir, "documents").select(
+        (
+            F.when(F.length("text") > 400, 1).otherwise(0)
+            + F.when(F.col("text").like("%.%"), 1).otherwise(0)
+            + F.when(F.size(F.split("text", " ")) > 60, 1).otherwise(0)
+        ).alias("c")
+    )
+    s = votes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(
+            F.col("c") * (F.col("c") - 1)
+            + (3 - F.col("c")) * (2 - F.col("c"))
+        )
+        .cast("bigint")
+        .alias("sp"),
+    )
+    return s.selectExpr(
+        "n_docs",
+        "sc",
+        "sp",
+        f"{_FK_PBAR} AS p_bar",
+        f"{_FK_PE} AS p_expected",
+        f"{_FK_KAPPA} AS fleiss_kappa",
+    )
