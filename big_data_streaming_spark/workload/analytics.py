@@ -14841,3 +14841,63 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .select("n_days", "n_pairs", "hl_estimate")
     )
+
+
+# --- exact Gini coefficient of customer revenue (round 6) --------------------
+# The single-number inequality headline above q_lorenz_deciles' curve:
+# G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over per-customer revenue cents,
+# ranked ascending by (cents, custkey) via the range-partitioned ranker
+# (plans/rank.py). Σ rank·x stays BIGINT at the gate scales (~1e14 at
+# sf0.1; route it through DECIMAL(38,0) partials beyond ~sf10 — noted,
+# the formula is unchanged); G is one shared-text division chain.
+_GINI_G = (
+    "((2.0 * CAST(w AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_gini_revenue",
+    f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn
+        FROM rev
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(rn * cents) AS BIGINT) AS w
+        FROM r
+    )
+    SELECT n AS n_customers, s AS total_cents, w AS rank_weighted_cents,
+           {_GINI_G} AS gini
+    FROM s
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = global_rank(rev, ["cents", "o_custkey"], rank_col="rn")
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("rn") * F.col("cents")).cast("bigint").alias("w"),
+    )
+    return s.selectExpr(
+        "n AS n_customers",
+        "s AS total_cents",
+        "w AS rank_weighted_cents",
+        f"{_GINI_G} AS gini",
+    )

@@ -355,3 +355,60 @@ def q_geo_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+# --- bounding-box query with cell prefilter (round 6) ------------------------
+# The basic spatial read path: count and aggregate the points inside a
+# fixed lat/lon box. The predicate is written cell-first (coarse integer
+# cell range) then exact micro-degree bounds — at scale the cell range
+# prunes grid-partitioned files before any row is read, the same
+# two-stage discipline as q_geo_knn's candidate join. Exact integer
+# bounds and cents rollup.
+_BBOX = dict(lat_lo=-30_000_000, lat_hi=30_000_000,
+             lon_lo=0, lon_hi=90_000_000)
+
+
+@_q(
+    "q_geo_bbox",
+    f"""
+    WITH pts AS ({_POINTS_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(lat_us) AS BIGINT) AS min_lat_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_lat_us,
+           CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM pts
+    WHERE cell_lat BETWEEN ({_BBOX['lat_lo']} + 90000000) // {_CELL_SIZE_US}
+                       AND ({_BBOX['lat_hi']} + 90000000) // {_CELL_SIZE_US}
+      AND cell_lon BETWEEN ({_BBOX['lon_lo']} + 180000000) // {_CELL_SIZE_US}
+                       AND ({_BBOX['lon_hi']} + 180000000) // {_CELL_SIZE_US}
+      AND lat_us BETWEEN {_BBOX['lat_lo']} AND {_BBOX['lat_hi']}
+      AND lon_us BETWEEN {_BBOX['lon_lo']} AND {_BBOX['lon_hi']}
+    """,
+)
+def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _BBOX
+    cs = _CELL_SIZE_US
+    return (
+        _points(spark, sf_dir)
+        .where(
+            F.col("cell_lat").between(
+                (b["lat_lo"] + 90_000_000) // cs,
+                (b["lat_hi"] + 90_000_000) // cs,
+            )
+            & F.col("cell_lon").between(
+                (b["lon_lo"] + 180_000_000) // cs,
+                (b["lon_hi"] + 180_000_000) // cs,
+            )
+            & F.col("lat_us").between(b["lat_lo"], b["lat_hi"])
+            & F.col("lon_us").between(b["lon_lo"], b["lon_hi"])
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("lat_us").cast("bigint").alias("min_lat_us"),
+            F.max("lat_us").cast("bigint").alias("max_lat_us"),
+            F.sum(F.expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("balance_cents"),
+        )
+    )

@@ -4465,3 +4465,55 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank"),
     )
+
+
+# --- per-day incremental checksums (round 6) ---------------------------------
+# The partition-level integrity ledger an incremental sync diffs before
+# copying anything: per order day, row count plus order-insensitive
+# SUM and XOR digests of the canonicalized row text (the
+# q_table_checksum md5 idiom, grouped). A changed day flips its digest;
+# unchanged days need no re-read. Exact integers; one (day) aggregate,
+# map-side combinable.
+_DC_CANON = (
+    "concat_ws('|', CAST(o_orderkey AS STRING),"
+    " CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT) AS STRING),"
+    " o_orderstatus)"
+)
+_DC_CANON_DUCK = (
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR),"
+    " CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT) AS VARCHAR),"
+    " o_orderstatus)"
+)
+_DC_MOD = 1 << 40
+
+
+@_q(
+    "q_day_checksums",
+    f"""
+    WITH rows_ AS (
+        SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+               CAST('0x' || substr(md5({_DC_CANON_DUCK}), 1, 10) AS BIGINT)
+                   AS h
+        FROM orders
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h % {_DC_MOD}) AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+    FROM rows_ GROUP BY day
+    """,
+)
+def q_day_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)"
+        ).alias("day"),
+        F.conv(F.substring(F.md5(F.expr(_DC_CANON)), 1, 10), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    return rows.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("h") % _DC_MOD).cast("bigint").alias("checksum_sum"),
+        F.expr("CAST(bit_xor(h) AS BIGINT)").alias("checksum_xor"),
+    )

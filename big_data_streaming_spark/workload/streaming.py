@@ -2096,3 +2096,120 @@ def q_state_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "live_keys * (8 + 8 + 48) <= 67108864 AS fits_64mb",
         )
     )
+
+
+# --- exponentially decayed streaming top-k (round 6) -------------------------
+# The trending-items primitive: per-type counts where each older
+# micro-batch's contribution halves — computed as a REAL 4-micro-batch
+# drain (maxFilesPerTrigger=1 over the staged contiguous splits).
+# Decay is EXACT fixed-point: batch at recency index i (0 = oldest)
+# contributes count·2^i, so the decayed weight is a pure BIGINT and the
+# oracle replays the identical batch split arithmetically (the
+# q_stream_imr slice contract). foreachBatch collects only the bounded
+# (batch_key, event_type, count) frame — 4·|types| rows.
+def _sdt_oracle() -> str:
+    return """
+    WITH r AS (
+        SELECT event_id, event_type,
+               row_number() OVER (ORDER BY event_id) - 1 AS rn
+        FROM events
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events
+    ), p AS (
+        SELECT event_type, rn // ((nn.total + 3) // 4) AS part
+        FROM r, nn
+    ), b AS (
+        SELECT part, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM p GROUP BY 1, 2
+    ), w AS (
+        SELECT event_type, c,
+               CASE part WHEN 0 THEN 1 WHEN 1 THEN 2
+                         WHEN 2 THEN 4 ELSE 8 END AS wt
+        FROM b
+    ), agg AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS raw_count,
+               CAST(SUM(c * wt) AS BIGINT) AS decayed_weight
+        FROM w GROUP BY event_type
+    )
+    SELECT event_type, raw_count, decayed_weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY decayed_weight DESC, event_type)
+                AS BIGINT) AS rank
+    FROM agg QUALIFY rank <= 3
+    """
+
+
+@_q("q_stream_decay_topk", _sdt_oracle())
+def q_stream_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    state: list[tuple[int, str, int]] = []
+
+    def absorb(bdf: DataFrame, batch_id: int) -> None:
+        rows = (
+            bdf.groupBy("event_type")
+            .agg(
+                F.min("event_id").cast("bigint").alias("bk"),
+                F.count(F.lit(1)).cast("bigint").alias("c"),
+            )
+            .collect()
+        )
+        if not rows:
+            return
+        batch_key = min(r.bk for r in rows)
+        state.extend((batch_key, r.event_type, r.c) for r in rows)
+
+    q = (
+        sdf.writeStream.foreachBatch(absorb)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(),
+                f"bdss_sdt_ckpt_{uuid.uuid4().hex[:8]}",
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per = spark.createDataFrame(
+        state, "batch_key bigint, event_type string, c bigint"
+    )
+    # bounded: batch index over the 4 collected micro-batch keys
+    idx = per.select(
+        "event_type",
+        "c",
+        (F.dense_rank().over(Window.orderBy("batch_key")) - 1).alias("i"),
+    )
+    agg = idx.selectExpr(
+        "event_type",
+        "c",
+        "CASE i WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS wt",
+    ).groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("raw_count"),
+        F.sum(F.col("c") * F.col("wt")).cast("bigint").alias("decayed_weight"),
+    )
+    # bounded: rank over the |event_type| aggregate (≤5 rows)
+    return (
+        agg.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("decayed_weight"), "event_type"))
+            .cast("bigint"),
+        )
+        .where(F.col("rank") <= 3)
+    )

@@ -5535,3 +5535,205 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_FK_PE} AS p_expected",
         f"{_FK_KAPPA} AS fleiss_kappa",
     )
+
+
+# --- per-language stopword profile (round 6) ---------------------------------
+# Corpus-level function-word statistics per language: total tokens,
+# stopword hits against the shared _STOPWORDS list, the share, and the
+# single most frequent stopword (count-desc, token-asc tie break) — the
+# separation table a heuristic language-ID audit reads. All counts are
+# exact integers off one (lang, token) aggregate; the argmax ranks the
+# bounded lang×stopword relation.
+@_q(
+    "q_stopword_profile",
+    f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tot AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok
+        GROUP BY lang
+    ), sw AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE list_contains({_SW_SQL}, token)
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n_stop FROM sw GROUP BY lang
+    ), top AS (
+        SELECT lang, token AS top_stopword
+        FROM sw QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY c DESC, token) = 1
+    )
+    SELECT tot.lang, tot.n_tokens,
+           COALESCE(agg.n_stop, 0) AS n_stop,
+           CAST(COALESCE(agg.n_stop, 0) AS DOUBLE) / tot.n_tokens
+               AS stop_share,
+           top.top_stopword
+    FROM tot
+    LEFT JOIN agg ON tot.lang = agg.lang
+    LEFT JOIN top ON tot.lang = top.lang
+    """,
+)
+def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    tot = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    sw = (
+        tok.where(F.col("token").isin(*_STOPWORDS))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = sw.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_stop"))
+    # bounded: lang × stopword relation — ≤ |langs|·10 rows
+    top = sw.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("c"), "token")
+        ),
+    ).where(F.col("rn") == 1).select("lang", F.col("token").alias("top_stopword"))
+    return (
+        tot.join(agg, "lang", "left")
+        .join(top, "lang", "left")
+        .select(
+            "lang",
+            "n_tokens",
+            F.coalesce("n_stop", F.lit(0)).cast("bigint").alias("n_stop"),
+            (
+                F.coalesce("n_stop", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("stop_share"),
+            "top_stopword",
+        )
+    )
+
+
+# --- most anomalous document length per source (round 6) ---------------------
+# The per-source length-anomaly report. A fixed z cut is structurally
+# vacuous on this near-uniform fixture (max |z| ≈ 2), so the operator
+# SELECTS each source's most extreme document instead — never empty at
+# any scale. The selection is fully integer: deviation |x·n − S| is a
+# BIGINT, the per-source argmax is an integer max joined back with a
+# MIN(doc_id) tie break; only the REPORTED z is a shared-text double
+# over the exact (n, S, Q) statistics. Plan: one source aggregate + two
+# integer-equality joins — no sort, no window.
+_LO_Z = (
+    "(CAST(n_chars * n - s AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * sqrt(CAST(n * q - s * s AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))))"
+)
+
+
+@_q(
+    "q_length_outliers",
+    f"""
+    WITH st AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS s,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+        FROM documents GROUP BY source
+    ), dev AS (
+        SELECT d.source, d.doc_id, d.n_chars, st.n, st.s, st.q,
+               ABS(d.n_chars * st.n - st.s) AS dv
+        FROM documents d JOIN st USING (source)
+    ), mx AS (
+        SELECT source, CAST(MAX(dv) AS BIGINT) AS mdv FROM dev
+        GROUP BY source
+    ), pick AS (
+        SELECT dev.source, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        FROM dev JOIN mx ON dev.source = mx.source AND dev.dv = mx.mdv
+        GROUP BY dev.source
+    )
+    SELECT dev.source, dev.doc_id, dev.n_chars, {_LO_Z} AS z
+    FROM dev JOIN pick ON dev.source = pick.source
+                      AND dev.doc_id = pick.doc_id
+    """,
+)
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("q"),
+    )
+    dev = d.join(F.broadcast(st), "source").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "n",
+        "s",
+        "q",
+        F.abs(F.col("n_chars") * F.col("n") - F.col("s")).alias("dv"),
+    )
+    mx = dev.groupBy("source").agg(F.max("dv").cast("bigint").alias("mdv"))
+    pick = (
+        dev.alias("dv2")
+        .join(
+            F.broadcast(mx).alias("mx"),
+            (F.col("dv2.source") == F.col("mx.source"))
+            & (F.col("dv2.dv") == F.col("mx.mdv")),
+        )
+        .groupBy(F.col("dv2.source").alias("source"))
+        .agg(F.min("dv2.doc_id").cast("bigint").alias("doc_id"))
+    )
+    return dev.join(F.broadcast(pick), ["source", "doc_id"]).selectExpr(
+        "source", "doc_id", "n_chars", f"{_LO_Z} AS z"
+    )
+
+
+# --- quality-threshold keep-rate curve (round 6) -----------------------------
+# The tuning table behind the q_quality_classifier gate: per source and
+# candidate logit threshold, how many documents survive? Thresholds are
+# shared double literals; keep counts are exact integers (the logit is
+# the same shared-text expression on both engines, so comparisons agree
+# bit-for-bit). Plan: one scored scan × broadcast 5-row grid → one
+# (source, threshold) aggregate.
+@_q(
+    "q_quality_curve",
+    f"""
+    WITH {_QC_SCORED_SQL}, lab AS (
+        SELECT s.logit, d.source
+        FROM scored s JOIN documents d USING (doc_id)
+    ), grid AS (
+        SELECT CAST(g.x AS DOUBLE) AS threshold
+        FROM (VALUES (-0.5), (-0.25), (0.0), (0.25), (0.5)) g(x)
+    )
+    SELECT source, threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN logit >= threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN logit >= threshold THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS keep_share
+    FROM lab CROSS JOIN grid GROUP BY source, threshold
+    """,
+)
+def q_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    lab = scored.join(
+        t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+    )
+    grid = F.broadcast(
+        lab.sparkSession.createDataFrame(
+            [(-0.5,), (-0.25,), (0.0,), (0.25,), (0.5,)], "threshold double"
+        )
+    )
+    return (
+        lab.crossJoin(grid)
+        .groupBy("source", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("logit") >= F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+            (
+                F.sum(
+                    F.when(F.col("logit") >= F.col("threshold"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("keep_share"),
+        )
+    )
