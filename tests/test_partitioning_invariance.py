@@ -219,6 +219,25 @@ SWEEP = [
     "q_crosstab_residuals", # integer cells, shared sqrt chain
     "q_new_vs_returning",   # exact distinct splits, one division
     "q_basket_size_dist",   # integer histogram, ordered cum window
+    # round-6 additions
+    "q_sequence_match",     # integer match counts, one division
+    "q_mood_median",        # element-selected median, shared residuals
+    "q_mase",               # integer error sums, single divisions
+    "q_grubbs",             # BIGINT deviation argmax, shared sqrt chain
+    "q_yule_k",             # integer frequency spectrum, one division
+    "q_fleiss_kappa",       # integer agreement stats, shared kappa chain
+    "q_tokenizer_fertility",  # integer sufficient stats, fixed divisions
+    "q_char_class_profile", # regexp-delta integer counts, one division
+    "q_context_plan",       # ceil-division integers, one division
+    "q_geo_hotspots",       # integer cell masses, fixed ratio text
+    "q_ansari_bradley",     # folded integer ranks, shared CASE expectation
+    "q_hodges_lehmann",     # element-selected Walsh median, one division
+    "q_embed_outliers",     # quantized L1 BIGINT, partitioned top-3
+    "q_stopword_profile",   # integer counts + bounded argmax
+    "q_length_outliers",    # integer deviation argmax, shared-z report
+    "q_quality_curve",      # shared-logit threshold counts
+    "q_gini_revenue",       # BIGINT rank-weighted sum, shared division
+    "q_day_checksums",      # order-insensitive modular digests
 ]
 
 
