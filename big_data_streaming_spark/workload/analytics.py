@@ -14901,3 +14901,407 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w AS rank_weighted_cents",
         f"{_GINI_G} AS gini",
     )
+
+
+# --- global percentile placement (round 6) -----------------------------------
+# PERCENT_RANK over the whole orders fact, distributed: with the unique
+# (o_totalprice, o_orderkey) total order, SQL PERCENT_RANK's RANK equals
+# ROW_NUMBER, so the placement is (rn − 1)/(n − 1) off the range-
+# partitioned ranker (plans/rank.py) — bit-identical to the oracle's
+# window and never a single sort task. Output is one row per order
+# (the operator IS the per-row feature).
+@_q(
+    "q_percent_rank",
+    """
+    SELECT o_orderkey, o_totalprice,
+           PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pct
+    FROM orders
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = global_rank(
+        o, ["o_totalprice", "o_orderkey"], rank_col="_rn", total_col="_n"
+    )
+    return r.select(
+        "o_orderkey",
+        "o_totalprice",
+        (
+            (F.col("_rn") - 1).cast("double")
+            / (F.col("_n") - 1).cast("double")
+        ).alias("pct"),
+    )
+
+
+# --- fixed-width histogram with empty bins (round 6) -------------------------
+# The reporting histogram q_equidepth_bins (equal COUNT) does not give:
+# equal WIDTH buckets including the empty ones — a generated bucket grid
+# left-joined against the aggregated counts, so gaps render as 0 rather
+# than vanishing. Bucket ids are integer floor-divisions; the grid spans
+# [min_bucket, max_bucket] via sequence/generate_series. All integers.
+_BH_WIDTH = 50_000
+
+
+@_q(
+    "q_bucket_histogram",
+    f"""
+    WITH b AS (
+        SELECT CAST(floor(o_totalprice / {_BH_WIDTH}) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ), ext AS (
+        SELECT CAST(MIN(bucket) AS BIGINT) AS lo,
+               CAST(MAX(bucket) AS BIGINT) AS hi
+        FROM b
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi)) AS bucket FROM ext
+    )
+    SELECT g.bucket,
+           CAST(g.bucket * {_BH_WIDTH} AS BIGINT) AS lo_price,
+           CAST((g.bucket + 1) * {_BH_WIDTH} AS BIGINT) AS hi_price,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_orders
+    FROM grid g LEFT JOIN b ON g.bucket = b.bucket
+    """,
+)
+def q_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(f"CAST(floor(o_totalprice / {_BH_WIDTH}) AS BIGINT)").alias(
+                "bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ext = b.agg(
+        F.min("bucket").cast("bigint").alias("lo"),
+        F.max("bucket").cast("bigint").alias("hi"),
+    )
+    grid = ext.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket")
+    )
+    return (
+        grid.join(b, "bucket", "left")
+        .select(
+            "bucket",
+            (F.col("bucket") * _BH_WIDTH).cast("bigint").alias("lo_price"),
+            ((F.col("bucket") + 1) * _BH_WIDTH)
+            .cast("bigint")
+            .alias("hi_price"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+# --- first-touch / last-touch journey matrix (round 6) -----------------------
+# Per user, the chronologically first and last event types (selected
+# exactly via min_by/max_by over the (ts, event_id) struct — the
+# q_ohlc_bars idiom), then the first→last transition matrix with
+# shares. Selection is deterministic under the total order; counts are
+# exact integers. Plan: one per-user aggregate + one matrix aggregate.
+@_q(
+    "q_first_last_touch",
+    """
+    WITH r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM events
+    ), per AS (
+        SELECT user_id,
+               MAX(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+               MAX(CASE WHEN rd = 1 THEN event_type END) AS last_type
+        FROM r GROUP BY user_id
+    ), m AS (
+        SELECT first_type, last_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM per GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n FROM m)
+    SELECT first_type, last_type, n_users,
+           CAST(n_users AS DOUBLE) / n AS share
+    FROM m CROSS JOIN tot
+    """,
+)
+def q_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias(
+                "first_type"
+            ),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias(
+                "last_type"
+            ),
+        )
+    )
+    m = per.groupBy("first_type", "last_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    tot = m.agg(F.sum("n_users").cast("bigint").alias("n"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "first_type",
+        "last_type",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("n")).alias("share"),
+    )
+
+
+# --- day-over-day rank shifts (round 6) --------------------------------------
+# Leaderboard churn: rank event types by daily count (PARTITIONED
+# per-day windows, deterministic (count desc, type) order), join
+# adjacent days, report every type-day whose rank moved. Bounded
+# relation throughout (days × types); integer ranks and deltas.
+@_q(
+    "q_rank_shift",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), rk AS (
+        SELECT day, event_type, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY day
+                                       ORDER BY n DESC, event_type)
+                    AS BIGINT) AS r
+        FROM daily
+    )
+    SELECT a.day, a.event_type, a.n, a.r AS rank_today,
+           b.r AS rank_yesterday,
+           CAST(b.r - a.r AS BIGINT) AS rank_gain
+    FROM rk a JOIN rk b
+      ON a.event_type = b.event_type AND a.day = b.day + 1
+    WHERE a.r <> b.r
+    """,
+)
+def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rk = daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.row_number()
+        .over(
+            Window.partitionBy("day").orderBy(F.desc("n"), "event_type")
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    a, b = rk.alias("a"), rk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day") + 1),
+        )
+        .where(F.col("a.r") != F.col("b.r"))
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n"),
+            F.col("a.r").alias("rank_today"),
+            F.col("b.r").alias("rank_yesterday"),
+            (F.col("b.r") - F.col("a.r")).cast("bigint").alias("rank_gain"),
+        )
+    )
+
+
+# --- peak concurrent sessions (round 6) --------------------------------------
+# Capacity headline: the maximum number of simultaneously open user
+# sessions (30-min-gap sessionization) and when it happens. Session
+# boundaries become a ±1 delta stream; the concurrency curve is the
+# running sum of deltas in (second, delta, user) order — a FACT-SIZED
+# global cumulative, computed with the range-partitioned global_order
+# (plans/rank.py), never a single-partition window. The argmax second
+# is integer-selected (max concurrency, then MIN second — session
+# STARTS at the peak tie). Ends sort before starts at the same second
+# (delta −1 < +1), the closed-open [start, end) convention.
+@_q(
+    "q_max_concurrency",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               event_id
+        FROM events
+    ), marked AS (
+        SELECT user_id, s,
+               CASE WHEN s - LAG(s) OVER (PARTITION BY user_id
+                                          ORDER BY s, event_id) > 1800
+                         OR LAG(s) OVER (PARTITION BY user_id
+                                         ORDER BY s, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+    ), sess AS (
+        SELECT user_id,
+               CAST(MIN(s) AS BIGINT) AS s_start,
+               CAST(MAX(s) + 1800 AS BIGINT) AS s_end
+        FROM (
+            SELECT user_id, s,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY s
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sess_id
+            FROM marked
+        ) GROUP BY user_id, sess_id
+    ), deltas AS (
+        SELECT s_start AS s, 1 AS delta, user_id FROM sess
+        UNION ALL
+        SELECT s_end AS s, -1 AS delta, user_id FROM sess
+    ), curve AS (
+        SELECT s, delta,
+               SUM(delta) OVER (ORDER BY s, delta, user_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS conc
+        FROM deltas
+    ), mx AS (
+        SELECT CAST(MAX(conc) AS BIGINT) AS max_concurrency FROM curve
+    )
+    SELECT mx.max_concurrency,
+           (SELECT CAST(MIN(s) AS BIGINT) FROM curve, mx
+             WHERE conc = mx.max_concurrency) AS peak_second,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions
+    FROM mx
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.plans.rank import global_order
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+        "event_id",
+    )
+    wu = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = e.select(
+        "user_id",
+        "s",
+        F.when(
+            (F.col("s") - F.lag("s").over(wu) > 1800)
+            | F.lag("s").over(wu).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        marked.withColumn("sess_id", F.sum("is_start").over(wcum))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("s").cast("bigint").alias("s_start"),
+            (F.max("s") + 1800).cast("bigint").alias("s_end"),
+        )
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("s"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sess.select(
+            F.col("s_end").alias("s"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    curve = global_order(
+        deltas, ["s", "delta", "user_id"], cum_sums={"conc": "delta"}
+    ).select("s", F.col("conc").cast("bigint").alias("conc"))
+    mx = curve.agg(F.max("conc").cast("bigint").alias("max_concurrency"))
+    peak = curve.join(
+        F.broadcast(mx), F.col("conc") == F.col("max_concurrency")
+    ).agg(F.min("s").cast("bigint").alias("peak_second"))
+    ns = sess.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return (
+        mx.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(ns))
+        .select("max_concurrency", "peak_second", "n_sessions")
+    )
+
+
+# --- user lifetime-span distribution (round 6) -------------------------------
+# Engagement shape: per user, the span in whole days between first and
+# last event; then the span histogram. Exact integer day diffs off one
+# per-user min/max aggregate — fully combinable, no windows.
+@_q(
+    "q_lifetime_span_dist",
+    """
+    WITH per AS (
+        SELECT user_id,
+               CAST(floor(epoch(MAX(ts)) / 86400)
+                    - floor(epoch(MIN(ts)) / 86400) AS BIGINT) AS span_days
+        FROM events GROUP BY user_id
+    )
+    SELECT span_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per GROUP BY span_days
+    """,
+)
+def q_lifetime_span_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.floor(F.unix_timestamp(F.max("ts")) / 86400)
+                - F.floor(F.unix_timestamp(F.min("ts")) / 86400)
+            )
+            .cast("bigint")
+            .alias("span_days")
+        )
+    )
+    return per.groupBy("span_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+# --- deterministic per-group mode (round 6) ----------------------------------
+# The exact mode of the cents-quantized value per event type, with the
+# tie pinned (count desc, value asc) so both engines select the same
+# element — the categorical-imputation statistic approx functions can't
+# give exactly. One (type, cents) aggregate + a PARTITIONED argmax.
+@_q(
+    "q_mode_value",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, cents AS mode_cents, n AS mode_count
+    FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, cents) = 1
+    """,
+)
+def q_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        c.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.desc("n"), "cents")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("cents").alias("mode_cents"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -4517,3 +4517,145 @@ def q_day_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("h") % _DC_MOD).cast("bigint").alias("checksum_sum"),
         F.expr("CAST(bit_xor(h) AS BIGINT)").alias("checksum_xor"),
     )
+
+
+# --- partial-aggregate merge audit (round 6) ---------------------------------
+# The algebra every two-stage pipeline depends on: (count, sum, sum-of-
+# squares) partials computed per shard (nation here) must MERGE into
+# exactly the stats of a direct global pass. Both paths are exact
+# integer cents; the audit emits both and integer equality flags — a
+# broken combiner (e.g. averaging averages) flips them to false. One
+# shard aggregate + one 1-row merge vs one direct aggregate.
+@_q(
+    "q_partial_merge_audit",
+    """
+    WITH partials AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)
+                        * CAST(floor(c_acctbal * 100.0) AS BIGINT))
+                    AS BIGINT) AS q
+        FROM customer GROUP BY c_nationkey
+    ), merged AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS s,
+               CAST(SUM(q) AS BIGINT) AS q
+        FROM partials
+    ), direct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)
+                        * CAST(floor(c_acctbal * 100.0) AS BIGINT))
+                    AS BIGINT) AS q
+        FROM customer
+    )
+    SELECT m.n_shards, m.n, m.s, m.q,
+           m.n = d.n AND m.s = d.s AND m.q = d.q AS merge_exact
+    FROM merged m CROSS JOIN direct d
+    """,
+)
+def q_partial_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)")
+    c = t(spark, sf_dir, "customer")
+    partials = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s"),
+        F.sum(cents * cents).cast("bigint").alias("q"),
+    )
+    merged = partials.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        F.sum("q").cast("bigint").alias("q"),
+    )
+    direct = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dn"),
+        F.sum(cents).cast("bigint").alias("ds"),
+        F.sum(cents * cents).cast("bigint").alias("dq"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).selectExpr(
+        "n_shards",
+        "n",
+        "s",
+        "q",
+        "n = dn AND s = ds AND q = dq AS merge_exact",
+    )
+
+
+# --- dominant-value share profile (round 6) ----------------------------------
+# The skew early-warning a partitioner reads: for key categorical
+# columns, the most frequent value and its share of rows (mode selected
+# deterministically: count desc, value asc). One aggregate per column,
+# union of bounded per-column argmaxes.
+@_q(
+    "q_top_value_share",
+    """
+    WITH c AS (
+        SELECT 'events.event_type' AS col, event_type AS val,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'orders.o_orderpriority', o_orderpriority,
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'orders.o_orderstatus', o_orderstatus,
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'lineitem.l_returnflag', l_returnflag,
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem GROUP BY 2
+    ), tot AS (
+        SELECT col, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY col
+    ), top AS (
+        SELECT col, val AS top_value, n AS top_count
+        FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY col
+                                          ORDER BY n DESC, val) = 1
+    )
+    SELECT top.col, top.top_value, top.top_count, tot.total,
+           CAST(top.top_count AS DOUBLE) / tot.total AS top_share
+    FROM top JOIN tot USING (col)
+    """,
+)
+def q_top_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    parts = []
+    for label, tbl, col in (
+        ("events.event_type", "events", "event_type"),
+        ("orders.o_orderpriority", "orders", "o_orderpriority"),
+        ("orders.o_orderstatus", "orders", "o_orderstatus"),
+        ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+    ):
+        parts.append(
+            t(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("val"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(F.lit(label).alias("col"), "val", "n")
+        )
+    c = parts[0]
+    for p in parts[1:]:
+        c = c.unionAll(p)
+    tot = c.groupBy("col").agg(F.sum("n").cast("bigint").alias("total"))
+    # bounded: per-column value support — categorical domains ≤ dozens
+    top = c.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("col").orderBy(F.desc("n"), "val")
+        ),
+    ).where(F.col("rn") == 1)
+    return (
+        top.join(tot, "col")
+        .select(
+            "col",
+            F.col("val").alias("top_value"),
+            F.col("n").alias("top_count"),
+            "total",
+            (F.col("n").cast("double") / F.col("total")).alias("top_share"),
+        )
+    )

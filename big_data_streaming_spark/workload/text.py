@@ -5737,3 +5737,160 @@ def q_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_share"),
         )
     )
+
+
+# --- canonical-representative dedup (round 6) --------------------------------
+# Exact dedup with a QUALITY keep policy: within each content
+# fingerprint group keep the LONGEST document (tie → smallest doc_id)
+# instead of q_dedup_exact's min-id convention — the "keep best"
+# selection a production dedup pass actually ships. One max_by over a
+# (n_chars, −doc_id) struct per group: deterministic, combinable, no
+# window. Reports kept docs with their group sizes (groups of 1
+# included — the operator's output IS the canonical corpus).
+@_q(
+    "q_dedup_canonical",
+    """
+    WITH r AS (
+        SELECT md5(text) AS fp, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                   AS group_size,
+               CAST(MAX(n_chars) OVER (PARTITION BY md5(text)) AS BIGINT)
+                   AS keep_n_chars
+        FROM documents
+    )
+    SELECT fp, group_size, CAST(doc_id AS BIGINT) AS keep_doc_id,
+           keep_n_chars
+    FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            )
+            .cast("bigint")
+            .alias("keep_doc_id"),
+            F.max("n_chars").cast("bigint").alias("keep_n_chars"),
+        )
+        .select("fp", "group_size", "keep_doc_id", "keep_n_chars")
+    )
+
+
+# --- token position-bias profile (round 6) -----------------------------------
+# WHERE in documents do the corpus' top tokens appear? Mean relative
+# position (0 = doc start, 1 = end) per top-10 token — the burstiness/
+# topicality signal position-weighted retrieval uses. Each occurrence's
+# relative position quantizes to an exact integer ppm ((pos−1)·1e6 div
+# (len−1)); the mean is one division of BIGINT sums. Top tokens rank
+# the vocabulary (bounded: aggregate-sized, q_zipf_audit's relation).
+@_q(
+    "q_token_position_bias",
+    """
+    WITH tok AS (
+        SELECT t.token, CAST(t.i AS BIGINT) AS pos,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS len
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS token,
+                             generate_subscripts(
+                                 string_split(d.text, ' '), 1) AS i) t
+    ), occ AS (
+        SELECT token,
+               CAST((pos - 1) * 1000000 // (len - 1) AS BIGINT) AS relq
+        FROM tok WHERE len > 1
+    ), top AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM occ GROUP BY token
+        QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, token) <= 10
+    )
+    SELECT o.token, t.freq,
+           CAST(SUM(o.relq) AS BIGINT) AS relq_sum,
+           CAST(SUM(o.relq) AS DOUBLE) / (t.freq * 1000000.0)
+               AS mean_rel_pos
+    FROM occ o JOIN top t USING (token)
+    GROUP BY o.token, t.freq
+    """,
+)
+def q_token_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.posexplode(F.split("text", " ")).alias("p", "token"),
+        F.size(F.split("text", " ")).cast("bigint").alias("len"),
+    )
+    occ = toks.where(F.col("len") > 1).select(
+        "token",
+        F.expr("CAST(p * 1000000 DIV (len - 1) AS BIGINT)").alias("relq"),
+    )
+    freq = occ.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    # bounded: token vocabulary — Heaps-sublinear aggregate, not the
+    # token stream; top-10 selection via sort+limit (TakeOrdered)
+    top = freq.orderBy(F.desc("freq"), "token").limit(10)
+    return (
+        occ.join(F.broadcast(top), "token")
+        .groupBy("token", "freq")
+        .agg(F.sum("relq").cast("bigint").alias("relq_sum"))
+        .select(
+            "token",
+            "freq",
+            "relq_sum",
+            (
+                F.col("relq_sum").cast("double")
+                / (F.col("freq") * F.lit(1000000.0))
+            ).alias("mean_rel_pos"),
+        )
+    )
+
+
+# --- bigram redundancy / compressibility proxy (round 6) ---------------------
+# How repetitive is each source's text, bigram-wise? redundancy = 1 −
+# distinct_bigrams / total_bigrams — the cheap proxy that tracks
+# gzip-ability and flags template farms before any compressor runs.
+# Bigrams come from one zip_with over the token array (no self-join);
+# counts are exact integers, the ratio one division.
+@_q(
+    "q_bigram_redundancy",
+    """
+    WITH bg AS (
+        SELECT source, toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM (
+            SELECT source, string_split(text, ' ') AS toks FROM documents
+        ), UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_bigrams,
+           CAST(COUNT(DISTINCT bigram) AS BIGINT) AS distinct_bigrams,
+           1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*)
+               AS redundancy
+    FROM bg GROUP BY source
+    """,
+)
+def q_bigram_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("toks")
+    )
+    bg = toks.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    return bg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_bigrams"),
+        F.countDistinct("bigram").cast("bigint").alias("distinct_bigrams"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("bigram").cast("double") / F.count(F.lit(1))
+        ).alias("redundancy"),
+    )

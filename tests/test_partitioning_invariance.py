@@ -238,6 +238,12 @@ SWEEP = [
     "q_quality_curve",      # shared-logit threshold counts
     "q_gini_revenue",       # BIGINT rank-weighted sum, shared division
     "q_day_checksums",      # order-insensitive modular digests
+    "q_percent_rank",       # range-partitioned rank, one division
+    "q_first_last_touch",   # struct min_by/max_by selection, one division
+    "q_token_position_bias",  # ppm-quantized positions, BIGINT sums
+    "q_bigram_redundancy",  # exact distinct counts, one division
+    "q_top_value_share",    # bounded argmax, one division
+    "q_max_concurrency",    # range-partitioned running sum, integer argmax
 ]
 
 

@@ -384,15 +384,19 @@ def test_transition_chain_single_user_exchange(spark, sf_small):
 
 
 def test_skyline_computes_frontier_on_aggregated_candidates(spark, sf_small):
-    """The global running-max scan happens AFTER the per-part aggregate:
-    the single-partition window sees |parts| rows, not |lineitem| rows.
-    Pin: the part side broadcasts into the fact join (no shuffle of
-    lineitem for the join) and the whole plan stays at <= 3 exchanges
-    (fact aggregate, global-window singleton, none extra)."""
+    """The dominance prefix-max runs AFTER the per-part aggregate, and
+    since round 6 it rides plans/rank.py: the per-part relation is
+    range-partitioned and scanned in parallel — the only unpartitioned
+    window left is the O(ranges) offsets pass. Pin: part side still
+    broadcasts into the fact join; <= 5 exchanges (fact aggregate,
+    range split, per-range window hash, offsets singleton, broadcast) —
+    more exchanges than the old single-sort plan, but none of them
+    serializes the relation."""
     df = QUERIES["q_skyline"](spark, sf_small)
     plan = formatted_plan(df)
     assert uses_broadcast_join(df), plan
-    assert shuffle_count(df) <= 3, plan
+    assert shuffle_count(df) <= 5, plan
+    assert unpartitioned_window_count(df) == 1, plan
 
 
 def test_bm25_broadcasts_stats_and_filters_before_tf(spark, sf_small):
@@ -734,3 +738,27 @@ def test_train_order_arithmetic_ranges_no_cache(spark, sf_small):
     assert unpartitioned_window_count(df) == 1, plan
     assert "InMemoryTableScan" not in plan, plan
     assert shuffle_count(df) <= 3, plan
+
+
+def test_round6_helper_users_no_global_sort(spark, sf_small):
+    """Every round-6 operator that ranks/cumulates a fact- or
+    dimension-sized relation must ride plans/rank.py: the only
+    unpartitioned window in its plan is the O(ranges) offsets pass
+    (two for q_mood_median-style median picks that also window the
+    bounded offsets of a second global_order call)."""
+    # Limits above 1 are RENDERING multiplicity, not extra sorts: the
+    # helper's persisted ranked relation prints its build plan (with the
+    # one offsets window) inline under EVERY InMemoryTableScan consumer,
+    # so a query with k cache consumers shows up to k textual copies.
+    for name, limit in (
+        ("q_percent_rank", 1),
+        ("q_gini_revenue", 1),
+        ("q_mood_median", 2),  # rank branch + median-pick branch
+        ("q_ansari_bradley", 1),
+        ("q_max_concurrency", 3),  # curve feeds max, argmax, and count
+        ("q_equidepth_bins", 1),
+        ("q_rfm", 3),  # three chained quartile ranks -> three offset passes
+    ):
+        df = QUERIES[name](spark, sf_small)
+        got = unpartitioned_window_count(df)
+        assert got <= limit, (name, got, formatted_plan(df))
