@@ -150,7 +150,20 @@ HEADLINE = (
     "q_wasserstein_drift",
     "q_doc_selfrep",
     "q_quantile_normalize",
+    # round 6: representatives of the new families (time-constrained
+    # funnel, range-partitioned concurrency curve, quantized-L1
+    # embedding outliers, decayed streaming top-k, per-basket itemsets).
+    # HEADLINE is CAPPED at 100 queries (VERDICT r5 task 7): future
+    # rounds swap members instead of growing the set, so the cold total
+    # stays inside the driver's patience; cross-round per-query diffs
+    # live in BENCH_DETAIL_r{N}.json, not in set-total comparisons.
+    "q_window_funnel",
+    "q_max_concurrency",
+    "q_embed_outliers",
+    "q_stream_decay_topk",
+    "q_basket_triples",
 )
+assert len(HEADLINE) <= 100, "headline capped at 100 — swap, don't grow"
 
 
 def main() -> None:

@@ -15305,3 +15305,372 @@ def q_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+# --- Wilcoxon signed-rank test (round 6) -------------------------------------
+# Paired location test: per user, second-half minus first-half event
+# counts (integer day-index split); |diffs| ranked GLOBALLY under the
+# (|d|, user_id) total order via the range-partitioned ranker
+# (plans/rank.py); W+ = Σ ranks of positive diffs — exact BIGINTs, zero
+# diffs dropped per the standard procedure. The normal-approximation z
+# is one shared-text chain over (w_plus, n).
+_WX_Z = (
+    "((CAST(w_plus AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 4.0)"
+    " / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0))"
+)
+
+
+@_q(
+    "q_wilcoxon_signed_rank",
+    f"""
+    WITH b AS (
+        SELECT CAST(MIN(floor(epoch(ts) / 86400)) AS BIGINT) AS d0,
+               CAST(MAX(floor(epoch(ts) / 86400)) AS BIGINT) AS d1
+        FROM events
+    ), per AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN floor(epoch(ts) / 86400) - b.d0
+                                  < (b.d1 - b.d0 + 1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN floor(epoch(ts) / 86400) - b.d0
+                                  >= (b.d1 - b.d0 + 1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events CROSS JOIN b GROUP BY user_id
+    ), d AS (
+        SELECT user_id, c2 - c1 AS diff, ABS(c2 - c1) AS ad
+        FROM per WHERE c2 <> c1
+    ), r AS (
+        SELECT diff,
+               CAST(ROW_NUMBER() OVER (ORDER BY ad, user_id) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM d
+    ), s AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN diff > 0 THEN rn ELSE 0 END) AS BIGINT)
+                   AS w_plus
+        FROM r
+    )
+    SELECT n, w_plus, {_WX_Z} AS z FROM s
+    """,
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.plans.rank import global_rank
+
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.floor(F.unix_timestamp("ts") / 86400)).cast("bigint").alias("d0"),
+        F.max(F.floor(F.unix_timestamp("ts") / 86400)).cast("bigint").alias("d1"),
+    )
+    day = "floor(unix_timestamp(ts) / 86400)"
+    per = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN {day} - d0 < (d1 - d0 + 1) DIV 2"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN {day} - d0 >= (d1 - d0 + 1) DIV 2"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    d = per.where(F.col("c2") != F.col("c1")).select(
+        "user_id",
+        (F.col("c2") - F.col("c1")).alias("diff"),
+        F.abs(F.col("c2") - F.col("c1")).alias("ad"),
+    )
+    r = global_rank(d, ["ad", "user_id"], rank_col="rn", total_col="n")
+    s = r.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("rn")).otherwise(0))
+        .cast("bigint")
+        .alias("w_plus"),
+    )
+    return s.selectExpr("n", "w_plus", f"{_WX_Z} AS z")
+
+
+# --- quantile treatment shift (round 6) --------------------------------------
+# Where in the distribution do click and view values differ? Per-group
+# decile cut points are ELEMENT-SELECTED under each group's
+# (value, event_id) total order (PARTITIONED rank — per-group, never
+# global), joined side by side with the integer-exact shift in cents.
+@_q(
+    "q_quantile_shift",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ), r AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM v
+    ), g AS (
+        SELECT CAST(g.x AS BIGINT) AS decile
+        FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) g(x)
+    ), cuts AS (
+        SELECT g.decile, r.event_type, MAX(r.cents) AS cut_cents
+        FROM g JOIN r ON r.rn = (r.n * g.decile) // 10
+        GROUP BY 1, 2
+    )
+    SELECT a.decile,
+           CAST(a.cut_cents AS BIGINT) AS click_cents,
+           CAST(b.cut_cents AS BIGINT) AS view_cents,
+           CAST(a.cut_cents - b.cut_cents AS BIGINT) AS shift_cents
+    FROM cuts a JOIN cuts b
+      ON a.decile = b.decile
+     AND a.event_type = 'click' AND b.event_type = 'view'
+    """,
+)
+def q_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+            "event_id",
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wt.orderBy("cents", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+    )
+    g = F.broadcast(
+        r.sparkSession.createDataFrame(
+            [(i,) for i in range(1, 10)], "decile long"
+        )
+    )
+    cuts = (
+        g.join(r, r.rn == F.expr("(n * decile) DIV 10"))
+        .groupBy("decile", "event_type")
+        .agg(F.max("cents").alias("cut_cents"))
+    )
+    a = cuts.where(F.col("event_type") == "click").select(
+        "decile", F.col("cut_cents").alias("click_cents")
+    )
+    b = cuts.where(F.col("event_type") == "view").select(
+        "decile", F.col("cut_cents").alias("view_cents")
+    )
+    return a.join(b, "decile").select(
+        "decile",
+        F.col("click_cents").cast("bigint").alias("click_cents"),
+        F.col("view_cents").cast("bigint").alias("view_cents"),
+        (F.col("click_cents") - F.col("view_cents"))
+        .cast("bigint")
+        .alias("shift_cents"),
+    )
+
+
+# --- month-over-month revenue bridge (round 6) -------------------------------
+# The FP&A decomposition: ΔRev between adjacent months split into a
+# volume effect (Δn · avg price, base month) and a price/mix effect
+# (residual). Division-free: effects are reported as cents·n products
+# cleared of denominators — volume_effect_scaled = (n2 − n1)·c1 and
+# mix_effect_scaled = n1·c2 − n2·c1 are exact BIGINTs satisfying
+# v + m = (c2 − c1)·n1 ... the bridge identity is checked by the
+# oracle's own algebra. One month aggregate + adjacent-month self-join
+# (bounded O(months)); calendar month index via EXTRACT (the
+# q_monthly_swing idiom — both engines agree on calendar extraction).
+@_q(
+    "q_revenue_bridge",
+    """
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT a.midx,
+           a.n AS n_orders, b.n AS prev_n_orders,
+           a.cents AS cents, b.cents AS prev_cents,
+           CAST(a.cents - b.cents AS BIGINT) AS delta_cents,
+           CAST((a.n - b.n) * b.cents AS BIGINT) AS volume_effect_nscaled,
+           CAST(b.n * a.cents - a.n * b.cents AS BIGINT)
+               AS mix_effect_nscaled
+    FROM m a JOIN m b ON a.midx = b.midx + 1
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(EXTRACT(year FROM o_orderdate) * 12"
+                " + EXTRACT(month FROM o_orderdate) AS BIGINT)"
+            ).alias("midx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return a.join(b, F.col("a.midx") == F.col("b.midx") + 1).select(
+        F.col("a.midx").alias("midx"),
+        F.col("a.n").alias("n_orders"),
+        F.col("b.n").alias("prev_n_orders"),
+        F.col("a.cents").alias("cents"),
+        F.col("b.cents").alias("prev_cents"),
+        (F.col("a.cents") - F.col("b.cents")).cast("bigint").alias(
+            "delta_cents"
+        ),
+        ((F.col("a.n") - F.col("b.n")) * F.col("b.cents"))
+        .cast("bigint")
+        .alias("volume_effect_nscaled"),
+        (F.col("b.n") * F.col("a.cents") - F.col("a.n") * F.col("b.cents"))
+        .cast("bigint")
+        .alias("mix_effect_nscaled"),
+    )
+
+
+# --- session-size distribution (round 6) -------------------------------------
+# How many events does a session hold? 30-min-gap sessionization (the
+# q_max_concurrency boundary rule), then the session-size histogram —
+# engagement shape in one relation. Partitioned windows only; integer
+# histogram.
+@_q(
+    "q_session_size_dist",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id
+        FROM events
+    ), marked AS (
+        SELECT user_id, s,
+               CASE WHEN s - LAG(s) OVER (PARTITION BY user_id
+                                          ORDER BY s, event_id) > 1800
+                         OR LAG(s) OVER (PARTITION BY user_id
+                                         ORDER BY s, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+    ), sess AS (
+        SELECT user_id,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sess_id
+        FROM marked
+    ), sizes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS session_size
+        FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT session_size, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM sizes GROUP BY session_size
+    """,
+)
+def q_session_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+        "event_id",
+    )
+    wu = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = e.select(
+        "user_id",
+        "s",
+        F.when(
+            (F.col("s") - F.lag("s").over(wu) > 1800)
+            | F.lag("s").over(wu).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sizes = (
+        marked.withColumn("sess_id", F.sum("is_start").over(wcum))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("session_size"))
+    )
+    return sizes.groupBy("session_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+
+
+# --- first-week activation split (round 6) -----------------------------------
+# Growth accounting's activation lens: per user, events inside the
+# first 7 days after their own first event vs after; the activation
+# share per cohort week of first touch. Exact integer day arithmetic
+# off one per-user min broadcast-free self-aggregate.
+@_q(
+    "q_activation_week",
+    """
+    WITH per AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+               CAST(MIN(floor(epoch(ts) / 86400))
+                    OVER (PARTITION BY user_id) AS BIGINT) AS d0
+        FROM events
+    ), agg AS (
+        SELECT user_id, CAST(MIN(d0) // 7 AS BIGINT) AS cohort_week,
+               CAST(SUM(CASE WHEN d - d0 < 7 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_first_week,
+               CAST(SUM(CASE WHEN d - d0 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_later
+        FROM per GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_first_week) AS BIGINT) AS first_week_events,
+           CAST(SUM(n_later) AS BIGINT) AS later_events,
+           CAST(SUM(CASE WHEN n_later > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(SUM(CASE WHEN n_later > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS retained_share
+    FROM agg GROUP BY cohort_week
+    """,
+)
+def q_activation_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias("d"),
+    ).withColumn(
+        "d0",
+        F.min("d").over(Window.partitionBy("user_id")).cast("bigint"),
+    )
+    agg = per.groupBy("user_id").agg(
+        F.expr("CAST(MIN(d0) DIV 7 AS BIGINT)").alias("cohort_week"),
+        F.sum(F.when(F.col("d") - F.col("d0") < 7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first_week"),
+        F.sum(F.when(F.col("d") - F.col("d0") >= 7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_later"),
+    )
+    return agg.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_first_week").cast("bigint").alias("first_week_events"),
+        F.sum("n_later").cast("bigint").alias("later_events"),
+        F.sum(F.when(F.col("n_later") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        (
+            F.sum(F.when(F.col("n_later") > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("retained_share"),
+    )

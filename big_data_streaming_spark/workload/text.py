@@ -5894,3 +5894,102 @@ def q_bigram_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.countDistinct("bigram").cast("double") / F.count(F.lit(1))
         ).alias("redundancy"),
     )
+
+
+# --- pairwise total-variation distance between sources (round 6) -------------
+# How differently do sources use the vocabulary? TV distance between
+# token distributions, computed EXACTLY with cleared denominators:
+# 2*n_a*n_b*TV(a,b) = SUM_tokens |c_a*n_b - c_b*n_a| is a pure BIGINT
+# (full outer join of the two sources' count vectors, missing counts
+# treated as 0). The per-source count relation fans out over the
+# BOUNDED O(|sources|^2) pair grid (a <=19x replication of the vocab
+# aggregate, never the token stream), then one full outer join per
+# (pair, token) and one pair aggregate - fully distributed, no driver
+# loop.
+@_q(
+    "q_source_tv_matrix",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), c AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), n AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source
+    ), pairs AS (
+        SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+        FROM n a JOIN n b ON a.source < b.source
+    ), t1 AS (
+        SELECT p.sa, p.sb, p.na, p.nb, c.token, c.c AS ca
+        FROM pairs p JOIN c ON c.source = p.sa
+    ), t2 AS (
+        SELECT p.sa, p.sb, p.na, p.nb, c.token, c.c AS cb
+        FROM pairs p JOIN c ON c.source = p.sb
+    ), m AS (
+        SELECT COALESCE(t1.sa, t2.sa) AS sa,
+               COALESCE(t1.sb, t2.sb) AS sb,
+               COALESCE(t1.na, t2.na) AS na,
+               COALESCE(t1.nb, t2.nb) AS nb,
+               COALESCE(t1.ca, 0) AS ca,
+               COALESCE(t2.cb, 0) AS cb
+        FROM t1 FULL JOIN t2
+          ON t1.sa = t2.sa AND t1.sb = t2.sb AND t1.token = t2.token
+    )
+    SELECT sa, sb,
+           CAST(SUM(ABS(ca * nb - cb * na)) AS BIGINT) AS tvq,
+           CAST(SUM(ABS(ca * nb - cb * na)) AS DOUBLE)
+               / (2.0 * CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE))
+               AS tv_distance
+    FROM m GROUP BY sa, sb
+    """,
+)
+def q_source_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    c = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    na = n.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    # bounded: source pair grid - O(|sources|^2) rows, broadcast
+    pairs = F.broadcast(na.join(nb, F.col("sa") < F.col("sb")))
+    t1 = pairs.join(
+        c.select(F.col("source").alias("sa"), "token", F.col("c").alias("ca")),
+        "sa",
+    )
+    t2 = pairs.join(
+        c.select(F.col("source").alias("sb"), "token", F.col("c").alias("cb")),
+        "sb",
+    )
+    m = t1.alias("t1").join(
+        t2.alias("t2"),
+        (F.col("t1.sa") == F.col("t2.sa"))
+        & (F.col("t1.sb") == F.col("t2.sb"))
+        & (F.col("t1.token") == F.col("t2.token")),
+        "full",
+    ).select(
+        F.coalesce("t1.sa", "t2.sa").alias("sa"),
+        F.coalesce("t1.sb", "t2.sb").alias("sb"),
+        F.coalesce("t1.na", "t2.na").alias("na"),
+        F.coalesce("t1.nb", "t2.nb").alias("nb"),
+        F.coalesce("t1.ca", F.lit(0)).alias("ca"),
+        F.coalesce("t2.cb", F.lit(0)).alias("cb"),
+    )
+    return m.groupBy("sa", "sb").agg(
+        F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+        .cast("bigint")
+        .alias("tvq"),
+        (
+            F.sum(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.max("na").cast("double")
+                * F.max("nb").cast("double")
+            )
+        ).alias("tv_distance"),
+    )

@@ -244,6 +244,11 @@ SWEEP = [
     "q_bigram_redundancy",  # exact distinct counts, one division
     "q_top_value_share",    # bounded argmax, one division
     "q_max_concurrency",    # range-partitioned running sum, integer argmax
+    "q_wilcoxon_signed_rank",  # range-partitioned |d| ranks, shared z
+    "q_quantile_shift",     # element-selected per-group decile cuts
+    "q_revenue_bridge",     # denominator-cleared BIGINT effects
+    "q_activation_week",    # exact integer day splits, one division
+    "q_source_tv_matrix",   # denominator-cleared BIGINT TV sums
 ]
 
 
