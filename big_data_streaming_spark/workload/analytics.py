@@ -15674,3 +15674,268 @@ def q_activation_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("retained_share"),
     )
+
+
+# --- Atkinson inequality index, ε = 2 (round 6) ------------------------------
+# The welfare-weighted inequality companion to q_gini_revenue: A(2) =
+# 1 − harmonic_mean/μ over per-customer revenue. The harmonic sum's
+# reciprocals are PRE-QUANTIZED per row (floor(1e12/cents) — exact
+# integer division, identical both engines), so the fold is an
+# order-free BIGINT sum; the final index is one shared-text chain over
+# (n, Σcents, Σrecip_q).
+_ATK_A = (
+    "(1.0 - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000000000.0"
+    " / CAST(rq AS DOUBLE)) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_atkinson_index",
+    f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(1000000000000 // cents) AS BIGINT) AS rq
+        FROM rev WHERE cents > 0
+    )
+    SELECT n AS n_customers, s AS total_cents, rq AS recip_q_sum,
+           {_ATK_A} AS atkinson_2
+    FROM s
+    """,
+)
+def q_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    s = rev.where(F.col("cents") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.expr("1000000000000 DIV cents")).cast("bigint").alias("rq"),
+    )
+    return s.selectExpr(
+        "n AS n_customers",
+        "s AS total_cents",
+        "rq AS recip_q_sum",
+        f"{_ATK_A} AS atkinson_2",
+    )
+
+
+# --- graph conductance of the parity cut (round 6) ---------------------------
+# How partition-friendly is the supplier–part co-purchase graph? For
+# the supplier-key parity cut: conductance = cut_edges / min(vol_even,
+# vol_odd) over the distinct (supplier, part) edge set — all integer
+# counts, one division. One distinct-edge aggregate; the cut test is a
+# per-edge parity expression (no join at all).
+@_q(
+    "q_graph_conductance",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN s % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vol_even,
+               CAST(SUM(CASE WHEN s % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vol_odd,
+               CAST(SUM(CASE WHEN s % 2 <> p % 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cut_edges
+        FROM e
+    )
+    SELECT n_edges, vol_even, vol_odd, cut_edges,
+           CAST(cut_edges AS DOUBLE) / LEAST(vol_even, vol_odd)
+               AS conductance
+    FROM agg
+    """,
+)
+def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    agg = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("s") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vol_even"),
+        F.sum(F.when(F.col("s") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vol_odd"),
+        F.sum(F.when(F.col("s") % 2 != F.col("p") % 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cut_edges"),
+    )
+    return agg.selectExpr(
+        "n_edges",
+        "vol_even",
+        "vol_odd",
+        "cut_edges",
+        "CAST(cut_edges AS DOUBLE) / LEAST(vol_even, vol_odd)"
+        " AS conductance",
+    )
+
+
+# --- weighted Jaccard between adjacent days (round 6) ------------------------
+# q_dau_overlap's binary user overlap, upgraded to event WEIGHT: per
+# adjacent day pair, Σ min(c₁,c₂)/Σ max(c₁,c₂) over per-user event
+# counts — exact integers until one division. The day-pair join keys on
+# (user, day+1): never a cross-day cartesian.
+@_q(
+    "q_weighted_jaccard_days",
+    """
+    WITH ud AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, user_id,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), x AS (SELECT d, user_id, c AS c1 FROM ud),
+    y AS (SELECT d - 1 AS d, user_id, c AS c2 FROM ud),
+    p AS (
+        SELECT COALESCE(x.d, y.d) AS d,
+               COALESCE(x.c1, 0) AS c1, COALESCE(y.c2, 0) AS c2
+        FROM x FULL JOIN y ON x.d = y.d AND x.user_id = y.user_id
+    ), days AS (SELECT DISTINCT d FROM ud),
+    valid AS (
+        SELECT a.d FROM days a JOIN days b ON b.d = a.d + 1
+    )
+    SELECT p.d AS day,
+           CAST(SUM(LEAST(c1, c2)) AS BIGINT) AS min_sum,
+           CAST(SUM(GREATEST(c1, c2)) AS BIGINT) AS max_sum,
+           CAST(SUM(LEAST(c1, c2)) AS DOUBLE) / SUM(GREATEST(c1, c2))
+               AS weighted_jaccard
+    FROM p JOIN valid ON p.d = valid.d GROUP BY p.d
+    """,
+)
+def q_weighted_jaccard_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "d"
+            ),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    x = ud.select("d", "user_id", F.col("c").alias("c1"))
+    y = ud.select(
+        (F.col("d") - 1).alias("d"), "user_id", F.col("c").alias("c2")
+    )
+    pairs = x.join(y, ["d", "user_id"], "full").select(
+        "d",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    # keep only days that exist on BOTH sides' calendars (a full join
+    # row with d from the shifted side only would fabricate a pair for
+    # the day before the first day)
+    days = ud.select("d").distinct()
+    valid = days.alias("a").join(
+        days.alias("b"), F.col("b.d") == F.col("a.d") + 1
+    ).select(F.col("a.d").alias("d"))
+    return (
+        pairs.join(F.broadcast(valid), "d")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum(F.least("c1", "c2")).cast("bigint").alias("min_sum"),
+            F.sum(F.greatest("c1", "c2")).cast("bigint").alias("max_sum"),
+            (
+                F.sum(F.least("c1", "c2")).cast("double")
+                / F.sum(F.greatest("c1", "c2"))
+            ).alias("weighted_jaccard"),
+        )
+    )
+
+
+# --- new-item revenue share (round 6) ----------------------------------------
+# Assortment freshness: parts FIRST sold in the trailing 90 days before
+# the corpus frontier, and their share of trailing-90-day revenue.
+# Exact: first-sale day per part is an integer MIN; the frontier is a
+# 1-row broadcast; revenue is exact cents. One part aggregate + one
+# trailing-window aggregate.
+@_q(
+    "q_new_items_share",
+    """
+    WITH f AS (
+        SELECT CAST(MAX(floor(epoch(l_shipdate) / 86400)) AS BIGINT) AS fd
+        FROM lineitem
+    ), firsts AS (
+        SELECT l_partkey,
+               CAST(MIN(floor(epoch(l_shipdate) / 86400)) AS BIGINT)
+                   AS first_day
+        FROM lineitem GROUP BY l_partkey
+    ), tr90 AS (
+        SELECT l.l_partkey,
+               CAST(floor(l.l_extendedprice * 100.0) AS BIGINT) AS cents,
+               fi.first_day, f.fd
+        FROM lineitem l
+        JOIN firsts fi ON l.l_partkey = fi.l_partkey
+        CROSS JOIN f
+        WHERE floor(epoch(l.l_shipdate) / 86400) > f.fd - 90
+    )
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_sold,
+           CAST(COUNT(DISTINCT CASE WHEN first_day > fd - 90
+                                    THEN l_partkey END) AS BIGINT)
+               AS n_new_parts,
+           CAST(SUM(cents) AS BIGINT) AS trailing_cents,
+           CAST(SUM(CASE WHEN first_day > fd - 90 THEN cents ELSE 0 END)
+                AS BIGINT) AS new_part_cents,
+           CAST(SUM(CASE WHEN first_day > fd - 90 THEN cents ELSE 0 END)
+                AS DOUBLE) / SUM(cents) AS new_revenue_share
+    FROM tr90
+    """,
+)
+def q_new_items_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    day = "CAST(floor(unix_timestamp(l_shipdate) / 86400) AS BIGINT)"
+    f = li.agg(F.expr(f"MAX({day})").cast("bigint").alias("fd"))
+    firsts = li.groupBy("l_partkey").agg(
+        F.expr(f"MIN({day})").cast("bigint").alias("first_day")
+    )
+    trailing = (
+        li.select(
+            "l_partkey",
+            F.expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.expr(day).alias("d"),
+        )
+        .join(firsts, "l_partkey")
+        .crossJoin(F.broadcast(f))
+        .where(F.col("d") > F.col("fd") - 90)
+    )
+    return trailing.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts_sold"),
+        F.countDistinct(
+            F.when(F.col("first_day") > F.col("fd") - 90, F.col("l_partkey"))
+        )
+        .cast("bigint")
+        .alias("n_new_parts"),
+        F.sum("cents").cast("bigint").alias("trailing_cents"),
+        F.sum(
+            F.when(F.col("first_day") > F.col("fd") - 90, F.col("cents"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("new_part_cents"),
+        (
+            F.sum(
+                F.when(
+                    F.col("first_day") > F.col("fd") - 90, F.col("cents")
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum("cents")
+        ).alias("new_revenue_share"),
+    )

@@ -249,6 +249,10 @@ SWEEP = [
     "q_revenue_bridge",     # denominator-cleared BIGINT effects
     "q_activation_week",    # exact integer day splits, one division
     "q_source_tv_matrix",   # denominator-cleared BIGINT TV sums
+    "q_atkinson_index",     # pre-quantized reciprocals, shared chain
+    "q_graph_conductance",  # integer cut/volume counts, one division
+    "q_weighted_jaccard_days",  # integer min/max sums, one division
+    "q_new_items_share",    # integer day MINs, exact cents
 ]
 
 
