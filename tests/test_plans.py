@@ -392,6 +392,11 @@ def test_skyline_computes_frontier_on_aggregated_candidates(spark, sf_small):
     range split, per-range window hash, offsets singleton, broadcast) —
     more exchanges than the old single-sort plan, but none of them
     serializes the relation."""
+    # plan pins assert the COLD plan: cached relations persisted by
+    # earlier tests in the shared session would substitute
+    # InMemoryTableScans (and re-render their build plans, inflating
+    # the textual window count)
+    spark.catalog.clearCache()
     df = QUERIES["q_skyline"](spark, sf_small)
     plan = formatted_plan(df)
     assert uses_broadcast_join(df), plan
@@ -750,6 +755,9 @@ def test_round6_helper_users_no_global_sort(spark, sf_small):
     # helper's persisted ranked relation prints its build plan (with the
     # one offsets window) inline under EVERY InMemoryTableScan consumer,
     # so a query with k cache consumers shows up to k textual copies.
+    # Assert against the COLD plan — caches left by earlier tests in
+    # the shared session add further substitutions.
+    spark.catalog.clearCache()
     for name, limit in (
         ("q_percent_rank", 1),
         ("q_gini_revenue", 1),
