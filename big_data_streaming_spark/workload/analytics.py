@@ -15939,3 +15939,100 @@ def q_new_items_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cents")
         ).alias("new_revenue_share"),
     )
+
+
+# --- weekend vs weekday uplift (round 6) -------------------------------------
+# Per event type: events per weekend day vs per weekday. Day-of-week is
+# ENGINE-NEUTRAL integer arithmetic — dow = (epoch_day + 4) % 7 with
+# 0 = Sunday (1970-01-01 was a Thursday) — sidestepping the EXTRACT(dow)
+# convention mismatch q_daypart_interaction had to reconcile. Exact
+# integer counts; per-day rates are single divisions; uplift is the
+# cleared-denominator cross ratio.
+@_q(
+    "q_weekend_uplift",
+    """
+    WITH d AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7
+                         IN (0, 6) THEN 1 ELSE 0 END AS is_we
+        FROM events
+    ), days AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN is_we = 1 THEN day END)
+                    AS BIGINT) AS n_we_days,
+               CAST(COUNT(DISTINCT CASE WHEN is_we = 0 THEN day END)
+                    AS BIGINT) AS n_wd_days
+        FROM d
+    ), per AS (
+        SELECT event_type,
+               CAST(SUM(is_we) AS BIGINT) AS we_events,
+               CAST(SUM(1 - is_we) AS BIGINT) AS wd_events
+        FROM d GROUP BY event_type
+    )
+    SELECT event_type, we_events, wd_events,
+           CAST(we_events AS DOUBLE) / n_we_days AS we_per_day,
+           CAST(wd_events AS DOUBLE) / n_wd_days AS wd_per_day,
+           CAST(we_events * n_wd_days AS DOUBLE)
+               / CAST(wd_events * n_we_days AS DOUBLE) AS weekend_uplift
+    FROM per CROSS JOIN days
+    """,
+)
+def q_weekend_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+            "day"
+        ),
+        F.expr(
+            "CASE WHEN (CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"
+            " + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END"
+        ).alias("is_we"),
+    )
+    days = d.agg(
+        F.countDistinct(F.when(F.col("is_we") == 1, F.col("day")))
+        .cast("bigint")
+        .alias("n_we_days"),
+        F.countDistinct(F.when(F.col("is_we") == 0, F.col("day")))
+        .cast("bigint")
+        .alias("n_wd_days"),
+    )
+    per = d.groupBy("event_type").agg(
+        F.sum("is_we").cast("bigint").alias("we_events"),
+        F.sum(1 - F.col("is_we")).cast("bigint").alias("wd_events"),
+    )
+    return per.crossJoin(F.broadcast(days)).selectExpr(
+        "event_type",
+        "we_events",
+        "wd_events",
+        "CAST(we_events AS DOUBLE) / n_we_days AS we_per_day",
+        "CAST(wd_events AS DOUBLE) / n_wd_days AS wd_per_day",
+        "CAST(we_events * n_wd_days AS DOUBLE)"
+        " / CAST(wd_events * n_we_days AS DOUBLE) AS weekend_uplift",
+    )
+
+
+# --- behavioral-diversity distribution (round 6) -----------------------------
+# How many distinct event types does a user touch? The engagement-depth
+# histogram: exact per-user distinct counts, then the distribution.
+# One (user, type) distinct + two combinable aggregates.
+@_q(
+    "q_type_diversity_dist",
+    """
+    WITH per AS (
+        SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                   AS n_types
+        FROM events GROUP BY user_id
+    )
+    SELECT n_types, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per GROUP BY n_types
+    """,
+)
+def q_type_diversity_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").cast("bigint").alias("n_types"))
+    )
+    return per.groupBy("n_types").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

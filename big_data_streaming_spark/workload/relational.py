@@ -4659,3 +4659,58 @@ def q_top_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("total")).alias("top_share"),
         )
     )
+
+
+# --- supplier concentration (HHI) per nation (round 6) -----------------------
+# The groupwise companion to q_hhi: per supplier nation, the Herfindahl
+# index of revenue concentration across its suppliers, with the
+# denominator CLEARED — hhi_q = Σ c_i² and S² reported as exact BIGINTs
+# beside the double ratio (cents quantized to whole dollars first so
+# Σc² stays far inside int64 at any fixture scale). Two combinable
+# aggregates, one broadcast-join back.
+@_q(
+    "q_hhi_by_nation",
+    """
+    WITH per AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey,
+               CAST(SUM(CAST(floor(l.l_extendedprice) AS BIGINT)) AS BIGINT)
+                   AS dollars
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(dollars) AS BIGINT) AS s,
+               CAST(SUM(dollars * dollars) AS BIGINT) AS q
+        FROM per GROUP BY nation
+    )
+    SELECT nation, n_suppliers, s AS total_dollars, q AS sumsq_dollars,
+           CAST(q AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               AS hhi
+    FROM agg
+    """,
+)
+def q_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.expr("CAST(floor(l_extendedprice) AS BIGINT)"))
+            .cast("bigint")
+            .alias("dollars")
+        )
+    )
+    agg = per.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("dollars").cast("bigint").alias("s"),
+        F.sum(F.col("dollars") * F.col("dollars")).cast("bigint").alias("q"),
+    )
+    return agg.selectExpr(
+        "nation",
+        "n_suppliers",
+        "s AS total_dollars",
+        "q AS sumsq_dollars",
+        "CAST(q AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS hhi",
+    )

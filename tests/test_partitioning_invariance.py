@@ -253,6 +253,8 @@ SWEEP = [
     "q_graph_conductance",  # integer cut/volume counts, one division
     "q_weighted_jaccard_days",  # integer min/max sums, one division
     "q_new_items_share",    # integer day MINs, exact cents
+    "q_weekend_uplift",     # integer counts, cleared cross ratio
+    "q_hhi_by_nation",      # integer sum-of-squares, one division
 ]
 
 
