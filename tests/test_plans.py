@@ -770,3 +770,15 @@ def test_round6_helper_users_no_global_sort(spark, sf_small):
         df = QUERIES[name](spark, sf_small)
         got = unpartitioned_window_count(df)
         assert got <= limit, (name, got, formatted_plan(df))
+
+
+def test_round6_joins_never_cartesian(spark, sf_small):
+    """The round-6 join-heavy operators must stay equi/range-keyed:
+    window-funnel's per-user range semi-joins, the TV matrix's
+    pair-grid fan-out, and the per-basket triple expansion all have
+    key-bounded candidate sets — a CartesianProduct in any of them
+    means the bounding was lost."""
+    spark.catalog.clearCache()
+    for name in ("q_window_funnel", "q_source_tv_matrix", "q_basket_triples"):
+        plan = formatted_plan(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in plan, (name, plan)
