@@ -2213,3 +2213,149 @@ def q_stream_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 3)
     )
+
+
+# --- per-user streaming EWMA with RELATION state (round 6) -------------------
+# Cross-batch per-KEY state maintained the way a 100 TB stream must:
+# the state is a DISTRIBUTED RELATION (user_id → fixed-point ewma), not
+# a driver dict — each micro-batch full-outer-joins its per-user counts
+# into the state and applies the dyadic recurrence
+# ewma' = (ewma + x·2^20) div 2 (absent users decay: x = 0; new users
+# start at x·2^20 div 2). Division by two with floor is bit-identical
+# in Python/Spark/DuckDB, so the whole fold is exact. The drain stages
+# per-batch counts keyed by batch_key (arrival order does NOT matter —
+# the fold replays in batch_key order), then folds with a
+# localCheckpoint per round (4 bounded rounds — the q_dedup_components
+# lineage discipline). Oracle: recursive CTE over the identical
+# contiguous-slice batches. Output: top-10 users by final ewma
+# (sort+limit) — bounded, deterministic (ewma desc, user asc).
+_UE_S = 1 << 20
+
+
+def _sue_oracle() -> str:
+    return f"""
+    WITH RECURSIVE r AS (
+        SELECT event_id, user_id,
+               row_number() OVER (ORDER BY event_id) - 1 AS rn
+        FROM events
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events
+    ), p AS (
+        SELECT user_id, rn // ((nn.total + 3) // 4) AS part
+        FROM r, nn
+    ), b AS (
+        SELECT part, user_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM p GROUP BY 1, 2
+    ), users AS (SELECT DISTINCT user_id FROM b),
+    steps AS (
+        SELECT u.user_id, s.part,
+               COALESCE(b.x, 0) AS x
+        FROM users u
+        CROSS JOIN (SELECT DISTINCT part FROM b) s
+        LEFT JOIN b ON b.user_id = u.user_id AND b.part = s.part
+    ), fold AS (
+        SELECT user_id, part,
+               CAST(x * {_UE_S} // 2 AS BIGINT) AS ewq
+        FROM steps WHERE part = 0
+        UNION ALL
+        SELECT s.user_id, s.part,
+               CAST((f.ewq + s.x * {_UE_S}) // 2 AS BIGINT)
+        FROM fold f JOIN steps s
+          ON s.user_id = f.user_id AND s.part = f.part + 1
+    ), fin AS (
+        SELECT user_id, ewq FROM fold
+        WHERE part = (SELECT MAX(part) FROM b)
+    )
+    SELECT user_id, ewq,
+           CAST(ewq AS DOUBLE) / {_UE_S} AS ewma,
+           CAST(ROW_NUMBER() OVER (ORDER BY ewq DESC, user_id) AS BIGINT)
+               AS rank
+    FROM fin QUALIFY rank <= 10
+    """
+
+
+@_q("q_stream_user_ewma", _sue_oracle())
+def q_stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bdss_sue_state_{uuid.uuid4().hex[:8]}"
+    )
+
+    def absorb(bdf: DataFrame, batch_id: int) -> None:
+        # stage the per-user batch aggregate keyed by batch_key — a
+        # DISTRIBUTED write, nothing reaches the driver
+        (
+            bdf.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("x"),
+                F.min("event_id").cast("bigint").alias("bk"),
+            )
+            .withColumn("batch_key", F.min("bk").over(Window.partitionBy()))
+            .drop("bk")
+            .write.mode("append")
+            .parquet(stage)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(absorb)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(),
+                f"bdss_sue_ckpt_{uuid.uuid4().hex[:8]}",
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    staged = spark.read.parquet(stage)
+    # bounded: 4 staged batch keys
+    keys = sorted(
+        r.batch_key
+        for r in staged.select("batch_key").distinct().collect()
+    )
+    state = None
+    for bk in keys:
+        counts = staged.where(F.col("batch_key") == bk).select("user_id", "x")
+        if state is None:
+            state = counts.select(
+                "user_id",
+                F.expr(f"x * {_UE_S} DIV 2").cast("bigint").alias("ewq"),
+            )
+        else:
+            state = state.join(counts, "user_id", "full").selectExpr(
+                "user_id",
+                # pure integer floor-div — never a double /2
+                f"CAST((coalesce(ewq, 0) + coalesce(x, 0) * {_UE_S})"
+                " DIV 2 AS BIGINT) AS ewq",
+            )
+        # truncate the per-round join lineage (4 bounded rounds)
+        state = state.localCheckpoint(eager=True)
+    # top-10: sort+limit (TakeOrdered), bounded rank after
+    top = state.orderBy(F.desc("ewq"), "user_id").limit(10)
+    # bounded: rank over the 10-row top-k relation
+    return top.select(
+        "user_id",
+        "ewq",
+        (F.col("ewq").cast("double") / _UE_S).alias("ewma"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("ewq"), "user_id"))
+        .cast("bigint")
+        .alias("rank"),
+    )
