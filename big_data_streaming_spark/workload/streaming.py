@@ -2298,18 +2298,13 @@ def q_stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def absorb(bdf: DataFrame, batch_id: int) -> None:
         # stage the per-user batch aggregate keyed by batch_key — a
-        # DISTRIBUTED write, nothing reaches the driver
-        (
-            bdf.groupBy("user_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("x"),
-                F.min("event_id").cast("bigint").alias("bk"),
-            )
-            .withColumn("batch_key", F.min("bk").over(Window.partitionBy()))
-            .drop("bk")
-            .write.mode("append")
-            .parquet(stage)
+        # DISTRIBUTED write, nothing reaches the driver; the batch key
+        # is a broadcast 1-row aggregate (never a global window)
+        per = bdf.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("x")
         )
+        bk = bdf.agg(F.min("event_id").cast("bigint").alias("batch_key"))
+        per.crossJoin(F.broadcast(bk)).write.mode("append").parquet(stage)
 
     q = (
         sdf.writeStream.foreachBatch(absorb)
