@@ -255,6 +255,7 @@ SWEEP = [
     "q_new_items_share",    # integer day MINs, exact cents
     "q_weekend_uplift",     # integer counts, cleared cross ratio
     "q_hhi_by_nation",      # integer sum-of-squares, one division
+    "q_stream_user_ewma",   # batch_key-ordered integer fold, dyadic div
 ]
 
 
