@@ -16036,3 +16036,95 @@ def q_type_diversity_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("n_types").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# --- window funnel by signup cohort (round 6) --------------------------------
+# q_window_funnel's reach counts split by the user's signup cohort week
+# (first-event week): does conversion quality differ by vintage? Same
+# existence semantics — per-user range semi-joins on integer seconds —
+# with the cohort joined on afterwards; everything shuffles on user_id
+# only. Exact distinct-user integers per (cohort_week, step).
+@_q(
+    "q_funnel_by_cohort",
+    """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events
+    ), cohort AS (
+        SELECT user_id,
+               CAST(MIN(s) // 604800 AS BIGINT) AS cohort_week
+        FROM e GROUP BY user_id
+    ), v AS (SELECT user_id, s FROM e WHERE event_type = 'view'),
+    c AS (SELECT user_id, s FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, s FROM e WHERE event_type = 'purchase'),
+    qc AS (
+        SELECT DISTINCT c.user_id, c.s FROM c JOIN v
+          ON c.user_id = v.user_id AND c.s > v.s AND c.s <= v.s + 3600
+    ), s3 AS (
+        SELECT DISTINCT p.user_id FROM p JOIN qc
+          ON p.user_id = qc.user_id AND p.s > qc.s AND p.s <= qc.s + 3600
+    ), reach AS (
+        SELECT user_id, CAST(1 AS BIGINT) AS step FROM v GROUP BY user_id
+        UNION ALL
+        SELECT user_id, CAST(2 AS BIGINT) FROM qc GROUP BY user_id
+        UNION ALL
+        SELECT user_id, CAST(3 AS BIGINT) FROM s3 GROUP BY user_id
+    )
+    SELECT co.cohort_week, r.step,
+           CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS n_users
+    FROM reach r JOIN cohort co USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+    )
+    cohort = e.groupBy("user_id").agg(
+        F.expr("CAST(MIN(s) DIV 604800 AS BIGINT)").alias("cohort_week")
+    )
+    v = e.where(F.col("event_type") == "view").select("user_id", "s")
+    c = e.where(F.col("event_type") == "click").select("user_id", "s")
+    p = e.where(F.col("event_type") == "purchase").select("user_id", "s")
+    qc = (
+        c.alias("c")
+        .join(
+            v.alias("v"),
+            (F.col("c.user_id") == F.col("v.user_id"))
+            & (F.col("c.s") > F.col("v.s"))
+            & (F.col("c.s") <= F.col("v.s") + 3600),
+            "leftsemi",
+        )
+        .distinct()
+    )
+    s3 = (
+        p.alias("p")
+        .join(
+            qc.alias("q"),
+            (F.col("p.user_id") == F.col("q.user_id"))
+            & (F.col("p.s") > F.col("q.s"))
+            & (F.col("p.s") <= F.col("q.s") + 3600),
+            "leftsemi",
+        )
+        .select("user_id")
+        .distinct()
+    )
+    reach = (
+        v.select("user_id").distinct().select(
+            "user_id", F.lit(1).cast("bigint").alias("step")
+        )
+        .unionAll(
+            qc.select("user_id").distinct().select(
+                "user_id", F.lit(2).cast("bigint").alias("step")
+            )
+        )
+        .unionAll(s3.select("user_id", F.lit(3).cast("bigint").alias("step")))
+    )
+    return (
+        reach.join(cohort, "user_id")
+        .groupBy("cohort_week", "step")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )

@@ -5993,3 +5993,122 @@ def q_source_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tv_distance"),
     )
+
+
+# --- duplicate-cluster purity audit (round 6) --------------------------------
+# Dedup governance beside q_dup_size_dist: for every exact-duplicate
+# cluster of size >= 2, do the copies agree on source and language?
+# Impure clusters are CROSS-source leaks — the signal that one feed
+# mirrors another. All counts are exact integers off one fingerprint
+# aggregate.
+@_q(
+    "q_dup_cluster_purity",
+    """
+    WITH g AS (
+        SELECT md5(text) AS fp,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY md5(text)
+        HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs_in_clusters,
+           CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_source_pure,
+           CAST(SUM(CASE WHEN n_langs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang_pure,
+           CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS source_purity,
+           CAST(SUM(CASE WHEN n_sources > 1 THEN sz ELSE 0 END) AS BIGINT)
+               AS cross_source_docs
+    FROM g
+    """,
+)
+def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .where(F.col("sz") >= 2)
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs_in_clusters"),
+        F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_source_pure"),
+        F.sum(F.when(F.col("n_langs") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lang_pure"),
+        (
+            F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("source_purity"),
+        F.sum(F.when(F.col("n_sources") > 1, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("cross_source_docs"),
+    )
+
+
+# --- out-of-vocabulary rate per source (round 6) -----------------------------
+# The tokenizer-coverage metric: share of each source's token
+# OCCURRENCES that fall outside the corpus-wide top-1000 vocabulary
+# (count desc, token asc — deterministic cut via sort+limit, a
+# TakeOrdered over the vocab aggregate). Exact integer counts; one
+# division. A source with high OOV against the shared vocab needs its
+# own tokenizer budget.
+@_q(
+    "q_oov_rate",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY token
+        ) QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token) <= 1000
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY source
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    # bounded: vocab aggregate; top-1000 via sort+limit (TakeOrdered)
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(1000)
+        .select("token", F.lit(1).alias("_in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            (
+                F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

@@ -256,6 +256,8 @@ SWEEP = [
     "q_weekend_uplift",     # integer counts, cleared cross ratio
     "q_hhi_by_nation",      # integer sum-of-squares, one division
     "q_stream_user_ewma",   # batch_key-ordered integer fold, dyadic div
+    "q_dup_cluster_purity", # integer cluster counts, one division
+    "q_oov_rate",           # deterministic vocab cut, integer counts
 ]
 
 
