@@ -4714,3 +4714,132 @@ def q_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q AS sumsq_dollars",
         "CAST(q AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS hhi",
     )
+
+
+# --- CR4 concentration ratio per nation (round 6) ----------------------------
+# The concentration-ratio cousin of q_hhi_by_nation: each nation's
+# top-4 suppliers' share of revenue (PARTITIONED rank — per-nation,
+# never global). Revenue in whole dollars keeps everything BIGINT;
+# shares are single divisions.
+@_q(
+    "q_cr4_by_nation",
+    """
+    WITH per AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey,
+               CAST(SUM(CAST(floor(l.l_extendedprice) AS BIGINT)) AS BIGINT)
+                   AS dollars
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ), rk AS (
+        SELECT nation, dollars,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY dollars DESC, l_suppkey) AS rn
+        FROM per
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(dollars) AS BIGINT) AS total_dollars,
+           CAST(SUM(CASE WHEN rn <= 4 THEN dollars ELSE 0 END) AS BIGINT)
+               AS top4_dollars,
+           CAST(SUM(CASE WHEN rn <= 4 THEN dollars ELSE 0 END) AS DOUBLE)
+               / SUM(dollars) AS cr4
+    FROM rk GROUP BY nation
+    """,
+)
+def q_cr4_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.expr("CAST(floor(l_extendedprice) AS BIGINT)"))
+            .cast("bigint")
+            .alias("dollars")
+        )
+    )
+    rk = per.select(
+        "nation",
+        "dollars",
+        F.row_number()
+        .over(
+            Window.partitionBy("nation").orderBy(
+                F.desc("dollars"), "l_suppkey"
+            )
+        )
+        .alias("rn"),
+    )
+    return rk.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("dollars").cast("bigint").alias("total_dollars"),
+        F.sum(F.when(F.col("rn") <= 4, F.col("dollars")).otherwise(0))
+        .cast("bigint")
+        .alias("top4_dollars"),
+        (
+            F.sum(F.when(F.col("rn") <= 4, F.col("dollars")).otherwise(0))
+            .cast("double")
+            / F.sum("dollars")
+        ).alias("cr4"),
+    )
+
+
+# --- calendar-gap audit (round 6) --------------------------------------------
+# Data-freshness integrity: per calendar month, how many days saw ZERO
+# orders? A generated day grid (sequence over the observed [min, max]
+# day span) left-joined against the per-day counts — gaps surface as
+# rows, not silence. All integer day arithmetic.
+@_q(
+    "q_calendar_gaps",
+    """
+    WITH d AS (
+        SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ), ext AS (
+        SELECT CAST(MIN(day) AS BIGINT) AS lo, CAST(MAX(day) AS BIGINT) AS hi
+        FROM d
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi)) AS day FROM ext
+    ), filled AS (
+        SELECT g.day, COALESCE(d.n, 0) AS n FROM grid g
+        LEFT JOIN d ON g.day = d.day
+    )
+    SELECT CAST(day // 30 AS BIGINT) AS month_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty_days,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM filled GROUP BY 1
+    """,
+)
+def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)"
+            ).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ext = d.agg(
+        F.min("day").cast("bigint").alias("lo"),
+        F.max("day").cast("bigint").alias("hi"),
+    )
+    grid = ext.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    filled = grid.join(d, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    return filled.groupBy(
+        F.expr("CAST(day DIV 30 AS BIGINT)").alias("month_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty_days"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+    )

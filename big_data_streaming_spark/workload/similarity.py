@@ -2293,3 +2293,76 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return rk.where(F.col("rank") <= 3)
+
+
+# --- stride-pair distance profile (round 6) ----------------------------------
+# The LINEAR-cost companion to q_jl_audit's all-pairs audit: distance
+# distribution over deterministic stride pairs (i, i+s) for strides
+# 1/17/289 — O(n) pairs per stride at any corpus size, never n². Dims
+# quantize to integer micro-units; squared L2 of a pair stays BIGINT
+# (64 · (1.2e6)² ≈ 9e13); means are single divisions of exact sums.
+@_q(
+    "q_embed_stride_distances",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ), strides AS (
+        SELECT CAST(g.x AS BIGINT) AS stride
+        FROM (VALUES (1), (17), (289)) g(x)
+    ), pairs AS (
+        SELECT s.stride, a.vec_id,
+               CAST(list_sum(list_transform(
+                   list_zip(a.qv, b.qv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2q
+        FROM strides s
+        JOIN q a ON TRUE
+        JOIN q b ON b.vec_id = a.vec_id + s.stride
+    )
+    SELECT stride,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(d2q) AS BIGINT) AS sum_d2q,
+           CAST(MIN(d2q) AS BIGINT) AS min_d2q,
+           CAST(MAX(d2q) AS BIGINT) AS max_d2q,
+           CAST(SUM(d2q) AS DOUBLE)
+               / (COUNT(*) * 1000000.0 * 1000000.0) AS mean_sq_dist
+    FROM pairs GROUP BY stride
+    """,
+)
+def q_embed_stride_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    strides = F.broadcast(
+        q.sparkSession.createDataFrame([(1,), (17,), (289,)], "stride long")
+    )
+    a = q.select("vec_id", F.col("qv").alias("qa")).crossJoin(strides)
+    b = q.select(
+        F.col("vec_id").alias("vb"), F.col("qv").alias("qb")
+    )
+    pairs = a.join(
+        b, F.col("vb") == F.col("vec_id") + F.col("stride")
+    ).select(
+        "stride",
+        F.expr(
+            "CAST(aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+        ).alias("d2q"),
+    )
+    return pairs.groupBy("stride").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("d2q").cast("bigint").alias("sum_d2q"),
+        F.min("d2q").cast("bigint").alias("min_d2q"),
+        F.max("d2q").cast("bigint").alias("max_d2q"),
+        (
+            F.sum("d2q").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6) * F.lit(1e6))
+        ).alias("mean_sq_dist"),
+    )

@@ -258,6 +258,8 @@ SWEEP = [
     "q_stream_user_ewma",   # batch_key-ordered integer fold, dyadic div
     "q_dup_cluster_purity", # integer cluster counts, one division
     "q_oov_rate",           # deterministic vocab cut, integer counts
+    "q_embed_stride_distances",  # quantized squared L2, integer sums
+    "q_cr4_by_nation",      # partitioned rank, integer dollar sums
 ]
 
 
