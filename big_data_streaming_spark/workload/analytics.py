@@ -16128,3 +16128,65 @@ def q_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "step")
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+# --- events before first purchase (round 6) ----------------------------------
+# Path-length-to-conversion: for each converting user, how many events
+# strictly precede the first purchase under the (ts, event_id) total
+# order? The anchor is element-selected per user (min purchase struct);
+# the count is one conditional aggregate against the broadcast-joined
+# anchor — exact integers; output is the distribution histogram.
+@_q(
+    "q_events_to_purchase",
+    """
+    WITH anchors AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) = 1
+    ), per AS (
+        SELECT e.user_id,
+               CAST(SUM(CASE WHEN e.ts < a.p_ts
+                              OR (e.ts = a.p_ts AND e.event_id < a.p_id)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_before
+        FROM events e JOIN anchors a ON e.user_id = a.user_id
+        GROUP BY e.user_id
+    )
+    SELECT n_before, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per GROUP BY n_before
+    """,
+)
+def q_events_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    anchors = (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    per = (
+        ev.join(anchors, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ts") < F.col("p_ts"))
+                    | (
+                        (F.col("ts") == F.col("p_ts"))
+                        & (F.col("event_id") < F.col("p_id"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_before")
+        )
+    )
+    return per.groupBy("n_before").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

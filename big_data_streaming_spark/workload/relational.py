@@ -4843,3 +4843,50 @@ def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_empty_days"),
         F.sum("n").cast("bigint").alias("n_orders"),
     )
+
+
+# --- multi-sourcing audit (round 6) ------------------------------------------
+# Supply-chain resilience: how many parts have 2+ suppliers, and what
+# is the mean sourcing depth? One distinct-edge aggregate per part +
+# one fold — exact integers, single divisions.
+@_q(
+    "q_multi_supplier_share",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), per AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_sup
+        FROM e GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN n_sup >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi,
+           CAST(SUM(n_sup) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN n_sup >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS multi_share,
+           CAST(SUM(n_sup) AS DOUBLE) / COUNT(*) AS mean_suppliers
+    FROM per
+    """,
+)
+def q_multi_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sup"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.when(F.col("n_sup") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi"),
+        F.sum("n_sup").cast("bigint").alias("n_edges"),
+        (
+            F.sum(F.when(F.col("n_sup") >= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("multi_share"),
+        (F.sum("n_sup").cast("double") / F.count(F.lit(1))).alias(
+            "mean_suppliers"
+        ),
+    )

@@ -6112,3 +6112,52 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# --- sentence-level structure stats (round 6) --------------------------------
+# The linguistic unit between tokens and documents: per language,
+# period-delimited sentence counts and mean sentence length in
+# characters (non-empty segments only). Exact integers; means are
+# single divisions. One per-row split + one lang aggregate.
+@_q(
+    "q_sentence_stats",
+    """
+    WITH per AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(text, '.'),
+                                    s -> trim(s) <> '')) AS BIGINT)
+                   AS n_sent,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sent) AS BIGINT) AS n_sentences,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_sent)
+               AS chars_per_sentence,
+           CAST(SUM(n_sent) AS DOUBLE) / COUNT(*) AS sentences_per_doc
+    FROM per GROUP BY lang
+    """,
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split("text", "\\."), lambda s: F.trim(s) != F.lit("")
+            )
+        )
+        .cast("bigint")
+        .alias("n_sent"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sent").cast("bigint").alias("n_sentences"),
+        (F.sum("n_chars").cast("double") / F.sum("n_sent")).alias(
+            "chars_per_sentence"
+        ),
+        (F.sum("n_sent").cast("double") / F.count(F.lit(1))).alias(
+            "sentences_per_doc"
+        ),
+    )

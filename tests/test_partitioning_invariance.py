@@ -260,6 +260,8 @@ SWEEP = [
     "q_oov_rate",           # deterministic vocab cut, integer counts
     "q_embed_stride_distances",  # quantized squared L2, integer sums
     "q_cr4_by_nation",      # partitioned rank, integer dollar sums
+    "q_sentence_stats",     # integer segment counts, single divisions
+    "q_multi_supplier_share",  # distinct-edge integers, single divisions
 ]
 
 
