@@ -58,6 +58,33 @@ from pyspark.sql.window import Window
 #: 8 keeps the offset relation readable in test plans.
 DEFAULT_RANGES = 8
 
+#: Handles persisted by the sampled path, pending release. The pin must
+#: outlive the caller's action (two lineage branches share it — see the
+#: module docstring), but the helper cannot see that action, so handles
+#: accumulate here and ``release_persisted()`` frees them BETWEEN
+#: queries: the workload registry wrapper calls it before constructing
+#: the next query, and bench.py/tests call it after each materialize.
+#: Without this, a long session (full suite, bench, the driver's 50-key
+#: gate) pins one fact-sized cache per sampled call for its lifetime
+#: (ADVICE r6).
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every relation the sampled path has pinned so far.
+
+    Call ONLY between queries — after one query's output materialized
+    and before the next is constructed. Releasing a handle whose action
+    has not run yet would drop the consistency pin and re-open the
+    independent-boundary-sampling hazard the persist exists to close.
+    """
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+
 
 def _cols(order_cols: list[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -128,6 +155,7 @@ def global_order(
         # see module docstring: pin ONE evaluation of the sampled range
         # assignment for both the offsets branch and the output branch
         ranked = ranked.persist()
+        _PERSISTED.append(ranked)
     sizes = ranked.groupBy("_rng").agg(
         F.max("_intra").alias("_n"),
         *[F.sum(src).alias(f"_t_{out}") for out, src in cum_sums.items()],

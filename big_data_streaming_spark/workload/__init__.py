@@ -641,11 +641,41 @@ for _m in _MODULES:
 _missing = set(_CHECK_FIRST) - _ALL.keys()
 if _missing:
     raise ValueError(f"_CHECK_FIRST names unknown queries: {_missing}")
+
+
+def _with_cache_release(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Free the previous query's global_order consistency pins.
+
+    plans/rank.py's sampled path persists the ranked relation (the pin
+    must outlive the caller's action, so the helper cannot unpersist it
+    itself — ADVICE r6). Harnesses run registry queries sequentially
+    (driver gate, bench, pytest), so the construction of query N+1 is
+    the first moment query N's pins are provably past their action.
+    Intra-query multi-use (q_rfm calls global_order 3×) stays pinned:
+    release fires once, before the wrapped function body runs. Module-
+    level dicts stay unwrapped, so nested composition (q_seasonal_
+    anomaly reusing q_ohlc_bars mid-construction) never releases its
+    own pins.
+    """
+    import functools
+
+    from big_data_streaming_spark.plans.rank import release_persisted
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_persisted()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 for _name in _CHECK_FIRST:
-    QUERIES[_name] = _ALL[_name]
+    QUERIES[_name] = _with_cache_release(_ALL[_name])
 for _name, _fn in _ALL.items():
     if _name not in QUERIES:
-        QUERIES[_name] = _fn
+        QUERIES[_name] = _with_cache_release(_fn)
 
 _orphans = ORACLES.keys() - QUERIES.keys()
 if _orphans:

@@ -15134,7 +15134,7 @@ def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_id
         FROM events
     ), marked AS (
-        SELECT user_id, s,
+        SELECT user_id, s, event_id,
                CASE WHEN s - LAG(s) OVER (PARTITION BY user_id
                                           ORDER BY s, event_id) > 1800
                          OR LAG(s) OVER (PARTITION BY user_id
@@ -15148,7 +15148,7 @@ def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT user_id, s,
                    SUM(is_start) OVER (PARTITION BY user_id
-                                       ORDER BY s
+                                       ORDER BY s, event_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW) AS sess_id
             FROM marked
@@ -15185,6 +15185,7 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = e.select(
         "user_id",
         "s",
+        "event_id",
         F.when(
             (F.col("s") - F.lag("s").over(wu) > 1800)
             | F.lag("s").over(wu).isNull(),
@@ -15193,7 +15194,11 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_start"),
     )
-    wcum = Window.partitionBy("user_id").orderBy("s").rowsBetween(
+    # ADVICE r6: the cumulative sess_id window must share the exact
+    # (s, event_id) order that derived is_start — ordering by s alone
+    # leaves rows tied on (user_id, s) to engine-dependent tie order,
+    # and the sf0.1 fixture has such a tie at a session boundary.
+    wcum = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = (
@@ -15560,7 +15565,7 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id
         FROM events
     ), marked AS (
-        SELECT user_id, s,
+        SELECT user_id, s, event_id,
                CASE WHEN s - LAG(s) OVER (PARTITION BY user_id
                                           ORDER BY s, event_id) > 1800
                          OR LAG(s) OVER (PARTITION BY user_id
@@ -15569,7 +15574,7 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e
     ), sess AS (
         SELECT user_id,
-               SUM(is_start) OVER (PARTITION BY user_id ORDER BY s
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY s, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND CURRENT ROW) AS sess_id
         FROM marked
@@ -15591,6 +15596,7 @@ def q_session_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = e.select(
         "user_id",
         "s",
+        "event_id",
         F.when(
             (F.col("s") - F.lag("s").over(wu) > 1800)
             | F.lag("s").over(wu).isNull(),
@@ -15599,7 +15605,9 @@ def q_session_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_start"),
     )
-    wcum = Window.partitionBy("user_id").orderBy("s").rowsBetween(
+    # ADVICE r6: sess_id cumulative must use the same (s, event_id) tie
+    # order that derived is_start (see q_max_concurrency).
+    wcum = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sizes = (

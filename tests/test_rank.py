@@ -106,3 +106,28 @@ def test_global_cum_sum_and_max(spark):
     m = got.merge(want, on="id", suffixes=("_g", "_w"))
     assert (m["cs_g"] == m["cs_w"]).all()
     assert (m["cm_g"] == m["cm_w"]).all()
+
+
+def test_persisted_pins_tracked_and_released(spark):
+    """ADVICE r6: the sampled path's consistency persist must be
+    trackable and freeable between queries — otherwise a 100-query
+    session pins one fact-sized cache per sampled call forever. The
+    registry wrapper releases on next-query construction; bench and
+    conftest release post-action."""
+    from big_data_streaming_spark.plans import rank as rank_mod
+    from big_data_streaming_spark.workload import QUERIES
+
+    rank_mod.release_persisted()
+    assert not rank_mod._PERSISTED
+    df = global_rank(spark.range(100).select("id"), ["id"])
+    assert len(rank_mod._PERSISTED) == 1
+    assert df.count() == 100
+    assert rank_mod._PERSISTED[0].storageLevel.useMemory
+    rank_mod.release_persisted()
+    assert not rank_mod._PERSISTED
+    # registry-wrapped construction releases the PREVIOUS query's pins
+    pinned = global_rank(spark.range(10).select("id"), ["id"])
+    pinned.count()
+    assert len(rank_mod._PERSISTED) == 1
+    QUERIES["q_count_all"](spark, "/root/testdata/sf0.001")
+    assert not rank_mod._PERSISTED
