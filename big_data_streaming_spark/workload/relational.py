@@ -4393,12 +4393,17 @@ def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- frequent 3-itemsets from order baskets (round 6) ------------------------
 # The Apriori step above q_assoc_rules' pairs: distinct parts per order
-# form a basket (≤7 items on this schema), triples come from a double
-# per-basket self-join with p1 < p2 < p3 — the candidate count per
-# basket is C(|basket|, 3) ≤ 35, so the expansion is per-basket-bounded
-# at any corpus size (never |parts|³). Support counts are exact
-# integers; the top-20 selection is sort+limit (TakeOrderedAndProject),
-# with the rank confined to the bounded 20-row result.
+# form a basket, triples come from a double per-basket self-join with
+# p1 < p2 < p3 — the candidate count per basket is C(|basket|, 3), so
+# the expansion is per-basket-bounded at any corpus size (never
+# |parts|³) PROVIDED baskets stay small. The fixture's max is 17
+# distinct parts per order at sf0.1 (NOT TPC-H's 7 — the synthetic
+# generator doesn't cap at 7); tests/test_basket_guard.py asserts a
+# 64-part expansion budget at every scale so a skewed fixture change
+# fails loudly instead of exploding the join (VERDICT r6 task 5).
+# Support counts are exact integers; the top-20 selection is sort+limit
+# (TakeOrderedAndProject), with the rank confined to the bounded
+# 20-row result.
 @_q(
     "q_basket_triples",
     """

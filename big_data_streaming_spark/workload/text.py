@@ -1582,12 +1582,16 @@ def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    r = f.withColumn(
+    # top-20 selection: sort+limit plans as TakeOrderedAndProject — per-
+    # partition heaps, never the whole vocabulary in one task (VERDICT r6
+    # observation 1; the q_basket_triples shape).
+    top = f.orderBy(F.desc("freq"), "token").limit(20)
+    # bounded: rank over the 20-row top-k relation
+    r = top.withColumn(
         "rnk",
-        # bounded: token vocabulary — Heaps-sublinear aggregate, not the token stream
         F.row_number().over(Window.orderBy(F.desc("freq"), "token")).cast("bigint"),
     )
-    return r.where(F.col("rnk") <= 20).select(
+    return r.select(
         "rnk", "token", "freq", (F.col("rnk") * F.col("freq")).alias("rank_freq_product")
     )
 
@@ -1850,14 +1854,22 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    r = f.select(
+    # Only the top-max(ks) tokens can contribute to any covered(k), so
+    # select them with sort+limit (TakeOrderedAndProject — per-partition
+    # heaps, never the whole vocabulary in one task; VERDICT r6
+    # observation 1) and confine the rank window to that k-row result.
+    # The denominator is a plain full aggregate, not a window.
+    kmax = max(_COVERAGE_KS)
+    top = f.orderBy(F.desc("freq"), "token").limit(kmax)
+    # bounded: rank over the max(ks)-row top-k relation
+    r = top.select(
         "freq",
         F.row_number()
-        # bounded: token vocabulary — Heaps-sublinear aggregate, not the token stream
         .over(Window.orderBy(F.desc("freq"), "token"))
         .cast("bigint")
         .alias("rnk"),
     )
+    tot = f.agg(F.sum("freq").cast("bigint").alias("total_tokens"))
     ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k int")
     return (
         r.crossJoin(F.broadcast(ks))
@@ -1866,8 +1878,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("freq")).otherwise(0))
             .cast("bigint")
             .alias("covered"),
-            F.sum("freq").cast("bigint").alias("total_tokens"),
         )
+        .crossJoin(F.broadcast(tot))
         .select(
             "k",
             "covered",
@@ -2909,8 +2921,6 @@ def _mg_partition(batches):
     """,
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     bi = (
@@ -2933,15 +2943,10 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = bi.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    top = (
-        exact.withColumn(
-            "rn",
-            # bounded: bigram vocabulary — aggregate-sized, not the token stream
-            F.row_number().over(Window.orderBy(F.desc("cnt"), "bigram")),
-        )
-        .where(F.col("rn") <= _MG_TOPN)
-        .drop("rn")
-    )
+    # top-N selection with no rank in the output: pure sort+limit —
+    # TakeOrderedAndProject via per-partition heaps, never the whole
+    # bigram vocabulary in one task (VERDICT r6 observation 1).
+    top = exact.orderBy(F.desc("cnt"), "bigram").limit(_MG_TOPN)
     total = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     sketch = (
         bi.mapInPandas(_mg_partition, "bigram string, lb long")

@@ -782,3 +782,22 @@ def test_round6_joins_never_cartesian(spark, sf_small):
     for name in ("q_window_funnel", "q_source_tv_matrix", "q_basket_triples"):
         plan = formatted_plan(QUERIES[name](spark, sf_small))
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_vocab_topk_windows_are_sort_limit(spark, sf_small):
+    """VERDICT r6 observation 1: vocabulary-sized top-k selection must
+    plan as TakeOrderedAndProject (per-partition heaps), never an
+    unpartitioned rank over the whole vocabulary in one task. The rank
+    window, where the output needs one, is confined to the k-row
+    limit result; q_heavy_hitters needs no rank at all."""
+    spark.catalog.clearCache()
+    for name, max_windows in (
+        ("q_zipf_audit", 1),  # rank over the 20-row top-k relation
+        ("q_vocab_coverage", 1),  # rank over the max(ks)-row top-k
+        ("q_heavy_hitters", 0),  # pure top-N, no rank column
+    ):
+        df = QUERIES[name](spark, sf_small)
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        got = unpartitioned_window_count(df)
+        assert got <= max_windows, (name, got, plan)
