@@ -542,3 +542,82 @@ def byte_histogram(df: DataFrame, *, payload_col: str = "media.payload", n_bins:
 
     narrow = df.select("doc_id", F.col(payload_col).alias("payload"))
     return narrow.mapInPandas(run, BYTE_HISTOGRAM_SCHEMA)
+
+
+CLIP_STATS_SCHEMA = (
+    "doc_id bigint, n_samples bigint, clip_count bigint, "
+    "max_abs bigint, clip_share double"
+)
+
+
+def synth_wav_tone_payload(seed_col, n_samples_col):
+    """A complete PCM WAV payload — the 44-byte header from
+    ``synth_wav_payload`` plus ``n`` deterministic 16-bit LE samples:
+    the stored uint16 is m_k = (seed + k * 2654435761) % 65536, whose
+    two's-complement signed reading is s_k = m_k if m_k < 32768 else
+    m_k - 65536 — built entirely in codegen (hex per sample,
+    byte-swapped to little-endian, array_join, unhex). The recurrence
+    is restatable arithmetically in SQL, so byte-level kernels over the
+    data section are value-checkable the same way the header kernels
+    are. Keep ``n`` small (hundreds): the payload is a per-row string
+    expression, not a media store."""
+    seed = seed_col.cast("bigint")
+    n = n_samples_col.cast("bigint")
+
+    def le_sample(k):
+        h = F.lpad(F.hex((seed + k * F.lit(2654435761)) % 65536), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    data_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), n - 1), le_sample), ""
+    )
+    return F.concat(
+        synth_wav_payload(F.lit(44100), n), F.unhex(data_hex)
+    )
+
+
+def audio_clip_stats(df: DataFrame, threshold: int = 32000) -> DataFrame:
+    """(doc_id, payload) → 16-bit PCM clipping statistics: sample count
+    (from the data section, not the header), samples at or beyond
+    ``threshold`` magnitude, the peak magnitude, and the clipped share.
+    The audio-QA triage that runs BEFORE any resample/transcode —
+    vectorized ``np.frombuffer`` over the Arrow batch, no per-sample
+    Python. Non-WAV payloads yield NULL stats (same policy as
+    parse_audio_headers)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"n_samples": [], "clip_count": [], "max_abs": [],
+                   "clip_share": []}
+            for buf in pdf["payload"]:
+                b = bytes(buf) if buf is not None else b""
+                ok = (
+                    len(b) >= 44
+                    and b[:4] == b"RIFF"
+                    and b[8:16] == b"WAVEfmt "
+                    and (len(b) - 44) % 2 == 0
+                )
+                if ok:
+                    s = np.frombuffer(b, dtype="<i2", offset=44)
+                    n = int(s.size)
+                    a = np.abs(s.astype(np.int32))
+                    clip = int((a >= threshold).sum())
+                    out["n_samples"].append(n)
+                    out["clip_count"].append(clip)
+                    out["max_abs"].append(int(a.max()) if n else 0)
+                    out["clip_share"].append(clip / n if n else 0.0)
+                else:
+                    for k in out:
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "clip_count": pd.array(out["clip_count"], dtype="Int64"),
+                    "max_abs": pd.array(out["max_abs"], dtype="Int64"),
+                    "clip_share": pd.array(out["clip_share"], dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, CLIP_STATS_SCHEMA)

@@ -366,6 +366,22 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_events_to_purchase",
     "q_sentence_stats",
     "q_multi_supplier_share",
+    # Round-7 additions (13 — growth capped below the 50-key window per
+    # VERDICT r6 task 2) — full-oracle, gate-green at sf0.001/0.01/0.1;
+    # queued behind the round-6 block for the round-8+ windows.
+    "q_cliff_delta",
+    "q_kuiper_drift",
+    "q_dwell_stats",
+    "q_compaction_advisor",
+    "q_user_type_affinity",
+    "q_running_backlog",
+    "q_cold_start_suppliers",
+    "q_share_shift_movers",
+    "q_embed_bit_profile",
+    "q_embed_class_scatter",
+    "q_vocab_growth_by_source",
+    "q_lead_bigram_boilerplate",
+    "q_audio_clip_detect",
     # -- driver-checked in round 6 (CORRECTNESS_r06: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_zipf_audit",

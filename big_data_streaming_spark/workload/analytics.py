@@ -16198,3 +16198,380 @@ def q_events_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("n_before").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# --- Cliff's delta ordinal effect size (round 7) ------------------------------
+# The nonparametric effect size behind q_mannwhitney's test: delta =
+# (#(a>b) - #(a<b)) / (n1*n2), one-vs-rest per event type over the
+# value column. NEVER pairwise: with 2R_mid the doubled midrank-sum
+# (q_mannwhitney's exact-integer idiom), 2*U_mid = 2R_mid - n1*(n1+1)
+# and delta = (2*U_mid - n1*n2) / (n1*n2) — all bigint until one double
+# division shared verbatim by both engines. The value-support running
+# rank rides the range-partitioned global_order (plans/rank.py).
+# 100 TB: one value-support aggregate + one fact-sized groupBy; n1*n2
+# needs DECIMAL(38,0) past ~3e9 rows per group (comment, not code —
+# the fixture peaks at 2e4).
+_CLIFF_DELTA = (
+    "CAST(r1_2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+)
+
+
+@_q(
+    "q_cliff_delta",
+    f"""
+    WITH vc AS (
+        SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY value
+    ), v2 AS (
+        SELECT value,
+               CAST(2 * (SUM(cnt) OVER (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - cnt) + cnt + 1 AS BIGINT) AS r2
+        FROM vc
+    ), gv AS (
+        SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS gcnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+        WHERE value IS NOT NULL
+    ), per AS (
+        SELECT event_type,
+               CAST(SUM(gcnt) AS BIGINT) AS n1,
+               CAST(SUM(gcnt * r2) AS BIGINT) AS r1_2
+        FROM gv JOIN v2 USING (value) GROUP BY event_type
+    ), sized AS (
+        SELECT event_type, n1, CAST(n - n1 AS BIGINT) AS n2, r1_2
+        FROM per CROSS JOIN tot
+    )
+    SELECT event_type, n1, n2,
+           CAST(r1_2 - n1 * (n1 + 1) - n1 * n2 AS BIGINT) AS gt_minus_lt,
+           {_CLIFF_DELTA} AS cliff_delta
+    FROM sized
+    """,
+)
+def q_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vc = e.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # value support is near-fact-sized (DOUBLE values): range-partitioned
+    v2 = global_order(vc, ["value"], cum_sums={"_cs": "cnt"}).select(
+        "value",
+        (2 * (F.col("_cs") - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    gv = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gcnt")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per = gv.join(v2, "value").groupBy("event_type").agg(
+        F.sum("gcnt").cast("bigint").alias("n1"),
+        F.sum(F.col("gcnt") * F.col("r2")).cast("bigint").alias("r1_2"),
+    )
+    sized = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n1",
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n2"),
+        "r1_2",
+    )
+    return sized.select(
+        "event_type",
+        "n1",
+        "n2",
+        (
+            F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)
+            - F.col("n1") * F.col("n2")
+        )
+        .cast("bigint")
+        .alias("gt_minus_lt"),
+        F.expr(_CLIFF_DELTA).alias("cliff_delta"),
+    )
+
+
+# --- Kuiper two-sample drift statistic (round 7) ------------------------------
+# q_ks_drift's cyclic-sensitive sibling: V = D+ + D- where D+ =
+# max(F_a - F_b) and D- = max(F_b - F_a) over the combined value
+# support — equally sensitive at the distribution tails where KS
+# saturates. Same exact-integer CDF machinery as KS (per-value counts,
+# running sums, one double division per side), but the Spark running
+# sums ride the range-partitioned global_order instead of a
+# single-partition SQL window: the value support is near-fact-sized.
+@_q(
+    "q_kuiper_drift",
+    """
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('click', 'view')
+    ), c AS (
+        SELECT value,
+               CAST(SUM(SUM(a)) OVER (ORDER BY value) AS BIGINT) AS ca,
+               CAST(SUM(SUM(b)) OVER (ORDER BY value) AS BIGINT) AS cb,
+               CAST(SUM(SUM(a)) OVER () AS BIGINT) AS na,
+               CAST(SUM(SUM(b)) OVER () AS BIGINT) AS nb
+        FROM s GROUP BY value
+    )
+    SELECT MAX(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS d_plus,
+           MAX(CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) AS d_minus,
+           MAX(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             + MAX(CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+               AS kuiper_v,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM c
+    """,
+)
+def q_kuiper_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    )
+    per = s.groupBy("value").agg(
+        F.sum("a").alias("sa"), F.sum("b").alias("sb")
+    )
+    c = global_order(
+        per,
+        ["value"],
+        cum_sums={"ca": "sa", "cb": "sb"},
+        sum_totals={"na": "sa", "nb": "sb"},
+    )
+    fa = F.col("ca").cast("double") / F.col("na")
+    fb = F.col("cb").cast("double") / F.col("nb")
+    return c.agg(
+        F.max(fa - fb).alias("d_plus"),
+        F.max(fb - fa).alias("d_minus"),
+        (F.max(fa - fb) + F.max(fb - fa)).alias("kuiper_v"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+    )
+
+
+# --- transition dwell-time distribution (round 7) -----------------------------
+# q_transitions counts WHICH state follows which; this measures HOW LONG
+# the hop takes: per (prev_type, next_type), exact whole-second gap
+# percentiles, element-selected with the q_ship_delay idiom (rn =
+# (n-1)*p DIV 100 + 1 under the pinned (gap, event_id) total order) so
+# both engines pick the same row. Plan: ONE hash shuffle on user_id for
+# the LEAD chain, then partitioned rank windows per transition pair —
+# the window's partition key IS the group key, no single-partition
+# collapse anywhere. mean_s = exact integer sum / count, one division.
+@_q(
+    "q_dwell_stats",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               event_type AS prev_type,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS next_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+        SELECT prev_type, next_type, next_s - s AS gap_s, event_id
+        FROM seq WHERE next_type IS NOT NULL
+    ), rk AS (
+        SELECT prev_type, next_type, gap_s,
+               CAST(row_number() OVER (PARTITION BY prev_type, next_type
+                    ORDER BY gap_s, event_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY prev_type, next_type)
+                    AS BIGINT) AS n,
+               CAST(SUM(gap_s) OVER (PARTITION BY prev_type, next_type)
+                    AS BIGINT) AS tot
+        FROM g
+    )
+    SELECT prev_type, next_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1
+                         THEN gap_s END) AS BIGINT) AS p50_s,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1
+                         THEN gap_s END) AS BIGINT) AS p90_s,
+           CAST(MAX(tot) AS DOUBLE) / MAX(n) AS mean_s
+    FROM rk GROUP BY prev_type, next_type
+    """,
+)
+def q_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+        "event_type",
+        "ts",
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(wu).alias("next_type"),
+        (F.lead("s").over(wu) - F.col("s")).alias("gap_s"),
+        "event_id",
+    ).where(F.col("next_type").isNotNull())
+    wp = Window.partitionBy("prev_type", "next_type")
+    rk = seq.select(
+        "prev_type",
+        "next_type",
+        "gap_s",
+        F.row_number()
+        .over(wp.orderBy("gap_s", "event_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+        F.sum("gap_s").over(wp).cast("bigint").alias("tot"),
+    )
+    return rk.groupBy("prev_type", "next_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr("(n - 1) * 50 DIV 100 + 1"),
+                F.col("gap_s"),
+            )
+        )
+        .cast("bigint")
+        .alias("p50_s"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr("(n - 1) * 90 DIV 100 + 1"),
+                F.col("gap_s"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_s"),
+        (F.max("tot").cast("double") / F.max("n")).alias("mean_s"),
+    )
+
+
+# --- small-partition compaction advisor (round 7) -----------------------------
+# The lakehouse maintenance planner next to q_partition_planner: given
+# per-day row counts (the "file sizes" of a day-partitioned events
+# table), pack consecutive days into compaction groups of ~TARGET rows
+# — group id = exclusive-prefix-rows DIV TARGET, so a group closes as
+# soon as the running total crosses the next multiple. Exact integers
+# end-to-end. The cumulative runs over the O(days) daily series; at
+# 100 TB the day grid is still tiny — the fact scan is the per-day
+# count, one map-side-combinable aggregate.
+_COMPACT_TARGET = 5000
+
+
+@_q(
+    "q_compaction_advisor",
+    f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1
+    ), packed AS (
+        SELECT day, n_rows,
+               CAST((SUM(n_rows) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_rows) // {_COMPACT_TARGET} AS BIGINT) AS grp
+        FROM daily
+    )
+    SELECT grp AS group_id,
+           CAST(MIN(day) AS BIGINT) AS day_first,
+           CAST(MAX(day) AS BIGINT) AS day_last,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST((SUM(n_rows) + {_COMPACT_TARGET} - 1)
+                // {_COMPACT_TARGET} AS BIGINT) AS n_files_out
+    FROM packed GROUP BY grp
+    """,
+)
+def q_compaction_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    # bounded: daily series — O(days) rows
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = daily.select(
+        "day",
+        "n_rows",
+        ((F.sum("n_rows").over(wcum) - F.col("n_rows")) / _COMPACT_TARGET)
+        .cast("bigint")
+        .alias("grp"),
+    )
+    return packed.groupBy(F.col("grp").alias("group_id")).agg(
+        F.min("day").cast("bigint").alias("day_first"),
+        F.max("day").cast("bigint").alias("day_last"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.floor(
+            (F.sum("n_rows") + _COMPACT_TARGET - 1) / _COMPACT_TARGET
+        )
+        .cast("bigint")
+        .alias("n_files_out"),
+    )
+
+
+# --- user × event-type affinity lift (round 7) --------------------------------
+# Personalization's first feature: how over-represented is type t in
+# user u's history vs the global mix? lift = n_ut * N / (n_u * n_t) —
+# all exact integers until one double division written identically in
+# both engines (no logs: lift, not PMI, by the repo's no-transcendental
+# policy). Support-filtered (n_ut >= 5), top-20 by (lift, user, type)
+# via sort+limit — TakeOrderedAndProject, never a fact-sized rank.
+# Plan: n_ut and n_u share the user_id hash partitioning; n_t (5 rows)
+# and N (1 row) broadcast.
+_AFFINITY_LIFT = (
+    "CAST(n_ut AS DOUBLE) * CAST(n AS DOUBLE)"
+    " / (CAST(n_u AS DOUBLE) * CAST(n_t AS DOUBLE))"
+)
+
+
+@_q(
+    "q_user_type_affinity",
+    f"""
+    WITH ut AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_ut
+        FROM events GROUP BY 1, 2
+    ), u AS (
+        SELECT user_id, CAST(SUM(n_ut) AS BIGINT) AS n_u FROM ut GROUP BY 1
+    ), ty AS (
+        SELECT event_type, CAST(SUM(n_ut) AS BIGINT) AS n_t
+        FROM ut GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_ut) AS BIGINT) AS n FROM ut
+    )
+    SELECT user_id, event_type, n_ut, n_u, n_t,
+           {_AFFINITY_LIFT} AS lift
+    FROM ut JOIN u USING (user_id) JOIN ty USING (event_type) CROSS JOIN tot
+    WHERE n_ut >= 5
+    ORDER BY lift DESC, user_id, event_type LIMIT 20
+    """,
+)
+def q_user_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ut"))
+    )
+    u = ut.groupBy("user_id").agg(F.sum("n_ut").cast("bigint").alias("n_u"))
+    ty = ut.groupBy("event_type").agg(
+        F.sum("n_ut").cast("bigint").alias("n_t")
+    )
+    tot = ut.agg(F.sum("n_ut").cast("bigint").alias("n"))
+    j = (
+        ut.join(u, "user_id")
+        .join(F.broadcast(ty), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n_ut") >= 5)
+        .select(
+            "user_id",
+            "event_type",
+            "n_ut",
+            "n_u",
+            "n_t",
+            F.expr(_AFFINITY_LIFT).alias("lift"),
+        )
+    )
+    # top-20 selection: sort+limit plans as TakeOrderedAndProject
+    return j.orderBy(F.desc("lift"), "user_id", "event_type").limit(20)

@@ -4895,3 +4895,224 @@ def q_multi_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_suppliers"
         ),
     )
+
+
+# --- daily open-order backlog curve (round 7) ---------------------------------
+# Operations' WIP headline: how many orders are open (placed, not yet
+# fully shipped) on each day — the q_max_concurrency sweep-line applied
+# to order lifecycles. An order is open on day d iff o_day <= d <
+# done_day (done = its LAST lineitem ship day; the fixture's 27 orphan
+# orders with no lineitems are excluded by the inner join — stated in
+# both engines). Boundaries become ±1 deltas grouped to the O(days) day
+# grid; the curve is a running sum over that bounded series. Exact
+# integers end-to-end. 100 TB: one orders⋈lineitem hash join on the
+# natural key + one O(days) cumulative — the fact never sorts globally.
+@_q(
+    "q_running_backlog",
+    """
+    WITH done AS (
+        SELECT l_orderkey,
+               CAST(MAX(floor(epoch(l_shipdate) / 86400)) AS BIGINT) AS done_day
+        FROM lineitem GROUP BY 1
+    ), span AS (
+        SELECT CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS open_day,
+               d.done_day
+        FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+    ), deltas AS (
+        SELECT open_day AS day, CAST(1 AS BIGINT) AS delta FROM span
+        UNION ALL
+        SELECT done_day AS day, CAST(-1 AS BIGINT) AS delta FROM span
+    ), daily AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY 1
+    )
+    SELECT day,
+           CAST(SUM(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM daily
+    """,
+)
+def q_running_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    done = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.floor(F.unix_timestamp("l_shipdate") / 86400))
+            .cast("bigint")
+            .alias("done_day")
+        )
+    )
+    span = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.unix_timestamp("o_orderdate") / 86400)
+            .cast("bigint")
+            .alias("open_day"),
+        )
+        .join(done, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    deltas = span.select(
+        F.col("open_day").alias("day"), F.lit(1).cast("bigint").alias("delta")
+    ).unionAll(
+        span.select(
+            F.col("done_day").alias("day"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    # bounded: daily series — O(days) rows
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", F.sum("net").over(wcum).cast("bigint").alias("backlog")
+    )
+
+
+# --- new sourcing-relationship cohorts (round 7) ------------------------------
+# Marketplace supply health: when was each (supplier, part) sourcing
+# relationship FIRST exercised, how many new relationships enter per
+# month, and what share of the cumulative relationship base is new that
+# month? (Supplier-level first-ship is vacuous on this fixture — every
+# supplier ships in month one — so the cohort is the RELATIONSHIP, the
+# grain procurement actually tracks; 82 distinct entry months here.)
+# Per-pair min is one map-side-combinable aggregate on the natural
+# (suppkey, partkey) shuffle; the month series is O(months), so its
+# cumulative is a bounded window. share_new = one double division.
+@_q(
+    "q_cold_start_suppliers",
+    """
+    WITH first_ship AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(MIN(EXTRACT(year FROM l_shipdate) * 12
+                        + EXTRACT(month FROM l_shipdate)) AS BIGINT) AS midx
+        FROM lineitem GROUP BY 1, 2
+    ), monthly AS (
+        SELECT midx, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_ship
+        GROUP BY 1
+    )
+    SELECT midx,
+           n_new,
+           CAST(SUM(n_new) OVER (ORDER BY midx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_cumulative,
+           CAST(n_new AS DOUBLE)
+             / CAST(SUM(n_new) OVER (ORDER BY midx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS share_new
+    FROM monthly
+    """,
+)
+def q_cold_start_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    first_ship = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.min(
+                F.year("l_shipdate") * 12 + F.month("l_shipdate")
+            )
+            .cast("bigint")
+            .alias("midx")
+        )
+    )
+    monthly = first_ship.groupBy("midx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    # bounded: monthly series — O(months) rows
+    wcum = Window.orderBy("midx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_new").over(wcum).cast("bigint")
+    return monthly.select(
+        "midx",
+        "n_new",
+        cum.alias("n_cumulative"),
+        (F.col("n_new").cast("double") / cum.cast("double")).alias(
+            "share_new"
+        ),
+    )
+
+
+# --- brand market-share movers (round 7) --------------------------------------
+# Competitive monitoring: per (brand, month) revenue share of that
+# month's total, the month-over-month share delta per brand, and the
+# top-20 movers by |delta|. Revenue sums are DECIMAL-routed (exact,
+# order-insensitive); shares and deltas are fixed-order double
+# arithmetic identical in both engines. The per-brand lag window is
+# PARTITIONED (brand); the month totals relation is O(months) and
+# broadcast. Top-20 via sort+limit — TakeOrderedAndProject.
+@_q(
+    "q_share_shift_movers",
+    """
+    WITH bm AS (
+        SELECT p.p_brand AS brand,
+               CAST(EXTRACT(year FROM l.l_shipdate) * 12
+                    + EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS midx,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ), mt AS (
+        SELECT midx, CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE)
+                         AS mrev
+        FROM bm GROUP BY 1
+    ), sh AS (
+        SELECT brand, bm.midx, rev / mrev AS share,
+               LAG(rev / mrev) OVER (PARTITION BY brand ORDER BY bm.midx)
+                   AS prev_share
+        FROM bm JOIN mt ON bm.midx = mt.midx
+    )
+    SELECT brand, midx, share, prev_share,
+           abs(share - prev_share) AS abs_delta
+    FROM sh WHERE prev_share IS NOT NULL
+    ORDER BY abs_delta DESC, brand, midx LIMIT 20
+    """,
+)
+def q_share_shift_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("midx"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amt"),
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bm = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "midx")
+        .agg(dec_sum("amt", "rev"))
+    )
+    mt = bm.groupBy("midx").agg(dec_sum("rev", "mrev"))
+    sh = (
+        bm.join(F.broadcast(mt), "midx")
+        .select(
+            "brand",
+            "midx",
+            (F.col("rev") / F.col("mrev")).alias("share"),
+        )
+        .withColumn(
+            "prev_share",
+            F.lag("share").over(
+                Window.partitionBy("brand").orderBy("midx")
+            ),
+        )
+        .where(F.col("prev_share").isNotNull())
+        .select(
+            "brand",
+            "midx",
+            "share",
+            "prev_share",
+            F.abs(F.col("share") - F.col("prev_share")).alias("abs_delta"),
+        )
+    )
+    # top-20 selection: sort+limit plans as TakeOrderedAndProject
+    return sh.orderBy(F.desc("abs_delta"), "brand", "midx").limit(20)

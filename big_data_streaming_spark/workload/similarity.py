@@ -2366,3 +2366,145 @@ def q_embed_stride_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(1e6) * F.lit(1e6))
         ).alias("mean_sq_dist"),
     )
+
+
+# --- per-dimension sign balance profile (round 7) ---------------------------
+# SimHash/bit-quantization pre-flight: a dimension whose signs are
+# heavily imbalanced contributes near-zero entropy to a sign-bit
+# fingerprint (every doc hashes the same bit), so the audit reports the
+# per-dimension positive/negative/zero counts and the positive share.
+# float32 sign tests are exact — no quantization needed. One dim-keyed
+# aggregate, map-side combinable; output is O(dims).
+@_q(
+    "q_embed_bit_profile",
+    """
+    WITH x AS (
+        SELECT CAST(t.i AS INTEGER) AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS pos_share
+    FROM x GROUP BY dim
+    """,
+)
+def q_embed_bit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = (
+        t(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "f"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.col("f").cast("double").alias("x"),
+        )
+    )
+    pos = F.sum(F.when(F.col("x") > 0, 1).otherwise(0))
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        pos.cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("x") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        (pos.cast("double") / F.count(F.lit(1))).alias("pos_share"),
+    )
+
+
+# --- per-label Fisher separability scatter (round 7) -------------------------
+# Embedding-quality audit for labeled corpora: how far is each label's
+# centroid from the global centroid, relative to the label's internal
+# spread? Everything is DENOMINATOR-CLEARED exact integers on
+# 1e3-quantized components (the q_embed_dimstats quantize idiom, coarser
+# so every squared term stays in bigint):
+#   within_x_n  = n_l * sum(q^2 over label) - sum_d s_ld^2
+#                 (= n_l^2 * mean squared distance to own centroid)
+#   between_x_s = sum_d (N * s_ld - n_l * g_d)^2
+#                 (= (n_l*N)^2 * squared centroid-to-global distance)
+# The normalized doubles divide those integers in one fixed-order
+# expression shared by both engines. Plan: one (label, dim) aggregate
+# over the exploded components; the O(dims) global sums and O(labels)
+# counts broadcast back. Never a pairwise or per-row second pass.
+_SCAT_Q = "CAST(floor(x * 1000 + 0.5) AS BIGINT)"
+_SCAT_SEP = (
+    "(CAST(between_x_s AS DOUBLE)"
+    " / (CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE))"
+    " / nullif(CAST(within_x_n AS DOUBLE), 0))"
+)
+
+
+@_q(
+    "q_embed_class_scatter",
+    f"""
+    WITH x AS (
+        SELECT label, CAST(t.i AS INTEGER) AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), q AS (
+        SELECT label, dim, {_SCAT_Q} AS q FROM x
+    ), ld AS (
+        SELECT label, dim,
+               CAST(SUM(q) AS BIGINT) AS s_ld,
+               CAST(SUM(q * q) AS BIGINT) AS ssq_ld,
+               CAST(COUNT(*) AS BIGINT) AS n_l
+        FROM q GROUP BY label, dim
+    ), g AS (
+        SELECT dim, CAST(SUM(s_ld) AS BIGINT) AS g_d,
+               CAST(SUM(n_l) AS BIGINT) AS n_all
+        FROM ld GROUP BY dim
+    )
+    SELECT label,
+           CAST(MAX(ld.n_l) AS BIGINT) AS n,
+           CAST(MAX(ld.n_l) * SUM(ssq_ld) - SUM(s_ld * s_ld) AS BIGINT)
+               AS within_x_n,
+           CAST(SUM((g.n_all * s_ld - ld.n_l * g.g_d)
+                    * (g.n_all * s_ld - ld.n_l * g.g_d)) AS BIGINT)
+               AS between_x_s,
+           CAST(MAX(g.n_all) AS BIGINT) AS n_all,
+           (CAST(SUM((g.n_all * s_ld - ld.n_l * g.g_d)
+                     * (g.n_all * s_ld - ld.n_l * g.g_d)) AS DOUBLE)
+            / (CAST(MAX(g.n_all) AS DOUBLE) * CAST(MAX(g.n_all) AS DOUBLE))
+            / nullif(CAST(MAX(ld.n_l) * SUM(ssq_ld) - SUM(s_ld * s_ld)
+                          AS DOUBLE), 0)) AS separability
+    FROM ld JOIN g USING (dim)
+    GROUP BY label
+    """,
+)
+def q_embed_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = (
+        t(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "f"))
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.col("f").cast("double").alias("x"),
+        )
+    )
+    q = x.withColumn("q", F.expr(_SCAT_Q))
+    ld = q.groupBy("label", "dim").agg(
+        F.sum("q").cast("bigint").alias("s_ld"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ssq_ld"),
+        F.count(F.lit(1)).cast("bigint").alias("n_l"),
+    )
+    g = ld.groupBy("dim").agg(
+        F.sum("s_ld").cast("bigint").alias("g_d"),
+        F.sum("n_l").cast("bigint").alias("n_all"),
+    )
+    dev = F.col("n_all") * F.col("s_ld") - F.col("n_l") * F.col("g_d")
+    per = ld.join(F.broadcast(g), "dim").groupBy("label").agg(
+        F.max("n_l").cast("bigint").alias("n"),
+        (F.max("n_l") * F.sum("ssq_ld") - F.sum(F.col("s_ld") * F.col("s_ld")))
+        .cast("bigint")
+        .alias("within_x_n"),
+        F.sum(dev * dev).cast("bigint").alias("between_x_s"),
+        F.max("n_all").cast("bigint").alias("n_all"),
+    )
+    return per.select(
+        "label", "n", "within_x_n", "between_x_s", "n_all",
+        F.expr(_SCAT_SEP).alias("separability"),
+    )

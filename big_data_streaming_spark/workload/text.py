@@ -6166,3 +6166,144 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sentences_per_doc"
         ),
     )
+
+
+# --- per-source vocabulary growth / TTR (round 7) ----------------------------
+# Corpus-mix audit: per source, token volume, distinct vocabulary, and
+# type-token ratio — the per-source companion to the corpus-level
+# q_heaps_curve (a source whose TTR collapses is templated or
+# duplicated; one whose TTR ~ 1 is noise). distinct counts are exact
+# (COUNT(DISTINCT token) per source — a (source, token) pre-aggregate
+# then a source rollup, both map-side combinable); ttr is one double
+# division. Output O(|sources|).
+@_q(
+    "q_vocab_growth_by_source",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), st AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
+    FROM st GROUP BY source
+    """,
+)
+def q_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return st.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+            "ttr"
+        ),
+    )
+
+
+# --- leading-bigram boilerplate detector (round 7) ----------------------------
+# Web-corpus boilerplate shows up as SHARED DOCUMENT OPENINGS long
+# before full-text dedup fires: group documents by their first two
+# tokens and report every opening shared by >= 2 documents, with the
+# number of distinct sources it spans (cross-source repeats are the
+# template signal). One hash groupBy on the lead bigram — the
+# q_dedup_exact shuffle shape, map-side combinable; output is only the
+# repeated openings.
+@_q(
+    "q_lead_bigram_boilerplate",
+    """
+    WITH l AS (
+        SELECT doc_id, source,
+               string_split(text, ' ')[1] || ' '
+                 || string_split(text, ' ')[2] AS lead2
+        FROM documents
+    )
+    SELECT lead2,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM l GROUP BY lead2 HAVING COUNT(*) >= 2
+    """,
+)
+def q_lead_bigram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    l2 = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", F.element_at(toks, 1), F.element_at(toks, 2)
+        ).alias("lead2"),
+    )
+    return (
+        l2.groupBy("lead2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# --- C5: audio clipping triage over synthesized PCM (round 7) -----------------
+# The first REAL data-section audio kernel (the header kernels stop at
+# byte 44): per document, synthesize a complete 16-bit PCM WAV JVM-side
+# (header + n deterministic samples, functions/multimodal.py:
+# synth_wav_tone_payload), then count samples at or beyond the 32000
+# clip threshold with a vectorized np.frombuffer Arrow kernel
+# (audio_clip_stats). The oracle restates the sample recurrence
+# arithmetically: stored uint16 m_k = (seed + k*2654435761) % 65536,
+# signed s_k = m_k - 65536 when m_k >= 32768, else m_k. Clip bounds:
+# s_k >= 32000 iff m_k in [32000, 32767]; s_k <= -32000 iff m_k in
+# [32768, 33536]; so clip iff 32000 <= m_k <= 33536. n is small
+# (200-499 samples) so the DuckDB generate_series expansion stays
+# bounded; at 100 TB the Spark side is one Arrow-batched pass over the
+# payload bytes — decode stays in the kernel, never in the plan.
+@_q(
+    "q_audio_clip_detect",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id * 97 AS BIGINT) AS seed,
+               CAST(200 + doc_id % 300 AS BIGINT) AS n
+        FROM documents
+    ), s AS (
+        SELECT p.doc_id, p.n,
+               (p.seed + g.k * 2654435761) % 65536 AS m
+        FROM p CROSS JOIN generate_series(0, 100000) AS g(k)
+        WHERE g.k < p.n
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN m BETWEEN 32000 AND 33536
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clip_count,
+           CAST(MAX(CASE WHEN m >= 32768 THEN 65536 - m ELSE m END)
+                AS BIGINT) AS max_abs,
+           CAST(SUM(CASE WHEN m BETWEEN 32000 AND 33536
+                         THEN 1 ELSE 0 END) AS DOUBLE) / MAX(n)
+               AS clip_share
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_audio_clip_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.multimodal import (
+        audio_clip_stats,
+        synth_wav_tone_payload,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        synth_wav_tone_payload(
+            F.col("doc_id") * 97,
+            F.lit(200) + F.col("doc_id") % 300,
+        ).alias("payload"),
+    )
+    return audio_clip_stats(d, threshold=32000)

@@ -69,10 +69,13 @@ EVIDENCE = (
 # window over the O(ranges) size relation is the helper's whole point.
 MODULE_PINS = {
     "big_data_streaming_spark/workload/advanced.py": 1,
-    "big_data_streaming_spark/workload/analytics.py": 43,
+    # round 7: +1 analytics (q_compaction_advisor, O(days) series),
+    # +2 relational (q_running_backlog O(days), q_cold_start_suppliers
+    # O(months)) — each declared with recognized evidence
+    "big_data_streaming_spark/workload/analytics.py": 44,
     "big_data_streaming_spark/workload/events.py": 1,
     "big_data_streaming_spark/workload/pipeline.py": 3,
-    "big_data_streaming_spark/workload/relational.py": 9,
+    "big_data_streaming_spark/workload/relational.py": 11,
     "big_data_streaming_spark/workload/streaming.py": 5,
     "big_data_streaming_spark/workload/text.py": 10,
 }
