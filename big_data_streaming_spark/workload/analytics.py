@@ -1654,8 +1654,38 @@ def _ks_sql(table: str) -> str:
 
 @_q("q_ks_drift", _ks_sql("events"))
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
-    return spark.sql(_ks_sql("events_ts"))
+    # Round 7: the shared-text form ran the CDF running sums as an
+    # unpartitioned SQL window over the near-fact-sized value support
+    # (the spark.sql blind spot of the r6 Python-API sweep; the repo's
+    # own q_mannwhitney already rode global_order for the same relation).
+    # Same oracle; the Spark cumulative now range-partitions.
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    )
+    per = s.groupBy("value").agg(
+        F.sum("a").alias("sa"), F.sum("b").alias("sb")
+    )
+    c = global_order(
+        per,
+        ["value"],
+        cum_sums={"ca": "sa", "cb": "sb"},
+        sum_totals={"na": "sa", "nb": "sb"},
+    )
+    return c.agg(
+        F.max(
+            F.abs(
+                F.col("ca").cast("double") / F.col("na")
+                - F.col("cb").cast("double") / F.col("nb")
+            )
+        ).alias("ks_d"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+    )
 
 
 _CHI2_TERM = (
@@ -1716,8 +1746,28 @@ def _auc_sql(table: str) -> str:
 
 @_q("q_auc", _auc_sql("events"))
 def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "events").createOrReplaceTempView("events_ts")
-    return spark.sql(_auc_sql("events_ts"))
+    # Round 7: the shared-text form ranked the ENTIRE events relation in
+    # one task (ROW_NUMBER() OVER (ORDER BY value, event_id) with no
+    # partition — the fact-sized-window class the r6 sweep removed from
+    # the Python-API sites; this was the spark.sql blind spot). The rank
+    # now rides plans/rank.py; the final AUC expression is the same
+    # fixed-order text the oracle evaluates.
+    r = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("y"), "value", "event_id"
+    )
+    ranked = global_rank(r, ["value", "event_id"], rank_col="rnk")
+    return ranked.agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_neg"),
+        F.expr(
+            """
+            (CAST(SUM(CAST(CASE WHEN y = 1 THEN rnk ELSE 0 END
+                           AS DECIMAL(38,0))) AS DOUBLE)
+             - CAST(SUM(y) AS DOUBLE) * (CAST(SUM(y) AS DOUBLE) + 1.0) / 2.0)
+            / (CAST(SUM(y) AS DOUBLE) * CAST(COUNT(*) - SUM(y) AS DOUBLE))
+            """
+        ).alias("auc"),
+    )
 
 
 # --- per-event session labeling --------------------------------------------

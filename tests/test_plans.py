@@ -801,3 +801,32 @@ def test_vocab_topk_windows_are_sort_limit(spark, sf_small):
         assert "TakeOrderedAndProject" in plan, (name, plan)
         got = unpartitioned_window_count(df)
         assert got <= max_windows, (name, got, plan)
+
+
+def test_shared_sql_queries_no_fact_sized_window(spark, sf_small):
+    """Round-7 sweep: the r6 global-window sweep covered Python-API
+    Window sites; queries that EXECUTE shared SQL text via spark.sql
+    were a blind spot — q_auc ranked the whole events relation and
+    q_ks_drift ran its CDF sums over the near-fact-sized value support
+    in ONE task. Both now ride plans/rank.py (same oracles). Pin the
+    whole spark.sql family: the only unpartitioned windows allowed in
+    their EXECUTED plans are the helper's O(ranges) offsets pass or
+    windows over aggregate-sized relations (day series, contingency
+    cells, O(sources) water-level)."""
+    spark.catalog.clearCache()
+    for name, limit in (
+        ("q_auc", 1),          # global_rank offsets pass only
+        ("q_ks_drift", 1),     # global_order offsets pass only
+        ("q_cusum", 2),        # O(days) series (two rendered copies)
+        ("q_acf", 1),          # O(days) series
+        ("q_ewma", 1),         # O(days) series
+        ("q_pattern_vshape", 1),  # O(days) series
+        ("q_chi2", 1),         # O(cells) contingency grid
+        ("q_cramers_v", 1),    # O(cells) contingency grid
+        ("q_token_budget", 2),  # O(sources) water-level
+        ("q_gini_sources", 2),  # O(sources) Gini ranks
+        ("q_equidepth_bins", 1),  # global_ntile offsets pass
+    ):
+        df = QUERIES[name](spark, sf_small)
+        got = unpartitioned_window_count(df)
+        assert got <= limit, (name, got, formatted_plan(df))
