@@ -382,6 +382,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_vocab_growth_by_source",
     "q_lead_bigram_boilerplate",
     "q_audio_clip_detect",
+    "q_kmv_distinct",
+    "q_quota_apportion",
     # -- driver-checked in round 6 (CORRECTNESS_r06: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_zipf_audit",

@@ -16625,3 +16625,158 @@ def q_user_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # top-20 selection: sort+limit plans as TakeOrderedAndProject
     return j.orderBy(F.desc("lift"), "user_id", "event_type").limit(20)
+
+
+# --- KMV (k-minimum-values) distinct-count sketch audit (round 7) -------------
+# The bottom-k sibling of the audited HLL pack (B14): hash the key space
+# with a SHARED arithmetic hash (engine hash() functions differ, so the
+# multiplicative hash is written once: h = (v*2654435761 + 12345) mod
+# (2^31 - 1)), keep the k smallest DISTINCT hashes, estimate distinct =
+# (k-1) * M / h_(k). The k-th minimum is a sort+limit
+# (TakeOrderedAndProject — per-partition heaps, exactly how a
+# distributed bottom-k sketch merges); the exact count rides the same
+# dedup shuffle. Deterministic end-to-end, so both engines report the
+# identical estimate AND its true relative error.
+_KMV_K = 64
+_KMV_M = 2147483647
+
+
+@_q(
+    "q_kmv_distinct",
+    f"""
+    WITH v AS (
+        SELECT DISTINCT (CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         * 2654435761 + 12345) % {_KMV_M} AS h
+        FROM events WHERE value IS NOT NULL
+    ), kth AS (
+        SELECT MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS k_used
+        FROM (SELECT h FROM v ORDER BY h LIMIT {_KMV_K})
+    ), ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM v
+    )
+    SELECT k_used, CAST(h_k AS BIGINT) AS h_k,
+           CAST(({_KMV_K} - 1) AS DOUBLE) * {_KMV_M} / h_k AS est_distinct,
+           exact_distinct,
+           (CAST(({_KMV_K} - 1) AS DOUBLE) * {_KMV_M} / h_k
+            - exact_distinct) / exact_distinct AS rel_err
+    FROM kth CROSS JOIN ex
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            (
+                (F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                 * 2654435761 + 12345) % _KMV_M
+            ).alias("h")
+        )
+        .distinct()
+    )
+    # bottom-k selection: sort+limit plans as TakeOrderedAndProject
+    kth = (
+        v.orderBy("h")
+        .limit(_KMV_K)
+        .agg(
+            F.max("h").alias("h_k"),
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        )
+    )
+    ex = v.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    est = F.lit(float(_KMV_K - 1)) * _KMV_M / F.col("h_k")
+    return (
+        kth.crossJoin(F.broadcast(ex))
+        .select(
+            "k_used",
+            F.col("h_k").cast("bigint").alias("h_k"),
+            est.alias("est_distinct"),
+            "exact_distinct",
+            ((est - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+# --- largest-remainder quota apportionment (round 7) --------------------------
+# The deterministic sampler allocator: split a fixed budget K across
+# (lang, source) strata PROPORTIONALLY with Hamilton's largest-remainder
+# method — base = K*n_s DIV N to every stratum, then one extra to the
+# strata with the largest integer remainders (K*n_s MOD N, ties by
+# (lang, source)) until exactly K are allocated. Pure integer
+# arithmetic: no floating quota ever computed, so the allocation is
+# bit-identical and always sums to K. The remainder rank runs over the
+# O(strata) grid (bounded); the stratum counts are one combinable
+# aggregate.
+_QUOTA_K = 1000
+
+
+@_q(
+    "q_quota_apportion",
+    f"""
+    WITH s AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+               CAST(SUM({_QUOTA_K} * n_docs // n2.n) AS BIGINT) AS base_sum
+        FROM s CROSS JOIN (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM s) n2
+    ), r AS (
+        SELECT lang, source, n_docs,
+               CAST({_QUOTA_K} * n_docs // n AS BIGINT) AS base,
+               CAST({_QUOTA_K} * n_docs % n AS BIGINT) AS rem,
+               CAST(row_number() OVER (ORDER BY {_QUOTA_K} * n_docs % n DESC,
+                                       lang, source) AS BIGINT) AS rrank,
+               CAST({_QUOTA_K} - base_sum AS BIGINT) AS extras
+        FROM s CROSS JOIN tot
+    )
+    SELECT lang, source, n_docs, base, rem,
+           CAST(base + CASE WHEN rrank <= extras THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+    FROM r
+    """,
+)
+def q_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = s.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+    )
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr(f"CAST({_QUOTA_K} * n_docs DIV n AS BIGINT)").alias("base"),
+        F.expr(f"CAST({_QUOTA_K} * n_docs % n AS BIGINT)").alias("rem"),
+    )
+    base_sum = w.agg(F.sum("base").cast("bigint").alias("base_sum"))
+    from pyspark.sql.window import Window
+
+    # bounded: remainder rank over the O(strata) grid (~100 rows)
+    ranked = (
+        w.crossJoin(F.broadcast(base_sum))
+        .withColumn(
+            "rrank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rem"), "lang", "source"))
+            .cast("bigint"),
+        )
+        .withColumn("extras", (F.lit(_QUOTA_K) - F.col("base_sum")).cast("bigint"))
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "n_docs",
+        "base",
+        "rem",
+        (
+            F.col("base")
+            + F.when(F.col("rrank") <= F.col("extras"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

@@ -69,10 +69,11 @@ EVIDENCE = (
 # window over the O(ranges) size relation is the helper's whole point.
 MODULE_PINS = {
     "big_data_streaming_spark/workload/advanced.py": 1,
-    # round 7: +1 analytics (q_compaction_advisor, O(days) series),
+    # round 7: +2 analytics (q_compaction_advisor O(days),
+    # q_quota_apportion O(strata)),
     # +2 relational (q_running_backlog O(days), q_cold_start_suppliers
     # O(months)) — each declared with recognized evidence
-    "big_data_streaming_spark/workload/analytics.py": 44,
+    "big_data_streaming_spark/workload/analytics.py": 45,
     "big_data_streaming_spark/workload/events.py": 1,
     "big_data_streaming_spark/workload/pipeline.py": 3,
     "big_data_streaming_spark/workload/relational.py": 11,
