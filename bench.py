@@ -65,7 +65,6 @@ HEADLINE = (
     "q_tpch_q2",
     "q_tpch_q3",
     "q_tpch_q4",
-    "q_tpch_q6",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",
@@ -88,8 +87,6 @@ HEADLINE = (
     # late round-2: advanced SQL surface + graph/ANN audits
     "q_lateral_topn",
     "q_pagerank",
-    "q_bitmap_distinct",
-    "q_sample_weighted",
     "q_variant_extract",
     "q_window_range_interval",
     "q_sim_ivf_checked",
@@ -103,9 +100,7 @@ HEADLINE = (
     "q_stream_window_chained",
     # third wave: market bars, incremental dedup, bigram LM, mixture budget
     "q_ohlc_bars",
-    "q_dedup_incremental",
     "q_bigram_lm",
-    "q_token_budget",
     "q_bpe_train",
     # market-analytics completion
     "q_ohlc_daily",
@@ -162,6 +157,17 @@ HEADLINE = (
     "q_embed_outliers",
     "q_stream_decay_topk",
     "q_basket_triples",
+    # round 7: representatives of the new families (rank-based effect
+    # size on the global ranker, order-lifecycle sweep-line, binary
+    # audio kernel at the Python boundary, exploded-embedding scatter,
+    # bottom-k sketch) — swapped IN for the 5 cheapest members
+    # (q_sample_weighted, q_bitmap_distinct, q_dedup_incremental,
+    # q_tpch_q6, q_token_budget), keeping the set at 100.
+    "q_cliff_delta",
+    "q_running_backlog",
+    "q_audio_clip_detect",
+    "q_embed_class_scatter",
+    "q_kmv_distinct",
 )
 assert len(HEADLINE) <= 100, "headline capped at 100 — swap, don't grow"
 
