@@ -262,6 +262,19 @@ SWEEP = [
     "q_cr4_by_nation",      # partitioned rank, integer dollar sums
     "q_sentence_stats",     # integer segment counts, single divisions
     "q_multi_supplier_share",  # distinct-edge integers, single divisions
+    # round-7 additions (float-bearing)
+    "q_cliff_delta",        # doubled-midrank integers, shared delta text
+    "q_kuiper_drift",       # exact CDF ratios, MAX over differences
+    "q_dwell_stats",        # element-selected gap percentiles, pinned order
+    "q_user_type_affinity", # exact-integer lift, TakeOrdered top-20
+    "q_share_shift_movers", # decimal shares, partitioned lag, TakeOrdered
+    "q_cold_start_suppliers",  # integer cohorts, single share division
+    "q_embed_bit_profile",  # exact sign counts, one ratio
+    "q_embed_class_scatter",   # denominator-cleared BIGINT scatter
+    "q_vocab_growth_by_source",  # exact TTR ratio
+    "q_audio_clip_detect",  # kernel counts, clip_share division
+    "q_kmv_distinct",       # bottom-k of shared hash, deterministic est
+    "q_quota_apportion",    # pure integer apportionment
 ]
 
 
