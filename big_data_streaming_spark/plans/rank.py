@@ -70,6 +70,19 @@ DEFAULT_RANGES = 8
 _PERSISTED: list[DataFrame] = []
 
 
+def track_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register the handle for ``release_persisted``.
+
+    For query plans whose lineage fans out (a relation consumed by
+    several branches, each of which would re-evaluate the same
+    sort/aggregate chain): persist once, share the evaluation, and let
+    the between-queries release discipline free it — the same lifecycle
+    the sampled ranker uses for its consistency pin."""
+    handle = df.persist()
+    _PERSISTED.append(handle)
+    return handle
+
+
 def release_persisted() -> None:
     """Unpersist every relation the sampled path has pinned so far.
 

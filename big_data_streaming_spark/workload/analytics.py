@@ -15224,7 +15224,7 @@ def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_streaming_spark.plans.rank import global_order
+    from big_data_streaming_spark.plans.rank import global_order, track_persist
 
     e = t(spark, sf_dir, "events").select(
         "user_id",
@@ -15251,7 +15251,11 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    sess = (
+    # sess fans out to THREE consumers (both union legs of deltas + the
+    # n_sessions branch); persist once so the per-user sort/sessionize
+    # chain over events evaluates once, released between queries by the
+    # registry wrapper (plans/rank.py lifecycle).
+    sess = track_persist(
         marked.withColumn("sess_id", F.sum("is_start").over(wcum))
         .groupBy("user_id", "sess_id")
         .agg(
