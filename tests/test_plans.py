@@ -830,3 +830,36 @@ def test_shared_sql_queries_no_fact_sized_window(spark, sf_small):
         df = QUERIES[name](spark, sf_small)
         got = unpartitioned_window_count(df)
         assert got <= limit, (name, got, formatted_plan(df))
+
+
+def test_round7_plan_shapes(spark, sf_small):
+    """Round-7 operators must keep their designed physical shapes:
+    dimension/total relations broadcast (never a shuffled join on a
+    1-row or O(types) side), top-k as TakeOrderedAndProject, and no
+    CartesianProduct anywhere (the only crossJoins are broadcast
+    1-row/aggregate relations)."""
+    spark.catalog.clearCache()
+    # broadcast + TakeOrdered shapes
+    for name, want_toap in (
+        ("q_user_type_affinity", True),
+        ("q_share_shift_movers", True),
+        ("q_kmv_distinct", True),
+        ("q_cliff_delta", False),
+        ("q_kuiper_drift", False),
+        ("q_quota_apportion", False),
+        ("q_running_backlog", False),
+        ("q_embed_class_scatter", False),
+    ):
+        df = QUERIES[name](spark, sf_small)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        if want_toap:
+            assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "BroadcastExchange" in plan or "Broadcast" in plan, (
+            name,
+            plan,
+        )
+    # the audio kernel plan must be a single narrow Python stage — no
+    # shuffle at all between the synthesized payload and the kernel
+    df = QUERIES["q_audio_clip_detect"](spark, sf_small)
+    assert shuffle_count(df) == 0, formatted_plan(df)
