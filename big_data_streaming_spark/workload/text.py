@@ -1603,8 +1603,11 @@ def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — the form that scales where pairwise never does:
 #   1. inverted index: one (doc, token) posting list, distinct;
 #   2. candidate generation ONLY through rare tokens (2 <= doc-freq <=
-#      25): stop-words never join, so candidate cardinality is
-#      sum(df²) over rare tokens, not |docs|²;
+#      5% of the corpus — a RELATIVE band: a fixed cap went empty at
+#      sf0.1 where every df scales with doc count, the green-but-empty
+#      vacuity class caught by the round-7 full sf0.1 sweep): stop-words
+#      never join, so candidate cardinality is sum(df²) over rare
+#      tokens, not |docs|²;
 #   3. exact verification of candidates on the full token sets.
 # All counts integer; the two containment ratios are single exact-int
 # divisions. At 100 TB the posting list is bucketed by token and the
@@ -1615,9 +1618,11 @@ def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents
+    ), nd AS (
+        SELECT COUNT(DISTINCT doc_id) AS n FROM tok
     ), rare AS (
         SELECT token FROM tok GROUP BY token
-        HAVING COUNT(*) BETWEEN 2 AND 25
+        HAVING COUNT(*) >= 2 AND COUNT(*) * 100 <= 5 * (SELECT n FROM nd)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
@@ -1646,10 +1651,12 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
+    n_docs = d.agg(F.countDistinct("doc_id").alias("_n"))
     rare = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= 25))
+        .crossJoin(F.broadcast(n_docs))
+        .where((F.col("df") >= 2) & (F.col("df") * 100 <= 5 * F.col("_n")))
         .select("token")
     )
     rare_post = tok.join(F.broadcast(rare), "token")

@@ -379,7 +379,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
     FROM val
     WHERE CAST(value_dec AS DOUBLE) >
-          CAST((SELECT SUM(value_dec) FROM val) AS DOUBLE) * 0.001
+          1.5 * (CAST((SELECT SUM(value_dec) FROM val) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM val))
     """,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,10 +401,24 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_dec")
         )
     )
-    total = val.agg(F.sum("value_dec").cast("double").alias("_total"))
+    # Threshold restated MEAN-RELATIVE (1.5x the average part value):
+    # spec Q11's fixed fraction (0.0001/SF) assumes TPC-H's skewed value
+    # distribution; this near-uniform synthetic fixture crosses any fixed
+    # fraction as the part count grows (0.001 -> ZERO rows at sf0.1, the
+    # green-but-empty vacuity class caught by the round-7 full sf0.1
+    # sweep). Deviation documented in COVERAGE.md next to q7/q22. The
+    # shape is unchanged: grouped values filtered against a correlated
+    # 1-row scalar broadcast.
+    total = val.agg(
+        F.sum("value_dec").cast("double").alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec").cast("double") > F.col("_total") * F.lit(0.001))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.lit(1.5) * (F.col("_total") / F.col("_n"))
+        )
         .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
     )
 
