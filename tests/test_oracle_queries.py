@@ -29,13 +29,7 @@ def test_oracle_match(spark, name):
     assert len(oracle_pdf) >= 1, f"{name}: oracle returned 0 rows at {SF_DIR}"
 
 
-def test_oracle_results_non_empty():
-    """Registry-wide vacuity lint (VERDICT.md r4 task 3): every oracled
-    query must return >=1 row, swept DuckDB-side only so all 450+
-    oracles are covered in seconds regardless of which keys the Spark
-    gate runs. Caught on introduction: q_dead_stock, q_tpch_q7,
-    q_tpch_q22, q_frame_sample, q_source_overlap — all green-but-empty
-    before their round-5 redefinitions."""
+def _vacuity_sweep(sf_dir: str) -> list[str]:
     import duckdb
 
     from big_data_streaming_spark.schemas import TESTDATA_TABLES
@@ -44,16 +38,47 @@ def test_oracle_results_non_empty():
     try:
         con.execute("SET TimeZone='UTC'")
         for t in TESTDATA_TABLES:
-            path = os.path.join(SF_DIR, f"{t}.parquet")
+            path = os.path.join(sf_dir, f"{t}.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-        empty = []
-        for name in sorted(ORACLES):
-            n = con.execute(f"SELECT COUNT(*) FROM ({ORACLES[name]})").fetchone()[0]
-            if n == 0:
-                empty.append(name)
-        assert not empty, f"vacuous oracled queries (0 rows at {SF_DIR}): {empty}"
+        return [
+            name
+            for name in sorted(ORACLES)
+            if con.execute(
+                f"SELECT COUNT(*) FROM ({ORACLES[name]})"
+            ).fetchone()[0]
+            == 0
+        ]
     finally:
         con.close()
+
+
+def test_oracle_results_non_empty():
+    """Registry-wide vacuity lint (VERDICT.md r4 task 3): every oracled
+    query must return >=1 row, swept DuckDB-side only so all 450+
+    oracles are covered in seconds regardless of which keys the Spark
+    gate runs. Caught on introduction: q_dead_stock, q_tpch_q7,
+    q_tpch_q22, q_frame_sample, q_source_overlap — all green-but-empty
+    before their round-5 redefinitions."""
+    empty = _vacuity_sweep(SF_DIR)
+    assert not empty, f"vacuous oracled queries (0 rows at {SF_DIR}): {empty}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("BDSS_VACUITY_ALL"),
+    reason="three-scale vacuity sweep is a per-round check "
+    "(~1 min at sf0.1) — set BDSS_VACUITY_ALL=1",
+)
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_oracle_results_non_empty_all_scales(sf_dir):
+    """Round-7 hardening: a query can be non-empty at the gate scale
+    and EMPTY at 10x — two engines agreeing on zero rows verifies
+    nothing (caught live: q_tpch_q11's fixed value fraction and
+    q_containment's fixed rare-token band both went 0-row at sf0.1
+    while green at sf0.001/0.01). Sweep every scale each round."""
+    empty = _vacuity_sweep(sf_dir)
+    assert not empty, f"vacuous oracled queries (0 rows at {sf_dir}): {empty}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
