@@ -384,6 +384,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_audio_clip_detect",
     "q_kmv_distinct",
     "q_quota_apportion",
+    "q_lpa_communities",
     # -- driver-checked in round 6 (CORRECTNESS_r06: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_zipf_audit",

@@ -1820,3 +1820,117 @@ def q_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN u_q = 0 THEN 0.0"
         " ELSE CAST(m_q AS DOUBLE) / u_q END AS agreement_weight",
     )
+
+
+# --- label-propagation communities (round 7) ----------------------------------
+# Community DETECTION over the part co-purchase graph — the derivation
+# step q_modularity takes as INPUT (it scores given communities; this
+# finds them). Deterministic synchronous LPA: labels start as node ids;
+# each of 3 fixed iterations every node adopts the argmax neighbor
+# label under the pinned (count DESC, label ASC) tie order, so both
+# engines walk identical label states (classic async LPA is
+# order-dependent — useless for a differential gate). Output is the
+# community-size histogram (aggregate-sized).
+# Scale: edges come from the per-basket pair expansion (bounded by the
+# q_basket_triples guard: C(17,2) per order, never |parts|²); every
+# iteration is ONE hash shuffle on dst for the (dst, label) count and
+# its argmax is an AGGREGATE (max of (count, -label) structs —
+# map-side combinable), not a window. 3 iterations = 3 shuffles on the
+# same key. The DuckDB oracle unrolls the same 3 iterations (QUALIFY
+# row_number for the argmax — DuckDB's arg_max rejects struct keys).
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    prev = "l0"
+    steps = []
+    for i in range(1, _LPA_ITERS + 1):
+        steps.append(
+            f"""l{i} AS (
+        SELECT e.dst AS node, p.label
+        FROM e JOIN {prev} p ON e.src = p.node
+        GROUP BY e.dst, p.label
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.dst
+                                   ORDER BY COUNT(*) DESC, p.label) = 1
+    )"""
+        )
+        prev = f"l{i}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), ud AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), e AS (
+        SELECT a AS src, b AS dst FROM ud
+        UNION ALL
+        SELECT b AS src, a AS dst FROM ud
+    ), l0 AS (
+        SELECT DISTINCT dst AS node, CAST(dst AS BIGINT) AS label FROM e
+    ),
+    {steps_sql}
+    , sizes AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM {prev} GROUP BY label
+    )
+    SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM sizes GROUP BY n_members
+    """
+
+
+@_q("q_lpa_communities", _lpa_oracle())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ud = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    e = ud.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        ud.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    from big_data_streaming_spark.plans.rank import track_persist
+
+    # e feeds every iteration (3 consumers) — persist once, released
+    # between queries by the plans/rank.py lifecycle.
+    e = track_persist(e)
+    labels = e.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.col("node").cast("bigint").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        counts = (
+            e.join(labels, e.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax (c DESC, label ASC) as an AGGREGATE: max of the
+        # (c, -label) struct, then negate back — map-side combinable,
+        # no window over the node-label relation.
+        labels = counts.groupBy("dst").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias(
+                "m"
+            )
+        ).select(
+            F.col("dst").alias("node"),
+            (-F.col("m.nl")).cast("bigint").alias("label"),
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return sizes.groupBy("n_members").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities")
+    )
