@@ -275,6 +275,7 @@ SWEEP = [
     "q_audio_clip_detect",  # kernel counts, clip_share division
     "q_kmv_distinct",       # bottom-k of shared hash, deterministic est
     "q_quota_apportion",    # pure integer apportionment
+    "q_lpa_communities",    # pinned-tie synchronous label propagation
 ]
 
 
