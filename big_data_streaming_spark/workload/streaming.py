@@ -2354,3 +2354,123 @@ def q_stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank"),
     )
+
+
+# --- streaming per-batch count-drop alert (round 7) ---------------------------
+# The pipeline-health monitor the reference's ops story implies but
+# never builds: per event_type and micro-batch, alert when the batch's
+# event count drops more than 1% below the TRAILING MEAN of all prior
+# batches — an EXACT integer inequality (100*i*c_i < 99*sum_prior, no
+# division), so the alert state is bit-identical cross-engine. Batch
+# identity follows the q_stream_decay_topk contract: batches are keyed
+# by min(event_id) and re-ordered by dense_rank, so the result is
+# independent of file-arrival order. Cross-batch state is a DISTRIBUTED
+# staged relation (the r6 q_stream_user_ewma pattern); the only collect
+# is the O(batches x types) per-batch count rows. Oracle restates the
+# 4-slice batch semantics arithmetically.
+def _sga_oracle() -> str:
+    return """
+    WITH r AS (
+        SELECT event_id, event_type,
+               row_number() OVER (ORDER BY event_id) - 1 AS rn
+        FROM events
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events
+    ), p AS (
+        SELECT event_type, rn // ((nn.total + 3) // 4) AS part
+        FROM r, nn
+    ), b AS (
+        SELECT part, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM p GROUP BY 1, 2
+    ), x AS (
+        SELECT event_type, CAST(part AS BIGINT) AS batch_idx, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY part
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS prior_sum
+        FROM b
+    )
+    SELECT event_type, batch_idx, c, prior_sum,
+           100 * batch_idx * c < 99 * prior_sum AS is_alert
+    FROM x WHERE batch_idx >= 1
+    """
+
+
+@_q("q_stream_gap_alert", _sga_oracle())
+def q_stream_gap_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from big_data_streaming_spark.sources.catalog import (
+        _ensure_session_confs,
+        normalize_raw_timestamps,
+    )
+
+    _ensure_session_confs(spark)
+    src_dir = _stage_stream_dir_parts(sf_dir, "events", n_parts=4)
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sdf = normalize_raw_timestamps(sdf, src_dir)
+    state: list[tuple[int, str, int]] = []
+
+    def absorb(bdf: DataFrame, batch_id: int) -> None:
+        rows = (
+            bdf.groupBy("event_type")
+            .agg(
+                F.min("event_id").cast("bigint").alias("bk"),
+                F.count(F.lit(1)).cast("bigint").alias("c"),
+            )
+            .collect()
+        )
+        if not rows:
+            return
+        batch_key = min(r.bk for r in rows)
+        state.extend((batch_key, r.event_type, r.c) for r in rows)
+
+    q = (
+        sdf.writeStream.foreachBatch(absorb)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(),
+                f"bdss_sga_ckpt_{uuid.uuid4().hex[:8]}",
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per = spark.createDataFrame(
+        state, "batch_key bigint, event_type string, c bigint"
+    )
+    # bounded: batch index over the 4 collected micro-batch keys
+    idx = per.select(
+        "event_type",
+        "c",
+        (F.dense_rank().over(Window.orderBy("batch_key")) - 1)
+        .cast("bigint")
+        .alias("batch_idx"),
+    )
+    wprior = (
+        Window.partitionBy("event_type")
+        .orderBy("batch_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = idx.select(
+        "event_type",
+        "batch_idx",
+        "c",
+        F.sum("c").over(wprior).cast("bigint").alias("prior_sum"),
+    )
+    return x.where(F.col("batch_idx") >= 1).select(
+        "event_type",
+        "batch_idx",
+        "c",
+        "prior_sum",
+        (
+            100 * F.col("batch_idx") * F.col("c")
+            < 99 * F.col("prior_sum")
+        ).alias("is_alert"),
+    )

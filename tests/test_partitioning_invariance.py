@@ -276,6 +276,7 @@ SWEEP = [
     "q_kmv_distinct",       # bottom-k of shared hash, deterministic est
     "q_quota_apportion",    # pure integer apportionment
     "q_lpa_communities",    # pinned-tie synchronous label propagation
+    "q_stream_gap_alert",   # arrival-order-independent batch keys
 ]
 
 

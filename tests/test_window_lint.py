@@ -77,7 +77,8 @@ MODULE_PINS = {
     "big_data_streaming_spark/workload/events.py": 1,
     "big_data_streaming_spark/workload/pipeline.py": 3,
     "big_data_streaming_spark/workload/relational.py": 11,
-    "big_data_streaming_spark/workload/streaming.py": 5,
+    # round 7: +1 streaming (q_stream_gap_alert, 4 batch keys)
+    "big_data_streaming_spark/workload/streaming.py": 6,
     "big_data_streaming_spark/workload/text.py": 10,
 }
 
