@@ -40,18 +40,33 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from big_data_streaming_spark.plans.explain import formatted_plan
+
     hits: dict[str, object] = {}
+    carts: dict[str, object] = {}
     for name, fn in QUERIES.items():
         try:
             spark.catalog.clearCache()
-            c = unpartitioned_window_count(fn(spark, "/root/testdata/sf0.001"))
+            df = fn(spark, "/root/testdata/sf0.001")
+            c = unpartitioned_window_count(df)
             if c:
                 hits[name] = c
+            x = formatted_plan(df).count("CartesianProduct")
+            if x:
+                carts[name] = x
         except Exception as ex:  # pragma: no cover - diagnostic path
             hits[name] = f"ERR {type(ex).__name__}"
     print(f"{len(hits)} queries with unpartitioned WindowExec:")
     for k, v in sorted(hits.items()):
         print(f"  {k}: {v}")
+    print(f"{len(carts)} queries with CartesianProduct:")
+    for k, v in sorted(carts.items()):
+        print(f"  {k}: {v}")
+    print(
+        "# round-7 baseline: the only CartesianProducts are bounded by"
+        " design — q_return_rates (O(brands) integer rank grid) and"
+        " q_isotonic (10-bucket interval lattice)."
+    )
 
 
 if __name__ == "__main__":
