@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Registry-WIDE partitioning-invariance sweep.
+
+tests/test_partitioning_invariance.py pins bit-identical results under
+5 vs 32 shuffle partitions for a 270+-key float-bearing slice. This
+script extends the certification to EVERY registry key (including the
+rows-only LSH/ANN family — their values are engine-specific but must
+still be stable within Spark), and stresses one more axis the test
+does not: the INPUT SPLIT. Config B shrinks
+``spark.sql.files.maxPartitionBytes`` to 1 MiB so every parquet scan is
+carved into many more tasks — a query whose result depends on scan-task
+boundaries (sampled range partitioners, first()-style picks, per-task
+accumulation order) would differ even if it survives the shuffle axis.
+
+Writes INVARIANCE_r{N}.json (N from $SPARK_GRAFT_ROUND, else "latest")
+with per-key status: "invariant", "VARIES", or "ERROR".
+
+Usage: python scripts/invariance_sweep_all.py [sf_dir] [--keys k1,k2]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CONF_A = {
+    "spark.sql.shuffle.partitions": "5",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+CONF_B = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--keys"):
+            only = set(a.split("=", 1)[1].split(","))
+
+    from pyspark.sql import SparkSession
+
+    from big_data_streaming_spark.workload import QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rows(name: str, conf: dict) -> list[str]:
+        prev = {k: spark.conf.get(k) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            return sorted(map(repr, QUERIES[name](spark, sf_dir).collect()))
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+    out: dict[str, dict] = {}
+    t0 = time.time()
+    names = [n for n in QUERIES if only is None or n in only]
+    for i, name in enumerate(names):
+        try:
+            a = rows(name, CONF_A)
+            b = rows(name, CONF_B)
+            out[name] = {
+                "status": "invariant" if a == b else "VARIES",
+                "rows": len(a),
+            }
+            if a != b:
+                diff = [x for x in a if x not in set(b)][:3]
+                out[name]["sample_only_in_A"] = diff
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            out[name] = {"status": "ERROR", "error": str(exc)[:400]}
+        if (i + 1) % 25 == 0:
+            bad = sum(1 for v in out.values() if v["status"] != "invariant")
+            print(
+                f"[{i + 1}/{len(names)}] {time.time() - t0:.0f}s"
+                f" non-invariant-or-error={bad}",
+                flush=True,
+            )
+
+    n_bad = [k for k, v in out.items() if v["status"] != "invariant"]
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "latest")
+    path = os.path.join(REPO, f"INVARIANCE_r{rnd.zfill(2) if rnd.isdigit() else rnd}.json")
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "axes": "shuffle.partitions 5 vs 32 AND maxPartitionBytes 128MiB vs 1MiB",
+                "n_keys": len(names),
+                "invariant": len(names) - len(n_bad),
+                "bad": n_bad,
+                "elapsed_s": round(time.time() - t0, 1),
+                "keys": out,
+            },
+            fh,
+            indent=1,
+        )
+    print(f"wrote {path}: {len(names) - len(n_bad)}/{len(names)} invariant; bad={n_bad}")
+
+
+if __name__ == "__main__":
+    main()
