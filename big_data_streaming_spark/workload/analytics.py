@@ -16784,3 +16784,254 @@ def q_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+# --- KMV set-operation estimates (round 7) -------------------------------------
+# The algebra that makes bottom-k sketches USEFUL at 100 TB: two
+# pre-deduplicated key sets (a user-day is "active-clicking" /
+# "active-purchasing") are each summarized by the k smallest values of a
+# SHARED arithmetic hash, the sketches merge by re-taking the bottom k of
+# the union (TakeOrderedAndProject — per-partition heaps, exactly how
+# distributed KMV union works), and intersection/Jaccard fall out of
+# MEMBERSHIP of the union sketch in each side: rho = |S ∩ A ∩ B| / k,
+# est_jaccard = rho, est_intersection = rho * est_union (Beyer et al.,
+# SIGMOD'07). Every membership probe broadcasts the ≤64-row sketch and
+# streams the deduped side once — the only fat shuffles are the two
+# per-side dedups and the exact-audit semi join, which exists purely to
+# report the estimator's true error next to the estimate.
+# Deterministic end-to-end (shared multiplicative hash, exact integers,
+# fixed-order double divisions), so both engines report identical
+# estimates AND identical true errors.
+_KMV_SET_K = 64
+_KMV_SET_EST_UNION = f"CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_M} / h_k"
+
+
+@_q(
+    "q_kmv_setops",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT ((user_id * 1000 + dayofyear(ts)) * 2654435761
+                         + 12345) % {_KMV_M} AS h
+        FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT DISTINCT ((user_id * 1000 + dayofyear(ts)) * 2654435761
+                         + 12345) % {_KMV_M} AS h
+        FROM events WHERE event_type = 'purchase'
+    ), u AS (
+        SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) t
+        ORDER BY h LIMIT {_KMV_SET_K}
+    ), kth AS (
+        SELECT MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS k_used FROM u
+    ), memb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM u
+        WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+    ), ex AS (
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+               CAST((SELECT COUNT(*) FROM
+                     (SELECT h FROM a INTERSECT SELECT h FROM b))
+                    AS BIGINT) AS exact_inter
+    )
+    SELECT k_used, CAST(h_k AS BIGINT) AS h_k, n_both,
+           {_KMV_SET_EST_UNION} AS est_union,
+           CAST(n_both AS DOUBLE) / k_used AS est_jaccard,
+           CAST(n_both AS DOUBLE) / k_used * ({_KMV_SET_EST_UNION})
+             AS est_intersection,
+           exact_a + exact_b - exact_inter AS exact_union,
+           exact_inter,
+           CAST(exact_inter AS DOUBLE)
+             / (exact_a + exact_b - exact_inter) AS exact_jaccard
+    FROM kth CROSS JOIN memb CROSS JOIN ex
+    """,
+)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    key = (F.col("user_id") * 1000 + F.dayofyear("ts")).cast("bigint")
+    h = ((key * F.lit(2654435761) + F.lit(12345)) % _KMV_M).alias("h")
+
+    a = ev.where(F.col("event_type") == "click").select(h).distinct()
+    b = ev.where(F.col("event_type") == "purchase").select(h).distinct()
+
+    # union sketch: bottom-k selection plans as TakeOrderedAndProject
+    u = a.union(b).distinct().orderBy("h").limit(_KMV_SET_K)
+    kth = u.agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+    )
+    # membership probes: broadcast the ≤64-row sketch, stream each side
+    in_a = a.join(F.broadcast(u), "h", "leftsemi")
+    in_b = b.join(F.broadcast(u), "h", "leftsemi")
+    n_both = in_a.join(F.broadcast(in_b), "h", "leftsemi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    # exact audit: one fact-fact semi join on the already-deduped sides
+    ex = (
+        a.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+        .crossJoin(
+            F.broadcast(
+                b.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a.join(b, "h", "leftsemi").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("exact_inter")
+                )
+            )
+        )
+    )
+    est_union = F.expr(_KMV_SET_EST_UNION)
+    rho = F.col("n_both").cast("double") / F.col("k_used")
+    return (
+        kth.crossJoin(F.broadcast(n_both))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "k_used",
+            F.col("h_k").cast("bigint").alias("h_k"),
+            "n_both",
+            est_union.alias("est_union"),
+            rho.alias("est_jaccard"),
+            (rho * est_union).alias("est_intersection"),
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")).alias(
+                "exact_union"
+            ),
+            "exact_inter",
+            (
+                F.col("exact_inter").cast("double")
+                / (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+# --- RANSAC robust line fit (round 7) ------------------------------------------
+# Robust model fitting under outliers — the estimator OLS cannot be:
+# q_ols_by_group's least squares moves with every contaminated row, while
+# RANSAC scores a BOUNDED set of candidate models by inlier consensus and
+# keeps the best. Candidates are deterministic, not random: the 32 rows
+# with the smallest shared-hash values (TakeOrderedAndProject — the
+# "random sample" of classic RANSAC replaced by a hash order both engines
+# compute identically) pair up consecutively into ≤16 two-point lines
+# through (l_quantity, price-in-cents). The inlier test clears the slope
+# denominator so it stays in exact BIGINT arithmetic:
+#   |yc - yc1 - (x - x1)·dy/dx| ≤ eps  ⇔  |dx·(yc-yc1) - (x-x1)·dy| ≤ eps·|dx|
+# Plan: seed = sort+limit (bounded 32 rows); models broadcast; scoring is
+# ONE pass over the fact — a BroadcastNestedLoopJoin fan-out of ≤16×
+# followed by a combinable hash aggregate (map-side partials). At 100 TB
+# the only cost is that single scan; no fact-sized shuffle anywhere.
+_RANSAC_SEED = 32
+_RANSAC_EPS_CENTS = 20000
+
+
+@_q(
+    "q_ransac",
+    f"""
+    WITH pts AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc,
+               ((l_orderkey * 7 + l_linenumber) * 2654435761 + 12345)
+                 % {_KMV_M} AS h,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), seed AS (
+        SELECT x, yc,
+               row_number() OVER (ORDER BY h, l_orderkey, l_linenumber)
+                 AS rn
+        FROM (SELECT * FROM pts ORDER BY h, l_orderkey, l_linenumber
+              LIMIT {_RANSAC_SEED}) s
+    ), models AS (
+        SELECT CAST((e1.rn + 1) / 2 AS BIGINT) AS model_id,
+               e1.x AS x1, e1.yc AS yc1,
+               e2.yc - e1.yc AS dy, e2.x - e1.x AS dx
+        FROM seed e1 JOIN seed e2 ON e2.rn = e1.rn + 1
+        WHERE e1.rn % 2 = 1 AND e2.x <> e1.x
+    ), scored AS (
+        SELECT m.model_id, m.x1, m.yc1, m.dy, m.dx,
+               CAST(SUM(CASE WHEN abs(m.dx * (p.yc - m.yc1)
+                                       - (p.x - m.x1) * m.dy)
+                                  <= {_RANSAC_EPS_CENTS} * abs(m.dx)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+               CAST(COUNT(*) AS BIGINT) AS n_pts
+        FROM models m CROSS JOIN pts p
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT model_id, x1, yc1, dy, dx, n_inliers,
+           CAST(n_inliers AS DOUBLE) / n_pts AS inlier_share,
+           CAST(row_number() OVER (ORDER BY n_inliers DESC, model_id)
+                AS BIGINT) AS consensus_rank
+    FROM scored
+    """,
+)
+def q_ransac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("yc"),
+        (
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber"))
+             * F.lit(2654435761) + F.lit(12345)) % _KMV_M
+        ).alias("h"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # bounded: 32-row sort+limit seed (TakeOrdered), then pair rn i,i+1
+    seed = (
+        pts.orderBy("h", "l_orderkey", "l_linenumber")
+        .limit(_RANSAC_SEED)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy("h", "l_orderkey", "l_linenumber")
+            ),
+        )
+        .select("x", "yc", "rn")
+    )
+    e1 = seed.alias("e1")
+    e2 = seed.alias("e2")
+    models = (
+        e1.join(e2, F.col("e2.rn") == F.col("e1.rn") + 1)
+        .where((F.col("e1.rn") % 2 == 1) & (F.col("e2.x") != F.col("e1.x")))
+        .select(
+            ((F.col("e1.rn") + 1) / 2).cast("bigint").alias("model_id"),
+            F.col("e1.x").alias("x1"),
+            F.col("e1.yc").alias("yc1"),
+            (F.col("e2.yc") - F.col("e1.yc")).alias("dy"),
+            (F.col("e2.x") - F.col("e1.x")).alias("dx"),
+        )
+    )
+    resid = F.abs(
+        F.col("dx") * (F.col("yc") - F.col("yc1"))
+        - (F.col("x") - F.col("x1")) * F.col("dy")
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(models))
+        .groupBy("model_id", "x1", "yc1", "dy", "dx")
+        .agg(
+            F.sum(
+                F.when(
+                    resid <= _RANSAC_EPS_CENTS * F.abs(F.col("dx")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_inliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+        )
+    )
+    return scored.select(
+        "model_id",
+        "x1",
+        "yc1",
+        "dy",
+        "dx",
+        "n_inliers",
+        (F.col("n_inliers").cast("double") / F.col("n_pts")).alias(
+            "inlier_share"
+        ),
+        # bounded: 16-row model grid (one row per candidate pair)
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_inliers"), "model_id"))
+        .cast("bigint")
+        .alias("consensus_rank"),
+    )

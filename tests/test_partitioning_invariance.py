@@ -277,6 +277,8 @@ SWEEP = [
     "q_quota_apportion",    # pure integer apportionment
     "q_lpa_communities",    # pinned-tie synchronous label propagation
     "q_stream_gap_alert",   # arrival-order-independent batch keys
+    "q_kmv_setops",         # shared-hash bottom-k union + exact audits
+    "q_ransac",             # integer cleared-denominator inlier counts
 ]
 
 

@@ -72,8 +72,10 @@ MODULE_PINS = {
     # round 7: +2 analytics (q_compaction_advisor O(days),
     # q_quota_apportion O(strata)),
     # +2 relational (q_running_backlog O(days), q_cold_start_suppliers
-    # O(months)) — each declared with recognized evidence
-    "big_data_streaming_spark/workload/analytics.py": 45,
+    # O(months)) — each declared with recognized evidence;
+    # +2 late round 7 (q_ransac: 32-row sort+limit seed pairing and the
+    # 16-row model-grid consensus rank — both limit-derived bounds)
+    "big_data_streaming_spark/workload/analytics.py": 47,
     "big_data_streaming_spark/workload/events.py": 1,
     "big_data_streaming_spark/workload/pipeline.py": 3,
     "big_data_streaming_spark/workload/relational.py": 11,
