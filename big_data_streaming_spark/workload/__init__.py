@@ -388,6 +388,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_stream_gap_alert",
     "q_kmv_setops",
     "q_ransac",
+    "q_dbscan_grid",
     # -- driver-checked in round 6 (CORRECTNESS_r06: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_zipf_audit",

@@ -1934,3 +1934,119 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("n_members").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_communities")
     )
+
+
+# --- grid-density clustering, DBSCAN-style (round 7) ---------------------------
+# The density-based clustering family beside q_kmeans (centroidal) and
+# q_lpa_communities (graph label propagation): quantize (day-of-year,
+# value/5) into grid cells, call a cell CORE when its count is at least
+# twice the mean cell count (exact integer inequality n·nc ≥ 2·t — the
+# adaptive threshold keeps the operator non-vacuous at every scale), and
+# merge 8-neighbor-adjacent core cells into clusters — the grid
+# formulation of DBSCAN's eps-connectivity (cf. GriDBSCAN/GriT-DBSCAN),
+# which replaces the O(n²) eps-range self-join with an EQUI-join of the
+# bounded cell relation against 8 literal offsets. Components ride
+# functions/graph.py's min-label connected_components (same helper the
+# LSH dedup family value-checks via q_dedup_cc_checked), so labels are
+# canonical min cell-ids and the DuckDB recursive CTE reproduces them
+# exactly. Plan: ONE fact-sized aggregate (the cell histogram); the grid
+# is bounded (≤366×~115 cells) so the threshold broadcast, the offset
+# join, the CC loop, and the summary all run on aggregate-sized data.
+@_q(
+    "q_dbscan_grid",
+    """
+    WITH RECURSIVE cells AS (
+        SELECT dayofyear(ts) AS gx, CAST(floor(value / 5) AS BIGINT) AS gy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS nc
+        FROM cells
+    ), core AS (
+        SELECT gx * 10000 + gy AS cid, gx, gy, n
+        FROM cells CROSS JOIN tot WHERE n * nc >= 2 * t
+    ), edges AS (
+        SELECT a.cid AS src, b.cid AS dst
+        FROM core a
+        CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                           (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+        JOIN core b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+    ), reach AS (
+        SELECT cid, cid AS lbl FROM core
+        UNION
+        SELECT e.dst AS cid, r.lbl FROM reach r JOIN edges e ON e.src = r.cid
+    ), lab AS (
+        SELECT cid, MIN(lbl) AS component FROM reach GROUP BY cid
+    )
+    SELECT CAST(l.component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.n) AS BIGINT) AS n_points,
+           CAST(MIN(c.gx) AS BIGINT) AS gx_min,
+           CAST(MAX(c.gx) AS BIGINT) AS gx_max,
+           CAST(MIN(c.gy) AS BIGINT) AS gy_min,
+           CAST(MAX(c.gy) AS BIGINT) AS gy_max
+    FROM lab l JOIN core c ON c.cid = l.cid
+    GROUP BY 1
+    """,
+)
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_streaming_spark.functions.graph import (
+        connected_components_star,
+    )
+
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        F.dayofyear("ts").alias("gx"),
+        F.floor(F.col("value") / 5).cast("bigint").alias("gy"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+    )
+    core = (
+        cells.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * F.col("nc") >= 2 * F.col("t"))
+        .select(
+            (F.col("gx") * 10000 + F.col("gy")).alias("cid"),
+            "gx",
+            "gy",
+            "n",
+        )
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         if (dx, dy) != (0, 0)],
+        "dx int, dy int",
+    )
+    a = core.alias("a")
+    b = core.alias("b")
+    neigh = (
+        a.crossJoin(F.broadcast(offsets))
+        .join(
+            b,
+            (F.col("b.gx") == F.col("a.gx") + F.col("dx"))
+            & (F.col("b.gy") == F.col("a.gy") + F.col("dy")),
+        )
+        .select(F.col("a.cid").alias("src"), F.col("b.cid").alias("dst"))
+    )
+    # self-loops register isolated core cells as singleton components
+    # (the star CC drops them from e but keeps them in its node set).
+    # Star rounds, not min-label propagation: the dense-cell graph is
+    # CHAINY (a seasonal ridge spans dozens of adjacent days), so its
+    # diameter — not log n — would bound the label-propagation loop.
+    edges = neigh.unionByName(
+        core.select(F.col("cid").alias("src"), F.col("cid").alias("dst"))
+    )
+    comp = connected_components_star(edges)
+    return (
+        core.join(comp, core.cid == comp.node)
+        .groupBy(F.col("component").cast("bigint").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+            F.min("gx").cast("bigint").alias("gx_min"),
+            F.max("gx").cast("bigint").alias("gx_max"),
+            F.min("gy").cast("bigint").alias("gy_min"),
+            F.max("gy").cast("bigint").alias("gy_max"),
+        )
+    )

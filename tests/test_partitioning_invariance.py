@@ -279,6 +279,7 @@ SWEEP = [
     "q_stream_gap_alert",   # arrival-order-independent batch keys
     "q_kmv_setops",         # shared-hash bottom-k union + exact audits
     "q_ransac",             # integer cleared-denominator inlier counts
+    "q_dbscan_grid",        # integer density grid + canonical star CC
 ]
 
 
