@@ -132,3 +132,109 @@ def test_registry_query_releases_prior_pins(spark):
     assert len(rank_mod._PERSISTED) >= 1
     QUERIES["q_count_all"](spark, SF)
     assert not rank_mod._PERSISTED
+
+
+# --- KMV set-operation estimates --------------------------------------------
+
+
+def test_kmv_setops_estimator_identities(spark):
+    """Internal-consistency identities the differential gate can't see
+    (both engines would agree on a WRONG formula): the membership count
+    is bounded by the sketch, rho is a proper fraction, exact_union obeys
+    inclusion-exclusion against its own parts, and the deterministic KMV
+    union estimate lands within the standard 3/sqrt(k) band of the true
+    hash-set union."""
+    row = QUERIES["q_kmv_setops"](spark, SF).collect()[0]
+    assert row["k_used"] <= 64 and row["n_both"] <= row["k_used"]
+    assert 0.0 <= row["est_jaccard"] <= 1.0
+    assert row["exact_union"] >= max(row["exact_inter"], 1)
+    assert (
+        abs(row["est_union"] - row["exact_union"]) / row["exact_union"]
+        <= 3.0 / (row["k_used"] ** 0.5)
+    ), row
+
+
+# --- RANSAC cleared-denominator inlier test ----------------------------------
+
+
+def test_ransac_cleared_denominator_identity():
+    """|dx·(yc-yc1) - (x-x1)·dy| <= eps·|dx|  must decide EXACTLY the
+    set  |yc - (yc1 + (x-x1)·dy/dx)| <= eps  (dx != 0): the BIGINT form
+    the query ships cannot drift from the textbook division form. Swept
+    over a deterministic grid that crosses the boundary in both signs."""
+    eps = 7
+    for dx in (-5, -1, 2, 9):
+        for dy in (-13, 0, 4):
+            for x_off in range(-6, 7):
+                for yc_off in range(-40, 41, 5):
+                    lhs_int = abs(dx * yc_off - x_off * dy) <= eps * abs(dx)
+                    lhs_div = abs(yc_off - x_off * dy / dx) <= eps
+                    assert lhs_int == lhs_div, (dx, dy, x_off, yc_off)
+
+
+def test_ransac_models_bounded_and_ranked(spark):
+    """<=16 candidate models, dx never 0 (degenerate pairs filtered),
+    consensus_rank is a 1..n permutation ordered by n_inliers."""
+    rows = QUERIES["q_ransac"](spark, SF).collect()
+    assert 1 <= len(rows) <= 16
+    assert all(r["dx"] != 0 for r in rows)
+    ranked = sorted(rows, key=lambda r: r["consensus_rank"])
+    assert [r["consensus_rank"] for r in ranked] == list(
+        range(1, len(rows) + 1)
+    )
+    assert all(
+        a["n_inliers"] >= b["n_inliers"]
+        for a, b in zip(ranked, ranked[1:])
+    )
+
+
+# --- star CC on a deep chain (the q_dbscan_grid convergence hazard) ----------
+
+
+def test_star_cc_converges_on_deep_chain(spark):
+    """q_dbscan_grid's dense-cell graph is CHAINY: a seasonal ridge spans
+    dozens of adjacent days, so component diameter — not log n — bounds
+    min-label propagation (the default max_iter=20 silently returned
+    UNCONVERGED labels on the sf0.01 grid during development). The star
+    variant the query ships must collapse a 60-node path to one canonical
+    component well inside its round budget."""
+    from big_data_streaming_spark.functions.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_dbscan_grid_components_disjoint_and_dense(spark):
+    """Component summaries must partition the core-cell set: n_cells sums
+    to the independently recomputed core count, every component's bbox is
+    inside the grid, and each component is at least mean-dense by
+    construction of the core threshold."""
+    from pyspark.sql import functions as F
+
+    from big_data_streaming_spark.workload.common import t as _t
+
+    rows = QUERIES["q_dbscan_grid"](spark, SF).collect()
+    ev = _t(spark, SF, "events").where(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        F.dayofyear("ts").alias("gx"),
+        F.floor(F.col("value") / 5).cast("bigint").alias("gy"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("nc"))
+    n_core = (
+        cells.crossJoin(tot)
+        .where(F.col("n") * F.col("nc") >= 2 * F.col("t"))
+        .count()
+    )
+    assert sum(r["n_cells"] for r in rows) == n_core
+    for r in rows:
+        assert 1 <= r["gx_min"] <= r["gx_max"] <= 366
+        assert 0 <= r["gy_min"] <= r["gy_max"]
+        assert r["n_points"] >= r["n_cells"]  # core cells are non-empty
