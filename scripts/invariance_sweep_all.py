@@ -50,10 +50,19 @@ def main() -> None:
 
     from big_data_streaming_spark.workload import QUERIES
 
+    # Explicit heap: at sf0.1 the 1 MiB-split config pushes sort-heavy
+    # keys past the default local-mode driver heap (observed
+    # java.lang.OutOfMemoryError at key ~451/587, which then cascaded
+    # 129 connection-refused ERRORs — NOT variance). Results never
+    # depend on heap size, only completion does.
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
