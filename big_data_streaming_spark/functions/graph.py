@@ -56,6 +56,7 @@ def connected_components(
     )
     check_every = max(1, check_every)
     last_checked = labels
+    converged = max_iter == 0
     try:
         for i in range(max_iter):
             nbr_min = (
@@ -83,12 +84,29 @@ def connected_components(
                     .count()
                 )
                 if changed == 0:
+                    converged = True
                     break
                 last_checked = labels
     finally:
         # release even when an action inside the loop throws — a leaked
         # persist would pin the caller's edge subtree for the session
         sym.unpersist()
+    if not converged:
+        # Anti-fabrication: labels that stopped moving because the ROUND
+        # BUDGET ran out are not components — on a chainy graph (diameter
+        # > max_iter) every node past the propagation horizon keeps a
+        # wrong, too-large label, and the caller would silently merge or
+        # split clusters. Surfaced by q_dbscan_grid development: the
+        # sf0.01 dense-cell grid has diameter ~40 and the default budget
+        # returned unconverged labels that only a differential oracle
+        # caught. Fail loudly instead; deep/chainy graphs should use
+        # connected_components_star (O(log n) rounds on any shape).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (labels still changing at the final "
+            f"probe). The graph's diameter likely exceeds the round "
+            f"budget — raise max_iter or use connected_components_star."
+        )
     return labels
 
 

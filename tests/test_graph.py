@@ -396,3 +396,23 @@ def test_resolve_entities_matches_python_pipeline_property(spark):
         assert got == py_resolve(recs, 1), (recs, got)
 
     check()
+
+
+def test_min_label_cc_raises_on_exhausted_rounds(spark):
+    """A round budget smaller than the graph diameter must FAIL LOUDLY,
+    not return labels that simply stopped where propagation ran out —
+    unconverged labels silently split components (the q_dbscan_grid
+    development find). A 30-node path needs ~30 min-label rounds."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=5)
+    # and with an adequate budget the same graph converges to min labels
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=50).collect()
+    }
+    assert got == {i: 0 for i in range(31)}
