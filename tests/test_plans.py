@@ -863,3 +863,30 @@ def test_round7_plan_shapes(spark, sf_small):
     # shuffle at all between the synthesized payload and the kernel
     df = QUERIES["q_audio_clip_detect"](spark, sf_small)
     assert shuffle_count(df) == 0, formatted_plan(df)
+
+
+def test_late_round7_plan_shapes(spark, sf_small):
+    """The three late round-7 operators keep their designed shapes:
+
+    * q_kmv_setops — union sketch via TakeOrderedAndProject; every
+      membership probe and scalar combine is broadcast; no cartesian.
+    * q_ransac — seed via TakeOrderedAndProject; candidate models
+      arrive at the scoring scan as a BROADCAST fan-out (nested-loop
+      over a bounded build side, never CartesianProduct).
+    * q_dbscan_grid — ONE fact-sized aggregate (the cell histogram);
+      threshold/offsets broadcast; adjacency is an equi-join (hash
+      join on the composed key, not a range self-join); no cartesian.
+    """
+    spark.catalog.clearCache()
+    for name in ("q_kmv_setops", "q_ransac", "q_dbscan_grid"):
+        df = QUERIES[name](spark, sf_small)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "TakeOrderedAndProject" in plan or name == "q_dbscan_grid", (
+            name,
+            plan,
+        )
+        assert "Broadcast" in plan, (name, plan)
+    # RANSAC's 16x fan-out must be the broadcast nested-loop form
+    plan = formatted_plan(QUERIES["q_ransac"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan, plan
