@@ -37,14 +37,28 @@ CONF_B = {
     "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
 }
 
+# --axis=aqe swaps the axes: same partitioning both sides, AQE on vs
+# OFF. Adaptive execution rewrites plans at runtime (partition
+# coalescing, skew-join splits, broadcast demotion) — a result that
+# depends on any of those rewrites would differ here even though both
+# partitioning axes pass.
+CONF_AQE_ON = {"spark.sql.adaptive.enabled": "true"}
+CONF_AQE_OFF = {"spark.sql.adaptive.enabled": "false"}
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = None
+    axis = "partitioning"
     for a in sys.argv[1:]:
         if a.startswith("--keys"):
             only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--axis"):
+            axis = a.split("=", 1)[1]
+    conf_a, conf_b = (
+        (CONF_AQE_ON, CONF_AQE_OFF) if axis == "aqe" else (CONF_A, CONF_B)
+    )
 
     from pyspark.sql import SparkSession
 
@@ -82,8 +96,8 @@ def main() -> None:
     names = [n for n in QUERIES if only is None or n in only]
     for i, name in enumerate(names):
         try:
-            a = rows(name, CONF_A)
-            b = rows(name, CONF_B)
+            a = rows(name, conf_a)
+            b = rows(name, conf_b)
             out[name] = {
                 "status": "invariant" if a == b else "VARIES",
                 "rows": len(a),
@@ -103,12 +117,15 @@ def main() -> None:
 
     n_bad = [k for k, v in out.items() if v["status"] != "invariant"]
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "latest")
-    path = os.path.join(REPO, f"INVARIANCE_r{rnd.zfill(2) if rnd.isdigit() else rnd}.json")
+    tag = rnd.zfill(2) if rnd.isdigit() else rnd
+    if axis == "aqe":
+        tag += "_aqe"
+    path = os.path.join(REPO, f"INVARIANCE_r{tag}.json")
     with open(path, "w") as fh:
         json.dump(
             {
                 "sf_dir": sf_dir,
-                "axes": "shuffle.partitions 5 vs 32 AND maxPartitionBytes 128MiB vs 1MiB",
+                "axes": ("AQE on vs off (fixed partitioning)" if axis == "aqe" else "shuffle.partitions 5 vs 32 AND maxPartitionBytes 128MiB vs 1MiB"),
                 "n_keys": len(names),
                 "invariant": len(names) - len(n_bad),
                 "bad": n_bad,
