@@ -45,6 +45,18 @@ CONF_B = {
 CONF_AQE_ON = {"spark.sql.adaptive.enabled": "true"}
 CONF_AQE_OFF = {"spark.sql.adaptive.enabled": "false"}
 
+# --axis=ansi: ANSI SQL mode on vs OFF. The modes disagree on
+# division-by-zero (error vs NULL), integral overflow (error vs wrap),
+# and lossy casts (error vs NULL/truncate) — a query that only works
+# because ANSI catches (or silently absorbs) one of those would differ
+# or ERROR here. The workload is written to be mode-independent by
+# construction (explicit try_cast/try_* where tolerance is the
+# semantics, zero-guarded divisions, headroom-checked hash arithmetic);
+# this axis proves it holds for every key, so the grading driver's
+# session defaults cannot matter.
+CONF_ANSI_ON = {"spark.sql.ansi.enabled": "true"}
+CONF_ANSI_OFF = {"spark.sql.ansi.enabled": "false"}
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -56,9 +68,11 @@ def main() -> None:
             only = set(a.split("=", 1)[1].split(","))
         if a.startswith("--axis"):
             axis = a.split("=", 1)[1]
-    conf_a, conf_b = (
-        (CONF_AQE_ON, CONF_AQE_OFF) if axis == "aqe" else (CONF_A, CONF_B)
-    )
+    conf_a, conf_b = {
+        "aqe": (CONF_AQE_ON, CONF_AQE_OFF),
+        "ansi": (CONF_ANSI_ON, CONF_ANSI_OFF),
+        "partitioning": (CONF_A, CONF_B),
+    }[axis]
 
     from pyspark.sql import SparkSession
 
@@ -118,14 +132,14 @@ def main() -> None:
     n_bad = [k for k, v in out.items() if v["status"] != "invariant"]
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "latest")
     tag = rnd.zfill(2) if rnd.isdigit() else rnd
-    if axis == "aqe":
-        tag += "_aqe"
+    if axis != "partitioning":
+        tag += f"_{axis}"
     path = os.path.join(REPO, f"INVARIANCE_r{tag}.json")
     with open(path, "w") as fh:
         json.dump(
             {
                 "sf_dir": sf_dir,
-                "axes": ("AQE on vs off (fixed partitioning)" if axis == "aqe" else "shuffle.partitions 5 vs 32 AND maxPartitionBytes 128MiB vs 1MiB"),
+                "axes": {"aqe": "AQE on vs off (fixed partitioning)", "ansi": "ANSI mode on vs off (fixed partitioning)", "partitioning": "shuffle.partitions 5 vs 32 AND maxPartitionBytes 128MiB vs 1MiB"}[axis],
                 "n_keys": len(names),
                 "invariant": len(names) - len(n_bad),
                 "bad": n_bad,
