@@ -57,6 +57,18 @@ CONF_AQE_OFF = {"spark.sql.adaptive.enabled": "false"}
 CONF_ANSI_ON = {"spark.sql.ansi.enabled": "true"}
 CONF_ANSI_OFF = {"spark.sql.ansi.enabled": "false"}
 
+# --axis=codegen: whole-stage codegen on vs OFF (fully interpreted
+# expression evaluation). Compiled and interpreted paths are separate
+# implementations of every expression — the closest available thing to
+# a third engine beside Spark-codegen and DuckDB. A kernel whose result
+# leaks Janino-specific arithmetic or short-circuit behavior would
+# differ here.
+CONF_CG_ON = {"spark.sql.codegen.wholeStage": "true"}
+CONF_CG_OFF = {
+    "spark.sql.codegen.wholeStage": "false",
+    "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+}
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -71,6 +83,7 @@ def main() -> None:
     conf_a, conf_b = {
         "aqe": (CONF_AQE_ON, CONF_AQE_OFF),
         "ansi": (CONF_ANSI_ON, CONF_ANSI_OFF),
+        "codegen": (CONF_CG_ON, CONF_CG_OFF),
         "partitioning": (CONF_A, CONF_B),
     }[axis]
 
@@ -139,7 +152,7 @@ def main() -> None:
         json.dump(
             {
                 "sf_dir": sf_dir,
-                "axes": {"aqe": "AQE on vs off (fixed partitioning)", "ansi": "ANSI mode on vs off (fixed partitioning)", "partitioning": "shuffle.partitions 5 vs 32 AND maxPartitionBytes 128MiB vs 1MiB"}[axis],
+                "axes": {"aqe": "AQE on vs off (fixed partitioning)", "ansi": "ANSI mode on vs off (fixed partitioning)", "codegen": "whole-stage codegen on vs fully interpreted", "partitioning": "shuffle.partitions 5 vs 32 AND maxPartitionBytes 128MiB vs 1MiB"}[axis],
                 "n_keys": len(names),
                 "invariant": len(names) - len(n_bad),
                 "bad": n_bad,
