@@ -86,70 +86,24 @@ _MODULES = (
 # round-4 additions (q_rle_advisor … q_ab_power) — all full-oracle,
 # gate-green at sf0.001/0.01/0.1.
 #
-# ROUND-8 ROTATION TODO: once CORRECTNESS_r07 lands, move its green keys
+# ROUND-8 ROTATION (executed per the TODO + VERDICT.md r7 task 1):
+# CORRECTNESS_r07 came back 50/50 full-green (zero rows-only slots used,
+# zero red). All 50 r7 window keys move to the tail ("driver-checked in
+# round 7" block). The new window promotes the next 50 of the remaining
+# round-4 additions (q_quantile_sketch_audit … q_missingness) — all
+# full-oracle, gate-green at sf0.001/0.01/0.1.
+#
+# ROUND-9 ROTATION TODO: once CORRECTNESS_r08 lands, move its green keys
 # to the tail and promote the next unchecked block — priority order:
-# (1) remaining round-4 additions (q_quantile_sketch_audit …
-# q_monthly_swing), (2) round-5 additions (q_geo_grid …
-# q_basket_size_dist), (3) round-6 additions, (4) round-7 additions
-# queued below them. Every queued key is gate-green at sf0.001/0.01/0.1.
+# (1) remaining round-4 additions (q_rbo … q_monthly_swing), (2) round-5
+# additions (q_geo_grid … q_basket_size_dist), (3) round-6 additions,
+# (4) round-7 additions, (5) round-8 additions queued below them. Every
+# queued key is gate-green at sf0.001/0.01/0.1.
 _CHECK_FIRST: tuple[str, ...] = (
-    # ============ round-7 driver window (positions 0-49) =================
-    # Remaining round-4 additions (first 50, q_rle_advisor … q_ab_power) —
-    # full-oracle, gate-green at sf0.001/0.01/0.1; never driver-checked
-    # until this window.
-    "q_rle_advisor",
-    "q_anon_ldiversity",
-    "q_rr_privacy",
-    "q_stream_quantile",
-    "q_bloom_membership",
-    "q_graph_reciprocity",
-    "q_heavy_hitters",
-    "q_tail_concentration",
-    "q_zonemap_advisor",
-    "q_sample_coherent",
-    "q_golden_record",
-    "q_cramers_v",
-    "q_forecast_eval",
-    "q_doc_langmix",
-    "q_partition_planner",
-    "q_selfjoin_estimator",
-    "q_acceptance_sampling",
-    "q_centroid_shift",
-    "q_graph_assortativity",
-    "q_session_gap_advisor",
-    "q_float32_audit",
-    "q_qq_plot",
-    "q_priority_sampling",
-    "q_stratified_kfold",
-    "q_maxcover_select",
-    "q_seq_rules",
-    "q_blocking_eval",
-    "q_poisson_bootstrap",
-    "q_welch_t",
-    "q_diff_in_diff",
-    "q_lsh_advisor",
-    "q_changepoint",
-    "q_session_count_grid",
-    "q_ndcg",
-    "q_precision_at_k",
-    "q_spearman",
-    "q_cohen_kappa",
-    "q_link_predict",
-    "q_dsir_weights",
-    "q_holt",
-    "q_markov_attribution",
-    "q_image_dhash",
-    "q_ppr",
-    "q_hits",
-    "q_rate_limit",
-    "q_kcenter_select",
-    "q_f1_threshold",
-    "q_symspell_pairs",
-    "q_trimmed_mean",
-    "q_ab_power",
-    # ============ round-8 rotation candidates (positions 50+) ============
-    # Remaining round-4 additions — full-oracle, gate-green at
-    # sf0.001/0.01/0.1; first in line for the round-8 window.
+    # ============ round-8 driver window (positions 0-49) =================
+    # Next 50 of the remaining round-4 additions (q_quantile_sketch_audit
+    # … q_missingness) — full-oracle, gate-green at sf0.001/0.01/0.1;
+    # never driver-checked until this window.
     "q_quantile_sketch_audit",
     "q_linkage_em",
     "q_conformal_interval",
@@ -200,6 +154,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_hod_anova",
     "q_iqr_outliers",
     "q_missingness",
+    # ============ round-9 rotation candidates (positions 50+) ============
+    # Remaining round-4 additions — full-oracle, gate-green at
+    # sf0.001/0.01/0.1; first in line for the round-9 window.
     "q_rbo",
     "q_energy_test",
     "q_jonckheere",
@@ -389,6 +346,58 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_kmv_setops",
     "q_ransac",
     "q_dbscan_grid",
+    # -- driver-checked in round 7 (CORRECTNESS_r07: 50/50 full-green,
+    # 0 rows-only, 0 red) — rotated to the tail ---------------------------
+    "q_rle_advisor",
+    "q_anon_ldiversity",
+    "q_rr_privacy",
+    "q_stream_quantile",
+    "q_bloom_membership",
+    "q_graph_reciprocity",
+    "q_heavy_hitters",
+    "q_tail_concentration",
+    "q_zonemap_advisor",
+    "q_sample_coherent",
+    "q_golden_record",
+    "q_cramers_v",
+    "q_forecast_eval",
+    "q_doc_langmix",
+    "q_partition_planner",
+    "q_selfjoin_estimator",
+    "q_acceptance_sampling",
+    "q_centroid_shift",
+    "q_graph_assortativity",
+    "q_session_gap_advisor",
+    "q_float32_audit",
+    "q_qq_plot",
+    "q_priority_sampling",
+    "q_stratified_kfold",
+    "q_maxcover_select",
+    "q_seq_rules",
+    "q_blocking_eval",
+    "q_poisson_bootstrap",
+    "q_welch_t",
+    "q_diff_in_diff",
+    "q_lsh_advisor",
+    "q_changepoint",
+    "q_session_count_grid",
+    "q_ndcg",
+    "q_precision_at_k",
+    "q_spearman",
+    "q_cohen_kappa",
+    "q_link_predict",
+    "q_dsir_weights",
+    "q_holt",
+    "q_markov_attribution",
+    "q_image_dhash",
+    "q_ppr",
+    "q_hits",
+    "q_rate_limit",
+    "q_kcenter_select",
+    "q_f1_threshold",
+    "q_symspell_pairs",
+    "q_trimmed_mean",
+    "q_ab_power",
     # -- driver-checked in round 6 (CORRECTNESS_r06: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_zipf_audit",
