@@ -54,9 +54,14 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    if max_iter <= 0:
+        # Zero rounds would return all-singleton labels for any graph
+        # with edges — exactly the fabricated-components output the
+        # non-convergence guard below exists to prevent (ADVICE r7).
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     check_every = max(1, check_every)
     last_checked = labels
-    converged = max_iter == 0
+    converged = False
     try:
         for i in range(max_iter):
             nbr_min = (
@@ -87,6 +92,36 @@ def connected_components(
                     converged = True
                     break
                 last_checked = labels
+        if not converged:
+            # Final-round boundary (ADVICE r7): the in-loop probe compares
+            # against a snapshot up to check_every rounds old, so a graph
+            # that converges EXACTLY on round max_iter still reads
+            # changed > 0 although the returned labels are correct. One
+            # extra propagation round on the final labels — a single
+            # cheap join on the (possibly) converged label set —
+            # distinguishes "converged on the last round" from "still
+            # moving" before the guard below fails loudly.
+            nbr_min = (
+                sym.join(labels, sym.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            probe = labels.join(
+                nbr_min, labels.node == nbr_min.a, "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            still_moving = (
+                probe.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            converged = still_moving == 0
     finally:
         # release even when an action inside the loop throws — a leaked
         # persist would pin the caller's edge subtree for the session

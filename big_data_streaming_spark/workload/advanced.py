@@ -1958,7 +1958,9 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE cells AS (
         SELECT dayofyear(ts) AS gx, CAST(floor(value / 5) AS BIGINT) AS gy,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        FROM events
+        WHERE value IS NOT NULL AND value >= 0 AND value < 50000
+        GROUP BY 1, 2
     ), tot AS (
         SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS nc
         FROM cells
@@ -1994,7 +1996,17 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
     )
 
-    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # The cid pairing gx*10000+gy below is injective ONLY for gy in
+    # [0, 10000), i.e. value in [0, 50000) — outside that band distinct
+    # cells would collide and silently merge (ADVICE r7). The explicit
+    # domain guard makes out-of-band rows excluded-by-spec rather than
+    # wrong; it is an identity filter on the fixture (value in
+    # [0.01, 490]) and appears in both engines.
+    ev = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & (F.col("value") < 50000)
+    )
     cells = ev.groupBy(
         F.dayofyear("ts").alias("gx"),
         F.floor(F.col("value") / 5).cast("bigint").alias("gy"),

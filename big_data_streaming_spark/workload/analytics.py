@@ -16643,14 +16643,22 @@ def q_user_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical estimate AND its true relative error.
 _KMV_K = 64
 _KMV_M = 2147483647
+# Shared by the SQL oracle and F.expr on the Spark side (spec, not
+# gate-checkable code — see _KMV_SET_EST_UNION below): an unsaturated
+# sketch (k_used < k) holds the ENTIRE value set, so the estimate is
+# exactly k_used; only a saturated sketch uses (k-1)*M/h_k.
+_KMV_EST = (
+    f"CASE WHEN k_used < {_KMV_K} THEN CAST(k_used AS DOUBLE)"
+    f" ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_M} / h_k END"
+)
 
 
 @_q(
     "q_kmv_distinct",
     f"""
     WITH v AS (
-        SELECT DISTINCT (CAST(floor(value * 100 + 0.5) AS BIGINT)
-                         * 2654435761 + 12345) % {_KMV_M} AS h
+        SELECT DISTINCT ((CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          % {_KMV_M}) * 2654435761 + 12345) % {_KMV_M} AS h
         FROM events WHERE value IS NOT NULL
     ), kth AS (
         SELECT MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS k_used
@@ -16659,10 +16667,9 @@ _KMV_M = 2147483647
         SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM v
     )
     SELECT k_used, CAST(h_k AS BIGINT) AS h_k,
-           CAST(({_KMV_K} - 1) AS DOUBLE) * {_KMV_M} / h_k AS est_distinct,
+           {_KMV_EST} AS est_distinct,
            exact_distinct,
-           (CAST(({_KMV_K} - 1) AS DOUBLE) * {_KMV_M} / h_k
-            - exact_distinct) / exact_distinct AS rel_err
+           (({_KMV_EST}) - exact_distinct) / exact_distinct AS rel_err
     FROM kth CROSS JOIN ex
     """,
 )
@@ -16672,8 +16679,12 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value").isNotNull())
         .select(
             (
-                (F.floor(F.col("value") * 100 + 0.5).cast("bigint")
-                 * 2654435761 + 12345) % _KMV_M
+                # key reduced mod M BEFORE the Knuth multiply so the
+                # product stays < 2^63 for the full BIGINT key domain
+                # (ADVICE r7: unreduced, DuckDB raises on overflow while
+                # non-ANSI Spark wraps — engine divergence at scale)
+                ((F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                  % _KMV_M) * 2654435761 + 12345) % _KMV_M
             ).alias("h")
         )
         .distinct()
@@ -16688,7 +16699,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ex = v.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
-    est = F.lit(float(_KMV_K - 1)) * _KMV_M / F.col("h_k")
+    est = F.expr(_KMV_EST)
     return (
         kth.crossJoin(F.broadcast(ex))
         .select(
@@ -16803,19 +16814,28 @@ def q_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed-order double divisions), so both engines report identical
 # estimates AND identical true errors.
 _KMV_SET_K = 64
-_KMV_SET_EST_UNION = f"CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_M} / h_k"
+# Shared by the SQL oracle and F.expr on the Spark side, so the
+# differential gate cannot catch a defect in it — review it as spec, not
+# code (ADVICE r7: an earlier revision hardcoded the unrelated _KMV_K
+# constant here, and mis-estimated when the sketch is unsaturated). When
+# k_used < k the sketch holds the ENTIRE union, so the estimate is
+# exactly k_used; only a saturated sketch uses the (k-1)*M/h_k form.
+_KMV_SET_EST_UNION = (
+    f"CASE WHEN k_used < {_KMV_SET_K} THEN CAST(k_used AS DOUBLE)"
+    f" ELSE CAST({_KMV_SET_K - 1} AS DOUBLE) * {_KMV_M} / h_k END"
+)
 
 
 @_q(
     "q_kmv_setops",
     f"""
     WITH a AS (
-        SELECT DISTINCT ((user_id * 1000 + dayofyear(ts)) * 2654435761
-                         + 12345) % {_KMV_M} AS h
+        SELECT DISTINCT (((user_id * 1000 + dayofyear(ts)) % {_KMV_M})
+                         * 2654435761 + 12345) % {_KMV_M} AS h
         FROM events WHERE event_type = 'click'
     ), b AS (
-        SELECT DISTINCT ((user_id * 1000 + dayofyear(ts)) * 2654435761
-                         + 12345) % {_KMV_M} AS h
+        SELECT DISTINCT (((user_id * 1000 + dayofyear(ts)) % {_KMV_M})
+                         * 2654435761 + 12345) % {_KMV_M} AS h
         FROM events WHERE event_type = 'purchase'
     ), u AS (
         SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) t
@@ -16846,8 +16866,13 @@ _KMV_SET_EST_UNION = f"CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_M} / h_k"
 )
 def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
+    # key reduced mod M BEFORE the Knuth multiply: keeps the product
+    # < 2^63 for user_id up to ~9.2e12 (ADVICE r7 — unreduced, the two
+    # engines diverge past user_id ~3.4e6: DuckDB raises, Spark wraps)
     key = (F.col("user_id") * 1000 + F.dayofyear("ts")).cast("bigint")
-    h = ((key * F.lit(2654435761) + F.lit(12345)) % _KMV_M).alias("h")
+    h = (((key % _KMV_M) * F.lit(2654435761) + F.lit(12345)) % _KMV_M).alias(
+        "h"
+    )
 
     a = ev.where(F.col("event_type") == "click").select(h).distinct()
     b = ev.where(F.col("event_type") == "purchase").select(h).distinct()
@@ -16929,8 +16954,8 @@ _RANSAC_EPS_CENTS = 20000
     WITH pts AS (
         SELECT CAST(l_quantity AS BIGINT) AS x,
                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc,
-               ((l_orderkey * 7 + l_linenumber) * 2654435761 + 12345)
-                 % {_KMV_M} AS h,
+               (((l_orderkey * 7 + l_linenumber) % {_KMV_M})
+                * 2654435761 + 12345) % {_KMV_M} AS h,
                l_orderkey, l_linenumber
         FROM lineitem
     ), seed AS (
@@ -16970,7 +16995,10 @@ def q_ransac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yc"),
         (
-            ((F.col("l_orderkey") * 7 + F.col("l_linenumber"))
+            # key reduced mod M before the Knuth multiply (ADVICE r7:
+            # unreduced, BIGINT overflow past l_orderkey ~4.9e8 — TPC-H
+            # sf >~ 100 — makes DuckDB raise while non-ANSI Spark wraps)
+            (((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % _KMV_M)
              * F.lit(2654435761) + F.lit(12345)) % _KMV_M
         ).alias("h"),
         "l_orderkey",

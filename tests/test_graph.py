@@ -416,3 +416,36 @@ def test_min_label_cc_raises_on_exhausted_rounds(spark):
         for r in connected_components(edges, max_iter=50).collect()
     }
     assert got == {i: 0 for i in range(31)}
+
+
+def test_min_label_cc_rejects_nonpositive_budget(spark):
+    """max_iter=0 used to return all-singleton labels silently — the
+    fabricated-components output the non-convergence guard exists to
+    prevent (ADVICE r7). Must raise instead."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="max_iter"):
+            connected_components(edges, max_iter=bad)
+
+
+def test_min_label_cc_converging_on_final_round_returns(spark):
+    """Convergence landing EXACTLY on round max_iter must return correct
+    labels, not raise (ADVICE r7): the in-loop probe compares against a
+    snapshot up to check_every rounds stale, so the guard needs one
+    extra propagation probe to tell 'converged on the last round' from
+    'still moving'. Min-label moves one hop per round along a path, so
+    a length-L path converges in exactly L rounds — pick max_iter == L
+    with a stale probe cadence and assert labels come back."""
+    # path 0-1-2-...-6: min label 0 reaches node 6 after 6 rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, max_iter=6, check_every=4
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(7)}
