@@ -189,6 +189,23 @@ def main() -> None:
     run_full("q_flagship", "/root/testdata/sf0.001")
     run_full("q_stream_window_tumbling", "/root/testdata/sf0.001")
 
+    # Box-drift probe (VERDICT r7 task 4): a FIXED 3-query workload timed
+    # best-of-3 at bench start, recorded beside the per-query detail.
+    # Round-over-round headline deltas divide by this probe's total to
+    # separate "the code got slower" from "the box was slower that day"
+    # (the r6→r7 +21% took real forensics to attribute to box drift).
+    # Side effect, documented: these three keys are warmed here, so their
+    # "cold" entries below are steady-state from round 8 on (~1 s of the
+    # cold total; BENCH_NOTES.md round 8).
+    probe: dict[str, float] = {}
+    for name in ("q_tpch_q1", "q_topk", "q_groupby_agg"):
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            run_full(name, sf_dir)
+            best = min(best, time.perf_counter() - start)
+        probe[name] = round(best, 3)
+
     # Two runs per query, report the min: run 1 pays one-time plan/codegen
     # compilation for that query shape; run 2 is steady-state execution —
     # the number that scales with data volume.
@@ -229,6 +246,10 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "sf": sf_val,
+    }
+    detail["box_probe"] = {
+        "queries": probe,
+        "total_best_sec": round(sum(probe.values()), 3),
     }
     detail["date"] = time.strftime("%Y-%m-%d")
     print(json.dumps(detail))
