@@ -346,6 +346,21 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_kmv_setops",
     "q_ransac",
     "q_dbscan_grid",
+    # Round-8 additions (12 — growth capped below the 50-key window per
+    # VERDICT r7 task 2) — full-oracle, gate-green at sf0.001/0.01/0.1;
+    # queued behind the round-7 block for the round-9+ windows.
+    "q_gk_lambda",
+    "q_lecam_drift",
+    "q_chow_test",
+    "q_cochran_armitage",
+    "q_cronbach_alpha",
+    "q_icc_value",
+    "q_davies_bouldin",
+    "q_allan_variance",
+    "q_rescaled_range",
+    "q_sprt_monitor",
+    "q_palma_ratio",
+    "q_breusch_pagan",
     # -- driver-checked in round 7 (CORRECTNESS_r07: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_rle_advisor",

@@ -17063,3 +17063,1147 @@ def q_ransac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("consensus_rank"),
     )
+
+
+# ========================= round 8 additions ==============================
+# Twelve statistics/pipeline operators, all transcendental-free (the
+# module exactness policy: integer/decimal sufficient statistics, the
+# q_chi2 explicit-quantize pattern for per-cell double terms, sqrt only
+# at scalar finishes, logs only as precomputed Python literals — the
+# q_ndcg policy). Reference parity: the reference's surface stops at
+# parse/window/store (spark/streaming-shorttime.py); these extend the
+# analytics layer per SURVEY.md §2 Table C.
+
+# --- Goodman-Kruskal lambda (round 8) -------------------------------------
+# Proportional-reduction-in-error association: how much better does
+# knowing the weekday predict the event type than always guessing the
+# modal type? lambda = (sum_rows max_col n - max_col marginal) /
+# (N - max_col marginal) — pure integer counts until one shared final
+# division. Categorical-association family beside q_cramers_v (chi2-
+# based) and q_yule_q (2x2-odds-based); lambda is the error-rate view.
+# Plan: one (dow, type) count over a 7x|types| grid, two tiny re-aggs,
+# one broadcast cross join of 1-row relations — map-side combinable,
+# O(1) output. The dow LABELS differ across engines (DuckDB 0-based,
+# Spark 1-based) but lambda is label-invariant, so the shared text never
+# mentions a label.
+_GKL = (
+    "(CAST(sum_row_max - max_marginal AS DOUBLE)"
+    " / CAST(n_events - max_marginal AS DOUBLE))"
+)
+
+
+@_q(
+    "q_gk_lambda",
+    f"""
+    WITH c AS (
+        SELECT dayofweek(ts) AS dow, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), rm AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS sum_row_max
+        FROM (SELECT dow, MAX(n) AS mx FROM c GROUP BY dow)
+    ), cm AS (
+        SELECT CAST(MAX(s) AS BIGINT) AS max_marginal,
+               CAST(SUM(s) AS BIGINT) AS n_events
+        FROM (SELECT event_type, SUM(n) AS s FROM c GROUP BY event_type)
+    )
+    SELECT n_events, sum_row_max, max_marginal, {_GKL} AS gk_lambda
+    FROM rm CROSS JOIN cm
+    """,
+)
+def q_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy(F.dayofweek("ts").alias("dow"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rm = (
+        c.groupBy("dow")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("sum_row_max"))
+    )
+    cm = (
+        c.groupBy("event_type")
+        .agg(F.sum("n").alias("s"))
+        .agg(
+            F.max("s").cast("bigint").alias("max_marginal"),
+            F.sum("s").cast("bigint").alias("n_events"),
+        )
+    )
+    return rm.crossJoin(F.broadcast(cm)).selectExpr(
+        "n_events", "sum_row_max", "max_marginal", f"{_GKL} AS gk_lambda"
+    )
+
+
+# --- Le Cam / triangular-discrimination drift (round 8) -------------------
+# Distribution drift between weekday and weekend value mixes over a
+# fixed-width bucket grid: LC(P,Q) = sum_b (p_b - q_b)^2 / (p_b + q_b).
+# Unlike KL/PSI this is RATIONAL (no logarithm), bounded in [0, 2], and
+# symmetric — the transcendental-free member of the drift family beside
+# q_ks_drift (sup-CDF), q_hellinger_drift (sqrt-based) and
+# q_wasserstein_drift (exact EMD). Per-bucket terms are doubles from
+# exact integer counts, explicitly quantized at 1e-12 and summed as
+# BIGINT (the q_chi2 pattern) so the <=10-term sum is order-free.
+# Plan: one (bucket, is_weekend) count over a bounded value grid, one
+# 1-row totals broadcast, O(1) output.
+_LECAM_P = "(CAST(nwd AS DOUBLE) / CAST(twd AS DOUBLE))"
+_LECAM_Q = "(CAST(nwe AS DOUBLE) / CAST(twe AS DOUBLE))"
+_LECAM_TERM = (
+    f"(({_LECAM_P} - {_LECAM_Q}) * ({_LECAM_P} - {_LECAM_Q})"
+    f" / ({_LECAM_P} + {_LECAM_Q}))"
+)
+
+
+@_q(
+    "q_lecam_drift",
+    f"""
+    WITH b AS (
+        SELECT CAST(least(floor(value / 50), 9.0) AS BIGINT) AS bkt,
+               -- DuckDB dayofweek is 0-based (Sunday=0, Saturday=6)
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we
+        FROM events WHERE value IS NOT NULL
+    ), c AS (
+        SELECT bkt,
+               CAST(SUM(1 - we) AS BIGINT) AS nwd,
+               CAST(SUM(we) AS BIGINT) AS nwe
+        FROM b GROUP BY bkt
+    ), tot AS (
+        SELECT CAST(SUM(nwd) AS BIGINT) AS twd,
+               CAST(SUM(nwe) AS BIGINT) AS twe
+        FROM c
+    ), term AS (
+        SELECT CAST(floor({_LECAM_TERM} * 1000000000000 + 0.5) AS BIGINT)
+                   AS tq,
+               twd, twe
+        FROM c CROSS JOIN tot
+    )
+    SELECT CAST(SUM(tq) AS DOUBLE) / 1000000000000 AS lecam,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(twd) AS BIGINT) AS n_weekday,
+           CAST(MAX(twe) AS BIGINT) AS n_weekend
+    FROM term
+    """,
+)
+def q_lecam_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = e.select(
+        F.least(F.floor(F.col("value") / 50), F.lit(9.0))
+        .cast("bigint")
+        .alias("bkt"),
+        # Spark dayofweek is 1-based (Sunday=1, Saturday=7)
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("we"),
+    )
+    c = b.groupBy("bkt").agg(
+        F.sum(1 - F.col("we")).cast("bigint").alias("nwd"),
+        F.sum("we").cast("bigint").alias("nwe"),
+    )
+    tot = c.agg(
+        F.sum("nwd").cast("bigint").alias("twd"),
+        F.sum("nwe").cast("bigint").alias("twe"),
+    )
+    term = c.crossJoin(F.broadcast(tot)).selectExpr(
+        f"CAST(floor({_LECAM_TERM} * 1000000000000 + 0.5) AS BIGINT) AS tq",
+        "twd",
+        "twe",
+    )
+    return term.agg(
+        (F.sum("tq").cast("double") / F.lit(1000000000000)).alias("lecam"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("twd").cast("bigint").alias("n_weekday"),
+        F.max("twe").cast("bigint").alias("n_weekend"),
+    )
+
+
+# --- Chow structural-break test (round 8) ---------------------------------
+# Did the value ~ day regression change between the first and second
+# half of the month? F = ((SSE_pooled - SSE_1 - SSE_2) / k) /
+# ((SSE_1 + SSE_2) / (n - 2k)) with k = 2 (slope + intercept). All five
+# moments per half route through DECIMAL(38,6) (exact, order-free); SSE
+# is one shared fixed-order double expression per segment; the pooled
+# moments are 2-element double sums (a single IEEE addition — order-free
+# by commutativity). Structural-change family beside q_changepoint
+# (CUSUM location) and q_cox_stuart (sign trend): Chow TESTS a declared
+# break. Plan: one map-side moment aggregate by half, two 1-row cross
+# joins, O(1) output.
+def _chow_sse(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
+    nd = f"CAST({n} AS DOUBLE)"
+    return (
+        f"(({syy} - {sy} * {sy} / {nd})"
+        f" - ({sxy} - {sx} * {sy} / {nd})"
+        f" * ({sxy} - {sx} * {sy} / {nd})"
+        f" / ({sxx} - {sx} * {sx} / {nd}))"
+    )
+
+
+_CHOW_F = (
+    "(((sse_pooled - sse_halves) / 2.0)"
+    " / (sse_halves / (CAST(n_events AS DOUBLE) - 4.0)))"
+)
+
+
+@_q(
+    "q_chow_test",
+    f"""
+    WITH r AS (
+        SELECT CASE WHEN dayofyear(ts) <= 15 THEN 0 ELSE 1 END AS g,
+               CAST(dayofyear(ts) AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), h AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               {oracle_dec_sum("x", "sx")}, {oracle_dec_sum("y", "sy")},
+               {oracle_dec_sum("x * y", "sxy")},
+               {oracle_dec_sum("x * x", "sxx")},
+               {oracle_dec_sum("y * y", "syy")}
+        FROM r GROUP BY g
+    ), s2 AS (
+        SELECT SUM({_chow_sse("n", "sx", "sy", "sxy", "sxx", "syy")})
+                   AS sse_halves
+        FROM h
+    ), p AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_events, SUM(sx) AS sx,
+               SUM(sy) AS sy, SUM(sxy) AS sxy, SUM(sxx) AS sxx,
+               SUM(syy) AS syy
+        FROM h
+    ), ps AS (
+        SELECT n_events,
+               {_chow_sse("n_events", "sx", "sy", "sxy", "sxx", "syy")}
+                   AS sse_pooled
+        FROM p
+    )
+    SELECT n_events, sse_pooled, sse_halves, {_CHOW_F} AS chow_f
+    FROM ps CROSS JOIN s2
+    """,
+)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    r = e.select(
+        F.when(F.dayofyear("ts") <= 15, 0).otherwise(1).alias("g"),
+        F.dayofyear("ts").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    h = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dec_sum("x", "sx"),
+        dec_sum("y", "sy"),
+        dec_sum(F.col("x") * F.col("y"), "sxy"),
+        dec_sum(F.col("x") * F.col("x"), "sxx"),
+        dec_sum(F.col("y") * F.col("y"), "syy"),
+    )
+    s2 = h.selectExpr(
+        f"{_chow_sse('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')} AS sse"
+    ).agg(F.sum("sse").alias("sse_halves"))
+    ps = (
+        h.agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("sxx").alias("sxx"),
+            F.sum("syy").alias("syy"),
+        )
+        .selectExpr(
+            "n_events",
+            f"{_chow_sse('n_events', 'sx', 'sy', 'sxy', 'sxx', 'syy')}"
+            " AS sse_pooled",
+        )
+    )
+    return ps.crossJoin(F.broadcast(s2)).selectExpr(
+        "n_events", "sse_pooled", "sse_halves", f"{_CHOW_F} AS chow_f"
+    )
+
+
+# --- Cochran-Armitage trend test (round 8) --------------------------------
+# Is purchase share monotonically associated with the value bucket?
+# Z = (N*sum(w*r_i) - R*sum(w*n_i)) / sqrt(R(N-R)/N * (N*sum(w^2 n_i)
+# - sum(w n_i)^2)) over ordered integer scores w = bucket id. Every
+# sufficient statistic is an exact BIGINT off one bounded-grid
+# aggregate (w <= 9 so w*n and w^2*n stay integer-safe to n ~ 1e17);
+# the finish is one shared division + IEEE sqrt. Trend family beside
+# q_chi2 (unordered association), q_mann_kendall (time trend) and
+# q_jonckheere (rank-based ordered alternative) — this is the
+# proportions-specific 1-df version. Plan: one (bucket) aggregate over
+# a <=10-cell grid, O(1) output, map-side combinable.
+_CA_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(swr AS DOUBLE)"
+    " - CAST(r AS DOUBLE) * CAST(swn AS DOUBLE))"
+)
+_CA_VAR = (
+    "(CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))"
+    " / CAST(n AS DOUBLE)"
+    " * (CAST(n AS DOUBLE) * CAST(swwn AS DOUBLE)"
+    " - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)))"
+)
+_CA_Z = f"({_CA_NUM} / sqrt({_CA_VAR}))"
+
+
+@_q(
+    "q_cochran_armitage",
+    f"""
+    WITH b AS (
+        SELECT CAST(least(floor(value / 50), 9.0) AS BIGINT) AS w,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(r) AS BIGINT) AS r_i
+        FROM b GROUP BY w
+    ), a AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS r,
+               CAST(SUM(w * r_i) AS BIGINT) AS swr,
+               CAST(SUM(w * n_i) AS BIGINT) AS swn,
+               CAST(SUM(w * w * n_i) AS BIGINT) AS swwn
+        FROM g
+    )
+    SELECT n, r AS n_purchase, {_CA_Z} AS z_trend,
+           {_CA_Z} * {_CA_Z} AS z2_trend
+    FROM a
+    """,
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = e.select(
+        F.least(F.floor(F.col("value") / 50), F.lit(9.0))
+        .cast("bigint")
+        .alias("w"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("r"),
+    )
+    g = b.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("r").cast("bigint").alias("r_i"),
+    )
+    a = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("w") * F.col("r_i")).cast("bigint").alias("swr"),
+        F.sum(F.col("w") * F.col("n_i")).cast("bigint").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i"))
+        .cast("bigint")
+        .alias("swwn"),
+    )
+    return a.selectExpr(
+        "n",
+        "r AS n_purchase",
+        f"{_CA_Z} AS z_trend",
+        f"{_CA_Z} * {_CA_Z} AS z2_trend",
+    )
+
+
+# --- Cronbach's alpha (round 8) --------------------------------------------
+# Internal-consistency reliability of the event-type "items" measured
+# daily: items j = event types, observations d = days, x_dj = daily
+# count. alpha = k/(k-1) * (1 - sum_j var_j / var_total). Each variance
+# NUMERATOR v = n*sum(x^2) - sum(x)^2 is integer-valued (days absent a
+# type contribute zero to both sums, so sparse (day, type) cells are
+# correct as-is); it is computed from decimal-routed moments and
+# quantized at 1e0 (exact: the value IS an integer while inside 2^53,
+# deterministically rounded beyond — both engines share the IEEE
+# sequence), so the k-term and 1-term sums are order-free BIGINTs.
+# Reliability family beside q_fleiss_kappa / q_cohen_kappa (rater
+# agreement) — alpha is the continuous-item view. Plan: one (day, type)
+# count, two tiny re-aggs, 1-row broadcast joins, O(1) output.
+# Headroom: sum(c*c) multiplies BIGINT before the decimal cast —
+# integer-safe to ~3e9 events per (day, type) cell (~sf 5000 on this
+# fixture's 30-day span).
+_CRONBACH_V = "floor(CAST(n_days AS DOUBLE) * sxx - sx * sx + 0.5)"
+_CRONBACH_VT = "floor(CAST(n_days AS DOUBLE) * stt - st * st + 0.5)"
+_CRONBACH_A = (
+    "(CAST(k_items AS DOUBLE) / (CAST(k_items AS DOUBLE) - 1.0)"
+    " * (1.0 - CAST(sum_item_var AS DOUBLE) / CAST(total_var AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_cronbach_alpha",
+    f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS d, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), it AS (
+        SELECT event_type, {oracle_dec_sum("c", "sx")},
+               {oracle_dec_sum("c * c", "sxx")}
+        FROM d GROUP BY event_type
+    ), dt AS (
+        SELECT d, CAST(SUM(c) AS BIGINT) AS tc FROM d GROUP BY d
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               {oracle_dec_sum("tc", "st")},
+               {oracle_dec_sum("tc * tc", "stt")}
+        FROM dt
+    ), iv AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_items,
+               CAST(SUM(CAST({_CRONBACH_V} AS BIGINT)) AS BIGINT)
+                   AS sum_item_var,
+               CAST(MAX(n_days) AS BIGINT) AS n_days
+        FROM it CROSS JOIN nn
+    ), tv AS (
+        SELECT CAST({_CRONBACH_VT} AS BIGINT) AS total_var FROM nn
+    )
+    SELECT n_days, k_items, sum_item_var, total_var,
+           {_CRONBACH_A} AS cronbach_alpha
+    FROM iv CROSS JOIN tv
+    """,
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    it = d.groupBy("event_type").agg(
+        dec_sum("c", "sx"), dec_sum(F.col("c") * F.col("c"), "sxx")
+    )
+    dt = d.groupBy("d").agg(F.sum("c").cast("bigint").alias("tc"))
+    nn = dt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        dec_sum("tc", "st"),
+        dec_sum(F.col("tc") * F.col("tc"), "stt"),
+    )
+    iv = (
+        it.crossJoin(F.broadcast(nn))
+        .selectExpr(f"CAST({_CRONBACH_V} AS BIGINT) AS v", "n_days")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_items"),
+            F.sum("v").cast("bigint").alias("sum_item_var"),
+            F.max("n_days").cast("bigint").alias("n_days"),
+        )
+    )
+    tv = nn.selectExpr(f"CAST({_CRONBACH_VT} AS BIGINT) AS total_var")
+    return iv.crossJoin(F.broadcast(tv)).selectExpr(
+        "n_days",
+        "k_items",
+        "sum_item_var",
+        "total_var",
+        f"{_CRONBACH_A} AS cronbach_alpha",
+    )
+
+
+# --- Intraclass correlation ICC(1) (round 8) -------------------------------
+# One-way random-effects ICC of value (cents domain) within event_type:
+# how much of the value variance is BETWEEN types? SSB/SSW come from
+# decimal-routed moments; the per-group T_i^2/n_i terms are quantized at
+# 1e-2 and summed as BIGINT (q_chi2 pattern, k = |types| cells;
+# integer-safe to ~sf 100 on this fixture), n0 is the unbalanced-design
+# correction (N - sum n_i^2 / N) / (a - 1) with the n_i^2/N terms
+# quantized at 1e-6. Variance-decomposition family beside q_anova_f
+# (the F-test on the same decomposition) — ICC reports the proportion,
+# not the test. Plan: one map-side moment aggregate by type, 1-row
+# broadcasts, O(1) output.
+_ICC_MSB = "((st2 / 100.0 - g * g / CAST(n AS DOUBLE)) / (CAST(a AS DOUBLE) - 1.0))"
+_ICC_MSW = "((syy - st2 / 100.0) / (CAST(n AS DOUBLE) - CAST(a AS DOUBLE)))"
+_ICC_N0 = (
+    "((CAST(n AS DOUBLE) - CAST(sq AS DOUBLE) / 1000000.0)"
+    " / (CAST(a AS DOUBLE) - 1.0))"
+)
+_ICC = (
+    f"(({_ICC_MSB} - {_ICC_MSW})"
+    f" / ({_ICC_MSB} + ({_ICC_N0} - 1.0) * {_ICC_MSW}))"
+)
+
+
+@_q(
+    "q_icc_value",
+    f"""
+    WITH r AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), grp AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_i,
+               {oracle_dec_sum("y", "t_i")}, {oracle_dec_sum("y * y", "yy_i")}
+        FROM r GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n FROM grp
+    ), terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS a,
+               CAST(SUM(CAST(floor(t_i * t_i / CAST(n_i AS DOUBLE) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS st2,
+               CAST(SUM(CAST(floor(CAST(n_i AS DOUBLE) * CAST(n_i AS DOUBLE)
+                                   / CAST(n AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sq,
+               SUM(t_i) AS g, SUM(yy_i) AS syy,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM grp CROSS JOIN tot
+    )
+    SELECT n AS n_events, a AS k_groups, {_ICC_MSB} AS msb, {_ICC_MSW} AS msw,
+           {_ICC_N0} AS n0, {_ICC} AS icc
+    FROM terms
+    """,
+)
+def q_icc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    r = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    grp = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        dec_sum("y", "t_i"),
+        dec_sum(F.col("y") * F.col("y"), "yy_i"),
+    )
+    tot = grp.agg(F.sum("n_i").cast("bigint").alias("n"))
+    terms = grp.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("a"),
+        F.sum(
+            F.expr(
+                "CAST(floor(t_i * t_i / CAST(n_i AS DOUBLE) * 100 + 0.5)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("st2"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(n_i AS DOUBLE) * CAST(n_i AS DOUBLE)"
+                " / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("sq"),
+        F.sum("t_i").alias("g"),
+        F.sum("yy_i").alias("syy"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    return terms.selectExpr(
+        "n AS n_events",
+        "a AS k_groups",
+        f"{_ICC_MSB} AS msb",
+        f"{_ICC_MSW} AS msw",
+        f"{_ICC_N0} AS n0",
+        f"{_ICC} AS icc",
+    )
+
+
+# --- Davies-Bouldin index (round 8) ----------------------------------------
+# Cluster-validity score of the event-type partition over the 1-D value
+# space (cents domain): DB = (1/k) sum_i max_{j != i} (s_i + s_j) /
+# |mu_i - mu_j| with s_i the mean absolute deviation. The per-row
+# deviation uses the EXACT integer identity |y - mu_i| = |y*n_i - S_i|
+# / n_i (S_i = exact decimal cents sum), so the fact-sized sum routes
+# decimals with an integer-valued summand — zero quantization on the
+# big sum; only the k-term final mean is quantized (1e-9, q_chi2
+# pattern). Validity family beside q_silhouette (pairwise view) and
+# q_medoid: DB is the centroid-scatter view and needs only two scans.
+# Plan: one moment aggregate by type, one broadcast join back for the
+# deviation sum, a k x k broadcast self-join (k = |types|), O(1) output.
+def _db_r(an: str, adev: str, as_: str, bn: str, bdev: str, bs: str) -> str:
+    """Shared R_ij text — same operation sequence under either engine's
+    column qualifiers, so the IEEE result is bit-identical."""
+    scat_a = f"({adev} / (CAST({an} AS DOUBLE) * CAST({an} AS DOUBLE)))"
+    scat_b = f"({bdev} / (CAST({bn} AS DOUBLE) * CAST({bn} AS DOUBLE)))"
+    gap = f"abs({as_} / CAST({an} AS DOUBLE) - {bs} / CAST({bn} AS DOUBLE))"
+    return f"(({scat_a} + {scat_b}) / {gap})"
+
+
+@_q(
+    "q_davies_bouldin",
+    f"""
+    WITH r AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), dim AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_i,
+               {oracle_dec_sum("y", "s_i")}
+        FROM r GROUP BY event_type
+    ), dev AS (
+        SELECT r.event_type,
+               {oracle_dec_sum(
+                   "abs(CAST(y AS DOUBLE) * CAST(n_i AS DOUBLE) - s_i)",
+                   "dev_i",
+               )}
+        FROM r JOIN dim ON r.event_type = dim.event_type
+        GROUP BY r.event_type
+    ), cl AS (
+        SELECT dim.event_type, n_i, s_i, dev_i
+        FROM dim JOIN dev ON dim.event_type = dev.event_type
+    ), pairs AS (
+        SELECT a.event_type,
+               MAX({_db_r("a.n_i", "a.dev_i", "a.s_i",
+                          "b.n_i", "b.dev_i", "b.s_i")}) AS max_r
+        FROM cl a JOIN cl b ON a.event_type <> b.event_type
+        GROUP BY a.event_type
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_clusters,
+           CAST(SUM(CAST(floor(max_r * 1000000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000000 / COUNT(*) AS db_index
+    FROM pairs
+    """,
+)
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    r = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    dim = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"), dec_sum("y", "s_i")
+    )
+    dev = (
+        r.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            dec_sum(
+                F.abs(
+                    F.col("y").cast("double") * F.col("n_i").cast("double")
+                    - F.col("s_i")
+                ),
+                "dev_i",
+            )
+        )
+    )
+    cl = dim.join(dev, "event_type")
+    a = cl.selectExpr(
+        "event_type", "n_i AS a_n_i", "s_i AS a_s_i", "dev_i AS a_dev_i"
+    )
+    b = cl.selectExpr(
+        "event_type AS b_type", "n_i AS b_n_i", "s_i AS b_s_i",
+        "dev_i AS b_dev_i",
+    )
+    r_expr = _db_r(
+        "a_n_i", "a_dev_i", "a_s_i", "b_n_i", "b_dev_i", "b_s_i"
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("event_type") != F.col("b_type"))
+        .groupBy("event_type")
+        .agg(F.expr(f"MAX({r_expr})").alias("max_r"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_clusters"),
+        (
+            F.sum(
+                F.expr(
+                    "CAST(floor(max_r * 1000000000 + 0.5) AS BIGINT)"
+                )
+            ).cast("double")
+            / F.lit(1000000000)
+            / F.count(F.lit(1))
+        ).alias("db_index"),
+    )
+
+
+# --- Allan variance ladder (round 8) ---------------------------------------
+# Frequency-stability view of the daily arrival series: AVAR(tau) =
+# sum_k (S_{k+1} - S_k)^2 / (2 (M-1) tau^2) over non-overlapping tau-day
+# bins (only FULL bins kept), tau in {1, 2, 4, 8}. Distinguishes white
+# noise (slope -1 in tau) from drift — the multi-resolution counterpart
+# of q_fano's single-scale dispersion. Bin sums are exact BIGINTs; the
+# squared diff is an IEEE double of exact inputs routed through the
+# decimal sum (exact while |diff| <= 9.4e7 events/bin — far past this
+# fixture's scale — and correctly-rounded identically beyond). Plan:
+# one (day) count, a 4-tau literal explode, lag windows PARTITIONED by
+# tau over O(days/tau) rows, O(taus) output.
+_AVAR = (
+    "(sum_d2 / (2.0 * (CAST(m_bins AS DOUBLE) - 1.0)"
+    " * CAST(tau AS DOUBLE) * CAST(tau AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_allan_variance",
+    f"""
+    WITH daily AS (
+        SELECT CAST(dayofyear(ts) AS BIGINT) AS doy,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), bins AS (
+        SELECT tau,
+               CAST(floor((doy - 1) / CAST(tau AS DOUBLE)) AS BIGINT) AS k,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily CROSS JOIN (VALUES (1), (2), (4), (8)) AS taus(tau)
+        GROUP BY 1, 2
+    ), full_bins AS (
+        SELECT tau, k, s FROM bins WHERE nd = tau
+    ), diffs AS (
+        SELECT tau, s - LAG(s) OVER (PARTITION BY tau ORDER BY k) AS d
+        FROM full_bins
+    ), agg AS (
+        SELECT tau, CAST(COUNT(*) + 1 AS BIGINT) AS m_bins,
+               {oracle_dec_sum(
+                   "CAST(d AS DOUBLE) * CAST(d AS DOUBLE)", "sum_d2"
+               )}
+        FROM diffs WHERE d IS NOT NULL GROUP BY tau
+    )
+    SELECT CAST(tau AS BIGINT) AS tau, m_bins, sum_d2, {_AVAR} AS avar
+    FROM agg ORDER BY tau
+    """,
+)
+def q_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.dayofyear("ts").cast("bigint").alias("doy")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    taus = daily.select(
+        "doy",
+        "c",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))).alias(
+            "tau"
+        ),
+    )
+    bins = taus.groupBy(
+        "tau",
+        F.expr(
+            "CAST(floor((doy - 1) / CAST(tau AS DOUBLE)) AS BIGINT)"
+        ).alias("k"),
+    ).agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    full_bins = bins.where(F.col("nd") == F.col("tau")).select(
+        "tau", "k", "s"
+    )
+    w = Window.partitionBy("tau").orderBy("k")
+    diffs = full_bins.select(
+        "tau", (F.col("s") - F.lag("s").over(w)).alias("d")
+    ).where(F.col("d").isNotNull())
+    agg = diffs.groupBy("tau").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("m_bins"),
+        dec_sum(
+            F.col("d").cast("double") * F.col("d").cast("double"), "sum_d2"
+        ),
+    )
+    return agg.selectExpr(
+        "CAST(tau AS BIGINT) AS tau", "m_bins", "sum_d2", f"{_AVAR} AS avar"
+    ).orderBy("tau")
+
+
+# --- Rescaled-range (R/S) ladder (round 8) ----------------------------------
+# Hurst-style long-memory diagnostic on the daily arrival series: for
+# window sizes n in {5, 10, 15}, split the day sequence into full
+# non-overlapping windows, compute R = range of cumulative deviations
+# from the window mean (the 0 baseline included, the classic Z_0 = 0
+# convention) and S = the population std, and report the mean R/S per
+# size. White noise grows ~ n^0.5; persistent series grow faster. The
+# cumulative deviation uses the exact integer identity
+# Z_t = (n*C_t - t*S_w)/n, so R's numerator is an exact BIGINT range;
+# S is one IEEE sqrt of exact moments; the per-size mean over <=6
+# windows is quantized at 1e-9 (q_chi2 pattern). No log-log fit — the
+# statistic table stays transcendental-free (slope left to the reader,
+# the q_ndcg literals policy does not apply to outputs). Zero-variance
+# windows are excluded by spec. Long-memory family beside q_acf /
+# q_variance_ratio. Plan: one (day) count; every window below runs on
+# the O(days) aggregate; O(sizes) output.
+_RS = (
+    "(CAST(r_num AS DOUBLE) / CAST(n_size AS DOUBLE)"
+    " / sqrt((CAST(qq AS DOUBLE) - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE)"
+    " / CAST(n_size AS DOUBLE)) / CAST(n_size AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_rescaled_range",
+    f"""
+    WITH daily AS (
+        SELECT CAST(dayofyear(ts) AS BIGINT) AS doy,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY doy) AS BIGINT) AS rn
+        FROM daily
+    ), ex AS (
+        SELECT n_size, c, rn,
+               CAST(floor((rn - 1) / CAST(n_size AS DOUBLE)) AS BIGINT) AS w,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY n_size,
+                       CAST(floor((rn - 1) / CAST(n_size AS DOUBLE))
+                            AS BIGINT)
+                   ORDER BY rn) AS BIGINT) AS pos
+        FROM idx CROSS JOIN (VALUES (5), (10), (15)) AS sizes(n_size)
+    ), cum AS (
+        SELECT n_size, w, pos, c,
+               CAST(SUM(c) OVER (PARTITION BY n_size, w ORDER BY pos)
+                    AS BIGINT) AS ct,
+               CAST(SUM(c) OVER (PARTITION BY n_size, w) AS BIGINT) AS s_w,
+               CAST(SUM(c * c) OVER (PARTITION BY n_size, w) AS BIGINT)
+                   AS qq,
+               CAST(COUNT(*) OVER (PARTITION BY n_size, w) AS BIGINT) AS nd
+        FROM ex
+    ), win AS (
+        SELECT n_size, w,
+               GREATEST(MAX(n_size * ct - pos * s_w), 0)
+                 - LEAST(MIN(n_size * ct - pos * s_w), 0) AS r_num,
+               CAST(MAX(s_w) AS BIGINT) AS s_w,
+               CAST(MAX(qq) AS BIGINT) AS qq
+        FROM cum WHERE nd = n_size
+        GROUP BY n_size, w
+        HAVING CAST(MAX(qq) AS BIGINT) * n_size
+                 <> CAST(MAX(s_w) AS BIGINT) * CAST(MAX(s_w) AS BIGINT)
+    ), rs AS (
+        SELECT n_size,
+               CAST(floor({_RS} * 1000000000 + 0.5) AS BIGINT) AS rs_q
+        FROM win
+    )
+    SELECT CAST(n_size AS BIGINT) AS n_size,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(rs_q) AS DOUBLE) / 1000000000 / COUNT(*) AS mean_rs
+    FROM rs GROUP BY n_size ORDER BY n_size
+    """,
+)
+def q_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.dayofyear("ts").cast("bigint").alias("doy")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # bounded: O(days) daily-count aggregate — the day index ranks the
+    # 30-row daily relation, never the fact table
+    idx = daily.select(
+        "c",
+        F.row_number().over(Window.orderBy("doy")).cast("bigint").alias(
+            "rn"
+        ),
+    )
+    ex = idx.select(
+        "c",
+        "rn",
+        F.explode(F.array(F.lit(5), F.lit(10), F.lit(15))).alias("n_size"),
+    ).withColumn(
+        "w",
+        F.expr("CAST(floor((rn - 1) / CAST(n_size AS DOUBLE)) AS BIGINT)"),
+    )
+    wp = Window.partitionBy("n_size", "w").orderBy("rn")
+    wall = Window.partitionBy("n_size", "w")
+    cum = ex.select(
+        "n_size",
+        "w",
+        "c",
+        F.row_number().over(wp).cast("bigint").alias("pos"),
+        F.sum("c").over(wp).cast("bigint").alias("ct"),
+        F.sum("c").over(wall).cast("bigint").alias("s_w"),
+        F.sum(F.col("c") * F.col("c")).over(wall).cast("bigint").alias("qq"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("nd"),
+    )
+    win = (
+        cum.where(F.col("nd") == F.col("n_size"))
+        .groupBy("n_size", "w")
+        .agg(
+            (
+                F.greatest(
+                    F.max(
+                        F.col("n_size") * F.col("ct")
+                        - F.col("pos") * F.col("s_w")
+                    ),
+                    F.lit(0),
+                )
+                - F.least(
+                    F.min(
+                        F.col("n_size") * F.col("ct")
+                        - F.col("pos") * F.col("s_w")
+                    ),
+                    F.lit(0),
+                )
+            ).alias("r_num"),
+            F.max("s_w").cast("bigint").alias("s_w"),
+            F.max("qq").cast("bigint").alias("qq"),
+        )
+        .where(
+            F.col("qq") * F.col("n_size") != F.col("s_w") * F.col("s_w")
+        )
+    )
+    rs = win.selectExpr(
+        "n_size",
+        f"CAST(floor({_RS} * 1000000000 + 0.5) AS BIGINT) AS rs_q",
+    )
+    return (
+        rs.groupBy("n_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            (
+                F.sum("rs_q").cast("double")
+                / F.lit(1000000000)
+                / F.count(F.lit(1))
+            ).alias("mean_rs"),
+        )
+        .selectExpr(
+            "CAST(n_size AS BIGINT) AS n_size", "n_windows", "mean_rs"
+        )
+        .orderBy("n_size")
+    )
+
+
+# --- SPRT conversion-rate monitor (round 8) ---------------------------------
+# Wald's sequential probability ratio test on the daily purchase share:
+# H0 p = 0.20 vs H1 p = 0.25, alpha = beta = 0.05. The cumulative
+# log-likelihood ratio is LLR_t = S_t*ln(p1/p0) + (N_t-S_t)*
+# ln((1-p1)/(1-p0)) — the two log factors and the ln boundaries enter
+# as PRECOMPUTED double literals (the q_ndcg policy: no in-engine
+# transcendental), and S_t/N_t are exact cumulative BIGINTs, so each
+# day's LLR is two multiplies + one add of exact inputs. Sequential-
+# testing family beside q_group_sequential (Pocock-style looks) — SPRT
+# is the continuous-monitoring boundary. Plan: one (day) aggregate;
+# the cumulative window runs on the O(days) relation; O(days) output.
+_SPRT_L1 = "0.22314355131420976"  # ln(0.25/0.20)
+_SPRT_L0 = "-0.06453852113757118"  # ln(0.75/0.80)
+_SPRT_A = "2.9444389791664403"  # ln(0.95/0.05)
+_SPRT_B = "-2.9444389791664403"  # ln(0.05/0.95)
+_SPRT_LLR = (
+    f"(CAST(s_cum AS DOUBLE) * {_SPRT_L1}"
+    f" + (CAST(n_cum AS DOUBLE) - CAST(s_cum AS DOUBLE)) * {_SPRT_L0})"
+)
+_SPRT_DECISION = (
+    f"CASE WHEN {_SPRT_LLR} >= {_SPRT_A} THEN 'accept_h1'"
+    f" WHEN {_SPRT_LLR} <= {_SPRT_B} THEN 'accept_h0'"
+    f" ELSE 'continue' END"
+)
+
+
+@_q(
+    "q_sprt_monitor",
+    f"""
+    WITH daily AS (
+        SELECT CAST(dayofyear(ts) AS BIGINT) AS doy,
+               CAST(COUNT(*) AS BIGINT) AS n_d,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_d
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT doy,
+               CAST(SUM(n_d) OVER (ORDER BY doy) AS BIGINT) AS n_cum,
+               CAST(SUM(s_d) OVER (ORDER BY doy) AS BIGINT) AS s_cum
+        FROM daily
+    )
+    SELECT doy, n_cum, s_cum, {_SPRT_LLR} AS llr,
+           {_SPRT_DECISION} AS decision
+    FROM cum ORDER BY doy
+    """,
+)
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.dayofyear("ts").cast("bigint").alias("doy")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("s_d"),
+    )
+    # bounded: O(days) daily aggregate — the SPRT look sequence is one
+    # row per day, never fact-sized
+    wc = Window.orderBy("doy").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "doy",
+        F.sum("n_d").over(wc).cast("bigint").alias("n_cum"),
+        F.sum("s_d").over(wc).cast("bigint").alias("s_cum"),
+    )
+    return cum.selectExpr(
+        "doy",
+        "n_cum",
+        "s_cum",
+        f"{_SPRT_LLR} AS llr",
+        f"{_SPRT_DECISION} AS decision",
+    ).orderBy("doy")
+
+
+# --- Palma inequality ratio (round 8) ---------------------------------------
+# Revenue concentration: (top-10% customers' revenue) / (bottom-40%
+# customers' revenue), the inequality measure that ignores the stable
+# middle 50% — the policy-world complement of q_gini_revenue and
+# q_lorenz_deciles. Customer revenue is an exact cents BIGINT off the
+# decimal route; ranks come from the distributed sampled ranker
+# (plans/rank.py — never a single-task global window); the group cut
+# points floor(n/10) / floor(4n/10) are shared integer-floor text.
+# Plan: one orders aggregate by customer, the range-partitioned rank,
+# one final 1-row fold. O(1) output.
+_PALMA = "(CAST(top_cents AS DOUBLE) / CAST(bottom_cents AS DOUBLE))"
+
+
+@_q(
+    "q_palma_ratio",
+    f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT rev_cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY rev_cents, o_custkey)
+                    AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nc
+        FROM cust
+    ), agg AS (
+        SELECT CAST(MAX(nc) AS BIGINT) AS n_customers,
+               CAST(floor(CAST(MAX(nc) AS DOUBLE) * 0.1) AS BIGINT) AS k_top,
+               CAST(floor(CAST(MAX(nc) AS DOUBLE) * 0.4) AS BIGINT)
+                   AS k_bottom,
+               CAST(SUM(CASE WHEN rnk > nc - CAST(floor(CAST(nc AS DOUBLE)
+                                  * 0.1) AS BIGINT)
+                             THEN rev_cents ELSE 0 END) AS BIGINT)
+                   AS top_cents,
+               CAST(SUM(CASE WHEN rnk <= CAST(floor(CAST(nc AS DOUBLE)
+                                  * 0.4) AS BIGINT)
+                             THEN rev_cents ELSE 0 END) AS BIGINT)
+                   AS bottom_cents
+        FROM ranked
+    )
+    SELECT n_customers, k_top, k_bottom, top_cents, bottom_cents,
+           {_PALMA} AS palma_ratio
+    FROM agg
+    """,
+)
+def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    ranked = global_order(
+        cust,
+        ["rev_cents", "o_custkey"],
+        rank_col="rnk",
+        total_col="nc",
+    )
+    agg = ranked.agg(
+        F.max("nc").cast("bigint").alias("n_customers"),
+        F.expr(
+            "CAST(floor(CAST(MAX(nc) AS DOUBLE) * 0.1) AS BIGINT)"
+        ).alias("k_top"),
+        F.expr(
+            "CAST(floor(CAST(MAX(nc) AS DOUBLE) * 0.4) AS BIGINT)"
+        ).alias("k_bottom"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rnk > nc - CAST(floor(CAST(nc AS DOUBLE)"
+            " * 0.1) AS BIGINT) THEN rev_cents ELSE 0 END) AS BIGINT)"
+        ).alias("top_cents"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rnk <= CAST(floor(CAST(nc AS DOUBLE)"
+            " * 0.4) AS BIGINT) THEN rev_cents ELSE 0 END) AS BIGINT)"
+        ).alias("bottom_cents"),
+    )
+    return agg.selectExpr(
+        "n_customers",
+        "k_top",
+        "k_bottom",
+        "top_cents",
+        "bottom_cents",
+        f"{_PALMA} AS palma_ratio",
+    )
+
+
+# --- Breusch-Pagan heteroscedasticity test (round 8) ------------------------
+# Does the residual variance of the value ~ day regression change with
+# the day? LM = n * R^2 of the auxiliary regression of the squared
+# residual on the regressor. Two passes: (1) decimal-routed moments fix
+# slope/intercept as shared IEEE doubles; (2) each row's squared
+# residual is an IEEE double of exact inputs, explicitly quantized at
+# 1e-2 (BIGINT-safe: max e^2*100 ~ 2.4e11 per row), and the auxiliary
+# moments sum the QUANTIZED INTEGER domain (R^2 is invariant to the
+# u-scale, so the /100 never needs to happen): u and u*x are exact
+# BIGINTs; u*u is an integer-valued double (exact below 2^53,
+# correctly-rounded identically beyond) so its decimal cast has no
+# half-ulp knife edge (common.py second rule). These sums route
+# DECIMAL(38,0), not (38,6): at suu's ~1e26 magnitude the (38,6)
+# unscaled integer exceeds 2^53, and DuckDB's two-step
+# unscaled->double->/1e6 conversion then differs from Spark's
+# single BigDecimal conversion by an ulp; scale 0 removes the divide
+# so both engines do ONE correctly-rounded conversion. Family
+# beside q_durbin_watson (serial correlation) and q_jarque_bera
+# (normality) — BP is the variance-stability leg. Plan: two map-side
+# moment aggregates over the fact scan + a 1-row broadcast; O(1)
+# output.
+_BP_SLOPE = (
+    "((CAST(n AS DOUBLE) * sxy - sx * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - sx * sx))"
+)
+_BP_ICEPT = f"((sy - {_BP_SLOPE} * sx) / CAST(n AS DOUBLE))"
+_BP_R2 = (
+    "((CAST(n AS DOUBLE) * sux - su * sx)"
+    " * (CAST(n AS DOUBLE) * sux - su * sx)"
+    " / ((CAST(n AS DOUBLE) * suu - su * su)"
+    " * (CAST(n AS DOUBLE) * sxx - sx * sx)))"
+)
+_BP_LM = f"(CAST(n AS DOUBLE) * {_BP_R2})"
+
+
+@_q(
+    "q_breusch_pagan",
+    f"""
+    WITH r AS (
+        SELECT CAST(dayofyear(ts) AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {oracle_dec_sum("x", "sx")}, {oracle_dec_sum("y", "sy")},
+               {oracle_dec_sum("x * y", "sxy")},
+               {oracle_dec_sum("x * x", "sxx")}
+        FROM r
+    ), params AS (
+        SELECT n, sx, sxx, {_BP_SLOPE} AS slope, {_BP_ICEPT} AS icept
+        FROM m
+    ), u AS (
+        SELECT x, slope, icept, n, sx, sxx,
+               CAST(floor((CAST(y AS DOUBLE) - icept
+                           - slope * CAST(x AS DOUBLE))
+                          * (CAST(y AS DOUBLE) - icept
+                             - slope * CAST(x AS DOUBLE))
+                          * 100 + 0.5) AS BIGINT) AS uq
+        FROM r CROSS JOIN params
+    ), aux AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(sx) AS sx, MAX(sxx) AS sxx,
+               MAX(slope) AS slope, MAX(icept) AS icept,
+               CAST(SUM(CAST(uq AS DECIMAL(38,0))) AS DOUBLE) AS su,
+               CAST(SUM(CAST(uq * x AS DECIMAL(38,0))) AS DOUBLE) AS sux,
+               CAST(SUM(CAST(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)
+                             AS DECIMAL(38,0))) AS DOUBLE) AS suu
+        FROM u
+    )
+    SELECT n AS n_events, slope, icept AS intercept, {_BP_R2} AS r2_aux,
+           {_BP_LM} AS bp_lm
+    FROM aux
+    """,
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    r = e.select(
+        F.dayofyear("ts").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dec_sum("x", "sx"),
+        dec_sum("y", "sy"),
+        dec_sum(F.col("x") * F.col("y"), "sxy"),
+        dec_sum(F.col("x") * F.col("x"), "sxx"),
+    )
+    params = m.selectExpr(
+        "n", "sx", "sxx", f"{_BP_SLOPE} AS slope", f"{_BP_ICEPT} AS icept"
+    )
+    u = r.crossJoin(F.broadcast(params)).selectExpr(
+        "x",
+        "slope",
+        "icept",
+        "n",
+        "sx",
+        "sxx",
+        "CAST(floor((CAST(y AS DOUBLE) - icept - slope * CAST(x AS DOUBLE))"
+        " * (CAST(y AS DOUBLE) - icept - slope * CAST(x AS DOUBLE))"
+        " * 100 + 0.5) AS BIGINT) AS uq",
+    )
+    aux = u.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sxx").alias("sxx"),
+        F.max("slope").alias("slope"),
+        F.max("icept").alias("icept"),
+        F.sum(F.col("uq").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("su"),
+        F.sum((F.col("uq") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sux"),
+        F.sum(
+            F.expr("CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)").cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("suu"),
+    )
+    return aux.selectExpr(
+        "n AS n_events",
+        "slope",
+        "icept AS intercept",
+        f"{_BP_R2} AS r2_aux",
+        f"{_BP_LM} AS bp_lm",
+    )

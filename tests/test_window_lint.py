@@ -75,7 +75,9 @@ MODULE_PINS = {
     # O(months)) — each declared with recognized evidence;
     # +2 late round 7 (q_ransac: 32-row sort+limit seed pairing and the
     # 16-row model-grid consensus rank — both limit-derived bounds)
-    "big_data_streaming_spark/workload/analytics.py": 47,
+    # round 8: +2 analytics (q_rescaled_range day index, q_sprt_monitor
+    # cumulative look sequence — both O(days) daily aggregates)
+    "big_data_streaming_spark/workload/analytics.py": 49,
     "big_data_streaming_spark/workload/events.py": 1,
     "big_data_streaming_spark/workload/pipeline.py": 3,
     "big_data_streaming_spark/workload/relational.py": 11,
