@@ -1,0 +1,205 @@
+"""Spec audit of earlier rounds' shared-text statistics (round 8).
+
+Same rationale as tests/test_round8_ops.py: the differential gate can
+never catch a defect in an expression BOTH engines evaluate verbatim —
+hand-typed transcendental literals are the highest-risk class (the
+formula is uncheckable-by-construction, per the q_ndcg policy the logs/
+z-quantiles enter as typed constants). Each test re-derives the
+statistic independently in Python: Euler's gamma from the harmonic
+asymptotic series, z-quantiles from statistics.NormalDist (a different
+algorithm than whatever produced the typed constants — agreement within
+1e-12 bounds both), logs/sqrt from math. Fixtures are synthetic, so
+expected values are controlled, not fixture-fitted.
+"""
+
+from __future__ import annotations
+
+import math
+from statistics import NormalDist
+
+from big_data_streaming_spark.workload import QUERIES
+from tests.test_round8_ops import _close, _write_events
+
+
+def _euler_gamma() -> float:
+    """gamma = H_n - ln n - 1/(2n) + 1/(12 n^2) + O(n^-4), n = 1e6 —
+    an independent derivation accurate far below double ulp."""
+    n = 1_000_000
+    h = math.fsum(1.0 / k for k in range(1, n + 1))
+    return h - math.log(n) - 1.0 / (2 * n) + 1.0 / (12 * n * n)
+
+
+# --- q_evt_gumbel: sqrt(6)/pi, Euler's gamma, -ln(-ln p) ---------------------
+
+
+def test_evt_gumbel_literals_and_fit(spark, tmp_path):
+    vals = [100.00, 250.00, 180.00, 420.00, 90.00, 310.00]
+    rows = []
+    eid = 0
+    for day, v in enumerate(vals, start=1):
+        rows.append((eid, day, 0, "click", v))       # the daily max
+        rows.append((eid + 1, day, 0, "click", 1.0))  # a non-max row
+        eid += 2
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_evt_gumbel"](spark, sf).collect()[0]
+    m = [round(v * 100) for v in vals]
+    n, s, qq = len(m), sum(m), sum(x * x for x in m)
+    mean = s / n / 100.0
+    sd = math.sqrt((n * qq - s * s) / (n * (n - 1))) / 100.0
+    beta = sd * (math.sqrt(6.0) / math.pi)
+    mu = mean - _euler_gamma() * beta
+    r95 = mu + beta * (-math.log(-math.log(0.95)))
+    r99 = mu + beta * (-math.log(-math.log(0.99)))
+    assert row["n"] == n
+    _close(row["mean_max"], mean)
+    _close(row["sd_max"], sd)
+    _close(row["gumbel_beta"], beta, tol=1e-12)
+    _close(row["gumbel_mu"], mu, tol=1e-12)
+    _close(row["return_level_95"], r95, tol=1e-12)
+    _close(row["return_level_99"], r99, tol=1e-12)
+
+
+# --- q_ab_power / q_mde_curve: z_{alpha/2} and z_beta ------------------------
+
+
+def test_ab_power_matches_normaldist(spark, tmp_path):
+    """Replicate the per-arm sample-size formula with z-quantiles from
+    statistics.NormalDist. The typed constants and NormalDist's
+    rational approximation differ by < 1e-15 relative; assert the
+    pre-ceil value is far from an integer so the comparison is
+    cliff-safe, then the ceiled outputs must agree exactly."""
+    rows = []
+    eid = 0
+    # arm 1 (odd user_id): 3/12 purchase; arm 2 (even): 1/12
+    for arm_uid, n_ev, n_p in ((1, 12, 3), (2, 12, 1)):
+        for i in range(n_ev):
+            rows.append(
+                (eid, 1 + eid % 28, arm_uid,
+                 "purchase" if i < n_p else "view", 1.0)
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_ab_power"](spark, sf).collect()[0]
+    nd = NormalDist()
+    za, zb = nd.inv_cdf(0.975), nd.inv_cdf(0.80)
+    p1, p2 = 3 / 12, 1 / 12
+    pbar = (p1 + p2) / 2
+    raw = (
+        za * math.sqrt(2 * pbar * (1 - pbar))
+        + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    ) ** 2 / (p1 - p2) ** 2
+    assert abs(raw - round(raw)) > 1e-6, "fixture sits on a ceil cliff"
+    assert row["n_required_per_arm"] == math.ceil(raw)
+    _close(row["p1"], p1)
+    _close(row["p2"], p2)
+
+
+def test_mde_curve_matches_normaldist(spark, tmp_path):
+    rows = []
+    eid = 0
+    # control arm = even user_id; 5/20 purchase
+    for i in range(20):
+        rows.append(
+            (eid, 1 + i % 28, 2, "purchase" if i < 5 else "view", 1.0)
+        )
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["n_arm"]: r.asDict()
+        for r in QUERIES["q_mde_curve"](spark, sf).collect()
+    }
+    nd = NormalDist()
+    zsum = nd.inv_cdf(0.975) + nd.inv_cdf(0.80)
+    p = 5 / 20
+    for n_arm in (1000, 10000, 100000):
+        mde = zsum * math.sqrt(2 * p * (1 - p) / n_arm)
+        _close(got[n_arm]["mde_abs"], mde, tol=1e-12)
+
+
+# --- q_welch_t: quantized-moment t statistic ---------------------------------
+
+
+def test_welch_t_matches_python(spark, tmp_path):
+    clicks = [10.00, 12.50, 9.75, 14.20, 11.00]
+    views = [20.00, 18.50, 22.25, 19.00, 21.75, 23.10]
+    rows = []
+    eid = 0
+    for et, vs in (("click", clicks), ("view", views)):
+        for v in vs:
+            rows.append((eid, 1 + eid % 28, 0, et, v))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_welch_t"](spark, sf).collect()[0]
+    q1 = [math.floor(v * 1000 + 0.5) for v in clicks]
+    q2 = [math.floor(v * 1000 + 0.5) for v in views]
+    n1, n2 = len(q1), len(q2)
+    sx1, sx2 = float(sum(q1)), float(sum(q2))
+    sxx1 = float(sum(x * x for x in q1))
+    sxx2 = float(sum(x * x for x in q2))
+    var1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+    var2 = (sxx2 - sx2 * sx2 / n2) / (n2 - 1)
+    t_stat = (sx1 / n1 - sx2 / n2) / 1000.0 / math.sqrt(
+        (var1 / n1 + var2 / n2) / 1e6
+    )
+    assert row["n1"] == n1 and row["n2"] == n2
+    _close(row["mean_click"], sx1 / n1 / 1000.0)
+    _close(row["welch_t"], t_stat)
+
+
+# --- q_jarque_bera: n-multiplied central moments + m4 quantization -----------
+
+
+def test_jarque_bera_matches_python(spark, tmp_path):
+    counts = [4, 9, 2, 11, 6, 3, 8, 5]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, day, 0, "click", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_jarque_bera"](spark, sf).collect()[0]
+    n, s = len(counts), sum(counts)
+    un = [n * x - s for x in counts]
+    m2 = sum(u * u for u in un)
+    m3 = sum(u * u * u for u in un)
+    m4q = sum(
+        math.floor(float(u) * u * u * u / 1048576.0) for u in un
+    )
+    skew = (m3 / n) / ((m2 / n) * math.sqrt(m2 / n))
+    kurt = (m4q * 1048576.0 / n) / ((m2 / n) * (m2 / n)) - 3.0
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    assert row["n_days"] == n
+    _close(row["skewness"], skew)
+    _close(row["excess_kurtosis"], kurt)
+    _close(row["jarque_bera"], jb)
+
+
+# --- q_wilson_rank: the z = 1.96 constant family ------------------------------
+
+
+def test_wilson_lower_bound_matches_python(spark, tmp_path):
+    """The typed 1.9208 / 0.9604 / 3.8416 constants must be exactly
+    z^2/2, z^2/4, z^2 for z = 1.96 — the replica derives all three."""
+    rows = []
+    eid = 0
+    for et, n, hits in (("click", 8, 3), ("view", 5, 5)):
+        for i in range(n):
+            rows.append(
+                (eid, 1 + eid % 28, 0, et, 150.0 if i < hits else 50.0)
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["q_wilson_rank"](spark, sf).collect()
+    }
+    z = 1.96
+    for et, n, hits in (("click", 8, 3), ("view", 5, 5)):
+        p = hits / n
+        lo = (
+            p + (z * z / 2) / n
+            - z * math.sqrt((p * (1 - p) + (z * z / 4) / n) / n)
+        ) / (1 + (z * z) / n)
+        assert got[et]["n_hits"] == hits and got[et]["n_total"] == n
+        _close(got[et]["wilson_lower"], lo)
