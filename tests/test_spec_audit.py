@@ -203,3 +203,174 @@ def test_wilson_lower_bound_matches_python(spark, tmp_path):
         ) / (1 + (z * z) / n)
         assert got[et]["n_hits"] == hits and got[et]["n_total"] == n
         _close(got[et]["wilson_lower"], lo)
+
+
+# --- wave 2: rank statistics -------------------------------------------------
+
+
+def _write_events_h(tmp_path, rows):
+    """rows: (event_id, day, hour, user_id, event_type, value) — the
+    hour-aware variant of test_round8_ops._write_events."""
+    from datetime import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [_dt(2024, 1, r[1], r[2], 0, 0) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[3] for r in rows], pa.int64()),
+            "event_type": pa.array([r[4] for r in rows], pa.string()),
+            "value": pa.array([r[5] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_mannwhitney_matches_python(spark, tmp_path):
+    """One-vs-rest U and z re-derived with doubled midranks on a
+    fixture WITH ties across groups."""
+    data = [
+        ("click", 1.0), ("click", 2.0), ("click", 2.0), ("click", 5.0),
+        ("view", 2.0), ("view", 3.0), ("view", 4.0),
+        ("purchase", 1.0), ("purchase", 4.0),
+    ]
+    rows = [
+        (i, 1 + i % 28, 0, et, v) for i, (et, v) in enumerate(data)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["q_mannwhitney"](spark, sf).collect()
+    }
+    all_vals = [v for _, v in data]
+    n_all = len(all_vals)
+    for et in ("click", "view", "purchase"):
+        mine = [v for e, v in data if e == et]
+        n1, n2 = len(mine), n_all - len(mine)
+        r1_2 = sum(
+            2 * sum(1 for w in all_vals if w < v)
+            + sum(1 for w in all_vals if w == v)
+            + 1
+            for v in mine
+        )
+        u = (r1_2 - n1 * (n1 + 1)) / 2.0
+        z = (u - n1 * n2 / 2.0) / math.sqrt(
+            n1 * n2 * (n1 + n2 + 1) / 12.0
+        )
+        assert got[et]["n1"] == n1 and got[et]["n2"] == n2
+        _close(got[et]["u"], u)
+        _close(got[et]["z"], z)
+
+
+def test_kendall_tau_matches_python(spark, tmp_path):
+    """Tau-b over hour-of-day (click, view) count pairs, with an
+    engineered x-tie; concordant/discordant/tie pair counts and the
+    sqrt denominator re-derived by a direct O(h^2) Python loop."""
+    design = {0: (5, 1), 1: (3, 2), 2: (3, 5), 3: (1, 7)}
+    rows = []
+    eid = 0
+    for hod, (nc, nv) in design.items():
+        for _ in range(nc):
+            rows.append((eid, 1 + eid % 28, hod, 0, "click", 1.0))
+            eid += 1
+        for _ in range(nv):
+            rows.append((eid, 1 + eid % 28, hod, 0, "view", 1.0))
+            eid += 1
+    sf = _write_events_h(tmp_path, rows)
+    row = QUERIES["q_kendall_tau"](spark, sf).collect()[0]
+    pts = [design[h] for h in sorted(design)]
+    conc = disc = tx = ty = n_pairs = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            n_pairs += 1
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    tau = (conc - disc) / math.sqrt(
+        (n_pairs - tx) * (n_pairs - ty)
+    )
+    assert row["n_pairs"] == n_pairs
+    assert row["concordant"] == conc and row["discordant"] == disc
+    assert row["ties_x"] == tx and row["ties_y"] == ty
+    _close(row["tau_b"], tau)
+
+
+def test_cvm_matches_python(spark, tmp_path):
+    """Anderson's two-sample CvM T re-derived from pooled/within ranks
+    under the pinned (value, event_id) total order."""
+    data = [
+        ("click", 1.5), ("click", 3.0), ("click", 3.0), ("click", 7.0),
+        ("view", 2.0), ("view", 3.0), ("view", 5.0), ("view", 6.0),
+        ("view", 8.0),
+    ]
+    rows = [
+        (i, 1 + i % 28, 0, et, v) for i, (et, v) in enumerate(data)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_cvm_test"](spark, sf).collect()[0]
+    pooled = sorted(
+        ((v, eid, et) for eid, (et, v) in enumerate(data)),
+    )
+    within = {"click": 0, "view": 0}
+    d = {"click": 0, "view": 0}
+    for pr, (v, eid, et) in enumerate(pooled, start=1):
+        within[et] += 1
+        d[et] += (pr - within[et]) ** 2
+    n1, n2 = within["click"], within["view"]
+    u = n1 * d["click"] + n2 * d["view"]
+    t_stat = u / (n1 * n2 * (n1 + n2)) - (4.0 * n1 * n2 - 1.0) / (
+        6.0 * (n1 + n2)
+    )
+    assert row["n1"] == n1 and row["n2"] == n2 and row["u"] == u
+    _close(row["cvm_t"], t_stat)
+
+
+def test_levene_bf_matches_python(spark, tmp_path):
+    """Brown-Forsythe W re-derived: per-group lower-middle median under
+    the (cents, event_id) order, |deviation| ANOVA with the floored
+    b-term quantization."""
+    data = [
+        ("click", 1.00), ("click", 2.00), ("click", 9.00),
+        ("click", 10.00),
+        ("view", 5.00), ("view", 5.10), ("view", 5.20), ("view", 5.30),
+        ("view", 5.40),
+    ]
+    rows = [
+        (i, 1 + i % 28, 0, et, v) for i, (et, v) in enumerate(data)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_levene_bf"](spark, sf).collect()[0]
+    groups = {}
+    for eid, (et, v) in enumerate(data):
+        groups.setdefault(et, []).append((round(v * 100), eid))
+    n = n_groups = s = qq = bsum = 0
+    for et, pts in groups.items():
+        pts.sort()
+        med = pts[(len(pts) + 1) // 2 - 1][0]
+        zs = [abs(c - med) for c, _ in pts]
+        n1, s1 = len(zs), sum(zs)
+        n += n1
+        n_groups += 1
+        s += s1
+        qq += sum(z * z for z in zs)
+        bsum += math.floor(float(s1) * s1 / n1)
+    ssb = bsum - math.floor(float(s) * s / n)
+    ssw = qq - bsum
+    w = (ssb / (n_groups - 1)) / (ssw / (n - n_groups))
+    assert row["n"] == n and row["n_groups"] == n_groups
+    assert row["ssb_sc"] == ssb and row["ssw_sc"] == ssw
+    _close(row["w_stat"], w)
