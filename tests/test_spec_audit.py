@@ -374,3 +374,122 @@ def test_levene_bf_matches_python(spark, tmp_path):
     assert row["n"] == n and row["n_groups"] == n_groups
     assert row["ssb_sc"] == ssb and row["ssw_sc"] == ssw
     _close(row["w_stat"], w)
+
+
+# --- wave 3: CDF / robust-location / coverage estimators ---------------------
+
+
+def test_kuiper_matches_python(spark, tmp_path):
+    data = [
+        ("click", 1.0), ("click", 2.0), ("click", 2.0), ("click", 6.0),
+        ("view", 2.0), ("view", 4.0), ("view", 5.0),
+    ]
+    rows = [
+        (i, 1 + i % 28, 0, et, v) for i, (et, v) in enumerate(data)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_kuiper_drift"](spark, sf).collect()[0]
+    a = sorted(v for et, v in data if et == "click")
+    b = sorted(v for et, v in data if et == "view")
+    support = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    dplus = max(
+        sum(1 for x in a if x <= v) / na - sum(1 for x in b if x <= v) / nb
+        for v in support
+    )
+    dminus = max(
+        sum(1 for x in b if x <= v) / nb - sum(1 for x in a if x <= v) / na
+        for v in support
+    )
+    assert row["n_a"] == na and row["n_b"] == nb
+    _close(row["d_plus"], dplus)
+    _close(row["d_minus"], dminus)
+    _close(row["kuiper_v"], dplus + dminus)
+
+
+def test_capture_recapture_matches_python(spark, tmp_path):
+    """Chapman estimator + Seber variance on engineered half-presence:
+    the replica recomputes the split day from calendar arithmetic."""
+    from datetime import date
+
+    presence = {  # user -> days seen in Jan 2024
+        1: [1, 2, 3],        # first half only
+        2: [8, 9],           # second half only
+        3: [2, 9],           # both halves
+        4: [7],              # second half
+        5: [1, 10],          # both halves
+    }
+    rows = []
+    eid = 0
+    for uid, days in presence.items():
+        for d in days:
+            rows.append((eid, d, uid, "click", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_capture_recapture"](spark, sf).collect()[0]
+    epoch = date(1970, 1, 1)
+    def eday(d):
+        return (date(2024, 1, d) - epoch).days
+    lo = min(min(ds) for ds in presence.values())
+    hi = max(max(ds) for ds in presence.values())
+    split = (eday(lo) + eday(hi) + 1) // 2
+    n1 = sum(1 for ds in presence.values() if any(eday(d) < split for d in ds))
+    n2 = sum(1 for ds in presence.values() if any(eday(d) >= split for d in ds))
+    m = sum(
+        1
+        for ds in presence.values()
+        if any(eday(d) < split for d in ds)
+        and any(eday(d) >= split for d in ds)
+    )
+    n_hat = (n1 + 1) * (n2 + 1) / (m + 1) - 1.0
+    var = ((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+           / ((m + 1) ** 2 * (m + 2)))
+    assert row["n1"] == n1 and row["n2"] == n2 and row["m"] == m
+    assert row["observed"] == len(presence)
+    _close(row["n_hat"], n_hat)
+    _close(row["se_hat"], math.sqrt(var))
+
+
+def test_hodges_lehmann_matches_python(spark, tmp_path):
+    """Pseudo-median of Walsh averages (i <= j, self-pairs included),
+    the lower-middle SELECTED sum halved last."""
+    counts = [3, 9, 2, 8]  # daily click counts, days 1..4
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, day, 0, "click", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_hodges_lehmann"](spark, sf).collect()[0]
+    pair_sums = sorted(
+        counts[i] + counts[j]
+        for i in range(len(counts))
+        for j in range(i, len(counts))
+    )
+    n_pairs = len(pair_sums)
+    hl = pair_sums[(n_pairs + 1) // 2 - 1] / 2.0
+    assert row["n_days"] == len(counts)
+    assert row["n_pairs"] == n_pairs
+    _close(row["hl_estimate"], hl)
+
+
+def test_theilsen_matches_python(spark, tmp_path):
+    """Per-user median pairwise slope (cap inactive at 4 events); the
+    replica rebuilds every ordered-pair slope in per-hour units from
+    microsecond deltas and selects the lower-middle by slope order."""
+    pts = [(0, 10.0), (1, 12.0), (3, 11.0), (6, 20.0)]  # (hour, value)
+    rows = [
+        (i, 1, h, 42, "click", v) for i, (h, v) in enumerate(pts)
+    ]
+    sf = _write_events_h(tmp_path, rows)
+    got = QUERIES["q_theilsen"](spark, sf).collect()
+    assert len(got) == 1 and got[0]["user_id"] == 42
+    slopes = sorted(
+        (v2 - v1) * 3600000000.0 / ((h2 - h1) * 3600 * 1_000_000)
+        for i, (h1, v1) in enumerate(pts)
+        for h2, v2 in pts[i + 1 :]
+    )
+    m = len(slopes)
+    assert got[0]["n_pairs"] == m
+    _close(got[0]["trend_slope_per_hour"], slopes[(m + 1) // 2 - 1])
