@@ -493,3 +493,101 @@ def test_theilsen_matches_python(spark, tmp_path):
     m = len(slopes)
     assert got[0]["n_pairs"] == m
     _close(got[0]["trend_slope_per_hour"], slopes[(m + 1) // 2 - 1])
+
+
+# --- wave 4: the KMV sketch estimators (the ADVICE r7 bug class) -------------
+
+_M = 2147483647
+
+
+def _kmv_hash(key: int) -> int:
+    return ((key % _M) * 2654435761 + 12345) % _M
+
+
+def test_kmv_distinct_unsaturated_is_exact_count(spark, tmp_path):
+    """k_used < k means the sketch holds the whole set: the estimate
+    must be EXACTLY k_used (the pre-ADVICE estimator applied the
+    (k-1)M/h_k form here and was wrong)."""
+    vals = [round(1.0 + i * 0.37, 2) for i in range(10)]
+    rows = [(i, 1 + i % 28, 0, "click", v) for i, v in enumerate(vals)]
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_kmv_distinct"](spark, sf).collect()[0]
+    hs = sorted({_kmv_hash(round(v * 100)) for v in vals})
+    assert row["k_used"] == len(hs) and row["k_used"] < 64
+    assert row["h_k"] == max(hs)
+    _close(row["est_distinct"], float(len(hs)))
+    _close(row["rel_err"], 0.0)
+
+
+def test_kmv_distinct_saturated_matches_python(spark, tmp_path):
+    """k_used = 64: estimate = 63*M/h_64 with h_64 the 64th smallest
+    hash — replica computes the full bottom-k in Python."""
+    vals = [round(1.0 + i * 0.73, 2) for i in range(120)]
+    rows = [(i, 1 + i % 28, 0, "click", v) for i, v in enumerate(vals)]
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_kmv_distinct"](spark, sf).collect()[0]
+    hs = sorted({_kmv_hash(round(v * 100)) for v in vals})
+    h_k = hs[63]
+    est = 63.0 * _M / h_k
+    assert row["k_used"] == 64 and row["h_k"] == h_k
+    _close(row["est_distinct"], est)
+    _close(row["rel_err"], (est - len(hs)) / len(hs))
+
+
+def test_kmv_setops_unsaturated_recovers_exact_overlap(spark, tmp_path):
+    """|A ∪ B| < 64: the union sketch IS the union, so est_union,
+    est_intersection and est_jaccard must equal the exact values."""
+    rows = []
+    eid = 0
+    clicks = [(u, 3) for u in range(1, 11)]        # A: users 1..10, day 3
+    purchases = [(u, 3) for u in range(6, 16)]     # B: users 6..15, day 3
+    for u, d in clicks:
+        rows.append((eid, d, u, "click", 1.0))
+        eid += 1
+    for u, d in purchases:
+        rows.append((eid, d, u, "purchase", 1.0))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_kmv_setops"](spark, sf).collect()[0]
+    a = {_kmv_hash(u * 1000 + d) for u, d in clicks}
+    b = {_kmv_hash(u * 1000 + d) for u, d in purchases}
+    union, inter = a | b, a & b
+    assert row["k_used"] == len(union) and row["k_used"] < 64
+    assert row["exact_union"] == len(union)
+    assert row["exact_inter"] == len(inter)
+    assert row["n_both"] == len(inter)
+    _close(row["est_union"], float(len(union)))
+    _close(row["est_intersection"], float(len(inter)))
+    _close(row["est_jaccard"], len(inter) / len(union))
+
+
+def test_kmv_setops_saturated_matches_python(spark, tmp_path):
+    """Saturated sketch: replica rebuilds the bottom-64 union sketch,
+    membership counts, and the 63*M/h_k estimator."""
+    rows = []
+    eid = 0
+    clicks = [(u, 1 + u % 28) for u in range(1, 101)]
+    purchases = [(u, 1 + u % 28) for u in range(61, 141)]
+    for u, d in clicks:
+        rows.append((eid, d, u, "click", 1.0))
+        eid += 1
+    for u, d in purchases:
+        rows.append((eid, d, u, "purchase", 1.0))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_kmv_setops"](spark, sf).collect()[0]
+    a = {_kmv_hash(u * 1000 + d) for u, d in clicks}
+    b = {_kmv_hash(u * 1000 + d) for u, d in purchases}
+    union, inter = sorted(a | b), a & b
+    sketch = set(union[:64])
+    h_k, k_used = union[63], 64
+    n_both = len(sketch & a & b)
+    est_u = 63.0 * _M / h_k
+    rho = n_both / k_used
+    assert row["k_used"] == k_used and row["h_k"] == h_k
+    assert row["n_both"] == n_both
+    assert row["exact_union"] == len(set(union))
+    assert row["exact_inter"] == len(inter)
+    _close(row["est_union"], est_u)
+    _close(row["est_jaccard"], rho)
+    _close(row["est_intersection"], rho * est_u)
