@@ -591,3 +591,94 @@ def test_kmv_setops_saturated_matches_python(spark, tmp_path):
     _close(row["est_union"], est_u)
     _close(row["est_jaccard"], rho)
     _close(row["est_intersection"], rho * est_u)
+
+
+# --- wave 5: recursions and retrieval constants -------------------------------
+
+
+def test_holt_matches_python_recursion(spark, tmp_path):
+    """Dyadic Holt smoothing (alpha = 1/2, beta = 1/4) replayed as a
+    plain Python integer recursion in the 2^20 fixed-point domain."""
+    counts = [5, 9, 4, 12, 7, 10]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, day, 0, "click", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["t"]: r.asDict() for r in QUERIES["q_holt"](spark, sf).collect()
+    }
+    s = 1 << 20
+    lq = counts[0] * s
+    bq = (counts[1] - counts[0]) * s
+    expect = {1: (lq, bq)}
+    for t_idx in range(2, len(counts) + 1):
+        x = counts[t_idx - 1]
+        lq_new = math.floor((x * s + lq + bq) / 2.0)
+        bq = math.floor((lq_new - lq + 3 * bq) / 4.0)
+        lq = lq_new
+        expect[t_idx] = (lq, bq)
+    assert set(got) == set(expect)
+    for t_idx, (elq, ebq) in expect.items():
+        assert got[t_idx]["level_q"] == elq, t_idx
+        assert got[t_idx]["trend_q"] == ebq, t_idx
+        _close(got[t_idx]["level"], elq / s)
+        _close(got[t_idx]["trend"], ebq / s)
+        _close(got[t_idx]["forecast_next"], (elq + ebq) / s)
+
+
+def test_bm25_matches_python(spark, tmp_path):
+    """BM25 with k1 = 1.2, b = 0.75 and the rational idf re-derived
+    per (doc, term) from a synthetic corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = {
+        1: "spark stream join spark filler filler",
+        2: "vector big join",
+        3: "filler filler filler filler",
+        4: "big big big stream",
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array(
+                [len(t) for t in docs.values()], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["q_bm25"](spark, str(tmp_path)).collect()
+    }
+    terms = {"join", "vector", "spark", "stream", "big"}
+    dls = {d: len(t.split(" ")) for d, t in docs.items()}
+    n_docs = len(docs)
+    avgdl = sum(dls.values()) / n_docs
+    tf = {
+        (d, w): t.split(" ").count(w)
+        for d, t in docs.items()
+        for w in terms
+        if w in t.split(" ")
+    }
+    df = {w: sum(1 for (d2, w2) in tf if w2 == w) for w in terms}
+    k1, b = 1.2, 0.75
+    for d in docs:
+        doc_terms = [(dd, w) for (dd, w) in tf if dd == d]
+        if not doc_terms:
+            assert d not in got
+            continue
+        score = sum(
+            ((n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            * (tf[(d, w)] * (k1 + 1)
+               / (tf[(d, w)] + k1 * (1 - b + b * dls[d] / avgdl)))
+            for _, w in doc_terms
+        )
+        assert got[d]["n_terms"] == len(doc_terms)
+        _close(got[d]["score"], score)
