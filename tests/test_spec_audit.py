@@ -682,3 +682,59 @@ def test_bm25_matches_python(spark, tmp_path):
         )
         assert got[d]["n_terms"] == len(doc_terms)
         _close(got[d]["score"], score)
+
+
+# --- wave 6: fixed-iteration PageRank over a hand-built trade graph ----------
+
+
+def test_pagerank_matches_python(spark, tmp_path):
+    """3 nations, hand-chosen line-item weights: edges n0->n1 (w=2),
+    n0->n2 (w=1), n1->n2 (w=3); n2 is a sink (no dangling
+    redistribution, per the implementation). Replica runs the same 3
+    iterations r = (1.0-0.85)/n + 0.85*mass in Python doubles; the
+    DECIMAL(38,12) mass routing bounds the divergence at ~1e-11, so
+    the comparison runs at 1e-8."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def w(name, cols):
+        pq.write_table(pa.table(cols), str(tmp_path / f"{name}.parquet"))
+
+    w("nation", {
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["N0", "N1", "N2"], pa.string()),
+    })
+    w("supplier", {
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int32()),
+    })
+    w("customer", {
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([1, 2], pa.int32()),
+    })
+    w("orders", {
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+    })
+    # lineitems: o1 x s1 twice (n0->n1 w2); o2 x s1 once (n0->n2 w1);
+    # o2 x s2 three times (n1->n2 w3)
+    w("lineitem", {
+        "l_orderkey": pa.array([1, 1, 2, 2, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+    })
+    got = {
+        r["nationkey"]: r["rank"]
+        for r in QUERIES["q_pagerank"](spark, str(tmp_path)).collect()
+    }
+    edges = {(0, 1): 2, (0, 2): 1, (1, 2): 3}
+    out = {0: 3, 1: 3}
+    n = 3.0
+    d = 0.85
+    r = {k: 1.0 / n for k in (0, 1, 2)}
+    for _ in range(3):
+        mass = {k: 0.0 for k in (0, 1, 2)}
+        for (s, t_), wgt in edges.items():
+            mass[t_] += r[s] * (wgt / out[s])
+        r = {k: (1.0 - d) / n + d * mass[k] for k in (0, 1, 2)}
+    for k in (0, 1, 2):
+        _close(got[k], r[k], tol=1e-8)
