@@ -738,3 +738,72 @@ def test_pagerank_matches_python(spark, tmp_path):
         r = {k: (1.0 - d) / n + d * mass[k] for k in (0, 1, 2)}
     for k in (0, 1, 2):
         _close(got[k], r[k], tol=1e-8)
+
+
+# --- wave 7: fixed-point Markov chain and Wilder RSI --------------------------
+
+
+def test_markov_stationary_matches_python(spark, tmp_path):
+    """Laplace-smoothed transition chain in the 1e9 fixed-point domain,
+    25 power steps with sum-then-floor-divide — replayed as exact
+    Python integer arithmetic on a 2-state fixture."""
+    # one user walks A A B A B B A -> transitions AA, AB, BA, AB, BB, BA
+    walk = ["A", "A", "B", "A", "B", "B", "A"]
+    rows = [(i, 1, 7, et, 1.0) for i, et in enumerate(walk)]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["q_markov_stationary"](spark, sf).collect()
+    }
+    s_fp = 1_000_000_000
+    states = sorted(set(walk))
+    tc = {}
+    for a, b in zip(walk, walk[1:]):
+        tc[(a, b)] = tc.get((a, b), 0) + 1
+    sm = {
+        (i, j): tc.get((i, j), 0) + 1 for i in states for j in states
+    }
+    rowtot = {i: sum(sm[(i, j)] for j in states) for i in states}
+    fp = {ij: sm[ij] * s_fp // rowtot[ij[0]] for ij in sm}
+    pi = {i: s_fp // len(states) for i in states}
+    for _ in range(25):
+        pi = {
+            j: sum(pi[i] * fp[(i, j)] for i in states) // s_fp
+            for j in states
+        }
+    for st in states:
+        assert got[st]["pi_fp"] == pi[st], st
+        _close(got[st]["stationary_p"], pi[st] / s_fp)
+
+
+def test_rsi_matches_python(spark, tmp_path):
+    """Wilder RSI on 16 hand-chosen prices: integer thousandth deltas,
+    14-delta trailing sums, the all-gain 100.0 convention exercised by
+    a monotone second fixture type."""
+    prices = [10.0, 10.5, 10.2, 11.0, 10.8, 11.5, 11.2, 12.0,
+              11.7, 12.5, 12.2, 13.0, 12.8, 13.5, 13.2, 14.0]
+    rows = [(i, 1, 0, "click", p) for i, p in enumerate(prices)]
+    rows += [
+        (100 + i, 1, 0, "view", 1.0 + i) for i in range(15)
+    ]  # strictly rising -> loss sum 0 -> RSI 100
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["q_rsi"](spark, sf).collect()
+    clicks = sorted(
+        (r for r in out if r["event_type"] == "click"),
+        key=lambda r: r["event_id"],
+    )
+    q = [round(p * 1000) for p in prices]
+    deltas = [b - a for a, b in zip(q, q[1:])]
+    expect = []
+    for end in range(13, len(deltas)):
+        window = deltas[end - 13 : end + 1]
+        gain = sum(d for d in window if d > 0)
+        loss = sum(-d for d in window if d < 0)
+        rsi = 100.0 if loss == 0 else 100.0 - 100.0 / (1.0 + gain / loss)
+        expect.append((gain, loss, rsi))
+    assert len(clicks) == len(expect)
+    for row, (gain, loss, rsi) in zip(clicks, expect):
+        assert row["gain_q"] == gain and row["loss_q"] == loss
+        _close(row["rsi"], rsi)
+    views = [r for r in out if r["event_type"] == "view"]
+    assert views and all(r["rsi"] == 100.0 for r in views)
