@@ -807,3 +807,73 @@ def test_rsi_matches_python(spark, tmp_path):
         _close(row["rsi"], rsi)
     views = [r for r in out if r["event_type"] == "view"]
     assert views and all(r["rsi"] == 100.0 for r in views)
+
+
+# --- wave 8: deterministic Lloyd's k-means -----------------------------------
+
+
+def test_kmeans_matches_python(spark, tmp_path):
+    """Both engines unroll the SAME two Lloyd iterations, so a defect in
+    the shared recursion (wrong init, wrong argmin tie-break, centroids
+    from the wrong assignment) passes the gate. Replica: plain Python
+    Lloyd's with id%8 init on float32-exact vectors (multiples of 0.25,
+    well-separated clusters so the 1e-12 decimal centroid rounding can
+    never flip an argmin)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = {
+        0: [0.0, 0.25, 0.0], 1: [0.25, 0.0, 0.0], 2: [0.0, 0.0, 0.25],
+        3: [10.0, 10.25, 10.0], 4: [10.25, 10.0, 10.0],
+        5: [10.0, 10.0, 10.25],
+        6: [20.0, 20.5, 20.0], 7: [20.5, 20.0, 20.0],
+        8: [20.0, 20.0, 20.5], 9: [0.25, 0.25, 0.0],
+        10: [10.25, 10.25, 10.0], 11: [20.25, 20.25, 20.0],
+    }
+    table = pa.table(
+        {
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array(
+                list(vecs.values()), pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 3 for i in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in QUERIES["q_kmeans"](spark, str(tmp_path)).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    k = 8
+    cid = {i: i % k for i in vecs}
+    for _ in range(2):
+        members = {}
+        for i, c in cid.items():
+            members.setdefault(c, []).append(i)
+        cents = {
+            c: [
+                sum(vecs[i][d] for i in ids) / len(ids)
+                for d in range(3)
+            ]
+            for c, ids in members.items()
+        }
+        new = {}
+        for i, v in vecs.items():
+            best = min(
+                (
+                    (dot(v, v) - 2.0 * dot(v, cv)) + dot(cv, cv),
+                    c,
+                )
+                for c, cv in cents.items()
+            )
+            new[i] = (best[1], best[0])
+        cid = {i: c for i, (c, _) in new.items()}
+        d2 = {i: d for i, (_, d) in new.items()}
+    assert set(got) == set(vecs)
+    for i in vecs:
+        assert got[i]["cluster_id"] == cid[i], i
+        _close(got[i]["d2_r"], round(d2[i], 6), tol=1e-6)
