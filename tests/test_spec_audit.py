@@ -877,3 +877,42 @@ def test_kmeans_matches_python(spark, tmp_path):
     for i in vecs:
         assert got[i]["cluster_id"] == cid[i], i
         _close(got[i]["d2_r"], round(d2[i], 6), tol=1e-6)
+
+
+# --- wave 9: unrolled Durbin-Levinson PACF ------------------------------------
+
+
+def test_pacf_matches_python(spark, tmp_path):
+    """phi11/phi22/phi33 from the textbook Durbin-Levinson recursion in
+    Python, on hand-chosen daily counts (the closed-form unroll in the
+    shared text must agree with the recursive formulation)."""
+    counts = [4, 9, 2, 11, 6, 3, 8, 5, 10, 7]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, day, 0, "click", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_pacf"](spark, sf).collect()[0]
+    n, s = len(counts), sum(counts)
+    un = [n * x - s for x in counts]
+    c0 = sum(u * u for u in un)
+    c = [
+        sum(un[t] * un[t + k] for t in range(n - k)) for k in (1, 2, 3)
+    ]
+    r1, r2, r3 = (ck / c0 for ck in c)
+    # Durbin-Levinson, recursive form (independent of the unroll)
+    phi11 = r1
+    phi22 = (r2 - phi11 * r1) / (1.0 - phi11 * r1)
+    phi21 = phi11 - phi22 * phi11
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1.0 - phi21 * r1 - phi22 * r2
+    )
+    assert row["n_days"] == n
+    _close(row["r1"], r1)
+    _close(row["r2"], r2)
+    _close(row["r3"], r3)
+    _close(row["pacf1"], phi11)
+    _close(row["pacf2"], phi22)
+    _close(row["pacf3"], phi33)
