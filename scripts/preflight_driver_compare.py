@@ -38,6 +38,13 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # One session runs all ~600 keys back-to-back; at sf0.1 the
+        # default 1g driver heap accumulates enough session baggage
+        # (pinned broadcasts awaiting the ContextCleaner, codegen
+        # cache) that the widest array-verify task (q_containment) can
+        # lose a task ~470 queries in. The artifact should measure the
+        # queries, not the harness heap (round 8, BENCH_NOTES.md).
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,7 +87,10 @@ def main() -> None:
                 "rows": len(s),
             }
         except Exception as ex:  # pragma: no cover - diagnostic path
-            out[name] = {"status": f"ERROR {type(ex).__name__}", "err": str(ex)[:200]}
+            out[name] = {
+                "status": f"ERROR {type(ex).__name__}",
+                "err": str(ex)[:2000],
+            }
 
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "latest")
     try:
