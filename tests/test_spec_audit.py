@@ -916,3 +916,72 @@ def test_pacf_matches_python(spark, tmp_path):
     _close(row["pacf1"], phi11)
     _close(row["pacf2"], phi22)
     _close(row["pacf3"], phi33)
+
+
+# --- wave 10: attribution and risk selection ----------------------------------
+
+
+def test_shapley_matches_python(spark, tmp_path):
+    """Exact unanimity-decomposition Shapley credit: each converted
+    user's touched-channel pattern P contributes 12//|P| to every
+    member. Replica builds the patterns directly."""
+    # user -> (converted?, touched channels)
+    users = {
+        1: (True, ["click"]),
+        2: (True, ["click", "view"]),
+        3: (True, ["click", "view", "cart"]),
+        4: (True, []),                      # converts, credits nobody
+        5: (False, ["view"]),               # not converted: excluded
+    }
+    rows = []
+    eid = 0
+    for uid, (conv, chans) in users.items():
+        if conv:
+            rows.append((eid, 1 + eid % 28, uid, "purchase", 1.0))
+            eid += 1
+        for ch in chans:
+            rows.append((eid, 1 + eid % 28, uid, ch, 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["channel"]: r.asDict()
+        for r in QUERIES["q_shapley"](spark, sf).collect()
+    }
+    credit = {}
+    n_users = {}
+    for uid, (conv, chans) in users.items():
+        if not conv or not chans:
+            continue
+        for ch in chans:
+            credit[ch] = credit.get(ch, 0) + 12 // len(chans)
+            n_users[ch] = n_users.get(ch, 0) + 1
+    assert set(got) == set(credit)
+    for ch in credit:
+        assert got[ch]["credit_x12"] == credit[ch]
+        assert got[ch]["n_users"] == n_users[ch]
+        _close(got[ch]["shapley_credit"], credit[ch] / 12.0)
+
+
+def test_var_es_matches_python(spark, tmp_path):
+    """Historical VaR/ES by ELEMENT selection: replica sorts the
+    micro-quantized consecutive diffs, picks rank (n-1)*5//100 + 1,
+    and averages the tail at-or-below that rank."""
+    import random
+
+    rng = random.Random(7)
+    vals = [100.0]
+    for _ in range(40):
+        vals.append(round(vals[-1] + rng.uniform(-3, 3), 2))
+    rows = [(i, 1, 0, "click", v) for i, v in enumerate(vals)]
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_var_es"](spark, sf).collect()[0]
+    diffs = sorted(
+        math.floor((b - a) * 1000000.0) for a, b in zip(vals, vals[1:])
+    )
+    n = len(diffs)
+    var_rank = (n - 1) * 5 // 100 + 1
+    var_q = diffs[var_rank - 1]
+    es = sum(diffs[:var_rank]) / var_rank / 1000000.0
+    assert row["n_returns"] == n
+    _close(row["var95"], var_q / 1000000.0)
+    _close(row["es95"], es)
