@@ -985,3 +985,42 @@ def test_var_es_matches_python(spark, tmp_path):
     assert row["n_returns"] == n
     _close(row["var95"], var_q / 1000000.0)
     _close(row["es95"], es)
+
+
+# --- wave 11: interpolated percentile convention -------------------------------
+
+
+def test_percentile_cont_matches_python(spark, tmp_path):
+    """Spark `percentile` and DuckDB `quantile_cont` agree with each
+    other by the gate — this pins BOTH to the textbook convention
+    a[floor(p(n-1))] + frac*(a[next]-a[floor]) via a Python replica on
+    one small group with genuinely interpolated values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    qtys = [3.0, 7.0, 1.0, 9.0, 4.0]        # one group (orderkey 97)
+    prices = [110.5, 220.25, 330.75, 440.0, 550.125]
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([97] * 5, pa.int64()),
+            "l_linenumber": pa.array(range(1, 6), pa.int32()),
+            "l_quantity": pa.array(qtys, pa.float64()),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "lineitem.parquet"))
+    row = QUERIES["q_percentile_cont"](spark, str(tmp_path)).collect()[0]
+
+    def pcont(xs, p):
+        a = sorted(xs)
+        pos = p * (len(a) - 1)
+        lo = math.floor(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(a) - 1)
+        return a[lo] + frac * (a[hi] - a[lo])
+
+    assert row["grp"] == 0
+    _close(row["qty_q1"], pcont(qtys, 0.25))
+    _close(row["qty_median"], pcont(qtys, 0.5))
+    _close(row["qty_q3"], pcont(qtys, 0.75))
+    _close(row["price_p905"], pcont(prices, 0.905))
