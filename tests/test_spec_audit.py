@@ -1024,3 +1024,63 @@ def test_percentile_cont_matches_python(spark, tmp_path):
     _close(row["qty_median"], pcont(qtys, 0.5))
     _close(row["qty_q3"], pcont(qtys, 0.75))
     _close(row["price_p905"], pcont(prices, 0.905))
+
+
+# --- wave 12: Kaplan-Meier fixed-point recursion (round-8 driver-window key) --
+
+
+def test_km_survival_matches_python(spark, tmp_path):
+    """q_km_survival sits in the round-8 driver check window; replica
+    re-derives the per-user time-to-purchase observations, the daily
+    risk table, and the 1e12 fixed-point survival recursion
+    s_q(t) = s_q(t-1)*(n_t - d_t) // n_t in plain Python ints."""
+    # user -> list of (day, type); day 1..6 of Jan 2024
+    journeys = {
+        1: [(1, "click"), (3, "purchase"), (5, "click")],  # event tt=2
+        2: [(1, "view"), (6, "view")],                      # censored tt=5
+        3: [(2, "click"), (2, "purchase")],                 # event tt=0
+        4: [(1, "view"), (4, "view")],                      # censored tt=3
+        5: [(1, "click"), (3, "click"), (6, "purchase")],   # event tt=5
+    }
+    rows = []
+    eid = 0
+    for uid, evs in journeys.items():
+        for day, et in evs:
+            rows.append((eid, day, uid, et, 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["day"]: r.asDict()
+        for r in QUERIES["q_km_survival"](spark, sf).collect()
+    }
+    obs = []
+    for uid, evs in journeys.items():
+        days = [d for d, _ in evs]
+        p = [d for d, et in evs if et == "purchase"]
+        d0, dl = min(days), max(days)
+        if p:
+            obs.append((min(p) - d0, 1))
+        else:
+            obs.append((dl - d0, 0))
+    m = max(tt for tt, _ in obs)
+    s_fp = 10**12
+    sq = None
+    at_risk_after = len(obs)
+    expect = {}
+    for day in range(0, m + 1):
+        d_ev = sum(1 for tt, ev in obs if tt == day and ev == 1)
+        c_cn = sum(1 for tt, ev in obs if tt == day and ev == 0)
+        n_risk = sum(1 for tt, _ in obs if tt >= day)
+        if day == 0:
+            sq = (s_fp * (n_risk - d_ev)) // n_risk
+        elif n_risk == 0:
+            pass  # sq unchanged
+        else:
+            sq = (sq * (n_risk - d_ev)) // n_risk
+        expect[day] = (n_risk, d_ev, c_cn, sq)
+    assert set(got) == set(expect)
+    for day, (n_risk, d_ev, c_cn, sq) in expect.items():
+        assert got[day]["n_risk"] == n_risk, day
+        assert got[day]["d_events"] == d_ev and got[day]["c_censored"] == c_cn
+        assert got[day]["s_q"] == sq, day
+        _close(got[day]["survival"], sq / s_fp)
