@@ -1084,3 +1084,38 @@ def test_km_survival_matches_python(spark, tmp_path):
         assert got[day]["d_events"] == d_ev and got[day]["c_censored"] == c_cn
         assert got[day]["s_q"] == sq, day
         _close(got[day]["survival"], sq / s_fp)
+
+
+# --- wave 13: split-conformal interval (round-8 driver-window key) ------------
+
+
+def test_conformal_interval_matches_python(spark, tmp_path):
+    """q_conformal_interval sits in the round-8 driver window; replica
+    re-derives the train mean, the calibration quantile pick
+    rank = min(ceil((n+1)*0.9), n) under the (r, event_id) order, and
+    test coverage."""
+    rows = []
+    eid = 0
+    vals = {0: [], 1: [], 2: []}
+    import random
+
+    rng = random.Random(11)
+    for i in range(60):
+        uid = i            # user_id % 3 cycles the three splits
+        v = round(rng.uniform(10, 90), 2)
+        vals[uid % 3].append((eid, v))
+        rows.append((eid, 1 + i % 28, uid, "click", v))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["q_conformal_interval"](spark, sf).collect()[0]
+    mu = sum(v for _, v in vals[0]) / len(vals[0])
+    cal = sorted((abs(v - mu), e) for e, v in vals[1])
+    n = len(cal)
+    pick = min(math.ceil((n + 1) * 0.9), n)
+    qhat = cal[pick - 1][0]
+    covered = sum(1 for _, v in vals[2] if abs(v - mu) <= qhat)
+    assert row["n_cal"] == n
+    _close(row["qhat"], qhat)
+    assert row["n_test"] == len(vals[2])
+    assert row["n_covered"] == covered
+    _close(row["coverage"], covered / len(vals[2]))
