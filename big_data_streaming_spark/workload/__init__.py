@@ -93,70 +93,25 @@ _MODULES = (
 # round-4 additions (q_quantile_sketch_audit … q_missingness) — all
 # full-oracle, gate-green at sf0.001/0.01/0.1.
 #
-# ROUND-9 ROTATION TODO: once CORRECTNESS_r08 lands, move its green keys
+# ROUND-9 ROTATION (executed per the TODO + VERDICT.md r8 task 1):
+# CORRECTNESS_r08 came back 50/50 full-green (zero rows-only slots used,
+# zero red). All 50 r8 window keys move to the tail ("driver-checked in
+# round 8" block). The new window promotes the first 50 of the remaining
+# round-4 additions (q_rbo … q_daypart_interaction) — all full-oracle,
+# gate-green at sf0.001/0.01/0.1.
+#
+# ROUND-10 ROTATION TODO: once CORRECTNESS_r09 lands, move its green keys
 # to the tail and promote the next unchecked block — priority order:
-# (1) remaining round-4 additions (q_rbo … q_monthly_swing), (2) round-5
-# additions (q_geo_grid … q_basket_size_dist), (3) round-6 additions,
-# (4) round-7 additions, (5) round-8 additions queued below them. Every
-# queued key is gate-green at sf0.001/0.01/0.1.
+# (1) the last two round-4 additions (q_temporal_integrity,
+# q_monthly_swing), (2) round-5 additions (q_geo_grid …
+# q_basket_size_dist), (3) round-6 additions, (4) round-7 additions,
+# (5) round-8/9 additions queued below them. Every queued key is
+# gate-green at sf0.001/0.01/0.1.
 _CHECK_FIRST: tuple[str, ...] = (
-    # ============ round-8 driver window (positions 0-49) =================
-    # Next 50 of the remaining round-4 additions (q_quantile_sketch_audit
-    # … q_missingness) — full-oracle, gate-green at sf0.001/0.01/0.1;
-    # never driver-checked until this window.
-    "q_quantile_sketch_audit",
-    "q_linkage_em",
-    "q_conformal_interval",
-    "q_km_survival",
-    "q_lift_curve",
-    "q_propensity_strata",
-    "q_sax_symbols",
-    "q_cvm_test",
-    "q_kruskal_wallis",
-    "q_anova_f",
-    "q_mcnemar",
-    "q_cochran_q",
-    "q_hhi",
-    "q_fano",
-    "q_durbin_watson",
-    "q_runs_test",
-    "q_kendall_tau",
-    "q_mann_kendall",
-    "q_friedman",
-    "q_levene_bf",
-    "q_hapax",
-    "q_brier",
-    "q_ccf",
-    "q_jackknife",
-    "q_perm_test",
-    "q_silhouette",
-    "q_medoid",
-    "q_mad_outliers",
-    "q_evt_gumbel",
-    "q_smd_balance",
-    "q_isotonic",
-    "q_gini_gain",
-    "q_peak_detect",
-    "q_qini",
-    "q_bland_altman",
-    "q_recency_score",
-    "q_cuped",
-    "q_srm",
-    "q_collocations",
-    "q_markov_stationary",
-    "q_morisita",
-    "q_yule_q",
-    "q_lag_features",
-    "q_watermark_advisor",
-    "q_merge_audit",
-    "q_funnel_time",
-    "q_rolling_corr",
-    "q_hod_anova",
-    "q_iqr_outliers",
-    "q_missingness",
-    # ============ round-9 rotation candidates (positions 50+) ============
-    # Remaining round-4 additions — full-oracle, gate-green at
-    # sf0.001/0.01/0.1; first in line for the round-9 window.
+    # ============ round-9 driver window (positions 0-49) =================
+    # First 50 of the remaining round-4 additions (q_rbo …
+    # q_daypart_interaction) — full-oracle, gate-green at
+    # sf0.001/0.01/0.1; never driver-checked until this window.
     "q_rbo",
     "q_energy_test",
     "q_jonckheere",
@@ -207,10 +162,13 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_dead_stock",
     "q_type_rollup",
     "q_daypart_interaction",
+    # ============ round-10 rotation candidates (positions 50+) ===========
+    # Last two round-4 additions — full-oracle, gate-green at
+    # sf0.001/0.01/0.1; first in line for the round-10 window.
     "q_temporal_integrity",
     "q_monthly_swing",
     # Round-5 additions — full-oracle, gate-green at sf0.001/0.01/0.1;
-    # queued behind the round-4 remainder for the round-7 window.
+    # queued behind the round-4 remainder for the round-10 window.
     "q_geo_grid",
     "q_geo_knn",
     "q_eoq_advisor",
@@ -361,6 +319,58 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_sprt_monitor",
     "q_palma_ratio",
     "q_breusch_pagan",
+    # -- driver-checked in round 8 (CORRECTNESS_r08: 50/50 full-green,
+    # 0 rows-only, 0 red) — rotated to the tail ---------------------------
+    "q_quantile_sketch_audit",
+    "q_linkage_em",
+    "q_conformal_interval",
+    "q_km_survival",
+    "q_lift_curve",
+    "q_propensity_strata",
+    "q_sax_symbols",
+    "q_cvm_test",
+    "q_kruskal_wallis",
+    "q_anova_f",
+    "q_mcnemar",
+    "q_cochran_q",
+    "q_hhi",
+    "q_fano",
+    "q_durbin_watson",
+    "q_runs_test",
+    "q_kendall_tau",
+    "q_mann_kendall",
+    "q_friedman",
+    "q_levene_bf",
+    "q_hapax",
+    "q_brier",
+    "q_ccf",
+    "q_jackknife",
+    "q_perm_test",
+    "q_silhouette",
+    "q_medoid",
+    "q_mad_outliers",
+    "q_evt_gumbel",
+    "q_smd_balance",
+    "q_isotonic",
+    "q_gini_gain",
+    "q_peak_detect",
+    "q_qini",
+    "q_bland_altman",
+    "q_recency_score",
+    "q_cuped",
+    "q_srm",
+    "q_collocations",
+    "q_markov_stationary",
+    "q_morisita",
+    "q_yule_q",
+    "q_lag_features",
+    "q_watermark_advisor",
+    "q_merge_audit",
+    "q_funnel_time",
+    "q_rolling_corr",
+    "q_hod_anova",
+    "q_iqr_outliers",
+    "q_missingness",
     # -- driver-checked in round 7 (CORRECTNESS_r07: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_rle_advisor",
