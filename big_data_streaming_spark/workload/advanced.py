@@ -140,8 +140,8 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rand()-based Bernoulli sampling that a reproducible 100 TB mixture
 # pipeline needs (same rows selected on every run and every engine).
 _PPS_PRED = (
-    "CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0"
-    " < LEAST(o_totalprice / 600000.0, 1.0)"
+    "CAST(((o_orderkey % 2147483647) * 2654435761) % 4294967296 AS DOUBLE)"
+    " / 4294967296.0 < LEAST(o_totalprice / 600000.0, 1.0)"
 )
 
 

@@ -551,13 +551,17 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Uniform-without-replacement per event_type via the same engine-portable
 # Knuth multiplicative hash as q_sample_weighted: rank by hash, keep the
 # first k. No RNG state, reproducible across engines, runs, and
-# partitionings; the only shuffle is the per-type window sort.
+# partitionings; the only shuffle is the per-type window sort. The key is
+# mod-reduced by 2^31-1 BEFORE the multiply so the product stays < 2^63
+# for ANY bigint id (unreduced, ANSI raises / non-ANSI wraps past
+# key ~ 3.47e9 — exactly the 100 TB regime); for keys below 2^31 the
+# reduce is the identity, so every historical result is bit-unchanged.
 @_q(
     "q_sample_reservoir",
     """
     WITH h AS (
         SELECT event_type, event_id, user_id,
-               (event_id * 2654435761) % 4294967296 AS hv
+               ((event_id % 2147483647) * 2654435761) % 4294967296 AS hv
         FROM events
     ), r AS (
         SELECT event_type, event_id, user_id,
@@ -573,7 +577,9 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "user_id",
-        F.expr("(event_id * 2654435761) % 4294967296").alias("hv"),
+        F.expr("((event_id % 2147483647) * 2654435761) % 4294967296").alias(
+            "hv"
+        ),
     )
     w = Window.partitionBy("event_type").orderBy("hv", "event_id")
     return (
@@ -17086,9 +17092,12 @@ def q_ransac(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(1) output. The dow LABELS differ across engines (DuckDB 0-based,
 # Spark 1-based) but lambda is label-invariant, so the shared text never
 # mentions a label.
+# NULLIF guards the degenerate single-event-type input (n_events ==
+# max_marginal): both engines then yield NULL, where a bare /0 diverges
+# (non-ANSI Spark NULL vs DuckDB ieee inf/NaN) — ADVICE r8.
 _GKL = (
     "(CAST(sum_row_max - max_marginal AS DOUBLE)"
-    " / CAST(n_events - max_marginal AS DOUBLE))"
+    " / CAST(NULLIF(n_events - max_marginal, 0) AS DOUBLE))"
 )
 
 
@@ -17590,7 +17599,10 @@ def _db_r(an: str, adev: str, as_: str, bn: str, bdev: str, bs: str) -> str:
     scat_a = f"({adev} / (CAST({an} AS DOUBLE) * CAST({an} AS DOUBLE)))"
     scat_b = f"({bdev} / (CAST({bn} AS DOUBLE) * CAST({bn} AS DOUBLE)))"
     gap = f"abs({as_} / CAST({an} AS DOUBLE) - {bs} / CAST({bn} AS DOUBLE))"
-    return f"(({scat_a} + {scat_b}) / {gap})"
+    # NULLIF guards the equal-means pair (gap = 0): both engines then
+    # yield NULL (which MAX/SUM skip identically), where a bare /0
+    # diverges (non-ANSI Spark NULL vs DuckDB ieee inf) — ADVICE r8.
+    return f"(({scat_a} + {scat_b}) / NULLIF({gap}, 0.0))"
 
 
 @_q(
@@ -18001,7 +18013,12 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # points floor(n/10) / floor(4n/10) are shared integer-floor text.
 # Plan: one orders aggregate by customer, the range-partitioned rank,
 # one final 1-row fold. O(1) output.
-_PALMA = "(CAST(top_cents AS DOUBLE) / CAST(bottom_cents AS DOUBLE))"
+# NULLIF guards the degenerate n_customers < 3 input (floor(0.4 n) = 0
+# selects nobody, bottom_cents = 0): both engines then yield NULL, where
+# a bare /0 diverges (non-ANSI Spark NULL vs DuckDB ieee inf) — ADVICE r8.
+_PALMA = (
+    "(CAST(top_cents AS DOUBLE) / CAST(NULLIF(bottom_cents, 0) AS DOUBLE))"
+)
 
 
 @_q(

@@ -46,9 +46,18 @@ def _q(name: str, oracle: str | None = None):
 # Synthetic position: two independent Knuth mixes of the key, folded to
 # integer micro-degrees. lat in [-90e6, 90e6], lon in [-180e6, 180e6].
 # All operands positive before the final shift, so %-semantics agree
-# across engines; c_custkey * 2654435761 < 2^63 for any fixture key.
-_LAT_US = "(((c_custkey * 2654435761) % 4294967296) % 180000001 - 90000000)"
-_LON_US = "((((c_custkey + 7) * 2654435761) % 4294967296) % 360000001 - 180000000)"
+# across engines; the key is mod-reduced by 2^31-1 before the multiply so
+# the product stays < 2^63 for ANY bigint c_custkey (identity below 2^31,
+# so fixture results are bit-unchanged; unreduced, ANSI raises and
+# non-ANSI wraps past key ~ 3.47e9 — the 100 TB id regime).
+_LAT_US = (
+    "((((c_custkey % 2147483647) * 2654435761) % 4294967296)"
+    " % 180000001 - 90000000)"
+)
+_LON_US = (
+    "(((((c_custkey + 7) % 2147483647) * 2654435761) % 4294967296)"
+    " % 360000001 - 180000000)"
+)
 
 # 10-degree grid cells: lat cell 0..18, lon cell 0..36. The shifted
 # numerators are non-negative, so floor-div and trunc-div agree and

@@ -235,17 +235,23 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # A deterministic integer mixing hash both engines can evaluate exactly:
-# Knuth multiplicative hash folded to [0, 1e6). All arithmetic is BIGINT
-# (doc_id·2654435761 < 2^63 for any driver doc_id), so Spark and DuckDB
-# agree bit-for-bit — no reliance on engine-specific hash functions.
+# Knuth multiplicative hash folded to [0, 1e6). The key is mod-reduced by
+# 2^31-1 BEFORE the multiply so the product stays < 2^63 for ANY bigint
+# doc_id (unreduced it overflows past key ~ 3.47e9: ANSI raises, non-ANSI
+# wraps — the engines diverge exactly at 100 TB id ranges). For keys
+# below 2^31 the reduce is the identity, so historical results are
+# bit-unchanged. Spark and DuckDB agree bit-for-bit — no reliance on
+# engine-specific hash functions.
 _MIX_MOD = 1_000_000
 
 
 def _mix_hash(col: F.Column) -> F.Column:
-    return (col * F.lit(2654435761)) % F.lit(4294967296) % F.lit(_MIX_MOD)
+    return (
+        (col % F.lit(2147483647)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(_MIX_MOD)
 
 
-_MIX_HASH_SQL = "((doc_id * 2654435761) % 4294967296) % 1000000"
+_MIX_HASH_SQL = "(((doc_id % 2147483647) * 2654435761) % 4294967296) % 1000000"
 
 
 # --- north star: domain-mixture rebalancing --------------------------------
@@ -525,11 +531,12 @@ def q_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel AS (
         SELECT d.doc_id, d.source
         FROM docs2 d JOIN counts c USING (source) CROSS JOIN m
-        WHERE ((d.doc_id * 2654435761) % 4294967296) % {_MIX_MOD}
+        WHERE (((d.doc_id % 2147483647) * 2654435761) % 4294967296) % {_MIX_MOD}
                 * c.n_source < m.n_min * {_MIX_MOD}
     )
     SELECT CAST(row_number() OVER (
-                 ORDER BY ((doc_id * 2654435761) % 4294967296) % {_MIX_MOD},
+                 ORDER BY (((doc_id % 2147483647) * 2654435761) % 4294967296)
+                              % {_MIX_MOD},
                           doc_id) AS BIGINT) AS train_pos,
            doc_id, source
     FROM sel
@@ -872,9 +879,11 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
         SELECT CASE
-                 WHEN (user_id * 2654435761) % 4294967296 < 3435973837
+                 WHEN ((user_id % 2147483647) * 2654435761) % 4294967296
+                        < 3435973837
                    THEN 'train'
-                 WHEN (user_id * 2654435761) % 4294967296 < 3865470566
+                 WHEN ((user_id % 2147483647) * 2654435761) % 4294967296
+                        < 3865470566
                    THEN 'val'
                  ELSE 'test'
                END AS split,
@@ -900,10 +909,10 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     a = e.select(
         F.expr(
-            "CASE WHEN (user_id * 2654435761) % 4294967296 < 3435973837"
-            " THEN 'train'"
-            " WHEN (user_id * 2654435761) % 4294967296 < 3865470566"
-            " THEN 'val' ELSE 'test' END"
+            "CASE WHEN ((user_id % 2147483647) * 2654435761) % 4294967296"
+            " < 3435973837 THEN 'train'"
+            " WHEN ((user_id % 2147483647) * 2654435761) % 4294967296"
+            " < 3865470566 THEN 'val' ELSE 'test' END"
         ).alias("split"),
         "user_id",
         "event_id",
