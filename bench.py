@@ -197,8 +197,9 @@ def main() -> None:
     # Side effect, documented: these three keys are warmed here, so their
     # "cold" entries below are steady-state from round 8 on (~1 s of the
     # cold total; BENCH_NOTES.md round 8).
+    probe_members = ("q_tpch_q1", "q_topk", "q_groupby_agg")
     probe: dict[str, float] = {}
-    for name in ("q_tpch_q1", "q_topk", "q_groupby_agg"):
+    for name in probe_members:
         best = float("inf")
         for _ in range(3):
             start = time.perf_counter()
@@ -250,6 +251,11 @@ def main() -> None:
     detail["box_probe"] = {
         "queries": probe,
         "total_best_sec": round(sum(probe.values()), 3),
+        # These keys run 3x in the probe BEFORE the headline loop, so
+        # their queries_cold entries above are steady-state, not cold —
+        # cross-round cold comparisons must exclude them mechanically
+        # (ADVICE r8; BENCH_NOTES.md round 8).
+        "warmed_by_probe": list(probe_members),
     }
     detail["date"] = time.strftime("%Y-%m-%d")
     print(json.dumps(detail))

@@ -62,25 +62,27 @@ def connected_components(
     check_every = max(1, check_every)
     last_checked = labels
     converged = False
+
+    def propagate(lbl: DataFrame) -> DataFrame:
+        """One round of min-label propagation. Shared by the loop body
+        and the final-round convergence probe so the probe can never
+        drift from the recurrence that actually ran (ADVICE r8)."""
+        nbr_min = (
+            sym.join(lbl, sym.b == lbl.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        return lbl.join(nbr_min, lbl.node == nbr_min.a, "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_component", F.col("component")),
+            ).alias("component"),
+        )
+
     try:
         for i in range(max_iter):
-            nbr_min = (
-                sym.join(labels, sym.b == labels.node)
-                .groupBy("a")
-                .agg(F.min("component").alias("nbr_component"))
-            )
-            new_labels = (
-                labels.join(nbr_min, labels.node == nbr_min.a, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce("nbr_component", F.col("component")),
-                    ).alias("component"),
-                )
-                .localCheckpoint()
-            )
-            labels = new_labels
+            labels = propagate(labels).localCheckpoint()
             if (i + 1) % check_every == 0 or i == max_iter - 1:
                 changed = (
                     labels.alias("n")
@@ -101,20 +103,7 @@ def connected_components(
             # cheap join on the (possibly) converged label set —
             # distinguishes "converged on the last round" from "still
             # moving" before the guard below fails loudly.
-            nbr_min = (
-                sym.join(labels, sym.b == labels.node)
-                .groupBy("a")
-                .agg(F.min("component").alias("nbr_component"))
-            )
-            probe = labels.join(
-                nbr_min, labels.node == nbr_min.a, "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
-            )
+            probe = propagate(labels)
             still_moving = (
                 probe.alias("n")
                 .join(labels.alias("o"), "node")
