@@ -82,8 +82,19 @@ def connected_components(
 
     try:
         for i in range(max_iter):
-            labels = propagate(labels).localCheckpoint()
-            if (i + 1) % check_every == 0 or i == max_iter - 1:
+            labels = propagate(labels)
+            probing = (i + 1) % check_every == 0 or i == max_iter - 1
+            # Checkpoint only at probe boundaries: between probes the
+            # rounds compose LAZILY, so check_every propagation rounds
+            # cost ONE materialization job instead of one per round —
+            # the same shuffle work in fewer scheduled jobs. Measured
+            # neutral at sf0.1 (the work, not the job count, dominates
+            # there — BENCH_NOTES.md round 9) but it halves the action
+            # count that a many-round run pays on a busy scheduler.
+            # Lineage depth stays bounded by check_every (a handful of
+            # joins), which the checkpoint then truncates.
+            if probing:
+                labels = labels.localCheckpoint()
                 changed = (
                     labels.alias("n")
                     .join(last_checked.alias("o"), "node")
