@@ -319,6 +319,21 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_sprt_monitor",
     "q_palma_ratio",
     "q_breusch_pagan",
+    # Round-9 additions (12 — growth capped below the 50-key window per
+    # VERDICT r8 task 2) — full-oracle, gate-green at sf0.001/0.01/0.1;
+    # queued behind the round-8 block for the round-10+ windows.
+    "q_somers_d",
+    "q_gk_gamma",
+    "q_stuart_tau_c",
+    "q_mh_odds",
+    "q_dixon_q",
+    "q_lorenz_asymmetry",
+    "q_kendall_w",
+    "q_hoover_index",
+    "q_gini_md",
+    "q_bowley_skew",
+    "q_moran_i",
+    "q_geary_c",
     # -- driver-checked in round 8 (CORRECTNESS_r08: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_quantile_sketch_audit",

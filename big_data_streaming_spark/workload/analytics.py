@@ -18224,3 +18224,739 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_BP_R2} AS r2_aux",
         f"{_BP_LM} AS bp_lm",
     )
+
+
+# ========================= round 9 additions ==============================
+# Ten statistics/inequality/association operators, all transcendental-
+# free (the module exactness policy: integer/decimal sufficient
+# statistics, doubles only as final shared-text finishes, NULLIF on
+# every denominator that can be zero on a degenerate input — the
+# ADVICE r8 rule applied from birth). Reference parity: the reference's
+# surface stops at parse/window/store (spark/streaming-shorttime.py);
+# these extend the analytics layer per SURVEY.md §2 Table C.
+
+# --- Somers' D ordinal association (round 9) -------------------------------
+# Asymmetric ordinal association D_yx over orders: does the price band
+# (Y) move with the priority band (X)? D_yx = (Nc - Nd) / (Nc + Nd +
+# Ty), Ty = pairs tied on Y but differing on X — the directional member
+# of the concordance family beside q_kendall_tau (symmetric) and
+# q_gk_gamma (tie-dropping). Pair counts come from the BOUNDED
+# contingency grid (<= 5 priorities x 6 price bands), never from row
+# pairs: Nc = sum over cell pairs (a,b), a.px < b.px and a.yb < b.yb,
+# of n_a * n_b. Cell products are doubles of exact integer counts
+# (exact below 2^53, correctly-rounded identically beyond) routed
+# through the decimal sum. Plan: one fact-sized groupBy onto the grid,
+# one broadcast self-join of the O(30)-row grid, O(1) output.
+_PAIR_PROD = "CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)"
+_SOMERS_D = (
+    "(CAST(nc - nd AS DOUBLE) / CAST(NULLIF(nc + nd + ty, 0.0) AS DOUBLE))"
+)
+
+
+@_q(
+    "q_somers_d",
+    f"""
+    WITH g AS (
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS px,
+               CAST(least(floor(o_totalprice / 100000), 5.0) AS BIGINT) AS yb,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ), p AS (
+        SELECT {oracle_dec_sum(
+            f"CASE WHEN a.yb < b.yb THEN {_PAIR_PROD} ELSE 0.0 END", "nc"
+        )},
+               {oracle_dec_sum(
+            f"CASE WHEN a.yb > b.yb THEN {_PAIR_PROD} ELSE 0.0 END", "nd"
+        )},
+               {oracle_dec_sum(
+            f"CASE WHEN a.yb = b.yb THEN {_PAIR_PROD} ELSE 0.0 END", "ty"
+        )}
+        FROM g a JOIN g b ON a.px < b.px
+    )
+    SELECT nc, nd, ty, {_SOMERS_D} AS somers_d FROM p
+    """,
+)
+def q_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").alias("px"),
+        F.expr(
+            "CAST(least(floor(o_totalprice / 100000), 5.0) AS BIGINT)"
+        ).alias("yb"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = g.selectExpr("px AS a_px", "yb AS a_yb", "n AS a_n")
+    b = g.selectExpr("px AS b_px", "yb AS b_yb", "n AS b_n")
+    prod = "CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE)"
+    pairs = a.join(F.broadcast(b), F.col("a_px") < F.col("b_px"))
+    p = pairs.agg(
+        dec_sum(F.expr(f"CASE WHEN a_yb < b_yb THEN {prod} ELSE 0.0 END"), "nc"),
+        dec_sum(F.expr(f"CASE WHEN a_yb > b_yb THEN {prod} ELSE 0.0 END"), "nd"),
+        dec_sum(F.expr(f"CASE WHEN a_yb = b_yb THEN {prod} ELSE 0.0 END"), "ty"),
+    )
+    return p.selectExpr("nc", "nd", "ty", f"{_SOMERS_D} AS somers_d")
+
+
+# --- Goodman-Kruskal gamma (round 9) ----------------------------------------
+# The tie-dropping concordance coefficient over events: hour-of-day (X,
+# 0-23 — identical in both engines, unlike dayofweek's labeling) vs
+# value band (Y, 10 fixed-width buckets). gamma = (Nc - Nd)/(Nc + Nd) —
+# the PRE-family companion of q_gk_lambda (both Goodman-Kruskal, lambda
+# on error rate, gamma on pair concordance). Same bounded-grid pair
+# algebra as q_somers_d (<= 24 x 10 cells, broadcast self-join).
+_GK_GAMMA = "(CAST(nc - nd AS DOUBLE) / CAST(NULLIF(nc + nd, 0.0) AS DOUBLE))"
+
+
+@_q(
+    "q_gk_gamma",
+    f"""
+    WITH g AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS px,
+               CAST(least(floor(value / 50), 9.0) AS BIGINT) AS yb,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+        SELECT {oracle_dec_sum(
+            f"CASE WHEN a.yb < b.yb THEN {_PAIR_PROD} ELSE 0.0 END", "nc"
+        )},
+               {oracle_dec_sum(
+            f"CASE WHEN a.yb > b.yb THEN {_PAIR_PROD} ELSE 0.0 END", "nd"
+        )}
+        FROM g a JOIN g b ON a.px < b.px
+    )
+    SELECT nc, nd, {_GK_GAMMA} AS gk_gamma FROM p
+    """,
+)
+def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = e.groupBy(
+        F.hour("ts").cast("bigint").alias("px"),
+        F.expr("CAST(least(floor(value / 50), 9.0) AS BIGINT)").alias("yb"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = g.selectExpr("px AS a_px", "yb AS a_yb", "n AS a_n")
+    b = g.selectExpr("px AS b_px", "yb AS b_yb", "n AS b_n")
+    prod = "CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE)"
+    pairs = a.join(F.broadcast(b), F.col("a_px") < F.col("b_px"))
+    p = pairs.agg(
+        dec_sum(F.expr(f"CASE WHEN a_yb < b_yb THEN {prod} ELSE 0.0 END"), "nc"),
+        dec_sum(F.expr(f"CASE WHEN a_yb > b_yb THEN {prod} ELSE 0.0 END"), "nd"),
+    )
+    return p.selectExpr("nc", "nd", f"{_GK_GAMMA} AS gk_gamma")
+
+
+# --- Stuart's tau-c (round 9) ------------------------------------------------
+# Concordance for RECTANGULAR grids, where tau-b under-corrects:
+# tau_c = 2m(Nc - Nd) / (n^2 (m-1)), m = min(#rows, #cols) — over
+# lineitem's line-number (X, 1-7) vs quantity band (Y, 5 fixed
+# buckets). Same bounded-grid pair algebra; m and n are exact integer
+# aggregates of the grid itself, so the finish is one shared
+# expression. Output is the full evidence row (nc, nd, n, m, tau_c).
+_TAU_C = (
+    "(2.0 * CAST(m AS DOUBLE) * (nc - nd)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(NULLIF(m - 1, 0) AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_stuart_tau_c",
+    f"""
+    WITH g AS (
+        SELECT CAST(l_linenumber AS BIGINT) AS px,
+               CAST(least(floor(l_quantity / 10), 4.0) AS BIGINT) AS yb,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ), dims AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(least(COUNT(DISTINCT px), COUNT(DISTINCT yb)) AS BIGINT)
+                   AS m
+        FROM g
+    ), p AS (
+        SELECT {oracle_dec_sum(
+            f"CASE WHEN a.yb < b.yb THEN {_PAIR_PROD} ELSE 0.0 END", "nc"
+        )},
+               {oracle_dec_sum(
+            f"CASE WHEN a.yb > b.yb THEN {_PAIR_PROD} ELSE 0.0 END", "nd"
+        )}
+        FROM g a JOIN g b ON a.px < b.px
+    )
+    SELECT nc, nd, n, m, {_TAU_C} AS tau_c FROM p CROSS JOIN dims
+    """,
+)
+def q_stuart_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_linenumber").cast("bigint").alias("px"),
+        F.expr("CAST(least(floor(l_quantity / 10), 4.0) AS BIGINT)").alias("yb"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dims = g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.least(F.countDistinct("px"), F.countDistinct("yb"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    a = g.selectExpr("px AS a_px", "yb AS a_yb", "n AS a_n")
+    b = g.selectExpr("px AS b_px", "yb AS b_yb", "n AS b_n")
+    prod = "CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE)"
+    pairs = a.join(F.broadcast(b), F.col("a_px") < F.col("b_px"))
+    p = pairs.agg(
+        dec_sum(F.expr(f"CASE WHEN a_yb < b_yb THEN {prod} ELSE 0.0 END"), "nc"),
+        dec_sum(F.expr(f"CASE WHEN a_yb > b_yb THEN {prod} ELSE 0.0 END"), "nd"),
+    )
+    return p.crossJoin(F.broadcast(dims)).selectExpr(
+        "nc", "nd", "n", "m", f"{_TAU_C} AS tau_c"
+    )
+
+
+# --- Mantel-Haenszel pooled odds ratio (round 9) ----------------------------
+# Confounder-adjusted association: is a high-value order associated
+# with urgent priority AFTER stratifying by the customer's nation?
+# OR_MH = sum_i(a_i d_i / n_i) / sum_i(b_i c_i / n_i) over per-nation
+# 2x2 tables. Per-stratum terms are doubles of exact integer counts,
+# explicitly quantized at 1e-9 and summed as BIGINT (the q_chi2
+# pattern) so the <=25-term sums are order-free; the final ratio is one
+# shared division with a NULLIF guard (degenerate: no stratum has both
+# a non-exposed urgent and an exposed non-urgent order). Plan: one
+# dim join (nation key off the customer table), one (nation) count
+# aggregate, O(1) output.
+_MH_OR = "(CAST(num_q AS DOUBLE) / CAST(NULLIF(den_q, 0) AS DOUBLE))"
+
+
+@_q(
+    "q_mh_odds",
+    f"""
+    WITH j AS (
+        SELECT c.c_nationkey AS nk,
+               CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS e,
+               CASE WHEN substring(o.o_orderpriority, 1, 1) IN ('1', '2')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), s AS (
+        SELECT nk,
+               CAST(SUM(e * y) AS BIGINT) AS a,
+               CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+               CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+               CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM j GROUP BY nk
+    ), q AS (
+        SELECT CAST(SUM(CAST(floor(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                                   / CAST(n AS DOUBLE) * 1000000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS num_q,
+               CAST(SUM(CAST(floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                                   / CAST(n AS DOUBLE) * 1000000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS den_q,
+               CAST(COUNT(*) AS BIGINT) AS n_strata
+        FROM s
+    )
+    SELECT n_strata, num_q, den_q, {_MH_OR} AS or_mh FROM q
+    """,
+)
+def q_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        F.expr("CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END").alias("e"),
+        F.expr(
+            "CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2')"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    s = j.groupBy("nk").agg(
+        F.sum(F.col("e") * F.col("y")).cast("bigint").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    q = s.agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+                " / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("num_q"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)"
+                " / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("den_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+    )
+    return q.selectExpr("n_strata", "num_q", "den_q", f"{_MH_OR} AS or_mh")
+
+
+# --- Dixon's Q outlier gap test (round 9) -----------------------------------
+# Is the extreme value in each event_type's sample suspiciously far
+# from its neighbor? Q_low = (x(2) - x(1)) / range, Q_high = (x(n) -
+# x(n-1)) / range — computed on ORDER STATISTICS WITH DUPLICATES: if
+# the min (max) occurs more than once, its neighbor IS the min (max)
+# and Q = 0, which the CASE encodes instead of a row sort. Completes
+# the outlier family beside q_grubbs (variance-based) and
+# q_mad_outliers (robust-center-based) with the small-sample gap view.
+# Exactness: order statistics are exact selections; the two finishes
+# are shared single divisions with a NULLIF range guard (degenerate:
+# all values equal). Plan: two fact-sized aggregates (extremes, then
+# strict-neighbor extremes under a broadcast join) — no sort, no
+# window, O(|types|) output.
+_DIXON_LOW = (
+    "(CAST(CASE WHEN n_min > 1 THEN xmin ELSE x2 END - xmin AS DOUBLE)"
+    " / CAST(NULLIF(xmax - xmin, 0.0) AS DOUBLE))"
+)
+_DIXON_HIGH = (
+    "(CAST(xmax - CASE WHEN n_max > 1 THEN xmax ELSE xn1 END AS DOUBLE)"
+    " / CAST(NULLIF(xmax - xmin, 0.0) AS DOUBLE))"
+)
+
+
+@_q(
+    "q_dixon_q",
+    f"""
+    WITH m AS (
+        SELECT event_type, MIN(value) AS xmin, MAX(value) AS xmax,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), s AS (
+        SELECT e.event_type, m.xmin, m.xmax, m.n,
+               CAST(SUM(CASE WHEN e.value = m.xmin THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_min,
+               CAST(SUM(CASE WHEN e.value = m.xmax THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_max,
+               MIN(CASE WHEN e.value > m.xmin THEN e.value END) AS x2,
+               MAX(CASE WHEN e.value < m.xmax THEN e.value END) AS xn1
+        FROM events e JOIN m ON e.event_type = m.event_type
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type, m.xmin, m.xmax, m.n
+    )
+    SELECT event_type, n, xmin, xmax,
+           {_DIXON_LOW} AS q_low, {_DIXON_HIGH} AS q_high
+    FROM s
+    """,
+)
+def q_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    m = e.groupBy("event_type").agg(
+        F.min("value").alias("xmin"),
+        F.max("value").alias("xmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    s = (
+        e.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "xmin", "xmax", "n")
+        .agg(
+            F.sum(F.expr("CASE WHEN value = xmin THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_min"),
+            F.sum(F.expr("CASE WHEN value = xmax THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_max"),
+            F.min(F.expr("CASE WHEN value > xmin THEN value END")).alias("x2"),
+            F.max(F.expr("CASE WHEN value < xmax THEN value END")).alias("xn1"),
+        )
+    )
+    return s.selectExpr(
+        "event_type",
+        "n",
+        "xmin",
+        "xmax",
+        f"{_DIXON_LOW} AS q_low",
+        f"{_DIXON_HIGH} AS q_high",
+    )
+
+
+# --- Lorenz asymmetry coefficient (round 9) ---------------------------------
+# WHERE the revenue inequality lives: S = F(mu) + L(mu) — the share of
+# customers below the mean plus the revenue share they hold. S < 1
+# means inequality is driven by many small customers, S > 1 by a few
+# giants; complements q_gini_revenue (how much) and q_palma_ratio
+# (tails) with the shape read. "Below the mean" is the exact integer
+# comparison rev*C < R cleared of division, evaluated as doubles of
+# exact integers identically in both engines. Plan: one customer
+# aggregate, a 1-row totals broadcast, one conditional re-aggregate —
+# no sort, no window, O(1) output.
+_LORENZ_S = (
+    "(CAST(m_below AS DOUBLE) / CAST(NULLIF(n_customers, 0) AS DOUBLE)"
+    " + low_cents / CAST(NULLIF(total_cents, 0) AS DOUBLE))"
+)
+
+
+@_q(
+    "q_lorenz_asymmetry",
+    f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY o_custkey
+    ), tot AS (
+        SELECT CAST(SUM(rev) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM cust
+    ), agg AS (
+        SELECT MAX(n_customers) AS n_customers,
+               MAX(total_cents) AS total_cents,
+               CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) * n_customers
+                                  < CAST(total_cents AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS m_below,
+               {oracle_dec_sum(
+        "CASE WHEN CAST(rev AS DOUBLE) * n_customers"
+        " < CAST(total_cents AS DOUBLE) THEN CAST(rev AS DOUBLE)"
+        " ELSE 0.0 END",
+        "low_cents",
+    )}
+        FROM cust CROSS JOIN tot
+    )
+    SELECT n_customers, m_below, low_cents, {_LORENZ_S} AS s_lorenz
+    FROM agg
+    """,
+)
+def q_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    tot = cust.agg(
+        F.sum("rev").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+    below = (
+        "CAST(rev AS DOUBLE) * n_customers < CAST(total_cents AS DOUBLE)"
+    )
+    agg = cust.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_customers").alias("n_customers"),
+        F.max("total_cents").alias("total_cents"),
+        F.sum(F.expr(f"CASE WHEN {below} THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("m_below"),
+        dec_sum(
+            F.expr(
+                f"CASE WHEN {below} THEN CAST(rev AS DOUBLE) ELSE 0.0 END"
+            ),
+            "low_cents",
+        ),
+    )
+    return agg.selectExpr(
+        "n_customers", "m_below", "low_cents", f"{_LORENZ_S} AS s_lorenz"
+    )
+
+
+# --- Kendall's W coefficient of concordance (round 9) ------------------------
+# Do the days of the month agree on how event types rank by volume?
+# Each day-of-month is a judge ranking the k event types by count
+# (strict ranks, count-desc with the type name as the deterministic
+# tie-break — documented spec, identical in both engines). W = 12 S /
+# (m^2 (k^3 - k)); with integer ranks 2R_i - m(k+1) is a pure BIGINT,
+# so S4 = sum((2R_i - m(k+1))^2) = 4S is exact and W = 3 S4 /
+# (m^2 (k^3 - k)) is one shared division (NULLIF guards k = 1).
+# Plan: one (day, type) count, a bounded 31 x k dense grid (missing
+# combos count 0 — absent rows would silently shrink a judge's
+# ranking), per-judge windows over <= k rows, O(1) output.
+_KENDALL_W = (
+    "(3.0 * s4 / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+    " * CAST(NULLIF(k * k * k - k, 0) AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_kendall_w",
+    f"""
+    WITH c AS (
+        SELECT CAST(day(ts) AS BIGINT) AS dom, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT d.dom, ty.event_type, COALESCE(c.n, 0) AS n
+        FROM (SELECT DISTINCT dom FROM c) d
+        CROSS JOIN (SELECT DISTINCT event_type FROM c) ty
+        LEFT JOIN c ON c.dom = d.dom AND c.event_type = ty.event_type
+    ), ranked AS (
+        SELECT dom, event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY dom
+                                       ORDER BY n DESC, event_type)
+                    AS BIGINT) AS rnk
+        FROM grid
+    ), ri AS (
+        SELECT event_type, CAST(SUM(rnk) AS BIGINT) AS r_i
+        FROM ranked GROUP BY event_type
+    ), dims AS (
+        SELECT CAST(COUNT(DISTINCT dom) AS BIGINT) AS m,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+        FROM c
+    ), s AS (
+        SELECT MAX(m) AS m, MAX(k) AS k,
+               {oracle_dec_sum(
+        "CAST((2 * r_i - m * (k + 1)) * (2 * r_i - m * (k + 1)) AS DOUBLE)",
+        "s4",
+    )}
+        FROM ri CROSS JOIN dims
+    )
+    SELECT m AS m_judges, k AS k_items, s4, {_KENDALL_W} AS w_kendall
+    FROM s
+    """,
+)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.dayofmonth("ts").cast("bigint").alias("dom"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    doms = c.select("dom").distinct()
+    types = c.select("event_type").distinct()
+    grid = (
+        doms.crossJoin(F.broadcast(types))
+        .join(c, ["dom", "event_type"], "left")
+        .select("dom", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    # per-judge ranking window: bounded by the event-type vocabulary
+    # (|partition| <= k, a handful), never fact-sized
+    w = Window.partitionBy("dom").orderBy(F.desc("n"), "event_type")
+    ranked = grid.select(
+        "dom", "event_type", F.row_number().over(w).cast("bigint").alias("rnk")
+    )
+    ri = ranked.groupBy("event_type").agg(
+        F.sum("rnk").cast("bigint").alias("r_i")
+    )
+    dims = c.agg(
+        F.countDistinct("dom").cast("bigint").alias("m"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+    )
+    s = ri.crossJoin(F.broadcast(dims)).agg(
+        F.max("m").alias("m"),
+        F.max("k").alias("k"),
+        dec_sum(
+            F.expr(
+                "CAST((2 * r_i - m * (k + 1))"
+                " * (2 * r_i - m * (k + 1)) AS DOUBLE)"
+            ),
+            "s4",
+        ),
+    )
+    return s.selectExpr(
+        "m AS m_judges", "k AS k_items", "s4", f"{_KENDALL_W} AS w_kendall"
+    )
+
+
+# --- Hoover / Robin Hood index (round 9) -------------------------------------
+# What share of total revenue would have to move between nations for
+# every nation's revenue share to equal its customer share? H = (1/2)
+# sum_i |rev_i/R - cust_i/C| — the transfer view of inequality beside
+# q_gini_revenue (area view) and q_hhi_by_nation (concentration view).
+# Each nation's |share gap| is an IEEE double of exact integers,
+# explicitly quantized at 1e-15 and summed as BIGINT (the q_chi2
+# pattern; shares are <= 1 so the 25-term sum tops out near 2.5e16) —
+# NOT a decimal sum of the cleared-of-division products: those reach
+# rev_i*C ~ 1e24 at 100 TB, and DuckDB's DECIMAL -> DOUBLE cast rounds
+# differently from Spark's past 2^53 (caught by the sf0.1 gate this
+# round on q_gini_md's cents total). Plan: one dim-joined orders
+# aggregate + one customer aggregate onto the O(25)-row nation
+# relation, a 1-row totals broadcast, O(1) output.
+_HOOVER_TERM = (
+    "CAST(floor(abs(CAST(rev_cents AS DOUBLE) / total_cents"
+    " - CAST(n_cust AS DOUBLE) / n_cust_total)"
+    " * 1000000000000000 + 0.5) AS BIGINT)"
+)
+_HOOVER = "(CAST(num_q AS DOUBLE) / 2000000000000000.0)"
+
+
+@_q(
+    "q_hoover_index",
+    f"""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    ), cnt AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer GROUP BY c_nationkey
+    ), nat AS (
+        SELECT cnt.nk, COALESCE(rev.rev_cents, 0) AS rev_cents, cnt.n_cust
+        FROM cnt LEFT JOIN rev ON cnt.nk = rev.nk
+    ), tot AS (
+        SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+               CAST(SUM(n_cust) AS BIGINT) AS n_cust_total
+        FROM nat
+    ), agg AS (
+        SELECT MAX(total_cents) AS total_cents,
+               MAX(n_cust_total) AS n_cust_total,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               CAST(SUM({_HOOVER_TERM}) AS BIGINT) AS num_q
+        FROM nat CROSS JOIN tot
+    )
+    SELECT n_nations, total_cents, n_cust_total, {_HOOVER} AS hoover
+    FROM agg
+    """,
+)
+def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    rev = (
+        o.join(
+            cu.select("c_custkey", "c_nationkey"),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    cnt = cu.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust")
+    )
+    nat = cnt.join(rev, "nk", "left").select(
+        "nk",
+        F.coalesce("rev_cents", F.lit(0)).cast("bigint").alias("rev_cents"),
+        "n_cust",
+    )
+    tot = nat.agg(
+        F.sum("rev_cents").cast("bigint").alias("total_cents"),
+        F.sum("n_cust").cast("bigint").alias("n_cust_total"),
+    )
+    agg = nat.crossJoin(F.broadcast(tot)).agg(
+        F.max("total_cents").alias("total_cents"),
+        F.max("n_cust_total").alias("n_cust_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.sum(F.expr(_HOOVER_TERM)).cast("bigint").alias("num_q"),
+    )
+    return agg.selectExpr(
+        "n_nations", "total_cents", "n_cust_total", f"{_HOOVER} AS hoover"
+    )
+
+
+# --- Gini mean absolute difference per group (round 9) ----------------------
+# The dispersion that q_gini_revenue's concentration hides: the mean
+# absolute price difference between two random orders of the same
+# priority, MD = sum_ij |x_i - x_j| / (n (n-1)), plus the relative MD
+# (= 2 Gini). Never pairwise: with the sorted-prefix identity
+# sum_ij |x_i - x_j| = 2 sum_i (2i - n - 1) x_(i), the double sum
+# collapses onto the group-ranked relation. Ranks ride the
+# range-partitioned global ranker (plans/rank.py) on the composite
+# (priority, cents, orderkey) key — the within-group index is the
+# global rank minus the group's base rank, so no per-group window ever
+# sees a fact-sized partition. Terms are pure BIGINTs (i <= n, cents
+# <= 1e7: product < 2^63 up to ~9e11 rows/group) summed exactly via
+# DECIMAL(38,6); the cents total is a plain BIGINT sum (NOT dec_sum —
+# DuckDB's DECIMAL -> DOUBLE cast is a two-step int128/1e6 conversion
+# that rounds differently from Spark's correctly-rounded one once the
+# SCALED value passes 2^53: 753509526545000000 came back ...544.9999,
+# caught by the sf0.1 gate this round; bigint -> double is correctly
+# rounded in both engines). Plan: one ranked sort, two tiny aggregates.
+_GINI_MD = (
+    "(2.0 * t_sum / (CAST(n AS DOUBLE)"
+    " * CAST(NULLIF(n - 1, 0) AS DOUBLE)))"
+)
+_GINI_RMD = (
+    f"({_GINI_MD}"
+    " / NULLIF(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE), 0.0))"
+)
+
+
+@_q(
+    "q_gini_md",
+    f"""
+    WITH r AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice, o_orderkey)
+                    AS BIGINT) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n
+        FROM orders
+    ), g AS (
+        SELECT o_orderpriority, MAX(n) AS n,
+               {oracle_dec_sum("CAST((2 * i - n - 1) * cents AS DOUBLE)",
+                               "t_sum")},
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM r GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, {_GINI_MD} AS md_cents, {_GINI_RMD} AS rel_md
+    FROM g
+    """,
+)
+def q_gini_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    ranked = global_order(
+        o,
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        rank_col="grk",
+    )
+    base = ranked.groupBy("o_orderpriority").agg(
+        F.min("grk").alias("base"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    j = ranked.join(F.broadcast(base), "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "cents",
+        (F.col("grk") - F.col("base") + 1).cast("bigint").alias("i"),
+    )
+    g = j.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        dec_sum(
+            F.expr("CAST((2 * i - n - 1) * cents AS DOUBLE)"), "t_sum"
+        ),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    return g.selectExpr(
+        "o_orderpriority",
+        "n",
+        f"{_GINI_MD} AS md_cents",
+        f"{_GINI_RMD} AS rel_md",
+    )
+
+
+# --- Bowley quartile skewness (round 9) --------------------------------------
+# Distribution-shape audit per event_type without moments: (Q1 + Q3 -
+# 2 Q2) / (Q3 - Q1), the robust skewness in [-1, 1] — complements
+# q_stats_moments (third-moment skew is outlier-dominated) and rides
+# the PINNED percentile_cont interpolation convention (Spark
+# `percentile` == DuckDB `quantile_cont`, verified bit-identical —
+# q_percentile_cont / tests). NULLIF guards the zero-IQR degenerate
+# (over half the group on one value). Plan: one order-carrying hash
+# aggregate, O(|types|) output.
+_BOWLEY = "((q1 + q3 - 2 * q2) / NULLIF(q3 - q1, 0.0))"
+
+
+@_q(
+    "q_bowley_skew",
+    f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+               quantile_cont(CAST(value AS DOUBLE), 0.5) AS q2,
+               quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n, q1, q2, q3, {_BOWLEY} AS bowley_skew FROM q
+    """,
+)
+def q_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+    q = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile(v, F.lit(0.25)).alias("q1"),
+        F.percentile(v, F.lit(0.5)).alias("q2"),
+        F.percentile(v, F.lit(0.75)).alias("q3"),
+    )
+    return q.selectExpr(
+        "event_type", "n", "q1", "q2", "q3", f"{_BOWLEY} AS bowley_skew"
+    )

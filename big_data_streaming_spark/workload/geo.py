@@ -421,3 +421,190 @@ def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance_cents"),
         )
     )
+
+
+# --- Moran's I spatial autocorrelation (round 9) -----------------------------
+# Do dense grid cells neighbor dense grid cells? Moran's I over the
+# per-cell customer count x_i with rook (4-neighbor) weights:
+# I = (N/W) * sum_adj (x_i - xbar)(x_j - xbar) / sum_i (x_i - xbar)^2.
+# Exactness: with d_i = N*x_i - S (S = sum x) the 1/N^2 factors cancel
+# and I = N * sum_adj(d_i d_j) / (W * sum_i d_i^2) — every d_i is a
+# pure BIGINT; the products are doubles of exact integers (exact below
+# 2^53, correctly-rounded identically beyond) routed through the
+# decimal sum. Plan: one fact-sized groupBy onto the BOUNDED 19 x 37
+# cell grid, one broadcast rook self-join of the O(cells) relation
+# (<= 703 rows — bounded non-equi join, never fact-sized), O(1)
+# output. Cells with no rook neighbor contribute to the denominator
+# only (standard). 100 TB: the grid stays 703 cells whatever the row
+# count — only the first aggregate sees the data.
+_ROOK = (
+    "(a.cell_lat = b.cell_lat AND abs(a.cell_lon - b.cell_lon) = 1)"
+    " OR (a.cell_lon = b.cell_lon AND abs(a.cell_lat - b.cell_lat) = 1)"
+)
+_MORAN_I = (
+    "(CAST(n_cells AS DOUBLE) * num"
+    " / (CAST(NULLIF(w_pairs, 0) AS DOUBLE) * NULLIF(den, 0.0)))"
+)
+
+
+@_q(
+    "q_moran_i",
+    f"""
+    WITH pts AS ({_POINTS_SQL}),
+    cl AS (
+        SELECT cell_lat, cell_lon, CAST(COUNT(*) AS BIGINT) AS x
+        FROM pts GROUP BY cell_lat, cell_lon
+    ), dims AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM cl
+    ), d AS (
+        SELECT cell_lat, cell_lon, x,
+               CAST(n_cells * x - s AS BIGINT) AS dv, n_cells
+        FROM cl CROSS JOIN dims
+    ), adj AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+               {oracle_dec_sum(
+        "CAST(a.dv AS DOUBLE) * CAST(b.dv AS DOUBLE)", "num"
+    )}
+        FROM d a JOIN d b ON {_ROOK}
+    ), den AS (
+        SELECT MAX(n_cells) AS n_cells,
+               {oracle_dec_sum("CAST(dv AS DOUBLE) * CAST(dv AS DOUBLE)",
+                               "den")}
+        FROM d
+    )
+    SELECT n_cells, w_pairs, {_MORAN_I} AS moran_i
+    FROM adj CROSS JOIN den
+    """,
+)
+def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = (
+        _points(spark, sf_dir)
+        .groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    dims = cl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    d = cl.crossJoin(F.broadcast(dims)).select(
+        "cell_lat",
+        "cell_lon",
+        "x",
+        (F.col("n_cells") * F.col("x") - F.col("s"))
+        .cast("bigint")
+        .alias("dv"),
+        "n_cells",
+    )
+    a = d.selectExpr(
+        "cell_lat AS a_lat", "cell_lon AS a_lon", "dv AS a_dv"
+    )
+    b = d.selectExpr(
+        "cell_lat AS b_lat", "cell_lon AS b_lon", "dv AS b_dv"
+    )
+    rook = F.expr(
+        "(a_lat = b_lat AND abs(a_lon - b_lon) = 1)"
+        " OR (a_lon = b_lon AND abs(a_lat - b_lat) = 1)"
+    )
+    adj = a.join(F.broadcast(b), rook).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w_pairs"),
+        dec_sum(
+            F.expr("CAST(a_dv AS DOUBLE) * CAST(b_dv AS DOUBLE)"), "num"
+        ),
+    )
+    den = d.agg(
+        F.max("n_cells").alias("n_cells"),
+        dec_sum(F.expr("CAST(dv AS DOUBLE) * CAST(dv AS DOUBLE)"), "den"),
+    )
+    return adj.crossJoin(F.broadcast(den)).selectExpr(
+        "n_cells", "w_pairs", f"{_MORAN_I} AS moran_i"
+    )
+
+
+# --- Geary's C spatial contiguity ratio (round 9) ----------------------------
+# The local-difference companion of q_moran_i (Moran reads global
+# covariance, Geary reads neighbor-pair contrast — sensitive to local
+# structure Moran smooths over): C = ((N-1)/(2W)) * sum_adj (x_i -
+# x_j)^2 / sum_i (x_i - xbar)^2. With d_i = N*x_i - S the denominator
+# is den/N^2, so C = (N-1) * N^2 * T / (2 W den), T = sum_adj
+# (x_i - x_j)^2 — T is a pure-BIGINT sum of squared count differences
+# routed through the decimal sum. Same bounded rook self-join and
+# one-aggregate plan as q_moran_i; C ~ 1 is no autocorrelation, C < 1
+# positive.
+_GEARY_C = (
+    "(CAST(n_cells - 1 AS DOUBLE) * CAST(n_cells AS DOUBLE)"
+    " * CAST(n_cells AS DOUBLE) * t_sum"
+    " / (2.0 * CAST(NULLIF(w_pairs, 0) AS DOUBLE) * NULLIF(den, 0.0)))"
+)
+
+
+@_q(
+    "q_geary_c",
+    f"""
+    WITH pts AS ({_POINTS_SQL}),
+    cl AS (
+        SELECT cell_lat, cell_lon, CAST(COUNT(*) AS BIGINT) AS x
+        FROM pts GROUP BY cell_lat, cell_lon
+    ), dims AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM cl
+    ), d AS (
+        SELECT cell_lat, cell_lon, x,
+               CAST(n_cells * x - s AS BIGINT) AS dv, n_cells
+        FROM cl CROSS JOIN dims
+    ), adj AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+               {oracle_dec_sum(
+        "CAST((a.x - b.x) * (a.x - b.x) AS DOUBLE)", "t_sum"
+    )}
+        FROM d a JOIN d b ON {_ROOK}
+    ), den AS (
+        SELECT MAX(n_cells) AS n_cells,
+               {oracle_dec_sum("CAST(dv AS DOUBLE) * CAST(dv AS DOUBLE)",
+                               "den")}
+        FROM d
+    )
+    SELECT n_cells, w_pairs, {_GEARY_C} AS geary_c
+    FROM adj CROSS JOIN den
+    """,
+)
+def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = (
+        _points(spark, sf_dir)
+        .groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    dims = cl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    d = cl.crossJoin(F.broadcast(dims)).select(
+        "cell_lat",
+        "cell_lon",
+        "x",
+        (F.col("n_cells") * F.col("x") - F.col("s"))
+        .cast("bigint")
+        .alias("dv"),
+        "n_cells",
+    )
+    a = d.selectExpr("cell_lat AS a_lat", "cell_lon AS a_lon", "x AS a_x")
+    b = d.selectExpr("cell_lat AS b_lat", "cell_lon AS b_lon", "x AS b_x")
+    rook = F.expr(
+        "(a_lat = b_lat AND abs(a_lon - b_lon) = 1)"
+        " OR (a_lon = b_lon AND abs(a_lat - b_lat) = 1)"
+    )
+    adj = a.join(F.broadcast(b), rook).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w_pairs"),
+        dec_sum(
+            F.expr("CAST((a_x - b_x) * (a_x - b_x) AS DOUBLE)"), "t_sum"
+        ),
+    )
+    den = d.agg(
+        F.max("n_cells").alias("n_cells"),
+        dec_sum(F.expr("CAST(dv AS DOUBLE) * CAST(dv AS DOUBLE)"), "den"),
+    )
+    return adj.crossJoin(F.broadcast(den)).selectExpr(
+        "n_cells", "w_pairs", f"{_GEARY_C} AS geary_c"
+    )
