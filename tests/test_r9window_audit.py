@@ -90,19 +90,43 @@ def test_chao1_matches_spectrum_formula(spark, sf_small):
     else:
         _close(row["chao1_richness"], vocab + n1 * n1 / (2.0 * n2))
     _close(row["unseen_mass"], n1 / n_tokens)
-    if n2 == 0:
-        # exercise the non-degenerate branch too: a synthetic spectrum
-        # with known f1/f2 via a tiny in-memory corpus is overkill here —
-        # sf0.01 has doubletons; re-run there (cheap: one agg).
-        row = QUERIES["q_chao1"](spark, "/root/testdata/sf0.01").collect()[0]
-        docs = _raw("/root/testdata/sf0.01", "documents", "text")
-        freq = Counter()
-        for text in docs["text"]:
-            freq.update(text.split(" "))
-        n1 = sum(1 for v in freq.values() if v == 1)
-        n2 = sum(1 for v in freq.values() if v == 2)
-        assert n2 > 0, "sf0.01 spectrum unexpectedly lacks doubletons"
-        _close(row["chao1_richness"], len(freq) + n1 * n1 / (2.0 * n2))
+    assert n2 == 0, (
+        "fixture grew doubletons — drop the synthetic branch below"
+    )
+
+
+def test_chao1_non_degenerate_branch_on_synthetic_spectrum(spark, tmp_path):
+    """The driver fixtures have no doubletons (every synthetic token
+    repeats heavily or is unique), so the Chao1 division never runs
+    there — build a corpus with a KNOWN spectrum: f1 = 3 singletons,
+    f2 = 2 doubletons, one common token."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "common common s1 d1",
+        "common d1 s2 d2",
+        "common d2 s3",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["a"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    row = QUERIES["q_chao1"](spark, str(tmp_path)).collect()[0]
+    # spectrum: common x4, d1 x2, d2 x2, s1/s2/s3 x1 -> V=6, N=11
+    assert (row["vocab"], row["n_tokens"], row["n1"], row["n2"]) == (
+        6, 11, 3, 2,
+    )
+    _close(row["chao1_richness"], 6 + 9 / 4.0)
+    _close(row["unseen_mass"], 3 / 11.0)
 
 
 def test_rbo_matches_textbook_truncated_sum(spark, sf_small):
