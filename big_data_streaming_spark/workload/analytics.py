@@ -4828,10 +4828,14 @@ def q_seq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combinable aggregates; at 100 TB this is the textbook
 # streaming-bootstrap plan (Chamandy et al.), no second pass.
 _PB_B = 32
-# floor/round of cumulative Poisson(1) pmf × 2^32
+# round of cumulative Poisson(1) pmf × 2^32. C2 was 3950075380 through
+# round 8 — a hand-derivation slip of −42 (~1e-8 probability mass),
+# found by the round-9 math.exp re-derivation test
+# (tests/test_r9window_audit3.py); the differential gate never sees
+# this class because both engines share the constant.
 _PB_C0 = 1580030169   # P(X=0)  = e^-1
 _PB_C1 = 3160060337   # P(X<=1)
-_PB_C2 = 3950075380   # P(X<=2)
+_PB_C2 = 3950075422   # P(X<=2) = 2.5 e^-1
 
 
 @_q(
@@ -10720,6 +10724,13 @@ def q_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computed double; ranks are pinned by (diff, rep). Plan: one 32-way
 # map-side expansion into a combinable (rep, arm) aggregate + a 32-row
 # rank window.
+# Round-9 fix (caught by the known-truth replica, NOT by the
+# differential gate — both engines shared the wrong text): the weight
+# thresholds were hand-derived with e rounded to 2.72
+# (1579032135 = 2^32/2.72) instead of the true Poisson(1) cumulative
+# pmf; they now reuse q_poisson_bootstrap's _PB_C0/C1/C2
+# (floor(2^32·e^-1) etc.), which tests/test_r9window_audit3.py
+# re-derives independently with math.exp.
 _BD_B = 32
 
 
@@ -10739,9 +10750,9 @@ _BD_B = 32
         FROM base, range(0, {_BD_B}) r(b)
     ), w AS (
         SELECT is_click, value, rep,
-               CASE WHEN h < 1579032135 THEN 0
-                    WHEN h < 3158064270 THEN 1
-                    WHEN h < 3947580337 THEN 2
+               CASE WHEN h < {_PB_C0} THEN 0
+                    WHEN h < {_PB_C1} THEN 1
+                    WHEN h < {_PB_C2} THEN 2
                     ELSE 3 END AS wt
         FROM g
     ), per AS (
@@ -10806,10 +10817,10 @@ def q_boot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_click",
         "value",
         "rep",
-        "CASE WHEN h < 1579032135 THEN 0"
-        " WHEN h < 3158064270 THEN 1"
-        " WHEN h < 3947580337 THEN 2"
-        " ELSE 3 END AS wt",
+        f"CASE WHEN h < {_PB_C0} THEN 0"
+        f" WHEN h < {_PB_C1} THEN 1"
+        f" WHEN h < {_PB_C2} THEN 2"
+        f" ELSE 3 END AS wt",
     )
     per = w.groupBy("rep").agg(
         (
