@@ -39,10 +39,8 @@ HEADLINE = (
     "q_join_inner",
     "q_rollup",
     "q_topk",
-    "q_dedup_exact",
     "q_dedup_near",
     "q_text_fingerprint",
-    "q_text_quality",
     "q_sim_topk",
     "q_route_by_key",
     # round-2 additions (totals are NOT comparable to BENCH_r01's 15-query
@@ -168,6 +166,14 @@ HEADLINE = (
     "q_audio_clip_detect",
     "q_embed_class_scatter",
     "q_kmv_distinct",
+    # round 9: representatives of the new families (per-group MD on the
+    # range-partitioned global ranker; bounded rook-join spatial
+    # autocorrelation) — swapped IN for the 2 cheapest non-probe
+    # members (q_dedup_exact 0.27 s, q_text_quality 0.36 s in the r8
+    # detail; their families stay covered by q_line_dedup /
+    # q_quality_classifier), keeping the set at 100.
+    "q_gini_md",
+    "q_moran_i",
 )
 assert len(HEADLINE) <= 100, "headline capped at 100 — swap, don't grow"
 
