@@ -12760,11 +12760,19 @@ def q_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS y
         FROM rev
     ), ends AS (
-        SELECT CAST(MAX(x) AS BIGINT) AS xn, CAST(MAX(y) AS BIGINT) AS yn
+        -- chord through the curve's ACTUAL endpoints (1, y1)-(xn, yn);
+        -- the round-5 draft anchored at (1, 1), which is not on the
+        -- curve — the difference term (y1-1)*(xn-x) varies with x, so
+        -- the argmax (the knee itself) was a different functional.
+        -- Caught by the round-9 Kneedle replica (comment-vs-code), not
+        -- by the differential gate (shared text).
+        SELECT CAST(MAX(x) AS BIGINT) AS xn, CAST(MAX(y) AS BIGINT) AS yn,
+               CAST(MAX(CASE WHEN x = 1 THEN y END) AS BIGINT) AS y1
         FROM curve
     ), d AS (
         SELECT c.x, c.y, e.xn, e.yn,
-               abs((e.yn - 1) * (c.x - 1) - (e.xn - 1) * (c.y - 1)) AS cross_d
+               abs((e.yn - e.y1) * (c.x - 1) - (e.xn - 1) * (c.y - e.y1))
+                   AS cross_d
         FROM curve c CROSS JOIN ends e
     ), best AS (
         SELECT x, y, xn, yn, cross_d,
@@ -12800,6 +12808,9 @@ def q_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = curve.agg(
         F.max("x").cast("bigint").alias("xn"),
         F.max("y").cast("bigint").alias("yn"),
+        F.max(F.when(F.col("x") == 1, F.col("y")))
+        .cast("bigint")
+        .alias("y1"),
     )
     d = curve.crossJoin(F.broadcast(ends)).select(
         "x",
@@ -12807,8 +12818,8 @@ def q_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xn",
         "yn",
         F.abs(
-            (F.col("yn") - 1) * (F.col("x") - 1)
-            - (F.col("xn") - 1) * (F.col("y") - 1)
+            (F.col("yn") - F.col("y1")) * (F.col("x") - 1)
+            - (F.col("xn") - 1) * (F.col("y") - F.col("y1"))
         ).alias("cross_d"),
     )
     # argmax selection: sort+limit plans as TakeOrderedAndProject (no
