@@ -239,6 +239,7 @@ def connected_components_star(
         return row["n"], int(row["h"])
 
     prev_sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
         # -- large-star ---------------------------------------------------
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -276,8 +277,26 @@ def connected_components_star(
         )
         sig = _sig(e)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # Anti-fabrication (ADVICE r9): exhausting the round budget
+        # without reaching the edge-multiset fixed point means ``e`` can
+        # still hold MULTIPLE edges per node — the comp join below would
+        # then emit duplicate rows with fabricated component labels, the
+        # exact bug class connected_components' propagation guard raises
+        # loudly on. Fail the same way instead of returning garbage;
+        # alternating star rounds converge in O(log n), so a graph that
+        # blows a 25-round budget (n > 2^25 per component under the
+        # worst-case bound) is a caller error, not a data shape to paper
+        # over.
+        raise RuntimeError(
+            f"connected_components_star did not reach the edge-multiset "
+            f"fixed point within max_iter={max_iter} alternating rounds; "
+            f"unconverged star edges would yield duplicate/fabricated "
+            f"component labels. Raise max_iter."
+        )
 
     # fixed point: e holds (node, component-min) star edges
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))

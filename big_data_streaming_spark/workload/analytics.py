@@ -18266,9 +18266,15 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contingency grid (<= 5 priorities x 6 price bands), never from row
 # pairs: Nc = sum over cell pairs (a,b), a.px < b.px and a.yb < b.yb,
 # of n_a * n_b. Cell products are doubles of exact integer counts
-# (exact below 2^53, correctly-rounded identically beyond) routed
-# through the decimal sum. Plan: one fact-sized groupBy onto the grid,
-# one broadcast self-join of the O(30)-row grid, O(1) output.
+# routed through the decimal sum. CAVEAT (ADVICE r9, applies to this
+# whole pair family — q_somers_d, q_gk_gamma, q_stuart_tau_c, and the
+# spatial q_moran_i/q_geary_c): cross-engine parity of the
+# DECIMAL(38,6)→DOUBLE finish is exact only while the scaled sum stays
+# below 2^53 (~9e15); beyond that DuckDB's int128/1e6 two-step cast can
+# round differently from Spark (observed on q_gini_md at sf0.1), and
+# nc/nd here are ~n² pair counts that vastly exceed it at 100 TB scale.
+# Value-dependent beyond 2^53, NOT fully pinned — unlike the cents sums
+# there is no BIGINT-exact alternative for a product-of-counts sum.
 _PAIR_PROD = "CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)"
 _SOMERS_D = (
     "(CAST(nc - nd AS DOUBLE) / CAST(NULLIF(nc + nd + ty, 0.0) AS DOUBLE))"
@@ -18434,8 +18440,11 @@ def q_stuart_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with urgent priority AFTER stratifying by the customer's nation?
 # OR_MH = sum_i(a_i d_i / n_i) / sum_i(b_i c_i / n_i) over per-nation
 # 2x2 tables. Per-stratum terms are doubles of exact integer counts,
-# explicitly quantized at 1e-9 and summed as BIGINT (the q_chi2
-# pattern) so the <=25-term sums are order-free; the final ratio is one
+# explicitly quantized at 1e-6 and summed as BIGINT (the q_chi2
+# pattern) so the <=25-term sums are order-free. 1e-6, not 1e-9
+# (ADVICE r9): at the 100 TB regime a*d/n is ~3e17 per stratum and a
+# 25-term sum of 1e9-scaled terms would sit within 25% of 2^63 —
+# 1e6 buys three orders of headroom, still far below double noise; the final ratio is one
 # shared division with a NULLIF guard (degenerate: no stratum has both
 # a non-exposed urgent and an exposed non-urgent order). Plan: one
 # dim join (nation key off the customer table), one (nation) count
@@ -18462,10 +18471,10 @@ _MH_OR = "(CAST(num_q AS DOUBLE) / CAST(NULLIF(den_q, 0) AS DOUBLE))"
         FROM j GROUP BY nk
     ), q AS (
         SELECT CAST(SUM(CAST(floor(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
-                                   / CAST(n AS DOUBLE) * 1000000000 + 0.5)
+                                   / CAST(n AS DOUBLE) * 1000000 + 0.5)
                              AS BIGINT)) AS BIGINT) AS num_q,
                CAST(SUM(CAST(floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
-                                   / CAST(n AS DOUBLE) * 1000000000 + 0.5)
+                                   / CAST(n AS DOUBLE) * 1000000 + 0.5)
                              AS BIGINT)) AS BIGINT) AS den_q,
                CAST(COUNT(*) AS BIGINT) AS n_strata
         FROM s
@@ -18495,7 +18504,7 @@ def q_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.expr(
                 "CAST(floor(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
-                " / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)"
+                " / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
             )
         )
         .cast("bigint")
@@ -18503,7 +18512,7 @@ def q_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.expr(
                 "CAST(floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)"
-                " / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)"
+                " / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
             )
         )
         .cast("bigint")
@@ -18603,7 +18612,7 @@ def q_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no sort, no window, O(1) output.
 _LORENZ_S = (
     "(CAST(m_below AS DOUBLE) / CAST(NULLIF(n_customers, 0) AS DOUBLE)"
-    " + low_cents / CAST(NULLIF(total_cents, 0) AS DOUBLE))"
+    " + CAST(low_cents AS DOUBLE) / CAST(NULLIF(total_cents, 0) AS DOUBLE))"
 )
 
 
@@ -18625,12 +18634,9 @@ _LORENZ_S = (
                CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) * n_customers
                                   < CAST(total_cents AS DOUBLE)
                              THEN 1 ELSE 0 END) AS BIGINT) AS m_below,
-               {oracle_dec_sum(
-        "CASE WHEN CAST(rev AS DOUBLE) * n_customers"
-        " < CAST(total_cents AS DOUBLE) THEN CAST(rev AS DOUBLE)"
-        " ELSE 0.0 END",
-        "low_cents",
-    )}
+               CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) * n_customers
+                                  < CAST(total_cents AS DOUBLE)
+                             THEN rev ELSE 0 END) AS BIGINT) AS low_cents
         FROM cust CROSS JOIN tot
     )
     SELECT n_customers, m_below, low_cents, {_LORENZ_S} AS s_lorenz
@@ -18657,12 +18663,13 @@ def q_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"CASE WHEN {below} THEN 1 ELSE 0 END"))
         .cast("bigint")
         .alias("m_below"),
-        dec_sum(
-            F.expr(
-                f"CASE WHEN {below} THEN CAST(rev AS DOUBLE) ELSE 0.0 END"
-            ),
-            "low_cents",
-        ),
+        # ADVICE r9: rev is already integer cents, so the below-mean
+        # revenue mass sums exactly as a plain BIGINT (like q_gini_md's
+        # sum_cents) — the DECIMAL(38,6)→DOUBLE dec_sum finish it used
+        # before diverges cross-engine once the scaled total passes 2^53.
+        F.sum(F.expr(f"CASE WHEN {below} THEN rev ELSE 0 END"))
+        .cast("bigint")
+        .alias("low_cents"),
     )
     return agg.selectExpr(
         "n_customers", "m_below", "low_cents", f"{_LORENZ_S} AS s_lorenz"

@@ -429,9 +429,12 @@ def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 # I = (N/W) * sum_adj (x_i - xbar)(x_j - xbar) / sum_i (x_i - xbar)^2.
 # Exactness: with d_i = N*x_i - S (S = sum x) the 1/N^2 factors cancel
 # and I = N * sum_adj(d_i d_j) / (W * sum_i d_i^2) — every d_i is a
-# pure BIGINT; the products are doubles of exact integers (exact below
-# 2^53, correctly-rounded identically beyond) routed through the
-# decimal sum. Plan: one fact-sized groupBy onto the BOUNDED 19 x 37
+# pure BIGINT; the products are doubles of exact integers routed
+# through the decimal sum. CAVEAT (ADVICE r9, shared with q_geary_c
+# and the analytics.py pair family): the DECIMAL(38,6)→DOUBLE finish
+# is cross-engine exact only while the scaled sum stays below 2^53 —
+# d_i d_j products grow ~n² with the row count, so at 100 TB parity
+# past that point is value-dependent, not pinned. Plan: one fact-sized groupBy onto the BOUNDED 19 x 37
 # cell grid, one broadcast rook self-join of the O(cells) relation
 # (<= 703 rows — bounded non-equi join, never fact-sized), O(1)
 # output. Cells with no rook neighbor contribute to the denominator
@@ -529,7 +532,8 @@ def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_j)^2 / sum_i (x_i - xbar)^2. With d_i = N*x_i - S the denominator
 # is den/N^2, so C = (N-1) * N^2 * T / (2 W den), T = sum_adj
 # (x_i - x_j)^2 — T is a pure-BIGINT sum of squared count differences
-# routed through the decimal sum. Same bounded rook self-join and
+# routed through the decimal sum (same DECIMAL→DOUBLE >2^53 caveat as
+# q_moran_i above). Same bounded rook self-join and
 # one-aggregate plan as q_moran_i; C ~ 1 is no autocorrelation, C < 1
 # positive.
 _GEARY_C = (

@@ -449,3 +449,29 @@ def test_min_label_cc_converging_on_final_round_returns(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(7)}
+
+
+def test_star_cc_raises_on_exhausted_rounds(spark):
+    """connected_components_star must FAIL LOUDLY when the alternating-
+    round budget runs out before the edge-multiset fixed point (ADVICE
+    r9): unconverged star edges can hold multiple edges per node, so
+    minhash_dedup_components' comp join would emit duplicate rows with
+    fabricated component labels. Star rounds collapse a path roughly
+    geometrically, so a long path with max_iter=1 cannot converge."""
+    import pytest as _pytest
+
+    from big_data_streaming_spark.functions.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(RuntimeError, match="fixed point"):
+        connected_components_star(edges, max_iter=1)
+    # adequate budget: same graph converges to the min label everywhere
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, max_iter=25).collect()
+    }
+    assert got == {i: 0 for i in range(201)}

@@ -205,8 +205,10 @@ def test_mh_odds_matches_per_stratum_replica(spark, tmp_path):
         c = sum(1 for e, y in sub if not e and y)
         dd = sum(1 for e, y in sub if not e and not y)
         n = len(sub)
-        num += math.floor(a * dd / n * 1e9 + 0.5)
-        den += math.floor(b * c / n * 1e9 + 0.5)
+        # 1e6 quantization scale (ADVICE r9: 1e9 left <25% of 2^63
+        # headroom for 25 strata at the 100 TB regime)
+        num += math.floor(a * dd / n * 1e6 + 0.5)
+        den += math.floor(b * c / n * 1e6 + 0.5)
     assert row["n_strata"] == 2
     assert row["num_q"] == num and row["den_q"] == den
     _close(row["or_mh"], num / den)
