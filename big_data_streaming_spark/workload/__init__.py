@@ -100,75 +100,29 @@ _MODULES = (
 # round-4 additions (q_rbo … q_daypart_interaction) — all full-oracle,
 # gate-green at sf0.001/0.01/0.1.
 #
-# ROUND-10 ROTATION TODO: once CORRECTNESS_r09 lands, move its green keys
-# to the tail and promote the next unchecked block — priority order:
-# (1) the last two round-4 additions (q_temporal_integrity,
-# q_monthly_swing), (2) round-5 additions (q_geo_grid …
-# q_basket_size_dist), (3) round-6 additions, (4) round-7 additions,
-# (5) round-8/9 additions queued below them. Every queued key is
-# gate-green at sf0.001/0.01/0.1.
+# ROUND-10 ROTATION (executed per the TODO + VERDICT.md r9 task 1):
+# CORRECTNESS_r09 came back 50/50 full-green (zero rows-only slots used,
+# zero red). All 50 r9 window keys move to the tail ("driver-checked in
+# round 9" block). The new window promotes the last two round-4
+# additions (q_temporal_integrity, q_monthly_swing) + the first 48
+# round-5 additions (q_geo_grid … q_crosstab_residuals) — all
+# full-oracle, gate-green at sf0.001/0.01/0.1, and pre-audited by the
+# round-9 replica campaign (tests/test_r10window_audit{,2,3,4}.py).
+#
+# ROUND-11 ROTATION TODO: once CORRECTNESS_r10 lands, move its green
+# keys to the tail and promote the next unchecked block — priority
+# order: (1) the last two round-5 additions (q_new_vs_returning,
+# q_basket_size_dist), (2) round-6 additions (q_window_funnel …
+# q_multi_supplier_share), (3) round-7/8/9/10 additions queued below
+# them. Every queued key is gate-green at sf0.001/0.01/0.1.
 _CHECK_FIRST: tuple[str, ...] = (
-    # ============ round-9 driver window (positions 0-49) =================
-    # First 50 of the remaining round-4 additions (q_rbo …
-    # q_daypart_interaction) — full-oracle, gate-green at
-    # sf0.001/0.01/0.1; never driver-checked until this window.
-    "q_rbo",
-    "q_energy_test",
-    "q_jonckheere",
-    "q_logrank",
-    "q_partial_corr",
-    "q_granger_lite",
-    "q_variance_ratio",
-    "q_pacf",
-    "q_rfm_migration",
-    "q_abc_analysis",
-    "q_cohort_revenue",
-    "q_ship_delay",
-    "q_stream_srm",
-    "q_neyman",
-    "q_mde_curve",
-    "q_growth_accounting",
-    "q_hash_uniformity",
-    "q_daily_bands",
-    "q_boot_diff",
-    "q_jl_audit",
-    "q_token_burst",
-    "q_scan_stat",
-    "q_record_days",
-    "q_ljung_box",
-    "q_keyness",
-    "q_source_jaccard",
-    "q_holt_winters",
-    "q_jarque_bera",
-    "q_page_hinkley",
-    "q_sen_slope",
-    "q_capture_recapture",
-    "q_chao1",
-    "q_simpsons_check",
-    "q_churn_baseline",
-    "q_bloom_advisor",
-    "q_order_seasonality",
-    "q_reorder_gap",
-    "q_yoy_growth",
-    "q_return_rates",
-    "q_price_dispersion",
-    "q_supplier_scorecard",
-    "q_discount_corr",
-    "q_priority_drift",
-    "q_mau_retention",
-    "q_balance_segments",
-    "q_cross_source_dups",
-    "q_stream_frontier",
-    "q_dead_stock",
-    "q_type_rollup",
-    "q_daypart_interaction",
-    # ============ round-10 rotation candidates (positions 50+) ===========
-    # Last two round-4 additions — full-oracle, gate-green at
-    # sf0.001/0.01/0.1; first in line for the round-10 window.
+    # ============ round-10 driver window (positions 0-49) ================
+    # Last two round-4 additions + first 48 round-5 additions
+    # (q_temporal_integrity … q_crosstab_residuals) — full-oracle,
+    # gate-green at sf0.001/0.01/0.1; never driver-checked until this
+    # window; formula keys pre-audited by test_r10window_audit{,2,3,4}.
     "q_temporal_integrity",
     "q_monthly_swing",
-    # Round-5 additions — full-oracle, gate-green at sf0.001/0.01/0.1;
-    # queued behind the round-4 remainder for the round-10 window.
     "q_geo_grid",
     "q_geo_knn",
     "q_eoq_advisor",
@@ -217,6 +171,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_dup_size_dist",
     "q_dau_overlap",
     "q_crosstab_residuals",
+    # ============ round-11 rotation candidates (positions 50+) ===========
+    # Last two round-5 additions (window overflow — the round-10 window
+    # filled at q_crosstab_residuals); first in line for round 11.
     "q_new_vs_returning",
     "q_basket_size_dist",
     # Round-6 additions — full-oracle, gate-green at sf0.001/0.01/0.1;
@@ -334,6 +291,58 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_bowley_skew",
     "q_moran_i",
     "q_geary_c",
+    # -- driver-checked in round 9 (CORRECTNESS_r09: 50/50 full-green,
+    # 0 rows-only, 0 red) — rotated to the tail ---------------------------
+    "q_rbo",
+    "q_energy_test",
+    "q_jonckheere",
+    "q_logrank",
+    "q_partial_corr",
+    "q_granger_lite",
+    "q_variance_ratio",
+    "q_pacf",
+    "q_rfm_migration",
+    "q_abc_analysis",
+    "q_cohort_revenue",
+    "q_ship_delay",
+    "q_stream_srm",
+    "q_neyman",
+    "q_mde_curve",
+    "q_growth_accounting",
+    "q_hash_uniformity",
+    "q_daily_bands",
+    "q_boot_diff",
+    "q_jl_audit",
+    "q_token_burst",
+    "q_scan_stat",
+    "q_record_days",
+    "q_ljung_box",
+    "q_keyness",
+    "q_source_jaccard",
+    "q_holt_winters",
+    "q_jarque_bera",
+    "q_page_hinkley",
+    "q_sen_slope",
+    "q_capture_recapture",
+    "q_chao1",
+    "q_simpsons_check",
+    "q_churn_baseline",
+    "q_bloom_advisor",
+    "q_order_seasonality",
+    "q_reorder_gap",
+    "q_yoy_growth",
+    "q_return_rates",
+    "q_price_dispersion",
+    "q_supplier_scorecard",
+    "q_discount_corr",
+    "q_priority_drift",
+    "q_mau_retention",
+    "q_balance_segments",
+    "q_cross_source_dups",
+    "q_stream_frontier",
+    "q_dead_stock",
+    "q_type_rollup",
+    "q_daypart_interaction",
     # -- driver-checked in round 8 (CORRECTNESS_r08: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_quantile_sketch_audit",
