@@ -291,6 +291,21 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q_bowley_skew",
     "q_moran_i",
     "q_geary_c",
+    # Round-10 additions (12 — growth capped below the 50-key window per
+    # VERDICT r9 task 2) — full-oracle, gate-green at sf0.001/0.01/0.1;
+    # queued behind the round-9 block for the round-11+ windows.
+    "q_weighted_kappa",
+    "q_gwet_ac1",
+    "q_gk_tau",
+    "q_cucconi",
+    "q_lepage",
+    "q_siegel_tukey",
+    "q_brunner_munzel",
+    "q_pettitt",
+    "q_mmd_poly",
+    "q_dunn_index",
+    "q_ripley_k",
+    "q_blomqvist_beta",
     # -- driver-checked in round 9 (CORRECTNESS_r09: 50/50 full-green,
     # 0 rows-only, 0 red) — rotated to the tail ---------------------------
     "q_rbo",

@@ -18989,3 +18989,1010 @@ def q_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.selectExpr(
         "event_type", "n", "q1", "q2", "q3", f"{_BOWLEY} AS bowley_skew"
     )
+
+
+# ========================= round 10 additions ==============================
+# Twelve operators under the growth cap (VERDICT r9 task 2): two chance-
+# corrected agreement coefficients, one PRE association measure, five
+# nonparametric two-sample tests, one kernel drift metric, one rank
+# change-point, one spatial K function (geo.py), one clustering-validity
+# index. Same module exactness policy as rounds 8-9: integer/decimal
+# sufficient statistics, doubles only in shared-text finishes, NULLIF on
+# every degenerate denominator, and the DECIMAL->DOUBLE >2^53 caveat
+# (see the round-9 pair-family note above) on every dec_sum of count
+# products. Reference parity: the reference's analytics surface stops at
+# parse/window/store (spark/streaming-shorttime.py:53-61); these extend
+# SURVEY.md section 2 Table C.
+
+# --- Cohen's weighted kappa (round 10) --------------------------------------
+# Chance-corrected agreement between two ordinal reads of the same
+# order: priority band (substring of o_orderpriority, 0-4) vs price
+# band (floor(o_totalprice/100000) capped at 4) on a shared 5-point
+# scale. Linear weights: the 1/(k-1) normalizer cancels in the ratio,
+# so kappa_w = 1 - n * D_obs / D_exp with D_obs = sum |i-j| O_ij (pure
+# BIGINT — |i-j| <= 4) and D_exp = sum |i-j| R_i C_j (margin products
+# routed through the decimal sum; >2^53 caveat applies at scale). The
+# partner of q_cohen_kappa (unweighted) for ordinal scales where
+# near-misses should count less than far-misses. Plan: one fact-sized
+# groupBy onto the <= 25-cell grid, two margin re-aggregates of the
+# grid, one broadcast 5x5 margin cross join, O(1) output.
+_WKAPPA = (
+    "(1.0 - CAST(n AS DOUBLE) * CAST(d_obs AS DOUBLE)"
+    " / NULLIF(d_exp, 0.0))"
+)
+
+
+@_q(
+    "q_weighted_kappa",
+    f"""
+    WITH g AS (
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) - 1 AS i,
+               CAST(least(floor(o_totalprice / 100000), 4.0) AS BIGINT) AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ), dims AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(abs(i - j) * c) AS BIGINT) AS d_obs
+        FROM g
+    ), rm AS (
+        SELECT i, CAST(SUM(c) AS BIGINT) AS r FROM g GROUP BY i
+    ), cm AS (
+        SELECT j, CAST(SUM(c) AS BIGINT) AS col FROM g GROUP BY j
+    ), e AS (
+        SELECT {oracle_dec_sum(
+        "abs(rm.i - cm.j) * CAST(rm.r AS DOUBLE) * CAST(cm.col AS DOUBLE)",
+        "d_exp",
+    )}
+        FROM rm CROSS JOIN cm
+    )
+    SELECT n, d_obs, d_exp, {_WKAPPA} AS kappa_w
+    FROM dims CROSS JOIN e
+    """,
+)
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        (F.expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)") - 1)
+        .alias("i"),
+        F.expr("CAST(least(floor(o_totalprice / 100000), 4.0) AS BIGINT)")
+        .alias("j"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dims = g.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("abs(i - j) * c")).cast("bigint").alias("d_obs"),
+    )
+    rm = g.groupBy("i").agg(F.sum("c").cast("bigint").alias("r"))
+    cm = g.groupBy("j").agg(F.sum("c").cast("bigint").alias("col"))
+    e = rm.crossJoin(F.broadcast(cm)).agg(
+        dec_sum(
+            F.expr("abs(i - j) * CAST(r AS DOUBLE) * CAST(col AS DOUBLE)"),
+            "d_exp",
+        )
+    )
+    return dims.crossJoin(F.broadcast(e)).selectExpr(
+        "n", "d_obs", "d_exp", f"{_WKAPPA} AS kappa_w"
+    )
+
+
+# --- Gwet's AC1 agreement coefficient (round 10) -----------------------------
+# The paradox-resistant companion of q_weighted_kappa: kappa collapses
+# when the margins are skewed (high raw agreement, near-zero kappa —
+# the "kappa paradox"); Gwet's chance term uses the MEAN margin per
+# category instead of the product, so AC1 stays interpretable. Same two
+# raters. p_a = sum O_qq / n; p_e = sum_q pi_q (1 - pi_q) / (k - 1)
+# with pi_q = (R_q + C_q) / 2n, evaluated by the integer identity
+# pi(1-pi) = (R+C)(2n-R-C)/(4n^2): the <= 5 products route through the
+# decimal sum (>2^53 caveat), the 4n^2(k-1) division is one shared
+# finish. k = categories observed in EITHER margin (full outer margin
+# join — a category one rater never uses still dilutes chance).
+# Plan: same grid as q_weighted_kappa + one <= 5-row margin join.
+_AC1 = (
+    "((p_a - p_e) / NULLIF(1.0 - p_e, 0.0))"
+)
+
+
+@_q(
+    "q_gwet_ac1",
+    f"""
+    WITH g AS (
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) - 1 AS i,
+               CAST(least(floor(o_totalprice / 100000), 4.0) AS BIGINT) AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ), dims AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN i = j THEN c ELSE 0 END) AS BIGINT)
+                   AS agree
+        FROM g
+    ), rm AS (
+        SELECT i AS q, CAST(SUM(c) AS BIGINT) AS r FROM g GROUP BY i
+    ), cm AS (
+        SELECT j AS q, CAST(SUM(c) AS BIGINT) AS col FROM g GROUP BY j
+    ), marg AS (
+        SELECT COALESCE(rm.q, cm.q) AS q,
+               COALESCE(rm.r, 0) + COALESCE(cm.col, 0) AS rc
+        FROM rm FULL OUTER JOIN cm ON rm.q = cm.q
+    ), e AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               {oracle_dec_sum(
+        "CAST(rc AS DOUBLE)"
+        " * (2.0 * CAST(n AS DOUBLE) - CAST(rc AS DOUBLE))",
+        "s_pi",
+    )}
+        FROM marg CROSS JOIN dims GROUP BY n
+    )
+    SELECT n, k,
+           CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_a,
+           s_pi / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(NULLIF(k - 1, 0) AS DOUBLE)) AS p_e,
+           ((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))
+            - s_pi / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(NULLIF(k - 1, 0) AS DOUBLE)))
+           / NULLIF(1.0 - s_pi / (4.0 * CAST(n AS DOUBLE)
+                                  * CAST(n AS DOUBLE)
+                                  * CAST(NULLIF(k - 1, 0) AS DOUBLE)),
+                    0.0) AS ac1
+    FROM dims CROSS JOIN e
+    """,
+)
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        (F.expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)") - 1)
+        .alias("i"),
+        F.expr("CAST(least(floor(o_totalprice / 100000), 4.0) AS BIGINT)")
+        .alias("j"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dims = g.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN i = j THEN c ELSE 0 END"))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rm = g.groupBy(F.col("i").alias("q")).agg(
+        F.sum("c").cast("bigint").alias("r")
+    )
+    cm = g.groupBy(F.col("j").alias("q")).agg(
+        F.sum("c").cast("bigint").alias("col")
+    )
+    marg = (
+        rm.join(cm, "q", "full_outer")
+        .select(
+            (F.coalesce("r", F.lit(0)) + F.coalesce("col", F.lit(0)))
+            .alias("rc")
+        )
+    )
+    e = marg.crossJoin(F.broadcast(dims.select("n"))).groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        dec_sum(
+            F.expr(
+                "CAST(rc AS DOUBLE)"
+                " * (2.0 * CAST(n AS DOUBLE) - CAST(rc AS DOUBLE))"
+            ),
+            "s_pi",
+        ),
+    ).select("k", "s_pi")
+    pe = (
+        "s_pi / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " * CAST(NULLIF(k - 1, 0) AS DOUBLE))"
+    )
+    pa = "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)"
+    return dims.crossJoin(F.broadcast(e)).selectExpr(
+        "n",
+        "k",
+        f"{pa} AS p_a",
+        f"{pe} AS p_e",
+        f"(({pa}) - {pe}) / NULLIF(1.0 - {pe}, 0.0) AS ac1",
+    )
+
+
+# --- Goodman-Kruskal tau (round 10) ------------------------------------------
+# Proportional-reduction-in-error association: how much better do we
+# predict the value band (Y, 10 fixed-width buckets) knowing the
+# event_type (X)? tau = (n S1 - S2) / (n^2 - S2) with S1 = sum_ij
+# n_ij^2 / n_i+ and S2 = sum_j n_+j^2 — the variance-based PRE member
+# beside q_gk_lambda (modal error) and q_gk_gamma (pair concordance),
+# completing the Goodman-Kruskal family. Exactness: the per-row-class
+# inner sums I_x = sum_j n_xj^2 and the margin squares ride
+# DECIMAL(19,0)-squared sums (exact integers to 1e38); the one
+# non-integer quantity, I_x / n_x, is EXPLICITLY quantized at 1e-6 and
+# summed as BIGINT (the q_chi2/q_mh_odds pattern — each term is
+# bounded by n_x, so the quantized sum stays below n * 1e6 ~ 1e18 at
+# the 100 TB regime) so the <= |X|-term sum is order-free, not an
+# implicit DECIMAL(38,6) rounding. Plan: one fact-sized groupBy onto
+# the <= 5 x 10 grid, two margin re-aggregates, O(1) output.
+_GK_TAU = (
+    "((CAST(n AS DOUBLE) * (CAST(s1q AS DOUBLE) / 1000000.0) - s2)"
+    " / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - s2, 0.0))"
+)
+
+
+@_q(
+    "q_gk_tau",
+    f"""
+    WITH g AS (
+        SELECT event_type AS x,
+               CAST(least(floor(value / 50), 9.0) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), perx AS (
+        SELECT x, CAST(SUM(c) AS BIGINT) AS nx,
+               CAST(SUM(CAST(c AS DECIMAL(19,0))
+                        * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS ix
+        FROM g GROUP BY x
+    ), s1t AS (
+        SELECT CAST(SUM(CAST(floor(ix / CAST(nx AS DOUBLE) * 1000000
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS s1q
+        FROM perx
+    ), cmt AS (
+        SELECT {oracle_dec_sum(
+        "CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE)", "s2"
+    )},
+               CAST(SUM(ny) AS BIGINT) AS n
+        FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS ny FROM g GROUP BY y)
+    )
+    SELECT n, s1q, s2, {_GK_TAU} AS gk_tau
+    FROM s1t CROSS JOIN cmt
+    """,
+)
+def q_gk_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = e.groupBy(
+        F.col("event_type").alias("x"),
+        F.expr("CAST(least(floor(value / 50), 9.0) AS BIGINT)").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    perx = g.groupBy("x").agg(
+        F.sum("c").cast("bigint").alias("nx"),
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))")
+        )
+        .cast("double")
+        .alias("ix"),
+    )
+    s1t = perx.agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(ix / CAST(nx AS DOUBLE) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("s1q")
+    )
+    cmt = (
+        g.groupBy("y")
+        .agg(F.sum("c").cast("bigint").alias("ny"))
+        .agg(
+            dec_sum(
+                F.expr("CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE)"), "s2"
+            ),
+            F.sum("ny").cast("bigint").alias("n"),
+        )
+    )
+    return s1t.crossJoin(F.broadcast(cmt)).selectExpr(
+        "n", "s1q", "s2", f"{_GK_TAU} AS gk_tau"
+    )
+
+
+# --- Cucconi two-sample location-scale test (round 10) -----------------------
+# Does the 'view' value distribution differ from 'click' in location OR
+# scale, in one test? Cucconi's C combines the squared-rank sum U and
+# the squared-contrary-rank sum V with their known correlation — older
+# than and competitive with Lepage, rarely shipped by engines. Strict
+# ranks over the combined sample, (value, event_id) tie-break
+# (documented spec, identical both engines). Exactness: U = sum r^2 and
+# V = sum (N+1-r)^2 ride DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0)
+# sums — exact integers to 1e38 (sum <= N^3, safe to N ~ 4.6e12), no
+# double rounding before the final shared-text standardization
+# (means/variances are closed-form polynomials in m, n, N;
+# rho = 2(N^2-4)/((2N+1)(8N+11)) - 1). Spark plan: the range-
+# partitioned global ranker (plans/rank.py — never a single-partition
+# window), one conditional aggregate, O(1) output.
+_CUC_EU = "(CAST(n2 AS DOUBLE) * (nn + 1.0) * (2.0 * nn + 1.0) / 6.0)"
+_CUC_VAR = (
+    "(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (nn + 1.0)"
+    " * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 180.0)"
+)
+_CUC_RHO = (
+    "(2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0)) - 1.0)"
+)
+_CUC_BODY = f"""
+    SELECT n1, n2, u_sum, v_sum,
+           (zu * zu + zv * zv - 2.0 * {_CUC_RHO} * zu * zv)
+           / NULLIF(2.0 * (1.0 - {_CUC_RHO} * {_CUC_RHO}), 0.0) AS c_stat
+    FROM (
+        SELECT n1, n2, u_sum, v_sum,
+               CAST(n1 + n2 AS DOUBLE) AS nn,
+               (u_sum - {_CUC_EU}) / NULLIF(sqrt({_CUC_VAR}), 0.0) AS zu,
+               (v_sum - {_CUC_EU}) / NULLIF(sqrt({_CUC_VAR}), 0.0) AS zv
+        FROM (
+            SELECT n1, n2, u_sum, v_sum, CAST(n1 + n2 AS DOUBLE) AS nn
+            FROM agg
+        ) AS wide
+    ) AS z
+"""
+_RANKED_PAIR_SQL = """
+        SELECT g,
+               CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nn
+        FROM (
+            SELECT value, event_id,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        ) AS s
+"""
+
+
+def _ranked_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared two-sample ranked relation for the round-10 rank tests:
+    'click' (g=0) vs 'view' (g=1) event values, strict global ranks
+    with the (value, event_id) tie-break via the range-partitioned
+    distributed ranker."""
+    e = (
+        t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select(
+            "value",
+            "event_id",
+            F.expr(
+                "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"
+            ).alias("g"),
+        )
+    )
+    return global_order(
+        e, ["value", "event_id"], rank_col="rk", total_col="nn"
+    )
+
+
+@_q(
+    "q_cucconi",
+    f"""
+    WITH r AS (
+        {_RANKED_PAIR_SQL}
+    ), agg AS (
+        SELECT CAST(SUM(1 - g) AS BIGINT) AS n1,
+               CAST(SUM(g) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN g = 1
+                             THEN CAST(rk AS DECIMAL(19,0))
+                                  * CAST(rk AS DECIMAL(19,0)) END)
+                    AS DOUBLE) AS u_sum,
+               CAST(SUM(CASE WHEN g = 1
+                             THEN CAST(nn + 1 - rk AS DECIMAL(19,0))
+                                  * CAST(nn + 1 - rk AS DECIMAL(19,0)) END)
+                    AS DOUBLE) AS v_sum
+        FROM r
+    )
+    {_CUC_BODY}
+    """,
+)
+def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _ranked_pair(spark, sf_dir)
+    agg = r.agg(
+        F.sum(1 - F.col("g")).cast("bigint").alias("n1"),
+        F.sum("g").cast("bigint").alias("n2"),
+        F.sum(
+            F.expr(
+                "CASE WHEN g = 1 THEN CAST(rk AS DECIMAL(19,0))"
+                " * CAST(rk AS DECIMAL(19,0)) END"
+            )
+        )
+        .cast("double")
+        .alias("u_sum"),
+        F.sum(
+            F.expr(
+                "CASE WHEN g = 1 THEN CAST(nn + 1 - rk AS DECIMAL(19,0))"
+                " * CAST(nn + 1 - rk AS DECIMAL(19,0)) END"
+            )
+        )
+        .cast("double")
+        .alias("v_sum"),
+    )
+    agg.createOrReplaceTempView("agg")
+    return spark.sql(_CUC_BODY)
+
+
+# --- Lepage two-sample location-scale test (round 10) ------------------------
+# The textbook location-scale combination: L = Z_W^2 + Z_A^2, Wilcoxon
+# rank-sum (location) + Ansari-Bradley folded ranks (scale), same
+# 'click'/'view' split and strict-rank spec as q_cucconi so the two
+# tests read the same data the same way. a_i = least(r, N+1-r); both
+# sums are exact DECIMAL(38,0) sums of BIGINTs; E/Var are the closed
+# forms with Ansari-Bradley's split by N parity (one shared CASE).
+# Plan: global ranker + one aggregate, O(1) output.
+_LEP_ZW = (
+    "((w_sum - CAST(n2 AS DOUBLE) * (nn + 1.0) / 2.0)"
+    " / NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * (nn + 1.0) / 12.0), 0.0))"
+)
+_LEP_EA = (
+    "(CASE WHEN nni % 2 = 0"
+    " THEN CAST(n2 AS DOUBLE) * (nn + 2.0) / 4.0"
+    " ELSE CAST(n2 AS DOUBLE) * (nn + 1.0) * (nn + 1.0)"
+    " / (4.0 * NULLIF(nn, 0.0))"
+    " END)"
+)
+_LEP_VA = (
+    "(CASE WHEN nni % 2 = 0"
+    " THEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (nn + 2.0)"
+    " * (nn - 2.0) / (48.0 * NULLIF(nn - 1.0, 0.0))"
+    " ELSE CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (nn + 1.0)"
+    " * (3.0 + nn * nn) / (48.0 * nn * nn)"
+    " END)"
+)
+_LEP_BODY = f"""
+    SELECT n1, n2, w_sum, a_sum,
+           zw * zw + za * za AS lepage_l
+    FROM (
+        SELECT n1, n2, w_sum, a_sum,
+               {_LEP_ZW} AS zw,
+               (a_sum - {_LEP_EA}) / NULLIF(sqrt({_LEP_VA}), 0.0) AS za
+        FROM (
+            SELECT n1, n2, w_sum, a_sum,
+                   CAST(n1 + n2 AS DOUBLE) AS nn, n1 + n2 AS nni
+            FROM agg
+        ) AS wide
+    ) AS z
+"""
+
+
+@_q(
+    "q_lepage",
+    f"""
+    WITH r AS (
+        {_RANKED_PAIR_SQL}
+    ), agg AS (
+        SELECT CAST(SUM(1 - g) AS BIGINT) AS n1,
+               CAST(SUM(g) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN g = 1
+                             THEN CAST(rk AS DECIMAL(38,0)) END)
+                    AS DOUBLE) AS w_sum,
+               CAST(SUM(CASE WHEN g = 1
+                             THEN CAST(least(rk, nn + 1 - rk)
+                                       AS DECIMAL(38,0)) END)
+                    AS DOUBLE) AS a_sum
+        FROM r
+    )
+    {_LEP_BODY}
+    """,
+)
+def q_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _ranked_pair(spark, sf_dir)
+    agg = r.agg(
+        F.sum(1 - F.col("g")).cast("bigint").alias("n1"),
+        F.sum("g").cast("bigint").alias("n2"),
+        F.sum(
+            F.expr("CASE WHEN g = 1 THEN CAST(rk AS DECIMAL(38,0)) END")
+        )
+        .cast("double")
+        .alias("w_sum"),
+        F.sum(
+            F.expr(
+                "CASE WHEN g = 1"
+                " THEN CAST(least(rk, nn + 1 - rk) AS DECIMAL(38,0)) END"
+            )
+        )
+        .cast("double")
+        .alias("a_sum"),
+    )
+    agg.createOrReplaceTempView("agg")
+    return spark.sql(_LEP_BODY)
+
+
+# --- Siegel-Tukey alternating-rank scale test (round 10) ---------------------
+# Scale test that recycles the Wilcoxon null: re-rank the combined
+# sample from the OUTSIDE IN (1 to the minimum; 2,3 to the two maxima;
+# 4,5 to the next two minima; ...), then run a plain rank-sum on the
+# alternating ranks — a dispersed sample soaks up the small outside
+# ranks. Closed-form assignment from the ascending position a and the
+# descending position q = N+1-a (a permutation of 1..N for every N —
+# pinned by a property test over N = 1..40, which caught the middle
+# element of an odd N escaping the range — so the Wilcoxon mean/
+# variance apply unchanged): middle element (a = q, odd N only):
+# st = N (it is reached last, whichever side's burst arrives); lower
+# half (a < q): st = 2a if a even else 2a-1; upper half: st = 2q if q
+# odd else 2q-1. Same split, tie-break, DECIMAL-exact sums, and standardization
+# as q_lepage's W component. Plan: global ranker + one aggregate, O(1).
+_ST_RANK = (
+    "CASE WHEN 2 * rk = nn + 1 THEN nn"
+    " WHEN rk < nn + 1 - rk"
+    " THEN CASE WHEN rk % 2 = 0 THEN 2 * rk ELSE 2 * rk - 1 END"
+    " ELSE CASE WHEN (nn + 1 - rk) % 2 = 1 THEN 2 * (nn + 1 - rk)"
+    "      ELSE 2 * (nn + 1 - rk) - 1 END"
+    " END"
+)
+_ST_Z = (
+    "((st_sum - CAST(n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) + 1.0) / 2.0)"
+    " / NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * (CAST(n1 + n2 AS DOUBLE) + 1.0) / 12.0), 0.0))"
+)
+
+
+@_q(
+    "q_siegel_tukey",
+    f"""
+    WITH r AS (
+        {_RANKED_PAIR_SQL}
+    ), agg AS (
+        SELECT CAST(SUM(1 - g) AS BIGINT) AS n1,
+               CAST(SUM(g) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN g = 1
+                             THEN CAST({_ST_RANK} AS DECIMAL(38,0)) END)
+                    AS DOUBLE) AS st_sum
+        FROM r
+    )
+    SELECT n1, n2, st_sum, {_ST_Z} AS z_st FROM agg
+    """,
+)
+def q_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _ranked_pair(spark, sf_dir)
+    agg = r.agg(
+        F.sum(1 - F.col("g")).cast("bigint").alias("n1"),
+        F.sum("g").cast("bigint").alias("n2"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN g = 1"
+                f" THEN CAST({_ST_RANK} AS DECIMAL(38,0)) END"
+            )
+        )
+        .cast("double")
+        .alias("st_sum"),
+    )
+    return agg.selectExpr("n1", "n2", "st_sum", f"{_ST_Z} AS z_st")
+
+
+# --- Brunner-Munzel heteroscedastic rank test (round 10) ---------------------
+# The rank test that does NOT assume equal variances (the rank-world
+# Welch): estimates p = P(click < view) + 0.5 P(=) and studentizes with
+# per-sample placement variances — q_mannwhitney's U breaks under
+# unequal spread, this is its robust replacement. Midranks handle ties
+# exactly by working in the DOUBLED domain, aggregated per distinct
+# value so every quantity stays integral: for a value with c rows
+# (c1 from click, c2 from view) and cum_* inclusive running sums in
+# value order, the doubled combined midrank is 2R = 2(cum_all - c) +
+# c + 1 and the doubled within-sample midrank likewise with (cum_k,
+# c_k); the placement x_k = 2R - 2H_k is one integer shared by all c_k
+# rows. S_k^2 uses the (n sum x^2 - (sum x)^2)/(4 n (n-1)) identity on
+# DECIMAL-exact sums of c_k * x_k^m (widths 12+13+13 = 38 — exact to
+# N ~ 1e12; the squared-sum subtraction is the one shared-text double
+# step, >2^53 caveat). W_BM = n1 n2 (Rbar2 - Rbar1) / ((n1+n2)
+# sqrt(n1 S1^2 + n2 S2^2)) — Brunner & Munzel (2000). Plan: one fact-
+# sized (value) aggregate, the global ranker's cum_sums over the
+# distinct-value grid, one aggregate, O(1) output.
+_BM_BODY = """
+    SELECT n1, n2,
+           (r2m - (CAST(n2 AS DOUBLE) + 1.0) / 2.0)
+           / NULLIF(CAST(n1 AS DOUBLE), 0.0) AS p_hat,
+           CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (r2m - r1m)
+           / NULLIF((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                    * sqrt(CAST(n1 AS DOUBLE) * s1sq
+                           + CAST(n2 AS DOUBLE) * s2sq), 0.0) AS w_bm
+    FROM (
+        SELECT n1, n2,
+               t1 / NULLIF(2.0 * CAST(n1 AS DOUBLE), 0.0) AS r1m,
+               t2 / NULLIF(2.0 * CAST(n2 AS DOUBLE), 0.0) AS r2m,
+               (CAST(n1 AS DOUBLE) * b1 - a1 * a1)
+               / NULLIF(4.0 * CAST(n1 AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) - 1.0), 0.0) AS s1sq,
+               (CAST(n2 AS DOUBLE) * b2 - a2 * a2)
+               / NULLIF(4.0 * CAST(n2 AS DOUBLE)
+                        * (CAST(n2 AS DOUBLE) - 1.0), 0.0) AS s2sq
+        FROM agg
+    ) AS wide
+"""
+_BM_SUMS_SQL = """
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(CAST(c1 AS DECIMAL(12,0))
+                        * CAST(2 * (cum_all - c) + c + 1
+                               AS DECIMAL(14,0))) AS DOUBLE) AS t1,
+               CAST(SUM(CAST(c2 AS DECIMAL(12,0))
+                        * CAST(2 * (cum_all - c) + c + 1
+                               AS DECIMAL(14,0))) AS DOUBLE) AS t2,
+               CAST(SUM(CAST(c1 AS DECIMAL(12,0))
+                        * CAST(x1 AS DECIMAL(14,0))) AS DOUBLE) AS a1,
+               CAST(SUM(CAST(c1 AS DECIMAL(12,0))
+                        * CAST(x1 AS DECIMAL(13,0))
+                        * CAST(x1 AS DECIMAL(13,0))) AS DOUBLE) AS b1,
+               CAST(SUM(CAST(c2 AS DECIMAL(12,0))
+                        * CAST(x2 AS DECIMAL(14,0))) AS DOUBLE) AS a2,
+               CAST(SUM(CAST(c2 AS DECIMAL(12,0))
+                        * CAST(x2 AS DECIMAL(13,0))
+                        * CAST(x2 AS DECIMAL(13,0))) AS DOUBLE) AS b2
+        FROM x
+"""
+
+
+@_q(
+    "q_brunner_munzel",
+    f"""
+    WITH grid AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        GROUP BY value
+    ), o AS (
+        SELECT c1, c2, c1 + c2 AS c,
+               CAST(SUM(c1 + c2) OVER (ORDER BY value) AS BIGINT)
+                   AS cum_all,
+               CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+        FROM grid
+    ), x AS (
+        SELECT c1, c2, c, cum_all,
+               (2 * (cum_all - c) + c + 1)
+               - (2 * (cum1 - c1) + c1 + 1) AS x1,
+               (2 * (cum_all - c) + c + 1)
+               - (2 * (cum2 - c2) + c2 + 1) AS x2
+        FROM o
+    ), agg AS (
+        {_BM_SUMS_SQL}
+    )
+    {_BM_BODY}
+    """,
+)
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select(
+            "value",
+            F.expr(
+                "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"
+            ).alias("g"),
+        )
+    )
+    grid = e.groupBy("value").agg(
+        F.sum(1 - F.col("g")).cast("bigint").alias("c1"),
+        F.sum("g").cast("bigint").alias("c2"),
+    )
+    o = global_order(
+        grid.withColumn("c", F.expr("c1 + c2")),
+        ["value"],
+        cum_sums={"cum_all": "c", "cum1": "c1", "cum2": "c2"},
+    )
+    x = o.selectExpr(
+        "c1",
+        "c2",
+        "c",
+        "cum_all",
+        "(2 * (cum_all - c) + c + 1)"
+        " - (2 * (cum1 - c1) + c1 + 1) AS x1",
+        "(2 * (cum_all - c) + c + 1)"
+        " - (2 * (cum2 - c2) + c2 + 1) AS x2",
+    )
+    x.createOrReplaceTempView("x")
+    agg = spark.sql(f"SELECT * FROM ({_BM_SUMS_SQL}) AS bm_sums")
+    agg.createOrReplaceTempView("agg")
+    return spark.sql(_BM_BODY)
+
+
+# --- Pettitt change-point test (round 10) ------------------------------------
+# WHERE did the daily arrival level shift? Pettitt's rank-based CUSUM
+# over the daily count series: with strict ranks r_t of the D daily
+# counts (tie-break by day — documented spec), U_t = 2 * sum_{i<=t} r_i
+# - t (D+1); K = max |U_t| over t = 1..D-1, t* = the first day
+# attaining it. Complements q_changepoint (mean-shift scan) and
+# q_page_hinkley (sequential) with the distribution-free member. All
+# BIGINT — ranks and prefix sums over the tiny day grid. Plan: one
+# fact-sized (day) count, two windows over O(days) rows, O(1) output.
+@_q(
+    "q_pettitt",
+    """
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), r AS (
+        SELECT day,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, day) AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS dd
+        FROM d
+    ), u AS (
+        SELECT day, dd,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tt,
+               CAST(SUM(rk) OVER (ORDER BY day) AS BIGINT) AS cum_r
+        FROM r
+    ), k AS (
+        SELECT day, dd, abs(2 * cum_r - tt * (dd + 1)) AS u_abs
+        FROM u WHERE tt < dd
+    )
+    SELECT CAST(MAX(dd) AS BIGINT) AS d_days,
+           CAST(MAX(u_abs) AS BIGINT) AS k_stat,
+           MIN(CASE WHEN u_abs = m THEN day END) AS t_star
+    FROM k CROSS JOIN (SELECT MAX(u_abs) AS m FROM k) mm
+    """,
+)
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    dd = d.agg(F.count(F.lit(1)).cast("bigint").alias("dd"))
+    # bounded: O(days) day grid — one row per calendar day after the
+    # fact-sized aggregate above; the window input is the day grid.
+    w_rank = Window.orderBy("x", "day")
+    r = d.crossJoin(F.broadcast(dd)).select(
+        "day",
+        "dd",
+        F.row_number().over(w_rank).cast("bigint").alias("rk"),
+    )
+    # bounded: O(days) day grid — same tiny relation, prefix sums in
+    # day order.
+    w_day = Window.orderBy("day")
+    u = r.select(
+        "day",
+        "dd",
+        F.row_number().over(w_day).cast("bigint").alias("tt"),
+        F.sum("rk").over(w_day).cast("bigint").alias("cum_r"),
+    )
+    k = u.where(F.col("tt") < F.col("dd")).select(
+        "day",
+        "dd",
+        F.abs(2 * F.col("cum_r") - F.col("tt") * (F.col("dd") + 1)).alias(
+            "u_abs"
+        ),
+    )
+    mm = k.agg(F.max("u_abs").alias("m"))
+    return k.crossJoin(F.broadcast(mm)).agg(
+        F.max("dd").cast("bigint").alias("d_days"),
+        F.max("u_abs").cast("bigint").alias("k_stat"),
+        F.min(F.expr("CASE WHEN u_abs = m THEN day END")).alias("t_star"),
+    )
+
+
+# --- Polynomial-kernel MMD drift (round 10) ----------------------------------
+# Kernel two-sample drift between the first half of the month (day <=
+# 15) and the rest, on the cents-quantized value: MMD^2 with the
+# quadratic kernel k(x,y) = (1 + xy)^2 admits the closed moment form
+# MMD^2 = 2 (m1_a - m1_b)^2 + (m2_a - m2_b)^2 (expand the kernel:
+# the V-statistic expectation is 1 + 2 m1_a m1_b + m2_a m2_b per
+# block), so the whole kernel test is TWO moment aggregates — the
+# ML-native member of the drift family beside q_wasserstein_drift
+# (transport), q_lecam_drift, q_hellinger_drift (per-bucket f-
+# divergences): MMD catches mean/second-moment drift with zero
+# binning. Exactness: cents y and y^2 sum via DECIMAL (19,0-squared)
+# — exact integers; the m_k divisions and the final polynomial are one
+# shared-text finish. Plan: one conditional moment aggregate, O(1)
+# output. 100 TB: map-side combinable scan, no shuffle beyond the
+# 1-row combine.
+_MMD_BODY = """
+    SELECT n_a, n_b, m1_a, m1_b, m2_a, m2_b,
+           2.0 * (m1_a - m1_b) * (m1_a - m1_b)
+           + (m2_a - m2_b) * (m2_a - m2_b) AS mmd2
+    FROM (
+        SELECT n_a, n_b,
+               s1_a / NULLIF(CAST(n_a AS DOUBLE), 0.0) AS m1_a,
+               s1_b / NULLIF(CAST(n_b AS DOUBLE), 0.0) AS m1_b,
+               s2_a / NULLIF(CAST(n_a AS DOUBLE), 0.0) AS m2_a,
+               s2_b / NULLIF(CAST(n_b AS DOUBLE), 0.0) AS m2_b
+        FROM agg
+    ) AS m
+"""
+
+
+@_q(
+    "q_mmd_poly",
+    f"""
+    WITH s AS (
+        SELECT CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS a,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), agg AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+               CAST(SUM(1 - a) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN a = 1
+                             THEN CAST(y AS DECIMAL(38,0)) END)
+                    AS DOUBLE) AS s1_a,
+               CAST(SUM(CASE WHEN a = 0
+                             THEN CAST(y AS DECIMAL(38,0)) END)
+                    AS DOUBLE) AS s1_b,
+               CAST(SUM(CASE WHEN a = 1
+                             THEN CAST(y AS DECIMAL(19,0))
+                                  * CAST(y AS DECIMAL(19,0)) END)
+                    AS DOUBLE) AS s2_a,
+               CAST(SUM(CASE WHEN a = 0
+                             THEN CAST(y AS DECIMAL(19,0))
+                                  * CAST(y AS DECIMAL(19,0)) END)
+                    AS DOUBLE) AS s2_b
+        FROM s
+    )
+    {_MMD_BODY}
+    """,
+)
+def q_mmd_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = e.select(
+        F.expr("CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END").alias("a"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("y"),
+    )
+    agg = s.agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("a")).cast("bigint").alias("n_b"),
+        F.sum(F.expr("CASE WHEN a = 1 THEN CAST(y AS DECIMAL(38,0)) END"))
+        .cast("double")
+        .alias("s1_a"),
+        F.sum(F.expr("CASE WHEN a = 0 THEN CAST(y AS DECIMAL(38,0)) END"))
+        .cast("double")
+        .alias("s1_b"),
+        F.sum(
+            F.expr(
+                "CASE WHEN a = 1 THEN CAST(y AS DECIMAL(19,0))"
+                " * CAST(y AS DECIMAL(19,0)) END"
+            )
+        )
+        .cast("double")
+        .alias("s2_a"),
+        F.sum(
+            F.expr(
+                "CASE WHEN a = 0 THEN CAST(y AS DECIMAL(19,0))"
+                " * CAST(y AS DECIMAL(19,0)) END"
+            )
+        )
+        .cast("double")
+        .alias("s2_b"),
+    )
+    agg.createOrReplaceTempView("agg")
+    return spark.sql(_MMD_BODY)
+
+
+# --- Dunn clustering-validity index (round 10) --------------------------------
+# The worst-case counterpart of q_davies_bouldin's average-case score
+# over the same event-type partition of the 1-D cents space: Dunn =
+# min inter-cluster centroid separation / max intra-cluster diameter —
+# a single tight pair or one sprawling cluster tanks it, which the DB
+# index averages away. Exactness: diameters are pure BIGINT (max - min
+# cents); centroids are exact decimal sums over exact counts, so
+# |mu_i - mu_j| is a shared-text double of exact inputs. Plan: one
+# moment aggregate by type, one k x k broadcast self-join (k =
+# |types|), O(1) output.
+_DUNN = (
+    "(min_sep / NULLIF(CAST(max_diam AS DOUBLE), 0.0))"
+)
+
+
+@_q(
+    "q_dunn_index",
+    f"""
+    WITH r AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), cl AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s_i,
+               CAST(MAX(y) - MIN(y) AS BIGINT) AS diam
+        FROM r GROUP BY event_type
+    ), sep AS (
+        SELECT MIN(abs(a.s_i / CAST(a.n_i AS DOUBLE)
+                       - b.s_i / CAST(b.n_i AS DOUBLE))) AS min_sep
+        FROM cl a JOIN cl b ON a.event_type < b.event_type
+    ), dm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(diam) AS BIGINT) AS max_diam
+        FROM cl
+    )
+    SELECT k, min_sep, max_diam, {_DUNN} AS dunn
+    FROM sep CROSS JOIN dm
+    """,
+)
+def q_dunn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    r = e.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("y"),
+    )
+    cl = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))"))
+        .cast("double")
+        .alias("s_i"),
+        (F.max("y") - F.min("y")).cast("bigint").alias("diam"),
+    )
+    a = cl.selectExpr(
+        "event_type AS a_t", "n_i AS a_n", "s_i AS a_s"
+    )
+    b = cl.selectExpr(
+        "event_type AS b_t", "n_i AS b_n", "s_i AS b_s"
+    )
+    sep = (
+        a.join(F.broadcast(b), F.col("a_t") < F.col("b_t"))
+        .agg(
+            F.min(
+                F.expr(
+                    "abs(a_s / CAST(a_n AS DOUBLE)"
+                    " - b_s / CAST(b_n AS DOUBLE))"
+                )
+            ).alias("min_sep")
+        )
+    )
+    dm = cl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("diam").cast("bigint").alias("max_diam"),
+    )
+    return sep.crossJoin(F.broadcast(dm)).selectExpr(
+        "k", "min_sep", "max_diam", f"{_DUNN} AS dunn"
+    )
+
+
+# --- Blomqvist's beta medial correlation (round 10) ---------------------------
+# Sign-level dependence between quantity and revenue per lineitem:
+# split the plane at the two medians and read the quadrant imbalance —
+# beta = (n_concordant - n_discordant) / (n_concordant + n_discordant),
+# rows on either median excluded. The most outlier-proof member of the
+# correlation family (q_spearman ranks magnitudes, q_kendall_tau ranks
+# pairs; beta only reads signs), and O(n) — no pair stage at all.
+# Medians use the engines' interpolating continuous quantile (the
+# q_bowley_skew-established percentile/quantile_cont green mapping).
+# Plan: one 1-row median aggregate broadcast into one conditional
+# count aggregate, O(1) output.
+_BLOM = (
+    "(CAST(n_conc - n_disc AS DOUBLE)"
+    " / CAST(NULLIF(n_conc + n_disc, 0) AS DOUBLE))"
+)
+
+
+@_q(
+    "q_blomqvist_beta",
+    f"""
+    WITH med AS (
+        SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS mx,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS my
+        FROM lineitem
+    ), q AS (
+        SELECT CAST(SUM(CASE WHEN (l_quantity > mx AND l_extendedprice > my)
+                               OR (l_quantity < mx AND l_extendedprice < my)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+               CAST(SUM(CASE WHEN (l_quantity > mx AND l_extendedprice < my)
+                               OR (l_quantity < mx AND l_extendedprice > my)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem CROSS JOIN med
+    )
+    SELECT n, n_conc, n_disc, {_BLOM} AS blomqvist_beta FROM q
+    """,
+)
+def q_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    med = li.agg(
+        F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)).alias(
+            "mx"
+        ),
+        F.percentile(
+            F.col("l_extendedprice").cast("double"), F.lit(0.5)
+        ).alias("my"),
+    )
+    q = li.crossJoin(F.broadcast(med)).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN (l_quantity > mx AND l_extendedprice > my)"
+                " OR (l_quantity < mx AND l_extendedprice < my)"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_conc"),
+        F.sum(
+            F.expr(
+                "CASE WHEN (l_quantity > mx AND l_extendedprice < my)"
+                " OR (l_quantity < mx AND l_extendedprice > my)"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return q.selectExpr(
+        "n", "n_conc", "n_disc", f"{_BLOM} AS blomqvist_beta"
+    )

@@ -612,3 +612,104 @@ def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj.crossJoin(F.broadcast(den)).selectExpr(
         "n_cells", "w_pairs", f"{_GEARY_C} AS geary_c"
     )
+
+
+# --- Ripley's K function on the cell grid (round 10) --------------------------
+# Multi-scale spatial clustering read: K(r) counts how many neighbors
+# the average point sees within distance r, normalized by intensity —
+# K above the uniform expectation = clustering at that scale, below =
+# dispersion. Grid form (the 100 TB shape): distances are Chebyshev
+# CELL distances on the bounded 19 x 37 grid, so the pair stage is a
+# <= 703-row broadcast self-join with |dlat| <= r AND |dlon| <= r —
+# never a fact-sized distance join. pairs(r) = sum n_c1 * n_c2 over
+# cell pairs within r (ordered, same-cell included) minus n self-
+# pairs; k_hat(r) = n_cells * pairs(r) / (n (n-1)) — the grid-measure
+# analog of |A| sum 1(d<=r) / (n(n-1) ). Count products ride
+# DECIMAL(19,0) squares (exact to 1e38); one shared division. The
+# multi-radius ladder (r = 1, 2, 3 cells) complements q_moran_i /
+# q_geary_c (single-lag autocorrelation) with the cumulative-scale
+# view. Plan: one fact-sized grid aggregate, one bounded self-join,
+# 3-row output.
+_RIPLEY_FIN = (
+    "(CAST(n_cells AS DOUBLE) * pairs"
+    " / NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0))"
+)
+
+
+@_q(
+    "q_ripley_k",
+    f"""
+    WITH pts AS ({_POINTS_SQL}),
+    cl AS (
+        SELECT cell_lat, cell_lon, CAST(COUNT(*) AS BIGINT) AS x
+        FROM pts GROUP BY cell_lat, cell_lon
+    ), dims AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(x) AS BIGINT) AS n
+        FROM cl
+    ), pr AS (
+        SELECT greatest(abs(a.cell_lat - b.cell_lat),
+                        abs(a.cell_lon - b.cell_lon)) AS cheb,
+               CAST(a.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0))
+                   AS prod
+        FROM cl a JOIN cl b
+          ON abs(a.cell_lat - b.cell_lat) <= 3
+         AND abs(a.cell_lon - b.cell_lon) <= 3
+    ), lad AS (
+        SELECT rr.r,
+               CAST(SUM(CASE WHEN pr.cheb <= rr.r THEN pr.prod END)
+                    AS DOUBLE) AS ordered_pairs
+        FROM pr CROSS JOIN (VALUES (1), (2), (3)) AS rr(r)
+        GROUP BY rr.r
+    )
+    SELECT CAST(r AS BIGINT) AS r, n, n_cells,
+           ordered_pairs - CAST(n AS DOUBLE) AS pairs,
+           {_RIPLEY_FIN.replace("pairs", "(ordered_pairs - CAST(n AS DOUBLE))")}
+               AS k_hat
+    FROM lad CROSS JOIN dims
+    """,
+)
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    cl = pts.groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    dims = cl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("x").cast("bigint").alias("n"),
+    )
+    a = cl.selectExpr("cell_lat AS alat", "cell_lon AS alon", "x AS ax")
+    b = cl.selectExpr("cell_lat AS blat", "cell_lon AS blon", "x AS bx")
+    pr = a.join(
+        F.broadcast(b),
+        (F.abs(F.col("alat") - F.col("blat")) <= 3)
+        & (F.abs(F.col("alon") - F.col("blon")) <= 3),
+    ).select(
+        F.greatest(
+            F.abs(F.col("alat") - F.col("blat")),
+            F.abs(F.col("alon") - F.col("blon")),
+        ).alias("cheb"),
+        F.expr(
+            "CAST(ax AS DECIMAL(19,0)) * CAST(bx AS DECIMAL(19,0))"
+        ).alias("prod"),
+    )
+    rr = spark.range(1, 4).select(F.col("id").cast("int").alias("r"))
+    lad = (
+        pr.crossJoin(F.broadcast(rr))
+        .groupBy("r")
+        .agg(
+            F.sum(F.expr("CASE WHEN cheb <= r THEN prod END"))
+            .cast("double")
+            .alias("ordered_pairs")
+        )
+    )
+    fin = _RIPLEY_FIN.replace(
+        "pairs", "(ordered_pairs - CAST(n AS DOUBLE))"
+    )
+    return lad.crossJoin(F.broadcast(dims)).selectExpr(
+        "CAST(r AS BIGINT) AS r",
+        "n",
+        "n_cells",
+        "ordered_pairs - CAST(n AS DOUBLE) AS pairs",
+        f"{fin} AS k_hat",
+    )

@@ -77,7 +77,9 @@ MODULE_PINS = {
     # 16-row model-grid consensus rank — both limit-derived bounds)
     # round 8: +2 analytics (q_rescaled_range day index, q_sprt_monitor
     # cumulative look sequence — both O(days) daily aggregates)
-    "big_data_streaming_spark/workload/analytics.py": 49,
+    # round 10: +2 analytics (q_pettitt rank + prefix-sum windows — both
+    # O(days) day-grid aggregates)
+    "big_data_streaming_spark/workload/analytics.py": 51,
     "big_data_streaming_spark/workload/events.py": 1,
     "big_data_streaming_spark/workload/pipeline.py": 3,
     "big_data_streaming_spark/workload/relational.py": 11,
