@@ -6242,6 +6242,7 @@ def q_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split(text, ' ')[1] || ' '
                  || string_split(text, ' ')[2] AS lead2
         FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
     )
     SELECT lead2,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6252,12 +6253,20 @@ def q_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lead_bigram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
-    l2 = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.concat_ws(
-            " ", F.element_at(toks, 1), F.element_at(toks, 2)
-        ).alias("lead2"),
+    # Explicit >= 2-token guard (round-10 pre-audit find): on a 1-token
+    # document Spark's concat_ws SKIPS the null second element ("solo")
+    # while DuckDB's || PROPAGATES it (NULL) — the spec pins such docs
+    # as having no opening bigram, in both texts.
+    l2 = (
+        t(spark, sf_dir, "documents")
+        .where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ", F.element_at(toks, 1), F.element_at(toks, 2)
+            ).alias("lead2"),
+        )
     )
     return (
         l2.groupBy("lead2")
