@@ -40,7 +40,6 @@ HEADLINE = (
     "q_rollup",
     "q_topk",
     "q_dedup_near",
-    "q_text_fingerprint",
     "q_sim_topk",
     "q_route_by_key",
     # round-2 additions (totals are NOT comparable to BENCH_r01's 15-query
@@ -110,7 +109,6 @@ HEADLINE = (
     "q_stream_topk",
     "q_asof_nearest",
     "q_twap",
-    "q_realized_vol",
     # round 3: the expensive tail of the full-registry sweep (VERDICT r2
     # item 5) — the 4 slowest registry queries per BENCH_NOTES' round-2
     # full sweep (q_triangles 14.2 s, q_dedup_components 5.9 s,
@@ -174,6 +172,14 @@ HEADLINE = (
     # q_quality_classifier), keeping the set at 100.
     "q_gini_md",
     "q_moran_i",
+    # round 10: representatives of the new families (squared-rank
+    # location-scale test on the global ranker; bounded Chebyshev
+    # pair-ladder spatial K) — swapped IN for the 2 cheapest non-probe
+    # members (q_text_fingerprint 0.20 s, q_realized_vol 0.31 s in the
+    # r9 detail; their families stay covered by q_winnow_fingerprint /
+    # q_line_dedup and q_twap), keeping the set at 100.
+    "q_cucconi",
+    "q_ripley_k",
 )
 assert len(HEADLINE) <= 100, "headline capped at 100 — swap, don't grow"
 
