@@ -19083,9 +19083,11 @@ def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with pi_q = (R_q + C_q) / 2n, evaluated by the integer identity
 # pi(1-pi) = (R+C)(2n-R-C)/(4n^2): the <= 5 products route through the
 # decimal sum (>2^53 caveat), the 4n^2(k-1) division is one shared
-# finish. k = categories observed in EITHER margin (full outer margin
-# join — a category one rater never uses still dilutes chance).
-# Plan: same grid as q_weighted_kappa + one <= 5-row margin join.
+# finish. k = categories observed in EITHER margin, via one
+# union-aggregate of the grid (a category one rater never uses still
+# dilutes chance; a full-outer margin join cannot broadcast, the union
+# needs no join at all). Plan: same grid as q_weighted_kappa + one
+# bounded union-aggregate.
 _AC1 = (
     "((p_a - p_e) / NULLIF(1.0 - p_e, 0.0))"
 )
@@ -19104,14 +19106,12 @@ _AC1 = (
                CAST(SUM(CASE WHEN i = j THEN c ELSE 0 END) AS BIGINT)
                    AS agree
         FROM g
-    ), rm AS (
-        SELECT i AS q, CAST(SUM(c) AS BIGINT) AS r FROM g GROUP BY i
-    ), cm AS (
-        SELECT j AS q, CAST(SUM(c) AS BIGINT) AS col FROM g GROUP BY j
     ), marg AS (
-        SELECT COALESCE(rm.q, cm.q) AS q,
-               COALESCE(rm.r, 0) + COALESCE(cm.col, 0) AS rc
-        FROM rm FULL OUTER JOIN cm ON rm.q = cm.q
+        SELECT q, CAST(SUM(c) AS BIGINT) AS rc FROM (
+            SELECT i AS q, c FROM g
+            UNION ALL
+            SELECT j AS q, c FROM g
+        ) AS m GROUP BY q
     ), e AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
                {oracle_dec_sum(
@@ -19149,18 +19149,14 @@ def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("agree"),
     )
-    rm = g.groupBy(F.col("i").alias("q")).agg(
-        F.sum("c").cast("bigint").alias("r")
-    )
-    cm = g.groupBy(F.col("j").alias("q")).agg(
-        F.sum("c").cast("bigint").alias("col")
-    )
+    # R_q + C_q as ONE union-aggregate over the grid — a full-outer
+    # margin join cannot broadcast (Spark requires shuffling both sides
+    # of a full outer), and the union needs no join at all.
     marg = (
-        rm.join(cm, "q", "full_outer")
-        .select(
-            (F.coalesce("r", F.lit(0)) + F.coalesce("col", F.lit(0)))
-            .alias("rc")
-        )
+        g.select(F.col("i").alias("q"), "c")
+        .unionByName(g.select(F.col("j").alias("q"), "c"))
+        .groupBy("q")
+        .agg(F.sum("c").cast("bigint").alias("rc"))
     )
     e = marg.crossJoin(F.broadcast(dims.select("n"))).groupBy("n").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),

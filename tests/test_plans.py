@@ -890,3 +890,49 @@ def test_late_round7_plan_shapes(spark, sf_small):
     # RANSAC's 16x fan-out must be the broadcast nested-loop form
     plan = formatted_plan(QUERIES["q_ransac"](spark, sf_small))
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+# --- round-10 additions: plan pins ----------------------------------------
+
+
+def test_round10_stats_ops_never_cartesian_or_smj(spark, sf_small):
+    """Every round-10 statistic keeps its small sides broadcast: the
+    pair/margin/radius grids are O(cells) relations, so a SortMergeJoin
+    or CartesianProduct in any of these plans means a broadcast hint was
+    lost and the shape would shuffle fact-sized data at 100 TB."""
+    for name in (
+        "q_weighted_kappa",
+        "q_gwet_ac1",
+        "q_gk_tau",
+        "q_cucconi",
+        "q_lepage",
+        "q_siegel_tukey",
+        "q_brunner_munzel",
+        "q_pettitt",
+        "q_mmd_poly",
+        "q_dunn_index",
+        "q_ripley_k",
+        "q_blomqvist_beta",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_mmd_poly_is_single_moment_aggregate(spark, sf_small):
+    """The kernel test's whole point: MMD^2 from ONE conditional moment
+    aggregate over the scan — two exchanges max (partial/final of the
+    1-row combine), nothing else."""
+    df = QUERIES["q_mmd_poly"](spark, sf_small)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_ripley_k_pair_stage_is_broadcast(spark, sf_small):
+    """The radius ladder must join the <=703-cell grid against itself
+    via broadcast — a shuffled non-equi join here would become a
+    fact-sized theta join under a bad refactor."""
+    df = QUERIES["q_ripley_k"](spark, sf_small)
+    plan = formatted_plan(df)
+    # non-equi join -> the broadcast form is BroadcastNestedLoopJoin
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
