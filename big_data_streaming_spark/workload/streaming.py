@@ -894,7 +894,14 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_session_confs(spark)
     src_dir = _stage_stream_dir(sf_dir, "events")
-    tag = hashlib.md5(f"topk:{sf_dir}".encode()).hexdigest()[:10]
+    # pid in the tag: the checkpoint/out dirs are LIVE mutable state, so
+    # two processes running this key concurrently on one box (parallel
+    # preflight + invariance harnesses) must not share them — Spark
+    # aborts with CONCURRENT_STREAM_LOG_UPDATE when a second stream
+    # opens the same checkpoint log. Deterministic WITHIN a process
+    # (leak policy unchanged); the staged read-only SOURCE dir stays
+    # shared across processes.
+    tag = hashlib.md5(f"topk:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), "bdss_stream_stage")
     out_dir = os.path.join(base, f"stream_topk_{tag}")
     ckpt_dir = os.path.join(base, f"stream_topk_ckpt_{tag}")
@@ -1544,7 +1551,10 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     src_dir = _stage_stream_dir_parts(sf_dir, "documents", n_parts=4)
-    tag = hashlib.md5(f"neardup:{sf_dir}".encode()).hexdigest()[:10]
+    # pid in the tag — same cross-process checkpoint-collision guard as
+    # q_stream_topk (CONCURRENT_STREAM_LOG_UPDATE under parallel
+    # harnesses); deterministic within a process, source dir shared.
+    tag = hashlib.md5(f"neardup:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), "bdss_stream_stage")
     out_dir = os.path.join(base, f"stream_neardup_{tag}")
     ckpt_dir = os.path.join(base, f"stream_neardup_ckpt_{tag}")
