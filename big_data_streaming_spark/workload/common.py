@@ -72,6 +72,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def tr(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``t`` with the scale-adaptive scan-parallelism floor (round 11,
+    guide §2.5): opt-in for queries whose heavy per-row compute (array
+    kernels, Arrow/Python batches, wide decimal aggregation) would
+    otherwise fuse into a single scan task when the table's file layout
+    (e.g. one row group) caps scan parallelism. No-op whenever the scan
+    already has ≥ defaultParallelism row groups — i.e. always at
+    production scale."""
+    return load_table(spark, sf_dir, name, rebalance=True)
+
+
 def ohlc_oracle(with_volume: bool) -> str:
     """Shared OHLC selection oracle (batch q_ohlc_bars / streaming
     q_stream_ohlc): deterministic first/last row per (event_type, hour)

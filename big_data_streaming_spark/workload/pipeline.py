@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_streaming_spark.plans.rank import global_rank
-from big_data_streaming_spark.workload.common import t
+from big_data_streaming_spark.workload.common import t, tr
 
 QUERIES = {}
 ORACLES = {}
@@ -438,7 +438,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # tr: the per-token novelty windowing otherwise fuses into the single
+    # scan task of the one-row-group documents file (round-11 A/B:
+    # 2.19 -> 1.51 s; no-op at production row-group counts).
+    d = tr(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     bg = d.select(
         "doc_id",

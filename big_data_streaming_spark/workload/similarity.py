@@ -24,7 +24,7 @@ from big_data_streaming_spark.functions.similarity import (
     ivf_topk,
 )
 from big_data_streaming_spark.plans.rank import global_rank
-from big_data_streaming_spark.workload.common import t
+from big_data_streaming_spark.workload.common import t, tr
 
 QUERIES = {}
 ORACLES = {}
@@ -197,7 +197,11 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out ~0.51 (59 pairs ≥ 0.4 at sf0.01), so 0.4/4-planes yields a
     # non-vacuous result; a production corpus with true near-dups (cos
     # ≥ 0.95) would use the tighter default.
-    emb = t(spark, sf_dir, "embeddings")
+    # tr: the bucket self-join's exact-cosine verification otherwise fuses
+    # into the single scan task of the one-row-group embeddings file —
+    # the whole O(pairs·dim) kernel on one core (round-11 A/B:
+    # 4.13 -> 1.30 s; no-op at production row-group counts).
+    emb = tr(spark, sf_dir, "embeddings")
     return hyperplane_lsh_neardup(emb, min_cosine=0.4, n_planes=4)
 
 
@@ -249,6 +253,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     centroids = F.broadcast(_centroids_cached(spark, sf_dir, emb))
+    # NOT rebalanced (round-11): the per-vector centroid cosine is cheap
+    # enough that the focused A/B read flat-to-negative (0.71 vs 0.65 s);
+    # the broadcast-join probe does not pay a tr() exchange here.
     scored = emb.join(
         centroids, emb.label == centroids.centroid_id
     ).select(

@@ -26,7 +26,7 @@ from big_data_streaming_spark.functions.dedup import (
     simhash64,
 )
 from big_data_streaming_spark.plans.rank import global_ntile, global_rank
-from big_data_streaming_spark.workload.common import t
+from big_data_streaming_spark.workload.common import t, tr
 
 QUERIES = {}
 ORACLES = {}
@@ -858,7 +858,10 @@ def q_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     name = "token_runs_udtf"
     spark.udtf.register(name, TokenRuns)
-    t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_runs")
+    # tr: the row-at-a-time UDTF otherwise evaluates inside the single
+    # scan task (round-11 A/B: 1.96 -> 0.97 s; no-op at production
+    # row-group counts).
+    tr(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_runs")
     return spark.sql(
         f"SELECT d.doc_id, r.token, r.run_start, r.run_len "
         f"FROM _docs_for_runs d, LATERAL {name}(d.text) r"
@@ -4956,7 +4959,10 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_selfrep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # tr: the shingle explode + per-doc n-gram aggregation otherwise fuses
+    # into the single scan task of the one-row-group documents file
+    # (round-11 A/B: 1.15 -> 0.69 s; no-op at production row-group counts).
+    d = tr(spark, sf_dir, "documents")
     sh = (
         d.select("doc_id", F.split("text", " ").alias("tk"))
         .where(F.size("tk") >= 3)
@@ -6325,7 +6331,10 @@ def q_audio_clip_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav_tone_payload,
     )
 
-    d = t(spark, sf_dir, "documents").select(
+    # tr: WAV synthesis + the Arrow audio kernel otherwise run inside the
+    # single scan task (2 tasks total, ~1.1 s/task — round-11 A/B:
+    # 2.17 -> 1.08 s; no-op at production row-group counts).
+    d = tr(spark, sf_dir, "documents").select(
         "doc_id",
         synth_wav_tone_payload(
             F.col("doc_id") * 97,
