@@ -19303,7 +19303,7 @@ _CUC_BODY = f"""
                (v_sum - {_CUC_EU}) / NULLIF(sqrt({_CUC_VAR}), 0.0) AS zv
         FROM (
             SELECT n1, n2, u_sum, v_sum, CAST(n1 + n2 AS DOUBLE) AS nn
-            FROM agg
+            FROM cucconi_agg
         ) AS wide
     ) AS z
 """
@@ -19350,7 +19350,7 @@ def _ranked_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH r AS (
         {_RANKED_PAIR_SQL}
-    ), agg AS (
+    ), cucconi_agg AS (
         SELECT CAST(SUM(1 - g) AS BIGINT) AS n1,
                CAST(SUM(g) AS BIGINT) AS n2,
                CAST(SUM(CASE WHEN g = 1
@@ -19388,7 +19388,9 @@ def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("v_sum"),
     )
-    agg.createOrReplaceTempView("agg")
+    # Per-query view name (ADVICE r10): a generic session-global "agg"
+    # could cross-wire two of these queries built in one session.
+    agg.createOrReplaceTempView("cucconi_agg")
     return spark.sql(_CUC_BODY)
 
 
@@ -19430,7 +19432,7 @@ _LEP_BODY = f"""
         FROM (
             SELECT n1, n2, w_sum, a_sum,
                    CAST(n1 + n2 AS DOUBLE) AS nn, n1 + n2 AS nni
-            FROM agg
+            FROM lepage_agg
         ) AS wide
     ) AS z
 """
@@ -19441,7 +19443,7 @@ _LEP_BODY = f"""
     f"""
     WITH r AS (
         {_RANKED_PAIR_SQL}
-    ), agg AS (
+    ), lepage_agg AS (
         SELECT CAST(SUM(1 - g) AS BIGINT) AS n1,
                CAST(SUM(g) AS BIGINT) AS n2,
                CAST(SUM(CASE WHEN g = 1
@@ -19475,7 +19477,7 @@ def q_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("a_sum"),
     )
-    agg.createOrReplaceTempView("agg")
+    agg.createOrReplaceTempView("lepage_agg")  # per-query name (ADVICE r10)
     return spark.sql(_LEP_BODY)
 
 
@@ -19577,7 +19579,7 @@ _BM_BODY = """
                (CAST(n2 AS DOUBLE) * b2 - a2 * a2)
                / NULLIF(4.0 * CAST(n2 AS DOUBLE)
                         * (CAST(n2 AS DOUBLE) - 1.0), 0.0) AS s2sq
-        FROM agg
+        FROM bm_agg
     ) AS wide
 """
 _BM_SUMS_SQL = """
@@ -19599,7 +19601,7 @@ _BM_SUMS_SQL = """
                CAST(SUM(CAST(c2 AS DECIMAL(12,0))
                         * CAST(x2 AS DECIMAL(13,0))
                         * CAST(x2 AS DECIMAL(13,0))) AS DOUBLE) AS b2
-        FROM x
+        FROM bm_x
 """
 
 
@@ -19622,14 +19624,14 @@ _BM_SUMS_SQL = """
                CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
                CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
         FROM grid
-    ), x AS (
+    ), bm_x AS (
         SELECT c1, c2, c, cum_all,
                (2 * (cum_all - c) + c + 1)
                - (2 * (cum1 - c1) + c1 + 1) AS x1,
                (2 * (cum_all - c) + c + 1)
                - (2 * (cum2 - c2) + c2 + 1) AS x2
         FROM o
-    ), agg AS (
+    ), bm_agg AS (
         {_BM_SUMS_SQL}
     )
     {_BM_BODY}
@@ -19668,9 +19670,9 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(2 * (cum_all - c) + c + 1)"
         " - (2 * (cum2 - c2) + c2 + 1) AS x2",
     )
-    x.createOrReplaceTempView("x")
+    x.createOrReplaceTempView("bm_x")  # per-query names (ADVICE r10)
     agg = spark.sql(f"SELECT * FROM ({_BM_SUMS_SQL}) AS bm_sums")
-    agg.createOrReplaceTempView("agg")
+    agg.createOrReplaceTempView("bm_agg")
     return spark.sql(_BM_BODY)
 
 
@@ -19773,7 +19775,7 @@ _MMD_BODY = """
                s1_b / NULLIF(CAST(n_b AS DOUBLE), 0.0) AS m1_b,
                s2_a / NULLIF(CAST(n_a AS DOUBLE), 0.0) AS m2_a,
                s2_b / NULLIF(CAST(n_b AS DOUBLE), 0.0) AS m2_b
-        FROM agg
+        FROM mmd_agg
     ) AS m
 """
 
@@ -19785,7 +19787,7 @@ _MMD_BODY = """
         SELECT CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS a,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
         FROM events WHERE value IS NOT NULL
-    ), agg AS (
+    ), mmd_agg AS (
         SELECT CAST(SUM(a) AS BIGINT) AS n_a,
                CAST(SUM(1 - a) AS BIGINT) AS n_b,
                CAST(SUM(CASE WHEN a = 1
@@ -19839,7 +19841,7 @@ def q_mmd_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("s2_b"),
     )
-    agg.createOrReplaceTempView("agg")
+    agg.createOrReplaceTempView("mmd_agg")  # per-query name (ADVICE r10)
     return spark.sql(_MMD_BODY)
 
 

@@ -360,14 +360,25 @@ def q_sim_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     indexed, cents = _ivf_index_cached(spark, sf_dir, emb)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    ivf = ivf_topk(
-        indexed,
-        queries,
-        k=_K,
-        nprobe=_IVF_NPROBE,
-        cluster_col="ivf_cluster",
-        centroids=cents,
-    ).select("q_id", "neighbor_id", "cosine")
+    # The IVF result feeds THREE audit branches (the min-returned-cosine
+    # aggregate, the excluded-candidate anti filter, and the recall
+    # semi-join); unpersisted, each branch re-runs the whole probe+rank
+    # pipeline (round-11: 4.2 -> 2.6 s at sf0.1). track_persist shares
+    # one evaluation; bench/tests release it between queries — the same
+    # lifecycle as the ranker's consistency pin. At 100 TB you would
+    # never re-probe the index three times to audit one answer.
+    from big_data_streaming_spark.plans.rank import track_persist
+
+    ivf = track_persist(
+        ivf_topk(
+            indexed,
+            queries,
+            k=_K,
+            nprobe=_IVF_NPROBE,
+            cluster_col="ivf_cluster",
+            centroids=cents,
+        ).select("q_id", "neighbor_id", "cosine")
+    )
 
     # Independent candidate derivation: re-route the queries, score every
     # candidate in the probed lists, and bound the IVF result from the

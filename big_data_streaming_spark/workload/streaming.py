@@ -41,6 +41,49 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _pid_scratch_dirs(family: str, sf_dir: str) -> tuple[str, str]:
+    """Per-process (out_dir, ckpt_dir) for a streaming drain's LIVE
+    mutable state: two processes running the same key concurrently on
+    one box (parallel preflight + invariance harnesses) must not share a
+    checkpoint log (Spark aborts with CONCURRENT_STREAM_LOG_UPDATE), so
+    the tag carries the pid — deterministic within a process.
+
+    Bounded-growth policy (ADVICE r10): the pid is kept READABLE in the
+    dir name, and stale siblings whose owning process is gone are
+    reclaimed best-effort on each call, so repeated harness runs do not
+    march tempdir toward ENOSPC. Live siblings (other pids still
+    running) are never touched."""
+    import hashlib
+
+    base = os.path.join(tempfile.gettempdir(), "bdss_stream_stage")
+    os.makedirs(base, exist_ok=True)
+    pid = os.getpid()
+    prefix = f"{family}_pid"
+    for entry in os.listdir(base):
+        if not entry.startswith(prefix):
+            continue
+        try:
+            owner = int(entry[len(prefix):].split("_", 1)[0])
+        except ValueError:
+            continue
+        if owner == pid:
+            continue
+        try:
+            os.kill(owner, 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # someone else's live process — leave it alone
+    tag = hashlib.md5(f"{family}:{sf_dir}".encode()).hexdigest()[:10]
+    out_dir = os.path.join(base, f"{prefix}{pid}_{tag}")
+    ckpt_dir = os.path.join(base, f"{prefix}{pid}_ckpt_{tag}")
+    for d in (out_dir, ckpt_dir):  # fresh run: replayed batches would
+        if os.path.isdir(d):  # double-append rows (leak policy: reuse
+            shutil.rmtree(d)  # the deterministic path, not the contents)
+        os.makedirs(d, exist_ok=True)
+    return out_dir, ckpt_dir
+
+
 def _stage_stream_dir(sf_dir: str, table: str) -> str:
     """Copy one testdata table into a dir usable as a file-stream source
     (the file source wants a directory it can list). The staging dir is
@@ -883,8 +926,6 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     from pyspark.sql.window import Window
 
     from big_data_streaming_spark.sources.catalog import (
@@ -894,21 +935,10 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_session_confs(spark)
     src_dir = _stage_stream_dir(sf_dir, "events")
-    # pid in the tag: the checkpoint/out dirs are LIVE mutable state, so
-    # two processes running this key concurrently on one box (parallel
-    # preflight + invariance harnesses) must not share them — Spark
-    # aborts with CONCURRENT_STREAM_LOG_UPDATE when a second stream
-    # opens the same checkpoint log. Deterministic WITHIN a process
-    # (leak policy unchanged); the staged read-only SOURCE dir stays
+    # Per-process scratch with stale-sibling reclamation (ADVICE r10) —
+    # see _pid_scratch_dirs; the staged read-only SOURCE dir stays
     # shared across processes.
-    tag = hashlib.md5(f"topk:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), "bdss_stream_stage")
-    out_dir = os.path.join(base, f"stream_topk_{tag}")
-    ckpt_dir = os.path.join(base, f"stream_topk_ckpt_{tag}")
-    for d in (out_dir, ckpt_dir):  # fresh run: replayed batches would
-        if os.path.isdir(d):  # double-append rows (leak policy: reuse
-            shutil.rmtree(d)  # the deterministic path, not the contents)
-        os.makedirs(d, exist_ok=True)
+    out_dir, ckpt_dir = _pid_scratch_dirs("stream_topk", sf_dir)
 
     raw_schema = spark.read.parquet(src_dir).schema
     sdf = (
@@ -1548,20 +1578,10 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     src_dir = _stage_stream_dir_parts(sf_dir, "documents", n_parts=4)
-    # pid in the tag — same cross-process checkpoint-collision guard as
-    # q_stream_topk (CONCURRENT_STREAM_LOG_UPDATE under parallel
-    # harnesses); deterministic within a process, source dir shared.
-    tag = hashlib.md5(f"neardup:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), "bdss_stream_stage")
-    out_dir = os.path.join(base, f"stream_neardup_{tag}")
-    ckpt_dir = os.path.join(base, f"stream_neardup_ckpt_{tag}")
-    for d in (out_dir, ckpt_dir):  # fresh deterministic run (leak policy)
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-        os.makedirs(d, exist_ok=True)
+    # Per-process scratch with stale-sibling reclamation (ADVICE r10) —
+    # same cross-process checkpoint-collision guard as q_stream_topk.
+    out_dir, ckpt_dir = _pid_scratch_dirs("stream_neardup", sf_dir)
 
     raw_schema = spark.read.parquet(src_dir).schema
     sdf = (
