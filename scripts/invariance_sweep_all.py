@@ -149,8 +149,12 @@ def main() -> None:
         tag += f"_{axis}"
     path = os.path.join(REPO, f"INVARIANCE_r{tag}.json")
     with open(path, "w") as fh:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from provenance import stamp
+
         json.dump(
             {
+                **stamp(),  # tree SHA + UTC (VERDICT r10 task 3)
                 "sf_dir": sf_dir,
                 "axes": {"aqe": "AQE on vs off (fixed partitioning)", "ansi": "ANSI mode on vs off (fixed partitioning)", "codegen": "whole-stage codegen on vs fully interpreted", "partitioning": "shuffle.partitions 5 vs 32 AND maxPartitionBytes 128MiB vs 1MiB"}[axis],
                 "n_keys": len(names),

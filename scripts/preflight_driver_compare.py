@@ -98,7 +98,11 @@ def main() -> None:
     except ValueError:
         tag = rnd
     path = os.path.join(REPO, f"PREFLIGHT_{tag}.json")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from provenance import stamp
+
     summary = {
+        **stamp(),  # tree SHA + UTC at generation (VERDICT r10 task 3)
         "sf_dir": sf_dir,
         "n_keys": len(out),
         "green": sum(1 for v in out.values() if v["status"] == "green"),

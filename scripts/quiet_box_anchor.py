@@ -44,13 +44,26 @@ ANCHOR10 = (
     "q_mannwhitney",
     "q_realized_vol",
 )
-STREAM_TAIL = ("q_stream_topk", "q_dedup_components", "q_stream_feed")
+# r11 (VERDICT r10 task 6): widened ADDITIVELY with the headline
+# streaming keys whose jitter drove the r10 driver-raw +4%, so
+# round-over-round streaming drift is measured on fixed keys warm-3.
+STREAM_TAIL = (
+    "q_stream_topk",
+    "q_dedup_components",
+    "q_stream_feed",
+    "q_stream_dedup",
+    "q_stream_sessionize",
+    "q_stream_stream_left",
+)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    global _stamp
+    from provenance import stamp as _stamp
     from big_data_streaming_spark.session import get_spark
     from big_data_streaming_spark.workload import QUERIES
 
@@ -88,6 +101,7 @@ def main() -> None:
 
     blob = {
         "date": time.strftime("%Y-%m-%d %H:%M"),
+        **_stamp(),  # tree SHA + UTC (VERDICT r10 task 3)
         "round": os.environ.get("SPARK_GRAFT_ROUND"),
         "sf_dir": sf_dir,
         "probe": probe,
