@@ -14,9 +14,11 @@ session is built once with the settings that matter at 100 TB:
   oracle the driver runs.
 * **Arrow enabled** — every Python-boundary crossing (pandas UDFs,
   ``toPandas``) is Arrow-batched, not pickled rows.
-* **Shuffle partitions** default to the local core count for tests; on a
-  real cluster set ``spark.sql.shuffle.partitions`` ≈ 2-3× total cores and
-  let AQE coalesce down.
+* **Shuffle partitions** default to 2× the session's core count
+  (``SPARK_GRAFT_CPUS`` when set, else the machine) — the guide-§9 shape
+  "≈ 2-3× total cores, let AQE coalesce down" — parameterised, never a
+  constant, so the same derivation is right on a laptop, the driver's
+  low-core scaling run, and a 1000-executor cluster.
 """
 
 from __future__ import annotations
@@ -24,6 +26,23 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+
+
+def _core_count() -> int:
+    """Cores the session will actually run with: the driver contract's
+    ``SPARK_GRAFT_CPUS`` when set (it becomes ``local[N]`` below), else
+    the machine. Scale-dependent defaults derive from THIS, not from a
+    constant, so halving the core count halves the derived parallelism
+    (VERDICT r11 task 2: a constant 32 made the driver's low-core scaling
+    probe measure nothing)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        if cpus:
+            return max(1, int(cpus))
+    except ValueError:
+        pass
+    return os.cpu_count() or 8
+
 
 # Cluster-size-sensitive knobs. On a 1000-executor cluster these would be
 # set by the submitter; the values here are the local-mode test defaults.
@@ -42,7 +61,15 @@ _DEFAULT_CONFS: dict[str, str] = {
     # Broadcast threshold: dims (region/nation/supplier/part at any SF that
     # fits; at 100 TB the fact side never broadcasts, the dim side should).
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Shuffle partitions scale with the session's core count (guide §9:
+    # ≈2-3× total cores, AQE coalesces down per stage) instead of a
+    # constant: with SPARK_GRAFT_CPUS=8 the derived default is 16, with
+    # 32 it is 64, so the driver's low-core scaling run exercises a
+    # proportionally sized shuffle layout. SPARK_GRAFT_SHUFFLE still
+    # overrides for A/B measurement.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE", str(2 * _core_count())
+    ),
     "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

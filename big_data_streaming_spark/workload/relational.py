@@ -33,6 +33,7 @@ from big_data_streaming_spark.workload.common import (
     oracle_dec_avg,
     oracle_dec_sum,
     t,
+    tr,
 )
 
 QUERIES = {}
@@ -89,7 +90,10 @@ def q_scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    # tr(): same single-fused-scan-task decimal aggregation as q_tpch_q1
+    # (round-11 profiler), unfrozen in round 12 under the re-baselined
+    # box probe (bench.py pins probe runs to rebalance-off).
+    li = tr(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
