@@ -87,11 +87,15 @@ def _scan_units(path: str) -> tuple[int, int]:
 
     files = [path]
     if os.path.isdir(path):
-        files = [
-            os.path.join(path, f)
-            for f in sorted(os.listdir(path))
+        # Recursive walk (ADVICE r11): hive-partitioned layouts nest
+        # part files under key=value subdirs; a top-level-only listing
+        # returned (0, 0) there and the rebalance silently never fired.
+        files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(path)
+            for f in names
             if f.endswith(".parquet")
-        ]
+        )
     total_bytes = sum(os.path.getsize(f) for f in files)
     total_rgs = sum(pq.read_metadata(f).num_row_groups for f in files)
     return total_bytes, total_rgs

@@ -4448,8 +4448,13 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Output verified identical to the join form at all three SFs;
     # 2.7 -> 2.5 s at sf0.1, and at 100 TB it removes two full
     # fact-relation shuffles.
+    # isNotNull guard (ADVICE r11): the join form this replaced dropped
+    # NULL order keys implicitly (null join keys never match); groupBy
+    # would pool them into one shared basket. No nulls exist in the
+    # fixture — this pins the join form's semantics on arbitrary data.
     baskets = (
         t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey").isNotNull())
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("items"))
     )

@@ -72,8 +72,12 @@ def _pid_scratch_dirs(family: str, sf_dir: str) -> tuple[str, str]:
             os.kill(owner, 0)  # raises if the owner is gone
         except ProcessLookupError:
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-        except PermissionError:
-            pass  # someone else's live process — leave it alone
+        except Exception:
+            # PermissionError: someone else's live process — leave it.
+            # OverflowError/OSError (ADVICE r11): a corrupt/adversarial
+            # entry whose parsed "pid" exceeds pid_t must not fail the
+            # streaming query; keep the entry on ANY unexpected error.
+            pass
     tag = hashlib.md5(f"{family}:{sf_dir}".encode()).hexdigest()[:10]
     out_dir = os.path.join(base, f"{prefix}{pid}_{tag}")
     ckpt_dir = os.path.join(base, f"{prefix}{pid}_ckpt_{tag}")

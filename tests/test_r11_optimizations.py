@@ -41,9 +41,11 @@ def test_rebalance_fires_only_below_floor(spark):
         assert reb.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
 
 
-def test_rebalance_value_neutral_at_sf01(spark):
-    # At sf0.1 the documents file crosses the size floor, so tr() adds
+def test_rebalance_value_neutral_where_it_fires(spark):
+    # At sf0.01 the documents file crosses the size floor, so tr() adds
     # the round-robin exchange — rows must be identical either way.
+    # (Renamed from *_at_sf01 — ADVICE r11: the old name said sf0.1 but
+    # the test runs sf0.01, which is where the floor is first crossed.)
     from big_data_streaming_spark.workload.common import t, tr
 
     sf = "/root/testdata/sf0.01"
@@ -56,23 +58,34 @@ def test_rebalance_value_neutral_at_sf01(spark):
     assert a == b
 
 
-def test_rebalance_noop_at_scale(spark, tmp_path):
+def test_rebalance_noop_at_scale(spark, tmp_path, monkeypatch):
     # A table with >= defaultParallelism row groups never rebalances —
-    # the production no-op contract.
+    # the production no-op contract. The tiny fixture file sits below
+    # the 256 KiB size floor, which would veto the repartition FIRST and
+    # leave the row-group branch untested (ADVICE r11) — so the floor is
+    # monkeypatched to 0 here: the row-group condition alone must veto.
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from big_data_streaming_spark.sources import catalog
     from big_data_streaming_spark.sources.catalog import load_table
 
+    monkeypatch.setattr(catalog, "_REBALANCE_MIN_BYTES", 0)
     n = spark.sparkContext.defaultParallelism
     tbl = pa.table({"doc_id": list(range(4 * n)), "v": [1.0] * (4 * n)})
     dest = tmp_path / "many.parquet"
     pq.write_table(tbl, dest, row_group_size=2)  # 2n row groups, tiny file
-    # force it past the size floor by padding a sibling? Not needed: the
-    # row-group condition alone must already veto the repartition.
     df = load_table(spark, str(tmp_path), "many", rebalance=True)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Repartition" not in plan
+    # and with ONE row group + floor 0, the same file MUST rebalance —
+    # proves the veto above came from the row-group branch specifically
+    few = tmp_path / "sub" / "one.parquet"
+    few.parent.mkdir()
+    pq.write_table(tbl, few, row_group_size=10**6)  # 1 row group
+    df_one = load_table(spark, str(tmp_path / "sub"), "one", rebalance=True)
+    plan_one = df_one._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan_one
 
 
 def test_pid_scratch_reclaims_stale_dirs(tmp_path, monkeypatch):
