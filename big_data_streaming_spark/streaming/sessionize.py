@@ -71,7 +71,15 @@ def sessionize_fn(
                 _emit(user_id, s0, last, n, tot, "timeout")
             )
             state.remove()
-        yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields])
+        # Yield nothing when nothing closed: this function runs once per
+        # KEY per micro-batch, and the finalization batch visits every
+        # live key — an empty per-key DataFrame build is pure overhead
+        # at that volume (round 12, guide §4.2 keep per-call Python work
+        # proportional to output).
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+            )
         return
 
     if state.exists:
@@ -80,7 +88,9 @@ def sessionize_fn(
         s0 = last = n = 0
         tot = 0.0
 
-    rows = pd.concat(list(pdfs)).sort_values("ts")
+    batches = list(pdfs)
+    # one Arrow batch per key is the common case — skip the concat copy
+    rows = (batches[0] if len(batches) == 1 else pd.concat(batches)).sort_values("ts")
     # Late-but-admitted rows (earlier ts, later batch — sort_values only
     # orders within one batch) fall into three cases against the standing
     # session [s0, last]: inside-or-bridging (backward distance < gap,
@@ -136,7 +146,10 @@ def sessionize_fn(
     if timeout_ms <= wm_ms:
         timeout_ms = wm_ms + 1
     state.setTimeoutTimestamp(timeout_ms)
-    yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields])
+    if out:  # see the timed-out branch: no empty-frame builds per key
+        yield pd.DataFrame(
+            out, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+        )
 
 
 def _emit(user_id, s0_us: int, last_us: int, n: int, tot: float, why: str) -> dict:

@@ -41,6 +41,18 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _stream_shuffle() -> str:
+    """Stream-side shuffle-partition pin for the bounded drains: stateful
+    streaming creates one state-store instance per shuffle partition,
+    fixed at query start, so this dials store count (and, for the
+    Python-kernel sessionizer, parallel Arrow workers). 8 beat 32 for
+    the many-microbatch drains (round 11: less per-store setup than
+    data); env-tunable (``SPARK_GRAFT_STREAM_SHUFFLE``) so the trade is
+    measurable per box and a production continuous query can size it to
+    key cardinality instead."""
+    return os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
+
 def _pid_scratch_dirs(family: str, sf_dir: str) -> tuple[str, str]:
     """Per-process (out_dir, ckpt_dir) for a streaming drain's LIVE
     mutable state: two processes running the same key concurrently on
@@ -170,7 +182,7 @@ def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query sizes this to expected key cardinality instead. The conf is
     # restored right after start (it's captured at plan time).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -215,7 +227,7 @@ def _drain_events_stream(
     sdf = normalize_raw_timestamps(sdf, src_dir)
     agg = build_agg(sdf)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -389,7 +401,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             joined.writeStream.format("memory")
@@ -448,7 +460,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             deduped.writeStream.format("memory")
@@ -616,7 +628,7 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             joined.writeStream.format("memory")
@@ -777,7 +789,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -872,7 +884,7 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(struct(op, v, ts_ms), struct(ts_ms, seq))").alias("w")
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             compacted.writeStream.format("memory")
@@ -982,7 +994,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             agg.writeStream.foreachBatch(rank_and_append)
@@ -1096,7 +1108,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = normalize_raw_timestamps(sdf, src_dir)
     out = sessionize(sdf.select("ts", "user_id", "value"), watermark="1 hour")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             out.writeStream.format("memory")
@@ -1180,7 +1192,7 @@ def q_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "full_outer",
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             joined.writeStream.format("memory")
@@ -1271,7 +1283,7 @@ def q_stream_complete_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle())
     try:
         q = (
             ranked.writeStream.format("memory")
