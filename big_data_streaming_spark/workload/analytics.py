@@ -59,6 +59,7 @@ from big_data_streaming_spark.workload.common import (
     oracle_dec_avg,
     oracle_dec_sum,
     t,
+    tr,
 )
 
 QUERIES = {}
@@ -507,7 +508,9 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    # tr(): two full-fact percentile/agg passes fused into single scan
+    # tasks (round-12 sweep); A/B 2.2 -> 1.6 s at sf0.1.
+    li = tr(spark, sf_dir, "lineitem")
     b = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", 0.01).alias("lo"),
         F.percentile("l_extendedprice", 0.99).alias("hi"),
@@ -4879,7 +4882,9 @@ _PB_C2 = 3950075422   # P(X<=2) = 2.5 e^-1
     """,
 )
 def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # tr(): the B-way resample explode + md5 weight derivation fused
+    # into the single scan task (round-12 sweep); A/B 4.3 -> 0.8 s.
+    ev = tr(spark, sf_dir, "events")
     g = ev.select(
         "event_type",
         "value",

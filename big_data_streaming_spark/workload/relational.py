@@ -1611,7 +1611,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    # tr(): the try_* expression map over the full fact ran as ONE fused
+    # scan task on the single-row-group layout — the slowest key in the
+    # round-12 registry sweep. Interleaved A/B 22.5 -> 8.0 s at sf0.1;
+    # no-op at production row-group counts (guide §2.5/§6).
+    li = tr(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",

